@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard config.
+  *
+  * Scale notes: these settings are what we'd ship in spark-defaults on a
+  * real cluster — AQE for runtime coalescing/skew-join handling, shuffle
+  * partition count sized to cores (the driver harness runs local[32]; on a
+  * 1000-executor cluster this would be executors*cores*2-3 or simply left
+  * to AQE's coalescing with a high initial value).
+  */
+object GraftSession {
+  def build(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // driver testdata ships TIMESTAMP(NANOS) parquet (events.ts); read as
+      // long and convert in Tables.register (µs-precision data, lossless).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, QuerySet, Tables}
+
+/** Core relational surface from SURVEY.md §2.1-2.8: scans, filters,
+  * projections, joins, grouped aggregation, windows, sort/limit/offset.
+  *
+  * Implementation notes for scale (the point of this engine):
+  *  - every query is declared via the DataFrame API / Spark SQL so Catalyst
+  *    does predicate pushdown + column pruning into the parquet scan;
+  *  - small dimension tables (region/nation/supplier) are explicitly
+  *    broadcast so the joins never shuffle the fact table;
+  *  - double aggregates are rounded at the OUTPUT (never mid-plan) so the
+  *    duckdb-oracle hash compare is robust to FP summation order, which is
+  *    not deterministic across engines/partitionings;
+  *  - every result carries a total ORDER BY on a unique key so the dumped
+  *    parquet is deterministic.
+  */
+object CoreQueries extends QuerySet {
+
+  // Pricing summary (TPC-H Q1 shape). Reference exercises exactly this kind
+  // of grouped agg via templates (e.g. examples/sqls/taxi/taxi.sql:1-3,
+  // GROUP BY positional). Map-side partial aggregation makes this a single
+  // shuffle of |groups| rows — scales linearly in input, constant in output.
+  private val q1 = QueryDef(
+    "q1_pricing_summary",
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  round(sum(l_quantity), 2)                          AS sum_qty,
+           |  round(sum(l_extendedprice), 2)                     AS sum_base_price,
+           |  round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+           |  round(avg(l_quantity), 2)                          AS avg_qty,
+           |  round(avg(l_discount), 4)                          AS avg_disc,
+           |  count(*)                                           AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    (s, dir) => {
+      val li = Tables.table(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 2).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    })
+
+  // Filter + projection: predicate and column set must reach the parquet
+  // scan (PushedFilters / ReadSchema). SURVEY §2.2 P1/P4/P5.
+  private val q2 = QueryDef(
+    "q2_filter_project",
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+           |FROM lineitem
+           |WHERE l_quantity > 45
+           |  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+           |  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+           |  AND l_returnflag = 'N'
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+    (s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45
+          && col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-01-01").cast("timestamp")
+          && col("l_returnflag") === "N")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber"))
+
+  // Multi-way join + agg: fact (orders) joined to two dims. Dims are
+  // broadcast → zero shuffle for the join itself; the only shuffle is the
+  // final groupBy on n_name (25 nations), negligible at any scale.
+  // SURVEY §2.3 J1/J2.
+  private val q3 = QueryDef(
+    "q3_join_revenue_by_nation",
+    Some("""SELECT n.n_name, round(sum(o.o_totalprice), 2) AS revenue,
+           |       count(*) AS n_orders
+           |FROM orders o
+           |JOIN customer c ON o.o_custkey = c.c_custkey
+           |JOIN nation n   ON c.c_nationkey = n.n_nationkey
+           |GROUP BY n.n_name
+           |ORDER BY n.n_name""".stripMargin),
+    (s, dir) => {
+      val o = Tables.table(s, dir, "orders")
+      val c = Tables.table(s, dir, "customer")
+      val n = Tables.table(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+             count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    })
+
+  // LEFT OUTER join preserving unmatched left rows (customers with zero
+  // orders must appear with cnt=0). Reference: northwind/orders.sql:28,
+  // mcp_customer_lookup.sql:23-25. count(col) skips nulls in both engines.
+  private val q4 = QueryDef(
+    "q4_left_join_order_counts",
+    Some("""SELECT c.c_custkey, c.c_mktsegment,
+           |       count(o.o_orderkey) AS order_cnt,
+           |       round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+           |FROM customer c
+           |LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+           |GROUP BY c.c_custkey, c.c_mktsegment
+           |ORDER BY c.c_custkey""".stripMargin),
+    (s, dir) => {
+      val c = Tables.table(s, dir, "customer")
+      val o = Tables.table(s, dir, "orders")
+      c.join(o, o("o_custkey") === c("c_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(col("o_orderkey")).as("order_cnt"),
+             round(coalesce(sum("o_totalprice"), lit(0)), 2).as("total_spent"))
+        .orderBy("c_custkey")
+    })
+
+  // Window ranking: top-3 customers by balance per market segment.
+  // SURVEY §2.5 W1 generalized. The window shuffles once on the partition
+  // key; deterministic tie-break on c_custkey.
+  private val q5 = QueryDef(
+    "q5_window_top3_per_segment",
+    Some("""SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal, rn
+           |FROM (
+           |  SELECT c_mktsegment, c_custkey, c_acctbal,
+           |         row_number() OVER (PARTITION BY c_mktsegment
+           |                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+           |  FROM customer)
+           |WHERE rn <= 3
+           |ORDER BY c_mktsegment, rn""".stripMargin),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.table(s, dir, "customer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("c_custkey"),
+                round(col("c_acctbal"), 2).as("acctbal"), col("rn"))
+        .orderBy("c_mktsegment", "rn")
+    })
+
+  // Global top-k: ORDER BY ... LIMIT compiles to TakeOrderedAndProject —
+  // per-partition top-k then a k-row merge on the driver; no full sort,
+  // no shuffle of the full table. SURVEY §2.6 O1/O4.
+  private val q6 = QueryDef(
+    "q6_topk_orders",
+    Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice,
+           |       o_orderdate
+           |FROM orders
+           |ORDER BY o_totalprice DESC, o_orderkey
+           |LIMIT 10""".stripMargin),
+    (s, dir) =>
+      Tables.table(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"),
+                round(col("o_totalprice"), 2).as("totalprice"), col("o_orderdate")))
+
+  // Pagination wrap: the reference wraps every GET in
+  // SELECT * FROM (<q>) LIMIT l OFFSET o (database_manager.cpp:436-476).
+  // Spark: Dataset.offset(o).limit(l) over a total order.
+  private val q7 = QueryDef(
+    "q7_pagination_offset_limit",
+    Some("""SELECT c_custkey, c_name, c_mktsegment
+           |FROM customer
+           |ORDER BY c_custkey
+           |LIMIT 20 OFFSET 40""".stripMargin),
+    (s, dir) =>
+      Tables.table(s, dir, "customer")
+        .orderBy("c_custkey")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .offset(40)
+        .limit(20))
+
+  // Semi + anti joins (EXISTS / NOT EXISTS). Not exercised by the
+  // reference's templates but part of the delegated SQL surface (§2.3).
+  private val q8 = QueryDef(
+    "q8_semi_join_big_spenders",
+    Some("""SELECT c_custkey, c_name
+           |FROM customer c
+           |WHERE EXISTS (SELECT 1 FROM orders o
+           |              WHERE o.o_custkey = c.c_custkey
+           |                AND o.o_totalprice > 450000)
+           |ORDER BY c_custkey""".stripMargin),
+    (s, dir) => {
+      val c = Tables.table(s, dir, "customer")
+      val o = Tables.table(s, dir, "orders").filter(col("o_totalprice") > 450000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    })
+
+  private val q9 = QueryDef(
+    "q9_anti_join_no_big_orders",
+    Some("""SELECT c_custkey, c_name
+           |FROM customer c
+           |WHERE NOT EXISTS (SELECT 1 FROM orders o
+           |                  WHERE o.o_custkey = c.c_custkey
+           |                    AND o.o_totalprice > 400000)
+           |ORDER BY c_custkey""".stripMargin),
+    (s, dir) => {
+      val c = Tables.table(s, dir, "customer")
+      val o = Tables.table(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    })
+
+  override val defs: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9)
+}
