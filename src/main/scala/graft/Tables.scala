@@ -2,6 +2,8 @@ package graft
 
 import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Registers the driver-provided parquet tables (TESTDATA.md) as temp views.
   *
@@ -10,45 +12,54 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * here the "connection" is a scale-factor directory and the views are the
   * TPC-H-ish tables.
   *
-  * Registration is cached per (session, dir): view creation is a catalog-only
-  * operation but reading the parquet footer for schema costs a file open, so
-  * we do it once. Views are plain parquet scans — Catalyst pushes filters and
-  * prunes columns into the scan, which is exactly what we want at 100 TB
-  * (only the referenced columns/row-groups are read).
+  * Registration is cached per session and keyed by the *current* directory:
+  * if a later call asks for a different dir on the same session, the views
+  * are re-registered (temp views are global per session, so a stale cache
+  * key would silently serve the previous dir's data). Concurrent callers
+  * block inside compute() until the views exist.
+  *
+  * Views are plain parquet scans — Catalyst pushes filters and prunes
+  * columns into the scan, which is exactly what we want at 100 TB (only the
+  * referenced columns/row-groups are read).
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private val registered = new ConcurrentHashMap[String, String]()
+  // session identity -> dir currently registered on that session
+  private val registered = new ConcurrentHashMap[Integer, String]()
 
-  /** Idempotently create one temp view per table over `dir`. */
+  /** Idempotently create one temp view per table over `dir`; re-register if
+    * the session previously pointed at a different dir. */
   def register(spark: SparkSession, dir: String): Unit = {
-    val key = System.identityHashCode(spark) + ":" + dir
-    if (registered.putIfAbsent(key, dir) == null) {
-      // The driver may hand us a session it built itself (entry()); make
-      // sure nanos-timestamp parquet (events.ts) is readable in it too.
-      try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      catch { case _: Throwable => }
-      names.foreach { n =>
-        val p = s"$dir/$n.parquet"
-        if (new java.io.File(p).exists() || dir.contains("://")) {
-          var df = spark.read.parquet(p)
-          // events.ts is parquet TIMESTAMP(NANOS) which Spark reads as
-          // LongType under spark.sql.legacy.parquet.nanosAsLong (set by our
-          // entry points). The data is µs-precision, so converting
-          // nanos→micros is lossless and round-trips against DuckDB.
-          df.schema.fields.collect {
-            case f if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
-              df = df.withColumn("ts",
-                org.apache.spark.sql.functions.timestamp_micros(
-                  org.apache.spark.sql.functions.expr("ts div 1000")))
+    val key = Integer.valueOf(System.identityHashCode(spark))
+    registered.compute(key, (_, prev) => {
+      if (prev != dir) {
+        // The driver may hand us a session it built itself (entry()); make
+        // sure nanos-timestamp parquet (events.ts) is readable in it too.
+        try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+        names.foreach { n =>
+          val p = s"$dir/$n.parquet"
+          if (new java.io.File(p).exists() || dir.contains("://")) {
+            var df = spark.read.parquet(p)
+            // events.ts is parquet TIMESTAMP(NANOS) which Spark reads as
+            // LongType under spark.sql.legacy.parquet.nanosAsLong (set by
+            // our entry points). The data is µs-precision, so converting
+            // nanos→micros is lossless and round-trips against DuckDB.
+            // Restricted to the events table: any other long 'ts' column
+            // (epoch millis, a counter) must not be rewritten.
+            if (n == "events" && df.schema.fields.exists(f =>
+                f.name == "ts" && f.dataType == LongType)) {
+              df = df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            }
+            df.createOrReplaceTempView(n)
           }
-          df.createOrReplaceTempView(n)
         }
       }
-    }
+      dir
+    })
   }
 
   /** Register views then run a SQL query against them. */

@@ -71,10 +71,12 @@ object CoreQueries extends QuerySet {
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
         .orderBy("l_orderkey", "l_linenumber"))
 
-  // Multi-way join + agg: fact (orders) joined to two dims. Dims are
-  // broadcast → zero shuffle for the join itself; the only shuffle is the
-  // final groupBy on n_name (25 nations), negligible at any scale.
-  // SURVEY §2.3 J1/J2.
+  // Multi-way join + agg. Scale design: orders is pre-aggregated by
+  // o_custkey BEFORE the join, so the shuffle/join right side shrinks from
+  // |orders| rows to |customers| rows (Catalyst does not do this rewrite
+  // itself). nation (25 rows) is broadcast; the orders↔customer join
+  // legitimately shuffles both sides on custkey at 100 TB — that is the
+  // minimal data movement for this query. SURVEY §2.3 J1/J2.
   private val q3 = QueryDef(
     "q3_join_revenue_by_nation",
     Some("""SELECT n.n_name, round(sum(o.o_totalprice), 2) AS revenue,
@@ -85,14 +87,16 @@ object CoreQueries extends QuerySet {
            |GROUP BY n.n_name
            |ORDER BY n.n_name""".stripMargin),
     (s, dir) => {
-      val o = Tables.table(s, dir, "orders")
       val c = Tables.table(s, dir, "customer")
       val n = Tables.table(s, dir, "nation")
-      o.join(c, o("o_custkey") === c("c_custkey"))
+      val oAgg = Tables.table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum("o_totalprice").as("cust_total"), count(lit(1)).as("cust_orders"))
+      oAgg.join(c, oAgg("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum("o_totalprice"), 2).as("revenue"),
-             count(lit(1)).as("n_orders"))
+        .agg(round(sum("cust_total"), 2).as("revenue"),
+             sum("cust_orders").as("n_orders"))
         .orderBy("n_name")
     })
 
@@ -109,18 +113,32 @@ object CoreQueries extends QuerySet {
            |GROUP BY c.c_custkey, c.c_mktsegment
            |ORDER BY c.c_custkey""".stripMargin),
     (s, dir) => {
+      // Aggregate orders by o_custkey BEFORE the left join: the join right
+      // side shrinks from |orders| to ≤|customers| rows and the post-join
+      // re-aggregation disappears — far less shuffled data at scale.
       val c = Tables.table(s, dir, "customer")
-      val o = Tables.table(s, dir, "orders")
-      c.join(o, o("o_custkey") === c("c_custkey"), "left")
-        .groupBy(col("c_custkey"), col("c_mktsegment"))
-        .agg(count(col("o_orderkey")).as("order_cnt"),
-             round(coalesce(sum("o_totalprice"), lit(0)), 2).as("total_spent"))
+      val oAgg = Tables.table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(col("o_orderkey")).as("cnt"), sum("o_totalprice").as("tot"))
+      c.join(oAgg, oAgg("o_custkey") === c("c_custkey"), "left")
+        .select(col("c_custkey"), col("c_mktsegment"),
+                coalesce(col("cnt"), lit(0L)).as("order_cnt"),
+                round(coalesce(col("tot"), lit(0)), 2).as("total_spent"))
         .orderBy("c_custkey")
     })
 
   // Window ranking: top-3 customers by balance per market segment.
-  // SURVEY §2.5 W1 generalized. The window shuffles once on the partition
-  // key; deterministic tie-break on c_custkey.
+  // SURVEY §2.5 W1 generalized; deterministic tie-break on c_custkey.
+  //
+  // Scale design: c_mktsegment has ~5 distinct values, so a naive
+  // Window.partitionBy(segment) funnels the whole table into 5 reducer
+  // tasks. Instead we pre-reduce per INPUT partition: group by
+  // (spark_partition_id, segment) — partial aggregation completes each
+  // group map-side (pid groups are partition-local), so the shuffle
+  // carries ≤ 3 rows per (partition, segment). The final window then
+  // ranks ≤ 3×partitions rows per segment — bounded reducer input at any
+  // scale. The comparator must match in both phases: (acctbal DESC,
+  // custkey ASC) is encoded as ascending struct(-acctbal, custkey).
   private val q5 = QueryDef(
     "q5_window_top3_per_segment",
     Some("""SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal, rn
@@ -133,9 +151,23 @@ object CoreQueries extends QuerySet {
            |ORDER BY c_mktsegment, rn""".stripMargin),
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // Phase 1: per-input-partition top-3 per segment. collect_list here
+      // buffers at most one input partition's rows per group (~128 MB of
+      // scan at cluster defaults), and the slice happens before the
+      // shuffle, so only 3 rows per (pid, segment) move.
+      val partial = Tables.table(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+        .groupBy(spark_partition_id().as("pid"), col("c_mktsegment"))
+        .agg(slice(sort_array(collect_list(
+          struct((-col("c_acctbal")).as("negbal"), col("c_custkey")))), 1, 3)
+          .as("top"))
+        .select(col("c_mktsegment"), explode(col("top")).as("t"))
+        .select(col("c_mktsegment"), col("t.c_custkey").as("c_custkey"),
+                (-col("t.negbal")).as("c_acctbal"))
+      // Phase 2: exact window over ≤ 3×partitions rows per segment.
       val w = Window.partitionBy("c_mktsegment")
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
-      Tables.table(s, dir, "customer")
+      partial
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("c_mktsegment"), col("c_custkey"),
