@@ -1,0 +1,71 @@
+package graft.config
+
+/** Endpoint/config data model — the Scala analog of the reference's YAML
+  * config structs (config_manager.hpp:113-180). Only the data-processing
+  * subset is modeled here; serving-shell fields (auth providers, rate
+  * limits, CORS) live with the HTTP layer when it exists.
+  */
+final case class ValidatorConfig(
+    tpe: String,
+    regex: String = "",
+    min: Int = 0,
+    max: Int = 0,
+    minDate: String = "",
+    maxDate: String = "",
+    minTime: String = "",
+    maxTime: String = "",
+    allowedValues: Seq[String] = Nil,
+    preventSqlInjection: Boolean = true)
+
+final case class RequestFieldConfig(
+    fieldName: String,
+    fieldIn: String = "query",
+    description: String = "",
+    required: Boolean = false,
+    defaultValue: Option[String] = None,
+    validators: Seq[ValidatorConfig] = Nil)
+
+final case class CursorConfig(column: String, tpe: String)
+
+final case class RetentionConfig(
+    keepLastSnapshots: Option[Int] = None,
+    maxSnapshotAge: Option[String] = None)
+
+final case class CacheConfig(
+    enabled: Boolean = false,
+    table: String = "",
+    schema: String = "cache",
+    schedule: Option[String] = None,
+    primaryKeys: Seq[String] = Nil,
+    cursor: Option[CursorConfig] = None,
+    retention: RetentionConfig = RetentionConfig(),
+    templateFile: Option[String] = None) {
+  def hasCursor: Boolean = cursor.isDefined
+  def hasPrimaryKey: Boolean = primaryKeys.nonEmpty
+}
+
+final case class ConnectionConfig(
+    name: String,
+    /** exposed to templates as {{conn.*}} */
+    properties: Map[String, String] = Map.empty,
+    /** SQL run once per session when the connection is first used */
+    initSql: Option[String] = None)
+
+/** Env-var whitelist for {{env.*}} (reference: TemplateConfig,
+  * config_manager.hpp:419-435 — regex allowlist, deny by default). */
+final case class TemplateEnvConfig(allowedPatterns: Seq[String] = Nil) {
+  private lazy val compiled = allowedPatterns.map(_.r)
+  def isAllowed(name: String): Boolean = compiled.exists(_.matches(name))
+}
+
+final case class EndpointConfig(
+    urlPath: String,
+    method: String = "GET",
+    templateSource: String,
+    connection: Seq[String] = Nil,
+    requestFields: Seq[RequestFieldConfig] = Nil,
+    /** reject params not declared in requestFields (T7) */
+    requestFieldsValidation: Boolean = false,
+    withPagination: Boolean = true,
+    isWrite: Boolean = false,
+    cache: CacheConfig = CacheConfig())

@@ -1,0 +1,92 @@
+package graft.dialect
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class DuckDialectSpec extends AnyFunSuite {
+  import DuckDialect.translate
+
+  test("plain SQL untouched") {
+    val sql = "SELECT a, b FROM t WHERE x = ? ORDER BY 1"
+    assert(translate(sql) == sql)
+  }
+
+  test("struct literal to named_struct") {
+    assert(translate("SELECT { 'k': c1 } AS s") ==
+      "SELECT named_struct('k', c1) AS s")
+  }
+
+  test("nested struct literal (customers.sql shape)") {
+    val in = "SELECT { 'street': c_address, 'address': {'nation': c_nationkey, 'phone': c_phone }} AS contact"
+    val out = translate(in)
+    assert(out.contains("named_struct('street', c_address"))
+    assert(out.contains("named_struct('nation', c_nationkey"))
+    assert(!out.contains("{") && !out.contains("}"))
+  }
+
+  test("braces that are not struct literals are left alone") {
+    val sql = "SELECT '{not a struct}' FROM t"
+    assert(translate(sql) == sql)
+  }
+
+  test("json arrow operators") {
+    assert(translate("SELECT j ->> 'auth' FROM t") ==
+      "SELECT get_json_object(j, '$.auth') FROM t")
+    assert(translate("SELECT a.j -> 'k' FROM t") ==
+      "SELECT get_json_object(a.j, '$.k') FROM t")
+  }
+
+  test("::JSON cast dropped, other casts kept") {
+    assert(translate("SELECT '[1]'::JSON") == "SELECT '[1]'")
+    assert(translate("SELECT x::INT FROM t") == "SELECT x::INT FROM t")
+  }
+
+  test("LIST agg renamed to collect_list") {
+    assert(translate("SELECT LIST(x) FILTER (WHERE y > 0) FROM t GROUP BY g") ==
+      "SELECT collect_list(x) FILTER (WHERE y > 0) FROM t GROUP BY g")
+  }
+
+  test("JSON_OBJECT to to_json(named_struct(...))") {
+    assert(translate("SELECT JSON_OBJECT('a', x, 'b', y) FROM t") ==
+      "SELECT to_json(named_struct('a', x, 'b', y)) FROM t")
+  }
+
+  test("sqlite-ish DATE forms") {
+    assert(translate("WHERE DATE(o_date) = DATE('now', '-90 days')") ==
+      "WHERE to_date(o_date) = date_add(current_date(), -90)")
+    assert(translate("SELECT DATE('now')") == "SELECT current_date()")
+  }
+
+  test("quoted path table refs") {
+    assert(translate("SELECT * FROM '/data/c.parquet' WHERE x=1") ==
+      "SELECT * FROM parquet.`/data/c.parquet` WHERE x=1")
+    assert(translate("SELECT * FROM read_parquet('/d/t.parquet')") ==
+      "SELECT * FROM parquet.`/d/t.parquet`")
+  }
+
+  test("interval unit spellings") {
+    assert(translate("now() - INTERVAL '30d'") == "now() - INTERVAL '30' DAY")
+    assert(translate("INTERVAL '5m'") == "INTERVAL '5' MINUTE")
+    assert(translate("INTERVAL '2 days'") == "INTERVAL '2 days'") // already fine
+  }
+
+  test("strings and comments are opaque") {
+    val sql = "SELECT '->> not an op { x: 1 }' AS s -- DATE('now')\nFROM t"
+    assert(translate(sql) == sql)
+  }
+
+  test("full reference customers.sql translates to parseable Spark SQL") {
+    val t =
+      """SELECT
+        |  c_custkey as key,
+        |  c_name as name,
+        |  { 'street': c_address, 'address': {'nation': c_nationkey, 'phone': c_phone }} AS contact,
+        |  { 'segment': c_mktsegment } AS segment
+        |FROM '/root/testdata/sf0.001/customer.parquet'
+        |WHERE 1=1
+        |  AND c_custkey = 42
+        |""".stripMargin
+    val out = translate(t)
+    assert(out.contains("named_struct('street', c_address"))
+    assert(out.contains("FROM parquet.`/root/testdata/sf0.001/customer.parquet`"))
+  }
+}
