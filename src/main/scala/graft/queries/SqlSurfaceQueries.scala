@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QuerySet, Tables}
+
+/** SQL-surface coverage from SURVEY §2: struct/array aggregation (A2),
+  * JSON construction (A3), rollup (A5), window frames beyond W1, theta
+  * joins (J3), set operations (§2.7), scalar function families (§2.8)
+  * and introspection. Where the ANSI SQL is identical in Spark and
+  * DuckDB the same text serves as both implementation and oracle —
+  * that IS the product surface (templates delegate SQL to the engine).
+  */
+object SqlSurfaceQueries extends QuerySet {
+
+  /** Identical SQL on both engines: build = spark.sql(text), oracle = text. */
+  private def sqlQuery(name: String, text: String): QueryDef =
+    QueryDef(name, Some(text), (s, dir) => Tables.sql(s, dir, text))
+
+  // A2: per-group array of structs with agg FILTER. Deterministic array
+  // order via sort_array/list_sort (first struct field = unique orderkey).
+  // Scale: collect_list buffers only each group's matching rows; the
+  // filter cuts the collected set before the shuffle (partial agg).
+  private val a2 = QueryDef(
+    "a2_list_struct_filter",
+    Some("""SELECT o_custkey, n_orders, list_sort(big) AS big_orders FROM (
+           |  SELECT o_custkey, count(*) AS n_orders,
+           |         list(struct_pack(orderkey := o_orderkey, price := round(o_totalprice, 2)))
+           |           FILTER (WHERE o_totalprice > 450000) AS big
+           |  FROM orders GROUP BY o_custkey) t
+           |WHERE len(big) > 0
+           |ORDER BY o_custkey""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """SELECT o_custkey, n_orders, sort_array(big) AS big_orders FROM (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |         collect_list(named_struct('orderkey', o_orderkey, 'price', round(o_totalprice, 2)))
+        |           FILTER (WHERE o_totalprice > 450000) AS big
+        |  FROM orders GROUP BY o_custkey) t
+        |WHERE size(big) > 0
+        |ORDER BY o_custkey""".stripMargin))
+
+  // A3: JSON document construction in projection (reference:
+  // mcp_customer_lookup.sql:12-17 JSON_OBJECT). Integer/string fields
+  // only — both engines emit compact {"k":v} with identical rendering.
+  private val a3 = QueryDef(
+    "a3_json_object",
+    Some("""SELECT o_orderkey,
+           |  to_json(struct_pack(custkey := o_custkey, status := o_orderstatus,
+           |                      price_int := cast(round(o_totalprice) AS BIGINT))) AS payload
+           |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """SELECT o_orderkey,
+        |  to_json(named_struct('custkey', o_custkey, 'status', o_orderstatus,
+        |                       'price_int', cast(round(o_totalprice) AS BIGINT))) AS payload
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin))
+
+  // A5: ROLLUP over two grouping columns — subtotal + grand-total rows.
+  private val a5 = sqlQuery(
+    "a5_rollup",
+    """SELECT c_mktsegment, c_nationkey, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+      |FROM customer
+      |GROUP BY ROLLUP(c_mktsegment, c_nationkey)
+      |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin)
+
+  // W2: analytic windows with an explicit running frame + lag + rank.
+  // Running-sum accumulation order is fixed by the ORDER BY, so FP
+  // addition is deterministic and identical across engines.
+  private val w2 = sqlQuery(
+    "w2_window_frames",
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+      |  round(lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS prev_price,
+      |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+      |FROM orders WHERE o_custkey <= 200
+      |ORDER BY o_custkey, o_orderkey""".stripMargin)
+
+  // J3: theta/range condition attached to an OUTER join (reference:
+  // mcp_customer_lookup.sql:23-26). The extra condition is part of the
+  // join predicate, not a post-filter — unmatched customers survive.
+  private val j3 = sqlQuery(
+    "j3_theta_outer_join",
+    """SELECT c.c_custkey, count(o.o_orderkey) AS recent_orders
+      |FROM customer c
+      |LEFT JOIN orders o
+      |  ON o.o_custkey = c.c_custkey
+      | AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY c.c_custkey
+      |ORDER BY c.c_custkey""".stripMargin)
+
+  // §2.7 set operations: UNION (dedup) feeding EXCEPT, and INTERSECT.
+  private val set1 = sqlQuery(
+    "set1_union_except",
+    """SELECT k FROM (
+      |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  UNION
+      |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+      |) u
+      |EXCEPT
+      |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000
+      |ORDER BY k""".stripMargin)
+
+  private val set2 = sqlQuery(
+    "set2_intersect",
+    """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'MACHINERY'
+      |INTERSECT
+      |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+      |ORDER BY k""".stripMargin)
+
+  // §2.8 string functions (instr/strpos is the one spelling difference).
+  private val f1 = QueryDef(
+    "f1_string_fns",
+    Some("""SELECT c_custkey,
+           |  upper(c_name) AS uname, lower(c_mktsegment) AS lseg,
+           |  substr(c_name, 1, 8) AS prefix, length(c_name) AS len,
+           |  concat(c_mktsegment, ':', c_name) AS tagged,
+           |  replace(c_name, '#', '-') AS dashed,
+           |  trim(c_name) AS trimmed, reverse(c_mktsegment) AS rseg,
+           |  strpos(c_name, '1') AS pos1
+           |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """SELECT c_custkey,
+        |  upper(c_name) AS uname, lower(c_mktsegment) AS lseg,
+        |  substr(c_name, 1, 8) AS prefix, length(c_name) AS len,
+        |  concat(c_mktsegment, ':', c_name) AS tagged,
+        |  replace(c_name, '#', '-') AS dashed,
+        |  trim(c_name) AS trimmed, reverse(c_mktsegment) AS rseg,
+        |  instr(c_name, '1') AS pos1
+        |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin))
+
+  // §2.8 date/time functions. date_trunc returns TIMESTAMP in Spark but
+  // DATE in DuckDB for coarse units — cast to DATE on both sides.
+  private val f2 = sqlQuery(
+    "f2_date_fns",
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+      |  cast(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  last_day(cast(o_orderdate AS DATE)) AS month_end,
+      |  cast(o_orderdate AS DATE) AS odate
+      |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin)
+
+  // §2.8 math/arithmetic.
+  private val f3 = sqlQuery(
+    "f3_math_fns",
+    """SELECT o_orderkey,
+      |  round(abs(o_totalprice - 200000), 2) AS dist,
+      |  cast(ceil(o_totalprice / 1000) AS BIGINT) AS kceil,
+      |  cast(floor(o_totalprice / 1000) AS BIGINT) AS kfloor,
+      |  mod(o_orderkey, 7) AS m7,
+      |  round(sqrt(o_totalprice), 6) AS root,
+      |  round(ln(o_totalprice), 6) AS lnp,
+      |  round(power(o_totalprice / 100000, 2), 6) AS sq,
+      |  cast(sign(o_totalprice - 150000) AS BIGINT) AS sgn
+      |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin)
+
+  // §2.8 JSON extraction from a string column (events.props holds JSON;
+  // reference uses ->>/json_extract_string, database_manager.cpp:745-747).
+  private val j1 = QueryDef(
+    "j1_json_extract",
+    Some("""SELECT event_id, json_extract_string(props, '$.k') AS k_val
+           |FROM events WHERE event_id <= 1000 ORDER BY event_id""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """SELECT event_id, get_json_object(props, '$.k') AS k_val
+        |FROM events WHERE event_id <= 1000 ORDER BY event_id""".stripMargin))
+
+  // Introspection (§2.8): column listing for an endpoint's source table —
+  // the reference derives response schemas via DESCRIBE SELECT
+  // (database_manager.cpp:678-724); Spark exposes the same via df.schema.
+  private val i1 = QueryDef(
+    "i1_introspect_columns",
+    Some("""SELECT column_name FROM (DESCRIBE SELECT * FROM customer)
+           |ORDER BY column_name""".stripMargin),
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      Tables.table(s, dir, "customer")
+        .schema.fieldNames.toSeq.sorted.toDF("column_name")
+    })
+
+  override val defs: Seq[QueryDef] =
+    Seq(a2, a3, a5, w2, j3, set1, set2, f1, f2, f3, j1, i1)
+}
