@@ -7,7 +7,8 @@ import graft.queries._
 object SparkEntry {
 
   /** All query sets, one per SURVEY.md §2 area. */
-  def sets: Seq[QuerySet] = Seq(CoreQueries, EndpointQueries, SqlSurfaceQueries)
+  def sets: Seq[QuerySet] = Seq(CoreQueries, EndpointQueries, SqlSurfaceQueries,
+    TextQueries, EmbeddingQueries)
 
   def allDefs: Seq[QueryDef] = sets.flatMap(_.defs)
 

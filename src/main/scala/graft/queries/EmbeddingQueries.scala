@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QuerySet, Tables}
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Scale design (100 TB lens):
+  *  - brute-force top-k broadcasts only the PROBE set; the corpus scan
+  *    stays embarrassingly parallel and the k-row merge is
+  *    TakeOrdered-shaped — linear in corpus size, never all-pairs;
+  *  - the LSH/IVF variant assigns every vector a bucket code from
+  *    data-derived anchor hyperplanes; probes search only their bucket.
+  *    On a real deployment the corpus would be written
+  *    `bucketBy(code)` so a probe prunes to one bucket's files;
+  *  - all arithmetic is element-sequential in DOUBLE so results are
+  *    deterministic and oracle-comparable bit-for-bit at 6 decimals.
+  */
+object EmbeddingQueries extends QuerySet {
+
+  /** vectors cast to double + L2 norm (shared prelude). */
+  private def withNorm(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x * x), 0.0D, (acc, x) -> acc + x))"))
+
+  private val dotExpr =
+    "aggregate(zip_with(v, pv, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+  // ---- brute-force cosine top-k ----------------------------------------
+  private val bruteTopk = QueryDef(
+    "ann_brute_topk",
+    Some("""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |n AS (
+           |  SELECT vec_id, v,
+           |         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+           |  FROM e),
+           |s AS (
+           |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           |         round(list_aggregate(list_transform(range(1, len(p.v) + 1),
+           |                 i -> p.v[i] * c.v[i]), 'sum') / (p.nrm * c.nrm), 6) AS cos
+           |  FROM n p JOIN n c ON p.vec_id IN (0, 1, 2) AND c.vec_id <> p.vec_id),
+           |r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY probe_id
+           |            ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+           |SELECT probe_id, neighbor_id, cos, rn FROM r WHERE rn <= 5
+           |ORDER BY probe_id, rn""".stripMargin),
+    (s, dir) => {
+      val e = withNorm(s, dir)
+      val probes = broadcast(e.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn")))
+      val scored = e.crossJoin(probes)
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", round(expr(dotExpr) / (col("nrm") * col("pn")), 6))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
+        .orderBy("probe_id", "rn")
+    })
+
+  // ---- LSH/IVF bucketed top-k ------------------------------------------
+  // Bucket code: bit i set iff dot(v, anchor_i) > 0, anchors = the first
+  // four corpus vectors (deterministic, engine-portable). A probe scans
+  // only its own bucket (~1/16 of the corpus here; tune anchor count so
+  // buckets fit a scan quantum at the target scale).
+  private val lshTopk = QueryDef(
+    "ann_lsh_topk",
+    Some("""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |n AS (
+           |  SELECT vec_id, v,
+           |         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+           |  FROM e),
+           |codes AS (
+           |  SELECT n.vec_id,
+           |         sum(CASE WHEN list_aggregate(list_transform(range(1, len(n.v) + 1),
+           |                 i -> n.v[i] * a.v[i]), 'sum') > 0
+           |             THEN (1::BIGINT << a.vec_id) ELSE 0 END) AS code
+           |  FROM n JOIN n a ON a.vec_id < 4
+           |  GROUP BY n.vec_id),
+           |coded AS (
+           |  SELECT n.vec_id, n.v, n.nrm, codes.code FROM n JOIN codes USING (vec_id)),
+           |s AS (
+           |  SELECT p.vec_id AS probe_id, p.code, c.vec_id AS neighbor_id,
+           |         round(list_aggregate(list_transform(range(1, len(p.v) + 1),
+           |                 i -> p.v[i] * c.v[i]), 'sum') / (p.nrm * c.nrm), 6) AS cos
+           |  FROM coded p JOIN coded c ON p.code = c.code AND c.vec_id <> p.vec_id
+           |  WHERE p.vec_id IN (10, 20, 30)),
+           |r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY probe_id
+           |            ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+           |SELECT probe_id, code, neighbor_id, cos, rn FROM r WHERE rn <= 3
+           |ORDER BY probe_id, rn""".stripMargin),
+    (s, dir) => {
+      val e = withNorm(s, dir)
+      val anchors = broadcast(e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("aid"), col("v").as("pv")))
+      val codes = e.crossJoin(anchors)
+        .withColumn("dot", expr(dotExpr))
+        .groupBy("vec_id")
+        .agg(sum(when(col("dot") > 0,
+          expr("shiftleft(cast(1 AS BIGINT), cast(aid AS INT))"))
+          .otherwise(0L)).as("code"))
+      val coded = e.join(codes, "vec_id")
+      val probes = broadcast(coded.filter(col("vec_id").isin(10, 20, 30))
+        .select(col("vec_id").as("probe_id"), col("code").as("pcode"),
+          col("v").as("pv"), col("nrm").as("pn")))
+      val scored = coded
+        .join(probes, coded("code") === probes("pcode") && col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", round(expr(dotExpr) / (col("nrm") * col("pn")), 6))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("probe_id"), col("pcode").as("code"),
+          col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
+        .orderBy("probe_id", "rn")
+    })
+
+  // ---- per-label centroids ----------------------------------------------
+  // Vector aggregation: element-wise mean per label (classifier
+  // centroids), digested to (count, L2 norm) for a narrow result. One
+  // shuffle on (label, dim) — 64×|labels| reducer rows at any scale.
+  private val centroids = QueryDef(
+    "label_centroid_norms",
+    Some("""WITH x AS (
+           |  SELECT label, i AS dim, avg(embedding[i]::DOUBLE) AS m
+           |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+           |  GROUP BY label, i)
+           |SELECT label, count(*) AS dims, round(sqrt(sum(m * m)), 6) AS centroid_norm
+           |FROM x GROUP BY label ORDER BY label""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """WITH x AS (
+        |  SELECT label, pos AS dim, avg(cast(e AS DOUBLE)) AS m
+        |  FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, e
+        |  GROUP BY label, pos)
+        |SELECT label, count(*) AS dims, round(sqrt(sum(m * m)), 6) AS centroid_norm
+        |FROM x GROUP BY label ORDER BY label""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(bruteTopk, lshTopk, centroids)
+}

@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QuerySet, Tables}
+
+/** LLM-training-data pipeline operators over the `documents` table:
+  * deduplication (exact, MinHash-LSH, SimHash), n-gram similarity,
+  * language-ID heuristic, quality scoring, token statistics and
+  * winnowing fingerprints. These are beyond the reference's surface
+  * (SURVEY §7.5) and designed for the 100 TB case first:
+  *
+  *  - exact dedup groups on a 256-bit content hash, so the shuffle key
+  *    is 32 bytes, not the document body;
+  *  - near-dup is MinHash + banded LSH: candidates come from equal band
+  *    hashes (a groupBy shuffle), NEVER an all-pairs product; the exact
+  *    Jaccard verify touches only candidate pairs;
+  *  - SimHash / winnowing are expressed in SQL here (oracle-checkable);
+  *    at full scale the per-token bit loop would move into a codegen'd
+  *    Catalyst expression — the dataflow (shuffle on doc_id only) stays.
+  */
+object TextQueries extends QuerySet {
+
+  // ---- exact dedup -----------------------------------------------------
+  // Keep-lowest-doc_id per identical text; `copies` counts the group.
+  // Shuffle carries (sha256, doc_id) pairs — content never moves twice.
+  private val dedupExact = QueryDef(
+    "dedup_exact",
+    Some("""SELECT min(doc_id) AS keep_id, count(*) AS copies
+           |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin),
+    (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .groupBy(sha2(col("text"), 256))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
+        .select("keep_id", "copies")
+        .orderBy("keep_id"))
+
+  // ---- MinHash + LSH near-dup ------------------------------------------
+  // 3-word shingles → 72 minhashes → 24 bands × 3 rows. P[miss] at the
+  // J=0.7 report threshold is (1-0.7^3)^24 ≈ 4e-5 and ~1e-13 at the
+  // J≈0.9 the corpus actually contains. Candidates are pairs sharing a
+  // band bucket; exact Jaccard on the shingle sets is the final filter,
+  // so LSH is purely a candidate generator (no false positives).
+  private val NumHashes = 72
+  private val RowsPerBand = 3
+  private val NumBands = NumHashes / RowsPerBand
+
+  private val neardup = QueryDef(
+    "neardup_minhash_lsh",
+    Some("""WITH sh AS (
+           |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+           |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+           |  WHERE len(w) >= 3)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       round(len(list_intersect(a.s, b.s)) * 1.0 /
+           |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+           |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+           |ORDER BY id_a, id_b""".stripMargin),
+    (s, dir) => {
+      val docs = Tables.table(s, dir, "documents").select("doc_id", "text")
+      val sh = docs
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), array_distinct(expr(
+          "transform(sequence(1, size(w)-2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
+          .as("sh"))
+      // signature: per-doc min of each seeded hash over the shingle set.
+      // Partial aggregation completes map-side; the shuffle moves 72
+      // longs per document, not the shingles.
+      val tok = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      val sigCols = (0 until NumHashes).map(i =>
+        min(xxhash64(col("s"), lit(i))).as(s"m$i"))
+      val sig = tok.groupBy("doc_id")
+        .agg(sigCols.head, sigCols.tail: _*)
+        .select(col("doc_id"),
+          array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+      // band hashes → bucket on (band, hash): equal-bucket docs are
+      // candidates. Bucket fan-out is bounded (cap guards a degenerate
+      // all-identical corpus from quadratic pair blowup; planted dup
+      // buckets are tiny).
+      val bands = sig.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${NumBands - 1}), b -> xxhash64(sig[3*b], sig[3*b+1], sig[3*b+2]))")))
+        .toDF("doc_id", "band", "bh")
+      val buckets = bands.groupBy("band", "bh")
+        .agg(collect_set("doc_id").as("ids"))
+        .filter(size(col("ids")).between(2, 1000))
+      val cand = buckets
+        .select(explode(col("ids")).as("id_a"), col("ids"))
+        .select(col("id_a"), explode(col("ids")).as("id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .distinct()
+      // exact verify on candidates only
+      val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+      val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sb"))
+      cand.join(shA, "id_a").join(shB, "id_b")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("uni", size(col("sa")) + size(col("sb")) - col("inter"))
+        .withColumn("jaccard", round(col("inter") / col("uni"), 6))
+        .filter(col("inter") / col("uni") >= 0.7)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    })
+
+  // ---- SimHash fingerprint ---------------------------------------------
+  // 32-bit SimHash over whitespace tokens, hash = first 8 hex chars of
+  // md5 (engine-portable). Bit loop is SQL here for oracle parity; the
+  // scale path is a single codegen'd expression doing the 32-bit loop
+  // per token (no 32× row blowup).
+  private val simhash = QueryDef(
+    "simhash_fingerprint",
+    Some("""WITH tok AS (
+           |  SELECT doc_id, t, count(*) AS cnt
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+           |  GROUP BY doc_id, t),
+           |th AS (
+           |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h, cnt FROM tok),
+           |bits AS (
+           |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS w
+           |  FROM th, unnest(range(0, 32)) AS u(b)
+           |  GROUP BY doc_id, b)
+           |SELECT doc_id,
+           |       sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+           |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """WITH tok AS (
+        |  SELECT doc_id, t, count(*) AS cnt
+        |  FROM (SELECT doc_id, explode(split(text, ' ')) AS t FROM documents)
+        |  GROUP BY doc_id, t),
+        |th AS (
+        |  SELECT doc_id, cast(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) AS h, cnt FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS w
+        |  FROM th LATERAL VIEW explode(sequence(0, 31)) bt AS b
+        |  GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |       sum(CASE WHEN w > 0 THEN shiftleft(cast(1 AS BIGINT), b) ELSE cast(0 AS BIGINT) END) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  // ---- one-vs-all n-gram Jaccard top-k ---------------------------------
+  // Similarity search for one probe document: its bigram set broadcasts
+  // to every partition; the scan stays embarrassingly parallel and the
+  // top-k is a TakeOrdered merge — linear at any corpus size.
+  private val ngramTopk = QueryDef(
+    "ngram_jaccard_topk",
+    Some("""WITH sh AS (
+           |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
+           |           i -> w[i] || ' ' || w[i+1])) AS s
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+           |  WHERE len(w) >= 2)
+           |SELECT b.doc_id,
+           |       round(len(list_intersect(a.s, b.s)) * 1.0 /
+           |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+           |FROM sh a JOIN sh b ON a.doc_id = 0 AND b.doc_id <> 0
+           |ORDER BY jaccard DESC, b.doc_id LIMIT 10""".stripMargin),
+    (s, dir) => {
+      val sh = Tables.table(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), array_distinct(expr(
+          "transform(sequence(1, size(w)-1), i -> concat_ws(' ', w[i-1], w[i]))"))
+          .as("s"))
+      val probe = broadcast(sh.filter(col("doc_id") === 0)
+        .select(col("s").as("qs")))
+      sh.filter(col("doc_id") =!= 0)
+        .crossJoin(probe)
+        .withColumn("inter", size(array_intersect(col("s"), col("qs"))))
+        .withColumn("jaccard",
+          round(col("inter") / (size(col("s")) + size(col("qs")) - col("inter")), 6))
+        .select("doc_id", "jaccard")
+        .orderBy(col("jaccard").desc, col("doc_id"))
+        .limit(10)
+    })
+
+  // ---- language-ID heuristic -------------------------------------------
+  // Marker-word scoring with a deterministic preference order on ties.
+  // (The driver's corpus is synthetic single-vocabulary text, so most
+  // rows score as English; the operator is the shape that matters.)
+  private val langId = QueryDef(
+    "lang_id_heuristic",
+    Some("""SELECT doc_id, lang,
+           |  CASE WHEN s_en >= greatest(s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+           |       WHEN s_de >= greatest(s_fr, s_es) AND s_de > 0 THEN 'de'
+           |       WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+           |       WHEN s_es > 0 THEN 'es'
+           |       ELSE 'und' END AS predicted
+           |FROM (
+           |  SELECT doc_id, lang,
+           |    len(list_filter(w, t -> t IN ('the','a','an','and','of','is'))) AS s_en,
+           |    len(list_filter(w, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+           |    len(list_filter(w, t -> t IN ('le','la','les','et','est'))) AS s_fr,
+           |    len(list_filter(w, t -> t IN ('el','los','las','y','es'))) AS s_es
+           |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents))
+           |ORDER BY doc_id""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """SELECT doc_id, lang,
+        |  CASE WHEN s_en >= greatest(s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+        |       WHEN s_de >= greatest(s_fr, s_es) AND s_de > 0 THEN 'de'
+        |       WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+        |       WHEN s_es > 0 THEN 'es'
+        |       ELSE 'und' END AS predicted
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    size(filter(w, t -> t IN ('the','a','an','and','of','is'))) AS s_en,
+        |    size(filter(w, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+        |    size(filter(w, t -> t IN ('le','la','les','et','est'))) AS s_fr,
+        |    size(filter(w, t -> t IN ('el','los','las','y','es'))) AS s_es
+        |  FROM (SELECT doc_id, lang, split(text, ' ') AS w FROM documents))
+        |ORDER BY doc_id""".stripMargin))
+
+  // ---- quality scoring --------------------------------------------------
+  // Length/stopword/punctuation/word-shape signals → composite score.
+  // Pure per-row projection: no shuffle, fully codegen'd.
+  private val quality = QueryDef(
+    "quality_score",
+    Some("""SELECT doc_id, n_tok,
+           |  round(mean_wlen, 4) AS mean_wlen,
+           |  round(stop_ratio, 4) AS stop_ratio,
+           |  round(least(1.0::DOUBLE, n_tok / 50.0) * (0.5 + stop_ratio), 4) AS quality
+           |FROM (
+           |  SELECT doc_id, len(w) AS n_tok,
+           |    list_aggregate(list_transform(w, t -> len(t)), 'sum') * 1.0::DOUBLE / len(w) AS mean_wlen,
+           |    len(list_filter(w, t -> t IN ('the','a','and','of','is'))) * 1.0::DOUBLE / len(w) AS stop_ratio
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+           |  WHERE len(w) > 0)
+           |ORDER BY doc_id""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """SELECT doc_id, n_tok,
+        |  round(mean_wlen, 4) AS mean_wlen,
+        |  round(stop_ratio, 4) AS stop_ratio,
+        |  round(least(1.0D, n_tok / 50.0D) * (0.5D + stop_ratio), 4) AS quality
+        |FROM (
+        |  SELECT doc_id, size(w) AS n_tok,
+        |    aggregate(w, 0, (acc, t) -> acc + length(t)) * 1.0D / size(w) AS mean_wlen,
+        |    size(filter(w, t -> t IN ('the','a','and','of','is'))) * 1.0D / size(w) AS stop_ratio
+        |  FROM (SELECT doc_id, split(text, ' ') AS w FROM documents)
+        |  WHERE size(w) > 0)
+        |ORDER BY doc_id""".stripMargin))
+
+  // ---- token statistics --------------------------------------------------
+  // Whitespace tokens + a BPE-ish regex count (\w+ runs or single
+  // punctuation marks) — the standard pre-tokenizer estimate.
+  private val tokenStats = QueryDef(
+    "token_stats",
+    Some("""SELECT doc_id,
+           |  len(string_split(text, ' ')) AS ws_tokens,
+           |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS subword_ish,
+           |  len(text) AS n_chars_measured, n_chars
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """SELECT doc_id,
+        |  size(split(text, ' ')) AS ws_tokens,
+        |  size(regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)) AS subword_ish,
+        |  length(text) AS n_chars_measured, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // ---- winnowing fingerprints --------------------------------------------
+  // Rolling 5-char-gram hashes, window-min (w=4) per position, distinct
+  // mins = the document fingerprint set (Schleimer et al. winnowing).
+  // Digest emitted as (count, min, max) to keep the result narrow.
+  private val winnow = QueryDef(
+    "winnow_fingerprint",
+    Some("""WITH pos AS (
+           |  SELECT doc_id, i, ('0x' || substr(md5(substr(text, i::INT, 5)), 1, 8))::BIGINT AS h
+           |  FROM documents, unnest(range(1, len(text) - 3)) AS u(i)),
+           |win AS (
+           |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+           |         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+           |  FROM pos)
+           |SELECT doc_id, count(DISTINCT m) AS n_fp, min(m) AS min_fp, max(m) AS max_fp
+           |FROM win GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """WITH pos AS (
+        |  SELECT doc_id, i, cast(conv(substr(md5(substr(text, i, 5)), 1, 8), 16, 10) AS BIGINT) AS h
+        |  FROM documents LATERAL VIEW explode(sequence(1, length(text) - 4)) pt AS i),
+        |win AS (
+        |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+        |  FROM pos)
+        |SELECT doc_id, count(DISTINCT m) AS n_fp, min(m) AS min_fp, max(m) AS max_fp
+        |FROM win GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(
+    dedupExact, neardup, simhash, ngramTopk, langId, quality, tokenStats, winnow)
+}
