@@ -1,0 +1,177 @@
+package graft.serialize
+
+import java.time.format.DateTimeFormatter
+import java.time.ZoneOffset
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Row → JSON wire serializer implementing the reference's type→JSON
+  * contract (SURVEY §1.2; reference dispatch at
+  * /root/reference/src/query_executor.cpp:229-774):
+  *
+  *  - numbers emit as JSON numbers; integers wider than 2^53 (HUGEINT
+  *    analog: DecimalType with 0 scale and > 15 digits of magnitude)
+  *    emit as decimal STRINGS so precision survives JavaScript readers
+  *    (query_executor.cpp:480-509);
+  *  - DATE → YYYY-MM-DD; TIMESTAMP → ISO-8601 with milliseconds + Z
+  *    (single canonical format, :387-397);
+  *  - BLOB → printable ASCII kept, everything else \xNN-escaped
+  *    (:511-545);
+  *  - MAP → JSON object with keys stringified (:683-711); STRUCT →
+  *    object; ARRAY → array;
+  *  - a StringType column whose metadata carries `graft.json = true`
+  *    is a JSON logical alias: its value embeds as NESTED JSON, not an
+  *    escaped string; malformed content degrades to the raw string
+  *    (:218-227, :338-343);
+  *  - NaN / ±Infinity have no JSON rendering → null (reference emits
+  *    via double-to-string which JSON parsers reject; null is the safe
+  *    wire form and what its HTTP layer effectively produces);
+  *  - CalendarInterval → "months:days.millis" string (:415-421).
+  */
+object JsonWire {
+
+  /** Metadata key marking a string column as JSON-typed. */
+  val JsonAliasKey = "graft.json"
+
+  private val tsFormat =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").withZone(ZoneOffset.UTC)
+
+  def rows(schema: StructType, it: Iterator[Row]): Iterator[String] =
+    it.map(r => row(schema, r))
+
+  def row(schema: StructType, r: Row): String = {
+    val b = new StringBuilder("{")
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) b.append(',')
+      val f = schema(i)
+      appendString(b, f.name)
+      b.append(':')
+      appendValue(b, f.dataType, r.get(i), isJsonAlias(f.metadata))
+      i += 1
+    }
+    b.append('}').toString
+  }
+
+  private def isJsonAlias(m: Metadata): Boolean =
+    m.contains(JsonAliasKey) && m.getBoolean(JsonAliasKey)
+
+  def appendValue(b: StringBuilder, dt: DataType, v: Any, jsonAlias: Boolean = false): Unit = {
+    if (v == null) { b.append("null"); return }
+    dt match {
+      case BooleanType => b.append(v.toString)
+      case ByteType | ShortType | IntegerType | LongType => b.append(v.toString)
+      case FloatType =>
+        val f = v.asInstanceOf[Float]
+        if (f.isNaN || f.isInfinite) b.append("null") else b.append(f.toString)
+      case DoubleType =>
+        val d = v.asInstanceOf[Double]
+        if (d.isNaN || d.isInfinite) b.append("null") else b.append(d.toString)
+      case t: DecimalType =>
+        val dec = v.asInstanceOf[java.math.BigDecimal]
+        // HUGEINT rule: integral decimals beyond double-exact range go
+        // out as strings; everything else as a plain number.
+        if (t.scale == 0 && dec.abs.compareTo(new java.math.BigDecimal(1L << 53)) > 0)
+          appendString(b, dec.toPlainString)
+        else b.append(dec.toPlainString)
+      case StringType =>
+        val s = v.toString
+        if (jsonAlias && embedsAsJson(s)) b.append(s.trim)
+        else appendString(b, s)
+      case DateType =>
+        appendString(b, v.toString) // java.sql.Date / LocalDate both print YYYY-MM-DD
+      case TimestampType | TimestampNTZType =>
+        val inst = v match {
+          case t: java.sql.Timestamp => t.toInstant
+          case t: java.time.Instant => t
+          case t: java.time.LocalDateTime => t.toInstant(ZoneOffset.UTC)
+          case other => java.sql.Timestamp.valueOf(other.toString).toInstant
+        }
+        appendString(b, tsFormat.format(inst))
+      case BinaryType =>
+        appendString(b, escapeBlob(v.asInstanceOf[Array[Byte]]))
+      case CalendarIntervalType =>
+        val ci = v.asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval]
+        appendString(b, s"${ci.months}:${ci.days}.${ci.microseconds / 1000}")
+      case ArrayType(et, _) =>
+        b.append('[')
+        val seq = v.asInstanceOf[scala.collection.Seq[Any]]
+        var i = 0
+        seq.foreach { e =>
+          if (i > 0) b.append(',')
+          appendValue(b, et, e)
+          i += 1
+        }
+        b.append(']')
+      case MapType(_, vt, _) =>
+        // keys stringified per the reference's MAP contract
+        b.append('{')
+        val m = v.asInstanceOf[scala.collection.Map[Any, Any]]
+        var i = 0
+        m.foreach { case (k, mv) =>
+          if (i > 0) b.append(',')
+          appendString(b, String.valueOf(k))
+          b.append(':')
+          appendValue(b, vt, mv)
+          i += 1
+        }
+        b.append('}')
+      case st: StructType =>
+        val r = v.asInstanceOf[Row]
+        b.append('{')
+        var i = 0
+        while (i < st.length) {
+          if (i > 0) b.append(',')
+          appendString(b, st(i).name)
+          b.append(':')
+          appendValue(b, st(i).dataType, r.get(i), isJsonAlias(st(i).metadata))
+          i += 1
+        }
+        b.append('}')
+      case _ =>
+        appendString(b, v.toString) // VARIANT/unknown: ToString fallback
+    }
+  }
+
+  /** A JSON alias embeds raw iff it parses as a JSON object/array/
+    * scalar; cheap validation via jackson (malformed → escaped string,
+    * matching the reference's degradation). */
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def embedsAsJson(s: String): Boolean =
+    try { mapper.readTree(s); s.trim.nonEmpty }
+    catch { case _: Exception => false }
+
+  def appendString(b: StringBuilder, s: String): Unit = {
+    b.append('"')
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' => b.append("\\\"")
+        case '\\' => b.append("\\\\")
+        case '\b' => b.append("\\b")
+        case '\f' => b.append("\\f")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      i += 1
+    }
+    b.append('"')
+  }
+
+  /** BLOB escape: printable ASCII verbatim, backslash doubled, the rest
+    * as \xNN (reference query_executor.cpp:511-545). */
+  def escapeBlob(bytes: Array[Byte]): String = {
+    val b = new StringBuilder(bytes.length)
+    bytes.foreach { by =>
+      val c = by & 0xff
+      if (c == '\\') b.append("\\\\")
+      else if (c >= 0x20 && c < 0x7f) b.append(c.toChar)
+      else b.append(f"\\x${c}%02X")
+    }
+    b.toString
+  }
+}

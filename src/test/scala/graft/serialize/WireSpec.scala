@@ -1,0 +1,156 @@
+package graft.serialize
+
+import java.io.ByteArrayInputStream
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.ipc.ArrowStreamReader
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.CalendarInterval
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wire-format specs mirroring the reference's serializer behavior
+  * (SURVEY §1.2 table; query_executor.cpp type dispatch,
+  * request_handler.cpp escapeCSV). */
+class WireSpec extends AnyFunSuite {
+
+  private def js(dt: DataType, v: Any): String = {
+    val b = new StringBuilder
+    JsonWire.appendValue(b, dt, v)
+    b.toString
+  }
+
+  // ---- JSON ----
+
+  test("scalars serialize as JSON numbers/bools/null") {
+    assert(js(IntegerType, 42) == "42")
+    assert(js(LongType, -7L) == "-7")
+    assert(js(BooleanType, true) == "true")
+    assert(js(DoubleType, 1.5) == "1.5")
+    assert(js(IntegerType, null) == "null")
+  }
+
+  test("NaN and infinities have no JSON rendering -> null") {
+    assert(js(DoubleType, Double.NaN) == "null")
+    assert(js(FloatType, Float.PositiveInfinity) == "null")
+  }
+
+  test("huge integral decimals emit as strings (HUGEINT rule)") {
+    val big = new java.math.BigDecimal("170141183460469231731687303715884105727")
+    assert(js(DecimalType(38, 0), big) == "\"170141183460469231731687303715884105727\"")
+    val small = new java.math.BigDecimal("123")
+    assert(js(DecimalType(38, 0), small) == "123")
+    val scaled = new java.math.BigDecimal("12345.67")
+    assert(js(DecimalType(10, 2), scaled) == "12345.67")
+  }
+
+  test("date and timestamp canonical formats") {
+    assert(js(DateType, java.sql.Date.valueOf("2024-03-15")) == "\"2024-03-15\"")
+    val ts = java.sql.Timestamp.valueOf("2024-03-15 13:45:07.123")
+    assert(js(TimestampType, ts) == "\"2024-03-15T13:45:07.123Z\"")
+  }
+
+  test("string escaping and control characters") {
+    assert(js(StringType, "a\"b\\c\nd") == "\"a\\\"b\\\\c\\nd\"")
+    assert(js(StringType, "\u0001") == "\"\\u0001\"")
+  }
+
+  test("blob printable + \\xNN escapes") {
+    val bytes = Array[Byte]('A', 0, '\\', 0x7f.toByte, ' ')
+    assert(JsonWire.escapeBlob(bytes) == "A\\x00\\\\\\x7F ")
+  }
+
+  test("array, struct, map nest; map keys stringify") {
+    assert(js(ArrayType(IntegerType), Seq(1, 2, null)) == "[1,2,null]")
+    val st = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType)))
+    assert(js(st, Row(1, "x")) == "{\"a\":1,\"b\":\"x\"}")
+    assert(js(MapType(IntegerType, StringType), Map(5 -> "v")) == "{\"5\":\"v\"}")
+  }
+
+  test("interval months:days.millis") {
+    assert(js(CalendarIntervalType, new CalendarInterval(2, 3, 4500000L)) == "\"2:3.4500\"")
+  }
+
+  test("JSON-alias column embeds nested; malformed degrades to string") {
+    val meta = new MetadataBuilder().putBoolean(JsonWire.JsonAliasKey, true).build()
+    val schema = StructType(Seq(StructField("j", StringType, metadata = meta)))
+    assert(JsonWire.row(schema, Row("""{"k": 1}""")) == """{"j":{"k": 1}}""")
+    assert(JsonWire.row(schema, Row("{oops")) == """{"j":"{oops"}""")
+  }
+
+  test("full row object") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    assert(JsonWire.row(schema, Row(7L, "x")) == """{"id":7,"name":"x"}""")
+  }
+
+  // ---- CSV ----
+
+  test("escapeCSV quotes only when needed and doubles quotes") {
+    assert(CsvWire.escapeCSV("plain") == "plain")
+    assert(CsvWire.escapeCSV("a,b") == "\"a,b\"")
+    assert(CsvWire.escapeCSV("say \"hi\"") == "\"say \"\"hi\"\"\"")
+    assert(CsvWire.escapeCSV("line\nbreak") == "\"line\nbreak\"")
+  }
+
+  test("csv serialization: header + JSON-dumped cells") {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType)))
+    val out = CsvWire.serialize(schema, Iterator(Row(1, "alice"), Row(2, null)))
+    assert(out == "id,name\n1,\"alice\"\n2,null\n")
+  }
+
+  // ---- Arrow IPC ----
+
+  test("arrow stream round-trips flat schema") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("price", DoubleType), StructField("ok", BooleanType),
+      StructField("d", DateType), StructField("ts", TimestampType),
+      StructField("bin", BinaryType)))
+    val rows = Seq(
+      Row(1L, "a", 1.5, true, java.sql.Date.valueOf("2024-01-02"),
+        java.sql.Timestamp.valueOf("2024-01-02 03:04:05.0"), Array[Byte](1, 2)),
+      Row(2L, null, null, false, null, null, null))
+    val bytes = ArrowWire.serialize(schema, rows.iterator, batchRows = 1)
+
+    val alloc = new RootAllocator()
+    val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), alloc)
+    try {
+      val root = reader.getVectorSchemaRoot
+      assert(root.getSchema.getFields.size() == 7)
+      assert(reader.loadNextBatch())
+      assert(root.getRowCount == 1)
+      assert(root.getVector("id").getObject(0) == 1L)
+      assert(root.getVector("name").getObject(0).toString == "a")
+      assert(reader.loadNextBatch())
+      assert(root.getVector("name").isNull(0))
+      assert(!reader.loadNextBatch())
+    } finally { reader.close(); alloc.close() }
+  }
+
+  test("arrow: nested columns serialize as JSON utf8") {
+    val schema = StructType(Seq(
+      StructField("arr", ArrayType(IntegerType))))
+    val bytes = ArrowWire.serialize(schema, Iterator(Row(Seq(1, 2, 3))))
+    val alloc = new RootAllocator()
+    val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), alloc)
+    try {
+      assert(reader.loadNextBatch())
+      val v = reader.getVectorSchemaRoot.getVector("arr")
+      assert(v.getObject(0).toString == "[1,2,3]")
+    } finally { reader.close(); alloc.close() }
+  }
+
+  test("arrow: empty result still writes schema") {
+    val schema = StructType(Seq(StructField("x", IntegerType)))
+    val bytes = ArrowWire.serialize(schema, Iterator.empty)
+    val alloc = new RootAllocator()
+    val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), alloc)
+    try {
+      val root = reader.getVectorSchemaRoot
+      assert(root.getSchema.getFields.size() == 1)
+    } finally { reader.close(); alloc.close() }
+  }
+}
