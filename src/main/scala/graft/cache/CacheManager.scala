@@ -1,0 +1,172 @@
+package graft.cache
+
+import java.util.concurrent.{Executors, ScheduledExecutorService, ScheduledFuture, TimeUnit}
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.TemplatePipeline
+import graft.config.{CacheConfig, EndpointConfig}
+
+/** Cache refresh orchestration — the Spark re-expression of the
+  * reference's CacheManager + HeartbeatWorker
+  * (/root/reference/src/cache_manager.cpp:58-139, heartbeat_worker.cpp).
+  *
+  * The reference renders a cache TEMPLATE into DuckLake DDL/DML
+  * (CTAS / INSERT / MERGE) and executes it. Here the cache template
+  * renders to the SOURCE SELECT (it may use `{{cache.*}}` context —
+  * mode, snapshot ids, cursor column, cursor high-water — in Mustache
+  * sections for incremental predicates) and the engine routes the
+  * resulting DataFrame into [[SnapshotTable]] under the resolved mode.
+  * Declarative select + engine-managed materialization is the
+  * Spark-native equivalent of the textual CTAS: Catalyst still owns
+  * pushdown/pruning of the source query, and the snapshot layer owns
+  * atomicity.
+  */
+final class CacheManager(spark: SparkSession, warehouseRoot: String) {
+
+  // ---- C1: mode resolution (cache_manager.cpp:134-139) ------------------
+  def determineMode(c: CacheConfig): String =
+    if (!c.hasCursor) "full"
+    else if (c.hasPrimaryKey) "merge"
+    else "append"
+
+  def table(c: CacheConfig): SnapshotTable =
+    new SnapshotTable(spark, s"$warehouseRoot/${c.schema}", c.table)
+
+  // ---- C2/C9: {{cache.*}} parameter injection ---------------------------
+  /** Build the cache params the reference injects
+    * (cache_manager.cpp:74-105), plus `cursorLastValue` — the cursor
+    * high-water mark from the live snapshot, which incremental
+    * templates use as `WHERE {{cache.cursorColumn}} >
+    * {{cache.cursorLastValue}}`. */
+  def cacheParams(c: CacheConfig, t: SnapshotTable): Map[String, String] = {
+    val base = Map(
+      "cacheCatalog" -> "graft",
+      "cacheSchema" -> c.schema,
+      "cacheTable" -> c.table,
+      "cacheMode" -> determineMode(c))
+    val sched = c.schedule.map("cacheSchedule" -> _)
+    val snaps = t.latestTwo() match {
+      case Seq() => Map.empty[String, String]
+      case Seq((id, ts)) =>
+        Map("cacheSnapshotId" -> id.toString, "cacheSnapshotTimestamp" -> ts.toString)
+      case Seq((id, ts), (pid, pts), _*) =>
+        Map("cacheSnapshotId" -> id.toString, "cacheSnapshotTimestamp" -> ts.toString,
+          "previousSnapshotId" -> pid.toString, "previousSnapshotTimestamp" -> pts.toString)
+    }
+    val cursor = c.cursor.map { cur =>
+      Map("cursorColumn" -> cur.column, "cursorType" -> cur.tpe) ++
+        cursorHighWater(t, cur.column).map("cursorLastValue" -> _)
+    }.getOrElse(Map.empty)
+    val pks =
+      if (c.hasPrimaryKey) Map("primaryKeys" -> c.primaryKeys.mkString(","))
+      else Map.empty[String, String]
+    base ++ sched ++ snaps ++ cursor ++ pks
+  }
+
+  /** max(cursor) over the live snapshot — absent on first refresh. */
+  private def cursorHighWater(t: SnapshotTable, column: String): Option[String] =
+    t.currentSnapshotId.flatMap { _ =>
+      val row = t.read().agg(max(col(column))).collect().head
+      if (row.isNullAt(0)) None else Some(row.get(0).toString)
+    }
+
+  // ---- C2: refresh ------------------------------------------------------
+  /** Render the endpoint's cache template with `{{cache.*}}` context,
+    * run it, and materialize under the resolved mode. Records a sync
+    * event either way (C8). Returns the new snapshot id. */
+  def refresh(
+      endpoint: EndpointConfig,
+      cacheTemplate: String,
+      params: Map[String, String] = Map.empty,
+      connProps: Map[String, String] = Map.empty): Long = {
+    val c = endpoint.cache
+    require(c.enabled && c.table.nonEmpty, s"${endpoint.urlPath}: cache not enabled")
+    val t = table(c)
+    val mode = determineMode(c)
+    try {
+      val df = TemplatePipeline.run(spark, endpoint, cacheTemplate,
+        params ++ cacheParams(c, t), connProps)
+      val id = mode match {
+        case "full" => t.refreshFull(df)
+        case "append" => t.refreshAppend(df)
+        case "merge" => t.refreshMerge(df, c.primaryKeys)
+      }
+      recordSyncEvent(endpoint, c, mode, "success", "Cache refreshed successfully")
+      c.retention.keepLastSnapshots.foreach(t.expireSnapshots)
+      id
+    } catch {
+      case e: Exception =>
+        recordSyncEvent(endpoint, c, mode, "error", String.valueOf(e.getMessage))
+        throw e
+    }
+  }
+
+  // ---- C7: warmup -------------------------------------------------------
+  /** Refresh every cache-enabled endpoint once (boot-time warmup;
+    * cache_manager.cpp:23-40). `templates` resolves an endpoint's
+    * cache template source. */
+  def warmUp(endpoints: Seq[EndpointConfig], templates: EndpointConfig => String): Unit =
+    endpoints.filter(e => e.cache.enabled && e.cache.table.nonEmpty)
+      .foreach(e => refresh(e, templates(e)))
+
+  // ---- C8: sync-event audit table ---------------------------------------
+  private def auditDir = s"$warehouseRoot/audit/sync_events"
+
+  def recordSyncEvent(endpoint: EndpointConfig, c: CacheConfig,
+                      syncType: String, status: String, message: String): Unit = {
+    import spark.implicits._
+    Seq((java.util.UUID.randomUUID().toString, endpoint.urlPath, c.table,
+        syncType, status, message, new java.sql.Timestamp(System.currentTimeMillis())))
+      .toDF("event_id", "endpoint", "table_name", "sync_type", "status", "message", "created_at")
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(auditDir)
+  }
+
+  def syncEvents(): DataFrame = spark.read.parquet(auditDir)
+}
+
+/** C6: interval-scheduled refresh — `schedule: 5m`-style config parsed
+  * with the reference's regex (cache_manager.cpp:340-366) and run on a
+  * single daemon scheduler thread (heartbeat_worker.cpp:56-117). */
+object RefreshScheduler {
+  private val IntervalRe: Regex = """(\d+)\s*([smhd])""".r
+
+  /** "90s" / "5m" / "2h" / "1d" → seconds. */
+  def parseIntervalSeconds(s: String): Option[Long] = s.trim match {
+    case IntervalRe(n, unit) =>
+      val mult = unit match {
+        case "s" => 1L; case "m" => 60L; case "h" => 3600L; case "d" => 86400L
+      }
+      Some(n.toLong * mult)
+    case _ => None
+  }
+}
+
+final class RefreshScheduler(manager: CacheManager) {
+  private val exec: ScheduledExecutorService =
+    Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-cache-refresh"); t.setDaemon(true); t
+    })
+  @volatile private var tasks: List[ScheduledFuture[_]] = Nil
+
+  /** Schedule every endpoint with `cache.schedule`; malformed intervals
+    * are skipped (the reference logs and continues). */
+  def start(endpoints: Seq[EndpointConfig], templates: EndpointConfig => String): Int = {
+    val scheduled = for {
+      e <- endpoints
+      if e.cache.enabled && e.cache.table.nonEmpty
+      spec <- e.cache.schedule
+      secs <- RefreshScheduler.parseIntervalSeconds(spec)
+    } yield exec.scheduleAtFixedRate(
+      () => try manager.refresh(e, templates(e))
+            catch { case _: Exception => () }, // recorded by the audit table
+      secs, secs, TimeUnit.SECONDS)
+    tasks = scheduled.toList
+    tasks.size
+  }
+
+  def stop(): Unit = { tasks.foreach(_.cancel(false)); exec.shutdown() }
+}

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QuerySet, Tables}
+import graft.cache.{CacheManager, SnapshotTable}
+import graft.config._
+
+/** Correctness entries for the cache/snapshot layer (C1-C3, C9, C10,
+  * S9): each query builds a fresh snapshot table from driver testdata,
+  * runs full / append / merge refreshes through the CacheManager's
+  * template path, and reads the result back — hash-compared against a
+  * DuckDB oracle that recomputes the same final state directly from
+  * the source parquet. Time travel reads the pre-append snapshot.
+  */
+object CacheQueries extends QuerySet {
+
+  private def freshRoot(tag: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_cache", tag)
+    val dir = p.toFile
+    if (dir.exists()) {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    p.toString
+  }
+
+  private def ordersCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** full refresh via the cache template path, then append the next
+    * cursor increment via {{cache.cursorLastValue}}. Returns the table
+    * for reading at any version. */
+  private def buildAppendTable(s: SparkSession, dir: String, tag: String): SnapshotTable = {
+    Tables.register(s, dir)
+    val mgr = new CacheManager(s, freshRoot(tag))
+    val cursorCfg = CacheConfig(enabled = true, table = "orders_cache",
+      cursor = Some(CursorConfig("o_orderkey", "int")))
+    val ep = EndpointConfig(urlPath = "/orders-cache", templateSource = "orders_cache.sql",
+      cache = cursorCfg)
+    // Incremental template: first run has no cursorLastValue (section
+    // falsy) → full slice; later runs append strictly-after rows.
+    val template =
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey <= {{conn.upper_bound}}
+        |{{#cache.cursorLastValue}}
+        |  AND o_orderkey > {{cache.cursorLastValue}}
+        |{{/cache.cursorLastValue}}""".stripMargin
+    mgr.refresh(ep, template, connProps = Map("upper_bound" -> "1000"))
+    mgr.refresh(ep, template, connProps = Map("upper_bound" -> "2000"))
+    mgr.table(cursorCfg)
+  }
+
+  // S9 + C2 (full): CTAS-equivalent materialization, read back.
+  private val cacheFull = QueryDef(
+    "cache_full_read",
+    Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+           |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin),
+    (s, dir) => {
+      Tables.register(s, dir)
+      val mgr = new CacheManager(s, freshRoot("full"))
+      val cfg = CacheConfig(enabled = true, table = "orders_full")
+      val ep = EndpointConfig(urlPath = "/orders-full",
+        templateSource = "orders_full.sql", cache = cfg)
+      mgr.refresh(ep,
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 1000")
+      mgr.table(cfg).read()
+        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderkey")
+    })
+
+  // C2 (append): cursor increment lands as new files only; the read is
+  // the union of the chained snapshot dirs.
+  private val cacheAppend = QueryDef(
+    "cache_append_read",
+    Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+           |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin),
+    (s, dir) =>
+      buildAppendTable(s, dir, "append").read()
+        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderkey"))
+
+  // C10 (time travel): the pre-append snapshot is still readable.
+  private val cacheTravel = QueryDef(
+    "cache_time_travel",
+    Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+           |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin),
+    (s, dir) =>
+      buildAppendTable(s, dir, "travel").read(Some(1L))
+        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderkey"))
+
+  // C2 (merge): PK upsert — rows 50-150 arrive updated (+1000 balance),
+  // anti-join keeps unmatched current rows, delta wins on collision.
+  private val cacheMerge = QueryDef(
+    "cache_merge_read",
+    Some("""SELECT c_custkey,
+           |  round(CASE WHEN c_custkey BETWEEN 50 AND 150
+           |             THEN c_acctbal + 1000 ELSE c_acctbal END, 2) AS acctbal
+           |FROM customer WHERE c_custkey <= 150 ORDER BY c_custkey""".stripMargin),
+    (s, dir) => {
+      Tables.register(s, dir)
+      val mgr = new CacheManager(s, freshRoot("merge"))
+      val cfg = CacheConfig(enabled = true, table = "cust_merge",
+        primaryKeys = Seq("c_custkey"),
+        cursor = Some(CursorConfig("c_custkey", "int")))
+      val ep = EndpointConfig(urlPath = "/cust-merge",
+        templateSource = "cust_merge.sql", cache = cfg)
+      // seed: plain balances ≤100; delta: updated balances 50-150
+      val template =
+        """SELECT c_custkey,
+          |  {{#cache.cursorLastValue}} c_acctbal + 1000 {{/cache.cursorLastValue}}
+          |  {{^cache.cursorLastValue}} c_acctbal {{/cache.cursorLastValue}} AS c_acctbal
+          |FROM customer
+          |{{#cache.cursorLastValue}} WHERE c_custkey BETWEEN 50 AND 150 {{/cache.cursorLastValue}}
+          |{{^cache.cursorLastValue}} WHERE c_custkey <= 100 {{/cache.cursorLastValue}}""".stripMargin
+      mgr.refresh(ep, template)
+      mgr.refresh(ep, template)
+      mgr.table(cfg).read()
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy("c_custkey")
+    })
+
+  // C3: snapshot introspection — ids/modes/row counts are deterministic
+  // (timestamps are not, so the digest excludes them). Oracle is the
+  // expected manifest as inline VALUES.
+  private val cacheMeta = QueryDef(
+    "cache_snapshots_meta",
+    Some("""SELECT 1::BIGINT AS snapshot_id, 'append' AS mode,
+           |  (SELECT count(*) FROM orders WHERE o_orderkey <= 1000)::BIGINT AS row_count
+           |UNION ALL
+           |SELECT 2::BIGINT, 'append',
+           |  (SELECT count(*) FROM orders WHERE o_orderkey <= 2000)::BIGINT
+           |ORDER BY snapshot_id""".stripMargin),
+    (s, dir) =>
+      buildAppendTable(s, dir, "meta").snapshots()
+        .select("snapshot_id", "mode", "row_count")
+        .orderBy("snapshot_id"))
+
+  override val defs: Seq[QueryDef] =
+    Seq(cacheFull, cacheAppend, cacheTravel, cacheMerge, cacheMeta)
+}

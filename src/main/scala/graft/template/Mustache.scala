@@ -192,6 +192,7 @@ object TemplateContext {
     "previousSnapshotTimestamp" -> "previousSnapshotTimestamp",
     "cursorColumn" -> "cursorColumn",
     "cursorType" -> "cursorType",
+    "cursorLastValue" -> "cursorLastValue",
     "primaryKeys" -> "primaryKeys")
 
   private val authKeyMap: Map[String, String] = Map(

@@ -1,0 +1,104 @@
+package graft.cache
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Snapshot table + scheduler units: refresh modes, manifest chaining,
+  * time travel, retention expiry keeping live append ancestors,
+  * compaction, interval parsing. (The full/append/merge read results
+  * are additionally oracle-checked in CacheQueries.) */
+class SnapshotTableSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var root: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]").appName("snapshot-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    root = Files.createTempDirectory("graft_snap").toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def df(range: Range) = {
+    val ss = spark
+    import ss.implicits._
+    range.map(i => (i.toLong, s"v$i")).toDF("id", "val")
+  }
+
+  test("full refresh publishes and reads back") {
+    val t = new SnapshotTable(spark, root, "t_full")
+    val id = t.refreshFull(df(1 to 10))
+    assert(id == 1L)
+    assert(t.currentSnapshotId.contains(1L))
+    assert(t.read().count() == 10)
+    val id2 = t.refreshFull(df(1 to 3))
+    assert(id2 == 2L)
+    assert(t.read().count() == 3)
+    assert(t.read(Some(1L)).count() == 10) // time travel
+  }
+
+  test("append chains dirs without rewriting") {
+    val t = new SnapshotTable(spark, root, "t_app")
+    t.refreshAppend(df(1 to 5))
+    t.refreshAppend(df(6 to 8))
+    assert(t.read().count() == 8)
+    // snapshot 2's manifest references snapshot 1's dir
+    val dirs = t.snapshots().filter("snapshot_id = 2")
+      .select("dirs").collect().head.getSeq[String](0)
+    assert(dirs == Seq("s1", "s2"))
+    assert(t.read(Some(1L)).count() == 5)
+  }
+
+  test("merge upserts by primary key, delta wins") {
+    val ss = spark
+    import ss.implicits._
+    val t = new SnapshotTable(spark, root, "t_merge")
+    t.refreshFull(df(1 to 5))
+    t.refreshMerge(Seq((3L, "NEW3"), (9L, "NEW9")).toDF("id", "val"), Seq("id"))
+    val out = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "v1", 2L -> "v2", 3L -> "NEW3", 4L -> "v4", 5L -> "v5", 9L -> "NEW9"))
+  }
+
+  test("retention drops old manifests but keeps dirs live appends reference") {
+    val t = new SnapshotTable(spark, root, "t_ret")
+    t.refreshAppend(df(1 to 4))   // s1
+    t.refreshAppend(df(5 to 6))   // s2 refs s1,s2
+    t.refreshAppend(df(7 to 7))   // s3 refs s1,s2,s3
+    val dropped = t.expireSnapshots(keepLast = 2)
+    assert(dropped == Seq(1L))
+    // snapshot 1 gone from manifests, but its data dir survives
+    // because snapshots 2 and 3 chain it — live read stays complete.
+    assert(t.snapshots().count() == 2)
+    assert(t.read().count() == 7)
+    intercept[IllegalArgumentException](t.read(Some(1L)))
+  }
+
+  test("compaction rewrites live state as one new snapshot") {
+    val t = new SnapshotTable(spark, root, "t_comp")
+    t.refreshAppend(df(1 to 4))
+    t.refreshAppend(df(5 to 9))
+    val cid = t.compact(targetFiles = 1)
+    assert(t.currentSnapshotId.contains(cid))
+    assert(t.read().count() == 9)
+    val m = t.snapshots().filter(s"snapshot_id = $cid")
+      .select("mode", "dirs").collect().head
+    assert(m.getString(0) == "compact")
+    assert(m.getSeq[String](1) == Seq(s"s$cid"))
+  }
+
+  test("interval parsing: reference regex (\\d+)[smhd]") {
+    assert(RefreshScheduler.parseIntervalSeconds("90s").contains(90L))
+    assert(RefreshScheduler.parseIntervalSeconds("5m").contains(300L))
+    assert(RefreshScheduler.parseIntervalSeconds("2h").contains(7200L))
+    assert(RefreshScheduler.parseIntervalSeconds("1d").contains(86400L))
+    assert(RefreshScheduler.parseIntervalSeconds("nope").isEmpty)
+  }
+}
