@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.types._
+
+/** `minhash_sig(shingles[, k])` — the k-permutation MinHash signature
+  * of a string array, as a native Catalyst expression.
+  *
+  * sig[i] = min over shingles of XXH64(shingle bytes, seed = i).
+  *
+  * Why an Expression and not SQL/HOFs/UDF: the signature is pure
+  * per-row compute over the shingle set. A k-column `min(xxhash64(…))`
+  * aggregate shuffles exploded token rows and generates pathological
+  * Janino compile times at k=72; higher-order-function lambdas are
+  * interpreted per element; a UDF pays serialization per row. This
+  * expression is one tight compiled loop over the array bytes with no
+  * shuffle at all — the signature step runs entirely map-side at any
+  * corpus size. (CodegenFallback: the surrounding stage stays
+  * codegen'd and calls eval; the loop itself is already JVM-compiled.)
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig expects ARRAY<STRING>, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      if (s != null) {
+        val base = s.getBaseObject
+        val offset = s.getBaseOffset
+        val len = s.numBytes
+        var i = 0
+        while (i < numHashes) {
+          val h = XXH64.hashUnsafeBytes(base, offset, len, i)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+/** SparkSessionExtensions hook registering graft's native functions —
+  * wire with `SparkSession.builder().withExtensions(GraftFunctions.register)`.
+  */
+object GraftFunctions {
+  val DefaultNumHashes = 72
+
+  def register(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        val k = if (exprs.size > 1)
+          exprs(1).eval().asInstanceOf[Number].intValue()
+        else DefaultNumHashes
+        MinHashSignature(exprs.head, k)
+      }))
+  }
+}

@@ -67,16 +67,14 @@ object TextQueries extends QuerySet {
         .select(col("doc_id"), array_distinct(expr(
           "transform(sequence(1, size(w)-2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
           .as("sh"))
-      // signature: per-doc min of each seeded hash over the shingle set.
-      // Partial aggregation completes map-side; the shuffle moves 72
-      // longs per document, not the shingles.
-      val tok = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      val sigCols = (0 until NumHashes).map(i =>
-        min(xxhash64(col("s"), lit(i))).as(s"m$i"))
-      val sig = tok.groupBy("doc_id")
-        .agg(sigCols.head, sigCols.tail: _*)
-        .select(col("doc_id"),
-          array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+      // signature: native minhash_sig expression (graft.functions) —
+      // one compiled loop per row, no explode, no aggregation, no
+      // shuffle; the signature step is entirely map-side. (A 72-column
+      // min-agg compiles ~60 s of Janino codegen and shuffles token
+      // rows; HOF lambdas are interpreted per element — both measured
+      // far slower.)
+      val sig = sh.select(col("doc_id"),
+        expr(s"minhash_sig(sh, $NumHashes)").as("sig"))
       // band hashes → bucket on (band, hash): equal-bucket docs are
       // candidates. Bucket fan-out is bounded (cap guards a degenerate
       // all-identical corpus from quadratic pair blowup; planted dup
