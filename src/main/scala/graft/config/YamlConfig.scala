@@ -1,0 +1,194 @@
+package graft.config
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import scala.util.matching.Regex
+
+import org.yaml.snakeyaml.Yaml
+
+/** YAML endpoint/config loader (T9) — the Spark-side counterpart of
+  * the reference's config system (config_manager.cpp +
+  * extended_yaml_parser.cpp):
+  *
+  *  - `{{env.VAR}}` substitution against an allowlist (deny by
+  *    default; extended_yaml_parser.cpp:657-726);
+  *  - `{{include:section from file.yaml [if cond]}}` composition —
+  *    the included (section of the) file is re-serialized and
+  *    re-indented at the directive's indentation; conditions are
+  *    true/false/env.VAR/!env.VAR (:728-749);
+  *  - endpoint auto-discovery: every `*.yaml` under a template dir
+  *    with a `url-path` key becomes an endpoint.
+  */
+object YamlConfig {
+
+  private val EnvRe: Regex = """\{\{env\.([A-Za-z_][A-Za-z0-9_]*)\}\}""".r
+  private val IncludeRe: Regex =
+    """\{\{include(?::([^}\s]+))?\s+from\s+([^}\s]+)(?:\s+if\s+([^}]+))?\}\}""".r
+
+  def substituteEnv(
+      input: String,
+      allow: String => Boolean,
+      env: Map[String, String] = sys.env): String =
+    EnvRe.replaceAllIn(input, m => {
+      val name = m.group(1)
+      if (allow(name)) Regex.quoteReplacement(env.getOrElse(name, ""))
+      else Regex.quoteReplacement(m.matched) // disallowed: left verbatim
+    })
+
+  private[config] def evalCondition(cond: String, env: Map[String, String]): Boolean =
+    cond.trim match {
+      case "true" => true
+      case "false" => false
+      case c if c.startsWith("!env.") => env.get(c.substring(5)).forall(_.isEmpty)
+      case c if c.startsWith("env.") => env.get(c.substring(4)).exists(_.nonEmpty)
+      case _ => false
+    }
+
+  /** Expand include directives in `text`, resolving paths against
+    * `baseDir`. One level of nesting re-processes recursively. */
+  def processIncludes(
+      text: String,
+      baseDir: Path,
+      env: Map[String, String] = sys.env,
+      depth: Int = 0): String = {
+    require(depth < 10, "include nesting too deep (cycle?)")
+    text.linesIterator.map { line =>
+      IncludeRe.findFirstMatchIn(line) match {
+        case Some(m) =>
+          val indent = line.takeWhile(_ == ' ')
+          val cond = Option(m.group(3))
+          if (cond.exists(c => !evalCondition(c, env))) ""
+          else {
+            val section = Option(m.group(1))
+            val file = baseDir.resolve(m.group(2))
+            val raw = new String(Files.readAllBytes(file), "UTF-8")
+            val processed = processIncludes(raw, file.getParent, env, depth + 1)
+            val node = new Yaml().load[Any](processed)
+            val selected = section match {
+              case Some(s) =>
+                node.asInstanceOf[java.util.Map[String, Any]].asScala.getOrElse(s,
+                  throw new IllegalArgumentException(s"section '$s' not found in $file"))
+              case None => node
+            }
+            new Yaml().dump(selected).linesIterator
+              .map(l => indent + l).mkString("\n")
+          }
+        case None => line
+      }
+    }.mkString("\n")
+  }
+
+  // ---- endpoint model binding ------------------------------------------
+
+  private def str(m: java.util.Map[String, Any], k: String): Option[String] =
+    Option(m.get(k)).map(String.valueOf)
+
+  private def asMap(v: Any): java.util.Map[String, Any] =
+    v.asInstanceOf[java.util.Map[String, Any]]
+
+  private def asList(v: Any): Seq[Any] =
+    v.asInstanceOf[java.util.List[Any]].asScala.toSeq
+
+  def parseValidator(v: Any): ValidatorConfig = {
+    val m = asMap(v)
+    ValidatorConfig(
+      tpe = str(m, "type").getOrElse("string"),
+      regex = str(m, "regex").orElse(str(m, "pattern")).getOrElse(""),
+      min = str(m, "min").orElse(str(m, "min-length")).map(_.toInt).getOrElse(0),
+      max = str(m, "max").orElse(str(m, "max-length")).map(_.toInt).getOrElse(0),
+      minDate = str(m, "min-date").getOrElse(""),
+      maxDate = str(m, "max-date").getOrElse(""),
+      minTime = str(m, "min-time").getOrElse(""),
+      maxTime = str(m, "max-time").getOrElse(""),
+      allowedValues = Option(m.get("allowedValues")).orElse(Option(m.get("allowed-values")))
+        .map(asList(_).map(String.valueOf)).getOrElse(Nil),
+      preventSqlInjection = str(m, "preventSqlInjection")
+        .forall(_.toBoolean))
+  }
+
+  def parseField(v: Any): RequestFieldConfig = {
+    val m = asMap(v)
+    RequestFieldConfig(
+      fieldName = str(m, "field-name").getOrElse(
+        throw new IllegalArgumentException("request field missing field-name")),
+      fieldIn = str(m, "field-in").getOrElse("query"),
+      description = str(m, "description").getOrElse(""),
+      required = str(m, "required").exists(_.toBoolean),
+      defaultValue = str(m, "default"),
+      validators = Option(m.get("validators"))
+        .map(asList(_).map(parseValidator)).getOrElse(Nil))
+  }
+
+  def parseCache(v: Any): CacheConfig = {
+    val m = asMap(v)
+    CacheConfig(
+      enabled = str(m, "enabled").forall(_.toBoolean),
+      table = str(m, "table").getOrElse(""),
+      schema = str(m, "schema").getOrElse("cache"),
+      schedule = str(m, "schedule"),
+      primaryKeys = Option(m.get("primary-keys"))
+        .map(asList(_).map(String.valueOf)).getOrElse(Nil),
+      cursor = Option(m.get("cursor")).map { c =>
+        val cm = asMap(c)
+        CursorConfig(
+          str(cm, "column").getOrElse(""),
+          str(cm, "type").getOrElse("string"))
+      },
+      retention = Option(m.get("retention")).map { r =>
+        val rm = asMap(r)
+        RetentionConfig(
+          keepLastSnapshots = str(rm, "keep-last-snapshots").map(_.toInt),
+          maxSnapshotAge = str(rm, "max-snapshot-age"))
+      }.getOrElse(RetentionConfig()),
+      templateFile = str(m, "template-file"))
+  }
+
+  def parseEndpoint(yaml: String): EndpointConfig = {
+    val m = asMap(new Yaml().load[Any](yaml))
+    EndpointConfig(
+      urlPath = str(m, "url-path").getOrElse(
+        throw new IllegalArgumentException("endpoint missing url-path")),
+      method = str(m, "method").getOrElse("GET"),
+      templateSource = str(m, "template-source").getOrElse(""),
+      connection = Option(m.get("connection")).map {
+        case l: java.util.List[_] => l.asScala.map(String.valueOf).toSeq
+        case s => Seq(String.valueOf(s))
+      }.getOrElse(Nil),
+      requestFields = Option(m.get("request"))
+        .map(asList(_).map(parseField)).getOrElse(Nil),
+      requestFieldsValidation =
+        str(m, "request-fields-validation").exists(_.toBoolean),
+      withPagination = str(m, "with-pagination").forall(_.toBoolean),
+      isWrite = str(m, "method").exists(x =>
+        Set("POST", "PUT", "PATCH", "DELETE").contains(x.toUpperCase)),
+      cache = Option(m.get("cache")).map(parseCache).getOrElse(CacheConfig()))
+  }
+
+  /** Load an endpoint file: env substitution → include expansion →
+    * model binding. */
+  def loadEndpoint(
+      path: Path,
+      envAllow: String => Boolean = _ => false,
+      env: Map[String, String] = sys.env): EndpointConfig = {
+    val raw = new String(Files.readAllBytes(path), "UTF-8")
+    val expanded = processIncludes(substituteEnv(raw, envAllow, env), path.getParent, env)
+    parseEndpoint(expanded)
+  }
+
+  /** Auto-discovery: every *.yaml with a url-path under `dir`
+    * (config_manager endpoint scan). */
+  def discoverEndpoints(
+      dir: String,
+      envAllow: String => Boolean = _ => false): Seq[EndpointConfig] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) Nil
+    else Files.list(d).iterator().asScala
+      .filter(p => p.toString.endsWith(".yaml") || p.toString.endsWith(".yml"))
+      .flatMap { p =>
+        try {
+          val txt = new String(Files.readAllBytes(p), "UTF-8")
+          if (txt.contains("url-path")) Some(loadEndpoint(p, envAllow)) else None
+        } catch { case _: Exception => None }
+      }.toSeq.sortBy(_.urlPath)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.config.ConnectionConfig
+import graft.write.SqlSplitter
+
+/** Connection initialization — the Spark analog of the reference's
+  * per-connection init SQL + ATTACH model (SURVEY §2.1; reference
+  * examples/flapi.yaml:30-36 attaches sqlite northwind, init SQL at
+  * database_manager.cpp:272-302).
+  *
+  * A connection's `properties` drive what gets registered on the
+  * session, keyed by `type`:
+  *
+  *  - `parquet`: `path` → one temp view per parquet table/dir;
+  *  - `jdbc`: `url` (+ driver/user/password) and `tables` (comma
+  *    list) → each table registered as `<prefix>_<table>` via the
+  *    JDBC source. Spark pushes filters and prunes columns into the
+  *    remote query; partitioned reads (partitionColumn/lowerBound/
+  *    upperBound/numPartitions properties) fan a big table across
+  *    executors instead of one connection;
+  *  - object storage: any path with a scheme (s3a://, gs://, abfss://)
+  *    goes straight to the Hadoop FS layer; `fs.*` properties are
+  *    applied to the session's hadoopConfiguration (credentials,
+  *    endpoints) — the equivalent of the reference's httpfs secrets.
+  *
+  * `init-sql` runs statement-by-statement through the quote-aware
+  * splitter, like the reference executes connection init scripts.
+  */
+object Connections {
+
+  def init(spark: SparkSession, conn: ConnectionConfig): Unit = {
+    // apply fs.* settings (object-storage credentials/endpoints)
+    conn.properties.foreach {
+      case (k, v) if k.startsWith("fs.") =>
+        spark.sparkContext.hadoopConfiguration.set(k, v)
+      case _ => ()
+    }
+    conn.properties.get("type") match {
+      case Some("jdbc") => registerJdbc(spark, conn)
+      case Some("parquet") =>
+        conn.properties.get("path").foreach(p => registerParquetPath(spark, conn.name, p))
+      case _ => ()
+    }
+    conn.initSql.foreach { sql =>
+      SqlSplitter.split(sql).foreach(stmt => spark.sql(stmt).collect())
+    }
+  }
+
+  /** Register `tables` from a JDBC source as `<name>_<table>` views. */
+  def registerJdbc(spark: SparkSession, conn: ConnectionConfig): Unit = {
+    val url = conn.properties.getOrElse("url",
+      throw new IllegalArgumentException(s"jdbc connection ${conn.name}: missing url"))
+    val tables = conn.properties.getOrElse("tables", "")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    tables.foreach { t =>
+      var reader = spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", t)
+      Seq("driver", "user", "password", "partitionColumn", "lowerBound",
+        "upperBound", "numPartitions", "fetchsize").foreach { k =>
+        conn.properties.get(k).foreach(v => reader = reader.option(k, v))
+      }
+      reader.load().createOrReplaceTempView(viewName(conn.name, t))
+    }
+  }
+
+  /** `nw.Products` in reference templates → `nw_Products` view here
+    * (temp views have no catalog dots). */
+  def viewName(connName: String, table: String): String =
+    s"${connName}_${table.replaceAll("[^A-Za-z0-9_]", "_")}"
+
+  /** A directory (local or object-storage URI) of `<table>.parquet`
+    * entries: register each as `<name>_<table>`. */
+  def registerParquetPath(spark: SparkSession, name: String, path: String): Unit = {
+    val dir = new java.io.File(path)
+    if (dir.isDirectory) {
+      dir.listFiles().filter(f => f.getName.endsWith(".parquet"))
+        .foreach { f =>
+          val table = f.getName.stripSuffix(".parquet")
+          spark.read.parquet(f.getAbsolutePath)
+            .createOrReplaceTempView(viewName(name, table))
+        }
+    } else {
+      // single table or object-storage glob — Hadoop FS resolves it
+      spark.read.parquet(path).createOrReplaceTempView(name)
+    }
+  }
+
+  def table(spark: SparkSession, connName: String, tableName: String): DataFrame =
+    spark.table(viewName(connName, tableName))
+}
