@@ -1,0 +1,73 @@
+package graft.multimodal
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal plumbing: schema, batch shape, determinism, fixed-size
+  * resize, frame sampling. */
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]").appName("multimodal-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def sampleMedia() = {
+    val ss = spark
+    import ss.implicits._
+    Multimodal.mediaFromText(
+      (0 until 10).map(i => (i.toLong, s"doc-$i-payload")).toDF("doc_id", "text"),
+      "doc_id", "text")
+  }
+
+  test("media schema: opaque binary + typed metadata struct") {
+    val m = sampleMedia()
+    val f = m.schema("bytes")
+    assert(f.dataType.typeName == "binary")
+    val meta = m.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(meta.fieldNames.toSeq == Seq("kind", "width", "height", "sampleRate"))
+  }
+
+  test("feature extraction is deterministic and batch-shaped") {
+    val out = Multimodal.extractFeatures(spark, sampleMedia(), batchSize = 3)
+      .collect().sortBy(_.id)
+    assert(out.length == 10)
+    val r0 = out.head
+    assert(r0.nBytes == "doc-0-payload".length)
+    assert(r0.f1 == 'd'.toDouble)
+    assert(r0.f2 == 'd'.toDouble)
+    // batch size must not change results (pure kernel over batches)
+    val big = Multimodal.extractFeatures(spark, sampleMedia(), batchSize = 1000)
+      .collect().sortBy(_.id)
+    assert(out.toSeq == big.toSeq)
+  }
+
+  test("kernel sees bounded batches") {
+    val batches = (1 to 10).grouped(3).map(_.size).toSeq
+    assert(batches == Seq(3, 3, 3, 1)) // grouped() contract the loop relies on
+    val fed = MediaKernels.decodeStub(Seq((1L, Array[Byte](65, 66))))
+    assert(fed.head.f1 == 65.0 && fed.head.f2 == 66.0)
+  }
+
+  test("resize stub yields fixed-size blobs") {
+    val resized = Multimodal.resizeStub(sampleMedia(), target = 8)
+      .select("bytes").collect().map(_.getAs[Array[Byte]](0))
+    assert(resized.forall(_.length == 8))
+  }
+
+  test("frame sample emits n slices per row") {
+    val frames = Multimodal.frameSample(sampleMedia(), n = 4, frameBytes = 4)
+      .select("frames").collect().map(_.getSeq[Array[Byte]](0))
+    assert(frames.forall(_.size == 4))
+    assert(frames.forall(_.forall(_.length <= 4)))
+  }
+}
