@@ -82,5 +82,13 @@ object GraftFunctions {
         else DefaultNumHashes
         MinHashSignature(exprs.head, k)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_digest"),
+      new ExpressionInfo(classOf[WinnowDigest].getName, "winnow_digest"),
+      (exprs: Seq[Expression]) => WinnowDigest(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (exprs: Seq[Expression]) => SimHash32(exprs.head)))
   }
 }

@@ -1,0 +1,124 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared md5-prefix hash: first 4 digest bytes as an unsigned 32-bit
+  * value — exactly `('0x' || substr(md5(s),1,8))::BIGINT` in DuckDB /
+  * `conv(substr(md5(s),1,8),16,10)` in Spark SQL, so expression
+  * results stay oracle-comparable. */
+private[functions] object Md5Prefix {
+  private val local = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+  def hash(bytes: Array[Byte]): Long = {
+    val md = local.get(); md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+}
+
+/** `winnow_digest(text)` → STRUCT<n_fp BIGINT, min_fp BIGINT, max_fp
+  * BIGINT>: winnowing fingerprint digest (Schleimer et al.) — rolling
+  * 5-char-gram md5-prefix hashes, window-min with w=4, distinct mins
+  * summarized. One compiled pass per row replaces a 300×-row explode +
+  * window + distinct-agg plan (measured 3.4 s → sub-second at sf0.1);
+  * the operator becomes pure map-side projection.
+  */
+case class WinnowDigest(child: Expression, k: Int = 5, w: Int = 4)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_fp", LongType, nullable = false),
+    StructField("min_fp", LongType, nullable = false),
+    StructField("max_fp", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"winnow_digest expects STRING, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length - k + 1
+    if (n <= 0) return InternalRow(0L, 0L, 0L)
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hashes(i) = Md5Prefix.hash(s.substring(i, i + k).getBytes("UTF-8"))
+      i += 1
+    }
+    // window-min over [i, i+w-1], truncated at the end — identical to
+    // ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING
+    val seen = new java.util.HashSet[Long]()
+    var minFp = Long.MaxValue
+    var maxFp = Long.MinValue
+    i = 0
+    while (i < n) {
+      var m = Long.MaxValue
+      var j = i
+      val end = math.min(i + w, n)
+      while (j < end) { if (hashes(j) < m) m = hashes(j); j += 1 }
+      if (seen.add(m)) {
+        if (m < minFp) minFp = m
+        if (m > maxFp) maxFp = m
+      }
+      i += 1
+    }
+    InternalRow(seen.size.toLong, minFp, maxFp)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowDigest =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_digest"
+}
+
+/** `simhash32(tokens)` → BIGINT: 32-bit SimHash over a token array.
+  * Per-bit weight = Σ over tokens of (bit set ? +1 : -1) — iterating
+  * duplicates naturally applies count weighting. Replaces a 32×-row
+  * bit explode + double aggregation with one per-row loop.
+  */
+case class SimHash32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"simhash32 expects ARRAY<STRING>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val weights = new Array[Long](32)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val t = arr.getUTF8String(j)
+      if (t != null) {
+        val h = Md5Prefix.hash(t.getBytes)
+        var b = 0
+        while (b < 32) {
+          if (((h >> b) & 1L) == 1L) weights(b) += 1 else weights(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 32) { if (weights(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash32"
+}
