@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cache.SnapshotTable
+
+/** Streaming operators: watermarked windowed aggregation (late-row
+  * drop), keyed state across micro-batches, and the cursor-append
+  * ingestion path into the snapshot table. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]").appName("streaming-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked windowed aggregation drops rows behind the watermark") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF.toDF("ts", "event_type", "value")
+    val agg = Streaming.windowedEventCounts(
+      events, windowLen = "10 minutes", watermark = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        (ts("2026-01-01 10:01:00"), "click", 1.0),
+        (ts("2026-01-01 10:02:00"), "click", 2.0),
+        (ts("2026-01-01 10:12:00"), "view", 5.0))
+      q.processAllAvailable()
+      // advance the watermark far past the 10:00 window...
+      input.addData((ts("2026-01-01 11:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // ...then a late row for the closed 10:00 window must be dropped
+      input.addData((ts("2026-01-01 10:03:00"), "click", 100.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .groupBy("window_start", "event_type")
+        .agg(max("n").as("n"), max("total").as("total"))
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows.contains(("2026-01-01 10:00:00.0", "click", 2L, 3.0)))
+      assert(rows.contains(("2026-01-01 10:10:00.0", "view", 1L, 5.0)))
+      // the late 100.0 row never lands: 10:00 window still totals 3.0
+      assert(!rows.exists { case (w, t, _, total) =>
+        w == "2026-01-01 10:00:00.0" && t == "click" && total > 3.0 })
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running totals across micro-batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.UserEvent]
+    val totals = Streaming.runningUserTotals(input.toDS())
+    val q = totals.writeStream.format("memory").queryName("user_totals")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Streaming.UserEvent(1L, 10.0), Streaming.UserEvent(2L, 5.0))
+      q.processAllAvailable()
+      input.addData(Streaming.UserEvent(1L, 7.0))
+      q.processAllAvailable()
+      val byUser = spark.table("user_totals")
+        .groupBy("user_id").agg(max("events").as("events"), max("total").as("total"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(byUser(1L) == ((2L, 17.0))) // state carried across batches
+      assert(byUser(2L) == ((1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("cursor-append stream lands micro-batches as append snapshots") {
+    val ss = spark
+    import ss.implicits._
+    val src = Files.createTempDirectory("graft_stream_src")
+    val root = Files.createTempDirectory("graft_stream_tbl")
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(src.toString)
+    val table = new SnapshotTable(spark, root.toString, "stream_cache")
+
+    val q1 = Streaming.cursorAppendStream(
+      spark, src.toString, src.toString, table, ckpt.toString)
+    q1.awaitTermination()
+    assert(table.read().count() == 2)
+    assert(table.currentSnapshotId.contains(1L))
+
+    // new files arrive; a second AvailableNow run appends ONLY them
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").parquet(src.toString)
+    val q2 = Streaming.cursorAppendStream(
+      spark, src.toString, src.toString, table, ckpt.toString)
+    q2.awaitTermination()
+    assert(table.read().count() == 3)
+    val modes = table.snapshots().select("mode").collect().map(_.getString(0)).toSet
+    assert(modes == Set("append"))
+  }
+}
