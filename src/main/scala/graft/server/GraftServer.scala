@@ -1,0 +1,260 @@
+package graft.server
+
+import java.io.OutputStream
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.api._
+import graft.config.EndpointConfig
+import graft.serialize.{ArrowWire, CsvWire, JsonWire}
+import graft.write.WriteExecutor
+
+/** One servable endpoint: config + its SQL template (+ optional MCP
+  * response shape). */
+final case class ServedEndpoint(
+    config: EndpointConfig,
+    template: String,
+    connProps: Map[String, String] = Map.empty,
+    shape: ResponseShape = ResponseShape())
+
+/** The serving shell (SURVEY §3, layer 3): REST request lifecycle and
+  * MCP JSON-RPC over `com.sun.net.httpserver` (dependency-free, per
+  * SURVEY §7.1-8). The data path is the engine's public pipeline:
+  *
+  *   route match → param assembly → validate/render/bind
+  *   (TemplatePipeline) → execute → paginate+count → serialize
+  *   (JSON/CSV/Arrow by content negotiation) → envelope
+  *   {data,next,total_count} + X-headers
+  *
+  * Mirrors /root/reference/src/request_handler.cpp (GET lifecycle,
+  * envelope :316-334, content negotiation :227-246, write path
+  * :110-134) and mcp_route_handlers.cpp / mcp_tool_handler.cpp
+  * (initialize, tools/list, tools/call, ping, `_dryRun` short-circuit,
+  * response shaping).
+  */
+final class GraftServer(
+    spark: SparkSession,
+    endpoints: Seq[ServedEndpoint],
+    port: Int = 0) {
+
+  private val mapper = new ObjectMapper()
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): GraftServer = {
+    server.createContext("/mcp/jsonrpc", (ex: HttpExchange) => safely(ex)(handleMcp))
+    server.createContext("/", (ex: HttpExchange) => safely(ex)(handleRest))
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    this
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  private def safely(ex: HttpExchange)(f: HttpExchange => Unit): Unit =
+    try f(ex)
+    catch {
+      case e: TemplatePipeline.BadRequest =>
+        val errs = e.errors.map(er =>
+          s"""{"field":${quote(er.field)},"message":${quote(er.message)}}""")
+        respond(ex, 400, s"""{"errors":[${errs.mkString(",")}]}""", "application/json")
+      case e: Exception =>
+        respond(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""",
+          "application/json")
+    }
+    finally ex.close()
+
+  // ---- REST -------------------------------------------------------------
+
+  private def handleRest(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    val method = ex.getRequestMethod.toUpperCase
+    val matched = endpoints.iterator.flatMap { ep =>
+      if (!ep.config.method.equalsIgnoreCase(method)) None
+      else RouteTranslator.matchAndExtract(ep.config.urlPath, path).map(ep -> _)
+    }.toSeq.headOption
+
+    matched match {
+      case None => respond(ex, 404, """{"error":"no such endpoint"}""", "application/json")
+      case Some((ep, pathParams)) =>
+        val query = parseQuery(ex.getRequestURI.getRawQuery)
+        val fieldDefaults = ep.config.requestFields
+          .flatMap(f => f.defaultValue.map(f.fieldName -> _)).toMap
+        val params =
+          if (ep.config.isWrite) {
+            val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+            ParamAssembly.combineWrite(Map.empty, pathParams,
+              Some(body).filter(_.nonEmpty), fieldDefaults, query)
+          } else
+            ParamAssembly.combineRead(Map.empty, pathParams, fieldDefaults, query)
+
+        if (ep.config.isWrite) handleWrite(ex, ep, params)
+        else handleRead(ex, ep, params, query)
+    }
+  }
+
+  private def handleRead(ex: HttpExchange, ep: ServedEndpoint,
+                         params: Map[String, String], query: Map[String, String]): Unit = {
+    val df = TemplatePipeline.run(spark, ep.config, ep.template, params, ep.connProps)
+    val fmt = negotiate(ex, query)
+    if (ep.config.withPagination) {
+      val (off, lim) = Paginator.params(params)
+      val page = Paginator.paginate(df, off, lim, basePath = ep.config.urlPath)
+      val h = ex.getResponseHeaders
+      h.set("X-Total-Count", page.totalCount.toString)
+      h.set("X-Offset", page.offset.toString)
+      h.set("X-Limit", page.limit.toString)
+      page.next.foreach(h.set("X-Next", _))
+      fmt match {
+        case "json" =>
+          val rows = collectJson(page.data)
+          val next = page.next.fold("null")(quote)
+          respond(ex, 200,
+            s"""{"data":$rows,"next":$next,"total_count":${page.totalCount}}""",
+            "application/json")
+        case other => respondRaw(ex, page.data, other)
+      }
+    } else fmt match {
+      case "json" => respond(ex, 200, collectJson(df), "application/json")
+      case other => respondRaw(ex, df, other)
+    }
+  }
+
+  private def handleWrite(ex: HttpExchange, ep: ServedEndpoint,
+                          params: Map[String, String]): Unit = {
+    val result = WriteExecutor.executeWrite(
+      spark, ep.config, ep.template, params, returnsData = true, ep.connProps)
+    val data = result.returnedData.map(collectJson)
+    val status = if (result.rowsAffected > 0) 201 else 200
+    val body = data match {
+      case Some(d) => s"""{"rows_affected":${result.rowsAffected},"data":$d}"""
+      case None => s"""{"rows_affected":${result.rowsAffected}}"""
+    }
+    respond(ex, status, body, "application/json")
+  }
+
+  // ---- MCP JSON-RPC -----------------------------------------------------
+
+  private def handleMcp(ex: HttpExchange): Unit = {
+    val req = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val id = req.path("id")
+    val method = req.path("method").asText("")
+    def reply(resultJson: String): Unit =
+      respond(ex, 200,
+        s"""{"jsonrpc":"2.0","id":${mapper.writeValueAsString(id)},"result":$resultJson}""",
+        "application/json")
+
+    method match {
+      case "initialize" =>
+        reply("""{"protocolVersion":"2024-11-05","serverInfo":{"name":"graft","version":"0.1"},"capabilities":{"tools":{}}}""")
+      case "ping" => reply("{}")
+      case "tools/list" =>
+        val tools = endpoints.map { ep =>
+          val props = ep.config.requestFields.map { f =>
+            quote(f.fieldName) + ":" +
+              s"""{"type":"string","description":${quote(f.description)}}"""
+          }.mkString("{", ",", "}")
+          s"""{"name":${quote(toolName(ep))},"description":${quote(ep.config.urlPath)},""" +
+            s""""inputSchema":{"type":"object","properties":$props}}"""
+        }
+        reply(s"""{"tools":[${tools.mkString(",")}]}""")
+      case "tools/call" =>
+        val name = req.path("params").path("name").asText("")
+        endpoints.find(toolName(_) == name) match {
+          case None =>
+            respond(ex, 200,
+              s"""{"jsonrpc":"2.0","id":${mapper.writeValueAsString(id)},"error":{"code":-32602,"message":"unknown tool"}}""",
+              "application/json")
+          case Some(ep) =>
+            val argsNode = req.path("params").path("arguments")
+            var dryRun = false
+            val args = if (argsNode.isObject) {
+              argsNode.asInstanceOf[ObjectNode].fields().asScala.flatMap { e =>
+                if (e.getKey == "_dryRun") { dryRun = e.getValue.asBoolean(false); None }
+                else Some(e.getKey -> ParamAssembly.jsonValueToString(e.getValue))
+              }.toMap
+            } else Map.empty[String, String]
+            if (dryRun) {
+              // render without executing (mcp_dry_run.cpp:5-47)
+              TemplatePipeline.prepare(ep.config, ep.template, args, ep.connProps) match {
+                case Left(errs) =>
+                  reply(s"""{"isError":true,"content":[{"type":"text","text":${quote(errs.mkString("; "))}}]}""")
+                case Right((sql, bind)) =>
+                  reply(s"""{"content":[{"type":"text","text":${quote(sql)}}],"_meta":{"dryRun":true,"bindCount":${bind.length}}}""")
+              }
+            } else {
+              val df = TemplatePipeline.run(spark, ep.config, ep.template, args, ep.connProps)
+              val shaped = ResponseShaper.shape(collectJson(df), ep.shape)
+              reply(s"""{"content":[{"type":"text","text":${quote(shaped)}}]}""")
+            }
+        }
+      case other =>
+        respond(ex, 200,
+          s"""{"jsonrpc":"2.0","id":${mapper.writeValueAsString(id)},"error":{"code":-32601,"message":${quote(s"unknown method $other")}}}""",
+          "application/json")
+    }
+  }
+
+  private def toolName(ep: ServedEndpoint): String =
+    ep.config.urlPath.stripPrefix("/").replaceAll("[/:]+", "_")
+
+  // ---- serialization helpers -------------------------------------------
+
+  private def collectJson(df: DataFrame): String = {
+    val schema = df.schema
+    JsonWire.rows(schema, df.collect().iterator).mkString("[", ",", "]")
+  }
+
+  private def negotiate(ex: HttpExchange, query: Map[String, String]): String = {
+    query.get("format").map(_.toLowerCase) match {
+      case Some(f@("json" | "csv" | "arrow")) => f
+      case _ =>
+        val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+        if (accept.contains("text/csv")) "csv"
+        else if (accept.contains("application/vnd.apache.arrow.stream")) "arrow"
+        else "json"
+    }
+  }
+
+  private def respondRaw(ex: HttpExchange, df: DataFrame, fmt: String): Unit = fmt match {
+    case "csv" =>
+      respond(ex, 200, CsvWire.serialize(df.schema, df.collect().iterator), "text/csv")
+    case "arrow" =>
+      val bytes = ArrowWire.serialize(df.schema, df.collect().iterator)
+      ex.getResponseHeaders.set("Content-Type", "application/vnd.apache.arrow.stream")
+      ex.sendResponseHeaders(200, bytes.length)
+      val os: OutputStream = ex.getResponseBody
+      os.write(bytes); os.flush()
+  }
+
+  private def respond(ex: HttpExchange, status: Int, body: String, ctype: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(status, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes); os.flush()
+  }
+
+  private def parseQuery(raw: String): Map[String, String] =
+    Option(raw).filter(_.nonEmpty).map(_.split("&").toSeq
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(URLDecoder.decode(k, UTF_8) -> URLDecoder.decode(v, UTF_8))
+          case Array(k) if k.nonEmpty => Some(URLDecoder.decode(k, UTF_8) -> "")
+          case _ => None
+        }
+      }.toMap).getOrElse(Map.empty)
+
+  private def quote(s: String): String = {
+    val b = new StringBuilder
+    JsonWire.appendString(b, s)
+    b.toString
+  }
+}
