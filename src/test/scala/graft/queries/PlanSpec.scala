@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Physical-plan assertions — the 100 TB properties the operators are
+  * designed around, locked in as tests so a refactor that silently
+  * regresses a plan (dropped pushdown, lost broadcast, accidental
+  * cartesian product) fails CI rather than a cluster.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]").appName("plan-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .withExtensions(graft.functions.GraftFunctions.register)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q2 filter+projection push into the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
+    assert(p.contains("l_quantity"), s"quantity filter not pushed:\n$p")
+    // column pruning: the scan must not read all 10 lineitem columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
+  test("q3 broadcasts the 25-row nation dim") {
+    val p = plan("q3_join_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), s"nation not broadcast:\n$p")
+  }
+
+  test("q6 global top-k compiles to TakeOrderedAndProject (no full sort)") {
+    val p = plan("q6_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k plan degraded:\n$p")
+  }
+
+  test("similarity operators never produce a cartesian product") {
+    Seq("neardup_minhash_lsh", "ann_brute_topk", "ann_lsh_topk").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+    }
+  }
+
+  test("ann probes broadcast; corpus side stays partitioned") {
+    val p = plan("ann_brute_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe set not broadcast:\n$p")
+  }
+
+  test("dedup groups on the content hash, not a full-text shuffle key") {
+    val p = plan("dedup_exact")
+    assert(p.contains("sha2"), s"content hash missing from plan:\n$p")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      s"no partial aggregation:\n$p")
+  }
+
+  test("minhash signature stage is map-side (no shuffle before banding)") {
+    val df = SparkEntry.queries("neardup_minhash_lsh")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the expression must appear in a Project, not inside an Aggregate
+    assert(p.contains("minhash_sig"), s"native expression missing:\n$p")
+  }
+}
