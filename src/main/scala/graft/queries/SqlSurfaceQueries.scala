@@ -178,6 +178,15 @@ object SqlSurfaceQueries extends QuerySet {
         .schema.fieldNames.toSeq.sorted.toDF("column_name")
     })
 
+  // O4: scalar subquery (top-1 idiom; reference products-create.sql:63-65
+  // uses WHERE id = (SELECT MAX(id) ...) as its RETURNING emulation).
+  private val o4 = sqlQuery(
+    "o4_scalar_subquery",
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+      |FROM orders
+      |WHERE o_totalprice = (SELECT max(o_totalprice) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin)
+
   override val defs: Seq[QueryDef] =
-    Seq(a2, a3, a5, w2, j3, set1, set2, f1, f2, f3, j1, i1)
+    Seq(a2, a3, a5, w2, j3, set1, set2, f1, f2, f3, j1, i1, o4)
 }

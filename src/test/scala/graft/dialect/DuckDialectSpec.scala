@@ -74,6 +74,14 @@ class DuckDialectSpec extends AnyFunSuite {
     assert(translate(sql) == sql)
   }
 
+  test("empty OVER () gains a synthetic order key (W1)") {
+    assert(translate("SELECT ROW_NUMBER() OVER () AS id FROM t") ==
+      "SELECT ROW_NUMBER() OVER (ORDER BY monotonically_increasing_id()) AS id FROM t")
+    // windows with content are untouched
+    val w = "SELECT rank() OVER (PARTITION BY a ORDER BY b) FROM t"
+    assert(translate(w) == w)
+  }
+
   test("full reference customers.sql translates to parseable Spark SQL") {
     val t =
       """SELECT
