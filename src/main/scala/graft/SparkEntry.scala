@@ -8,7 +8,8 @@ object SparkEntry {
 
   /** All query sets, one per SURVEY.md §2 area. */
   def sets: Seq[QuerySet] = Seq(CoreQueries, EndpointQueries, SqlSurfaceQueries,
-    TextQueries, EmbeddingQueries, CacheQueries, WriteQueries, MultimodalQueries)
+    TextQueries, EmbeddingQueries, CacheQueries, WriteQueries, MultimodalQueries,
+    EventQueries)
 
   def allDefs: Seq[QueryDef] = sets.flatMap(_.defs)
 

@@ -1,0 +1,120 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SchkTest}
+import org.scalacheck.Prop.{forAll, propBoolean}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.serialize.CsvWire
+import graft.template._
+import graft.write.SqlSplitter
+
+/** Property-based coverage of the pure string/value layers (the
+  * reference backs these with hand-enumerated Catch2 cases; generators
+  * sweep the space instead). */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String, p: Prop): Unit = {
+    val r = SchkTest.check(
+      SchkTest.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(r.passed, s"$name: ${r.status}")
+  }
+
+  // ---- ValueConverter ---------------------------------------------------
+
+  test("every long round-trips through the int converter") {
+    check("int-roundtrip", forAll { (n: Long) =>
+      ValueConverter.convert(SqlParamType.IntegerT, Some(n.toString)) ==
+        ValueConverter.Ok(Some(n))
+    })
+  }
+
+  test("garbage suffixes never parse as ints") {
+    check("int-junk", forAll(Gen.long, Gen.alphaStr.suchThat(_.nonEmpty)) { (n, junk) =>
+      ValueConverter.convert(SqlParamType.IntegerT, Some(s"$n $junk"))
+        .isInstanceOf[ValueConverter.Err]
+    })
+  }
+
+  test("finite doubles round-trip") {
+    check("double-roundtrip", forAll { (d: Double) =>
+      (!d.isNaN && !d.isInfinite) ==> {
+        ValueConverter.convert(SqlParamType.DoubleT, Some(d.toString)) ==
+          ValueConverter.Ok(Some(d))
+      }
+    })
+  }
+
+  test("valid calendar dates parse; impossible ones do not") {
+    val dates = for {
+      y <- Gen.chooseNum(1, 9999); m <- Gen.chooseNum(1, 12); d <- Gen.chooseNum(1, 28)
+    } yield f"$y%04d-$m%02d-$d%02d"
+    check("date-valid", forAll(dates) { s =>
+      ValueConverter.convert(SqlParamType.DateT, Some(s))
+        .isInstanceOf[ValueConverter.Ok]
+    })
+    assert(ValueConverter.convert(SqlParamType.DateT, Some("2024-02-30"))
+      .isInstanceOf[ValueConverter.Err])
+  }
+
+  // ---- SqlSplitter ------------------------------------------------------
+
+  private val plainStmt: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '=', '(', ')', ',')))
+      .map(_.mkString.trim).suchThat(_.nonEmpty)
+
+  test("splitting statements joined by ';' recovers them") {
+    check("split-join", forAll(Gen.nonEmptyListOf(plainStmt)) { stmts =>
+      SqlSplitter.split(stmts.mkString(";")) == stmts.toVector
+    })
+  }
+
+  test("semicolons inside single-quoted strings never split") {
+    check("split-quoted", forAll(Gen.alphaNumStr, Gen.alphaNumStr) { (a, b) =>
+      val sql = s"SELECT '$a;$b' AS s"
+      SqlSplitter.split(sql) == Vector(sql)
+    })
+  }
+
+  test("placeholder count ignores quoted question marks") {
+    check("placeholders", forAll(Gen.chooseNum(0, 5), Gen.chooseNum(0, 5)) { (real, quoted) =>
+      val sql = "SELECT " +
+        (Seq.fill(real)("?") ++ Seq.fill(quoted)("'?'")).mkString(", ")
+      SqlSplitter.countPlaceholders(sql) == real
+    })
+  }
+
+  // ---- Mustache ---------------------------------------------------------
+
+  private val tagFree: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '\n', '(', ')', '<', '>')))
+      .map(_.mkString).suchThat(s => !s.contains("{{") && !s.contains("}}"))
+
+  test("templates without tags render as identity") {
+    check("mustache-identity", forAll(tagFree) { s =>
+      Mustache.render(s, TemplateContext.empty) == s
+    })
+  }
+
+  test("section bodies render iff the param is present") {
+    check("mustache-sections",
+      forAll(Gen.alphaLowerStr.suchThat(_.nonEmpty), Gen.alphaNumStr) { (k, v) =>
+        val t = s"A{{#params.$k}}[{{params.$k}}]{{/params.$k}}B"
+        val withIt = TemplateContext.forRequest(Map(k -> v))
+        val without = TemplateContext.forRequest(Map.empty)
+        Mustache.render(t, withIt) == s"A[${Mustache.htmlEscape(v)}]B" &&
+          Mustache.render(t, without) == "AB"
+      })
+  }
+
+  // ---- CSV escape -------------------------------------------------------
+
+  test("escapeCSV output never breaks a CSV row structure") {
+    check("csv-escape", forAll { (s: String) =>
+      val cell = CsvWire.escapeCSV(s)
+      if (s.exists(c => c == ',' || c == '"' || c == '\n')) {
+        cell.head == '"' && cell.last == '"' &&
+          cell.substring(1, cell.length - 1).replace("\"\"", "").forall(_ != '"')
+      } else cell == s
+    })
+  }
+}
