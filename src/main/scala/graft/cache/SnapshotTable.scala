@@ -3,8 +3,8 @@ package graft.cache
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
 
 /** Snapshot-versioned parquet table — the Spark-side analog of the
   * reference's DuckLake cache catalog (SURVEY §4.3; refresh modes per
@@ -42,6 +42,12 @@ import org.apache.spark.sql.functions._
   * the manifest row + `_current` pointer land, and the pointer swap is
   * an atomic rename — the reference's ACID-read guarantee at the
   * single-writer granularity flapi itself has.
+  *
+  * The manifest is persistent state in a TABLE (restart-safe, readable
+  * by any engine), but each public operation loads it exactly once —
+  * it is a few rows, and extra Spark jobs per refresh would dominate
+  * small-cache latency. Row counts come from the parquet footers of
+  * the WRITTEN data (never by re-running the source query).
   */
 final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
 
@@ -52,25 +58,34 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
 
   Files.createDirectories(snapDir)
 
+  private val metaSchema = StructType(Seq(
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = false),
+    StructField("mode", StringType, nullable = false),
+    StructField("row_count", LongType, nullable = false),
+    StructField("dirs", ArrayType(StringType), nullable = false)))
+
+  private final case class Manifest(
+      id: Long, committedAt: java.sql.Timestamp, mode: String,
+      rowCount: Long, dirs: Seq[String])
+
   // ---- manifest ---------------------------------------------------------
 
-  /** All snapshot manifests (C3 introspection; analog of the
-    * ducklake_snapshots() table function). */
-  def snapshots(): DataFrame = {
-    if (!Files.exists(metaDir)) emptyMeta()
-    else spark.read.parquet(metaDir.toString)
-  }
+  /** One metadata read per operation; newest first. */
+  private def loadManifests(): Seq[Manifest] =
+    if (!Files.exists(metaDir)) Nil
+    else spark.read.schema(metaSchema).parquet(metaDir.toString)
+      .collect().toSeq.map { r =>
+        Manifest(r.getLong(0), r.getTimestamp(1), r.getString(2),
+          r.getLong(3), r.getSeq[String](4))
+      }.sortBy(-_.id)
 
-  private def emptyMeta(): DataFrame = {
-    import org.apache.spark.sql.types._
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(
-        StructField("snapshot_id", LongType),
-        StructField("committed_at", TimestampType),
-        StructField("mode", StringType),
-        StructField("row_count", LongType),
-        StructField("dirs", ArrayType(StringType)))))
+  /** All snapshot manifests as a DataFrame (C3 introspection; analog
+    * of the ducklake_snapshots() table function). */
+  def snapshots(): DataFrame = {
+    val rows = loadManifests().map(m =>
+      Row(m.id, m.committedAt, m.mode, m.rowCount, m.dirs))
+    spark.createDataFrame(rows.asJava, metaSchema)
   }
 
   def currentSnapshotId: Option[Long] =
@@ -78,30 +93,19 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
       Some(new String(Files.readAllBytes(currentFile), "UTF-8").trim.toLong)
     else None
 
-  /** (current, previous) manifest rows, newest first — what the
-    * reference injects as cacheSnapshotId/previousSnapshotId. */
+  /** (current, previous) snapshot (id, committed_at), newest first —
+    * what the reference injects as cacheSnapshotId/previousSnapshotId. */
   def latestTwo(): Seq[(Long, java.sql.Timestamp)] =
-    snapshots().orderBy(col("snapshot_id").desc).limit(2)
-      .select("snapshot_id", "committed_at")
-      .collect().toSeq
-      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    loadManifests().take(2).map(m => (m.id, m.committedAt))
 
-  private def manifestDirs(id: Long): Seq[String] = {
-    val rows = snapshots().filter(col("snapshot_id") === id)
-      .select("dirs").collect()
-    require(rows.nonEmpty, s"snapshot $id does not exist for table $name")
-    rows.head.getSeq[String](0)
-  }
-
-  private def nextId: Long = {
-    val existing = snapshots().agg(max("snapshot_id")).collect().head
-    if (existing.isNullAt(0)) 1L else existing.getLong(0) + 1L
-  }
+  private def manifestFor(ms: Seq[Manifest], id: Long): Manifest =
+    ms.find(_.id == id).getOrElse(
+      throw new IllegalArgumentException(s"snapshot $id does not exist for table $name"))
 
   private def publish(id: Long, mode: String, rowCount: Long, dirs: Seq[String]): Unit = {
-    import spark.implicits._
-    Seq((id, new java.sql.Timestamp(System.currentTimeMillis()), mode, rowCount, dirs))
-      .toDF("snapshot_id", "committed_at", "mode", "row_count", "dirs")
+    val row = Row(id, new java.sql.Timestamp(System.currentTimeMillis()),
+      mode, rowCount, dirs)
+    spark.createDataFrame(java.util.List.of(row), metaSchema)
       .coalesce(1)
       .write.mode(SaveMode.Append).parquet(metaDir.toString)
     val tmp = tableDir.resolve(s"_current.tmp$id")
@@ -116,29 +120,34 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
     dir
   }
 
+  /** Row count of a written snapshot dir — parquet footer metadata, no
+    * data scan and no re-execution of the source query. */
+  private def writtenCount(dir: String): Long =
+    spark.read.parquet(snapDir.resolve(dir).toString).count()
+
+  private def dataPath(dir: String): String = snapDir.resolve(dir).toString
+
   // ---- refresh modes (C1/C2) -------------------------------------------
 
   /** full: materialize the query result as a brand-new state. */
   def refreshFull(df: DataFrame): Long = synchronized {
-    val id = nextId
+    val ms = loadManifests()
+    val id = ms.headOption.fold(1L)(_.id + 1)
     val dir = writeData(id, df)
-    publish(id, "full", countOf(df), Seq(dir))
+    publish(id, "full", writtenCount(dir), Seq(dir))
     id
   }
 
   /** append: write ONLY the new rows; the manifest chains the parent
     * dirs. The caller filters by cursor high-water (CacheManager). */
   def refreshAppend(newRows: DataFrame): Long = synchronized {
-    val id = nextId
-    val (parentDirs, parentRows) = currentSnapshotId match {
-      case None => (Nil, 0L)
-      case Some(cur) =>
-        val m = snapshots().filter(col("snapshot_id") === cur)
-          .select("dirs", "row_count").collect().head
-        (m.getSeq[String](0), m.getLong(1))
-    }
+    val ms = loadManifests()
+    val id = ms.headOption.fold(1L)(_.id + 1)
+    val parent = currentSnapshotId.map(manifestFor(ms, _))
     val dir = writeData(id, newRows)
-    publish(id, "append", parentRows + countOf(newRows), parentDirs :+ dir)
+    publish(id, "append",
+      parent.fold(0L)(_.rowCount) + writtenCount(dir),
+      parent.fold(Seq.empty[String])(_.dirs) :+ dir)
     id
   }
 
@@ -149,18 +158,20 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
     * layout; with one, only affected partitions would rewrite. */
   def refreshMerge(newRows: DataFrame, primaryKeys: Seq[String]): Long = synchronized {
     require(primaryKeys.nonEmpty, "merge mode requires primary keys")
-    val id = nextId
+    val ms = loadManifests()
+    val id = ms.headOption.fold(1L)(_.id + 1)
     val merged = currentSnapshotId match {
       case None => newRows
       case Some(cur) =>
-        read(Some(cur)).join(newRows, primaryKeys, "left_anti").unionByName(newRows)
+        val dirs = manifestFor(ms, cur).dirs.map(dataPath)
+        spark.read.parquet(dirs: _*)
+          .join(newRows, primaryKeys, "left_anti")
+          .unionByName(newRows)
     }
     val dir = writeData(id, merged)
-    publish(id, "merge", countOf(merged), Seq(dir))
+    publish(id, "merge", writtenCount(dir), Seq(dir))
     id
   }
-
-  private def countOf(df: DataFrame): Long = df.count()
 
   // ---- reads (C9/C10) ---------------------------------------------------
 
@@ -168,7 +179,7 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
   def read(version: Option[Long] = None): DataFrame = {
     val id = version.orElse(currentSnapshotId).getOrElse(
       throw new IllegalStateException(s"table $name has no snapshots"))
-    val dirs = manifestDirs(id).map(d => snapDir.resolve(d).toString)
+    val dirs = manifestFor(loadManifests(), id).dirs.map(dataPath)
     spark.read.parquet(dirs: _*)
   }
 
@@ -179,15 +190,13 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
     * retained manifest references (append chains keep ancestors'
     * dirs alive). */
   def expireSnapshots(keepLast: Int): Seq[Long] = synchronized {
-    val all = snapshots().orderBy(col("snapshot_id").desc)
-      .select("snapshot_id").collect().map(_.getLong(0)).toSeq
-    val keep = all.take(math.max(keepLast, 1)).toSet ++ currentSnapshotId
-    val drop = all.filterNot(keep)
+    val ms = loadManifests() // newest first
+    val keep = ms.take(math.max(keepLast, 1)).map(_.id).toSet ++ currentSnapshotId
+    val drop = ms.map(_.id).filterNot(keep)
     if (drop.nonEmpty) {
-      val retained = snapshots().filter(col("snapshot_id").isin(keep.toSeq: _*))
+      val retained = ms.filter(m => keep.contains(m.id))
       rewriteMeta(retained)
-      val live = snapshots().select(explode(col("dirs"))).collect()
-        .map(_.getString(0)).toSet
+      val live = retained.flatMap(_.dirs).toSet
       Files.list(snapDir).iterator().asScala.toList
         .filterNot(p => live.contains(p.getFileName.toString))
         .foreach(deleteRecursively)
@@ -198,16 +207,22 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
   /** Compaction: rewrite the live state into `targetFiles` files and
     * publish it as a new snapshot (merge-adjacent-files analog). */
   def compact(targetFiles: Int = 1): Long = synchronized {
-    val id = nextId
-    val df = read().repartition(targetFiles)
+    val ms = loadManifests()
+    val id = ms.headOption.fold(1L)(_.id + 1)
+    val cur = currentSnapshotId.getOrElse(
+      throw new IllegalStateException(s"table $name has no snapshots"))
+    val dirs = manifestFor(ms, cur).dirs.map(dataPath)
+    val df = spark.read.parquet(dirs: _*).repartition(targetFiles)
     val dir = writeData(id, df)
-    publish(id, "compact", countOf(df), Seq(dir))
+    publish(id, "compact", writtenCount(dir), Seq(dir))
     id
   }
 
-  private def rewriteMeta(retained: DataFrame): Unit = {
+  private def rewriteMeta(retained: Seq[Manifest]): Unit = {
+    val rows = retained.map(m => Row(m.id, m.committedAt, m.mode, m.rowCount, m.dirs))
     val tmp = tableDir.resolve("_meta_new")
-    retained.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    spark.createDataFrame(rows.asJava, metaSchema)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val old = tableDir.resolve("_meta_old")
     if (Files.exists(metaDir)) Files.move(metaDir, old)
     Files.move(tmp, metaDir)
