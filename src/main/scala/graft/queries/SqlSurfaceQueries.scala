@@ -187,6 +187,38 @@ object SqlSurfaceQueries extends QuerySet {
       |WHERE o_totalprice = (SELECT max(o_totalprice) FROM orders)
       |ORDER BY o_orderkey""".stripMargin)
 
+  // Type round-trip (reference data_types endpoint,
+  // test/integration/api_configuration/sqls/data_types.sql + its
+  // tavern suite): every wire-table scalar family plus nested
+  // array/struct survives engine -> parquet -> compare intact.
+  private val t1 = QueryDef(
+    "t1_types_roundtrip",
+    Some("""SELECT true AS b,
+           |  cast(127 AS TINYINT) AS i8, cast(32000 AS SMALLINT) AS i16,
+           |  cast(2147483647 AS INT) AS i32,
+           |  cast(9007199254740993 AS BIGINT) AS i64,
+           |  cast(1.5 AS DOUBLE) AS f64,
+           |  cast(12345.67 AS DECIMAL(10,2)) AS dec_v,
+           |  'text''s quote' AS s,
+           |  DATE '2024-03-15' AS d,
+           |  TIMESTAMP '2024-03-15 13:45:07.123' AS ts,
+           |  [1, 2, 3] AS arr,
+           |  {'k': 1, 's': 'x'} AS st,
+           |  cast(NULL AS INT) AS null_i""".stripMargin),
+    (s, dir) => s.sql(
+      """SELECT true AS b,
+        |  cast(127 AS TINYINT) AS i8, cast(32000 AS SMALLINT) AS i16,
+        |  cast(2147483647 AS INT) AS i32,
+        |  cast(9007199254740993 AS BIGINT) AS i64,
+        |  cast(1.5 AS DOUBLE) AS f64,
+        |  cast(12345.67 AS DECIMAL(10,2)) AS dec_v,
+        |  'text\'s quote' AS s,
+        |  DATE '2024-03-15' AS d,
+        |  TIMESTAMP '2024-03-15 13:45:07.123' AS ts,
+        |  array(1, 2, 3) AS arr,
+        |  named_struct('k', 1, 's', 'x') AS st,
+        |  cast(NULL AS INT) AS null_i""".stripMargin))
+
   override val defs: Seq[QueryDef] =
-    Seq(a2, a3, a5, w2, j3, set1, set2, f1, f2, f3, j1, i1, o4)
+    Seq(a2, a3, a5, w2, j3, set1, set2, f1, f2, f3, j1, i1, o4, t1)
 }
