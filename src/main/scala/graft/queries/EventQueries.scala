@@ -58,5 +58,31 @@ object EventQueries extends QuerySet {
       |GROUP BY prev_type, event_type
       |ORDER BY prev_type, next_type""".stripMargin)
 
-  override val defs: Seq[QueryDef] = Seq(hourly, sessions, funnel)
+  // Salted-join equivalence: the skew-mitigation join must produce
+  // EXACTLY the plain equi-join's result (oracle = plain join). The
+  // compact side is a per-user dimension derived from events; the
+  // "skewed" side is the raw event stream.
+  private val salted = QueryDef(
+    "salted_join_agg",
+    Some("""SELECT e.user_id, count(*) AS n, d.first_event
+           |FROM events e
+           |JOIN (SELECT user_id AS dim_user, min(event_id) AS first_event
+           |      FROM events GROUP BY user_id) d
+           |  ON e.user_id = d.dim_user
+           |GROUP BY e.user_id, d.first_event
+           |ORDER BY e.user_id""".stripMargin),
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val events = Tables.table(s, dir, "events")
+      val dim = events.groupBy(col("user_id").as("dim_user"))
+        .agg(min("event_id").as("first_event"))
+        .select("dim_user", "first_event")
+      graft.operators.SkewJoin.saltedJoin(events, dim, "user_id", "dim_user", factor = 8)
+        .groupBy(col("user_id"), col("first_event"))
+        .agg(count(lit(1)).as("n"))
+        .select("user_id", "n", "first_event")
+        .orderBy("user_id")
+    })
+
+  override val defs: Seq[QueryDef] = Seq(hourly, sessions, funnel, salted)
 }
