@@ -68,9 +68,85 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
 /** SparkSessionExtensions hook registering graft's native functions —
   * wire with `SparkSession.builder().withExtensions(GraftFunctions.register)`.
+  *
+  * [[ensureRegistered]] is the belt-and-braces path for sessions built
+  * WITHOUT the extension (e.g. a harness-owned session): it detects
+  * the missing function and registers UDF equivalents under the same
+  * names. The UDFs compute identical values (same hash loops) at
+  * somewhat higher per-row cost (serialization), so the expression
+  * path remains the default.
   */
 object GraftFunctions {
   val DefaultNumHashes = 72
+
+  /** Plain-JVM minhash over string shingles (shared by the UDF path). */
+  def minhashPlain(shingles: Seq[String], k: Int): Array[Long] = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    shingles.foreach { s =>
+      if (s != null) {
+        val b = s.getBytes("UTF-8")
+        var i = 0
+        while (i < k) {
+          val h = XXH64.hashUnsafeBytes(b,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, i)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+    }
+    mins
+  }
+
+  final case class WinnowOut(n_fp: Long, min_fp: Long, max_fp: Long)
+
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val present =
+      try { spark.sql("SELECT minhash_sig(array('x'), 2)").collect(); true }
+      catch { case _: Exception => false }
+    if (!present) {
+      spark.udf.register("minhash_sig",
+        (sh: Seq[String], k: Int) => minhashPlain(sh, k).toSeq)
+      spark.udf.register("simhash32", (tokens: Seq[String]) => {
+        val weights = new Array[Long](32)
+        tokens.foreach { t =>
+          if (t != null) {
+            val h = Md5Prefix.hash(t.getBytes("UTF-8"))
+            var b = 0
+            while (b < 32) {
+              if (((h >> b) & 1L) == 1L) weights(b) += 1 else weights(b) -= 1
+              b += 1
+            }
+          }
+        }
+        var fp = 0L; var b = 0
+        while (b < 32) { if (weights(b) > 0) fp |= (1L << b); b += 1 }
+        fp
+      })
+      spark.udf.register("winnow_digest", (text: String) => {
+        val (k, w) = (5, 4)
+        val n = text.length - k + 1
+        if (n <= 0) WinnowOut(0L, 0L, 0L)
+        else {
+          val hashes = Array.tabulate(n)(i =>
+            Md5Prefix.hash(text.substring(i, i + k).getBytes("UTF-8")))
+          val seen = new java.util.HashSet[Long]()
+          var minFp = Long.MaxValue; var maxFp = Long.MinValue
+          var i = 0
+          while (i < n) {
+            var m = Long.MaxValue
+            var j = i; val end = math.min(i + w, n)
+            while (j < end) { if (hashes(j) < m) m = hashes(j); j += 1 }
+            if (seen.add(m)) {
+              if (m < minFp) minFp = m
+              if (m > maxFp) maxFp = m
+            }
+            i += 1
+          }
+          WinnowOut(seen.size.toLong, minFp, maxFp)
+        }
+      })
+    }
+  }
 
   def register(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A session built WITHOUT graft's SparkSessionExtensions must still
+  * run every query: Tables.register installs UDF fallbacks under the
+  * same names, computing identical values to the native expressions. */
+class FallbackSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var plain: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    plain = SparkSession.builder()
+      .master("local[2]").appName("fallback-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate() // note: no .withExtensions
+    plain.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (plain != null) plain.stop()
+
+  test("extension-less session runs the native-function queries") {
+    val dir = "/root/testdata/sf0.001"
+    val sim = graft.SparkEntry.queries("simhash_fingerprint")(plain, dir)
+    assert(sim.count() > 0)
+    val win = graft.SparkEntry.queries("winnow_fingerprint")(plain, dir)
+    assert(win.count() > 0)
+    val nd = graft.SparkEntry.queries("neardup_minhash_lsh")(plain, dir)
+    assert(nd.count() >= 0) // plan executes; sf0.001 may have no pairs
+  }
+
+  test("UDF fallback values equal the expression path") {
+    // minhash: shared loop is the same code; sanity-check a known input
+    val viaPlain = GraftFunctions.minhashPlain(Seq("a b c", "b c d"), 4).toSeq
+    val df = plain.sql("SELECT minhash_sig(array('a b c', 'b c d'), 4) AS s")
+    assert(df.collect().head.getSeq[Long](0) == viaPlain)
+  }
+}
