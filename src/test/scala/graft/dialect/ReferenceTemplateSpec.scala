@@ -1,0 +1,72 @@
+package graft.dialect
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.template.{Mustache, TemplateContext}
+
+/** The portability gate: the reference's REAL example templates —
+  * rendered with our Mustache engine under both section states, then
+  * dialect-translated — must parse as Spark SQL. (Execution parity for
+  * the constructs they use is covered by the oracle entries; this
+  * proves verbatim template PORTING works, which is the shim's job.)
+  */
+class ReferenceTemplateSpec extends AnyFunSuite {
+
+  private def load(rel: String): String =
+    new String(Files.readAllBytes(
+      Paths.get("/root/reference/examples/sqls", rel)), "UTF-8")
+
+  private def renderTranslateParse(template: String,
+                                   params: Map[String, String],
+                                   conn: Map[String, String] = Map.empty): String = {
+    val ctx = TemplateContext.forRequest(params, conn)
+    val sql0 = Mustache.render(template, ctx)
+    // the reference terminates some templates with ';' — statement
+    // framing is the splitter's job, not the parser's
+    val sql = DuckDialect.translate(sql0).trim.stripSuffix(";")
+    CatalystSqlParser.parsePlan(sql) // throws ParseException on failure
+    sql
+  }
+
+  test("customers.sql ports verbatim (both section states)") {
+    val t = load("customers/customers.sql")
+    val both = renderTranslateParse(t,
+      Map("id" -> "42", "segment" -> "MOBILE"),
+      conn = Map("path" -> "/root/testdata/sf0.001/customer.parquet"))
+    assert(both.contains("named_struct"))
+    assert(both.contains("c_custkey = 42"))
+    renderTranslateParse(t, Map.empty,
+      conn = Map("path" -> "/root/testdata/sf0.001/customer.parquet"))
+  }
+
+  test("northwind orders.sql ports verbatim (LIST of struct + FILTER + DATE())") {
+    val t = load("northwind/orders.sql")
+    val sql = renderTranslateParse(t,
+      Map("order_id" -> "10248", "order_date" -> "1996-07-04"))
+    assert(sql.contains("collect_list"))
+    assert(sql.contains("named_struct"))
+    assert(!sql.contains("{")) // no struct-literal braces survive
+    renderTranslateParse(t, Map.empty)
+  }
+
+  test("mcp_customer_lookup.sql ports verbatim (JSON_OBJECT + relative DATE)") {
+    val t = load("customers/mcp_customer_lookup.sql")
+    val withOrders = renderTranslateParse(t,
+      Map("customer_id" -> "C001", "include_orders" -> "true"))
+    assert(withOrders.contains("to_json(named_struct("))
+    assert(withOrders.contains("date_add(current_date(), -90)"),
+      s"relative DATE not shimmed:\n$withOrders")
+    val without = renderTranslateParse(t, Map("customer_id" -> "C001"))
+    assert(without.contains("NULL as recent_orders"))
+  }
+
+  test("taxi.sql ports verbatim (positional GROUP BY)") {
+    val t = load("taxi/taxi.sql")
+    val sql = renderTranslateParse(t, Map.empty,
+      conn = Map("path" -> "/root/testdata/sf0.001/orders.parquet"))
+    assert(sql.toLowerCase.contains("group by"))
+  }
+}
