@@ -28,23 +28,40 @@ object ArrowWire {
 
   val DefaultBatchRows = 8192
 
-  private def arrowField(f: StructField): Field = {
-    val t: ArrowType = f.dataType match {
-      case BooleanType => ArrowType.Bool.INSTANCE
-      case ByteType => new ArrowType.Int(8, true)
-      case ShortType => new ArrowType.Int(16, true)
-      case IntegerType => new ArrowType.Int(32, true)
-      case LongType => new ArrowType.Int(64, true)
-      case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
-      case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
-      case d: DecimalType => new ArrowType.Decimal(d.precision, d.scale, 128)
-      case DateType => new ArrowType.Date(DateUnit.DAY)
-      case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
-      case TimestampNTZType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
-      case BinaryType => ArrowType.Binary.INSTANCE
-      case _ => ArrowType.Utf8.INSTANCE // String + nested-as-JSON
-    }
-    new Field(f.name, FieldType.nullable(t), java.util.Collections.emptyList())
+  private def scalarArrowType(dt: DataType): Option[ArrowType] = dt match {
+    case BooleanType => Some(ArrowType.Bool.INSTANCE)
+    case ByteType => Some(new ArrowType.Int(8, true))
+    case ShortType => Some(new ArrowType.Int(16, true))
+    case IntegerType => Some(new ArrowType.Int(32, true))
+    case LongType => Some(new ArrowType.Int(64, true))
+    case FloatType => Some(new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE))
+    case DoubleType => Some(new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE))
+    case d: DecimalType => Some(new ArrowType.Decimal(d.precision, d.scale, 128))
+    case DateType => Some(new ArrowType.Date(DateUnit.DAY))
+    case TimestampType => Some(new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC"))
+    case TimestampNTZType => Some(new ArrowType.Timestamp(TimeUnit.MICROSECOND, null))
+    case BinaryType => Some(ArrowType.Binary.INSTANCE)
+    case StringType => Some(ArrowType.Utf8.INSTANCE)
+    case _ => None
+  }
+
+  private def arrowField(f: StructField): Field = f.dataType match {
+    // one nesting level maps natively: List<scalar> and Struct<scalar>
+    case ArrayType(et, _) if scalarArrowType(et).isDefined =>
+      val child = new Field("element",
+        FieldType.nullable(scalarArrowType(et).get),
+        java.util.Collections.emptyList())
+      new Field(f.name, FieldType.nullable(ArrowType.List.INSTANCE),
+        java.util.List.of(child))
+    case st: StructType if st.fields.forall(sf => scalarArrowType(sf.dataType).isDefined) =>
+      val children = st.fields.map(sf => new Field(sf.name,
+        FieldType.nullable(scalarArrowType(sf.dataType).get),
+        java.util.Collections.emptyList())).toSeq
+      new Field(f.name, FieldType.nullable(ArrowType.Struct.INSTANCE),
+        children.asJava)
+    case dt =>
+      val t = scalarArrowType(dt).getOrElse(ArrowType.Utf8.INSTANCE) // deep nesting: JSON
+      new Field(f.name, FieldType.nullable(t), java.util.Collections.emptyList())
   }
 
   def arrowSchema(schema: StructType): ArrowSchema =
@@ -82,8 +99,29 @@ object ArrowWire {
       case (t: VarBinaryVector, _) => t.setSafe(i, v.asInstanceOf[Array[Byte]])
       case (t: VarCharVector, StringType) =>
         t.setSafe(i, v.toString.getBytes("UTF-8"))
+      case (lv: org.apache.arrow.vector.complex.ListVector, ArrayType(et, _)) =>
+        val child = lv.getDataVector
+        val seq = v.asInstanceOf[scala.collection.Seq[Any]]
+        val start = lv.startNewValue(i)
+        var j = 0
+        seq.foreach { e =>
+          if (e == null) setNull(child, start + j)
+          else setCell(child, start + j, et, e)
+          j += 1
+        }
+        lv.endValue(i, j)
+      case (sv: org.apache.arrow.vector.complex.StructVector, st: StructType) =>
+        val row = v.asInstanceOf[Row]
+        sv.setIndexDefined(i)
+        var c = 0
+        while (c < st.length) {
+          val childVec = sv.getChild(st(c).name)
+          if (row.isNullAt(c)) setNull(childVec, i)
+          else setCell(childVec, i, st(c).dataType, row.get(c))
+          c += 1
+        }
       case (t: VarCharVector, nested) =>
-        // nested-as-JSON column
+        // deep nesting beyond one level: JSON wire form
         val sb = new StringBuilder
         JsonWire.appendValue(sb, nested, v)
         t.setSafe(i, sb.toString.getBytes("UTF-8"))

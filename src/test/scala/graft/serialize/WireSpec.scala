@@ -130,16 +130,39 @@ class WireSpec extends AnyFunSuite {
     } finally { reader.close(); alloc.close() }
   }
 
-  test("arrow: nested columns serialize as JSON utf8") {
+  test("arrow: one nesting level maps natively (list + struct vectors)") {
     val schema = StructType(Seq(
-      StructField("arr", ArrayType(IntegerType))))
-    val bytes = ArrowWire.serialize(schema, Iterator(Row(Seq(1, 2, 3))))
+      StructField("arr", ArrayType(IntegerType)),
+      StructField("st", StructType(Seq(
+        StructField("k", LongType), StructField("s", StringType)))),
+      StructField("names", ArrayType(StringType))))
+    val rows = Seq(
+      Row(Seq(1, 2, 3), Row(7L, "x"), Seq("a", "b")),
+      Row(Seq(4, null), Row(8L, null), null))
+    val bytes = ArrowWire.serialize(schema, rows.iterator)
     val alloc = new RootAllocator()
     val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), alloc)
     try {
       assert(reader.loadNextBatch())
-      val v = reader.getVectorSchemaRoot.getVector("arr")
-      assert(v.getObject(0).toString == "[1,2,3]")
+      val root = reader.getVectorSchemaRoot
+      assert(root.getVector("arr").getObject(0).toString == "[1,2,3]")
+      assert(root.getVector("arr").getObject(1).toString == "[4,null]")
+      assert(root.getVector("st").getObject(0).toString == """{"k":7,"s":"x"}""")
+      assert(root.getVector("names").getObject(0).toString == "[\"a\",\"b\"]")
+      assert(root.getVector("names").isNull(1))
+    } finally { reader.close(); alloc.close() }
+  }
+
+  test("arrow: deep nesting degrades to JSON utf8") {
+    val schema = StructType(Seq(
+      StructField("aa", ArrayType(ArrayType(IntegerType)))))
+    val bytes = ArrowWire.serialize(schema, Iterator(Row(Seq(Seq(1), Seq(2, 3)))))
+    val alloc = new RootAllocator()
+    val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), alloc)
+    try {
+      assert(reader.loadNextBatch())
+      val v = reader.getVectorSchemaRoot.getVector("aa")
+      assert(v.getObject(0).toString == "[[1],[2,3]]")
     } finally { reader.close(); alloc.close() }
   }
 
