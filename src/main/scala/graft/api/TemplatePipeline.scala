@@ -126,7 +126,10 @@ object Paginator {
 
   def paginate(df: DataFrame, offset: Long, limit: Long, basePath: String = ""): Page = {
     val total = df.count()
-    val page = df.offset(offset.toInt).limit(limit.toInt)
+    // Dataset.offset/limit take Int; clamp rather than overflow-wrap for
+    // absurd values (deep pagination should use keysetPage regardless).
+    def asInt(v: Long): Int = math.min(v, Int.MaxValue.toLong).toInt
+    val page = df.offset(asInt(offset)).limit(asInt(limit))
     val next =
       if (offset + limit < total)
         Some(s"$basePath?offset=${offset + limit}&limit=$limit")

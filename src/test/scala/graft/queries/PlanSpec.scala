@@ -72,6 +72,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no partial aggregation:\n$p")
   }
 
+  test("endpoint template pipeline produces a pushed-down scan") {
+    val p = plan("ep_customers")
+    assert(p.contains("PushedFilters: ["), s"endpoint predicates not pushed:\n$p")
+    assert(p.contains("c_acctbal"), s"bound-param filter not pushed:\n$p")
+  }
+
   test("minhash signature stage is map-side (no shuffle before banding)") {
     val df = SparkEntry.queries("neardup_minhash_lsh")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
