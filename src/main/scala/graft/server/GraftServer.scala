@@ -21,7 +21,10 @@ final case class ServedEndpoint(
     config: EndpointConfig,
     template: String,
     connProps: Map[String, String] = Map.empty,
-    shape: ResponseShape = ResponseShape())
+    shape: ResponseShape = ResponseShape(),
+    /** MCP RBAC allow-list; None = deny-by-default when auth is on. */
+    allowedRoles: Option[Seq[String]] = None,
+    rateLimit: Option[RateLimitConfig] = None)
 
 /** The serving shell (SURVEY §3, layer 3): REST request lifecycle and
   * MCP JSON-RPC over `com.sun.net.httpserver` (dependency-free, per
@@ -41,9 +44,13 @@ final case class ServedEndpoint(
 final class GraftServer(
     spark: SparkSession,
     endpoints: Seq[ServedEndpoint],
-    port: Int = 0) {
+    port: Int = 0,
+    mcpAuthEnabled: Boolean = false,
+    basicAuth: Option[BasicAuthConfig] = None,
+    cors: CorsConfig = CorsConfig()) {
 
   private val mapper = new ObjectMapper()
+  private val rateLimiter = new RateLimiter()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
   def boundPort: Int = server.getAddress.getPort
@@ -59,7 +66,15 @@ final class GraftServer(
   def stop(): Unit = server.stop(0)
 
   private def safely(ex: HttpExchange)(f: HttpExchange => Unit): Unit =
-    try f(ex)
+    try {
+      val h = ex.getResponseHeaders
+      h.set("Access-Control-Allow-Origin", cors.allowOrigin)
+      h.set("Access-Control-Allow-Methods", cors.allowMethods)
+      h.set("Access-Control-Allow-Headers", cors.allowHeaders)
+      if (ex.getRequestMethod.equalsIgnoreCase("OPTIONS")) {
+        ex.sendResponseHeaders(204, -1) // CORS preflight
+      } else f(ex)
+    }
     catch {
       case e: TemplatePipeline.BadRequest =>
         val errs = e.errors.map(er =>
@@ -84,16 +99,30 @@ final class GraftServer(
     matched match {
       case None => respond(ex, 404, """{"error":"no such endpoint"}""", "application/json")
       case Some((ep, pathParams)) =>
+        // auth middleware: reserved __auth_* params injected on success
+        val authParams = basicAuth match {
+          case None => Map.empty[String, String]
+          case Some(cfg) =>
+            BasicAuth.authenticate(cfg,
+              Option(ex.getRequestHeaders.getFirst("Authorization"))) match {
+              case Some(p) => p
+              case None =>
+                ex.getResponseHeaders.set("WWW-Authenticate", "Basic realm=\"graft\"")
+                respond(ex, 401, """{"error":"authentication required"}""", "application/json")
+                return
+            }
+        }
         val query = parseQuery(ex.getRequestURI.getRawQuery)
         val fieldDefaults = ep.config.requestFields
           .flatMap(f => f.defaultValue.map(f.fieldName -> _)).toMap
         val params =
-          if (ep.config.isWrite) {
+          (if (ep.config.isWrite) {
             val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
             ParamAssembly.combineWrite(Map.empty, pathParams,
               Some(body).filter(_.nonEmpty), fieldDefaults, query)
           } else
             ParamAssembly.combineRead(Map.empty, pathParams, fieldDefaults, query)
+          ) ++ authParams
 
         if (ep.config.isWrite) handleWrite(ex, ep, params)
         else handleRead(ex, ep, params, query)
@@ -173,6 +202,28 @@ final class GraftServer(
               s"""{"jsonrpc":"2.0","id":${mapper.writeValueAsString(id)},"error":{"code":-32602,"message":"unknown tool"}}""",
               "application/json")
           case Some(ep) =>
+            // RBAC before argument handling: a denied caller never
+            // learns the tool's parameter shape (mcp_tool_handler.cpp:69-78)
+            val auth = basicAuth.flatMap(cfg => BasicAuth.authenticate(cfg,
+              Option(ex.getRequestHeaders.getFirst("Authorization"))))
+              .getOrElse(Map.empty)
+            val roles = auth.get("__auth_roles")
+              .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+            val decision = AuthorizationPolicy.authorize(
+              toolName(ep), ep.allowedRoles, roles, mcpAuthEnabled)
+            if (!decision.allowed) {
+              reply(s"""{"isError":true,"content":[{"type":"text","text":${quote(s"Permission denied: ${decision.reason}")}}]}""")
+              return
+            }
+            // per-tool rate limit before template/DB work (W2.5)
+            val principal = auth.getOrElse("__auth_username", "anonymous")
+            ep.rateLimit.foreach { rl =>
+              val d = rateLimiter.tryAcquire(toolName(ep), principal, rl)
+              if (!d.allowed) {
+                reply(s"""{"isError":true,"content":[{"type":"text","text":${quote(s"Rate limit exceeded for tool '${toolName(ep)}'. Retry after ${d.retryAfterSeconds} seconds.")}}],"_meta":{"rate_limited":true,"retry_after_seconds":${d.retryAfterSeconds}}}""")
+                return
+              }
+            }
             val argsNode = req.path("params").path("arguments")
             var dryRun = false
             val args = if (argsNode.isObject) {

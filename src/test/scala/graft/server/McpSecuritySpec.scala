@@ -1,0 +1,124 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.util.Base64
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config._
+
+/** MCP RBAC (deny-by-default under auth), per-tool rate limiting,
+  * basic auth, and CORS — the reference's test_mcp_rbac.py /
+  * rate-limit / CORS suites in black-box form. */
+class McpSecuritySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var server: GraftServer = _
+  private var base: String = _
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+
+  private def ep(path: String) = ServedEndpoint(
+    EndpointConfig(urlPath = path, templateSource = "t.sql"),
+    "SELECT 1 AS one")
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]").appName("mcp-security-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    server = new GraftServer(
+      spark,
+      Seq(
+        ep("/admin-tool").copy(allowedRoles = Some(Seq("admin"))),
+        ep("/unconfigured-tool"), // no allowed-roles → deny-by-default
+        ep("/limited-tool").copy(
+          allowedRoles = Some(Seq("admin", "dev")),
+          rateLimit = Some(RateLimitConfig(requestsPerMinute = 2)))),
+      mcpAuthEnabled = true,
+      basicAuth = Some(BasicAuthConfig(Map(
+        "admin" -> (("adminpw", Seq("admin"))),
+        "dev" -> (("devpw", Seq("dev"))))))).start()
+    base = s"http://127.0.0.1:${server.boundPort}"
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop()
+    if (spark != null) spark.stop()
+  }
+
+  private def basic(user: String, pass: String): String =
+    "Basic " + Base64.getEncoder.encodeToString(s"$user:$pass".getBytes("UTF-8"))
+
+  private def call(tool: String, cred: Option[(String, String)]): com.fasterxml.jackson.databind.JsonNode = {
+    val b = HttpRequest.newBuilder(URI.create(base + "/mcp/jsonrpc"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(
+        s"""{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"$tool","arguments":{}}}"""))
+    cred.foreach { case (u, p) => b.header("Authorization", basic(u, p)) }
+    mapper.readTree(client.send(b.build(), HttpResponse.BodyHandlers.ofString()).body())
+  }
+
+  private def resultText(j: com.fasterxml.jackson.databind.JsonNode): String =
+    j.get("result").get("content").get(0).get("text").asText()
+
+  test("REST requires credentials when basic auth is configured") {
+    val unauth = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/admin-tool")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(unauth.statusCode() == 401)
+    assert(unauth.headers().firstValue("WWW-Authenticate").isPresent)
+    val ok = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/admin-tool"))
+        .header("Authorization", basic("dev", "devpw")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(ok.statusCode() == 200)
+  }
+
+  test("RBAC: role mismatch denied, matching role allowed") {
+    val denied = call("admin-tool", Some("dev" -> "devpw"))
+    assert(resultText(denied).startsWith("Permission denied"))
+    assert(denied.get("result").get("isError").asBoolean())
+    val allowed = call("admin-tool", Some("admin" -> "adminpw"))
+    assert(resultText(allowed).contains("\"one\":1"))
+  }
+
+  test("RBAC: tool without allowed-roles is deny-by-default under auth") {
+    val denied = call("unconfigured-tool", Some("admin" -> "adminpw"))
+    assert(resultText(denied).contains("no allowed-roles"))
+  }
+
+  test("anonymous caller denied when auth enabled") {
+    val denied = call("admin-tool", None)
+    assert(resultText(denied).startsWith("Permission denied"))
+  }
+
+  test("per-tool rate limit trips after capacity and reports retry-after") {
+    val r1 = call("limited-tool", Some("dev" -> "devpw"))
+    val r2 = call("limited-tool", Some("dev" -> "devpw"))
+    assert(resultText(r1).contains("\"one\":1") && resultText(r2).contains("\"one\":1"))
+    val r3 = call("limited-tool", Some("dev" -> "devpw"))
+    assert(resultText(r3).contains("Rate limit exceeded"))
+    assert(r3.get("result").get("_meta").get("retry_after_seconds").asLong() >= 1L)
+    // a different principal has its own bucket
+    val other = call("limited-tool", Some("admin" -> "adminpw"))
+    assert(resultText(other).contains("\"one\":1"))
+  }
+
+  test("CORS: preflight 204, responses carry Allow-Origin") {
+    val pre = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/admin-tool"))
+        .method("OPTIONS", HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(pre.statusCode() == 204)
+    assert(pre.headers().firstValue("Access-Control-Allow-Origin").get() == "*")
+    assert(pre.headers().firstValue("Access-Control-Allow-Methods").get()
+      .contains("POST"))
+  }
+}
