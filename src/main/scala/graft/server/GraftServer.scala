@@ -57,6 +57,9 @@ final class GraftServer(
 
   def start(): GraftServer = {
     server.createContext("/mcp/jsonrpc", (ex: HttpExchange) => safely(ex)(handleMcp))
+    server.createContext("/openapi.json", (ex: HttpExchange) => safely(ex) { e =>
+      respond(e, 200, OpenApi.generate(spark, endpoints), "application/json")
+    })
     server.createContext("/", (ex: HttpExchange) => safely(ex)(handleRest))
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     server.start()

@@ -200,6 +200,22 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql.contains("AND id = 7")) // in-section ref rendered (validated int)
   }
 
+  test("openapi.json documents endpoints, params, and inferred response schema") {
+    val j = mapper.readTree(get("/openapi.json").body())
+    assert(j.get("openapi").asText() == "3.0.0")
+    val paths = j.get("paths")
+    assert(paths.has("/customers") && paths.has("/customers/{id}") && paths.has("/notes"))
+    val getOp = paths.get("/customers").get("get")
+    val params = getOp.get("parameters")
+    assert(params.get(0).get("name").asText() == "id")
+    assert(params.get(0).get("schema").get("type").asText() == "integer")
+    val props = getOp.get("responses").get("200").get("content")
+      .get("application/json").get("schema").get("properties")
+      .get("data").get("items").get("properties")
+    assert(props.get("key").get("type").asText() == "integer")
+    assert(props.get("name").get("type").asText() == "string")
+  }
+
   test("unknown route 404s; unknown rpc method errors") {
     assert(get("/nope").statusCode() == 404)
     val bad = rpc("""{"jsonrpc":"2.0","id":6,"method":"bogus"}""")
