@@ -79,9 +79,9 @@ object EmbeddingQueries extends QuerySet {
            |  FROM e),
            |codes AS (
            |  SELECT n.vec_id,
-           |         sum(CASE WHEN list_aggregate(list_transform(range(1, len(n.v) + 1),
+           |         cast(sum(CASE WHEN list_aggregate(list_transform(range(1, len(n.v) + 1),
            |                 i -> n.v[i] * a.v[i]), 'sum') > 0
-           |             THEN (1::BIGINT << a.vec_id) ELSE 0 END) AS code
+           |             THEN (1::BIGINT << a.vec_id) ELSE 0 END) AS BIGINT) AS code
            |  FROM n JOIN n a ON a.vec_id < 4
            |  GROUP BY n.vec_id),
            |coded AS (

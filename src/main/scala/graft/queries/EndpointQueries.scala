@@ -67,19 +67,26 @@ object EndpointQueries extends QuerySet {
 
   // Fixed request: segment contains-match + bound min_balance, id absent
   // (inverted section renders). Oracle = the same SQL a correct render
-  // must produce, with the bound literal inlined.
+  // must produce, with the bound literal inlined. The nested `contact`
+  // struct is serialized to compact JSON on BOTH engines at the
+  // correctness boundary only (the endpoint itself returns the struct):
+  // the driver's pandas compare cannot sort nested values, and
+  // a3_json_object proves both engines hash-match on compact JSON.
+  private def jsonContact(df: DataFrame): DataFrame =
+    df.withColumn("contact", to_json(col("contact")))
+
   private val epCustomers = QueryDef(
     "ep_customers",
     Some("""SELECT c_custkey AS key, c_name AS name,
            |  round(c_acctbal, 2) AS balance,
-           |  {'segment': c_mktsegment, 'nation': {'nationkey': c_nationkey}} AS contact
+           |  to_json({'segment': c_mktsegment, 'nation': {'nationkey': c_nationkey}}) AS contact
            |FROM customer
            |WHERE c_acctbal >= 1000.5
            |  AND c_mktsegment LIKE '%MOBILE%'
            |  AND c_custkey > 0
            |ORDER BY c_custkey""".stripMargin),
-    (s, dir) => runCustomers(s, dir,
-      Map("segment" -> "MOBILE", "min_balance" -> "1000.5")))
+    (s, dir) => jsonContact(runCustomers(s, dir,
+      Map("segment" -> "MOBILE", "min_balance" -> "1000.5"))))
 
   // Same endpoint with the id section active and typed id on the text
   // path (in-section refs render as text per the reference's rewriter —
@@ -88,11 +95,11 @@ object EndpointQueries extends QuerySet {
     "ep_customers_by_id",
     Some("""SELECT c_custkey AS key, c_name AS name,
            |  round(c_acctbal, 2) AS balance,
-           |  {'segment': c_mktsegment, 'nation': {'nationkey': c_nationkey}} AS contact
+           |  to_json({'segment': c_mktsegment, 'nation': {'nationkey': c_nationkey}}) AS contact
            |FROM customer
            |WHERE c_acctbal >= 0.0 AND c_custkey = 42
            |ORDER BY c_custkey""".stripMargin),
-    (s, dir) => runCustomers(s, dir, Map("id" -> "42")))
+    (s, dir) => jsonContact(runCustomers(s, dir, Map("id" -> "42"))))
 
   // Pagination envelope page (O2): LIMIT/OFFSET over the endpoint result.
   private val epCustomersPage = QueryDef(
@@ -100,7 +107,7 @@ object EndpointQueries extends QuerySet {
     Some("""SELECT * FROM (
            |  SELECT c_custkey AS key, c_name AS name,
            |    round(c_acctbal, 2) AS balance,
-           |    {'segment': c_mktsegment, 'nation': {'nationkey': c_nationkey}} AS contact
+           |    to_json({'segment': c_mktsegment, 'nation': {'nationkey': c_nationkey}}) AS contact
            |  FROM customer
            |  WHERE c_acctbal >= 1000.5
            |    AND c_mktsegment LIKE '%MOBILE%'
@@ -110,7 +117,7 @@ object EndpointQueries extends QuerySet {
     (s, dir) => {
       val df = runCustomers(s, dir,
         Map("segment" -> "MOBILE", "min_balance" -> "1000.5"))
-      Paginator.paginate(df, offset = 50, limit = 25).data
+      jsonContact(Paginator.paginate(df, offset = 50, limit = 25).data)
     })
 
   // Companion COUNT (A4): total_count from the UN-limited plan — one

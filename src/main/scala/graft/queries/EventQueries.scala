@@ -28,24 +28,29 @@ object EventQueries extends QuerySet {
 
   // Gap-based sessionization: a session break is >30 min of inactivity.
   // Session count per user = 1 + number of breaks; plus dwell stats.
-  // (epoch extraction is the one engine-specific spelling:
-  // unix_timestamp vs epoch.)
+  // Epoch math stays in INTEGER MICROSECONDS end to end — the one
+  // engine-specific spelling is unix_micros (Spark) vs epoch_us
+  // (DuckDB), both exact BIGINT, so no floor/round semantics can
+  // diverge (second-floor vs round on sub-second timestamps broke the
+  // r2 hash compare). The integer sum is cast to BIGINT because DuckDB
+  // sums integers into HUGEINT, which pandas renders as float64 —
+  // `3.0` vs `3` breaks the driver's value hash (no-op on Spark).
   private def sessionSql(epochFn: String => String) =
     s"""SELECT user_id,
        |  count(*) AS n_events,
-       |  1 + sum(CASE WHEN gap_s IS NOT NULL AND gap_s > 1800 THEN 1 ELSE 0 END) AS n_sessions,
-       |  max(gap_s) AS max_gap_s
+       |  1 + cast(sum(CASE WHEN gap_us IS NOT NULL AND gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       |  max(gap_us) AS max_gap_us
        |FROM (
        |  SELECT user_id,
-       |         ${epochFn("ts")} - ${epochFn("lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)")} AS gap_s
+       |         ${epochFn("ts")} - ${epochFn("lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)")} AS gap_us
        |  FROM events) t
        |GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 
   private val sessions = QueryDef(
     "ev2_sessionize",
-    Some(sessionSql(e => s"cast(floor(epoch($e)) AS BIGINT)")), // floor to match unix_timestamp
-    (s, dir) => Tables.sql(s, dir, sessionSql(e => s"unix_timestamp($e)")))
+    Some(sessionSql(e => s"epoch_us($e)")),
+    (s, dir) => Tables.sql(s, dir, sessionSql(e => s"unix_micros($e)")))
 
   private val funnel = sqlQuery(
     "ev3_type_transition",

