@@ -23,6 +23,18 @@ object ResponseShaper {
 
   private val mapper = new ObjectMapper()
 
+  /** Sample-mode response built from plan-side aggregates — the caller
+    * passes `df.count()` + schema, so sampling a 10^9-row endpoint
+    * never collects a single row to the driver. */
+  def sampleJson(rowCount: Long, columns: Seq[String]): String = {
+    val out = mapper.createObjectNode()
+    out.put("sampled", true)
+    out.put("row_count", rowCount)
+    val cols = out.putArray("columns")
+    columns.foreach(cols.add)
+    mapper.writeValueAsString(out)
+  }
+
   def shape(jsonPayload: String, config: ResponseShape): String = {
     if (config.isNoOp) return jsonPayload
     val parsed =

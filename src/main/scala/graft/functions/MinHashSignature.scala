@@ -122,6 +122,12 @@ object GraftFunctions {
         while (b < 32) { if (weights(b) > 0) fp |= (1L << b); b += 1 }
         fp
       })
+      spark.udf.register("dot_f64", (a: Seq[Double], b: Seq[Double]) => {
+        val n = math.min(a.length, b.length)
+        var acc = 0.0; var i = 0
+        while (i < n) { acc += a(i) * b(i); i += 1 }
+        acc
+      })
       spark.udf.register("winnow_digest", (text: String) => {
         val (k, w) = (5, 4)
         val n = text.length - k + 1
@@ -166,5 +172,9 @@ object GraftFunctions {
       new FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (exprs: Seq[Expression]) => SimHash32(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_f64"),
+      new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
+      (exprs: Seq[Expression]) => DotF64(exprs(0), exprs(1))))
   }
 }

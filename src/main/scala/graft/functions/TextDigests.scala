@@ -17,9 +17,18 @@ import org.apache.spark.unsafe.types.UTF8String
 private[functions] object Md5Prefix {
   private val local = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
-  def hash(bytes: Array[Byte]): Long = {
+  // reused 16-byte digest output — digest(buf, …) avoids the per-call
+  // allocation of digest(), which matters at millions of grams per task
+  private val outLocal = ThreadLocal.withInitial[Array[Byte]](() =>
+    new Array[Byte](16))
+
+  def hash(bytes: Array[Byte]): Long = hash(bytes, 0, bytes.length)
+
+  def hash(bytes: Array[Byte], off: Int, len: Int): Long = {
     val md = local.get(); md.reset()
-    val d = md.digest(bytes)
+    md.update(bytes, off, len)
+    val d = outLocal.get()
+    md.digest(d, 0, 16)
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
@@ -46,13 +55,22 @@ case class WinnowDigest(child: Expression, k: Int = 5, w: Int = 4)
   }
 
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val n = s.length - k + 1
+    val u = input.asInstanceOf[UTF8String]
+    val bytes = u.getBytes
+    val ascii = bytes.length == u.numChars()
+    // ASCII fast path: a k-char gram is a k-byte slice of the UTF-8
+    // buffer — hash in place, zero per-gram allocation. Non-ASCII text
+    // falls back to substring + encode (char semantics match the
+    // oracle's character-based substr).
+    val s = if (ascii) null else u.toString
+    val n = (if (ascii) bytes.length else s.length) - k + 1
     if (n <= 0) return InternalRow(0L, 0L, 0L)
     val hashes = new Array[Long](n)
     var i = 0
     while (i < n) {
-      hashes(i) = Md5Prefix.hash(s.substring(i, i + k).getBytes("UTF-8"))
+      hashes(i) =
+        if (ascii) Md5Prefix.hash(bytes, i, k)
+        else Md5Prefix.hash(s.substring(i, i + k).getBytes("UTF-8"))
       i += 1
     }
     // window-min over [i, i+w-1], truncated at the end — identical to

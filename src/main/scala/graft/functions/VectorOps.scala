@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** `dot_f64(a, b)` → DOUBLE: sequential dot product of two
+  * ARRAY<DOUBLE> columns, as a native Catalyst expression.
+  *
+  * This is the ANN kernel. The `zip_with` + `aggregate` HOF spelling it
+  * replaces is interpreted per element — a lambda dispatch per
+  * multiplication — which VERDICT r2 measured as 20–43 s for a few
+  * thousand 64-dim dots at sf0.1; the compiled loop below is the same
+  * arithmetic at nanoseconds per element. Summation is strictly
+  * left-to-right in double, matching DuckDB's `list_aggregate(…,
+  * 'sum')` ordering, so cos values stay bit-identical to the oracle.
+  *
+  * The norm is `sqrt(dot_f64(v, v))` — one kernel serves both.
+  *
+  * Scale: pure per-row projection, no shuffle, no state. At 100 TB the
+  * corpus scan stays embarrassingly parallel and this expression is the
+  * only CPU on the hot path — which is exactly where a compiled loop vs
+  * an interpreted lambda is the difference between scan-bound and
+  * CPU-bound. (CodegenFallback: the surrounding stage stays codegen'd
+  * and calls eval; the loop itself is JVM-compiled.)
+  */
+case class DotF64(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"dot_f64 expects (ARRAY<DOUBLE>, ARRAY<DOUBLE>), got ($l, $r)")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotF64 =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_f64"
+}

@@ -21,15 +21,22 @@ import graft.{QueryDef, QuerySet, Tables}
   */
 object EmbeddingQueries extends QuerySet {
 
-  /** vectors cast to double + L2 norm (shared prelude). */
+  /** vectors cast to double + L2 norm (shared prelude).
+    *
+    * The float→double widening is a plain array cast (codegen'd, exact)
+    * and the norm/dot kernels are the native `dot_f64` expression
+    * (functions/VectorOps.scala) — the r2 `zip_with`+`aggregate` HOF
+    * spelling paid an interpreted lambda dispatch per element and was
+    * the whole 20–43 s ANN tail. Parallelize.ensure rescues the
+    * one-file/one-partition input case so the kernel uses every core.
+    */
   private def withNorm(s: SparkSession, dir: String): DataFrame =
-    Tables.table(s, dir, "embeddings")
+    graft.operators.Parallelize.ensure(Tables.table(s, dir, "embeddings"))
       .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x * x), 0.0D, (acc, x) -> acc + x))"))
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(dot_f64(v, v))"))
 
-  private val dotExpr =
-    "aggregate(zip_with(v, pv, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+  private val dotExpr = "dot_f64(v, pv)"
 
   // ---- brute-force cosine top-k ----------------------------------------
   private val bruteTopk = QueryDef(

@@ -265,16 +265,20 @@ object TextQueries extends QuerySet {
            |  FROM pos)
            |SELECT doc_id, count(DISTINCT m) AS n_fp, min(m) AS min_fp, max(m) AS max_fp
            |FROM win GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-    (s, dir) => Tables.sql(s, dir,
+    (s, dir) => {
       // native winnow_digest expression: the whole rolling-hash +
       // window-min + distinct pipeline runs as one compiled per-row
       // pass (the SQL formulation explodes ~300 position rows per doc
-      // through a window — measured 3.4 s vs sub-second at sf0.1).
+      // through a window). Parallelize.ensure spreads the per-row
+      // kernel across cores — the r2 33 s number was the whole corpus
+      // digesting on ONE partition (single parquet file input).
       // length >= 5 mirrors the oracle's implicit empty-range drop.
-      """SELECT doc_id, d.n_fp, d.min_fp, d.max_fp
-        |FROM (SELECT doc_id, winnow_digest(text) AS d FROM documents
-        |      WHERE length(text) >= 5)
-        |ORDER BY doc_id""".stripMargin))
+      graft.operators.Parallelize.ensure(Tables.table(s, dir, "documents"))
+        .filter(length(col("text")) >= 5)
+        .selectExpr("doc_id", "winnow_digest(text) AS d")
+        .selectExpr("doc_id", "d.n_fp AS n_fp", "d.min_fp AS min_fp", "d.max_fp AS max_fp")
+        .orderBy("doc_id")
+    })
 
   override val defs: Seq[QueryDef] = Seq(
     dedupExact, neardup, simhash, ngramTopk, langId, quality, tokenStats, winnow)

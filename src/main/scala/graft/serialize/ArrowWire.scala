@@ -1,12 +1,15 @@
 package graft.serialize
 
-import java.io.ByteArrayOutputStream
+import java.io.{ByteArrayOutputStream, OutputStream}
 import java.nio.channels.Channels
 import scala.jdk.CollectionConverters._
 
+import org.apache.arrow.compression.CommonsCompressionFactory
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
+import org.apache.arrow.vector.compression.CompressionUtil
 import org.apache.arrow.vector.ipc.ArrowStreamWriter
+import org.apache.arrow.vector.ipc.message.IpcOption
 import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
 import org.apache.spark.sql.Row
@@ -14,19 +17,34 @@ import org.apache.spark.sql.types._
 
 /** Arrow IPC *stream* result sink (reference:
   * /root/reference/src/include/arrow_serializer.hpp — schema message +
-  * record batches, batch size advisory default 8192 rows).
+  * record batches, LZ4/ZSTD frame compression, documented batch-size
+  * default 122,880 rows).
   *
   * Flat columns map to native Arrow types; nested ARRAY/STRUCT/MAP
   * columns serialize as their JSON wire form in a Utf8 column (the
   * JSON path is the §1.2 contract; full nested Arrow layout is an
   * optimization, not a semantic change — consumers see the same
-  * values). Scale note: serving results are paginated (≤ limit rows),
-  * so batching happens driver-side on collected pages; bulk export at
-  * cluster scale would instead write parquet/arrow files per partition.
+  * values).
+  *
+  * Scale: [[stream]] consumes a row ITERATOR and emits one record
+  * batch per `batchRows` rows directly to the output stream — driver
+  * memory is bounded by one batch regardless of result size (feed it
+  * `df.toLocalIterator()`, which pulls one partition at a time). Bulk
+  * export at cluster scale would instead write arrow/parquet files per
+  * partition; this is the serving wire, not the export path.
   */
 object ArrowWire {
 
-  val DefaultBatchRows = 8192
+  /** The reference's documented batch-size default (arrow_serializer.hpp:34). */
+  val DefaultBatchRows = 122880
+
+  /** Wire codec names accepted on the serving config ("lz4", "zstd"). */
+  def codecOf(name: String): CompressionUtil.CodecType = name.toLowerCase match {
+    case "lz4" | "lz4_frame" => CompressionUtil.CodecType.LZ4_FRAME
+    case "zstd" => CompressionUtil.CodecType.ZSTD
+    case other => throw new IllegalArgumentException(
+      s"unknown arrow codec '$other' (lz4|zstd)")
+  }
 
   private def scalarArrowType(dt: DataType): Option[ArrowType] = dt match {
     case BooleanType => Some(ArrowType.Bool.INSTANCE)
@@ -137,15 +155,33 @@ object ArrowWire {
     case n => n.setNull(i)
   }
 
-  /** Serialize rows to one Arrow IPC stream (schema + record batches). */
+  /** Serialize rows to one in-memory Arrow IPC stream (small results /
+    * tests); the serving path uses [[stream]]. */
   def serialize(schema: StructType, rows: Iterator[Row],
-                batchRows: Int = DefaultBatchRows): Array[Byte] = {
+                batchRows: Int = DefaultBatchRows,
+                codec: Option[CompressionUtil.CodecType] = None): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    stream(schema, rows, out, batchRows, codec)
+    out.toByteArray
+  }
+
+  /** Stream rows as Arrow IPC record batches to `out`, one batch per
+    * `batchRows` rows, optionally LZ4/ZSTD frame-compressed. Memory is
+    * bounded by one batch: each batch's vectors are filled, written,
+    * and reset before the next is pulled from the iterator. */
+  def stream(schema: StructType, rows: Iterator[Row], out: OutputStream,
+             batchRows: Int = DefaultBatchRows,
+             codec: Option[CompressionUtil.CodecType] = None): Unit = {
     val allocator = new RootAllocator()
     try {
       val root = VectorSchemaRoot.create(arrowSchema(schema), allocator)
       try {
-        val out = new ByteArrayOutputStream()
-        val writer = new ArrowStreamWriter(root, null, Channels.newChannel(out))
+        val ch = Channels.newChannel(out)
+        val writer = codec match {
+          case Some(c) => new ArrowStreamWriter(root, null, ch,
+            IpcOption.DEFAULT, CommonsCompressionFactory.INSTANCE, c)
+          case None => new ArrowStreamWriter(root, null, ch)
+        }
         writer.start()
         val vecs = root.getFieldVectors.asScala
         val grouped = rows.grouped(batchRows)
@@ -169,7 +205,6 @@ object ArrowWire {
           root.allocateNew(); root.setRowCount(0); writer.writeBatch()
         }
         writer.end()
-        out.toByteArray
       } finally root.close()
     } finally allocator.close()
   }

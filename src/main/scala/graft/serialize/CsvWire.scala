@@ -44,4 +44,15 @@ object CsvWire {
     rows.foreach(r => b.append(line(schema, r)).append('\n'))
     b.toString
   }
+
+  /** Stream rows to `out` without materializing the result: one line
+    * at a time from the iterator (feed it `df.toLocalIterator()` so
+    * driver memory is bounded by one partition, not the result). */
+  def stream(schema: StructType, rows: Iterator[Row],
+             out: java.io.OutputStream): Unit = {
+    out.write((header(schema) + "\n").getBytes("UTF-8"))
+    rows.foreach { r =>
+      out.write((line(schema, r) + "\n").getBytes("UTF-8"))
+    }
+  }
 }

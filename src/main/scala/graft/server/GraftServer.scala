@@ -26,6 +26,16 @@ final case class ServedEndpoint(
     allowedRoles: Option[Seq[String]] = None,
     rateLimit: Option[RateLimitConfig] = None)
 
+/** Wire/serving bounds. `defaultRowCap` bounds NON-paginated JSON reads
+  * (the reference defaults limit=100 on everything,
+  * request_handler.cpp:19-20; we cap rather than silently paginate).
+  * CSV/Arrow stream with bounded memory instead, so they carry full
+  * results without a cap. */
+final case class WireConfig(
+    defaultRowCap: Int = 10000,
+    arrowBatchRows: Int = graft.serialize.ArrowWire.DefaultBatchRows,
+    arrowCodec: Option[String] = None)
+
 /** The serving shell (SURVEY §3, layer 3): REST request lifecycle and
   * MCP JSON-RPC over `com.sun.net.httpserver` (dependency-free, per
   * SURVEY §7.1-8). The data path is the engine's public pipeline:
@@ -47,7 +57,8 @@ final class GraftServer(
     port: Int = 0,
     mcpAuthEnabled: Boolean = false,
     basicAuth: Option[BasicAuthConfig] = None,
-    cors: CorsConfig = CorsConfig()) {
+    cors: CorsConfig = CorsConfig(),
+    wire: WireConfig = WireConfig()) {
 
   private val mapper = new ObjectMapper()
   private val rateLimiter = new RateLimiter()
@@ -154,7 +165,12 @@ final class GraftServer(
         case other => respondRaw(ex, page.data, other)
       }
     } else fmt match {
-      case "json" => respond(ex, 200, collectJson(df), "application/json")
+      // non-paginated JSON is DRIVER-memory-bound (one response string):
+      // cap it — an endpoint over a big table must not OOM the driver.
+      // The cap is a plan-level GlobalLimit, so Spark also stops reading
+      // past it. CSV/Arrow below stream with bounded memory instead.
+      case "json" => respond(ex, 200,
+        collectJson(df.limit(wire.defaultRowCap)), "application/json")
       case other => respondRaw(ex, df, other)
     }
   }
@@ -245,7 +261,17 @@ final class GraftServer(
               }
             } else {
               val df = TemplatePipeline.run(spark, ep.config, ep.template, args, ep.connProps)
-              val shaped = ResponseShaper.shape(collectJson(df), ep.shape)
+              // shape bounds BEFORE collect: sample mode never collects
+              // rows at all (count + schema only), and maxRows becomes a
+              // plan-level LIMIT — r2 collected everything and capped the
+              // serialized JSON afterwards, which OOMs on a big table.
+              val shaped =
+                if (ep.shape.sample)
+                  ResponseShaper.sampleJson(df.count(), df.schema.fieldNames.toSeq)
+                else {
+                  val limited = ep.shape.maxRows.fold(df)(n => df.limit(n))
+                  ResponseShaper.shape(collectJson(limited), ep.shape)
+                }
               reply(s"""{"content":[{"type":"text","text":${quote(shaped)}}]}""")
             }
         }
@@ -277,15 +303,23 @@ final class GraftServer(
     }
   }
 
+  /** CSV/Arrow stream CHUNKED off `toLocalIterator()`: driver memory is
+    * bounded by one partition (plus one Arrow batch), never the result —
+    * r2 collected the whole result per request. */
   private def respondRaw(ex: HttpExchange, df: DataFrame, fmt: String): Unit = fmt match {
     case "csv" =>
-      respond(ex, 200, CsvWire.serialize(df.schema, df.collect().iterator), "text/csv")
-    case "arrow" =>
-      val bytes = ArrowWire.serialize(df.schema, df.collect().iterator)
-      ex.getResponseHeaders.set("Content-Type", "application/vnd.apache.arrow.stream")
-      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseHeaders.set("Content-Type", "text/csv")
+      ex.sendResponseHeaders(200, 0) // chunked
       val os: OutputStream = ex.getResponseBody
-      os.write(bytes); os.flush()
+      CsvWire.stream(df.schema, df.toLocalIterator().asScala, os)
+      os.flush()
+    case "arrow" =>
+      ex.getResponseHeaders.set("Content-Type", "application/vnd.apache.arrow.stream")
+      ex.sendResponseHeaders(200, 0) // chunked
+      val os: OutputStream = ex.getResponseBody
+      ArrowWire.stream(df.schema, df.toLocalIterator().asScala, os,
+        wire.arrowBatchRows, wire.arrowCodec.map(ArrowWire.codecOf))
+      os.flush()
   }
 
   private def respond(ex: HttpExchange, status: Int, body: String, ctype: String): Unit = {

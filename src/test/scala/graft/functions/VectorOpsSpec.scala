@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]").appName("vector-ops-spec")
+      .withExtensions(GraftFunctions.register)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("dot_f64 matches sequential double arithmetic") {
+    val row = spark.sql(
+      "SELECT dot_f64(array(1.0D, 2.0D, 3.0D), array(4.0D, 0.5D, -2.0D)) AS d")
+      .collect().head
+    assert(row.getDouble(0) == (1.0 * 4.0 + 2.0 * 0.5 + 3.0 * (-2.0)))
+  }
+
+  test("dot_f64 on float-cast arrays equals per-element widening") {
+    // the query path casts ARRAY<FLOAT> to ARRAY<DOUBLE>; widening is
+    // exact, so dot over the cast equals dot over explicit casts
+    val df = spark.sql(
+      """SELECT dot_f64(cast(a AS ARRAY<DOUBLE>), cast(a AS ARRAY<DOUBLE>)) AS d,
+        |       aggregate(transform(a, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)),
+        |                 0.0D, (acc, x) -> acc + x) AS ref
+        |FROM (SELECT array(cast(0.1 AS FLOAT), cast(-2.5 AS FLOAT), cast(3.25 AS FLOAT)) AS a)""".stripMargin)
+    val r = df.collect().head
+    assert(r.getDouble(0) == r.getDouble(1))
+  }
+
+  test("dot_f64 is null-safe and length-tolerant") {
+    val r = spark.sql(
+      "SELECT dot_f64(cast(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS a, " +
+        "dot_f64(array(1.0D, 2.0D), array(3.0D)) AS b").collect().head
+    assert(r.isNullAt(0))
+    assert(r.getDouble(1) == 3.0)
+  }
+
+  test("Parallelize.ensure widens a single-partition input and is a no-op otherwise") {
+    val one = spark.range(4).toDF("x").coalesce(1)
+    val widened = graft.operators.Parallelize.ensure(one)
+    assert(widened.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    val already = spark.range(4).toDF("x")
+      .repartition(spark.sparkContext.defaultParallelism)
+    assert(graft.operators.Parallelize.ensure(already) eq already)
+  }
+}

@@ -176,4 +176,49 @@ class WireSpec extends AnyFunSuite {
       assert(root.getSchema.getFields.size() == 1)
     } finally { reader.close(); alloc.close() }
   }
+
+  test("arrow: multi-batch compressed streams round-trip (lz4 + zstd)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val rows = (0 until 25).map(i => Row(i.toLong, s"name-$i"))
+    for (codecName <- Seq("lz4", "zstd")) {
+      // batchRows = 10 over 25 rows → exactly 3 record batches
+      val bytes = ArrowWire.serialize(schema, rows.iterator,
+        batchRows = 10, codec = Some(ArrowWire.codecOf(codecName)))
+      val alloc = new RootAllocator()
+      val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), alloc,
+        org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
+      try {
+        val root = reader.getVectorSchemaRoot
+        var batches = 0
+        var total = 0L
+        var last: AnyRef = null
+        while (reader.loadNextBatch()) {
+          batches += 1
+          total += root.getRowCount
+          if (root.getRowCount > 0)
+            last = root.getVector("name").getObject(root.getRowCount - 1)
+        }
+        assert(batches == 3, s"$codecName: expected 3 batches, got $batches")
+        assert(total == 25)
+        assert(last.toString == "name-24")
+      } finally { reader.close(); alloc.close() }
+    }
+  }
+
+  test("arrow codec names parse; unknown rejected") {
+    import org.apache.arrow.vector.compression.CompressionUtil
+    assert(ArrowWire.codecOf("LZ4") == CompressionUtil.CodecType.LZ4_FRAME)
+    assert(ArrowWire.codecOf("zstd") == CompressionUtil.CodecType.ZSTD)
+    intercept[IllegalArgumentException](ArrowWire.codecOf("snappy"))
+  }
+
+  test("csv stream writes identical bytes to serialize") {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType)))
+    val rows = Seq(Row(1, "alice"), Row(2, null))
+    val out = new java.io.ByteArrayOutputStream()
+    CsvWire.stream(schema, rows.iterator, out)
+    assert(out.toString("UTF-8") == CsvWire.serialize(schema, rows.iterator))
+  }
 }

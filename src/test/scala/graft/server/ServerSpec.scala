@@ -60,6 +60,22 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       |SELECT note FROM srv_notes""".stripMargin,
     connProps = Map("loc" -> (System.getProperty("java.io.tmpdir") + "/graft_srv_notes")))
 
+  /** Big non-paginated endpoint: exercises the serving bounds (the cap
+    * on JSON, streaming on CSV/Arrow, limit-before-collect on MCP). */
+  private val bigEndpoint = ServedEndpoint(
+    EndpointConfig(
+      urlPath = "/big",
+      templateSource = "big.sql",
+      withPagination = false,
+      requestFieldsValidation = false),
+    "SELECT id, concat('row-', id) AS name FROM srv_big ORDER BY id",
+    shape = ResponseShape(maxRows = Some(3)))
+
+  private val bigSampleEndpoint = ServedEndpoint(
+    bigEndpoint.config.copy(urlPath = "/big_sample"),
+    bigEndpoint.template,
+    shape = ResponseShape(sample = true))
+
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
       .master("local[2]").appName("server-spec")
@@ -71,10 +87,13 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     import ss.implicits._
     Seq((1L, "alice", "A"), (2L, "bob", "B"), (3L, "carol", "A"), (4L, "dave", "B"))
       .toDF("id", "name", "segment").createOrReplaceTempView("srv_customers")
+    spark.range(50000).toDF("id").createOrReplaceTempView("srv_big")
     val loc = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_srv_notes")
     if (loc.exists()) loc.listFiles().foreach(_.delete())
     server = new GraftServer(spark,
-      Seq(customersEndpoint, byIdEndpoint, writeEndpoint)).start()
+      Seq(customersEndpoint, byIdEndpoint, writeEndpoint, bigEndpoint, bigSampleEndpoint),
+      wire = WireConfig(defaultRowCap = 7, arrowBatchRows = 1000,
+        arrowCodec = Some("zstd"))).start()
     base = s"http://127.0.0.1:${server.boundPort}"
   }
 
@@ -140,7 +159,7 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.body().startsWith("key,name,segment\n"))
   }
 
-  test("arrow stream round-trips") {
+  test("arrow stream round-trips (zstd-compressed serving config)") {
     val r = client.send(
       HttpRequest.newBuilder(URI.create(base + "/customers?format=arrow&limit=3")).build(),
       HttpResponse.BodyHandlers.ofByteArray())
@@ -148,11 +167,84 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .startsWith("application/vnd.apache.arrow.stream"))
     val alloc = new org.apache.arrow.memory.RootAllocator()
     val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
-      new java.io.ByteArrayInputStream(r.body()), alloc)
+      new java.io.ByteArrayInputStream(r.body()), alloc,
+      org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
     try {
       assert(reader.loadNextBatch())
       assert(reader.getVectorSchemaRoot.getRowCount == 3)
     } finally { reader.close(); alloc.close() }
+  }
+
+  // ---- serving bounds: a big endpoint must not materialize on the driver
+
+  test("non-paginated JSON read is capped at the default row cap") {
+    val j = mapper.readTree(get("/big").body())
+    assert(j.size() == 7) // WireConfig.defaultRowCap, not 50000
+    assert(j.get(0).get("name").asText() == "row-0")
+  }
+
+  test("CSV streams the FULL un-capped result chunked") {
+    val r = get("/big?format=csv")
+    assert(r.statusCode() == 200)
+    // 50000 data lines + header + trailing newline split artifact
+    assert(r.body().linesIterator.size == 50001)
+  }
+
+  test("arrow streams the full result in multiple compressed batches") {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/big?format=arrow")).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(r.body()), alloc,
+      org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
+    try {
+      var batches = 0; var rows = 0L
+      while (reader.loadNextBatch()) { batches += 1; rows += reader.getVectorSchemaRoot.getRowCount }
+      assert(rows == 50000)
+      assert(batches >= 2) // arrowBatchRows=1000 over ≥2 partitions
+    } finally { reader.close(); alloc.close() }
+  }
+
+  test("MCP maxRows is applied as a plan-level limit before collect") {
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val call = rpc(
+        """{"jsonrpc":"2.0","id":40,"method":"tools/call",
+          |"params":{"name":"big","arguments":{}}}""".stripMargin)
+      val rows = mapper.readTree(
+        call.get("result").get("content").get(0).get("text").asText())
+      assert(rows.size() == 3)
+      // listener delivery is async: poll for the captured plan
+      val deadline = System.nanoTime() + 5e9.toLong
+      var found = false
+      while (!found && System.nanoTime() < deadline) {
+        found = plans.toArray(Array.empty[String]).exists(p =>
+          p.contains("CollectLimit") || p.contains("GlobalLimit") || p.contains("TakeOrderedAndProject"))
+        if (!found) Thread.sleep(50)
+      }
+      assert(found, s"no limit operator in executed plans:\n${plans.toArray.mkString("\n---\n")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("MCP sample mode reports count + columns without row data") {
+    val call = rpc(
+      """{"jsonrpc":"2.0","id":41,"method":"tools/call",
+        |"params":{"name":"big_sample","arguments":{}}}""".stripMargin)
+    val res = mapper.readTree(
+      call.get("result").get("content").get(0).get("text").asText())
+    assert(res.get("sampled").asBoolean())
+    assert(res.get("row_count").asLong() == 50000L)
+    val cols = (0 until res.get("columns").size()).map(res.get("columns").get(_).asText())
+    assert(cols == Seq("id", "name"))
   }
 
   test("POST write executes multi-statement template and returns 201") {
