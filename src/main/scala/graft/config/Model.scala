@@ -58,6 +58,22 @@ final case class TemplateEnvConfig(allowedPatterns: Seq[String] = Nil) {
   def isAllowed(name: String): Boolean = compiled.exists(_.matches(name))
 }
 
+/** An endpoint exposed as an MCP resource: its template's result is the
+  * resource content at `graft://<name>` (reference
+  * mcp_route_handlers.cpp:643-652, flapi:// scheme). */
+final case class McpResourceConfig(
+    name: String,
+    description: String = "",
+    mimeType: String = "application/json")
+
+/** An endpoint exposed as an MCP prompt: a text template with
+  * `{{arg}}` placeholders (reference mcp_route_handlers.cpp:1126-1206). */
+final case class McpPromptConfig(
+    name: String,
+    description: String = "",
+    template: String = "",
+    arguments: Seq[String] = Nil)
+
 final case class EndpointConfig(
     urlPath: String,
     method: String = "GET",
@@ -68,4 +84,6 @@ final case class EndpointConfig(
     requestFieldsValidation: Boolean = false,
     withPagination: Boolean = true,
     isWrite: Boolean = false,
-    cache: CacheConfig = CacheConfig())
+    cache: CacheConfig = CacheConfig(),
+    mcpResource: Option[McpResourceConfig] = None,
+    mcpPrompt: Option[McpPromptConfig] = None)

@@ -58,10 +58,19 @@ final class GraftServer(
     mcpAuthEnabled: Boolean = false,
     basicAuth: Option[BasicAuthConfig] = None,
     cors: CorsConfig = CorsConfig(),
-    wire: WireConfig = WireConfig()) {
+    wire: WireConfig = WireConfig(),
+    jwtAuth: Option[JwtConfig] = None,
+    /** REST-path rate limit (reference middleware chain applies
+      * CORS→RateLimit→Auth to every request, api_server.cpp:75-80);
+      * keyed per (path, client) BEFORE auth/template work. */
+    restRateLimit: Option[RateLimitConfig] = None,
+    configService: Option[ConfigServiceConfig] = None,
+    cacheManager: Option[graft.cache.CacheManager] = None) {
 
   private val mapper = new ObjectMapper()
   private val rateLimiter = new RateLimiter()
+  private val registry = new EndpointRegistry(endpoints)
+  private def eps: Seq[ServedEndpoint] = registry.all
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
   def boundPort: Int = server.getAddress.getPort
@@ -69,8 +78,12 @@ final class GraftServer(
   def start(): GraftServer = {
     server.createContext("/mcp/jsonrpc", (ex: HttpExchange) => safely(ex)(handleMcp))
     server.createContext("/openapi.json", (ex: HttpExchange) => safely(ex) { e =>
-      respond(e, 200, OpenApi.generate(spark, endpoints), "application/json")
+      respond(e, 200, OpenApi.generate(spark, eps), "application/json")
     })
+    configService.foreach { cs =>
+      val api = new ConfigApi(spark, registry, cs, cacheManager, respond)
+      server.createContext("/api/v1/_config", (ex: HttpExchange) => safely(ex)(api.handle))
+    }
     server.createContext("/", (ex: HttpExchange) => safely(ex)(handleRest))
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     server.start()
@@ -102,10 +115,21 @@ final class GraftServer(
 
   // ---- REST -------------------------------------------------------------
 
+  /** Auth middleware: Bearer (JWT) or Basic by header scheme, whichever
+    * is configured. None = anonymous OK (no auth configured); Some(None)
+    * = auth required but failed. */
+  private def authRequired: Boolean = basicAuth.isDefined || jwtAuth.isDefined
+
+  private def authenticate(ex: HttpExchange): Option[Map[String, String]] = {
+    val header = Option(ex.getRequestHeaders.getFirst("Authorization"))
+    val viaJwt = jwtAuth.flatMap(cfg => JwtAuth.authenticate(cfg, header))
+    viaJwt.orElse(basicAuth.flatMap(cfg => BasicAuth.authenticate(cfg, header)))
+  }
+
   private def handleRest(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath
     val method = ex.getRequestMethod.toUpperCase
-    val matched = endpoints.iterator.flatMap { ep =>
+    val matched = eps.iterator.flatMap { ep =>
       if (!ep.config.method.equalsIgnoreCase(method)) None
       else RouteTranslator.matchAndExtract(ep.config.urlPath, path).map(ep -> _)
     }.toSeq.headOption
@@ -113,19 +137,28 @@ final class GraftServer(
     matched match {
       case None => respond(ex, 404, """{"error":"no such endpoint"}""", "application/json")
       case Some((ep, pathParams)) =>
-        // auth middleware: reserved __auth_* params injected on success
-        val authParams = basicAuth match {
-          case None => Map.empty[String, String]
-          case Some(cfg) =>
-            BasicAuth.authenticate(cfg,
-              Option(ex.getRequestHeaders.getFirst("Authorization"))) match {
-              case Some(p) => p
-              case None =>
-                ex.getResponseHeaders.set("WWW-Authenticate", "Basic realm=\"graft\"")
-                respond(ex, 401, """{"error":"authentication required"}""", "application/json")
-                return
-            }
+        // rate limit BEFORE auth/template work, keyed by client address
+        // (the reference's middleware order: CORS→RateLimit→Auth)
+        restRateLimit.orElse(matched.flatMap(_._1.rateLimit)).foreach { rl =>
+          val client = Option(ex.getRemoteAddress)
+            .map(_.getAddress.getHostAddress).getOrElse("unknown")
+          val d = rateLimiter.tryAcquire(s"rest:$path", client, rl)
+          if (!d.allowed) {
+            ex.getResponseHeaders.set("Retry-After", d.retryAfterSeconds.toString)
+            respond(ex, 429, """{"error":"rate limit exceeded"}""", "application/json")
+            return
+          }
         }
+        // auth middleware: reserved __auth_* params injected on success
+        val authParams =
+          if (!authRequired) Map.empty[String, String]
+          else authenticate(ex) match {
+            case Some(p) => p
+            case None =>
+              ex.getResponseHeaders.set("WWW-Authenticate", "Basic realm=\"graft\"")
+              respond(ex, 401, """{"error":"authentication required"}""", "application/json")
+              return
+          }
         val query = parseQuery(ex.getRequestURI.getRawQuery)
         val fieldDefaults = ep.config.requestFields
           .flatMap(f => f.defaultValue.map(f.fieldName -> _)).toMap
@@ -199,12 +232,112 @@ final class GraftServer(
         s"""{"jsonrpc":"2.0","id":${mapper.writeValueAsString(id)},"result":$resultJson}""",
         "application/json")
 
+    def rpcError(code: Int, message: String): Unit =
+      respond(ex, 200,
+        s"""{"jsonrpc":"2.0","id":${mapper.writeValueAsString(id)},"error":{"code":$code,"message":${quote(message)}}}""",
+        "application/json")
+
     method match {
       case "initialize" =>
-        reply("""{"protocolVersion":"2024-11-05","serverInfo":{"name":"graft","version":"0.1"},"capabilities":{"tools":{}}}""")
+        reply("""{"protocolVersion":"2024-11-05","serverInfo":{"name":"graft","version":"0.1"},""" +
+          """"capabilities":{"tools":{"listChanged":true},"resources":{"subscribe":false},""" +
+          """"prompts":{},"logging":{},"completions":{}}}""")
       case "ping" => reply("{}")
+
+      // ---- resources (mcp_route_handlers.cpp:911-1046; graft:// scheme) --
+      case "resources/list" =>
+        val resources = eps.flatMap(ep => ep.config.mcpResource.map { r =>
+          s"""{"name":${quote(r.name)},"description":${quote(r.description)},""" +
+            s""""mimeType":${quote(r.mimeType)},"uri":${quote(s"graft://${r.name}")}}"""
+        })
+        reply(s"""{"resources":[${resources.mkString(",")}]}""")
+      case "resources/read" =>
+        val uri = req.path("params").path("uri").asText("")
+        if (!uri.startsWith("graft://")) { rpcError(-32602, s"Resource not found: $uri"); return }
+        val rname = uri.stripPrefix("graft://")
+        eps.find(_.config.mcpResource.exists(_.name == rname)) match {
+          case None => rpcError(-32602, s"Resource not found: $uri")
+          case Some(ep) =>
+            // RBAC applies to resources exactly as to tools
+            val auth = authenticate(ex).getOrElse(Map.empty)
+            val roles = auth.get("__auth_roles")
+              .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+            val decision = AuthorizationPolicy.authorize(
+              s"resource:$rname", ep.allowedRoles, roles, mcpAuthEnabled)
+            if (!decision.allowed) { rpcError(-32602, s"Permission denied: ${decision.reason}"); return }
+            // resources take no input parameters; same bounds as tools
+            val df = TemplatePipeline.run(spark, ep.config, ep.template, Map.empty, ep.connProps)
+            val limited = ep.shape.maxRows.fold(df)(n => df.limit(n))
+            val text = collectJson(limited)
+            reply(s"""{"contents":[{"uri":${quote(uri)},"mimeType":${quote(ep.config.mcpResource.get.mimeType)},"text":${quote(text)}}]}""")
+        }
+
+      // ---- prompts (mcp_route_handlers.cpp:1050-1206) --------------------
+      case "prompts/list" =>
+        val prompts = eps.flatMap(ep => ep.config.mcpPrompt.map { p =>
+          val args = p.arguments.map(a =>
+            s"""{"name":${quote(a)},"type":"string","description":${quote(s"Parameter $a")}}""")
+          s"""{"name":${quote(p.name)},"description":${quote(p.description)},"arguments":[${args.mkString(",")}]}"""
+        })
+        reply(s"""{"prompts":[${prompts.mkString(",")}]}""")
+      case "prompts/get" =>
+        val pname = req.path("params").path("name").asText("")
+        eps.flatMap(_.config.mcpPrompt).find(_.name == pname) match {
+          case None => rpcError(-32602, s"Prompt not found: $pname")
+          case Some(p) =>
+            val argsNode = req.path("params").path("arguments")
+            val rendered = p.arguments.foldLeft(p.template) { (t, arg) =>
+              val v = if (argsNode.isObject && argsNode.has(arg) && !argsNode.get(arg).isNull)
+                ParamAssembly.jsonValueToString(argsNode.get(arg)) else ""
+              t.replace(s"{{$arg}}", v)
+            }
+            reply(s"""{"description":${quote(p.description)},"messages":[{"role":"user","content":{"type":"text","text":${quote(rendered)}}}]}""")
+        }
+
+      // ---- completion (mcp_route_handlers.cpp:1275-1389): enum-validator
+      // values filtered by prefix, capped at 50 ------------------------------
+      case "completion/complete" =>
+        val params = req.path("params")
+        val ref = params.path("ref").asText("")
+        val argName = params.path("argument").asText("")
+        if (ref.isEmpty || argName.isEmpty) {
+          rpcError(-32602, "Invalid params: missing 'ref' or 'argument' field"); return
+        }
+        val prefix = params.path("value").asText("")
+        eps.find(ep => toolName(ep) == ref ||
+          ep.config.mcpPrompt.exists(_.name == ref)) match {
+          case None => rpcError(-32602, s"Reference not found: $ref")
+          case Some(ep) =>
+            ep.config.requestFields.find(_.fieldName == argName) match {
+              case None => rpcError(-32602, s"Argument not found: $argName")
+              case Some(field) =>
+                val enumValues = field.validators.find(v =>
+                  v.tpe == "enum" && v.allowedValues.nonEmpty)
+                  .map(_.allowedValues).getOrElse(Nil)
+                val matching = enumValues.filter(v => prefix.isEmpty || v.startsWith(prefix))
+                val shown = matching.take(50)
+                reply(s"""{"values":[${shown.map(quote).mkString(",")}],""" +
+                  s""""total":${enumValues.size},"hasMore":${matching.size > shown.size}}""")
+            }
+        }
+
+      // ---- logging (mcp_route_handlers.cpp:1217-1272): MCP levels map
+      // onto the engine's log4j levels ---------------------------------------
+      case "logging/setLevel" =>
+        val level = req.path("params").path("level").asText("")
+        val mapped = level match {
+          case "debug" => Some("DEBUG")
+          case "info" | "notice" => Some("INFO")
+          case "warning" => Some("WARN")
+          case "error" | "critical" | "alert" | "emergency" => Some("ERROR")
+          case _ => None
+        }
+        mapped match {
+          case None => rpcError(-32602, s"Invalid log level: $level")
+          case Some(l) => spark.sparkContext.setLogLevel(l); reply("{}")
+        }
       case "tools/list" =>
-        val tools = endpoints.map { ep =>
+        val tools = eps.map { ep =>
           val props = ep.config.requestFields.map { f =>
             quote(f.fieldName) + ":" +
               s"""{"type":"string","description":${quote(f.description)}}"""
@@ -215,7 +348,7 @@ final class GraftServer(
         reply(s"""{"tools":[${tools.mkString(",")}]}""")
       case "tools/call" =>
         val name = req.path("params").path("name").asText("")
-        endpoints.find(toolName(_) == name) match {
+        eps.find(toolName(_) == name) match {
           case None =>
             respond(ex, 200,
               s"""{"jsonrpc":"2.0","id":${mapper.writeValueAsString(id)},"error":{"code":-32602,"message":"unknown tool"}}""",
@@ -223,9 +356,7 @@ final class GraftServer(
           case Some(ep) =>
             // RBAC before argument handling: a denied caller never
             // learns the tool's parameter shape (mcp_tool_handler.cpp:69-78)
-            val auth = basicAuth.flatMap(cfg => BasicAuth.authenticate(cfg,
-              Option(ex.getRequestHeaders.getFirst("Authorization"))))
-              .getOrElse(Map.empty)
+            val auth = authenticate(ex).getOrElse(Map.empty)
             val roles = auth.get("__auth_roles")
               .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
             val decision = AuthorizationPolicy.authorize(

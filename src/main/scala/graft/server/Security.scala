@@ -88,6 +88,88 @@ object BasicAuth {
     }
 }
 
+/** HS256 JWT bearer auth (reference auth_middleware.cpp:309-338:
+  * jwt-cpp verify with hs256 secret + issuer, claims sub + roles[]).
+  * Pure-JDK HMAC — no external JWT library. */
+final case class JwtConfig(
+    secret: String,
+    issuer: Option[String] = None)
+
+object JwtAuth {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def hmacSha256(secret: String, data: String): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(secret.getBytes("UTF-8"), "HmacSHA256"))
+    mac.doFinal(data.getBytes("UTF-8"))
+  }
+
+  private def b64urlDecode(s: String): Option[Array[Byte]] =
+    try Some(Base64.getUrlDecoder.decode(s))
+    catch { case _: IllegalArgumentException => None }
+
+  /** Mint a token (test/ops tooling — the server only verifies). */
+  def sign(cfg: JwtConfig, claims: Map[String, Any]): String = {
+    val enc = Base64.getUrlEncoder.withoutPadding()
+    val header = enc.encodeToString("""{"alg":"HS256","typ":"JWT"}""".getBytes("UTF-8"))
+    val node = mapper.createObjectNode()
+    claims.foreach {
+      case (k, v: String) => node.put(k, v)
+      case (k, v: Long) => node.put(k, v)
+      case (k, v: Int) => node.put(k, v)
+      case (k, v: Seq[_]) =>
+        val arr = node.putArray(k); v.foreach(x => arr.add(x.toString))
+      case (k, v) => node.put(k, String.valueOf(v))
+    }
+    val payload = enc.encodeToString(mapper.writeValueAsBytes(node))
+    val sig = enc.encodeToString(hmacSha256(cfg.secret, s"$header.$payload"))
+    s"$header.$payload.$sig"
+  }
+
+  /** Verify `Authorization: Bearer <jwt>`: HS256 signature over
+    * header.payload, alg pinned to HS256 (no alg-confusion downgrade),
+    * exp/nbf honored, issuer matched when configured. On success the
+    * same reserved `__auth_*` params as Basic, with type "bearer". */
+  def authenticate(cfg: JwtConfig, header: Option[String],
+                   nowEpochSeconds: Long = System.currentTimeMillis() / 1000L): Option[Map[String, String]] =
+    header.filter(_.startsWith("Bearer ")).flatMap { h =>
+      val token = h.stripPrefix("Bearer ").trim
+      token.split('.') match {
+        case Array(h64, p64, s64) =>
+          for {
+            sig <- b64urlDecode(s64)
+            expected = hmacSha256(cfg.secret, s"$h64.$p64")
+            // constant-time compare: a timing oracle on the MAC would
+            // let an attacker forge signatures byte by byte
+            if java.security.MessageDigest.isEqual(sig, expected)
+            hBytes <- b64urlDecode(h64)
+            pBytes <- b64urlDecode(p64)
+            headerNode <- parse(hBytes)
+            if headerNode.path("alg").asText("") == "HS256"
+            payload <- parse(pBytes)
+            if payload.path("exp").isMissingNode ||
+              payload.path("exp").asLong(0L) > nowEpochSeconds
+            if payload.path("nbf").isMissingNode ||
+              payload.path("nbf").asLong(0L) <= nowEpochSeconds
+            if cfg.issuer.forall(_ == payload.path("iss").asText(""))
+          } yield {
+            val roles = Option(payload.get("roles")).filter(_.isArray)
+              .map(a => (0 until a.size()).map(a.get(_).asText()).mkString(","))
+              .getOrElse("")
+            Map(
+              "__auth_username" -> payload.path("sub").asText(""),
+              "__auth_roles" -> roles,
+              "__auth_type" -> "bearer",
+              "__auth_authenticated" -> "true")
+          }
+        case _ => None
+      }
+    }
+
+  private def parse(bytes: Array[Byte]): Option[com.fasterxml.jackson.databind.JsonNode] =
+    try Some(mapper.readTree(bytes)) catch { case _: Exception => None }
+}
+
 /** CORS headers (reference: crow CORS middleware, api_server.cpp). */
 final case class CorsConfig(
     allowOrigin: String = "*",

@@ -1,0 +1,243 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config._
+
+/** JWT bearer auth, REST-path rate limiting, and the full MCP method
+  * surface (resources/prompts/completion/logging) — the reference
+  * covers these with test_mcp_methods.py + auth middleware tests. */
+class AuthSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var server: GraftServer = _
+  private var rlServer: GraftServer = _
+  private var base: String = _
+  private var rlBase: String = _
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+  private val jwtCfg = JwtConfig(secret = "spec-secret", issuer = Some("graft-spec"))
+
+  private val adminTool = ServedEndpoint(
+    EndpointConfig(urlPath = "/admin-data", templateSource = "t.sql",
+      withPagination = false),
+    "SELECT 42 AS answer",
+    allowedRoles = Some(Seq("admin")))
+
+  private val schemaResource = ServedEndpoint(
+    EndpointConfig(urlPath = "/schema-res", templateSource = "r.sql",
+      mcpResource = Some(McpResourceConfig(
+        name = "customer_schema", description = "customer columns"))),
+    "SELECT 'c_custkey' AS column_name",
+    allowedRoles = Some(Seq("admin")))
+
+  private val lookupPrompt = ServedEndpoint(
+    EndpointConfig(urlPath = "/lookup-prompt", templateSource = "p.sql",
+      requestFields = Seq(RequestFieldConfig("segment",
+        validators = Seq(ValidatorConfig("enum",
+          allowedValues = Seq("AUTOMOBILE", "BUILDING", "MACHINERY"))))),
+      mcpPrompt = Some(McpPromptConfig(
+        name = "customer_lookup", description = "find customers",
+        template = "Find customers in segment {{segment}} with balance over {{min}}.",
+        arguments = Seq("segment", "min")))),
+    "SELECT 1 AS one")
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]").appName("auth-surface-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    server = new GraftServer(spark,
+      Seq(adminTool, schemaResource, lookupPrompt),
+      mcpAuthEnabled = true,
+      jwtAuth = Some(jwtCfg)).start()
+    base = s"http://127.0.0.1:${server.boundPort}"
+    rlServer = new GraftServer(spark, Seq(ServedEndpoint(
+      EndpointConfig(urlPath = "/ping-data", templateSource = "t.sql",
+        withPagination = false),
+      "SELECT 1 AS one")),
+      restRateLimit = Some(RateLimitConfig(requestsPerMinute = 2))).start()
+    rlBase = s"http://127.0.0.1:${rlServer.boundPort}"
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop()
+    if (rlServer != null) rlServer.stop()
+    if (spark != null) spark.stop()
+  }
+
+  private def token(claims: Map[String, Any]): String = JwtAuth.sign(jwtCfg, claims)
+
+  private def get(b: String, path: String, headers: (String, String)*): HttpResponse[String] = {
+    val rb = HttpRequest.newBuilder(URI.create(b + path))
+    headers.foreach { case (k, v) => rb.header(k, v) }
+    client.send(rb.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def rpc(body: String, headers: (String, String)*): com.fasterxml.jackson.databind.JsonNode = {
+    val rb = HttpRequest.newBuilder(URI.create(base + "/mcp/jsonrpc"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => rb.header(k, v) }
+    mapper.readTree(client.send(rb.build(), HttpResponse.BodyHandlers.ofString()).body())
+  }
+
+  private val far = System.currentTimeMillis() / 1000L + 3600L
+
+  // ---- JWT -----------------------------------------------------------------
+
+  test("valid JWT authenticates REST; claims drive the auth params") {
+    val t = token(Map("sub" -> "alice", "roles" -> Seq("admin"),
+      "iss" -> "graft-spec", "exp" -> far))
+    val r = get(base, "/admin-data", "Authorization" -> s"Bearer $t")
+    assert(r.statusCode() == 200)
+    assert(mapper.readTree(r.body()).get(0).get("answer").asInt() == 42)
+  }
+
+  test("expired, unsigned-tampered, garbage, and wrong-issuer JWTs are 401") {
+    val expired = token(Map("sub" -> "a", "iss" -> "graft-spec",
+      "exp" -> (System.currentTimeMillis() / 1000L - 10)))
+    assert(get(base, "/admin-data", "Authorization" -> s"Bearer $expired").statusCode() == 401)
+    val good = token(Map("sub" -> "a", "iss" -> "graft-spec", "exp" -> far))
+    val tampered = {
+      val parts = good.split('.')
+      val enc = java.util.Base64.getUrlEncoder.withoutPadding()
+      val forged = enc.encodeToString(
+        """{"sub":"mallory","roles":["admin"],"iss":"graft-spec"}""".getBytes("UTF-8"))
+      s"${parts(0)}.$forged.${parts(2)}"
+    }
+    assert(get(base, "/admin-data", "Authorization" -> s"Bearer $tampered").statusCode() == 401)
+    assert(get(base, "/admin-data", "Authorization" -> "Bearer not.a.jwt").statusCode() == 401)
+    assert(get(base, "/admin-data", "Authorization" -> "Bearer garbage").statusCode() == 401)
+    val wrongIss = JwtAuth.sign(jwtCfg.copy(issuer = None),
+      Map("sub" -> "a", "iss" -> "evil", "exp" -> far))
+    assert(get(base, "/admin-data", "Authorization" -> s"Bearer $wrongIss").statusCode() == 401)
+    assert(get(base, "/admin-data").statusCode() == 401)
+  }
+
+  test("alg:none downgrade is rejected") {
+    val enc = java.util.Base64.getUrlEncoder.withoutPadding()
+    val h = enc.encodeToString("""{"alg":"none","typ":"JWT"}""".getBytes("UTF-8"))
+    val p = enc.encodeToString(
+      s"""{"sub":"mallory","roles":["admin"],"iss":"graft-spec","exp":$far}""".getBytes("UTF-8"))
+    assert(get(base, "/admin-data", "Authorization" -> s"Bearer $h.$p.").statusCode() == 401)
+  }
+
+  test("JWT role claim drives MCP RBAC") {
+    val admin = token(Map("sub" -> "alice", "roles" -> Seq("admin"),
+      "iss" -> "graft-spec", "exp" -> far))
+    val dev = token(Map("sub" -> "bob", "roles" -> Seq("dev"),
+      "iss" -> "graft-spec", "exp" -> far))
+    def call(t: String) = rpc(
+      """{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"admin-data","arguments":{}}}""",
+      "Authorization" -> s"Bearer $t")
+    val ok = call(admin)
+    assert(ok.get("result").get("content").get(0).get("text").asText().contains("42"))
+    val denied = call(dev)
+    assert(denied.get("result").get("isError").asBoolean())
+    assert(denied.get("result").get("content").get(0).get("text").asText()
+      .contains("Permission denied"))
+  }
+
+  // ---- REST rate limiting --------------------------------------------------
+
+  test("REST rate limit returns 429 + Retry-After after capacity") {
+    assert(get(rlBase, "/ping-data").statusCode() == 200)
+    assert(get(rlBase, "/ping-data").statusCode() == 200)
+    val third = get(rlBase, "/ping-data")
+    assert(third.statusCode() == 429)
+    assert(third.headers().firstValue("Retry-After").get().toLong >= 1L)
+  }
+
+  // ---- MCP surface ---------------------------------------------------------
+
+  test("initialize advertises resources/prompts/logging/completions") {
+    val caps = rpc("""{"jsonrpc":"2.0","id":2,"method":"initialize"}""")
+      .get("result").get("capabilities")
+    assert(caps.has("tools")); assert(caps.has("resources"))
+    assert(caps.has("prompts")); assert(caps.has("logging"))
+    assert(caps.has("completions"))
+  }
+
+  test("resources/list + resources/read serve endpoint content under RBAC") {
+    val admin = token(Map("sub" -> "alice", "roles" -> Seq("admin"),
+      "iss" -> "graft-spec", "exp" -> far))
+    val listed = rpc("""{"jsonrpc":"2.0","id":3,"method":"resources/list"}""")
+      .get("result").get("resources")
+    assert(listed.size() == 1)
+    assert(listed.get(0).get("uri").asText() == "graft://customer_schema")
+    assert(listed.get(0).get("mimeType").asText() == "application/json")
+
+    val read = rpc(
+      """{"jsonrpc":"2.0","id":4,"method":"resources/read","params":{"uri":"graft://customer_schema"}}""",
+      "Authorization" -> s"Bearer $admin")
+    val content = read.get("result").get("contents").get(0)
+    assert(content.get("uri").asText() == "graft://customer_schema")
+    val rows = mapper.readTree(content.get("text").asText())
+    assert(rows.get(0).get("column_name").asText() == "c_custkey")
+
+    val denied = rpc(
+      """{"jsonrpc":"2.0","id":5,"method":"resources/read","params":{"uri":"graft://customer_schema"}}""")
+    assert(denied.get("error").get("message").asText().contains("Permission denied"))
+
+    val missing = rpc(
+      """{"jsonrpc":"2.0","id":6,"method":"resources/read","params":{"uri":"graft://nope"}}""")
+    assert(missing.get("error").get("code").asInt() == -32602)
+  }
+
+  test("prompts/list + prompts/get substitute arguments") {
+    val listed = rpc("""{"jsonrpc":"2.0","id":7,"method":"prompts/list"}""")
+      .get("result").get("prompts")
+    assert(listed.size() == 1)
+    assert(listed.get(0).get("name").asText() == "customer_lookup")
+    assert(listed.get(0).get("arguments").size() == 2)
+
+    val got = rpc(
+      """{"jsonrpc":"2.0","id":8,"method":"prompts/get",
+        |"params":{"name":"customer_lookup","arguments":{"segment":"BUILDING","min":1000}}}""".stripMargin)
+    val text = got.get("result").get("messages").get(0).get("content").get("text").asText()
+    assert(text == "Find customers in segment BUILDING with balance over 1000.")
+
+    val missing = rpc(
+      """{"jsonrpc":"2.0","id":9,"method":"prompts/get","params":{"name":"nope"}}""")
+    assert(missing.get("error").get("code").asInt() == -32602)
+  }
+
+  test("completion/complete filters enum values by prefix") {
+    val done = rpc(
+      """{"jsonrpc":"2.0","id":10,"method":"completion/complete",
+        |"params":{"ref":"lookup-prompt","argument":"segment","value":"B"}}""".stripMargin)
+    val res = done.get("result")
+    assert(res.get("values").size() == 1)
+    assert(res.get("values").get(0).asText() == "BUILDING")
+    assert(res.get("total").asInt() == 3)
+    assert(!res.get("hasMore").asBoolean())
+
+    val byPrompt = rpc(
+      """{"jsonrpc":"2.0","id":11,"method":"completion/complete",
+        |"params":{"ref":"customer_lookup","argument":"segment"}}""".stripMargin)
+    assert(byPrompt.get("result").get("values").size() == 3)
+
+    val badRef = rpc(
+      """{"jsonrpc":"2.0","id":12,"method":"completion/complete",
+        |"params":{"ref":"nope","argument":"segment"}}""".stripMargin)
+    assert(badRef.get("error").get("code").asInt() == -32602)
+  }
+
+  test("logging/setLevel validates and applies the level") {
+    val ok = rpc(
+      """{"jsonrpc":"2.0","id":13,"method":"logging/setLevel","params":{"level":"error"}}""")
+    assert(ok.get("result") != null && ok.get("result").size() == 0)
+    val bad = rpc(
+      """{"jsonrpc":"2.0","id":14,"method":"logging/setLevel","params":{"level":"chatty"}}""")
+    assert(bad.get("error").get("code").asInt() == -32602)
+  }
+}

@@ -1,0 +1,176 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config._
+
+/** Config-service API v1 round-trips (reference
+  * config_service.cpp:258-660): list/get/put/delete endpoint configs,
+  * validate, reload, template get/put/expand/test, parameters, schema
+  * listing — and the operator's key flow: PUT a new endpoint config →
+  * it immediately serves on REST and MCP. */
+class ConfigApiSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var server: GraftServer = _
+  private var base: String = _
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+  private val token = "cfg-secret-token"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]").appName("config-api-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val ss = spark
+    import ss.implicits._
+    Seq((1L, "alice", "A"), (2L, "bob", "B"), (3L, "carol", "A"))
+      .toDF("id", "name", "segment").createOrReplaceTempView("cfg_customers")
+    server = new GraftServer(spark,
+      Seq(ServedEndpoint(
+        EndpointConfig(urlPath = "/existing", templateSource = "e.sql",
+          withPagination = false,
+          requestFields = Seq(RequestFieldConfig("id",
+            validators = Seq(ValidatorConfig("int"))))),
+        """SELECT id, name FROM cfg_customers
+          |WHERE 1=1 {{#params.id}} AND id = {{params.id}} {{/params.id}}
+          |ORDER BY id""".stripMargin)),
+      configService = Some(ConfigServiceConfig(token = Some(token)))).start()
+    base = s"http://127.0.0.1:${server.boundPort}"
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop()
+    if (spark != null) spark.stop()
+  }
+
+  private def req(method: String, path: String, body: String = "",
+                  auth: Boolean = true): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(base + path))
+    if (auth) b.header("Authorization", s"Bearer $token")
+    val withBody = method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+    }
+    client.send(withBody.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def j(r: HttpResponse[String]) = mapper.readTree(r.body())
+
+  test("token required: missing/wrong token is 401") {
+    assert(req("GET", "/api/v1/_config/endpoints", auth = false).statusCode() == 401)
+    val wrong = HttpRequest.newBuilder(URI.create(base + "/api/v1/_config/endpoints"))
+      .header("Authorization", "Bearer nope").GET().build()
+    assert(client.send(wrong, HttpResponse.BodyHandlers.ofString()).statusCode() == 401)
+  }
+
+  test("project + endpoints listing") {
+    val p = j(req("GET", "/api/v1/_config/project"))
+    assert(p.get("engine").asText() == "spark")
+    assert(p.get("endpoints").asInt() >= 1)
+    val eps = j(req("GET", "/api/v1/_config/endpoints"))
+    assert((0 until eps.size()).exists(i => eps.get(i).get("slug").asText() == "existing"))
+  }
+
+  test("get endpoint config + parameters") {
+    val c = j(req("GET", "/api/v1/_config/endpoints/existing"))
+    assert(c.get("url-path").asText() == "/existing")
+    val params = j(req("GET", "/api/v1/_config/endpoints/existing/parameters"))
+    assert(params.get(0).get("field-name").asText() == "id")
+    assert(req("GET", "/api/v1/_config/endpoints/nope").statusCode() == 404)
+  }
+
+  test("PUT new endpoint config -> reload -> it serves on REST and MCP") {
+    val doc =
+      """{"url-path": "/by-segment",
+        |"template-source": "seg.sql",
+        |"with-pagination": "false",
+        |"request": [{"field-name": "segment",
+        |             "validators": [{"type": "enum", "allowed-values": ["A", "B"]}]}],
+        |"template": "SELECT id, name FROM cfg_customers {{#params.segment}} WHERE segment = '{{{params.segment}}}' {{/params.segment}} ORDER BY id"}""".stripMargin
+    val put = req("PUT", "/api/v1/_config/endpoints/by-segment", doc)
+    assert(put.statusCode() == 200, put.body())
+    assert(j(put).get("slug").asText() == "by-segment")
+
+    val reload = req("POST", "/api/v1/_config/endpoints/by-segment/reload")
+    assert(j(reload).get("reloaded").asBoolean())
+
+    // the new endpoint serves immediately
+    val served = j(req("GET", "/by-segment?segment=A"))
+    assert(served.size() == 2)
+    assert(served.get(0).get("name").asText() == "alice")
+
+    // and appears as an MCP tool
+    val tools = j(req("POST", "/mcp/jsonrpc",
+      """{"jsonrpc":"2.0","id":1,"method":"tools/list"}"""))
+      .get("result").get("tools")
+    assert((0 until tools.size()).exists(i => tools.get(i).get("name").asText() == "by-segment"))
+  }
+
+  test("validate catches structural errors; reload of missing is 404") {
+    val bad =
+      """{"url-path": "no-slash", "template-source": "x.sql", "template": "SELECT 1"}"""
+    val v = j(req("POST", "/api/v1/_config/endpoints/whatever/validate", bad))
+    assert(!v.get("valid").asBoolean())
+    assert(v.get("errors").get(0).asText().contains("url-path"))
+    val good = """{"url-path": "/ok", "template-source": "x.sql", "template": "SELECT 1 AS one"}"""
+    assert(j(req("POST", "/api/v1/_config/endpoints/whatever/validate", good))
+      .get("valid").asBoolean())
+    assert(req("POST", "/api/v1/_config/endpoints/missing/reload").statusCode() == 404)
+  }
+
+  test("template get/put/expand/test") {
+    val t = j(req("GET", "/api/v1/_config/endpoints/existing/template"))
+    assert(t.get("template").asText().contains("FROM cfg_customers"))
+
+    val expand = j(req("POST", "/api/v1/_config/endpoints/existing/template/expand",
+      """{"parameters":{"id":"2"}}"""))
+    assert(expand.get("sql").asText().contains("id = "))
+    assert(expand.has("bind_count"))
+
+    val test = j(req("POST", "/api/v1/_config/endpoints/existing/template/test",
+      """{"parameters":{"id":"2"}}"""))
+    assert(test.get("row_count").asInt() == 1)
+    assert(test.get("data").get(0).get("name").asText() == "bob")
+
+    val put = req("PUT", "/api/v1/_config/endpoints/existing/template",
+      """{"template":"SELECT count(*) AS n FROM cfg_customers"}""")
+    assert(j(put).get("updated").asBoolean())
+    val after = j(req("GET", "/existing"))
+    assert(after.get(0).get("n").asLong() == 3L)
+  }
+
+  test("DELETE removes the route") {
+    val doc = """{"url-path": "/temp", "template-source": "t.sql",
+                 |"with-pagination": "false", "template": "SELECT 1 AS one"}""".stripMargin
+    assert(req("POST", "/api/v1/_config/endpoints", doc).statusCode() == 201)
+    assert(j(req("GET", "/temp")).get(0).get("one").asInt() == 1)
+    assert(j(req("DELETE", "/api/v1/_config/endpoints/temp")).get("deleted").asBoolean())
+    assert(req("GET", "/temp").statusCode() == 404)
+  }
+
+  test("schema listing introspects live catalog tables") {
+    val s = j(req("GET", "/api/v1/_config/schema"))
+    val names = (0 until s.size()).map(s.get(_).get("name").asText())
+    assert(names.contains("cfg_customers"))
+    val cust = s.get(names.indexOf("cfg_customers"))
+    val cols = (0 until cust.get("columns").size())
+      .map(cust.get("columns").get(_).get("name").asText())
+    assert(cols == Seq("id", "name", "segment"))
+  }
+
+  test("log-level endpoint validates") {
+    assert(req("PUT", "/api/v1/_config/log-level", """{"level":"error"}""").statusCode() == 200)
+    assert(req("PUT", "/api/v1/_config/log-level", """{"level":"loud"}""").statusCode() == 400)
+  }
+}
