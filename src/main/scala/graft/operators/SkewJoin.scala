@@ -30,10 +30,14 @@ object SkewJoin {
       factor: Int = 8,
       joinType: String = "inner"): DataFrame = {
     require(factor > 0, "salt factor must be positive")
-    // deterministic salt: spread by row content, not rand(), so reruns
-    // and retried tasks produce identical partitioning
+    // deterministic salt: hash of ALL row columns, so reruns and
+    // retried tasks reproduce identical partitioning regardless of
+    // partition layout (monotonically_increasing_id is only stable for
+    // one fixed layout and would break the retry guarantee). Fully
+    // duplicate rows share a salt — acceptable: they carry the same
+    // join result, and real skew comes from distinct rows per hot key.
     val salted = skewed.withColumn("__salt",
-      pmod(xxhash64(col(skewedKey), monotonically_increasing_id()), lit(factor)))
+      pmod(xxhash64(skewed.columns.map(col).toSeq: _*), lit(factor)))
     val replicated = compact
       .withColumn("__salt", explode(expr(s"sequence(0, ${factor - 1})")))
     val joined = salted.join(replicated,

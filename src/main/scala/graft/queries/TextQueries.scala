@@ -60,13 +60,23 @@ object TextQueries extends QuerySet {
            |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
            |ORDER BY id_a, id_b""".stripMargin),
     (s, dir) => {
-      val docs = Tables.table(s, dir, "documents").select("doc_id", "text")
+      // Parallelize.ensure: the shingle + minhash_sig stage is the
+      // per-row-heavy kernel; a one-file corpus must not serialize it
+      // on one core (no-op when the scan is already well-split).
+      val docs = graft.operators.Parallelize.ensure(
+        Tables.table(s, dir, "documents").select("doc_id", "text"))
+      // the shingle set feeds THREE consumers (signature + both sides
+      // of the candidate verify join) — persist it once instead of
+      // recomputing the tokenize+shingle pass per consumer. At real
+      // scale this is the materialized intermediate a pipeline would
+      // checkpoint; MEMORY_AND_DISK spills rather than OOMs.
       val sh = docs
         .withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"), array_distinct(expr(
           "transform(sequence(1, size(w)-2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
           .as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // signature: native minhash_sig expression (graft.functions) —
       // one compiled loop per row, no explode, no aggregation, no
       // shuffle; the signature step is entirely map-side. (A 72-column
@@ -150,7 +160,7 @@ object TextQueries extends QuerySet {
            |FROM sh a JOIN sh b ON a.doc_id = 0 AND b.doc_id <> 0
            |ORDER BY jaccard DESC, b.doc_id LIMIT 10""".stripMargin),
     (s, dir) => {
-      val sh = Tables.table(s, dir, "documents")
+      val sh = graft.operators.Parallelize.ensure(Tables.table(s, dir, "documents"))
         .withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= 2)
         .select(col("doc_id"), array_distinct(expr(

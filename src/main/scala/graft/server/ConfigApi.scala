@@ -132,8 +132,15 @@ final class ConfigApi(
       val config = YamlConfig.parseEndpoint(doc)
       val m = new org.yaml.snakeyaml.Yaml().load[Any](doc)
         .asInstanceOf[java.util.Map[String, Any]]
-      val template = Option(m.get("template")).map(String.valueOf).getOrElse("")
-      if (template.trim.isEmpty) Left("missing 'template' (SQL text)")
+      val inline = Option(m.get("template")).map(String.valueOf).getOrElse("")
+      // no inline SQL → resolve template-source through the VFS layer
+      // (local path, file://, hdfs://, s3a://, https://)
+      val template =
+        if (inline.trim.nonEmpty) inline
+        else if (config.templateSource.nonEmpty)
+          graft.template.TemplateSource.load(spark, config.templateSource)
+        else ""
+      if (template.trim.isEmpty) Left("missing 'template' (SQL text) or resolvable 'template-source'")
       else Right(ServedEndpoint(config, template))
     } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
 
