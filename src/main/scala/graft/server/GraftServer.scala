@@ -36,6 +36,13 @@ final case class WireConfig(
     arrowBatchRows: Int = graft.serialize.ArrowWire.DefaultBatchRows,
     arrowCodec: Option[String] = None)
 
+/** Request audit log: one JSON line per request (ts, method, path,
+  * status, principal, duration) appended to `path` — queryable back
+  * through the engine as `spark.read.json(path)`. The reference logs
+  * per-request through its middleware chain; a JSONL file keeps the
+  * audit greppable AND analyzable without a side database. */
+final case class RequestAuditConfig(path: String)
+
 /** The serving shell (SURVEY §3, layer 3): REST request lifecycle and
   * MCP JSON-RPC over `com.sun.net.httpserver` (dependency-free, per
   * SURVEY §7.1-8). The data path is the engine's public pipeline:
@@ -65,7 +72,8 @@ final class GraftServer(
       * keyed per (path, client) BEFORE auth/template work. */
     restRateLimit: Option[RateLimitConfig] = None,
     configService: Option[ConfigServiceConfig] = None,
-    cacheManager: Option[graft.cache.CacheManager] = None) {
+    cacheManager: Option[graft.cache.CacheManager] = None,
+    audit: Option[RequestAuditConfig] = None) {
 
   private val mapper = new ObjectMapper()
   private val rateLimiter = new RateLimiter()
@@ -92,7 +100,8 @@ final class GraftServer(
 
   def stop(): Unit = server.stop(0)
 
-  private def safely(ex: HttpExchange)(f: HttpExchange => Unit): Unit =
+  private def safely(ex: HttpExchange)(f: HttpExchange => Unit): Unit = {
+    val t0 = System.nanoTime()
     try {
       val h = ex.getResponseHeaders
       h.set("Access-Control-Allow-Origin", cors.allowOrigin)
@@ -111,7 +120,30 @@ final class GraftServer(
         respond(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""",
           "application/json")
     }
-    finally ex.close()
+    finally {
+      audit.foreach(a => writeAudit(a, ex, (System.nanoTime() - t0) / 1e6))
+      ex.close()
+    }
+  }
+
+  private val auditLock = new Object
+  private def writeAudit(a: RequestAuditConfig, ex: HttpExchange, ms: Double): Unit =
+    try {
+      val principal = Option(ex.getAttribute("graft.principal"))
+        .map(String.valueOf).getOrElse("anonymous")
+      val line =
+        s"""{"ts":${quote(java.time.Instant.now().toString)},""" +
+          s""""method":${quote(ex.getRequestMethod)},""" +
+          s""""path":${quote(ex.getRequestURI.getPath)},""" +
+          s""""status":${ex.getResponseCode},""" +
+          s""""principal":${quote(principal)},""" +
+          s""""duration_ms":${math.round(ms)}}""" + "\n"
+      auditLock.synchronized {
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(a.path), line,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
+    } catch { case _: Exception => () } // auditing must never fail a request
 
   // ---- REST -------------------------------------------------------------
 
@@ -159,6 +191,7 @@ final class GraftServer(
               respond(ex, 401, """{"error":"authentication required"}""", "application/json")
               return
           }
+        authParams.get("__auth_username").foreach(ex.setAttribute("graft.principal", _))
         val query = parseQuery(ex.getRequestURI.getRawQuery)
         val fieldDefaults = ep.config.requestFields
           .flatMap(f => f.defaultValue.map(f.fieldName -> _)).toMap

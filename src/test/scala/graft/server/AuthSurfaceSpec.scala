@@ -60,13 +60,18 @@ class AuthSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       mcpAuthEnabled = true,
       jwtAuth = Some(jwtCfg)).start()
     base = s"http://127.0.0.1:${server.boundPort}"
+    auditPath = java.nio.file.Files.createTempFile("graft_audit", ".jsonl")
+    java.nio.file.Files.delete(auditPath)
     rlServer = new GraftServer(spark, Seq(ServedEndpoint(
       EndpointConfig(urlPath = "/ping-data", templateSource = "t.sql",
         withPagination = false),
       "SELECT 1 AS one")),
-      restRateLimit = Some(RateLimitConfig(requestsPerMinute = 2))).start()
+      restRateLimit = Some(RateLimitConfig(requestsPerMinute = 2)),
+      audit = Some(RequestAuditConfig(auditPath.toString))).start()
     rlBase = s"http://127.0.0.1:${rlServer.boundPort}"
   }
+
+  private var auditPath: java.nio.file.Path = _
 
   override def afterAll(): Unit = {
     if (server != null) server.stop()
@@ -155,6 +160,22 @@ class AuthSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val third = get(rlBase, "/ping-data")
     assert(third.statusCode() == 429)
     assert(third.headers().firstValue("Retry-After").get().toLong >= 1L)
+  }
+
+  test("request audit log records every request as queryable JSONL") {
+    get(rlBase, "/no-such-route") // a 404 is audited too
+    val lines = java.nio.file.Files.readAllLines(auditPath)
+    assert(lines.size() >= 4) // 3 rate-limit-test requests + the 404
+    val parsed = lines.toArray.map(l => mapper.readTree(l.toString))
+    assert(parsed.forall(j => j.has("ts") && j.has("method") && j.has("path")
+      && j.has("status") && j.has("duration_ms")))
+    assert(parsed.exists(_.get("status").asInt() == 429))
+    assert(parsed.exists(j => j.get("status").asInt() == 404
+      && j.get("path").asText() == "/no-such-route"))
+    // and it reads back through the engine
+    val df = spark.read.json(auditPath.toString)
+    assert(df.count() >= 4)
+    assert(df.columns.toSet.contains("principal"))
   }
 
   // ---- MCP surface ---------------------------------------------------------
