@@ -27,15 +27,34 @@ object MultimodalQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  // Frame sampling digested to oracle-comparable values: DuckDB has no
+  // BLOB substring, but on ASCII rows char-substr == byte-slice, so
+  // BOTH sides filter to ASCII (octet_length == length) and the oracle
+  // recomputes the frame positions over characters. md5 of the first
+  // frame makes the check content-dependent, not just shape-dependent.
   private val frames = QueryDef(
     "multimodal_frame_sample",
-    None, // byte-slice frames are not expressible in DuckDB SQL —
-          // rows-only check; the slice logic is unit-tested.
+    Some("""WITH d AS (
+           |  SELECT doc_id, text, octet_length(encode(text)) AS bl FROM documents
+           |  WHERE octet_length(encode(text)) = length(text)),
+           |f AS (
+           |  SELECT doc_id,
+           |    list_transform(range(0, 4), i ->
+           |      substr(text, (1 + (i * greatest(bl - 16, 0) // 3))::INT, 16)) AS frames
+           |  FROM d)
+           |SELECT doc_id, len(frames)::BIGINT AS n_frames,
+           |  length(frames[1])::BIGINT AS f0_len,
+           |  md5(frames[1]) AS f0_md5
+           |FROM f ORDER BY doc_id""".stripMargin),
     (s, dir) => {
       val media = Multimodal.mediaFromText(
-        Tables.table(s, dir, "documents"), "doc_id", "text")
+        Tables.table(s, dir, "documents")
+          .filter(expr("octet_length(text) = length(text)")), "doc_id", "text")
       Multimodal.frameSample(media, n = 4)
-        .select(col("id").as("doc_id"), size(col("frames")).as("n_frames"))
+        .select(col("id").as("doc_id"),
+          size(col("frames")).cast("long").as("n_frames"),
+          expr("cast(octet_length(frames[0]) AS BIGINT)").as("f0_len"),
+          expr("md5(frames[0])").as("f0_md5"))
         .orderBy("doc_id")
     })
 
