@@ -191,6 +191,57 @@ object SqlSurfaceQueries extends QuerySet {
       |WHERE o_totalprice = (SELECT max(o_totalprice) FROM orders)
       |ORDER BY o_orderkey""".stripMargin)
 
+  // O5: keyset pagination — the documented deep-pagination scale path
+  // (Paginator.keysetPage): strictly-after the last-seen key, O(page)
+  // not O(offset+page), the `key > lastSeen` predicate reaches the scan.
+  private val o5 = QueryDef(
+    "o5_keyset_page",
+    Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+           |FROM orders WHERE o_orderkey > 5000
+           |ORDER BY o_orderkey LIMIT 25""".stripMargin),
+    (s, dir) => {
+      import graft.api.Paginator
+      Paginator.keysetPage(
+        Tables.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice"), 2).as("price")),
+        "o_orderkey", lastSeen = Some(5000L), limit = 25)
+    })
+
+  // §2.8 conditional / null-handling functions. No double→int casts
+  // anywhere (Spark truncates, DuckDB rounds — a known divergence).
+  private val f4 = sqlQuery(
+    "f4_conditional_fns",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 300000 THEN 'high'
+      |       WHEN o_totalprice > 100000 THEN 'mid'
+      |       ELSE 'low' END AS band,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+      |  ifnull(nullif(o_orderpriority, o_orderpriority), 'none') AS always_none,
+      |  greatest(o_custkey, mod(o_orderkey, 1000)) AS gk,
+      |  least(o_custkey, mod(o_orderkey, 1000)) AS lk,
+      |  (o_totalprice BETWEEN 100000 AND 300000) AS in_band
+      |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin)
+
+  // §2.8 regex functions. Engine spellings differ: Spark regexp_replace
+  // is global by default, DuckDB needs the 'g' flag; Spark RLIKE ==
+  // DuckDB regexp_matches.
+  private val f5 = QueryDef(
+    "f5_regex_fns",
+    Some("""SELECT c_custkey,
+           |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           |  regexp_replace(c_name, '0+', '-', 'g') AS dashed,
+           |  regexp_matches(c_name, '#0*1') AS near_one,
+           |  length(regexp_replace(c_mktsegment, '[AEIOU]', '', 'g'))::BIGINT AS consonants
+           |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |  regexp_replace(c_name, '0+', '-') AS dashed,
+        |  c_name RLIKE '#0*1' AS near_one,
+        |  cast(length(regexp_replace(c_mktsegment, '[AEIOU]', '')) AS BIGINT) AS consonants
+        |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin))
+
   // Type round-trip (reference data_types endpoint,
   // test/integration/api_configuration/sqls/data_types.sql + its
   // tavern suite): every wire-table scalar family plus nested
@@ -226,5 +277,5 @@ object SqlSurfaceQueries extends QuerySet {
         |  cast(NULL AS INT) AS null_i""".stripMargin))
 
   override val defs: Seq[QueryDef] =
-    Seq(a2, a3, a5, w2, j3, set1, set2, f1, f2, f3, j1, i1, o4, t1)
+    Seq(a2, a3, a5, w2, j3, set1, set2, f1, f2, f3, f4, f5, j1, i1, o4, o5, t1)
 }
