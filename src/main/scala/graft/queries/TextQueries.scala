@@ -45,21 +45,32 @@ object TextQueries extends QuerySet {
   private val RowsPerBand = 3
   private val NumBands = NumHashes / RowsPerBand
 
+  /** Oracle CTE producing the verified near-dup pairs — shared by the
+    * pair entry and the clustering entry. */
+  private val neardupPairsSql =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         round(len(list_intersect(a.s, b.s)) * 1.0 /
+      |               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+      |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7)""".stripMargin
+
   private val neardup = QueryDef(
     "neardup_minhash_lsh",
-    Some("""WITH sh AS (
-           |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
-           |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-           |  WHERE len(w) >= 3)
-           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |       round(len(list_intersect(a.s, b.s)) * 1.0 /
-           |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
-           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
-           |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
-           |ORDER BY id_a, id_b""".stripMargin),
-    (s, dir) => {
+    Some(neardupPairsSql +
+      "\nSELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"),
+    (s, dir) => neardupPairs(s, dir).orderBy("id_a", "id_b"))
+
+  /** Spark-side verified near-dup pairs (id_a < id_b, jaccard ≥ 0.7) —
+    * the LSH candidate pipeline shared by the pair and cluster entries. */
+  private def neardupPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    {
       // Parallelize.ensure: the shingle + minhash_sig stage is the
       // per-row-heavy kernel; a one-file corpus must not serialize it
       // on one core (no-op when the scan is already well-split).
@@ -109,7 +120,61 @@ object TextQueries extends QuerySet {
         .withColumn("jaccard", round(col("inter") / col("uni"), 6))
         .filter(col("inter") / col("uni") >= 0.7)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
+    }
+  }
+
+  // ---- near-dup clustering ----------------------------------------------
+  // Connected components over the verified pair graph: every clustered
+  // doc gets its component's MIN doc_id as cluster_id (the canonical
+  // keeper a dedup pipeline retains). Spark side is min-label
+  // propagation — labels flow along edges until fixpoint, O(component
+  // diameter) joins; dup clusters are near-cliques so this converges in
+  // 2-3 rounds. At 100 TB each round is one shuffle join on the PAIR
+  // set (tiny relative to the corpus — only docs with a near-dup ever
+  // enter the loop). Oracle = DuckDB recursive-CTE transitive closure.
+  private val neardupClusters = QueryDef(
+    "neardup_clusters",
+    Some(neardupPairsSql.replaceFirst("WITH sh", "WITH RECURSIVE sh") + """,
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      |SELECT a AS doc_id, least(a, min(b)) AS cluster_id,
+      |  count(DISTINCT b) FILTER (WHERE b <> a) AS n_linked
+      |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      val pairs = neardupPairs(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+        .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // reachable-set size per node (for the oracle's n_linked): the
+      // closure of a near-clique component is computable as
+      // component-size - 1 AFTER labels converge, so no closure join
+      // is ever materialized on the Spark side.
+      var labels = edges.select(col("a").as("id")).distinct()
+        .withColumn("label", col("id"))
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val nbrMin = edges.join(labels, edges("b") === labels("id"))
+          .groupBy(edges("a").as("nid")).agg(min("label").as("nbr"))
+        val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+          .select(col("id"), col("label"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("next"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        changed = updated.filter(col("next") =!= col("label")).count()
+        labels = updated.select(col("id"), col("next").as("label"))
+        iter += 1
+      }
+      val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
+      labels.join(sizes, "label")
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          (col("csize") - 1).as("n_linked"))
+        .orderBy("doc_id")
     })
 
   // ---- SimHash fingerprint ---------------------------------------------
@@ -291,5 +356,6 @@ object TextQueries extends QuerySet {
     })
 
   override val defs: Seq[QueryDef] = Seq(
-    dedupExact, neardup, simhash, ngramTopk, langId, quality, tokenStats, winnow)
+    dedupExact, neardup, neardupClusters, simhash, ngramTopk, langId, quality,
+    tokenStats, winnow)
 }

@@ -78,6 +78,75 @@ object Streaming {
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, events: Long, total: Double)
 
+  // ---- streaming gap sessionization --------------------------------------
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  /** Open-session state in integer microseconds (same arithmetic as the
+    * batch ev2_sessionize entry — no float/rounding drift possible). */
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+  final case class ClosedSession(
+      user_id: Long,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      n_events: Long)
+
+  /** Streaming form of the batch gap sessionizer (ev2_sessionize): a
+    * session closes after `gapMinutes` of per-user inactivity.
+    * flatMapGroupsWithState + EventTimeTimeout: sessions that close
+    * WITHIN a batch emit immediately; the open tail lives in state with
+    * a timeout at (last event + gap), so once the watermark passes it
+    * the session flushes and its state evicts. State is proportional
+    * to ACTIVE users — the only shape that survives an unbounded
+    * stream. Event-time semantics make the result equal to the batch
+    * operator on the same data (locked by StreamingSpec parity test).
+    */
+  def sessionizeStream(
+      events: Dataset[SessionEvent],
+      gapMinutes: Int = 30,
+      watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    def ts(u: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(u / 1000L)
+      t.setNanos(((u % 1000000L) * 1000L).toInt)
+      t
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, ts(s.startUs), ts(s.lastUs), s.n))
+          } else {
+            // micro-batch order is not event order: sort this batch's
+            // rows, then run the same gap scan as the batch operator
+            val sorted = rows.map(e => us(e.ts)).toArray.sorted
+            val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur = cur match {
+                case Some(s) if t - s.lastUs > gapUs =>
+                  out += ClosedSession(uid, ts(s.startUs), ts(s.lastUs), s.n)
+                  Some(OpenSession(t, t, 1L))
+                case Some(s) => Some(s.copy(lastUs = math.max(s.lastUs, t), n = s.n + 1))
+                case None => Some(OpenSession(t, t, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // flush when the watermark passes last-event + gap
+              state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes * 60L * 1000L)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Running per-user totals across micro-batches via
     * mapGroupsWithState. With `idleTimeout` set, idle keys age out so
     * the state store stays proportional to the ACTIVE key set, not the

@@ -89,6 +89,63 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming sessionization equals the batch gap sessionizer (parity)") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.SessionEvent]
+    val sessions = Streaming.sessionizeStream(input.toDS(), gapMinutes = 30,
+      watermark = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("stream_sessions")
+      .outputMode(OutputMode.Append()).start()
+    def ev(u: Long, t: String) = Streaming.SessionEvent(u, ts(t))
+    // user 1: two sessions (45-min gap); user 2: one session spanning
+    // both micro-batches (gap < 30 min across the batch boundary)
+    val all = Seq(
+      ev(1, "2024-01-01 08:00:00"), ev(1, "2024-01-01 08:10:00"),
+      ev(1, "2024-01-01 08:55:00"), // > 30 min after 08:10 → new session
+      ev(2, "2024-01-01 08:30:00"),
+      ev(2, "2024-01-01 08:50:00"), ev(2, "2024-01-01 09:05:00"),
+      ev(1, "2024-01-01 09:00:00")) // 5 min after 08:55 → same session
+    try {
+      input.addData(all.take(4): _*)
+      q.processAllAvailable()
+      input.addData(all.drop(4): _*)
+      q.processAllAvailable()
+      // watermark driver: a far-future event closes every open session
+      input.addData(ev(99, "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      input.addData(ev(99, "2024-01-01 13:30:00"))
+      q.processAllAvailable()
+
+      val streamed = spark.table("stream_sessions")
+        .filter(col("user_id") < 99)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .toSet
+
+      // batch reference: identical gap logic over the full event set
+      all.toDF("user_id", "ts").createOrReplaceTempView("parity_events")
+      val batch = spark.sql(
+        """SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+          |       count(*) AS n_events
+          |FROM (
+          |  SELECT user_id, ts,
+          |         sum(CASE WHEN prev IS NULL
+          |                    OR unix_micros(ts) - unix_micros(prev) > 1800000000
+          |                  THEN 1 ELSE 0 END)
+          |           OVER (PARTITION BY user_id ORDER BY ts) AS sid
+          |  FROM (SELECT user_id, ts,
+          |               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          |        FROM parity_events))
+          |GROUP BY user_id, sid""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batch)
+      assert(streamed.size == 3) // user1 × 2 sessions + user2 × 1
+    } finally q.stop()
+  }
+
   test("cursor-append stream lands micro-batches as append snapshots") {
     val ss = spark
     import ss.implicits._
