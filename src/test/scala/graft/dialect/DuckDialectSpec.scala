@@ -63,6 +63,12 @@ class DuckDialectSpec extends AnyFunSuite {
       "SELECT * FROM parquet.`/d/t.parquet`")
   }
 
+  test("read_parquet filename=true becomes an input_file_name subquery (taxi.sql)") {
+    val out = translate("SELECT filename, count(*) FROM read_parquet('/d/*.parquet', filename=true) GROUP BY 1")
+    assert(out ==
+      "SELECT filename, count(*) FROM (SELECT *, input_file_name() AS filename FROM parquet.`/d/*.parquet`) GROUP BY 1")
+  }
+
   test("interval unit spellings") {
     assert(translate("now() - INTERVAL '30d'") == "now() - INTERVAL '30' DAY")
     assert(translate("INTERVAL '5m'") == "INTERVAL '5' MINUTE")

@@ -63,10 +63,25 @@ class ReferenceTemplateSpec extends AnyFunSuite {
     assert(without.contains("NULL as recent_orders"))
   }
 
-  test("taxi.sql ports verbatim (positional GROUP BY)") {
+  test("taxi.sql ports verbatim (positional GROUP BY + filename virtual column)") {
     val t = load("taxi/taxi.sql")
     val sql = renderTranslateParse(t, Map.empty,
-      conn = Map("path" -> "/root/testdata/sf0.001/orders.parquet"))
+      conn = Map("path" -> "/root/testdata/sf0.001"))
     assert(sql.toLowerCase.contains("group by"))
+    assert(sql.contains("input_file_name() AS filename"),
+      s"filename=true not shimmed:\n$sql")
+    // and the ported shape EXECUTES: same scan+filename+positional
+    // group-by over real testdata (taxi's VendorID column swapped for
+    // one the corpus carries)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("ref-template-exec")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val runnable = DuckDialect.translate(
+      """select filename, o_orderstatus, count(*)
+        |from read_parquet('/root/testdata/sf0.001/orders.parquet', filename=true)
+        |group by 1, 2""".stripMargin)
+    val rows = spark.sql(runnable).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(0).endsWith("orders.parquet")))
   }
 }
