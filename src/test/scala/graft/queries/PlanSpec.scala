@@ -84,4 +84,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the expression must appear in a Project, not inside an Aggregate
     assert(p.contains("minhash_sig"), s"native expression missing:\n$p")
   }
+
+  test("keyset pagination pushes the strictly-after predicate into the scan") {
+    val p = plan("o5_keyset_page")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
+    assert(p.contains("GreaterThan(o_orderkey,5000)"),
+      s"keyset predicate not pushed to the scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"keyset page should be top-k, not full sort:\n$p")
+  }
+
+  test("ann kernels use the native dot_f64 expression, not HOF lambdas") {
+    Seq("ann_brute_topk", "ann_lsh_topk").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("dot_f64"), s"$q missing native kernel:\n$p")
+      assert(!p.contains("lambdafunction"), s"$q still has interpreted lambdas:\n$p")
+    }
+  }
+
+  test("embeddings scan prunes to the referenced columns") {
+    val p = plan("ann_brute_topk")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("label"),
+      s"ANN scan reads unprojected columns: $readSchema")
+  }
+
+  test("near-dup clustering joins stay on the pair set (no corpus-wide loop)") {
+    val p = plan("neardup_clusters")
+    assert(!p.contains("CartesianProduct"), s"cluster loop went cartesian:\n$p")
+  }
 }
