@@ -146,30 +146,15 @@ object TextQueries extends QuerySet {
       |  count(DISTINCT b) FILTER (WHERE b <> a) AS n_linked
       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
     (s, dir) => {
-      val pairs = neardupPairs(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-        .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // reachable-set size per node (for the oracle's n_linked): the
-      // closure of a near-clique component is computable as
-      // component-size - 1 AFTER labels converge, so no closure join
+      // components over the pair graph (graft.operators
+      // .ConnectedComponents: driver union-find under the broadcast-like
+      // size threshold, distributed min-label propagation above it —
+      // only the PAIR set ever enters either path, never the corpus).
+      // n_linked = component-size - 1: the closure of a component is
+      // derivable from converged labels, so no transitive-closure join
       // is ever materialized on the Spark side.
-      var labels = edges.select(col("a").as("id")).distinct()
-        .withColumn("label", col("id"))
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 20) {
-        val nbrMin = edges.join(labels, edges("b") === labels("id"))
-          .groupBy(edges("a").as("nid")).agg(min("label").as("nbr"))
-        val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-          .select(col("id"), col("label"),
-            least(col("label"), coalesce(col("nbr"), col("label"))).as("next"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        changed = updated.filter(col("next") =!= col("label")).count()
-        labels = updated.select(col("id"), col("next").as("label"))
-        iter += 1
-      }
+      val labels = graft.operators.ConnectedComponents.labels(
+        neardupPairs(s, dir).select(col("id_a"), col("id_b")))
       val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
       labels.join(sizes, "label")
         .select(col("id").as("doc_id"), col("label").as("cluster_id"),

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]").appName("cc-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // chain 1-2-3, pair 10-11, triangle 20-21-22, chain joined late 3-4
+  private def edges = {
+    val rows = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (21L, 22L), (20L, 22L), (3L, 4L))
+    spark.createDataFrame(rows).toDF("a", "b")
+  }
+
+  private val expected = Map(
+    1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+    10L -> 10L, 11L -> 10L,
+    20L -> 20L, 21L -> 20L, 22L -> 20L)
+
+  test("driver union-find path labels components by min id") {
+    val got = ConnectedComponents.labels(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("distributed propagation path produces identical labels") {
+    val got = ConnectedComponents.labels(edges, driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+}
