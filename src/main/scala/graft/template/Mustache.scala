@@ -91,8 +91,18 @@ object Mustache {
               case TagKind.Double => out += Variable(t.inner, raw = false)
               case TagKind.Triple => out += Variable(t.inner, raw = true)
               case TagKind.OpenSection | TagKind.OpenInverted =>
-                val (body, after) = walk(t.end, Some(t.inner))
-                out += Section(t.inner, t.kind == TagKind.OpenInverted, body)
+                // Handlebars-style `{{#if path}} … {{/if}}` (used by the
+                // reference's cache templates, customers_cache.sql:35):
+                // section lookup path is the argument, the close tag is
+                // the literal `if`/`unless`.
+                val (closeAs, lookupName) = t.inner.split("\\s+", 2) match {
+                  case Array(kw @ ("if" | "unless"), path) => (kw, path)
+                  case _ => (t.inner, t.inner)
+                }
+                val (body, after) = walk(t.end, Some(closeAs))
+                val inverted =
+                  t.kind == TagKind.OpenInverted || closeAs == "unless"
+                out += Section(lookupName, inverted, body)
                 cursor = after
               case TagKind.CloseSection =>
                 sectionName match {

@@ -63,6 +63,72 @@ class ReferenceTemplateSpec extends AnyFunSuite {
     assert(without.contains("NULL as recent_orders"))
   }
 
+  private def renderTranslateSplitParse(template: String,
+                                        params: Map[String, String],
+                                        conn: Map[String, String] = Map.empty): Seq[String] = {
+    val ctx = TemplateContext.forRequest(params, conn)
+    val sql = DuckDialect.translate(Mustache.render(template, ctx))
+    val stmts = graft.write.SqlSplitter.split(sql).filter(_.trim.nonEmpty)
+    stmts.foreach(st => CatalystSqlParser.parsePlan(st))
+    stmts
+  }
+
+  test("northwind products-create.sql ports verbatim (multi-statement write)") {
+    val t = load("northwind/products-create.sql")
+    // all optional fields present
+    val full = renderTranslateSplitParse(t, Map(
+      "product_name" -> "Chai", "supplier_id" -> "1", "category_id" -> "2",
+      "quantity_per_unit" -> "10 boxes", "unit_price" -> "18.0",
+      "units_in_stock" -> "39", "units_on_order" -> "0",
+      "reorder_level" -> "10", "discontinued" -> "0"))
+    assert(full.size == 2) // INSERT + trailing RETURNING-convention SELECT
+    assert(full.head.toUpperCase.contains("INSERT INTO"))
+    assert(full.last.contains("MAX(ProductID)"))
+    // optional fields absent → inverted sections supply defaults
+    val defaults = renderTranslateSplitParse(t, Map(
+      "product_name" -> "Chai", "supplier_id" -> "1", "category_id" -> "2"))
+    assert(defaults.head.contains("NULL"))
+    assert(defaults.head.contains("0.0"))
+  }
+
+  test("northwind products-update.sql ports verbatim (conditional SET list)") {
+    val t = load("northwind/products-update.sql")
+    val stmts = renderTranslateSplitParse(t, Map(
+      "product_id" -> "7", "product_name" -> "NewName"))
+    assert(stmts.size == 2) // UPDATE + read-back SELECT
+    assert(stmts.head.toUpperCase.contains("UPDATE NW.PRODUCTS"))
+    assert(stmts.head.contains("ProductName = 'NewName'"))
+    // no optional field at all → trailing-comma guard section renders
+    val minimal = renderTranslateSplitParse(t, Map("product_id" -> "7"))
+    assert(minimal.head.contains("Discontinued = Discontinued"))
+  }
+
+  test("northwind products-delete.sql ports verbatim") {
+    val t = load("northwind/products-delete.sql")
+    val stmts = renderTranslateSplitParse(t, Map("product_id" -> "9"))
+    assert(stmts.size == 1)
+    assert(stmts.head.toUpperCase.contains("DELETE FROM"))
+  }
+
+  test("customers_cache.sql ports verbatim (cache.* vars + CTAS)") {
+    val t = load("customers/customers_cache.sql")
+    val ctx = TemplateContext.forRequest(
+      Map("cacheCatalog" -> "spark_catalog", "cacheSchema" -> "cache",
+        "cacheTable" -> "customers_cache", "cacheSnapshotId" -> "7"),
+      connProps = Map("path" -> "/data/customers.parquet"))
+    val sql = DuckDialect.translate(Mustache.render(t, ctx)).trim.stripSuffix(";")
+    assert(sql.contains("spark_catalog.cache.customers_cache"))
+    assert(sql.contains("'7' as cache_snapshot_id"))
+    // handlebars-style {{#if request.x}} blocks: no request params bound
+    // here → falsy → dropped
+    assert(!sql.contains("request.id"))
+    CatalystSqlParser.parsePlan(sql)
+    // and with a request param present the block renders
+    val withId = Mustache.render(t,
+      ctx.withNamespace("request", Map("id" -> "5")))
+    assert(withId.contains("AND id = 5"))
+  }
+
   test("taxi.sql ports verbatim (positional GROUP BY + filename virtual column)") {
     val t = load("taxi/taxi.sql")
     val sql = renderTranslateParse(t, Map.empty,

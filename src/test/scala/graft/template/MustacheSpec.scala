@@ -94,4 +94,13 @@ class MustacheSpec extends AnyFunSuite {
     val none = Mustache.render(t, ctx())
     assert(!none.contains("AND"))
   }
+
+  test("handlebars #if/#unless blocks (reference cache-template dialect)") {
+    val t = "A{{#if params.x}}[{{params.x}}]{{/if}}{{#unless params.x}}[none]{{/unless}}Z"
+    assert(Mustache.render(t, ctx("x" -> "7")) == "A[7]Z")
+    assert(Mustache.render(t, ctx()) == "A[none]Z")
+    // plain sections with spaces in no keyword position stay strict
+    intercept[Mustache.ParseError](
+      Mustache.render("{{#params.a}}x{{/params.b}}", ctx()))
+  }
 }
