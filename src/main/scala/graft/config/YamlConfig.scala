@@ -53,7 +53,11 @@ object YamlConfig {
       depth: Int = 0): String = {
     require(depth < 10, "include nesting too deep (cycle?)")
     text.linesIterator.map { line =>
-      IncludeRe.findFirstMatchIn(line) match {
+      // a YAML comment may MENTION the include syntax (the reference's
+      // customer-common.yaml:5 documents it in a header comment) —
+      // directives only count on non-comment lines
+      IncludeRe.findFirstMatchIn(line)
+        .filterNot(_ => line.trim.startsWith("#")) match {
         case Some(m) =>
           val indent = line.takeWhile(_ == ' ')
           val cond = Option(m.group(3))
@@ -64,14 +68,27 @@ object YamlConfig {
             val raw = new String(Files.readAllBytes(file), "UTF-8")
             val processed = processIncludes(raw, file.getParent, env, depth + 1)
             val node = new Yaml().load[Any](processed)
-            val selected = section match {
+            // reference semantics (extended_yaml_parser.cpp:313-331): a
+            // SECTION include re-emits under its own section key — the
+            // directive `{{include:request from f}}` expands to
+            // `request:\n  - …`; a whole-file include splices the node.
+            // block style: flow maps (`{k: v}`) cannot sit beside the
+            // including document's sibling block keys
+            val dumpOpts = new org.yaml.snakeyaml.DumperOptions()
+            dumpOpts.setDefaultFlowStyle(
+              org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
+            val dumper = new Yaml(dumpOpts)
+            val emitted = section match {
               case Some(s) =>
-                node.asInstanceOf[java.util.Map[String, Any]].asScala.getOrElse(s,
-                  throw new IllegalArgumentException(s"section '$s' not found in $file"))
-              case None => node
+                val selected = node.asInstanceOf[java.util.Map[String, Any]]
+                  .asScala.getOrElse(s,
+                    throw new IllegalArgumentException(s"section '$s' not found in $file"))
+                val wrapper = new java.util.LinkedHashMap[String, Any]()
+                wrapper.put(s, selected)
+                dumper.dump(wrapper)
+              case None => dumper.dump(node)
             }
-            new Yaml().dump(selected).linesIterator
-              .map(l => indent + l).mkString("\n")
+            emitted.linesIterator.map(l => indent + l).mkString("\n")
           }
         case None => line
       }
@@ -91,15 +108,27 @@ object YamlConfig {
 
   def parseValidator(v: Any): ValidatorConfig = {
     val m = asMap(v)
+    val tpe = str(m, "type").getOrElse("string")
+    // the reference's date/time validators spell their bounds as plain
+    // min/max (customer-common.yaml: `min: "2000-01-01"`); numeric
+    // min/max applies to string/int validators only
+    val rawMin = str(m, "min").orElse(str(m, "min-length"))
+    val rawMax = str(m, "max").orElse(str(m, "max-length"))
+    def intOr0(s: Option[String]) =
+      s.flatMap(x => scala.util.Try(x.toInt).toOption).getOrElse(0)
     ValidatorConfig(
-      tpe = str(m, "type").getOrElse("string"),
+      tpe = tpe,
       regex = str(m, "regex").orElse(str(m, "pattern")).getOrElse(""),
-      min = str(m, "min").orElse(str(m, "min-length")).map(_.toInt).getOrElse(0),
-      max = str(m, "max").orElse(str(m, "max-length")).map(_.toInt).getOrElse(0),
-      minDate = str(m, "min-date").getOrElse(""),
-      maxDate = str(m, "max-date").getOrElse(""),
-      minTime = str(m, "min-time").getOrElse(""),
-      maxTime = str(m, "max-time").getOrElse(""),
+      min = if (tpe == "date" || tpe == "time") 0 else intOr0(rawMin),
+      max = if (tpe == "date" || tpe == "time") 0 else intOr0(rawMax),
+      minDate = str(m, "min-date")
+        .orElse(if (tpe == "date") rawMin else None).getOrElse(""),
+      maxDate = str(m, "max-date")
+        .orElse(if (tpe == "date") rawMax else None).getOrElse(""),
+      minTime = str(m, "min-time")
+        .orElse(if (tpe == "time") rawMin else None).getOrElse(""),
+      maxTime = str(m, "max-time")
+        .orElse(if (tpe == "time") rawMax else None).getOrElse(""),
       allowedValues = Option(m.get("allowedValues")).orElse(Option(m.get("allowed-values")))
         .map(asList(_).map(String.valueOf)).getOrElse(Nil),
       preventSqlInjection = str(m, "preventSqlInjection")
@@ -126,7 +155,9 @@ object YamlConfig {
       table = str(m, "table").getOrElse(""),
       schema = str(m, "schema").getOrElse("cache"),
       schedule = str(m, "schedule"),
-      primaryKeys = Option(m.get("primary-keys"))
+      // the reference spells both `primary-keys` and `primary-key`
+      // (customers-rest.yaml:32)
+      primaryKeys = Option(m.get("primary-keys")).orElse(Option(m.get("primary-key")))
         .map(asList(_).map(String.valueOf)).getOrElse(Nil),
       cursor = Option(m.get("cursor")).map { c =>
         val cm = asMap(c)

@@ -69,9 +69,11 @@ class YamlConfigSpec extends AnyFunSuite {
   }
 
   test("includes compose sections with indentation and conditions") {
+    // reference usage shape (customers-rest.yaml:11): a top-level
+    // section include re-emits under its own section key
     val dir = Files.createTempDirectory("graft_yaml")
     Files.write(dir.resolve("common.yaml"),
-      """validation:
+      """request:
         |  - field-name: id
         |    validators:
         |      - type: int
@@ -80,8 +82,7 @@ class YamlConfigSpec extends AnyFunSuite {
         |""".stripMargin.getBytes("UTF-8"))
     Files.write(dir.resolve("ep.yaml"),
       """url-path: /x
-        |request:
-        |  {{include:validation from common.yaml}}
+        |{{include:request from common.yaml}}
         |description-skipped: {{include:extras from common.yaml if env.MISSING_FLAG}}
         |""".stripMargin.getBytes("UTF-8"))
     val ep = YamlConfig.loadEndpoint(dir.resolve("ep.yaml"), env = Map.empty)
