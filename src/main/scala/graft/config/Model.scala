@@ -58,6 +58,14 @@ final case class TemplateEnvConfig(allowedPatterns: Seq[String] = Nil) {
   def isAllowed(name: String): Boolean = compiled.exists(_.matches(name))
 }
 
+/** An endpoint exposed as an MCP tool under an explicit tool name
+  * (reference customers-mcp-tool.yaml; tool-only endpoints carry no
+  * url-path). */
+final case class McpToolConfig(
+    name: String,
+    description: String = "",
+    resultMimeType: String = "application/json")
+
 /** An endpoint exposed as an MCP resource: its template's result is the
   * resource content at `graft://<name>` (reference
   * mcp_route_handlers.cpp:643-652, flapi:// scheme). */
@@ -85,5 +93,6 @@ final case class EndpointConfig(
     withPagination: Boolean = true,
     isWrite: Boolean = false,
     cache: CacheConfig = CacheConfig(),
+    mcpTool: Option[McpToolConfig] = None,
     mcpResource: Option[McpResourceConfig] = None,
     mcpPrompt: Option[McpPromptConfig] = None)

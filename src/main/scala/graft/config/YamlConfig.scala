@@ -174,11 +174,49 @@ object YamlConfig {
       templateFile = str(m, "template-file"))
   }
 
+  private def parseMcpTool(v: Any): McpToolConfig = {
+    val m = asMap(v)
+    McpToolConfig(
+      name = str(m, "name").getOrElse(
+        throw new IllegalArgumentException("mcp-tool missing name")),
+      description = str(m, "description").getOrElse(""),
+      resultMimeType = str(m, "result-mime-type").getOrElse("application/json"))
+  }
+
+  private def parseMcpResource(v: Any): McpResourceConfig = {
+    val m = asMap(v)
+    McpResourceConfig(
+      name = str(m, "name").getOrElse(
+        throw new IllegalArgumentException("mcp-resource missing name")),
+      description = str(m, "description").getOrElse(""),
+      mimeType = str(m, "mime-type").getOrElse("application/json"))
+  }
+
+  private def parseMcpPrompt(v: Any): McpPromptConfig = {
+    val m = asMap(v)
+    McpPromptConfig(
+      name = str(m, "name").getOrElse(
+        throw new IllegalArgumentException("mcp-prompt missing name")),
+      description = str(m, "description").getOrElse(""),
+      template = str(m, "template").getOrElse(""),
+      arguments = Option(m.get("arguments"))
+        .map(asList(_).map(String.valueOf)).getOrElse(Nil))
+  }
+
   def parseEndpoint(yaml: String): EndpointConfig = {
     val m = asMap(new Yaml().load[Any](yaml))
+    val mcpTool = Option(m.get("mcp-tool")).map(parseMcpTool)
+    val mcpResource = Option(m.get("mcp-resource")).map(parseMcpResource)
+    val mcpPrompt = Option(m.get("mcp-prompt")).map(parseMcpPrompt)
+    // MCP-only endpoints (tool/resource/prompt yamls) carry no url-path;
+    // their serving identity is the mcp name (reference PathUtils slug)
+    val mcpName = mcpTool.map(_.name)
+      .orElse(mcpResource.map(_.name)).orElse(mcpPrompt.map(_.name))
     EndpointConfig(
-      urlPath = str(m, "url-path").getOrElse(
-        throw new IllegalArgumentException("endpoint missing url-path")),
+      urlPath = str(m, "url-path")
+        .orElse(mcpName.map("/mcp/" + _)).getOrElse(
+          throw new IllegalArgumentException(
+            "endpoint missing url-path (and no mcp-tool/resource/prompt name)")),
       method = str(m, "method").getOrElse("GET"),
       templateSource = str(m, "template-source").getOrElse(""),
       connection = Option(m.get("connection")).map {
@@ -192,7 +230,10 @@ object YamlConfig {
       withPagination = str(m, "with-pagination").forall(_.toBoolean),
       isWrite = str(m, "method").exists(x =>
         Set("POST", "PUT", "PATCH", "DELETE").contains(x.toUpperCase)),
-      cache = Option(m.get("cache")).map(parseCache).getOrElse(CacheConfig()))
+      cache = Option(m.get("cache")).map(parseCache).getOrElse(CacheConfig()),
+      mcpTool = mcpTool,
+      mcpResource = mcpResource,
+      mcpPrompt = mcpPrompt)
   }
 
   /** Load an endpoint file: env substitution → include expansion →
@@ -206,7 +247,7 @@ object YamlConfig {
     parseEndpoint(expanded)
   }
 
-  /** Auto-discovery: every *.yaml with a url-path under `dir`
+  /** Auto-discovery: every *.yaml with a url-path or mcp-* block under `dir`
     * (config_manager endpoint scan). */
   def discoverEndpoints(
       dir: String,
@@ -218,7 +259,10 @@ object YamlConfig {
       .flatMap { p =>
         try {
           val txt = new String(Files.readAllBytes(p), "UTF-8")
-          if (txt.contains("url-path")) Some(loadEndpoint(p, envAllow)) else None
+          val isEndpoint = txt.contains("url-path") ||
+            txt.contains("mcp-tool") || txt.contains("mcp-resource") ||
+            txt.contains("mcp-prompt")
+          if (isEndpoint) Some(loadEndpoint(p, envAllow)) else None
         } catch { case _: Exception => None }
       }.toSeq.sortBy(_.urlPath)
   }

@@ -21,9 +21,11 @@ final class EndpointRegistry(initial: Seq[ServedEndpoint]) {
 
   def all: Seq[ServedEndpoint] = ref.get()
 
-  /** URL-safe endpoint identity, identical to the MCP tool name. */
+  /** URL-safe endpoint identity, identical to the MCP tool name: an
+    * explicit mcp-tool name wins; otherwise the sanitized url-path. */
   def slug(ep: ServedEndpoint): String =
-    ep.config.urlPath.stripPrefix("/").replaceAll("[/:]+", "_")
+    ep.config.mcpTool.map(_.name).getOrElse(
+      ep.config.urlPath.stripPrefix("/").replaceAll("[/:]+", "_"))
 
   def find(slug0: String): Option[ServedEndpoint] = all.find(slug(_) == slug0)
 

@@ -446,8 +446,7 @@ final class GraftServer(
     }
   }
 
-  private def toolName(ep: ServedEndpoint): String =
-    ep.config.urlPath.stripPrefix("/").replaceAll("[/:]+", "_")
+  private def toolName(ep: ServedEndpoint): String = registry.slug(ep)
 
   // ---- serialization helpers -------------------------------------------
 

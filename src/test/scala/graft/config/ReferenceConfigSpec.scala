@@ -49,6 +49,28 @@ class ReferenceConfigSpec extends AnyFunSuite {
     assert(name.validators.exists(v => v.tpe == "string" && v.min == 1 && v.max == 100))
   }
 
+  test("MCP tool/resource/prompt YAMLs bind (no url-path needed)") {
+    val tool = YamlConfig.loadEndpoint(
+      Paths.get(base, "customers/customers-mcp-tool.yaml"))
+    assert(tool.mcpTool.exists(_.name == "customer_lookup"))
+    assert(tool.urlPath == "/mcp/customer_lookup")
+    assert(tool.requestFields.map(_.fieldName).contains("segment")) // via include
+
+    val res = YamlConfig.loadEndpoint(
+      Paths.get(base, "customers/customers-mcp-resource.yaml"))
+    assert(res.mcpResource.exists(r =>
+      r.name == "customer_schema" && r.mimeType == "application/json"))
+    assert(res.templateSource == "customer-mcp-resource-schema.sql")
+
+    val prompt = YamlConfig.loadEndpoint(
+      Paths.get(base, "customers/customers-mcp-prompt.yaml"))
+    val p = prompt.mcpPrompt.get
+    assert(p.name == "customer_data_analysis")
+    assert(p.arguments == Seq("customer_id", "segment", "analysis_type",
+      "time_period", "include_schema"))
+    assert(p.template.contains("customer data analyst"))
+  }
+
   test("every reference example YAML with a url-path loads without error") {
     for (dir <- Seq("customers", "northwind", "taxi", "sap", "publicis", "recommendations")) {
       val eps = YamlConfig.discoverEndpoints(s"$base/$dir")
