@@ -1,0 +1,100 @@
+package graft.server
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.config._
+import graft.template.TemplateSource
+
+/** Project bootstrap: the flapi.yaml → running-server path
+  * (reference: main.cpp loads flapi.yaml via ConfigManager, inits
+  * connections, discovers endpoint configs under template.path, starts
+  * APIServer). A reference user points this at their existing config
+  * tree and serves it on Spark.
+  */
+object GraftBootstrap {
+
+  /** Parsed project file (reference flapi.yaml: project-name,
+    * template.path + environment-whitelist, connections map). */
+  final case class ProjectConfig(
+      projectName: String,
+      templatePath: String,
+      envWhitelist: Seq[String] = Nil,
+      connections: Seq[ConnectionConfig] = Nil)
+
+  def parseProject(yaml: String): ProjectConfig = {
+    val root = new org.yaml.snakeyaml.Yaml().load[Any](yaml)
+      .asInstanceOf[java.util.Map[String, Any]]
+    def str(m: java.util.Map[String, Any], k: String): Option[String] =
+      Option(m.get(k)).map(String.valueOf).filter(_ != "null")
+    val template = Option(root.get("template"))
+      .map(_.asInstanceOf[java.util.Map[String, Any]])
+    val whitelist = template.flatMap(t => Option(t.get("environment-whitelist")))
+      .map(_.asInstanceOf[java.util.List[Any]])
+      .map { l => (0 until l.size()).map(i => String.valueOf(l.get(i))) }
+      .getOrElse(Seq.empty)
+    val conns = Option(root.get("connections"))
+      .map(_.asInstanceOf[java.util.Map[String, Any]])
+      .map { cm =>
+        import scala.jdk.CollectionConverters._
+        cm.asScala.toSeq.map { case (name, v) =>
+          val m = v.asInstanceOf[java.util.Map[String, Any]]
+          val props = Option(m.get("properties"))
+            .map(_.asInstanceOf[java.util.Map[String, Any]])
+            .map(_.asScala.map { case (k, pv) => k -> String.valueOf(pv) }.toMap)
+            .getOrElse(Map.empty[String, String])
+          ConnectionConfig(name, props, str(m, "init"))
+        }
+      }.getOrElse(Seq.empty)
+    ProjectConfig(
+      projectName = str(root, "project-name").getOrElse("graft"),
+      templatePath = template.flatMap(t => str(t, "path")).getOrElse("."),
+      envWhitelist = whitelist,
+      connections = conns)
+  }
+
+  /** Load a project tree: project yaml → discovered endpoints with
+    * their templates resolved through the VFS layer. Relative template
+    * paths resolve against the project file's directory. */
+  def loadProject(spark: SparkSession, projectYaml: Path):
+      (ProjectConfig, Seq[ServedEndpoint]) = {
+    val project = parseProject(Files.readString(projectYaml))
+    val envAllow = TemplateEnvConfig(project.envWhitelist)
+    val base = Option(projectYaml.getParent).getOrElse(Paths.get("."))
+    val templateDir =
+      if (TemplateSource.isRemote(project.templatePath)) project.templatePath
+      else base.resolve(project.templatePath).normalize().toString
+    // connection init is engine config (fs.* conf, JDBC attach); init
+    // SQL runs best-effort — reference init blocks carry DuckDB
+    // INSTALL/LOAD statements that have no Spark analog
+    project.connections.foreach { c =>
+      try graft.sources.Connections.init(spark, c)
+      catch { case e: Exception =>
+        System.err.println(s"[bootstrap] connection '${c.name}' init skipped: ${e.getMessage}")
+      }
+    }
+    val connProps = project.connections
+      .flatMap(c => c.properties.map { case (k, v) => k -> v }).toMap
+    val endpoints = YamlConfig.discoverEndpoints(templateDir, envAllow.isAllowed)
+      .flatMap { ep =>
+        try {
+          val template = TemplateSource.load(spark, ep.templateSource, Some(templateDir))
+          Some(ServedEndpoint(ep, template, connProps = connProps))
+        } catch { case e: Exception =>
+          System.err.println(s"[bootstrap] endpoint ${ep.urlPath} skipped: ${e.getMessage}")
+          None
+        }
+      }
+    (project, endpoints)
+  }
+
+  /** One-call serve: discover + load + start. */
+  def serve(spark: SparkSession, projectYaml: String, port: Int = 0,
+            wire: WireConfig = WireConfig(),
+            configService: Option[ConfigServiceConfig] = None): GraftServer = {
+    val (_, endpoints) = loadProject(spark, Paths.get(projectYaml))
+    new GraftServer(spark, endpoints, port = port, wire = wire,
+      configService = configService).start()
+  }
+}

@@ -1,0 +1,102 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** flapi.yaml → running server: a project tree laid out like the
+  * reference's examples/ directory serves with one call. */
+class BootstrapSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var server: GraftServer = _
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]").appName("bootstrap-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop()
+    if (spark != null) spark.stop()
+  }
+
+  test("project yaml + endpoint tree discovers, loads templates, serves REST and MCP") {
+    val root = Files.createTempDirectory("graft_project")
+    val sqls = Files.createDirectory(root.resolve("sqls"))
+    Files.writeString(root.resolve("project.yaml"),
+      """project-name: bootstrap-test
+        |template:
+        |  path: './sqls'
+        |connections:
+        |  customers-parquet:
+        |    properties:
+        |      path: '/root/testdata/sf0.001/customer.parquet'
+        |""".stripMargin)
+    Files.writeString(sqls.resolve("custs.yaml"),
+      """url-path: /custs
+        |template-source: custs.sql
+        |with-pagination: "false"
+        |request:
+        |  - field-name: segment
+        |    validators:
+        |      - type: string
+        |""".stripMargin)
+    Files.writeString(sqls.resolve("custs.sql"),
+      """SELECT c_custkey, c_name FROM read_parquet('{{conn.path}}')
+        |WHERE 1=1
+        |{{#params.segment}} AND c_mktsegment = '{{{params.segment}}}' {{/params.segment}}
+        |ORDER BY c_custkey LIMIT 5""".stripMargin)
+    Files.writeString(sqls.resolve("lookup-tool.yaml"),
+      """mcp-tool:
+        |  name: cust_lookup
+        |  description: look up customers
+        |template-source: custs.sql
+        |""".stripMargin)
+
+    server = GraftBootstrap.serve(spark, root.resolve("project.yaml").toString)
+    val base = s"http://127.0.0.1:${server.boundPort}"
+
+    val rest = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/custs?segment=BUILDING")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(rest.statusCode() == 200, rest.body())
+    val rows = mapper.readTree(rest.body())
+    assert(rows.size() > 0)
+    assert(rows.get(0).has("c_name"))
+
+    // the mcp-tool yaml (no url-path) serves under its tool name
+    val tools = mapper.readTree(client.send(
+      HttpRequest.newBuilder(URI.create(base + "/mcp/jsonrpc"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"jsonrpc":"2.0","id":1,"method":"tools/list"}""")).build(),
+      HttpResponse.BodyHandlers.ofString()).body())
+      .get("result").get("tools")
+    val names = (0 until tools.size()).map(tools.get(_).get("name").asText())
+    assert(names.contains("cust_lookup"))
+    assert(names.contains("custs"))
+
+    val call = mapper.readTree(client.send(
+      HttpRequest.newBuilder(URI.create(base + "/mcp/jsonrpc"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"jsonrpc":"2.0","id":2,"method":"tools/call",
+            |"params":{"name":"cust_lookup","arguments":{}}}""".stripMargin)).build(),
+      HttpResponse.BodyHandlers.ofString()).body())
+    val data = mapper.readTree(
+      call.get("result").get("content").get(0).get("text").asText())
+    assert(data.size() == 5)
+  }
+}
