@@ -58,6 +58,30 @@ final case class TemplateEnvConfig(allowedPatterns: Seq[String] = Nil) {
   def isAllowed(name: String): Boolean = compiled.exists(_.matches(name))
 }
 
+/** Endpoint auth block (reference customer-common.yaml `auth:`; types
+  * basic / jwt|bearer). Inline users carry roles for RBAC. */
+final case class AuthUserConfig(
+    username: String,
+    password: String,
+    roles: Seq[String] = Nil)
+
+final case class AuthConfig(
+    enabled: Boolean = false,
+    tpe: String = "basic",
+    users: Seq[AuthUserConfig] = Nil,
+    jwtSecret: Option[String] = None,
+    jwtIssuer: Option[String] = None)
+
+/** Endpoint rate-limit block (`rate-limit:` — max requests per
+  * interval seconds). */
+final case class RateLimitSettings(
+    enabled: Boolean = false,
+    max: Int = 0,
+    intervalSeconds: Int = 60) {
+  def requestsPerMinute: Int =
+    if (intervalSeconds <= 0) max else math.max(1, max * 60 / intervalSeconds)
+}
+
 /** An endpoint exposed as an MCP tool under an explicit tool name
   * (reference customers-mcp-tool.yaml; tool-only endpoints carry no
   * url-path). */
@@ -95,4 +119,6 @@ final case class EndpointConfig(
     cache: CacheConfig = CacheConfig(),
     mcpTool: Option[McpToolConfig] = None,
     mcpResource: Option[McpResourceConfig] = None,
-    mcpPrompt: Option[McpPromptConfig] = None)
+    mcpPrompt: Option[McpPromptConfig] = None,
+    auth: Option[AuthConfig] = None,
+    rateLimit: Option[RateLimitSettings] = None)

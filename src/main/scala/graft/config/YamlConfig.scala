@@ -203,6 +203,32 @@ object YamlConfig {
         .map(asList(_).map(String.valueOf)).getOrElse(Nil))
   }
 
+  private def parseAuth(v: Any): AuthConfig = {
+    val m = asMap(v)
+    AuthConfig(
+      enabled = str(m, "enabled").exists(_.toBoolean),
+      tpe = str(m, "type").getOrElse("basic"),
+      users = Option(m.get("users")).map(asList(_).map { u =>
+        val um = asMap(u)
+        AuthUserConfig(
+          username = str(um, "username").getOrElse(""),
+          password = str(um, "password").getOrElse(""),
+          roles = Option(um.get("roles"))
+            .map(asList(_).map(String.valueOf)).getOrElse(Nil))
+      }).getOrElse(Nil),
+      jwtSecret = str(m, "jwt-secret"),
+      jwtIssuer = str(m, "jwt-issuer"))
+  }
+
+  private def parseRateLimit(v: Any): RateLimitSettings = {
+    val m = asMap(v)
+    RateLimitSettings(
+      enabled = str(m, "enabled").exists(_.toBoolean),
+      max = str(m, "max").flatMap(x => scala.util.Try(x.toInt).toOption).getOrElse(0),
+      intervalSeconds = str(m, "interval")
+        .flatMap(x => scala.util.Try(x.toInt).toOption).getOrElse(60))
+  }
+
   def parseEndpoint(yaml: String): EndpointConfig = {
     val m = asMap(new Yaml().load[Any](yaml))
     val mcpTool = Option(m.get("mcp-tool")).map(parseMcpTool)
@@ -233,7 +259,9 @@ object YamlConfig {
       cache = Option(m.get("cache")).map(parseCache).getOrElse(CacheConfig()),
       mcpTool = mcpTool,
       mcpResource = mcpResource,
-      mcpPrompt = mcpPrompt)
+      mcpPrompt = mcpPrompt,
+      auth = Option(m.get("auth")).map(parseAuth),
+      rateLimit = Option(m.get("rate-limit")).map(parseRateLimit))
   }
 
   /** Load an endpoint file: env substitution → include expansion →

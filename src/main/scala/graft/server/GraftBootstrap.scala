@@ -80,7 +80,13 @@ object GraftBootstrap {
       .flatMap { ep =>
         try {
           val template = TemplateSource.load(spark, ep.templateSource, Some(templateDir))
-          Some(ServedEndpoint(ep, template, connProps = connProps))
+          Some(ServedEndpoint(ep, template, connProps = connProps,
+            // endpoint rate-limit block → serving token bucket
+            rateLimit = ep.rateLimit.filter(_.enabled)
+              .map(rl => RateLimitConfig(rl.requestsPerMinute)),
+            // auth-enabled endpoints grant their configured users' roles
+            allowedRoles = ep.auth.filter(_.enabled).map(a =>
+              a.users.flatMap(_.roles).distinct)))
         } catch { case e: Exception =>
           System.err.println(s"[bootstrap] endpoint ${ep.urlPath} skipped: ${e.getMessage}")
           None
@@ -89,12 +95,32 @@ object GraftBootstrap {
     (project, endpoints)
   }
 
-  /** One-call serve: discover + load + start. */
+  /** Merge endpoint auth blocks into the server-level auth providers:
+    * inline basic users union across endpoints; the first jwt block
+    * supplies the HS256 secret/issuer. */
+  def authProviders(endpoints: Seq[ServedEndpoint]):
+      (Option[BasicAuthConfig], Option[JwtConfig], Boolean) = {
+    val enabled = endpoints.flatMap(_.config.auth).filter(_.enabled)
+    val users = enabled.filter(a => a.tpe == "basic")
+      .flatMap(_.users)
+      .filter(u => u.username.nonEmpty && !u.username.contains("{{"))
+      .map(u => u.username -> ((u.password, u.roles)))
+      .toMap
+    val basic = if (users.nonEmpty) Some(BasicAuthConfig(users)) else None
+    val jwt = enabled.find(a => (a.tpe == "jwt" || a.tpe == "bearer")
+        && a.jwtSecret.exists(s => s.nonEmpty && !s.contains("{{")))
+      .map(a => JwtConfig(a.jwtSecret.get, a.jwtIssuer.filterNot(_.contains("{{"))))
+    (basic, jwt, enabled.nonEmpty)
+  }
+
+  /** One-call serve: discover + load + wire auth providers + start. */
   def serve(spark: SparkSession, projectYaml: String, port: Int = 0,
             wire: WireConfig = WireConfig(),
             configService: Option[ConfigServiceConfig] = None): GraftServer = {
     val (_, endpoints) = loadProject(spark, Paths.get(projectYaml))
+    val (basic, jwt, anyAuth) = authProviders(endpoints)
     new GraftServer(spark, endpoints, port = port, wire = wire,
+      mcpAuthEnabled = anyAuth, basicAuth = basic, jwtAuth = jwt,
       configService = configService).start()
   }
 }

@@ -148,9 +148,12 @@ final class GraftServer(
   // ---- REST -------------------------------------------------------------
 
   /** Auth middleware: Bearer (JWT) or Basic by header scheme, whichever
-    * is configured. None = anonymous OK (no auth configured); Some(None)
-    * = auth required but failed. */
-  private def authRequired: Boolean = basicAuth.isDefined || jwtAuth.isDefined
+    * is configured. Enforcement is per endpoint like the reference's
+    * middleware: providers configured ⇒ required, unless the endpoint
+    * explicitly declares `auth: enabled: false`. */
+  private def authRequired(ep: ServedEndpoint): Boolean =
+    (basicAuth.isDefined || jwtAuth.isDefined) &&
+      ep.config.auth.forall(_.enabled)
 
   private def authenticate(ex: HttpExchange): Option[Map[String, String]] = {
     val header = Option(ex.getRequestHeaders.getFirst("Authorization"))
@@ -183,7 +186,7 @@ final class GraftServer(
         }
         // auth middleware: reserved __auth_* params injected on success
         val authParams =
-          if (!authRequired) Map.empty[String, String]
+          if (!authRequired(ep)) authenticate(ex).getOrElse(Map.empty)
           else authenticate(ex) match {
             case Some(p) => p
             case None =>

@@ -33,6 +33,13 @@ class ReferenceConfigSpec extends AnyFunSuite {
     assert(ep.cache.cursor.exists(c => c.column == "registration_date" && c.tpe == "date"))
     assert(ep.cache.retention.keepLastSnapshots.contains(3))
     assert(ep.cache.retention.maxSnapshotAge.contains("7d"))
+    // auth + rate-limit blocks (via include) bind for the serving layer
+    val auth = ep.auth.get
+    assert(auth.enabled && auth.tpe == "basic")
+    assert(auth.users.exists(u => u.username == "admin" && u.roles.contains("admin")))
+    val rl = ep.rateLimit.get
+    assert(rl.enabled && rl.max == 100 && rl.intervalSeconds == 60)
+    assert(rl.requestsPerMinute == 100)
   }
 
   test("northwind products-create.yaml binds as a write endpoint") {

@@ -99,4 +99,50 @@ class BootstrapSpec extends AnyFunSuite with BeforeAndAfterAll {
       call.get("result").get("content").get(0).get("text").asText())
     assert(data.size() == 5)
   }
+
+  test("yaml auth blocks wire basic auth with per-endpoint opt-out") {
+    val root = Files.createTempDirectory("graft_project_auth")
+    val sqls = Files.createDirectory(root.resolve("sqls"))
+    Files.writeString(root.resolve("project.yaml"),
+      """project-name: auth-test
+        |template:
+        |  path: './sqls'
+        |""".stripMargin)
+    Files.writeString(sqls.resolve("secure.yaml"),
+      """url-path: /secure
+        |template-source: one.sql
+        |with-pagination: "false"
+        |auth:
+        |  enabled: true
+        |  type: basic
+        |  users:
+        |    - username: admin
+        |      password: secret
+        |      roles: [admin]
+        |""".stripMargin)
+    Files.writeString(sqls.resolve("open.yaml"),
+      """url-path: /open
+        |template-source: one.sql
+        |with-pagination: "false"
+        |auth:
+        |  enabled: false
+        |""".stripMargin)
+    Files.writeString(sqls.resolve("one.sql"), "SELECT 1 AS one")
+
+    val srv = GraftBootstrap.serve(spark, root.resolve("project.yaml").toString)
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      def get(path: String, headers: (String, String)*) = {
+        val b = HttpRequest.newBuilder(URI.create(base + path))
+        headers.foreach { case (k, v) => b.header(k, v) }
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      assert(get("/secure").statusCode() == 401)
+      val cred = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("admin:secret".getBytes("UTF-8"))
+      assert(get("/secure", "Authorization" -> cred).statusCode() == 200)
+      // explicit auth: enabled: false opts the endpoint out
+      assert(get("/open").statusCode() == 200)
+    } finally srv.stop()
+  }
 }
