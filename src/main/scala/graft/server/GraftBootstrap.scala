@@ -56,9 +56,10 @@ object GraftBootstrap {
 
   /** Load a project tree: project yaml → discovered endpoints with
     * their templates resolved through the VFS layer. Relative template
-    * paths resolve against the project file's directory. */
+    * paths resolve against the project file's directory. Returns the
+    * resolved template dir as well (cache templates resolve against it). */
   def loadProject(spark: SparkSession, projectYaml: Path):
-      (ProjectConfig, Seq[ServedEndpoint]) = {
+      (ProjectConfig, Seq[ServedEndpoint], String) = {
     val project = parseProject(Files.readString(projectYaml))
     val envAllow = TemplateEnvConfig(project.envWhitelist)
     val base = Option(projectYaml.getParent).getOrElse(Paths.get("."))
@@ -92,7 +93,7 @@ object GraftBootstrap {
           None
         }
       }
-    (project, endpoints)
+    (project, endpoints, templateDir)
   }
 
   /** Merge endpoint auth blocks into the server-level auth providers:
@@ -113,14 +114,46 @@ object GraftBootstrap {
     (basic, jwt, enabled.nonEmpty)
   }
 
-  /** One-call serve: discover + load + wire auth providers + start. */
+  /** One-call serve: discover + load + wire auth providers + cache
+    * warmup/scheduler (reference boot order: warmUpCaches then
+    * heartbeat worker, main.cpp) + start.
+    *
+    * `cacheWarehouse` roots the snapshot tables; when set, cache-enabled
+    * endpoints warm up at boot and scheduled ones refresh on their
+    * `schedule:` interval, and the config API's cache/refresh trigger is
+    * live. Stop the returned scheduler with the server. */
   def serve(spark: SparkSession, projectYaml: String, port: Int = 0,
             wire: WireConfig = WireConfig(),
-            configService: Option[ConfigServiceConfig] = None): GraftServer = {
-    val (_, endpoints) = loadProject(spark, Paths.get(projectYaml))
+            configService: Option[ConfigServiceConfig] = None,
+            cacheWarehouse: Option[String] = None): GraftServer = {
+    val (_, endpoints, templateDir) = loadProject(spark, Paths.get(projectYaml))
     val (basic, jwt, anyAuth) = authProviders(endpoints)
+    val manager = cacheWarehouse.map(new graft.cache.CacheManager(spark, _))
+    manager.foreach { cm =>
+      val cached = endpoints.filter(e =>
+        e.config.cache.enabled && e.config.cache.table.nonEmpty)
+      // a dedicated cache template (cache.template-file) wins over the
+      // endpoint's read template, mirroring the reference's split
+      val templates = cached.map { e =>
+        val t = e.config.cache.templateFile match {
+          case Some(f) => TemplateSource.load(spark, f, Some(templateDir))
+          case None => e.template
+        }
+        e.config -> t
+      }.toMap
+      // boot warmup (C7): every cache-enabled endpoint refreshes once
+      cached.foreach { e =>
+        try cm.refresh(e.config, templates(e.config), Map.empty, e.connProps)
+        catch { case ex: Exception =>
+          System.err.println(s"[bootstrap] warmup ${e.config.urlPath} failed: ${ex.getMessage}")
+        }
+      }
+      // interval scheduler (C6) for endpoints carrying schedule:
+      val scheduler = new graft.cache.RefreshScheduler(cm)
+      scheduler.start(cached.map(_.config), templates)
+    }
     new GraftServer(spark, endpoints, port = port, wire = wire,
       mcpAuthEnabled = anyAuth, basicAuth = basic, jwtAuth = jwt,
-      configService = configService).start()
+      configService = configService, cacheManager = manager).start()
   }
 }

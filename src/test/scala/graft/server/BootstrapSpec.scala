@@ -100,6 +100,44 @@ class BootstrapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(data.size() == 5)
   }
 
+  test("cache-enabled endpoints warm up at boot; cache template file wins") {
+    val root = Files.createTempDirectory("graft_project_cache")
+    val sqls = Files.createDirectory(root.resolve("sqls"))
+    val warehouse = Files.createTempDirectory("graft_bootstrap_wh")
+    Files.writeString(root.resolve("project.yaml"),
+      """project-name: cache-test
+        |template:
+        |  path: './sqls'
+        |""".stripMargin)
+    Files.writeString(sqls.resolve("cached.yaml"),
+      """url-path: /cached
+        |template-source: read.sql
+        |with-pagination: "false"
+        |cache:
+        |  enabled: true
+        |  table: boot_cache
+        |  template-file: cache.sql
+        |""".stripMargin)
+    Files.writeString(sqls.resolve("read.sql"), "SELECT 0 AS wrong")
+    Files.writeString(sqls.resolve("cache.sql"),
+      "SELECT c_custkey FROM read_parquet('/root/testdata/sf0.001/customer.parquet') WHERE c_custkey <= 7")
+
+    val srv = GraftBootstrap.serve(spark,
+      root.resolve("project.yaml").toString,
+      cacheWarehouse = Some(warehouse.toString))
+    try {
+      // warmup ran the CACHE template (not read.sql) into the snapshot
+      // table (CacheManager roots tables under <warehouse>/<schema>)
+      val t = new graft.cache.SnapshotTable(spark,
+        s"$warehouse/cache", "boot_cache")
+      val expected = spark.read
+        .parquet("/root/testdata/sf0.001/customer.parquet")
+        .filter("c_custkey <= 7").count()
+      assert(t.read().count() == expected)
+      assert(t.read().columns.toSeq == Seq("c_custkey")) // cache.sql, not read.sql
+    } finally srv.stop()
+  }
+
   test("yaml auth blocks wire basic auth with per-endpoint opt-out") {
     val root = Files.createTempDirectory("graft_project_auth")
     val sqls = Files.createDirectory(root.resolve("sqls"))
