@@ -162,6 +162,41 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  // ---- deduplicated corpus ----------------------------------------------
+  // The pipeline's END PRODUCT: drop every near-dup that is not its
+  // cluster's canonical keeper (min doc_id), keep everything else.
+  // Output is a corpus digest (count + char mass + id bounds) so the
+  // compare stays narrow while depending on the exact survivor set.
+  // Scale: one anti-join of the corpus against the (tiny) loser set —
+  // corpus rows stream map-side past a broadcast of the losers.
+  private val neardupCorpus = QueryDef(
+    "neardup_dedup_corpus",
+    Some(neardupPairsSql.replaceFirst("WITH sh", "WITH RECURSIVE sh") + """,
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |losers AS (
+      |  SELECT a AS doc_id FROM reach GROUP BY a HAVING least(a, min(b)) < a)
+      |SELECT count(*) AS n_docs,
+      |  cast(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin),
+    (s, dir) => {
+      val labels = graft.operators.ConnectedComponents.labels(
+        neardupPairs(s, dir).select(col("id_a"), col("id_b")))
+      val losers = labels.filter(col("id") =!= col("label"))
+        .select(col("id").as("doc_id"))
+      Tables.table(s, dir, "documents")
+        .join(broadcast(losers), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("total_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+    })
+
   // ---- SimHash fingerprint ---------------------------------------------
   // 32-bit SimHash over whitespace tokens, hash = first 8 hex chars of
   // md5 (engine-portable). Bit loop is SQL here for oracle parity; the
@@ -341,6 +376,6 @@ object TextQueries extends QuerySet {
     })
 
   override val defs: Seq[QueryDef] = Seq(
-    dedupExact, neardup, neardupClusters, simhash, ngramTopk, langId, quality,
-    tokenStats, winnow)
+    dedupExact, neardup, neardupClusters, neardupCorpus, simhash, ngramTopk,
+    langId, quality, tokenStats, winnow)
 }

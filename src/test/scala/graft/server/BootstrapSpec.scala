@@ -64,6 +64,20 @@ class BootstrapSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  description: look up customers
         |template-source: custs.sql
         |""".stripMargin)
+    Files.writeString(sqls.resolve("schema-resource.yaml"),
+      """mcp-resource:
+        |  name: cust_schema
+        |  description: customer schema
+        |template-source: custs.sql
+        |""".stripMargin)
+    Files.writeString(sqls.resolve("analysis-prompt.yaml"),
+      """mcp-prompt:
+        |  name: cust_analysis
+        |  description: analyze customers
+        |  template: "Analyze customer {{cid}} carefully."
+        |  arguments: [cid]
+        |template-source: custs.sql
+        |""".stripMargin)
 
     server = GraftBootstrap.serve(spark, root.resolve("project.yaml").toString)
     val base = s"http://127.0.0.1:${server.boundPort}"
@@ -88,16 +102,33 @@ class BootstrapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(names.contains("cust_lookup"))
     assert(names.contains("custs"))
 
-    val call = mapper.readTree(client.send(
+    def rpc(body: String) = mapper.readTree(client.send(
       HttpRequest.newBuilder(URI.create(base + "/mcp/jsonrpc"))
         .header("Content-Type", "application/json")
-        .POST(HttpRequest.BodyPublishers.ofString(
-          """{"jsonrpc":"2.0","id":2,"method":"tools/call",
-            |"params":{"name":"cust_lookup","arguments":{}}}""".stripMargin)).build(),
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
       HttpResponse.BodyHandlers.ofString()).body())
+
+    val call = rpc(
+      """{"jsonrpc":"2.0","id":2,"method":"tools/call",
+        |"params":{"name":"cust_lookup","arguments":{}}}""".stripMargin)
     val data = mapper.readTree(
       call.get("result").get("content").get(0).get("text").asText())
     assert(data.size() == 5)
+
+    // YAML-configured mcp-resource and mcp-prompt serve too
+    val resources = rpc("""{"jsonrpc":"2.0","id":3,"method":"resources/list"}""")
+      .get("result").get("resources")
+    assert(resources.size() == 1)
+    assert(resources.get(0).get("uri").asText() == "graft://cust_schema")
+    val read = rpc(
+      """{"jsonrpc":"2.0","id":4,"method":"resources/read","params":{"uri":"graft://cust_schema"}}""")
+    assert(mapper.readTree(read.get("result").get("contents").get(0)
+      .get("text").asText()).size() == 5)
+    val prompt = rpc(
+      """{"jsonrpc":"2.0","id":5,"method":"prompts/get",
+        |"params":{"name":"cust_analysis","arguments":{"cid":"42"}}}""".stripMargin)
+    assert(prompt.get("result").get("messages").get(0).get("content")
+      .get("text").asText() == "Analyze customer 42 carefully.")
   }
 
   test("cache-enabled endpoints warm up at boot; cache template file wins") {
