@@ -116,6 +116,9 @@ final case class EndpointConfig(
     requestFieldsValidation: Boolean = false,
     withPagination: Boolean = true,
     isWrite: Boolean = false,
+    /** write endpoints: return the trailing SELECT's rows (reference
+      * operation.returns-data, products-create.yaml). */
+    returnsData: Boolean = true,
     cache: CacheConfig = CacheConfig(),
     mcpTool: Option[McpToolConfig] = None,
     mcpResource: Option[McpResourceConfig] = None,

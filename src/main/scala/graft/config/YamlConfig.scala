@@ -254,8 +254,14 @@ object YamlConfig {
       requestFieldsValidation =
         str(m, "request-fields-validation").exists(_.toBoolean),
       withPagination = str(m, "with-pagination").forall(_.toBoolean),
-      isWrite = str(m, "method").exists(x =>
-        Set("POST", "PUT", "PATCH", "DELETE").contains(x.toUpperCase)),
+      // write-ness: an explicit operation.type: write block (reference
+      // products-create.yaml) or a mutating HTTP method
+      isWrite = Option(m.get("operation")).map(asMap)
+        .flatMap(om => str(om, "type")).contains("write") ||
+        str(m, "method").exists(x =>
+          Set("POST", "PUT", "PATCH", "DELETE").contains(x.toUpperCase)),
+      returnsData = Option(m.get("operation")).map(asMap)
+        .flatMap(om => str(om, "returns-data")).forall(_.toBoolean),
       cache = Option(m.get("cache")).map(parseCache).getOrElse(CacheConfig()),
       mcpTool = mcpTool,
       mcpResource = mcpResource,

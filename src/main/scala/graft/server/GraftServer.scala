@@ -247,7 +247,8 @@ final class GraftServer(
   private def handleWrite(ex: HttpExchange, ep: ServedEndpoint,
                           params: Map[String, String]): Unit = {
     val result = WriteExecutor.executeWrite(
-      spark, ep.config, ep.template, params, returnsData = true, ep.connProps)
+      spark, ep.config, ep.template, params,
+      returnsData = ep.config.returnsData, ep.connProps)
     val data = result.returnedData.map(collectJson)
     val status = if (result.rowsAffected > 0) 201 else 200
     val body = data match {

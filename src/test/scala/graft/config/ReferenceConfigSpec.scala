@@ -47,7 +47,8 @@ class ReferenceConfigSpec extends AnyFunSuite {
       Paths.get(base, "northwind/products-create.yaml"))
     assert(ep.urlPath == "/northwind/products/")
     assert(ep.method == "POST")
-    assert(ep.isWrite)
+    assert(ep.isWrite) // both operation.type: write and method: POST say so
+    assert(ep.returnsData) // operation.returns-data: true
     val req = ep.requestFields.map(_.fieldName)
     assert(req.contains("product_name") && req.contains("supplier_id"))
     val name = ep.requestFields.find(_.fieldName == "product_name").get
