@@ -108,6 +108,10 @@ final case class McpPromptConfig(
 
 final case class EndpointConfig(
     urlPath: String,
+    /** true for tool/resource/prompt-only configs (no url-path in the
+      * YAML): they serve ONLY via MCP JSON-RPC, never as a REST route —
+      * a REST alias would bypass MCP RBAC. */
+    mcpOnly: Boolean = false,
     method: String = "GET",
     templateSource: String,
     connection: Seq[String] = Nil,

@@ -243,6 +243,9 @@ object YamlConfig {
         .orElse(mcpName.map("/mcp/" + _)).getOrElse(
           throw new IllegalArgumentException(
             "endpoint missing url-path (and no mcp-tool/resource/prompt name)")),
+      // no explicit url-path → MCP-only: the synthetic path is an
+      // identity, NOT a REST route (REST would bypass MCP RBAC)
+      mcpOnly = str(m, "url-path").isEmpty && mcpName.isDefined,
       method = str(m, "method").getOrElse("GET"),
       templateSource = str(m, "template-source").getOrElse(""),
       connection = Option(m.get("connection")).map {

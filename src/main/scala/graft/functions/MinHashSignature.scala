@@ -122,12 +122,18 @@ object GraftFunctions {
         while (b < 32) { if (weights(b) > 0) fp |= (1L << b); b += 1 }
         fp
       })
-      spark.udf.register("dot_f64", (a: Seq[Double], b: Seq[Double]) => {
-        val n = math.min(a.length, b.length)
-        var acc = 0.0; var i = 0
-        while (i < n) { acc += a(i) * b(i); i += 1 }
-        acc
-      })
+      spark.udf.register("dot_f64",
+        (a: Seq[java.lang.Double], b: Seq[java.lang.Double]) => {
+          // same NULL semantics as the expression: null element or
+          // length mismatch → NULL
+          if (a == null || b == null || a.length != b.length ||
+              a.exists(_ == null) || b.exists(_ == null)) null
+          else {
+            var acc = 0.0; var i = 0
+            while (i < a.length) { acc += a(i) * b(i); i += 1 }
+            java.lang.Double.valueOf(acc)
+          }
+        })
       spark.udf.register("winnow_digest", (text: String) => {
         val (k, w) = (5, 4)
         val n = text.length - k + 1

@@ -40,13 +40,21 @@ case class DotF64(left: Expression, right: Expression)
           s"dot_f64 expects (ARRAY<DOUBLE>, ARRAY<DOUBLE>), got ($l, $r)")
     }
 
+  // a null ELEMENT or a length mismatch yields NULL, matching the
+  // zip_with+aggregate HOF spelling this expression replaced (zip_with
+  // pads the short side with null; null propagates through * and +) —
+  // a silent 0.0 for a null slot would invent a finite similarity
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }

@@ -57,10 +57,14 @@ object ConnectedComponents {
         StructField("label", LongType, nullable = false))))
   }
 
-  /** Distributed min-label propagation to fixpoint. Each round is one
+  /** Distributed min-label propagation to FIXPOINT. Each round is one
     * shuffle join over the (bidirectional) edge set; near-clique
-    * components converge in 2-3 rounds, the 20-round bound covers any
-    * realistic dup-graph diameter. */
+    * components converge in 2-3 rounds and a path component in
+    * O(diameter) rounds. The loop runs until no label changes —
+    * stopping early would silently mislabel far nodes of a long chain,
+    * so the only bound is a defensive cap that FAILS LOUDLY (a
+    * converging propagation can never hit it: 10k rounds would mean a
+    * 10k-hop component diameter). */
   private def propagate(e: DataFrame): DataFrame = {
     val bidir = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -68,7 +72,10 @@ object ConnectedComponents {
       .withColumn("label", col("id"))
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0) {
+      if (iter >= 10000)
+        throw new IllegalStateException(
+          s"label propagation did not converge after $iter rounds")
       val nbrMin = bidir.join(labels, bidir("b") === labels("id"))
         .groupBy(bidir("a").as("nid")).agg(min("label").as("nbr"))
       val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")

@@ -33,18 +33,29 @@ final class EndpointRegistry(initial: Seq[ServedEndpoint]) {
     ref.updateAndGet(cur => cur.filterNot(slug(_) == slug(ep)) :+ ep)
 
   def remove(slug0: String): Boolean = {
-    val before = ref.get()
-    val after = before.filterNot(slug(_) == slug0)
-    ref.set(after)
-    after.size < before.size
+    // atomic like upsert: a get/filter/set window would drop a
+    // concurrent upsert landing between the reads
+    val before = ref.getAndUpdate(cur => cur.filterNot(slug(_) == slug0))
+    before.exists(slug(_) == slug0)
   }
+
+  /** Atomic PUT: drop the old slug and install the new endpoint in ONE
+    * swap — readers never observe the endpoint missing. */
+  def replace(oldSlug: String, ep: ServedEndpoint): Unit =
+    ref.updateAndGet(cur =>
+      cur.filterNot(e => slug(e) == oldSlug || slug(e) == slug(ep)) :+ ep)
 }
 
 final case class ConfigServiceConfig(
     enabled: Boolean = true,
     /** Bearer token required on every _config route when set
       * (config_service.cpp validateToken). */
-    token: Option[String] = None)
+    token: Option[String] = None,
+    /** `{{conn.*}}` properties granted to endpoints created through the
+      * API (the bootstrap passes the project's connection map — an
+      * API-created endpoint must render conn refs like a discovered
+      * one). */
+    connProps: Map[String, String] = Map.empty)
 
 /** Config-service REST API v1 (reference config_service.cpp:258-660):
   * endpoint CRUD, validation, reload, template get/put/expand/test,
@@ -143,7 +154,15 @@ final class ConfigApi(
           graft.template.TemplateSource.load(spark, config.templateSource)
         else ""
       if (template.trim.isEmpty) Left("missing 'template' (SQL text) or resolvable 'template-source'")
-      else Right(ServedEndpoint(config, template))
+      else Right(ServedEndpoint(config, template,
+        // same wiring as bootstrap-discovered endpoints: conn props,
+        // declared rate limit, RBAC roles from the auth block — an
+        // API-created endpoint must not silently shed its config
+        connProps = cfg.connProps,
+        rateLimit = config.rateLimit.filter(_.enabled)
+          .map(rl => RateLimitConfig(rl.requestsPerMinute)),
+        allowedRoles = config.auth.filter(_.enabled)
+          .map(_.users.flatMap(_.roles).distinct)))
     } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
 
   /** Endpoint-config validation: structural checks + a dry render with
@@ -220,10 +239,9 @@ final class ConfigApi(
             val errs = validate(ep)
             if (errs.nonEmpty) err(ex, 400, errs.mkString("; "))
             else {
-              // PUT upserts under the SLUG identity: replacing an
-              // endpoint whose url-path changed removes the old route
-              registry.remove(slug)
-              registry.upsert(ep)
+              // atomic replace under the SLUG identity: an endpoint
+              // whose url-path changed swaps routes in one step
+              registry.replace(slug, ep)
               json(ex, 200, mapper.writeValueAsString(configJson(ep)))
             }
         }

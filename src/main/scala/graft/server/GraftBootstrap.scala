@@ -75,12 +75,22 @@ object GraftBootstrap {
         System.err.println(s"[bootstrap] connection '${c.name}' init skipped: ${e.getMessage}")
       }
     }
-    val connProps = project.connections
+    val connByName = project.connections.map(c => c.name -> c.properties).toMap
+    // fallback for endpoints that do not pick a connection: union of all
+    // (collisions keep the last — declare `connection:` to disambiguate)
+    val allConnProps = project.connections
       .flatMap(c => c.properties.map { case (k, v) => k -> v }).toMap
     val endpoints = YamlConfig.discoverEndpoints(templateDir, envAllow.isAllowed)
       .flatMap { ep =>
         try {
           val template = TemplateSource.load(spark, ep.templateSource, Some(templateDir))
+          // an endpoint's `connection:` list selects WHICH connections
+          // feed its {{conn.*}} namespace — a project with several
+          // path-bearing connections must not cross-wire datasets
+          val connProps =
+            if (ep.connection.nonEmpty)
+              ep.connection.flatMap(n => connByName.getOrElse(n, Map.empty)).toMap
+            else allConnProps
           Some(ServedEndpoint(ep, template, connProps = connProps,
             // endpoint rate-limit block → serving token bucket
             rateLimit = ep.rateLimit.filter(_.enabled)
@@ -126,8 +136,10 @@ object GraftBootstrap {
             wire: WireConfig = WireConfig(),
             configService: Option[ConfigServiceConfig] = None,
             cacheWarehouse: Option[String] = None): GraftServer = {
-    val (_, endpoints, templateDir) = loadProject(spark, Paths.get(projectYaml))
+    val (project, endpoints, templateDir) = loadProject(spark, Paths.get(projectYaml))
     val (basic, jwt, anyAuth) = authProviders(endpoints)
+    val allConnProps = project.connections
+      .flatMap(c => c.properties.map { case (k, v) => k -> v }).toMap
     val manager = cacheWarehouse.map(new graft.cache.CacheManager(spark, _))
     manager.foreach { cm =>
       val cached = endpoints.filter(e =>
@@ -152,8 +164,11 @@ object GraftBootstrap {
       val scheduler = new graft.cache.RefreshScheduler(cm)
       scheduler.start(cached.map(_.config), templates)
     }
+    // API-created endpoints get the project connection map too
+    val csWithConns = configService.map(cs =>
+      if (cs.connProps.isEmpty) cs.copy(connProps = allConnProps) else cs)
     new GraftServer(spark, endpoints, port = port, wire = wire,
       mcpAuthEnabled = anyAuth, basicAuth = basic, jwtAuth = jwt,
-      configService = configService, cacheManager = manager).start()
+      configService = csWithConns, cacheManager = manager).start()
   }
 }

@@ -150,10 +150,14 @@ final class GraftServer(
   /** Auth middleware: Bearer (JWT) or Basic by header scheme, whichever
     * is configured. Enforcement is per endpoint like the reference's
     * middleware: providers configured ⇒ required, unless the endpoint
-    * explicitly declares `auth: enabled: false`. */
+    * explicitly declares `auth: enabled: false`. An endpoint that
+    * DECLARES auth enabled is fail-closed even when no provider
+    * survived bootstrap (e.g. all credentials were unresolved env
+    * placeholders): it 401s rather than serving anonymously. */
   private def authRequired(ep: ServedEndpoint): Boolean =
-    (basicAuth.isDefined || jwtAuth.isDefined) &&
-      ep.config.auth.forall(_.enabled)
+    ep.config.auth.exists(_.enabled) ||
+      ((basicAuth.isDefined || jwtAuth.isDefined) &&
+        ep.config.auth.forall(_.enabled))
 
   private def authenticate(ex: HttpExchange): Option[Map[String, String]] = {
     val header = Option(ex.getRequestHeaders.getFirst("Authorization"))
@@ -165,7 +169,9 @@ final class GraftServer(
     val path = ex.getRequestURI.getPath
     val method = ex.getRequestMethod.toUpperCase
     val matched = eps.iterator.flatMap { ep =>
-      if (!ep.config.method.equalsIgnoreCase(method)) None
+      // MCP-only endpoints never match REST: their synthetic path is an
+      // identity, and a REST alias would bypass MCP RBAC
+      if (ep.config.mcpOnly || !ep.config.method.equalsIgnoreCase(method)) None
       else RouteTranslator.matchAndExtract(ep.config.urlPath, path).map(ep -> _)
     }.toSeq.headOption
 
@@ -177,7 +183,10 @@ final class GraftServer(
         restRateLimit.orElse(matched.flatMap(_._1.rateLimit)).foreach { rl =>
           val client = Option(ex.getRemoteAddress)
             .map(_.getAddress.getHostAddress).getOrElse("unknown")
-          val d = rateLimiter.tryAcquire(s"rest:$path", client, rl)
+          // bucket key = the endpoint's ROUTE PATTERN, not the concrete
+          // URI: /customers/:id must share one bucket across ids (a
+          // per-URI key is bypassable and grows without bound)
+          val d = rateLimiter.tryAcquire(s"rest:${ep.config.urlPath}", client, rl)
           if (!d.allowed) {
             ex.getResponseHeaders.set("Retry-After", d.retryAfterSeconds.toString)
             respond(ex, 429, """{"error":"rate limit exceeded"}""", "application/json")
@@ -302,9 +311,11 @@ final class GraftServer(
             val decision = AuthorizationPolicy.authorize(
               s"resource:$rname", ep.allowedRoles, roles, mcpAuthEnabled)
             if (!decision.allowed) { rpcError(-32602, s"Permission denied: ${decision.reason}"); return }
-            // resources take no input parameters; same bounds as tools
+            // resources take no input parameters; same bounds as tools —
+            // no configured maxRows still caps at the wire default (an
+            // unbounded collect is never the default)
             val df = TemplatePipeline.run(spark, ep.config, ep.template, Map.empty, ep.connProps)
-            val limited = ep.shape.maxRows.fold(df)(n => df.limit(n))
+            val limited = df.limit(ep.shape.maxRows.getOrElse(wire.defaultRowCap))
             val text = collectJson(limited)
             reply(s"""{"contents":[{"uri":${quote(uri)},"mimeType":${quote(ep.config.mcpResource.get.mimeType)},"text":${quote(text)}}]}""")
         }
@@ -437,7 +448,9 @@ final class GraftServer(
                 if (ep.shape.sample)
                   ResponseShaper.sampleJson(df.count(), df.schema.fieldNames.toSeq)
                 else {
-                  val limited = ep.shape.maxRows.fold(df)(n => df.limit(n))
+                  // no configured maxRows still caps at the wire default —
+                  // an unbounded collect is never the default
+                  val limited = df.limit(ep.shape.maxRows.getOrElse(wire.defaultRowCap))
                   ResponseShaper.shape(collectJson(limited), ep.shape)
                 }
               reply(s"""{"content":[{"type":"text","text":${quote(shaped)}}]}""")

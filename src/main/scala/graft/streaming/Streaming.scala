@@ -124,7 +124,11 @@ object Streaming {
             Iterator.single(ClosedSession(uid, ts(s.startUs), ts(s.lastUs), s.n))
           } else {
             // micro-batch order is not event order: sort this batch's
-            // rows, then run the same gap scan as the batch operator
+            // rows, then run the same gap scan as the batch operator.
+            // A late-but-within-watermark event landing BEFORE the open
+            // session extends its start backwards (batch semantics);
+            // one landing more than a gap before the open session's
+            // start emits as its own earlier session.
             val sorted = rows.map(e => us(e.ts)).toArray.sorted
             val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
             var cur = state.getOption
@@ -133,7 +137,12 @@ object Streaming {
                 case Some(s) if t - s.lastUs > gapUs =>
                   out += ClosedSession(uid, ts(s.startUs), ts(s.lastUs), s.n)
                   Some(OpenSession(t, t, 1L))
-                case Some(s) => Some(s.copy(lastUs = math.max(s.lastUs, t), n = s.n + 1))
+                case Some(s) if s.startUs - t > gapUs =>
+                  out += ClosedSession(uid, ts(t), ts(t), 1L)
+                  Some(s)
+                case Some(s) => Some(s.copy(
+                  startUs = math.min(s.startUs, t),
+                  lastUs = math.max(s.lastUs, t), n = s.n + 1))
                 case None => Some(OpenSession(t, t, 1L))
               }
             }

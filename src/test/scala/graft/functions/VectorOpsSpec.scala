@@ -39,12 +39,17 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(0) == r.getDouble(1))
   }
 
-  test("dot_f64 is null-safe and length-tolerant") {
+  test("dot_f64 null semantics match the zip_with+aggregate HOF spelling") {
     val r = spark.sql(
       "SELECT dot_f64(cast(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS a, " +
-        "dot_f64(array(1.0D, 2.0D), array(3.0D)) AS b").collect().head
+        "dot_f64(array(1.0D, 2.0D), array(3.0D)) AS b, " + // length mismatch
+        "dot_f64(array(1.0D, CAST(NULL AS DOUBLE)), array(3.0D, 4.0D)) AS c, " + // null element
+        "aggregate(zip_with(array(1.0D, 2.0D), array(3.0D), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) AS hof_b"
+    ).collect().head
     assert(r.isNullAt(0))
-    assert(r.getDouble(1) == 3.0)
+    assert(r.isNullAt(1))
+    assert(r.isNullAt(2))
+    assert(r.isNullAt(3)) // the HOF reference agrees: mismatch → NULL
   }
 
   test("Parallelize.ensure widens a single-partition input and is a no-op otherwise") {

@@ -162,6 +162,24 @@ class AuthSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(third.headers().firstValue("Retry-After").get().toLong >= 1L)
   }
 
+  test("rate limit buckets key on the route pattern, not the concrete URI") {
+    // /rl/:id shares ONE bucket across ids — a per-URI key would be
+    // bypassable by iterating ids
+    val srv = new GraftServer(spark, Seq(ServedEndpoint(
+      EndpointConfig(urlPath = "/rl/:id", templateSource = "t.sql",
+        withPagination = false,
+        requestFields = Seq(RequestFieldConfig("id"))),
+      "SELECT {{params.id}} AS got"),
+      ),
+      restRateLimit = Some(RateLimitConfig(requestsPerMinute = 2))).start()
+    try {
+      val b = s"http://127.0.0.1:${srv.boundPort}"
+      assert(get(b, "/rl/1").statusCode() == 200)
+      assert(get(b, "/rl/2").statusCode() == 200)
+      assert(get(b, "/rl/3").statusCode() == 429) // third id, same bucket
+    } finally srv.stop()
+  }
+
   test("request audit log records every request as queryable JSONL") {
     get(rlBase, "/no-such-route") // a 404 is audited too
     val lines = java.nio.file.Files.readAllLines(auditPath)

@@ -129,6 +129,42 @@ class BootstrapSpec extends AnyFunSuite with BeforeAndAfterAll {
         |"params":{"name":"cust_analysis","arguments":{"cid":"42"}}}""".stripMargin)
     assert(prompt.get("result").get("messages").get(0).get("content")
       .get("text").asText() == "Analyze customer 42 carefully.")
+
+    // MCP-only endpoints must NOT be reachable as REST routes — that
+    // would bypass MCP RBAC
+    assert(client.send(
+      HttpRequest.newBuilder(URI.create(base + "/mcp/cust_lookup")).build(),
+      HttpResponse.BodyHandlers.ofString()).statusCode() == 404)
+  }
+
+  test("auth-enabled endpoint fails CLOSED when no provider survives bootstrap") {
+    val root = Files.createTempDirectory("graft_project_failclosed")
+    val sqls = Files.createDirectory(root.resolve("sqls"))
+    Files.writeString(root.resolve("project.yaml"),
+      "project-name: fc\ntemplate:\n  path: './sqls'\n")
+    // every credential is an unresolved env placeholder → no basic users
+    // survive the provider merge; the endpoint must 401, not serve open
+    Files.writeString(sqls.resolve("secure.yaml"),
+      """url-path: /secure-fc
+        |template-source: one.sql
+        |with-pagination: "false"
+        |auth:
+        |  enabled: true
+        |  type: basic
+        |  users:
+        |    - username: '{{env.MISSING_USER}}'
+        |      password: '{{env.MISSING_PASS}}'
+        |      roles: [read]
+        |""".stripMargin)
+    Files.writeString(sqls.resolve("one.sql"), "SELECT 1 AS one")
+    val srv = GraftBootstrap.serve(spark, root.resolve("project.yaml").toString)
+    try {
+      val r = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.boundPort}/secure-fc")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 401)
+    } finally srv.stop()
   }
 
   test("cache-enabled endpoints warm up at boot; cache template file wins") {
