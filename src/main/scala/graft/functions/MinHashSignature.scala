@@ -134,6 +134,11 @@ object GraftFunctions {
             java.lang.Double.valueOf(acc)
           }
         })
+      spark.udf.register("tokens_in_set",
+        (tokens: Seq[String], markers: Seq[String]) => {
+          val set = markers.filter(_ != null).toSet
+          tokens.count(t => t != null && set.contains(t))
+        })
       spark.udf.register("winnow_digest", (text: String) => {
         val (k, w) = (5, 4)
         val n = text.length - k + 1
@@ -182,5 +187,9 @@ object GraftFunctions {
       new FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
       (exprs: Seq[Expression]) => DotF64(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("tokens_in_set"),
+      new ExpressionInfo(classOf[TokensInSet].getName, "tokens_in_set"),
+      (exprs: Seq[Expression]) => TokensInSet(exprs(0), exprs(1))))
   }
 }

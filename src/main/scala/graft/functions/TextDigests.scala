@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.InternalRow
@@ -139,4 +139,57 @@ case class SimHash32(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SimHash32 =
     copy(child = newChild)
   override def prettyName: String = "simhash32"
+}
+
+/** `tokens_in_set(tokens, markers)` → INT: how many elements of
+  * `tokens` (WITH multiplicity) appear in the constant `markers` array
+  * — exactly `size(filter(tokens, t -> t IN (…)))` but as one compiled
+  * hash-set probe per token instead of an interpreted lambda dispatch
+  * per element (the r3 verdict's lang_id/quality hot-path defect). The
+  * marker set must be foldable; it is resolved once per task, not per
+  * row. Multiplicity counting matters: a marker appearing 5× scores 5,
+  * matching the DuckDB oracle's `len(list_filter(…))`.
+  */
+case class TokensInSet(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) if right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+      TypeCheckResult.TypeCheckFailure("tokens_in_set expects a constant marker array")
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"tokens_in_set expects (ARRAY<STRING>, ARRAY<STRING>), got $other")
+  }
+
+  @transient private lazy val markers: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      val u = arr.getUTF8String(i)
+      if (u != null) s.add(u.clone())
+      i += 1
+    }
+    s
+  }
+
+  override protected def nullSafeEval(tokens: Any, ignored: Any): Any = {
+    val arr = tokens.asInstanceOf[ArrayData]
+    var c = 0
+    var i = 0
+    while (i < arr.numElements()) {
+      val u = arr.getUTF8String(i)
+      if (u != null && markers.contains(u)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): TokensInSet =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "tokens_in_set"
 }

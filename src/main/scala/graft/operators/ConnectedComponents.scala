@@ -68,24 +68,38 @@ object ConnectedComponents {
   private def propagate(e: DataFrame): DataFrame = {
     val bidir = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = bidir.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
-    var changed = 1L
-    var iter = 0
-    while (changed > 0) {
-      if (iter >= 10000)
-        throw new IllegalStateException(
-          s"label propagation did not converge after $iter rounds")
-      val nbrMin = bidir.join(labels, bidir("b") === labels("id"))
-        .groupBy(bidir("a").as("nid")).agg(min("label").as("nbr"))
-      val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("next"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = updated.filter(col("next") =!= col("label")).count()
-      labels = updated.select(col("id"), col("next").as("label"))
-      iter += 1
-    }
-    labels
+    try {
+      var labels = bidir.select(col("a").as("id")).distinct()
+        .withColumn("label", col("id"))
+      // each round's cache is released as soon as the NEXT round has
+      // materialized on top of it (r3 verdict: every round's `updated`
+      // leaked for the life of the session — a storage-memory leak on a
+      // long-lived serving JVM).
+      var prev: DataFrame = null
+      var changed = 1L
+      var iter = 0
+      while (changed > 0) {
+        if (iter >= 10000)
+          throw new IllegalStateException(
+            s"label propagation did not converge after $iter rounds")
+        val nbrMin = bidir.join(labels, bidir("b") === labels("id"))
+          .groupBy(bidir("a").as("nid")).agg(min("label").as("nbr"))
+        val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+          .select(col("id"), col("label"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("next"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        changed = updated.filter(col("next") =!= col("label")).count()
+        if (prev != null) prev.unpersist(false)
+        prev = updated
+        labels = updated.select(col("id"), col("next").as("label"))
+        iter += 1
+      }
+      // converged: materialize the final labels off the last round's
+      // cache, then release it — callers get a self-contained result
+      // with no live dependency on loop-internal caches.
+      val out = labels.localCheckpoint(true)
+      if (prev != null) prev.unpersist(false)
+      out
+    } finally bidir.unpersist(false)
   }
 }

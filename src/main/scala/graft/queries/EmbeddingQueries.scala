@@ -106,15 +106,23 @@ object EmbeddingQueries extends QuerySet {
            |ORDER BY probe_id, rn""".stripMargin),
     (s, dir) => {
       val e = withNorm(s, dir)
-      val anchors = broadcast(e.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("aid"), col("v").as("pv")))
-      val codes = e.crossJoin(anchors)
-        .withColumn("dot", expr(dotExpr))
-        .groupBy("vec_id")
-        .agg(sum(when(col("dot") > 0,
-          expr("shiftleft(cast(1 AS BIGINT), cast(aid AS INT))"))
-          .otherwise(0L)).as("code"))
-      val coded = e.join(codes, "vec_id")
+      // The 4 anchor vectors are a constant-sized side input: collect
+      // them (one 4-row job) and fold them into the projection as array
+      // literals — code assignment becomes a pure map-side pass over
+      // the corpus. The r3 spelling (crossJoin + groupBy(vec_id) +
+      // re-join on vec_id) shuffled the full corpus TWICE to compute
+      // the same 4 dot products per row; at 100 TB that is two
+      // full-corpus exchanges vs zero.
+      val anchorVecs = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("aid"), col("v"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      val code = anchorVecs.map { case (aid, av) =>
+        when(call_function("dot_f64", col("v"), array(av.map(lit): _*)) > 0,
+          lit(1L << aid)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val coded = e.withColumn("code", code)
       val probes = broadcast(coded.filter(col("vec_id").isin(10, 20, 30))
         .select(col("vec_id").as("probe_id"), col("code").as("pcode"),
           col("v").as("pv"), col("nrm").as("pn")))

@@ -258,7 +258,11 @@ final class GraftServer(
     val result = WriteExecutor.executeWrite(
       spark, ep.config, ep.template, params,
       returnsData = ep.config.returnsData, ep.connProps)
-    val data = result.returnedData.map(collectJson)
+    // RETURNING data is driver-memory-bound exactly like a non-paginated
+    // read: cap at the wire default (plan-level GlobalLimit — Spark also
+    // stops computing past it), so a write whose trailing SELECT yields
+    // a big table cannot materialize it all on the driver.
+    val data = result.returnedData.map(df => collectJson(df.limit(wire.defaultRowCap)))
     val status = if (result.rowsAffected > 0) 201 else 200
     val body = data match {
       case Some(d) => s"""{"rows_affected":${result.rowsAffected},"data":$d}"""

@@ -39,4 +39,13 @@ class FallbackSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = plain.sql("SELECT minhash_sig(array('a b c', 'b c d'), 4) AS s")
     assert(df.collect().head.getSeq[Long](0) == viaPlain)
   }
+
+  test("tokens_in_set counts WITH multiplicity, like size(filter(t IN …))") {
+    graft.Tables.register(plain, "/root/testdata/sf0.001") // installs fallbacks
+    val r = plain.sql(
+      "SELECT tokens_in_set(array('the','cat','the','a',NULL), array('the','a')) AS c, " +
+        "tokens_in_set(array('x'), array('the','a')) AS z").collect().head
+    assert(r.getInt(0) == 3) // 'the' twice + 'a' once; NULL token ignored
+    assert(r.getInt(1) == 0)
+  }
 }

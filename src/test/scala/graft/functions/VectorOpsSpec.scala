@@ -27,6 +27,16 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getDouble(0) == (1.0 * 4.0 + 2.0 * 0.5 + 3.0 * (-2.0)))
   }
 
+  test("tokens_in_set native expression: multiplicity, nulls, equivalence to filter-IN") {
+    val r = spark.sql(
+      "SELECT tokens_in_set(array('the','cat','the','a',NULL), array('the','a')) AS c, " +
+        "size(filter(array('the','cat','the','a'), t -> t IN ('the','a'))) AS ref, " +
+        "tokens_in_set(cast(NULL AS ARRAY<STRING>), array('x')) AS n").collect().head
+    assert(r.getInt(0) == 3) // 'the' ×2 + 'a'; NULL token ignored
+    assert(r.getInt(0) == r.getInt(1))
+    assert(r.isNullAt(2))
+  }
+
   test("dot_f64 on float-cast arrays equals per-element widening") {
     // the query path casts ARRAY<FLOAT> to ARRAY<DOUBLE>; widening is
     // exact, so dot over the cast equals dot over explicit casts
@@ -52,12 +62,18 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.isNullAt(3)) // the HOF reference agrees: mismatch → NULL
   }
 
-  test("Parallelize.ensure widens a single-partition input and is a no-op otherwise") {
+  test("Parallelize.ensure widens a small input and is a no-op on a large one") {
     val one = spark.range(4).toDF("x").coalesce(1)
     val widened = graft.operators.Parallelize.ensure(one)
     assert(widened.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
-    val already = spark.range(4).toDF("x")
-      .repartition(spark.sparkContext.defaultParallelism)
-    assert(graft.operators.Parallelize.ensure(already) eq already)
+    // the no-op branch keys on estimated input size vs target×
+    // maxPartitionBytes (a big scan already arrives well-split); shrink
+    // the threshold so an 8 MB-stats input counts as "large"
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+      val big = spark.range(1000000).toDF("x")
+      assert(graft.operators.Parallelize.ensure(big) eq big)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 }

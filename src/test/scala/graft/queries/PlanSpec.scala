@@ -79,7 +79,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("minhash signature stage is map-side (no shuffle before banding)") {
-    val df = SparkEntry.queries("neardup_minhash_lsh")(spark, sf)
+    // inspect the lazy pipeline: the gated entry eagerly checkpoints
+    // the (tiny) pair set so the shingle cache can be released, which
+    // collapses ITS final plan to an RDD scan — the stage shapes live
+    // in the pre-checkpoint plan.
+    val df = TextQueries.pairsFromShingles(TextQueries.shingles(spark, sf))
     val p = df.queryExecution.executedPlan.toString
     // the expression must appear in a Project, not inside an Aggregate
     assert(p.contains("minhash_sig"), s"native expression missing:\n$p")
@@ -100,6 +104,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(p.contains("dot_f64"), s"$q missing native kernel:\n$p")
       assert(!p.contains("lambdafunction"), s"$q still has interpreted lambdas:\n$p")
     }
+  }
+
+  test("lsh code assignment is map-side (no corpus shuffle on vec_id)") {
+    // r3 shape crossJoin(anchors)+groupBy(vec_id)+re-join shuffled the
+    // corpus twice; the anchor fold must add no vec_id exchange at all.
+    val p = plan("ann_lsh_topk")
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"code assignment shuffles the corpus on vec_id:\n$p")
   }
 
   test("embeddings scan prunes to the referenced columns") {

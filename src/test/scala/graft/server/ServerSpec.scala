@@ -76,6 +76,22 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     bigEndpoint.template,
     shape = ResponseShape(sample = true))
 
+  /** Write whose trailing SELECT yields the whole big table: the
+    * RETURNING payload must be capped at wire.defaultRowCap, never
+    * fully materialized on the driver. */
+  private val bigWriteEndpoint = ServedEndpoint(
+    EndpointConfig(
+      urlPath = "/big_write",
+      method = "POST",
+      templateSource = "bigw.sql",
+      isWrite = true,
+      requestFieldsValidation = false),
+    """DROP TABLE IF EXISTS srv_bigw;
+      |CREATE TABLE srv_bigw (id BIGINT) USING parquet LOCATION '{{conn.loc}}';
+      |INSERT INTO srv_bigw SELECT id FROM srv_big WHERE id < 5;
+      |SELECT id FROM srv_big ORDER BY id""".stripMargin,
+    connProps = Map("loc" -> (System.getProperty("java.io.tmpdir") + "/graft_srv_bigw")))
+
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
       .master("local[2]").appName("server-spec")
@@ -91,7 +107,8 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val loc = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_srv_notes")
     if (loc.exists()) loc.listFiles().foreach(_.delete())
     server = new GraftServer(spark,
-      Seq(customersEndpoint, byIdEndpoint, writeEndpoint, bigEndpoint, bigSampleEndpoint),
+      Seq(customersEndpoint, byIdEndpoint, writeEndpoint, bigEndpoint,
+        bigSampleEndpoint, bigWriteEndpoint),
       wire = WireConfig(defaultRowCap = 7, arrowBatchRows = 1000,
         arrowCodec = Some("zstd"))).start()
     base = s"http://127.0.0.1:${server.boundPort}"
@@ -253,6 +270,14 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val j = mapper.readTree(r.body())
     assert(j.get("rows_affected").asLong() == 1L)
     assert(j.get("data").get(0).get("note").asText() == "hello; world")
+  }
+
+  test("write RETURNING data is capped at wire.defaultRowCap") {
+    val r = post("/big_write", "{}")
+    assert(r.statusCode() == 201)
+    val j = mapper.readTree(r.body())
+    assert(j.get("rows_affected").asLong() == 5L)
+    assert(j.get("data").size() == 7) // 50 000-row trailing SELECT, cap 7
   }
 
   test("MCP initialize, tools/list, tools/call") {
