@@ -65,12 +65,25 @@ final case class AuthUserConfig(
     password: String,
     roles: Seq[String] = Nil)
 
+/** OIDC sub-block of `auth:` (reference oidc config in auth blocks;
+  * provider presets fill issuer/claim defaults). `jwksSource` is a
+  * static JWKS file path (offline mode) or URL. */
+final case class OidcSettingsConfig(
+    provider: String = "generic",
+    issuerUrl: String = "",
+    clientId: String = "",
+    jwksSource: String = "",
+    usernameClaim: String = "",
+    rolesClaim: String = "",
+    roleClaimPath: String = "")
+
 final case class AuthConfig(
     enabled: Boolean = false,
     tpe: String = "basic",
     users: Seq[AuthUserConfig] = Nil,
     jwtSecret: Option[String] = None,
-    jwtIssuer: Option[String] = None)
+    jwtIssuer: Option[String] = None,
+    oidc: Option[OidcSettingsConfig] = None)
 
 /** Endpoint rate-limit block (`rate-limit:` — max requests per
   * interval seconds). */

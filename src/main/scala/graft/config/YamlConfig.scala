@@ -217,7 +217,18 @@ object YamlConfig {
             .map(asList(_).map(String.valueOf)).getOrElse(Nil))
       }).getOrElse(Nil),
       jwtSecret = str(m, "jwt-secret"),
-      jwtIssuer = str(m, "jwt-issuer"))
+      jwtIssuer = str(m, "jwt-issuer"),
+      oidc = Option(m.get("oidc")).map { o =>
+        val om = asMap(o)
+        OidcSettingsConfig(
+          provider = str(om, "provider").getOrElse("generic"),
+          issuerUrl = str(om, "issuer-url").getOrElse(""),
+          clientId = str(om, "client-id").getOrElse(""),
+          jwksSource = str(om, "jwks-file").orElse(str(om, "jwks-url")).getOrElse(""),
+          usernameClaim = str(om, "username-claim").getOrElse(""),
+          rolesClaim = str(om, "roles-claim").getOrElse(""),
+          roleClaimPath = str(om, "role-claim-path").getOrElse(""))
+      })
   }
 
   private def parseRateLimit(v: Any): RateLimitSettings = {

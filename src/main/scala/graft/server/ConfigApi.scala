@@ -205,6 +205,21 @@ final class ConfigApi(
         n.put("endpoints", registry.all.size)
         json(ex, 200, mapper.writeValueAsString(n))
 
+      // security audit over the LIVE registry (reference
+      // security_auditor.cpp; findings are advisory — serving continues)
+      case (List("audit"), "GET") =>
+        val warnings = SecurityAuditor.audit(registry.all)
+        val root = mapper.createObjectNode()
+        root.put("warning_count", warnings.size)
+        val a = root.putArray("warnings")
+        warnings.foreach { w =>
+          val n = mapper.createObjectNode()
+          n.put("code", w.code); n.put("message", w.message)
+          n.put("location", w.location)
+          a.add(n)
+        }
+        json(ex, 200, mapper.writeValueAsString(root))
+
       case (List("endpoints"), "GET") =>
         val a = mapper.createArrayNode()
         registry.all.sortBy(_.config.urlPath).foreach { ep =>

@@ -108,9 +108,11 @@ object GraftBootstrap {
 
   /** Merge endpoint auth blocks into the server-level auth providers:
     * inline basic users union across endpoints; the first jwt block
-    * supplies the HS256 secret/issuer. */
+    * supplies the HS256 secret/issuer; the first valid oidc block
+    * (presets applied, placeholders resolved, client-id present)
+    * supplies the RS256/JWKS verifier. */
   def authProviders(endpoints: Seq[ServedEndpoint]):
-      (Option[BasicAuthConfig], Option[JwtConfig], Boolean) = {
+      (Option[BasicAuthConfig], Option[JwtConfig], Option[OidcConfig], Boolean) = {
     val enabled = endpoints.flatMap(_.config.auth).filter(_.enabled)
     val users = enabled.filter(a => a.tpe == "basic")
       .flatMap(_.users)
@@ -121,7 +123,23 @@ object GraftBootstrap {
     val jwt = enabled.find(a => (a.tpe == "jwt" || a.tpe == "bearer")
         && a.jwtSecret.exists(s => s.nonEmpty && !s.contains("{{")))
       .map(a => JwtConfig(a.jwtSecret.get, a.jwtIssuer.filterNot(_.contains("{{"))))
-    (basic, jwt, enabled.nonEmpty)
+    val oidc = enabled.filter(_.tpe == "oidc").flatMap(_.oidc).flatMap { o =>
+      val cfg = OidcProviderPresets(OidcConfig(
+        providerType = o.provider,
+        issuerUrl = o.issuerUrl,
+        clientId = o.clientId,
+        jwksSource = o.jwksSource,
+        usernameClaim = if (o.usernameClaim.isEmpty) "sub" else o.usernameClaim,
+        rolesClaim = if (o.rolesClaim.isEmpty) "roles" else o.rolesClaim,
+        roleClaimPath = o.roleClaimPath))
+      OidcProviderPresets.validate(cfg) match {
+        case Some(reason) =>
+          System.err.println(s"[bootstrap] oidc provider skipped: $reason")
+          None
+        case None => Some(cfg)
+      }
+    }.headOption
+    (basic, jwt, oidc, enabled.nonEmpty)
   }
 
   /** One-call serve: discover + load + wire auth providers + cache
@@ -137,7 +155,7 @@ object GraftBootstrap {
             configService: Option[ConfigServiceConfig] = None,
             cacheWarehouse: Option[String] = None): GraftServer = {
     val (project, endpoints, templateDir) = loadProject(spark, Paths.get(projectYaml))
-    val (basic, jwt, anyAuth) = authProviders(endpoints)
+    val (basic, jwt, oidc, anyAuth) = authProviders(endpoints)
     val allConnProps = project.connections
       .flatMap(c => c.properties.map { case (k, v) => k -> v }).toMap
     val manager = cacheWarehouse.map(new graft.cache.CacheManager(spark, _))
@@ -164,11 +182,15 @@ object GraftBootstrap {
       val scheduler = new graft.cache.RefreshScheduler(cm)
       scheduler.start(cached.map(_.config), templates)
     }
+    // boot-time security audit (reference runs it as a startup wave):
+    // advisory — a dangerous config serves, but never silently
+    SecurityAuditor.audit(endpoints).foreach(w =>
+      System.err.println(s"[audit] ${w.code} @ ${w.location}: ${w.message}"))
     // API-created endpoints get the project connection map too
     val csWithConns = configService.map(cs =>
       if (cs.connProps.isEmpty) cs.copy(connProps = allConnProps) else cs)
     new GraftServer(spark, endpoints, port = port, wire = wire,
-      mcpAuthEnabled = anyAuth, basicAuth = basic, jwtAuth = jwt,
+      mcpAuthEnabled = anyAuth, basicAuth = basic, jwtAuth = jwt, oidcAuth = oidc,
       configService = csWithConns, cacheManager = manager).start()
   }
 }

@@ -67,6 +67,10 @@ final class GraftServer(
     cors: CorsConfig = CorsConfig(),
     wire: WireConfig = WireConfig(),
     jwtAuth: Option[JwtConfig] = None,
+    /** OIDC bearer verification (RS256 against a JWKS source); tried
+      * before HS256 JWT on Bearer headers (reference dispatch,
+      * auth_middleware.cpp:171-173). */
+    oidcAuth: Option[OidcConfig] = None,
     /** REST-path rate limit (reference middleware chain applies
       * CORS→RateLimit→Auth to every request, api_server.cpp:75-80);
       * keyed per (path, client) BEFORE auth/template work. */
@@ -154,15 +158,19 @@ final class GraftServer(
     * DECLARES auth enabled is fail-closed even when no provider
     * survived bootstrap (e.g. all credentials were unresolved env
     * placeholders): it 401s rather than serving anonymously. */
+  private val jwksManager = new JwksManager()
+
   private def authRequired(ep: ServedEndpoint): Boolean =
     ep.config.auth.exists(_.enabled) ||
-      ((basicAuth.isDefined || jwtAuth.isDefined) &&
+      ((basicAuth.isDefined || jwtAuth.isDefined || oidcAuth.isDefined) &&
         ep.config.auth.forall(_.enabled))
 
   private def authenticate(ex: HttpExchange): Option[Map[String, String]] = {
     val header = Option(ex.getRequestHeaders.getFirst("Authorization"))
-    val viaJwt = jwtAuth.flatMap(cfg => JwtAuth.authenticate(cfg, header))
-    viaJwt.orElse(basicAuth.flatMap(cfg => BasicAuth.authenticate(cfg, header)))
+    val viaOidc = oidcAuth.flatMap(cfg => OidcAuth.authenticate(cfg, jwksManager, header))
+    viaOidc
+      .orElse(jwtAuth.flatMap(cfg => JwtAuth.authenticate(cfg, header)))
+      .orElse(basicAuth.flatMap(cfg => BasicAuth.authenticate(cfg, header)))
   }
 
   private def handleRest(ex: HttpExchange): Unit = {
@@ -273,7 +281,35 @@ final class GraftServer(
 
   // ---- MCP JSON-RPC -----------------------------------------------------
 
+  private val mcpSessions = new McpSessionManager()
+
   private def handleMcp(ex: HttpExchange): Unit = {
+    // Session lifecycle (reference mcp_route_handlers.cpp:139-206 +
+    // mcp_session_manager.cpp): Mcp-Session-Id from the request when
+    // valid, a fresh session otherwise; the id is echoed on EVERY
+    // response. DELETE closes the session (cleanup endpoint, :243-270).
+    val requestSid = Option(ex.getRequestHeaders.getFirst("Mcp-Session-Id"))
+      .filter(_.nonEmpty)
+    if (ex.getRequestMethod.equalsIgnoreCase("DELETE")) {
+      requestSid match {
+        case None =>
+          respond(ex, 400,
+            """{"jsonrpc":"2.0","id":null,"error":{"code":-32000,"message":"Missing Mcp-Session-Id header for session cleanup"}}""",
+            "application/json")
+        case Some(sid) =>
+          val removed = mcpSessions.removeSession(sid)
+          respond(ex, 200,
+            s"""{"jsonrpc":"2.0","id":null,"result":{"closed":$removed}}""",
+            "application/json")
+      }
+      return
+    }
+    val sid = requestSid.filter(mcpSessions.getSession(_).isDefined) match {
+      case Some(s) => mcpSessions.updateActivity(s); s
+      case None => mcpSessions.createSession()
+    }
+    ex.getResponseHeaders.set("Mcp-Session-Id", sid)
+
     val req = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
     val id = req.path("id")
     val method = req.path("method").asText("")
@@ -289,6 +325,11 @@ final class GraftServer(
 
     method match {
       case "initialize" =>
+        // capability negotiation: record what THIS client declared so
+        // later methods can adapt (mcp_client_capabilities.cpp)
+        val caps = McpClientCapabilities.detectFromInitialize(req.path("params"))
+        val clientVersion = req.path("params").path("protocolVersion").asText("")
+        mcpSessions.updateOnInitialize(sid, clientVersion, caps)
         reply("""{"protocolVersion":"2024-11-05","serverInfo":{"name":"graft","version":"0.1"},""" +
           """"capabilities":{"tools":{"listChanged":true},"resources":{"subscribe":false},""" +
           """"prompts":{},"logging":{},"completions":{}}}""")
@@ -417,8 +458,10 @@ final class GraftServer(
               reply(s"""{"isError":true,"content":[{"type":"text","text":${quote(s"Permission denied: ${decision.reason}")}}]}""")
               return
             }
-            // per-tool rate limit before template/DB work (W2.5)
-            val principal = auth.getOrElse("__auth_username", "anonymous")
+            // per-tool rate limit before template/DB work (W2.5);
+            // anonymous callers bucket per SESSION, not one shared pool
+            // (r3 verdict #8: session id keys the rate limit)
+            val principal = auth.getOrElse("__auth_username", s"session:$sid")
             ep.rateLimit.foreach { rl =>
               val d = rateLimiter.tryAcquire(toolName(ep), principal, rl)
               if (!d.allowed) {

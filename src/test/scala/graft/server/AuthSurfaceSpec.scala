@@ -48,6 +48,36 @@ class AuthSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
         arguments = Seq("segment", "min")))),
     "SELECT 1 AS one")
 
+  // ---- OIDC fixtures: RSA keypair + static JWKS file ---------------------
+  private val rsaKp = {
+    val g = java.security.KeyPairGenerator.getInstance("RSA")
+    g.initialize(2048)
+    g.generateKeyPair()
+  }
+  private var jwksPath: java.nio.file.Path = _
+  private var oidcServer: GraftServer = _
+  private var oidcBase: String = _
+  private var oidcCfg: OidcConfig = _
+
+  private def b64url(b: Array[Byte]): String =
+    java.util.Base64.getUrlEncoder.withoutPadding().encodeToString(b)
+  private def unsigned(bi: java.math.BigInteger): Array[Byte] = {
+    val b = bi.toByteArray
+    if (b.length > 1 && b(0) == 0) b.drop(1) else b
+  }
+
+  /** Mint an RS256 token with the spec keypair under the given kid. */
+  private def rs256Token(kid: String, claimsJson: String): String = {
+    val enc = java.util.Base64.getUrlEncoder.withoutPadding()
+    val h = enc.encodeToString(
+      s"""{"alg":"RS256","typ":"JWT","kid":"$kid"}""".getBytes("UTF-8"))
+    val p = enc.encodeToString(claimsJson.getBytes("UTF-8"))
+    val s = java.security.Signature.getInstance("SHA256withRSA")
+    s.initSign(rsaKp.getPrivate)
+    s.update(s"$h.$p".getBytes("UTF-8"))
+    s"$h.$p.${enc.encodeToString(s.sign())}"
+  }
+
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
       .master("local[2]").appName("auth-surface-spec")
@@ -60,6 +90,18 @@ class AuthSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       mcpAuthEnabled = true,
       jwtAuth = Some(jwtCfg)).start()
     base = s"http://127.0.0.1:${server.boundPort}"
+    val pub = rsaKp.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey]
+    jwksPath = java.nio.file.Files.createTempFile("graft_jwks", ".json")
+    java.nio.file.Files.writeString(jwksPath,
+      s"""{"keys":[{"kty":"RSA","kid":"spec-key","use":"sig","alg":"RS256",
+         |"n":"${b64url(unsigned(pub.getModulus))}",
+         |"e":"${b64url(unsigned(pub.getPublicExponent))}"}]}""".stripMargin.replace("\n", ""))
+    oidcCfg = OidcConfig(
+      providerType = "generic", issuerUrl = "https://issuer.spec",
+      clientId = "graft-client", jwksSource = jwksPath.toString)
+    oidcServer = new GraftServer(spark, Seq(adminTool),
+      mcpAuthEnabled = true, oidcAuth = Some(oidcCfg)).start()
+    oidcBase = s"http://127.0.0.1:${oidcServer.boundPort}"
     auditPath = java.nio.file.Files.createTempFile("graft_audit", ".jsonl")
     java.nio.file.Files.delete(auditPath)
     rlServer = new GraftServer(spark, Seq(ServedEndpoint(
@@ -76,6 +118,7 @@ class AuthSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = {
     if (server != null) server.stop()
     if (rlServer != null) rlServer.stop()
+    if (oidcServer != null) oidcServer.stop()
     if (spark != null) spark.stop()
   }
 
@@ -278,5 +321,105 @@ class AuthSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bad = rpc(
       """{"jsonrpc":"2.0","id":14,"method":"logging/setLevel","params":{"level":"chatty"}}""")
     assert(bad.get("error").get("code").asInt() == -32602)
+  }
+
+  // ---- OIDC (RS256 + JWKS) -----------------------------------------------
+
+  private def oidcClaims(roles: String = """["admin"]""",
+                         aud: String = "graft-client",
+                         exp: Long = 0L): String = {
+    val e = if (exp == 0L) far else exp
+    s"""{"sub":"alice","iss":"https://issuer.spec","aud":"$aud",
+       |"exp":$e,"roles":$roles,"email":"alice@spec"}""".stripMargin.replace("\n", "")
+  }
+
+  test("OIDC RS256 token verifies against the JWKS and authenticates REST") {
+    val t = rs256Token("spec-key", oidcClaims())
+    val r = get(oidcBase, "/admin-data", "Authorization" -> s"Bearer $t")
+    assert(r.statusCode() == 200)
+    assert(mapper.readTree(r.body()).get(0).get("answer").asInt() == 42)
+  }
+
+  test("OIDC: wrong kid, expired token, and wrong audience are 401") {
+    val wrongKid = rs256Token("rotated-away", oidcClaims())
+    assert(get(oidcBase, "/admin-data",
+      "Authorization" -> s"Bearer $wrongKid").statusCode() == 401)
+    val expired = rs256Token("spec-key",
+      oidcClaims(exp = System.currentTimeMillis() / 1000L - 10))
+    assert(get(oidcBase, "/admin-data",
+      "Authorization" -> s"Bearer $expired").statusCode() == 401)
+    val wrongAud = rs256Token("spec-key", oidcClaims(aud = "other-app"))
+    assert(get(oidcBase, "/admin-data",
+      "Authorization" -> s"Bearer $wrongAud").statusCode() == 401)
+  }
+
+  test("OIDC roles claim drives MCP RBAC") {
+    def call(roles: String): com.fasterxml.jackson.databind.JsonNode = {
+      val t = rs256Token("spec-key", oidcClaims(roles = roles))
+      val rb = HttpRequest.newBuilder(URI.create(oidcBase + "/mcp/jsonrpc"))
+        .header("Content-Type", "application/json")
+        .header("Authorization", s"Bearer $t")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"jsonrpc":"2.0","id":20,"method":"tools/call",
+            |"params":{"name":"admin-data","arguments":{}}}""".stripMargin))
+      mapper.readTree(client.send(rb.build(), HttpResponse.BodyHandlers.ofString()).body())
+    }
+    val allowed = call("""["admin"]""")
+    assert(allowed.has("result") && !allowed.get("result").path("isError").asBoolean(false))
+    val denied = call("""["intern"]""")
+    assert(denied.path("result").path("isError").asBoolean(false),
+      s"expected RBAC denial, got: $denied")
+  }
+
+  test("OIDC nested role-claim path (Keycloak realm_access.roles)") {
+    val kc = oidcCfg.copy(roleClaimPath = "realm_access.roles")
+    val jwks = new JwksManager()
+    val t = rs256Token("spec-key",
+      s"""{"sub":"bob","iss":"https://issuer.spec","aud":"graft-client",
+         |"exp":$far,"realm_access":{"roles":["dev","ops"]}}""".stripMargin.replace("\n", ""))
+    val p = OidcAuth.authenticate(kc, jwks, Some(s"Bearer $t"))
+    assert(p.exists(_("__auth_roles") == "dev,ops"))
+  }
+
+  test("OIDC provider presets + validation mirror the reference") {
+    val g = OidcProviderPresets(OidcConfig(providerType = "google", clientId = "c"))
+    assert(g.issuerUrl == "https://accounts.google.com" && g.usernameClaim == "email")
+    val kc = OidcProviderPresets(OidcConfig(providerType = "keycloak", clientId = "c"))
+    assert(kc.roleClaimPath == "realm_access.roles")
+    // unresolved placeholders and missing client-id are rejected
+    assert(OidcProviderPresets.validate(kc).exists(_.contains("placeholders")))
+    val ms = OidcProviderPresets(OidcConfig(providerType = "microsoft",
+      issuerUrl = "https://login.microsoftonline.com/tid/v2.0", clientId = ""))
+    assert(OidcProviderPresets.validate(ms).exists(_.contains("client-id")))
+    assert(OidcProviderPresets.validate(
+      OidcConfig(issuerUrl = "https://i", clientId = "c")).isEmpty)
+  }
+
+  // ---- password hashing ----------------------------------------------------
+
+  test("PBKDF2 hash round-trips; plaintext and bcrypt stored entries fail closed") {
+    val h = PasswordHasher.hash("s3cret", iterations = 1000)
+    assert(h.startsWith(PasswordHasher.Prefix))
+    assert(PasswordHasher.verify("s3cret", h))
+    assert(!PasswordHasher.verify("wrong", h))
+    // plaintext stored value never authenticates (even on exact match)
+    assert(!PasswordHasher.verify("plain", "plain"))
+    // bcrypt refused rather than failing open
+    assert(!PasswordHasher.verify("x", "$2b$12$abcdefghijklmnopqrstuv"))
+    // legacy md5 hex digests still verify (deprecated)
+    assert(PasswordHasher.verify("hello",
+      "5d41402abc4b2a76b9719d911017c592"))
+  }
+
+  test("BasicAuth authenticates against hashed credentials only") {
+    val cfg = BasicAuthConfig(Map(
+      "ops" -> ((PasswordHasher.hash("opspw", 1000), Seq("ops"))),
+      "legacy" -> (("legacypw", Seq("ops"))))) // plaintext entry
+    def hdr(u: String, p: String) = Some("Basic " +
+      java.util.Base64.getEncoder.encodeToString(s"$u:$p".getBytes("UTF-8")))
+    assert(BasicAuth.authenticate(cfg, hdr("ops", "opspw"))
+      .exists(_("__auth_roles") == "ops"))
+    assert(BasicAuth.authenticate(cfg, hdr("ops", "bad")).isEmpty)
+    assert(BasicAuth.authenticate(cfg, hdr("legacy", "legacypw")).isEmpty)
   }
 }

@@ -214,17 +214,17 @@ class BootstrapSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  path: './sqls'
         |""".stripMargin)
     Files.writeString(sqls.resolve("secure.yaml"),
-      """url-path: /secure
-        |template-source: one.sql
-        |with-pagination: "false"
-        |auth:
-        |  enabled: true
-        |  type: basic
-        |  users:
-        |    - username: admin
-        |      password: secret
-        |      roles: [admin]
-        |""".stripMargin)
+      s"""url-path: /secure
+         |template-source: one.sql
+         |with-pagination: "false"
+         |auth:
+         |  enabled: true
+         |  type: basic
+         |  users:
+         |    - username: admin
+         |      password: '${PasswordHasher.hash("secret", 1000)}'
+         |      roles: [admin]
+         |""".stripMargin)
     Files.writeString(sqls.resolve("open.yaml"),
       """url-path: /open
         |template-source: one.sql

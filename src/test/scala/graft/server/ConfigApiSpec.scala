@@ -173,4 +173,45 @@ class ConfigApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(req("PUT", "/api/v1/_config/log-level", """{"level":"error"}""").statusCode() == 200)
     assert(req("PUT", "/api/v1/_config/log-level", """{"level":"loud"}""").statusCode() == 400)
   }
+
+  test("security audit flags a deliberately bad config") {
+    val bad = Seq(
+      // unauthenticated write endpoint + plaintext user on another
+      ServedEndpoint(
+        EndpointConfig(urlPath = "/audit-write", method = "POST",
+          templateSource = "w.sql", isWrite = true),
+        "INSERT INTO t VALUES (1)"),
+      ServedEndpoint(
+        EndpointConfig(urlPath = "/audit-auth", templateSource = "a.sql",
+          auth = Some(AuthConfig(enabled = true, users = Seq(
+            AuthUserConfig("root", "hunter2", Seq("admin")))))),
+        "SELECT 1 AS one"),
+      // SELECT * cache without retention; disallowed env ref
+      ServedEndpoint(
+        EndpointConfig(urlPath = "/audit-cache", templateSource = "c.sql",
+          cache = CacheConfig(enabled = true, table = "star_cache")),
+        "SELECT * FROM cfg_customers WHERE region = '{{env.SECRET_REGION}}'"))
+    val warnings = SecurityAuditor.audit(bad)
+    val codes = warnings.map(_.code)
+    assert(codes.contains("AUTH_PLAINTEXT_PASSWORD"))
+    assert(codes.contains("CACHE_SELECT_STAR_NO_RETENTION"))
+    assert(codes.contains("TEMPLATE_ENV_DISALLOWED"))
+    // write endpoint is covered by the OTHER endpoint's enabled auth
+    // only at the server level; here the endpoint itself opts out of
+    // nothing — but anyAuthEnabled=true suppresses the write warning.
+    // A config with NO auth at all must flag it:
+    val noAuth = bad.filterNot(_.config.urlPath == "/audit-auth")
+    assert(SecurityAuditor.audit(noAuth).map(_.code).contains("WRITE_UNAUTHENTICATED"))
+    // clean config: hashed credentials, projected cache, allowed env
+    val clean = Seq(ServedEndpoint(
+      EndpointConfig(urlPath = "/clean", templateSource = "ok.sql",
+        auth = Some(AuthConfig(enabled = true, users = Seq(
+          AuthUserConfig("ops", PasswordHasher.hash("pw", 1000), Seq("ops")))))),
+      "SELECT id FROM cfg_customers"))
+    assert(SecurityAuditor.audit(clean).isEmpty)
+    // the audit ROUTE serves findings for the live registry
+    val r = req("GET", "/api/v1/_config/audit")
+    assert(r.statusCode() == 200)
+    assert(j(r).has("warning_count") && j(r).get("warnings").isArray)
+  }
 }

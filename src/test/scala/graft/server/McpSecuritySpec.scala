@@ -43,8 +43,8 @@ class McpSecuritySpec extends AnyFunSuite with BeforeAndAfterAll {
           rateLimit = Some(RateLimitConfig(requestsPerMinute = 2)))),
       mcpAuthEnabled = true,
       basicAuth = Some(BasicAuthConfig(Map(
-        "admin" -> (("adminpw", Seq("admin"))),
-        "dev" -> (("devpw", Seq("dev"))))))).start()
+        "admin" -> ((PasswordHasher.hash("adminpw", 1000), Seq("admin"))),
+        "dev" -> ((PasswordHasher.hash("devpw", 1000), Seq("dev"))))))).start()
     base = s"http://127.0.0.1:${server.boundPort}"
   }
 
@@ -120,5 +120,70 @@ class McpSecuritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pre.headers().firstValue("Access-Control-Allow-Origin").get() == "*")
     assert(pre.headers().firstValue("Access-Control-Allow-Methods").get()
       .contains("POST"))
+  }
+
+  // ---- sessions (Mcp-Session-Id round-trip) ------------------------------
+
+  private def rawRpc(body: String, headers: (String, String)*): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(base + "/mcp/jsonrpc"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  test("MCP session: issued at initialize, echoed when presented, replaced when stale") {
+    val init = rawRpc(
+      """{"jsonrpc":"2.0","id":1,"method":"initialize",
+        |"params":{"protocolVersion":"2024-11-05",
+        |"capabilities":{"sampling":true,"roots":false}}}""".stripMargin)
+    val sid = init.headers().firstValue("Mcp-Session-Id").orElse("")
+    assert(sid.nonEmpty, "initialize must issue a session id")
+    // presenting the id gets the SAME id echoed back
+    val ping = rawRpc("""{"jsonrpc":"2.0","id":2,"method":"ping"}""",
+      "Mcp-Session-Id" -> sid)
+    assert(ping.headers().firstValue("Mcp-Session-Id").orElse("") == sid)
+    // an unknown/expired id is replaced with a fresh session, not trusted
+    val stale = rawRpc("""{"jsonrpc":"2.0","id":3,"method":"ping"}""",
+      "Mcp-Session-Id" -> "does-not-exist")
+    val fresh = stale.headers().firstValue("Mcp-Session-Id").orElse("")
+    assert(fresh.nonEmpty && fresh != "does-not-exist")
+  }
+
+  test("MCP session: DELETE closes it; DELETE without header is 400") {
+    val init = rawRpc("""{"jsonrpc":"2.0","id":4,"method":"initialize"}""")
+    val sid = init.headers().firstValue("Mcp-Session-Id").get()
+    val del = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/mcp/jsonrpc"))
+        .header("Mcp-Session-Id", sid)
+        .method("DELETE", HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(del.statusCode() == 200)
+    assert(mapper.readTree(del.body()).get("result").get("closed").asBoolean())
+    // closed session is no longer echoed — a new one replaces it
+    val after = rawRpc("""{"jsonrpc":"2.0","id":5,"method":"ping"}""",
+      "Mcp-Session-Id" -> sid)
+    assert(after.headers().firstValue("Mcp-Session-Id").orElse("") != sid)
+    val noHeader = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/mcp/jsonrpc"))
+        .method("DELETE", HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(noHeader.statusCode() == 400)
+  }
+
+  test("client capability negotiation parses sampling/roots/protocols") {
+    val params = mapper.readTree(
+      """{"capabilities":{"sampling":true,"roots":false,
+        |"transport":{"supportedProtocols":["http","stdio"]}}}""".stripMargin)
+    val caps = McpClientCapabilities.detectFromInitialize(params)
+    assert(caps.supportsSampling && !caps.supportsRoots)
+    assert(caps.supportedProtocols == Seq("http", "stdio"))
+    // session manager: expiry drops a session lazily
+    var now = 0L
+    val mgr = new McpSessionManager(timeoutMinutes = 30, clock = () => now)
+    val id = mgr.createSession("2024-11-05", caps)
+    assert(mgr.getSession(id).exists(_.capabilities.supportsSampling))
+    now = 31 * 60000L
+    assert(mgr.getSession(id).isEmpty)
   }
 }

@@ -106,6 +106,9 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.range(50000).toDF("id").createOrReplaceTempView("srv_big")
     val loc = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_srv_notes")
     if (loc.exists()) loc.listFiles().foreach(_.delete())
+    // external LOCATION outlives DROP TABLE — clear between suite runs
+    val bigwLoc = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_srv_bigw")
+    if (bigwLoc.exists()) bigwLoc.listFiles().foreach(_.delete())
     server = new GraftServer(spark,
       Seq(customersEndpoint, byIdEndpoint, writeEndpoint, bigEndpoint,
         bigSampleEndpoint, bigWriteEndpoint),
