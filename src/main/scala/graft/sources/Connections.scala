@@ -31,10 +31,18 @@ import graft.write.SqlSplitter
 object Connections {
 
   def init(spark: SparkSession, conn: ConnectionConfig): Unit = {
-    // apply fs.* settings (object-storage credentials/endpoints)
+    // credential resolution first (reference credential_manager.cpp):
+    // environment discovery + typed per-connection credential props →
+    // Hadoop conf; explicit raw fs.* below still wins (applied after)
+    val cm = new CredentialManager()
+    cm.loadFromEnvironment()
+    typedCredentials(conn, cm)
+    cm.configureHadoop(spark.sparkContext.hadoopConfiguration)
+    // apply fs.* settings (object-storage credentials/endpoints);
+    // values may be env:/file: refs so secrets stay out of the YAML
     conn.properties.foreach {
       case (k, v) if k.startsWith("fs.") =>
-        spark.sparkContext.hadoopConfiguration.set(k, v)
+        spark.sparkContext.hadoopConfiguration.set(k, CredentialManager.resolveRef(v))
       case _ => ()
     }
     conn.properties.get("type") match {
@@ -46,6 +54,38 @@ object Connections {
     conn.initSql.foreach { sql =>
       SqlSplitter.split(sql).foreach(stmt => spark.sql(stmt).collect())
     }
+  }
+
+  /** Typed per-connection credential properties (the reference's
+    * connection-level credential config): `s3-*` / `gcs-*` / `azure-*`
+    * keys override environment discovery for THIS session. Values may
+    * be `env:NAME` / `file:/path` references. */
+  private def typedCredentials(conn: ConnectionConfig, cm: CredentialManager): Unit = {
+    def p(k: String): String =
+      conn.properties.get(k).map(CredentialManager.resolveRef(_)).getOrElse("")
+    if (p("s3-access-key-id").nonEmpty || p("s3-endpoint").nonEmpty ||
+        conn.properties.get("s3-auth").contains("instance_profile"))
+      cm.setS3Credentials(S3Credentials(
+        accessKeyId = p("s3-access-key-id"),
+        secretAccessKey = p("s3-secret-access-key"),
+        region = p("s3-region"),
+        sessionToken = p("s3-session-token"),
+        endpoint = p("s3-endpoint"),
+        useSsl = !conn.properties.get("s3-use-ssl").contains("false"),
+        credentialType =
+          if (conn.properties.get("s3-auth").contains("instance_profile"))
+            CredentialType.InstanceProfile
+          else CredentialType.Environment))
+    if (p("gcs-key-file").nonEmpty)
+      cm.setGcsCredentials(GcsCredentials(
+        serviceAccountKeyFile = p("gcs-key-file"), projectId = p("gcs-project")))
+    if (p("azure-connection-string").nonEmpty)
+      cm.setAzureCredentials(AzureCredentials(
+        connectionString = p("azure-connection-string"),
+        credentialType = CredentialType.ConnectionString))
+    else if (p("azure-account-name").nonEmpty && p("azure-account-key").nonEmpty)
+      cm.setAzureCredentials(AzureCredentials(
+        accountName = p("azure-account-name"), accountKey = p("azure-account-key")))
   }
 
   /** Register `tables` from a JDBC source as `<name>_<table>` views. */
@@ -60,7 +100,10 @@ object Connections {
         .option("dbtable", t)
       Seq("driver", "user", "password", "partitionColumn", "lowerBound",
         "upperBound", "numPartitions", "fetchsize").foreach { k =>
-        conn.properties.get(k).foreach(v => reader = reader.option(k, v))
+        // user/password may be env:/file: refs (credential manager) so
+        // database credentials never sit inline in the YAML
+        conn.properties.get(k).foreach(v => reader = reader.option(k,
+          if (k == "user" || k == "password") CredentialManager.resolveRef(v) else v))
       }
       reader.load().createOrReplaceTempView(viewName(conn.name, t))
     }
