@@ -137,6 +137,84 @@ object EmbeddingQueries extends QuerySet {
         .orderBy("probe_id", "rn")
     })
 
+  // ---- embedding-cosine near-dup pairs -----------------------------------
+  // The dedup-family variant over VECTORS (companion to the text-side
+  // MinHash-LSH): banded hyperplane LSH generates candidates — 24
+  // anchor planes in 6 bands of 4, so two vectors are candidates when
+  // they agree on ALL FOUR planes of ANY band — then exact cosine on
+  // candidates only keeps pairs ≥ 0.45. Same scale shape as the
+  // MinHash path: map-side band codes (anchor fold, zero shuffles),
+  // one bucket groupBy (bounded fan-out: 16 buckets per band keeps the
+  // largest bucket at ~1/16 of the corpus — measured 185 of 5000 at
+  // sf0.1, nowhere near the degenerate-corpus cap), verify touches
+  // candidates only, NEVER an all-pairs product. Recall tunes with
+  // bands × planes-per-band exactly like MinHash rows × bands; the
+  // oracle computes the identical pipeline so the compare is exact.
+  private val EmbPlanesPerBand = 4
+  private val EmbNumBands = 6
+
+  private val embDupPairs = QueryDef(
+    "embdup_cosine_pairs",
+    Some("""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |n AS (
+           |  SELECT vec_id, v,
+           |         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+           |  FROM e),
+           |bits AS (
+           |  SELECT n.vec_id, a.vec_id // 4 AS band,
+           |         sum(CASE WHEN list_aggregate(list_transform(range(1, len(n.v) + 1),
+           |                 i -> n.v[i] * a.v[i]), 'sum') > 0
+           |             THEN (1 << (a.vec_id % 4)) ELSE 0 END) AS bh
+           |  FROM n JOIN n a ON a.vec_id < 24
+           |  GROUP BY n.vec_id, a.vec_id // 4),
+           |cand AS (
+           |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+           |  FROM bits x JOIN bits y ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id)
+           |SELECT c.id_a, c.id_b,
+           |  round(list_aggregate(list_transform(range(1, len(a.v) + 1),
+           |        i -> a.v[i] * b.v[i]), 'sum') / (a.nrm * b.nrm), 6) AS cos
+           |FROM cand c JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b
+           |WHERE list_aggregate(list_transform(range(1, len(a.v) + 1),
+           |        i -> a.v[i] * b.v[i]), 'sum') / (a.nrm * b.nrm) >= 0.45
+           |ORDER BY id_a, id_b""".stripMargin),
+    (s, dir) => {
+      val e = withNorm(s, dir)
+      val anchors = e.filter(col("vec_id") < EmbPlanesPerBand * EmbNumBands)
+        .select(col("vec_id").cast("int").as("aid"), col("v"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      // band hash columns: a pure map-side fold over anchor literals
+      val bandCols = (0 until EmbNumBands).map { b =>
+        val bh = (0 until EmbPlanesPerBand).map { j =>
+          val (aid, av) = anchors(b * EmbPlanesPerBand + j)
+          when(call_function("dot_f64", col("v"), array(av.map(lit): _*)) > 0,
+            lit(1L << (aid % EmbPlanesPerBand))).otherwise(lit(0L))
+        }.reduce(_ + _)
+        struct(lit(b).as("band"), bh.as("bh"))
+      }
+      val banded = e
+        .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      // bucket fan-out bounded like the text LSH path (a degenerate
+      // all-same-bucket corpus must not go quadratic)
+      val cand = banded.groupBy("band", "bh")
+        .agg(collect_set("vec_id").as("ids"))
+        .filter(size(col("ids")).between(2, 1000))
+        .select(explode(col("ids")).as("id_a"), col("ids"))
+        .select(col("id_a"), explode(col("ids")).as("id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .distinct()
+      val va = e.select(col("vec_id").as("id_a"), col("v").as("av"), col("nrm").as("an"))
+      val vb = e.select(col("vec_id").as("id_b"), col("v").as("bv"), col("nrm").as("bn"))
+      cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cosRaw", expr("dot_f64(av, bv)") / (col("an") * col("bn")))
+        .filter(col("cosRaw") >= 0.45)
+        .select(col("id_a"), col("id_b"), round(col("cosRaw"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    })
+
   // ---- per-label centroids ----------------------------------------------
   // Vector aggregation: element-wise mean per label (classifier
   // centroids), digested to (count, L2 norm) for a narrow result. One
@@ -157,5 +235,5 @@ object EmbeddingQueries extends QuerySet {
         |SELECT label, count(*) AS dims, round(sqrt(sum(m * m)), 6) AS centroid_norm
         |FROM x GROUP BY label ORDER BY label""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(bruteTopk, lshTopk, centroids)
+  override val defs: Seq[QueryDef] = Seq(bruteTopk, lshTopk, embDupPairs, centroids)
 }
