@@ -135,10 +135,14 @@ object GraftFunctions {
           }
         })
       spark.udf.register("tokens_in_set",
-        (tokens: Seq[String], markers: Seq[String]) => {
-          val set = markers.filter(_ != null).toSet
-          tokens.count(t => t != null && set.contains(t))
-        })
+        // Option return: NULL tokens array must yield NULL like the
+        // native expression (a bare Seq param NPEs on null input)
+        (tokens: Seq[String], markers: Seq[String]) =>
+          if (tokens == null || markers == null) None
+          else {
+            val set = markers.filter(_ != null).toSet
+            Some(tokens.count(t => t != null && set.contains(t)))
+          })
       spark.udf.register("winnow_digest", (text: String) => {
         val (k, w) = (5, 4)
         val n = text.length - k + 1

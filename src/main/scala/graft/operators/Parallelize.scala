@@ -30,6 +30,14 @@ object Parallelize {
     val target = spark.sparkContext.defaultParallelism
     val bytes = df.queryExecution.analyzed.stats.sizeInBytes
     val maxPartitionBytes = spark.sessionState.conf.filesMaxPartitionBytes
-    if (bytes < BigInt(maxPartitionBytes) * target) df.repartition(target) else df
+    if (bytes < BigInt(maxPartitionBytes) * target) df.repartition(target)
+    else if (bytes >= BigInt(spark.sessionState.conf.defaultSizeInBytes)) {
+      // stats UNKNOWN (JDBC/RDD-backed relations report the
+      // defaultSizeInBytes sentinel, Long.MaxValue by default) — these
+      // are exactly the inputs that can arrive single-partition, so
+      // fall back to the physical partition count; the extra planning
+      // cost applies only to statless inputs
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    } else df
   }
 }

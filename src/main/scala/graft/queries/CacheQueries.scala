@@ -25,9 +25,13 @@ object CacheQueries extends QuerySet {
     * inside the first (cold) invocation, so correctness covers it.
     */
   private val built =
-    scala.collection.concurrent.TrieMap.empty[(String, String), SnapshotTable]
-  private def memo(tag: String, dir: String)(build: => SnapshotTable): SnapshotTable =
-    built.getOrElseUpdate((tag, dir), build)
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), SnapshotTable]
+  // keyed on session identity too: a second session in the same JVM
+  // (test suites stop/rebuild sessions) must not receive a table
+  // bound to a stopped session
+  private def memo(s: SparkSession, tag: String, dir: String)(
+      build: => SnapshotTable): SnapshotTable =
+    built.getOrElseUpdate((System.identityHashCode(s), tag, dir), build)
 
   private def freshRoot(tag: String): String = {
     val p = java.nio.file.Paths.get(
@@ -71,7 +75,7 @@ object CacheQueries extends QuerySet {
     Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
            |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin),
     (s, dir) => {
-      val t = memo("full", dir) {
+      val t = memo(s, "full", dir) {
         Tables.register(s, dir)
         val mgr = new CacheManager(s, freshRoot(s"full_${math.abs(dir.hashCode)}"))
         val cfg = CacheConfig(enabled = true, table = "orders_full")
@@ -93,7 +97,7 @@ object CacheQueries extends QuerySet {
     Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
            |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin),
     (s, dir) =>
-      memo("append", dir)(buildAppendTable(s, dir, "append")).read()
+      memo(s, "append", dir)(buildAppendTable(s, dir, "append")).read()
         .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
         .orderBy("o_orderkey"))
 
@@ -103,7 +107,7 @@ object CacheQueries extends QuerySet {
     Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
            |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin),
     (s, dir) =>
-      memo("travel", dir)(buildAppendTable(s, dir, "travel")).read(Some(1L))
+      memo(s, "travel", dir)(buildAppendTable(s, dir, "travel")).read(Some(1L))
         .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
         .orderBy("o_orderkey"))
 
@@ -116,7 +120,7 @@ object CacheQueries extends QuerySet {
            |             THEN c_acctbal + 1000 ELSE c_acctbal END, 2) AS acctbal
            |FROM customer WHERE c_custkey <= 150 ORDER BY c_custkey""".stripMargin),
     (s, dir) => {
-      val t = memo("merge", dir) {
+      val t = memo(s, "merge", dir) {
         Tables.register(s, dir)
         val mgr = new CacheManager(s, freshRoot(s"merge_${math.abs(dir.hashCode)}"))
         val cfg = CacheConfig(enabled = true, table = "cust_merge",
@@ -153,7 +157,7 @@ object CacheQueries extends QuerySet {
            |  (SELECT count(*) FROM orders WHERE o_orderkey <= 2000)::BIGINT
            |ORDER BY snapshot_id""".stripMargin),
     (s, dir) =>
-      memo("meta", dir)(buildAppendTable(s, dir, "meta")).snapshots()
+      memo(s, "meta", dir)(buildAppendTable(s, dir, "meta")).snapshots()
         .select("snapshot_id", "mode", "row_count")
         .orderBy("snapshot_id"))
 

@@ -168,9 +168,13 @@ object EmbeddingQueries extends QuerySet {
            |             THEN (1 << (a.vec_id % 4)) ELSE 0 END) AS bh
            |  FROM n JOIN n a ON a.vec_id < 24
            |  GROUP BY n.vec_id, a.vec_id // 4),
+           |ok AS (
+           |  SELECT band, bh FROM bits GROUP BY band, bh
+           |  HAVING count(*) BETWEEN 2 AND 1000),
            |cand AS (
            |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-           |  FROM bits x JOIN bits y ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id)
+           |  FROM bits x JOIN bits y ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id
+           |  JOIN ok ON ok.band = x.band AND ok.bh = x.bh)
            |SELECT c.id_a, c.id_b,
            |  round(list_aggregate(list_transform(range(1, len(a.v) + 1),
            |        i -> a.v[i] * b.v[i]), 'sum') / (a.nrm * b.nrm), 6) AS cos
@@ -198,7 +202,10 @@ object EmbeddingQueries extends QuerySet {
         .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
         .select(col("vec_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       // bucket fan-out bounded like the text LSH path (a degenerate
-      // all-same-bucket corpus must not go quadratic)
+      // all-same-bucket corpus must not go quadratic); the cap is part
+      // of the OPERATOR DEFINITION — the oracle's `ok` CTE applies the
+      // identical [2, 1000] bound, so the compare stays exact at any
+      // scale, not just where the cap never triggers
       val cand = banded.groupBy("band", "bh")
         .agg(collect_set("vec_id").as("ids"))
         .filter(size(col("ids")).between(2, 1000))

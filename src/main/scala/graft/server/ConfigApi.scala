@@ -55,7 +55,10 @@ final case class ConfigServiceConfig(
       * API (the bootstrap passes the project's connection map — an
       * API-created endpoint must render conn refs like a discovered
       * one). */
-    connProps: Map[String, String] = Map.empty)
+    connProps: Map[String, String] = Map.empty,
+    /** project env allowlist, consulted by the security audit so
+      * whitelisted `{{env.*}}` refs aren't flagged as findings. */
+    templateEnv: graft.config.TemplateEnvConfig = graft.config.TemplateEnvConfig())
 
 /** Config-service REST API v1 (reference config_service.cpp:258-660):
   * endpoint CRUD, validation, reload, template get/put/expand/test,
@@ -208,7 +211,7 @@ final class ConfigApi(
       // security audit over the LIVE registry (reference
       // security_auditor.cpp; findings are advisory — serving continues)
       case (List("audit"), "GET") =>
-        val warnings = SecurityAuditor.audit(registry.all)
+        val warnings = SecurityAuditor.audit(registry.all, cfg.templateEnv)
         val root = mapper.createObjectNode()
         root.put("warning_count", warnings.size)
         val a = root.putArray("warnings")

@@ -183,12 +183,16 @@ object GraftBootstrap {
       scheduler.start(cached.map(_.config), templates)
     }
     // boot-time security audit (reference runs it as a startup wave):
-    // advisory — a dangerous config serves, but never silently
-    SecurityAuditor.audit(endpoints).foreach(w =>
+    // advisory — a dangerous config serves, but never silently. The
+    // project env allowlist rides along so whitelisted refs don't
+    // false-positive as TEMPLATE_ENV_DISALLOWED.
+    val envAllow = TemplateEnvConfig(project.envWhitelist)
+    SecurityAuditor.audit(endpoints, envAllow).foreach(w =>
       System.err.println(s"[audit] ${w.code} @ ${w.location}: ${w.message}"))
     // API-created endpoints get the project connection map too
     val csWithConns = configService.map(cs =>
-      if (cs.connProps.isEmpty) cs.copy(connProps = allConnProps) else cs)
+      (if (cs.connProps.isEmpty) cs.copy(connProps = allConnProps) else cs)
+        .copy(templateEnv = envAllow))
     new GraftServer(spark, endpoints, port = port, wire = wire,
       mcpAuthEnabled = anyAuth, basicAuth = basic, jwtAuth = jwt, oidcAuth = oidc,
       configService = csWithConns, cacheManager = manager).start()

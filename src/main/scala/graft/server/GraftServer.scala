@@ -459,9 +459,13 @@ final class GraftServer(
               return
             }
             // per-tool rate limit before template/DB work (W2.5);
-            // anonymous callers bucket per SESSION, not one shared pool
-            // (r3 verdict #8: session id keys the rate limit)
-            val principal = auth.getOrElse("__auth_username", s"session:$sid")
+            // anonymous callers bucket per PRESENTED session — a fresh
+            // server-minted id must NOT key the bucket, or omitting/
+            // rotating the header re-fills the bucket every request
+            // (rate-limit bypass); header-less floods share one pool.
+            val principal = auth.get("__auth_username")
+              .orElse(requestSid.filter(_ == sid).map(s => s"session:$s"))
+              .getOrElse("anonymous")
             ep.rateLimit.foreach { rl =>
               val d = rateLimiter.tryAcquire(toolName(ep), principal, rl)
               if (!d.allowed) {

@@ -47,12 +47,23 @@ final case class McpSession(
   * flood from one client session cannot starve others. */
 final class McpSessionManager(
     timeoutMinutes: Long = 30,
-    clock: () => Long = System.currentTimeMillis) {
+    clock: () => Long = System.currentTimeMillis,
+    /** hard bound on live sessions: an unauthenticated flood that never
+      * re-presents its ids must not grow the map without limit. At the
+      * cap, expired entries are reaped; if all are live, the
+      * least-recently-active is evicted (abandoning an idle client
+      * beats OOMing the server). */
+    maxSessions: Int = 10000) {
 
   private val sessions = TrieMap.empty[String, McpSession]
 
   def createSession(clientVersion: String = "",
                     capabilities: McpClientCapabilities = McpClientCapabilities()): String = {
+    if (sessions.size >= maxSessions) {
+      cleanupExpired()
+      if (sessions.size >= maxSessions)
+        sessions.minByOption(_._2.lastActivity).foreach(e => sessions.remove(e._1))
+    }
     val id = java.util.UUID.randomUUID().toString
     val now = clock()
     sessions.put(id, McpSession(id, clientVersion, capabilities, now, now))

@@ -105,6 +105,11 @@ final class JwksManager(
   private val mapper = new ObjectMapper()
   private case class Entry(keys: Map[String, RSAPublicKey], refreshedAt: Long)
   private val cache = TrieMap.empty[String, Entry]
+  // refresh throttle: an unknown kid triggers refetch (rotation), but
+  // a flood of FORGED-kid tokens must not turn into one outbound GET
+  // per request — at most one refresh attempt per source per interval
+  private val minRefreshIntervalMillis = 30000L
+  private val lastAttempt = TrieMap.empty[String, Long]
 
   /** Cached key if fresh; otherwise refetch once (key rotation) and
     * retry — None when the kid is absent even after refresh. */
@@ -117,19 +122,31 @@ final class JwksManager(
     }
   }
 
-  def refresh(source: String): Boolean = fetch(source) match {
-    case Some(keys) => cache.put(source, Entry(keys, clock())); true
-    case None => false
+  def refresh(source: String): Boolean = {
+    val now = clock()
+    val throttled = lastAttempt.get(source).exists(now - _ < minRefreshIntervalMillis)
+    if (throttled) return cache.contains(source)
+    lastAttempt.put(source, now)
+    fetch(source) match {
+      case Some(keys) => cache.put(source, Entry(keys, clock())); true
+      case None => false
+    }
   }
 
-  def clearCache(source: String): Unit = cache.remove(source)
+  def clearCache(source: String): Unit = { cache.remove(source); lastAttempt.remove(source) }
+
+  // bounded timeouts: JWKS fetch runs on serving threads off
+  // unauthenticated input — a blackholed IdP must not hang them
+  private lazy val http = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(5)).build()
 
   private def fetch(source: String): Option[Map[String, RSAPublicKey]] =
     try {
       val body =
         if (source.startsWith("http://") || source.startsWith("https://")) {
-          val res = java.net.http.HttpClient.newHttpClient().send(
-            java.net.http.HttpRequest.newBuilder(java.net.URI.create(source)).GET().build(),
+          val res = http.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(source))
+              .timeout(java.time.Duration.ofSeconds(5)).GET().build(),
             java.net.http.HttpResponse.BodyHandlers.ofString())
           if (res.statusCode() != 200) return None
           res.body()

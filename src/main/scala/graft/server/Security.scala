@@ -44,10 +44,17 @@ final class RateLimiter(clock: () => Long = System.nanoTime) {
   final case class Decision(allowed: Boolean, retryAfterSeconds: Long)
   private case class Bucket(var tokens: Double, var lastRefill: Long)
   private val buckets = TrieMap.empty[(String, String), Bucket]
+  // bucket-map bound: principals churn (sessions, rotating tokens), so
+  // past a size threshold drop buckets idle for >10 min — an idle
+  // bucket has refilled to capacity anyway, dropping it changes nothing
+  private val MaxBuckets = 10000
+  private val IdleDropNanos = 10L * 60 * 1000000000L
 
   def tryAcquire(tool: String, principal: String, cfg: RateLimitConfig): Decision = {
     val key = (tool, principal)
     val now = clock()
+    if (buckets.size > MaxBuckets)
+      buckets.filterInPlace((_, b) => now - b.lastRefill < IdleDropNanos)
     val ratePerNano = cfg.requestsPerMinute / 60e9
     val b = buckets.getOrElseUpdate(key, Bucket(cfg.requestsPerMinute.toDouble, now))
     b.synchronized {
@@ -147,6 +154,36 @@ object PasswordHasher {
 final case class BasicAuthConfig(users: Map[String, (String, Seq[String])])
 
 object BasicAuth {
+  // Successful-verification cache: PBKDF2 at production iteration
+  // counts costs ~0.3 s of CPU, and HTTP Basic re-sends credentials on
+  // EVERY request — without a cache the hash dominates serving CPU and
+  // hands attackers a request-rate CPU-burn primitive. Key = (stored
+  // MCF, sha256 of the provided password): no plaintext retained.
+  // POSITIVES only — caching failures would let one garbage attempt
+  // poison a user, and failed attempts SHOULD stay expensive.
+  private val VerifyTtlMillis = 5 * 60 * 1000L
+  private val MaxCacheEntries = 1000
+  private val verified = TrieMap.empty[(String, String), Long]
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  private def cachedVerify(pass: String, stored: String): Boolean = {
+    val key = (stored, sha256Hex(pass))
+    val now = System.currentTimeMillis()
+    if (verified.get(key).exists(now - _ < VerifyTtlMillis)) true
+    else {
+      val ok = PasswordHasher.verify(pass, stored)
+      if (ok) {
+        if (verified.size >= MaxCacheEntries)
+          verified.filterInPlace((_, t) => now - t < VerifyTtlMillis)
+        if (verified.size < MaxCacheEntries) verified.put(key, now)
+      }
+      ok
+    }
+  }
+
   /** None = no/invalid credentials. */
   def authenticate(cfg: BasicAuthConfig, header: Option[String]): Option[Map[String, String]] =
     header.filter(_.startsWith("Basic ")).flatMap { h =>
@@ -156,7 +193,7 @@ object BasicAuth {
       decoded.split(":", 2) match {
         case Array(user, pass) =>
           cfg.users.get(user).collect {
-            case (stored, roles) if PasswordHasher.verify(pass, stored) =>
+            case (stored, roles) if cachedVerify(pass, stored) =>
               Map(
                 "__auth_username" -> user,
                 "__auth_roles" -> roles.mkString(","),

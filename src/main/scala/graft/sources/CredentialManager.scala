@@ -168,13 +168,16 @@ object CredentialManager {
     }.toMap
 
   /** Resolve indirect property values: `env:NAME` reads the variable,
-    * `file:/path` reads (and trims) the file — the offline analogs of
-    * the reference's SECRET type. Anything else passes through. */
+    * `secretfile:/path` reads (and trims) the file — the offline
+    * analogs of the reference's SECRET type. Anything else passes
+    * through — notably `file:` URIs, which are legitimate Hadoop
+    * filesystem values (fs.defaultFS: file:///…) and must never be
+    * mistaken for secret indirection. */
   def resolveRef(value: String, env: String => Option[String] = n => sys.env.get(n)): String =
     if (value.startsWith("env:")) env(value.stripPrefix("env:")).getOrElse("")
-    else if (value.startsWith("file:")) {
+    else if (value.startsWith("secretfile:")) {
       try java.nio.file.Files.readString(
-        java.nio.file.Paths.get(value.stripPrefix("file:"))).trim
+        java.nio.file.Paths.get(value.stripPrefix("secretfile:"))).trim
       catch { case _: Exception => "" }
     } else value
 }

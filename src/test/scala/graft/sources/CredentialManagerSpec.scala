@@ -81,14 +81,16 @@ class CredentialManagerSpec extends AnyFunSuite {
     assert(conf.get("fs.gs.project.id") == "proj-2")
   }
 
-  test("resolveRef: env and file indirection, passthrough otherwise") {
+  test("resolveRef: env and secretfile indirection, passthrough otherwise") {
     assert(CredentialManager.resolveRef("env:MY_SECRET",
       envOf(Map("MY_SECRET" -> "v1"))) == "v1")
     assert(CredentialManager.resolveRef("env:ABSENT", envOf(Map.empty)) == "")
     val f = java.nio.file.Files.createTempFile("graft_secret", ".txt")
     java.nio.file.Files.writeString(f, "filesecret\n")
-    assert(CredentialManager.resolveRef(s"file:$f") == "filesecret")
+    assert(CredentialManager.resolveRef(s"secretfile:$f") == "filesecret")
     assert(CredentialManager.resolveRef("literal-value") == "literal-value")
+    // file: is a legitimate Hadoop URI scheme — must pass through
+    assert(CredentialManager.resolveRef("file:///srv/data") == "file:///srv/data")
   }
 
   test("connection string parser tolerates empty segments") {
