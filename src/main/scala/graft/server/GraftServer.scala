@@ -89,6 +89,19 @@ final class GraftServer(
 
   def start(): GraftServer = {
     server.createContext("/mcp/jsonrpc", (ex: HttpExchange) => safely(ex)(handleMcp))
+    // health probe (reference mcp_route_handlers.cpp:215-241): liveness
+    // + entity counts, no auth — safe because it exposes only counts
+    server.createContext("/mcp/health", (ex: HttpExchange) => safely(ex) { e =>
+      val tools = eps.count(_.config.mcpResource.isEmpty)
+      val resources = eps.count(_.config.mcpResource.isDefined)
+      respond(e, 200,
+        s"""{"status":"healthy","server":"graft","version":"0.1",""" +
+          s""""protocol_version":"2024-11-05","mcp_available":true,""" +
+          s""""tools_available":${tools > 0},"resources_available":${resources > 0},""" +
+          s""""tools_count":$tools,"resources_count":$resources,""" +
+          s""""sessions_active":${mcpSessions.size}}""",
+        "application/json")
+    })
     server.createContext("/openapi.json", (ex: HttpExchange) => safely(ex) { e =>
       respond(e, 200, OpenApi.generate(spark, eps), "application/json")
     })

@@ -283,6 +283,15 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(j.get("data").size() == 7) // 50 000-row trailing SELECT, cap 7
   }
 
+  test("MCP health probe reports liveness and entity counts") {
+    val r = get("/mcp/health")
+    assert(r.statusCode() == 200)
+    val j = mapper.readTree(r.body())
+    assert(j.get("status").asText() == "healthy")
+    assert(j.get("tools_count").asInt() >= 5)
+    assert(j.get("mcp_available").asBoolean())
+  }
+
   test("MCP initialize, tools/list, tools/call") {
     val init = rpc("""{"jsonrpc":"2.0","id":1,"method":"initialize"}""")
     assert(init.get("result").get("serverInfo").get("name").asText() == "graft")
