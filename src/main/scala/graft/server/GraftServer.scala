@@ -77,7 +77,10 @@ final class GraftServer(
     restRateLimit: Option[RateLimitConfig] = None,
     configService: Option[ConfigServiceConfig] = None,
     cacheManager: Option[graft.cache.CacheManager] = None,
-    audit: Option[RequestAuditConfig] = None) {
+    audit: Option[RequestAuditConfig] = None,
+    /** opt-in app start/stop telemetry (reference flapi_telemetry.cpp);
+      * None = off. */
+    telemetry: Option[Telemetry] = None) {
 
   private val mapper = new ObjectMapper()
   private val rateLimiter = new RateLimiter()
@@ -112,10 +115,14 @@ final class GraftServer(
     server.createContext("/", (ex: HttpExchange) => safely(ex)(handleRest))
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     server.start()
+    telemetry.foreach(_.notifyStart("0.1"))
     this
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    telemetry.foreach(_.notifyStop("0.1"))
+  }
 
   private def safely(ex: HttpExchange)(f: HttpExchange => Unit): Unit = {
     val t0 = System.nanoTime()

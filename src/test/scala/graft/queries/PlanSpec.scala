@@ -106,6 +106,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("lang_id/quality kernels are compiled — no interpreted HOF lambda in the plan") {
+    Seq("lang_id_heuristic", "quality_score").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("tokens_in_set"), s"$q missing native kernel:\n$p")
+      assert(!p.contains("lambdafunction"), s"$q still has interpreted lambdas:\n$p")
+    }
+  }
+
   test("lsh code assignment is map-side (no corpus shuffle on vec_id)") {
     // r3 shape crossJoin(anchors)+groupBy(vec_id)+re-join shuffled the
     // corpus twice; the anchor fold must add no vec_id exchange at all.
