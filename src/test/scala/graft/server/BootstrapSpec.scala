@@ -250,4 +250,70 @@ class BootstrapSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(get("/open").statusCode() == 200)
     } finally srv.stop()
   }
+
+  test("yaml oidc auth block wires RS256/JWKS verification end-to-end") {
+    // keypair + static JWKS file
+    val g = java.security.KeyPairGenerator.getInstance("RSA")
+    g.initialize(2048)
+    val kp = g.generateKeyPair()
+    val pub = kp.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey]
+    def b64url(b: Array[Byte]) =
+      java.util.Base64.getUrlEncoder.withoutPadding().encodeToString(b)
+    def unsigned(bi: java.math.BigInteger) = {
+      val b = bi.toByteArray; if (b.length > 1 && b(0) == 0) b.drop(1) else b
+    }
+    val jwks = Files.createTempFile("graft_boot_jwks", ".json")
+    Files.writeString(jwks,
+      s"""{"keys":[{"kty":"RSA","kid":"boot-key","n":"${b64url(unsigned(pub.getModulus))}","e":"${b64url(unsigned(pub.getPublicExponent))}"}]}""")
+
+    val root = Files.createTempDirectory("graft_project_oidc")
+    val sqls = Files.createDirectory(root.resolve("sqls"))
+    Files.writeString(root.resolve("project.yaml"),
+      "project-name: oidc-test\ntemplate:\n  path: './sqls'\n")
+    Files.writeString(sqls.resolve("sec.yaml"),
+      s"""url-path: /oidc-secure
+         |template-source: one.sql
+         |with-pagination: "false"
+         |auth:
+         |  enabled: true
+         |  type: oidc
+         |  oidc:
+         |    provider: generic
+         |    issuer-url: https://issuer.boot
+         |    client-id: graft-boot
+         |    jwks-file: $jwks
+         |""".stripMargin)
+    Files.writeString(sqls.resolve("one.sql"), "SELECT 1 AS one")
+    val srv = GraftBootstrap.serve(spark, root.resolve("project.yaml").toString)
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      def get(headers: (String, String)*) = {
+        val b = HttpRequest.newBuilder(URI.create(base + "/oidc-secure"))
+        headers.foreach { case (k, v) => b.header(k, v) }
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      assert(get().statusCode() == 401)
+      val enc = java.util.Base64.getUrlEncoder.withoutPadding()
+      val h = enc.encodeToString(
+        """{"alg":"RS256","typ":"JWT","kid":"boot-key"}""".getBytes("UTF-8"))
+      val far = System.currentTimeMillis() / 1000L + 3600L
+      val p = enc.encodeToString(
+        s"""{"sub":"carol","iss":"https://issuer.boot","aud":"graft-boot","exp":$far}"""
+          .getBytes("UTF-8"))
+      val sig = java.security.Signature.getInstance("SHA256withRSA")
+      sig.initSign(kp.getPrivate)
+      sig.update(s"$h.$p".getBytes("UTF-8"))
+      val token = s"$h.$p.${enc.encodeToString(sig.sign())}"
+      assert(get("Authorization" -> s"Bearer $token").statusCode() == 200)
+      // wrong audience rejected through the same YAML-wired path
+      val pBad = enc.encodeToString(
+        s"""{"sub":"carol","iss":"https://issuer.boot","aud":"other","exp":$far}"""
+          .getBytes("UTF-8"))
+      val sig2 = java.security.Signature.getInstance("SHA256withRSA")
+      sig2.initSign(kp.getPrivate)
+      sig2.update(s"$h.$pBad".getBytes("UTF-8"))
+      assert(get("Authorization" ->
+        s"Bearer $h.$pBad.${enc.encodeToString(sig2.sign())}").statusCode() == 401)
+    } finally srv.stop()
+  }
 }

@@ -122,6 +122,46 @@ class McpSecuritySpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("POST"))
   }
 
+  test("anonymous rate limit is not bypassable by omitting or forging session ids") {
+    // auth-less server: anonymous callers must share ONE bucket, and a
+    // forged/rotating Mcp-Session-Id must not mint a fresh one
+    val anon = new GraftServer(spark, Seq(ServedEndpoint(
+      EndpointConfig(urlPath = "/anon-limited", templateSource = "t.sql",
+        withPagination = false),
+      "SELECT 1 AS one",
+      rateLimit = Some(RateLimitConfig(requestsPerMinute = 2))))).start()
+    try {
+      val anonBase = s"http://127.0.0.1:${anon.boundPort}"
+      def callAnon(headers: (String, String)*): com.fasterxml.jackson.databind.JsonNode = {
+        val b = HttpRequest.newBuilder(URI.create(anonBase + "/mcp/jsonrpc"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"jsonrpc":"2.0","id":1,"method":"tools/call",
+              |"params":{"name":"anon-limited","arguments":{}}}""".stripMargin))
+        headers.foreach { case (k, v) => b.header(k, v) }
+        mapper.readTree(client.send(b.build(), HttpResponse.BodyHandlers.ofString()).body())
+      }
+      def text(j: com.fasterxml.jackson.databind.JsonNode) =
+        j.get("result").get("content").get(0).get("text").asText()
+      assert(text(callAnon()).contains("\"one\":1"))
+      assert(text(callAnon("Mcp-Session-Id" -> "forged-1")).contains("\"one\":1"))
+      // bucket exhausted — forging a NEW id must not refill it
+      val third = callAnon("Mcp-Session-Id" -> "forged-2")
+      assert(text(third).contains("Rate limit exceeded"),
+        s"forged session id bypassed the rate limit: $third")
+      val fourth = callAnon()
+      assert(text(fourth).contains("Rate limit exceeded"))
+      // a session the SERVER issued (presented back) gets its own bucket
+      val init = client.send(HttpRequest.newBuilder(URI.create(anonBase + "/mcp/jsonrpc"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"jsonrpc":"2.0","id":2,"method":"initialize"}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val sid = init.headers().firstValue("Mcp-Session-Id").get()
+      assert(text(callAnon("Mcp-Session-Id" -> sid)).contains("\"one\":1"))
+    } finally anon.stop()
+  }
+
   // ---- sessions (Mcp-Session-Id round-trip) ------------------------------
 
   private def rawRpc(body: String, headers: (String, String)*): HttpResponse[String] = {
