@@ -283,18 +283,38 @@ final class GraftServer(
 
   private def handleWrite(ex: HttpExchange, ep: ServedEndpoint,
                           params: Map[String, String]): Unit = {
-    val result = WriteExecutor.executeWrite(
-      spark, ep.config, ep.template, params,
-      returnsData = ep.config.returnsData, ep.connProps)
-    // RETURNING data is driver-memory-bound exactly like a non-paginated
-    // read: cap at the wire default (plan-level GlobalLimit — Spark also
-    // stops computing past it), so a write whose trailing SELECT yields
-    // a big table cannot materialize it all on the driver.
-    val data = result.returnedData.map(df => collectJson(df.limit(wire.defaultRowCap)))
-    val status = if (result.rowsAffected > 0) 201 else 200
+    // JDBC-backed endpoints (type: jdbc + url in the connection) take
+    // the point-to-point transactional path — the reference's northwind
+    // CRUD shape: the database's own transactions give atomicity and
+    // real concurrent-write throughput (Spark SQL cannot UPDATE/DELETE
+    // a JDBC view, and concurrent appends to one parquet table race on
+    // the commit protocol). Everything else writes through Spark.
+    val (rowsAffected, data) =
+      if (ep.connProps.get("type").contains("jdbc") && ep.connProps.contains("url")) {
+        val r = graft.write.JdbcWriteExecutor.executeWrite(
+          ep.connProps("url"), ep.config, ep.template, params,
+          returnsData = ep.config.returnsData, ep.connProps)
+        // same driver-memory cap as the Spark path; jackson serializes
+        // the boxed JDBC values with their native JSON types
+        (r.rowsAffected, r.returnedData.map(rows =>
+          mapper.writeValueAsString(rows.take(wire.defaultRowCap)
+            .map(m => scala.jdk.CollectionConverters.MapHasAsJava(
+              m.asInstanceOf[Map[String, AnyRef]]).asJava).toArray)))
+      } else {
+        val r = WriteExecutor.executeWrite(
+          spark, ep.config, ep.template, params,
+          returnsData = ep.config.returnsData, ep.connProps)
+        // RETURNING data is driver-memory-bound exactly like a
+        // non-paginated read: cap at the wire default (plan-level
+        // GlobalLimit — Spark also stops computing past it), so a write
+        // whose trailing SELECT yields a big table cannot materialize
+        // it all on the driver.
+        (r.rowsAffected, r.returnedData.map(df => collectJson(df.limit(wire.defaultRowCap))))
+      }
+    val status = if (rowsAffected > 0) 201 else 200
     val body = data match {
-      case Some(d) => s"""{"rows_affected":${result.rowsAffected},"data":$d}"""
-      case None => s"""{"rows_affected":${result.rowsAffected}}"""
+      case Some(d) => s"""{"rows_affected":$rowsAffected,"data":$d}"""
+      case None => s"""{"rows_affected":$rowsAffected}"""
     }
     respond(ex, status, body, "application/json")
   }

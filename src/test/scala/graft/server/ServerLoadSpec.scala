@@ -1,0 +1,116 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.util.concurrent.Executors
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config._
+
+/** Concurrency load gates from BASELINE.md (the reference's own CI
+  * thresholds, test_load_testing.py): ≥90/100 concurrent GETs succeed
+  * with avg < 2.0 s and p95 < 1.0 s; concurrent POSTs — the
+  * reference's skip-marked known weakness at ≥10/50 — must all commit
+  * here because JDBC-backed writes run point-to-point on the target
+  * database's transactions. */
+class ServerLoadSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var server: GraftServer = _
+  private var base: String = _
+  private val client = HttpClient.newHttpClient()
+  private val jdbcUrl = "jdbc:derby:memory:graftload;create=true"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]").appName("server-load-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).toDF("id").createOrReplaceTempView("load_t")
+    val c = java.sql.DriverManager.getConnection(jdbcUrl)
+    c.createStatement().execute(
+      "CREATE TABLE load_notes (id INT PRIMARY KEY, body VARCHAR(64))")
+    c.close()
+    server = new GraftServer(spark, Seq(
+      ServedEndpoint(
+        EndpointConfig(urlPath = "/load-read", templateSource = "r.sql",
+          withPagination = false, requestFieldsValidation = false),
+        "SELECT id FROM load_t WHERE id < 100 ORDER BY id"),
+      ServedEndpoint(
+        EndpointConfig(urlPath = "/load-write", method = "POST",
+          templateSource = "w.sql", isWrite = true,
+          requestFields = Seq(
+            RequestFieldConfig("id", validators = Seq(ValidatorConfig("int"))),
+            RequestFieldConfig("body", validators = Seq(ValidatorConfig("string"))))),
+        // trailing SELECT scoped to the inserted row: a COUNT(*) scan
+        // would wait on every other in-flight transaction's row locks
+        """INSERT INTO load_notes (id, body) VALUES ({{params.id}}, {{params.body}});
+          |SELECT id, body FROM load_notes WHERE id = {{params.id}}""".stripMargin,
+        connProps = Map("type" -> "jdbc", "url" -> jdbcUrl)))).start()
+    base = s"http://127.0.0.1:${server.boundPort}"
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop()
+    if (spark != null) spark.stop()
+  }
+
+  test("100 concurrent GETs: >=90 succeed, avg < 2.0s, p95 < 1.0s (BASELINE rows)") {
+    // warm the plan path once so the gate measures serving, not first-
+    // query codegen (the reference's load suite hits a warmed server)
+    client.send(HttpRequest.newBuilder(URI.create(base + "/load-read")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    val pool = Executors.newFixedThreadPool(20)
+    try {
+      val tasks = (1 to 100).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[(Int, Double)] {
+          override def call(): (Int, Double) = {
+            val t0 = System.nanoTime()
+            val r = client.send(
+              HttpRequest.newBuilder(URI.create(base + "/load-read")).build(),
+              HttpResponse.BodyHandlers.ofString())
+            (r.statusCode(), (System.nanoTime() - t0) / 1e9)
+          }
+        })
+      }
+      val results = tasks.map(_.get())
+      val ok = results.count(_._1 == 200)
+      val times = results.map(_._2).sorted
+      val avg = times.sum / times.size
+      val p95 = times((times.size * 0.95).toInt)
+      assert(ok >= 90, s"only $ok/100 concurrent GETs succeeded")
+      assert(avg < 2.0, f"avg response $avg%.2fs breaches the 2.0s baseline")
+      assert(p95 < 1.0, f"p95 response $p95%.2fs breaches the 1.0s baseline")
+    } finally pool.shutdown()
+  }
+
+  test("50 concurrent POSTs all commit through the JDBC write path") {
+    val pool = Executors.newFixedThreadPool(10)
+    try {
+      val tasks = (1 to 50).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          override def call(): Int = client.send(
+            HttpRequest.newBuilder(URI.create(base + "/load-write"))
+              .header("Content-Type", "application/json")
+              .POST(HttpRequest.BodyPublishers.ofString(
+                s"""{"id":$i,"body":"note$i"}""")).build(),
+            HttpResponse.BodyHandlers.ofString()).statusCode()
+        })
+      }
+      val codes = tasks.map(_.get())
+      val ok = codes.count(_ == 201)
+      assert(ok == 50, s"only $ok/50 concurrent POSTs committed (codes: ${codes.distinct})")
+      // every row landed exactly once
+      val c = java.sql.DriverManager.getConnection(jdbcUrl)
+      val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM load_notes")
+      rs.next()
+      assert(rs.getInt(1) == 50)
+      c.close()
+    } finally pool.shutdown()
+  }
+}
