@@ -213,6 +213,20 @@ class WireSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ArrowWire.codecOf("snappy"))
   }
 
+  test("arrow wire efficiency: compressed IPC is several times smaller than JSON (BASELINE row)") {
+    // BASELINE.md: reference targets ~10x size for 100K rows x 10 cols
+    // of mixed types. Same shape at 100K rows, zstd-compressed batches.
+    val schema = StructType((1 to 5).flatMap(i => Seq(
+      StructField(s"l$i", LongType), StructField(s"d$i", DoubleType))))
+    def rows = Iterator.tabulate(100000)(i =>
+      Row.fromSeq((1 to 5).flatMap(k => Seq[Any](i.toLong * k, i * 1.000001 * k))))
+    val arrow = ArrowWire.serialize(schema, rows,
+      batchRows = 122880, codec = Some(ArrowWire.codecOf("zstd"))).length
+    val json = JsonWire.rows(schema, rows).map(_.length + 1).sum
+    assert(arrow * 3 < json,
+      s"arrow $arrow bytes not ≥3x smaller than json $json bytes")
+  }
+
   test("csv stream writes identical bytes to serialize") {
     val schema = StructType(Seq(
       StructField("id", IntegerType), StructField("name", StringType)))
