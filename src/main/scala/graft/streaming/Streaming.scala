@@ -73,6 +73,26 @@ object Streaming {
         col("window.start").as("window_start"),
         col(typeCol), col("n"), round(col("total"), 2).as("total"))
 
+  // ---- streaming exact dedup ----------------------------------------------
+
+  /** Streaming face of the dedup family: drop rows whose key was
+    * already seen, with dedup state bounded by the watermark —
+    * `dropDuplicatesWithinWatermark` evicts keys once the watermark
+    * passes them, so state is proportional to the watermark window,
+    * never the stream's history. The keyed column should be a content
+    * digest (sha2 of the payload) like the batch dedup_exact entry, so
+    * the state per key is one small hash. At 100 TB/day this is the
+    * only shape that runs forever; a plain dropDuplicates would grow
+    * state without bound. */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // ---- custom keyed state ------------------------------------------------
 
   final case class UserEvent(user_id: Long, value: Double)

@@ -68,6 +68,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeats within the watermark, state evicts past it") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF.toDF("ts", "digest")
+    val deduped = Streaming.dedupStream(events, Seq("digest"),
+      watermark = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2026-01-01 10:00:00"), "doc-a"),
+        (ts("2026-01-01 10:01:00"), "doc-a"), // dup within watermark
+        (ts("2026-01-01 10:02:00"), "doc-b"))
+      q.processAllAvailable()
+      // push the watermark far past doc-a's state, then re-send it:
+      // the key was evicted, so the row lands again (bounded state —
+      // the documented semantics of within-watermark dedup)
+      input.addData((ts("2026-01-01 11:00:00"), "doc-c"))
+      q.processAllAvailable()
+      input.addData((ts("2026-01-01 11:01:00"), "doc-a"))
+      q.processAllAvailable()
+      val seen = spark.table("dedup_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1)))
+      // exactly one doc-a in the first window, none at 10:01
+      assert(seen.count(_._2 == "doc-a") == 2)
+      assert(!seen.exists(_._1 == "2026-01-01 10:01:00.0"))
+      assert(seen.count(_._2 == "doc-b") == 1)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     val ss = spark
     import ss.implicits._
