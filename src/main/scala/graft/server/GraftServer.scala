@@ -95,8 +95,13 @@ final class GraftServer(
     // health probe (reference mcp_route_handlers.cpp:215-241): liveness
     // + entity counts, no auth — safe because it exposes only counts
     server.createContext("/mcp/health", (ex: HttpExchange) => safely(ex) { e =>
-      val tools = eps.count(_.config.mcpResource.isEmpty)
+      // counts MUST agree with what tools/list / resources/list actually
+      // advertise (every endpoint is a tool; resource-backed ones are
+      // ALSO resources), and the session gauge reaps expired entries
+      // first so it never reports phantom load
+      val tools = eps.size
       val resources = eps.count(_.config.mcpResource.isDefined)
+      mcpSessions.cleanupExpired()
       respond(e, 200,
         s"""{"status":"healthy","server":"graft","version":"0.1",""" +
           s""""protocol_version":"2024-11-05","mcp_available":true,""" +
@@ -281,36 +286,38 @@ final class GraftServer(
     }
   }
 
+  /** Execute a write endpoint via the right engine (shared by REST and
+    * MCP tools/call). JDBC-backed endpoints (type: jdbc + url in the
+    * connection) take the point-to-point transactional path — the
+    * reference's northwind CRUD shape: the database's own transactions
+    * give atomicity and real concurrent-write throughput (Spark SQL
+    * cannot UPDATE/DELETE a JDBC view, and concurrent appends to one
+    * parquet table race on the commit protocol). Everything else
+    * writes through Spark. RETURNING data is capped BEFORE
+    * materialization on both paths (plan-level GlobalLimit for Spark,
+    * setMaxRows + bounded fetch loop for JDBC). */
+  private def executeWriteRouted(ep: ServedEndpoint,
+                                 params: Map[String, String]): (Long, Option[String]) =
+    if (ep.connProps.get("type").contains("jdbc") && ep.connProps.contains("url")) {
+      val r = graft.write.JdbcWriteExecutor.executeWrite(
+        ep.connProps("url"), ep.config, ep.template, params,
+        returnsData = ep.config.returnsData, ep.connProps,
+        maxReturnedRows = wire.defaultRowCap)
+      // jackson serializes the JSON-safe JDBC values with native types
+      (r.rowsAffected, r.returnedData.map(rows =>
+        mapper.writeValueAsString(rows
+          .map(m => scala.jdk.CollectionConverters.MapHasAsJava(
+            m.asInstanceOf[Map[String, AnyRef]]).asJava).toArray)))
+    } else {
+      val r = WriteExecutor.executeWrite(
+        spark, ep.config, ep.template, params,
+        returnsData = ep.config.returnsData, ep.connProps)
+      (r.rowsAffected, r.returnedData.map(df => collectJson(df.limit(wire.defaultRowCap))))
+    }
+
   private def handleWrite(ex: HttpExchange, ep: ServedEndpoint,
                           params: Map[String, String]): Unit = {
-    // JDBC-backed endpoints (type: jdbc + url in the connection) take
-    // the point-to-point transactional path — the reference's northwind
-    // CRUD shape: the database's own transactions give atomicity and
-    // real concurrent-write throughput (Spark SQL cannot UPDATE/DELETE
-    // a JDBC view, and concurrent appends to one parquet table race on
-    // the commit protocol). Everything else writes through Spark.
-    val (rowsAffected, data) =
-      if (ep.connProps.get("type").contains("jdbc") && ep.connProps.contains("url")) {
-        val r = graft.write.JdbcWriteExecutor.executeWrite(
-          ep.connProps("url"), ep.config, ep.template, params,
-          returnsData = ep.config.returnsData, ep.connProps)
-        // same driver-memory cap as the Spark path; jackson serializes
-        // the boxed JDBC values with their native JSON types
-        (r.rowsAffected, r.returnedData.map(rows =>
-          mapper.writeValueAsString(rows.take(wire.defaultRowCap)
-            .map(m => scala.jdk.CollectionConverters.MapHasAsJava(
-              m.asInstanceOf[Map[String, AnyRef]]).asJava).toArray)))
-      } else {
-        val r = WriteExecutor.executeWrite(
-          spark, ep.config, ep.template, params,
-          returnsData = ep.config.returnsData, ep.connProps)
-        // RETURNING data is driver-memory-bound exactly like a
-        // non-paginated read: cap at the wire default (plan-level
-        // GlobalLimit — Spark also stops computing past it), so a write
-        // whose trailing SELECT yields a big table cannot materialize
-        // it all on the driver.
-        (r.rowsAffected, r.returnedData.map(df => collectJson(df.limit(wire.defaultRowCap))))
-      }
+    val (rowsAffected, data) = executeWriteRouted(ep, params)
     val status = if (rowsAffected > 0) 201 else 200
     val body = data match {
       case Some(d) => s"""{"rows_affected":$rowsAffected,"data":$d}"""
@@ -529,6 +536,17 @@ final class GraftServer(
                 case Right((sql, bind)) =>
                   reply(s"""{"content":[{"type":"text","text":${quote(sql)}}],"_meta":{"dryRun":true,"bindCount":${bind.length}}}""")
               }
+            } else if (ep.config.isWrite) {
+              // write tools execute through the SAME routed path as
+              // REST (multi-statement split + JDBC transactional
+              // passthrough) — TemplatePipeline.run would hand the
+              // multi-statement template to spark.sql and parse-fail
+              val (rowsAffected, data) = executeWriteRouted(ep, args)
+              val payload = data match {
+                case Some(d) => s"""{"rows_affected":$rowsAffected,"data":$d}"""
+                case None => s"""{"rows_affected":$rowsAffected}"""
+              }
+              reply(s"""{"content":[{"type":"text","text":${quote(payload)}}]}""")
             } else {
               val df = TemplatePipeline.run(spark, ep.config, ep.template, args, ep.connProps)
               // shape bounds BEFORE collect: sample mode never collects

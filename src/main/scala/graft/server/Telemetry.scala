@@ -36,7 +36,8 @@ final class Telemetry(
 
   def disabled: Boolean =
     !enabled || env("GRAFT_DISABLE_TELEMETRY")
-      .exists(v => v == "1" || v == "true" || v == "yes")
+      // case-insensitive: TRUE/Yes must honor the privacy opt-out too
+      .map(_.toLowerCase).exists(v => v == "1" || v == "true" || v == "yes")
 
   def notifyStart(version: String): Unit =
     if (!disabled) try backend.captureStart(AppName, version)

@@ -35,7 +35,11 @@ object JdbcWriteExecutor {
       template: String,
       params: Map[String, String],
       returnsData: Boolean = true,
-      connProps: Map[String, String] = Map.empty): JdbcWriteResult = {
+      connProps: Map[String, String] = Map.empty,
+      /** cap on trailing-SELECT rows — bounded BEFORE materialization
+        * (setMaxRows + loop bound), the JDBC analog of the read path's
+        * plan-level limit. */
+      maxReturnedRows: Int = Int.MaxValue): JdbcWriteResult = {
 
     val (sql, args) = TemplatePipeline.prepare(
       endpoint, template, params, connProps, duckDialect = false) match {
@@ -50,7 +54,19 @@ object JdbcWriteExecutor {
       statements.last.regionMatches(true, 0, "SELECT", 0, 6)
     val toExecute = if (lastIsSelect) statements.size - 1 else statements.size
 
-    val conn = DriverManager.getConnection(url)
+    // connection credentials from the connection block, env:/secretfile:
+    // refs resolved — the same properties the Spark JDBC READ path uses
+    // (Connections.registerJdbc); a driver class is loaded when named.
+    connProps.get("driver").foreach(d =>
+      try Class.forName(d) catch { case _: ClassNotFoundException => () })
+    val user = connProps.get("user")
+      .map(graft.sources.CredentialManager.resolveRef(_))
+    val password = connProps.get("password")
+      .map(graft.sources.CredentialManager.resolveRef(_))
+    val conn = user match {
+      case Some(u) => DriverManager.getConnection(url, u, password.getOrElse(""))
+      case None => DriverManager.getConnection(url)
+    }
     try {
       conn.setAutoCommit(false) // the reference's BEGIN TRANSACTION
       var rows = 0L
@@ -62,7 +78,8 @@ object JdbcWriteExecutor {
         } finally ps.close()
       }
       val returned =
-        if (lastIsSelect) Some(runSelect(conn, statements.last, slices.last))
+        if (lastIsSelect)
+          Some(runSelect(conn, statements.last, slices.last, maxReturnedRows))
         else None
       conn.commit()
       JdbcWriteResult(rows, returned)
@@ -84,16 +101,36 @@ object JdbcWriteExecutor {
       }
     }
 
-  private def runSelect(conn: Connection, sql: String, args: Seq[Any]): Seq[Map[String, Any]] = {
+  private def runSelect(conn: Connection, sql: String, args: Seq[Any],
+                        maxRows: Int = Int.MaxValue): Seq[Map[String, Any]] = {
     val ps = conn.prepareStatement(sql)
     try {
+      if (maxRows != Int.MaxValue) ps.setMaxRows(maxRows)
       bindAll(ps, args)
       val rs = ps.executeQuery()
       val meta = rs.getMetaData
       val cols = (1 to meta.getColumnCount).map(meta.getColumnLabel)
       val out = Seq.newBuilder[Map[String, Any]]
-      while (rs.next()) out += cols.map(c => c -> rs.getObject(c)).toMap
+      var n = 0
+      while (n < maxRows && rs.next()) {
+        out += cols.map(c => c -> jsonSafe(rs.getObject(c))).toMap
+        n += 1
+      }
       out.result()
     } finally ps.close()
+  }
+
+  /** Materialize JDBC values into JSON-safe forms WHILE the connection
+    * is open: LOB accessors throw after close, and a post-commit
+    * serialization failure would 500 a write that already persisted. */
+  private def jsonSafe(v: Any): Any = v match {
+    case c: java.sql.Clob => c.getSubString(1, math.min(c.length(), Int.MaxValue.toLong).toInt)
+    case b: java.sql.Blob =>
+      java.util.Base64.getEncoder.encodeToString(
+        b.getBytes(1, math.min(b.length(), Int.MaxValue.toLong).toInt))
+    case d: java.sql.Date => d.toString
+    case t: java.sql.Time => t.toString
+    case ts: java.sql.Timestamp => ts.toString
+    case other => other
   }
 }

@@ -275,6 +275,21 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(j.get("data").get(0).get("note").asText() == "hello; world")
   }
 
+  test("MCP tools/call executes a write endpoint through the routed write path") {
+    val call = rpc(
+      """{"jsonrpc":"2.0","id":50,"method":"tools/call",
+        |"params":{"name":"notes","arguments":{"note":"via mcp"}}}""".stripMargin)
+    assert(!call.path("result").path("isError").asBoolean(false), s"write tool errored: $call")
+    val payload = mapper.readTree(
+      call.get("result").get("content").get(0).get("text").asText())
+    assert(payload.get("rows_affected").asLong() == 1L)
+    // the external LOCATION accumulates rows across tests in the suite —
+    // assert membership, not position
+    val notes = (0 until payload.get("data").size())
+      .map(payload.get("data").get(_).get("note").asText())
+    assert(notes.contains("via mcp"))
+  }
+
   test("write RETURNING data is capped at wire.defaultRowCap") {
     val r = post("/big_write", "{}")
     assert(r.statusCode() == 201)
