@@ -117,4 +117,31 @@ class PropertySpec extends AnyFunSuite {
       } else cell == s
     })
   }
+
+  // ---- native expression kernels (evaluated via Catalyst Literals, no
+  // session needed; differential against plain-Scala references) -------
+
+  private def strArrayLit(xs: Seq[String]) =
+    org.apache.spark.sql.catalyst.expressions.Literal.create(
+      xs, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+
+  test("tokens_in_set equals multiplicity-preserving filter-IN for any input") {
+    val token = Gen.oneOf(Gen.oneOf("the", "a", "der", "le", "el"), Gen.alphaStr)
+    check("tokens-in-set", forAll(
+      Gen.listOf(token), Gen.listOf(token)) { (tokens, markers) =>
+      val got = graft.functions.TokensInSet(
+        strArrayLit(tokens), strArrayLit(markers)).eval(null)
+      val set = markers.toSet
+      got == tokens.count(set.contains)
+    })
+  }
+
+  test("minhash_sig expression equals the plain-JVM loop for any shingle set") {
+    check("minhash-sig", forAll(Gen.listOf(Gen.alphaNumStr)) { shingles =>
+      val got = graft.functions.MinHashSignature(strArrayLit(shingles), 8)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray.toSeq
+      got == graft.functions.GraftFunctions.minhashPlain(shingles, 8).toSeq
+    })
+  }
 }
