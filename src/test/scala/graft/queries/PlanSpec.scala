@@ -53,10 +53,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("similarity operators never produce a cartesian product") {
-    Seq("neardup_minhash_lsh", "ann_brute_topk", "ann_lsh_topk").foreach { q =>
+    Seq("neardup_minhash_lsh", "ann_brute_topk", "ann_lsh_topk",
+      "embdup_cosine_pairs").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
     }
+  }
+
+  test("q1 aggregation is partial (map-side combine before the shuffle)") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_avg"),
+      s"q1 shuffles raw rows instead of partial aggregates:\n$p")
+  }
+
+  test("dedup'd corpus survivor filter is a broadcast anti-join") {
+    val p = plan("neardup_dedup_corpus")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"loser set not broadcast-anti-joined:\n$p")
   }
 
   test("ann probes broadcast; corpus side stays partitioned") {
