@@ -89,8 +89,50 @@ object TemplatePipeline {
     prepare(endpoint, template, params, connProps, envAllow, duckDialect) match {
       case Left(errs) => throw BadRequest(errs)
       case Right((sql, args)) =>
-        if (args.isEmpty) spark.sql(sql) else spark.sql(sql, args)
+        PlanCache.getOrBuild(spark, sql, args.toSeq) {
+          if (args.isEmpty) spark.sql(sql) else spark.sql(sql, args)
+        }
     }
+}
+
+/** Analyzed-plan cache for the serving path (SURVEY §4.2c): repeated
+  * identical requests — dashboards, agent retries, reloads of the same
+  * page — skip SQL parse + analysis, a real slice of the reference's
+  * 12-68 ms interactive budget that Spark otherwise pays per request.
+  *
+  * Key = (session, generation, rendered SQL, bound args). The rendered
+  * text already encodes the Mustache section-presence bitmap
+  * (SURVEY §7.4.5: two requests whose sections differ render different
+  * SQL), so shape collisions are impossible. `invalidateAll` bumps the
+  * generation — cache-table refreshes and config-API mutations call it,
+  * so a cached plan can never serve against a changed world. Bounded
+  * LRU; DataFrames are lazy plan objects (cheap to hold, thread-safe
+  * to execute).
+  */
+object PlanCache {
+  private val MaxEntries = 256
+  private val generation = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private type Key = (Int, Long, String, Seq[Any])
+  private val cache = new java.util.LinkedHashMap[Key, DataFrame](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[Key, DataFrame]): Boolean =
+      size() > MaxEntries
+  }
+
+  /** Drop every cached plan (generation bump — O(1), entries age out). */
+  def invalidateAll(): Unit = generation.incrementAndGet()
+
+  def getOrBuild(spark: SparkSession, sql: String, args: Seq[Any])(
+      build: => DataFrame): DataFrame = {
+    val key: Key = (System.identityHashCode(spark), generation.get(), sql, args)
+    cache.synchronized(Option(cache.get(key))) match {
+      case Some(df) => df
+      case None =>
+        val df = build // analysis outside the lock — it can take ~100 ms
+        cache.synchronized(cache.put(key, df))
+        df
+    }
+  }
 }
 
 /** Pagination + count envelope (O2/A4; reference database_manager.cpp:

@@ -96,6 +96,9 @@ final class CacheManager(spark: SparkSession, warehouseRoot: String) {
       }
       recordSyncEvent(endpoint, c, mode, "success", "Cache refreshed successfully")
       c.retention.keepLastSnapshots.foreach(t.expireSnapshots)
+      // serving plans referencing the pre-refresh snapshot dirs must
+      // never be served again (SURVEY §4.2c plan cache)
+      graft.api.PlanCache.invalidateAll()
       id
     } catch {
       case e: Exception =>

@@ -29,21 +29,28 @@ final class EndpointRegistry(initial: Seq[ServedEndpoint]) {
 
   def find(slug0: String): Option[ServedEndpoint] = all.find(slug(_) == slug0)
 
-  def upsert(ep: ServedEndpoint): Unit =
+  private def invalidatePlans(): Unit = graft.api.PlanCache.invalidateAll()
+
+  def upsert(ep: ServedEndpoint): Unit = {
     ref.updateAndGet(cur => cur.filterNot(slug(_) == slug(ep)) :+ ep)
+    invalidatePlans()
+  }
 
   def remove(slug0: String): Boolean = {
     // atomic like upsert: a get/filter/set window would drop a
     // concurrent upsert landing between the reads
     val before = ref.getAndUpdate(cur => cur.filterNot(slug(_) == slug0))
+    invalidatePlans()
     before.exists(slug(_) == slug0)
   }
 
   /** Atomic PUT: drop the old slug and install the new endpoint in ONE
     * swap — readers never observe the endpoint missing. */
-  def replace(oldSlug: String, ep: ServedEndpoint): Unit =
+  def replace(oldSlug: String, ep: ServedEndpoint): Unit = {
     ref.updateAndGet(cur =>
       cur.filterNot(e => slug(e) == oldSlug || slug(e) == slug(ep)) :+ ep)
+    invalidatePlans()
+  }
 }
 
 final case class ConfigServiceConfig(
