@@ -96,6 +96,7 @@ final class CacheManager(spark: SparkSession, warehouseRoot: String) {
       }
       recordSyncEvent(endpoint, c, mode, "success", "Cache refreshed successfully")
       c.retention.keepLastSnapshots.foreach(t.expireSnapshots)
+      registerServeView(c)
       // serving plans referencing the pre-refresh snapshot dirs must
       // never be served again (SURVEY §4.2c plan cache)
       graft.api.PlanCache.invalidateAll()
@@ -104,6 +105,22 @@ final class CacheManager(spark: SparkSession, warehouseRoot: String) {
       case e: Exception =>
         recordSyncEvent(endpoint, c, mode, "error", String.valueOf(e.getMessage))
         throw e
+    }
+  }
+
+  /** Catalog view `<schema>.<table>` over the current snapshot, so
+    * serve-time read templates query `{{cache.schema}}.{{cache.table}}`
+    * exactly like the reference's DuckLake-attached tables (the serving
+    * shell injects the cache namespace per
+    * cache_manager.cpp:addQueryCacheParamsIfNecessary). Re-registered
+    * after every refresh; the plan-cache generation bump right after
+    * guarantees no stale plan survives the swap. */
+  private def registerServeView(c: CacheConfig): Unit = {
+    val dirs = table(c).currentDataDirs
+    if (dirs.nonEmpty) {
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS `${c.schema}`")
+      val body = dirs.map(d => s"SELECT * FROM parquet.`$d`").mkString(" UNION ALL ")
+      spark.sql(s"CREATE OR REPLACE VIEW `${c.schema}`.`${c.table}` AS $body")
     }
   }
 

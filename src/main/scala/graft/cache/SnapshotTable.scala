@@ -183,6 +183,14 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Data dirs of the CURRENT snapshot — the serve-view registration
+    * (CacheManager) builds a catalog view over them so templates can
+    * query `{{cache.schema}}.{{cache.table}}` directly. Empty when no
+    * snapshot exists yet. */
+  def currentDataDirs: Seq[String] =
+    currentSnapshotId.toSeq.flatMap(id =>
+      manifestFor(loadManifests(), id).dirs.map(dataPath))
+
   // ---- maintenance (C4/C5) ---------------------------------------------
 
   /** Retention: keep the newest `keepLast` snapshots (the live one is

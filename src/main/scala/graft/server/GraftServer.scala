@@ -240,18 +240,37 @@ final class GraftServer(
         val query = parseQuery(ex.getRequestURI.getRawQuery)
         val fieldDefaults = ep.config.requestFields
           .flatMap(f => f.defaultValue.map(f.fieldName -> _)).toMap
-        val params =
+        val params = withCacheParams(ep,
           (if (ep.config.isWrite) {
             val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
             ParamAssembly.combineWrite(Map.empty, pathParams,
               Some(body).filter(_.nonEmpty), fieldDefaults, query)
           } else
             ParamAssembly.combineRead(Map.empty, pathParams, fieldDefaults, query)
-          ) ++ authParams
+          ) ++ authParams)
 
         if (ep.config.isWrite) handleWrite(ex, ep, params)
         else handleRead(ex, ep, params, query)
     }
+  }
+
+  /** Serve-time cache namespace (reference
+    * cache_manager.cpp:addQueryCacheParamsIfNecessary, injected on
+    * every read/write path at database_manager.cpp:361/:404/:683):
+    * cache-enabled endpoints get `{{cache.catalog/schema/table}}` so
+    * read templates query the snapshot-backed catalog view instead of
+    * recomputing from source. USER-supplied cache keys are stripped
+    * first — a caller must never redirect the template to a different
+    * table. */
+  private def withCacheParams(ep: ServedEndpoint,
+                              params: Map[String, String]): Map[String, String] = {
+    val cleaned = params -- graft.template.TemplateContext.reservedCacheKeys
+    val c = ep.config.cache
+    if (!c.enabled || c.table.isEmpty) cleaned
+    else cleaned ++ Map(
+      "cacheCatalog" -> "spark_catalog",
+      "cacheSchema" -> c.schema,
+      "cacheTable" -> c.table)
   }
 
   private def handleRead(ex: HttpExchange, ep: ServedEndpoint,
@@ -522,12 +541,12 @@ final class GraftServer(
             }
             val argsNode = req.path("params").path("arguments")
             var dryRun = false
-            val args = if (argsNode.isObject) {
+            val args = withCacheParams(ep, if (argsNode.isObject) {
               argsNode.asInstanceOf[ObjectNode].fields().asScala.flatMap { e =>
                 if (e.getKey == "_dryRun") { dryRun = e.getValue.asBoolean(false); None }
                 else Some(e.getKey -> ParamAssembly.jsonValueToString(e.getValue))
               }.toMap
-            } else Map.empty[String, String]
+            } else Map.empty[String, String])
             if (dryRun) {
               // render without executing (mcp_dry_run.cpp:5-47)
               TemplatePipeline.prepare(ep.config, ep.template, args, ep.connProps) match {

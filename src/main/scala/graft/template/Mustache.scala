@@ -205,6 +205,11 @@ object TemplateContext {
     "cursorLastValue" -> "cursorLastValue",
     "primaryKeys" -> "primaryKeys")
 
+  /** Reserved cache-namespace param names (reference cache_manager.cpp
+    * injects them; the serving shell strips user-supplied ones so a
+    * caller can never redirect a template's cache-table reference). */
+  val reservedCacheKeys: Set[String] = cacheKeyMap.keySet
+
   private val authKeyMap: Map[String, String] = Map(
     "__auth_username" -> "username",
     "__auth_roles" -> "roles",

@@ -184,7 +184,10 @@ object RequestValidator {
       params: Map[String, String]): Seq[ValidationError] = {
     val known = fields.map(_.fieldName).toSet + "offset" + "limit"
     params.keys.collect {
-      case k if !k.startsWith(authReservedPrefix) && !known.contains(k) =>
+      case k if !k.startsWith(authReservedPrefix) && !known.contains(k) &&
+          // system-injected cache namespace (server strips user-supplied
+          // ones before injection, so this never weakens REST validation)
+          !graft.template.TemplateContext.reservedCacheKeys.contains(k) =>
         ValidationError(k, "Unknown parameter not defined in endpoint configuration")
     }.toSeq
   }

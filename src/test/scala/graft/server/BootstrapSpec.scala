@@ -185,7 +185,10 @@ class BootstrapSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  table: boot_cache
         |  template-file: cache.sql
         |""".stripMargin)
-    Files.writeString(sqls.resolve("read.sql"), "SELECT 0 AS wrong")
+    // the READ template serves FROM the cache table via the injected
+    // cache namespace (reference addQueryCacheParamsIfNecessary shape)
+    Files.writeString(sqls.resolve("read.sql"),
+      "SELECT c_custkey FROM {{cache.schema}}.{{cache.table}} ORDER BY c_custkey")
     Files.writeString(sqls.resolve("cache.sql"),
       "SELECT c_custkey FROM read_parquet('/root/testdata/sf0.001/customer.parquet') WHERE c_custkey <= 7")
 
@@ -202,6 +205,16 @@ class BootstrapSpec extends AnyFunSuite with BeforeAndAfterAll {
         .filter("c_custkey <= 7").count()
       assert(t.read().count() == expected)
       assert(t.read().columns.toSeq == Seq("c_custkey")) // cache.sql, not read.sql
+      // GET serves the CACHED data through the catalog view — and a
+      // caller-supplied cacheTable must not redirect the query
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${srv.boundPort}/cached?cacheTable=orders")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200, s"serve-from-cache failed: ${r.body()}")
+      val arr = mapper.readTree(r.body())
+      assert(arr.size() == expected)
+      assert(arr.get(0).has("c_custkey"))
     } finally srv.stop()
   }
 
