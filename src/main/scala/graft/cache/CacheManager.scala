@@ -87,7 +87,13 @@ final class CacheManager(spark: SparkSession, warehouseRoot: String) {
     val t = table(c)
     val mode = determineMode(c)
     try {
-      val df = TemplatePipeline.run(spark, endpoint, cacheTemplate,
+      // system-initiated render: the cache template binds cache.* and
+      // conn.* context, not user request params — the endpoint's
+      // request-field requirements must not apply (a required REST
+      // param would otherwise block every scheduled/boot refresh)
+      val sysEndpoint = endpoint.copy(
+        requestFields = Nil, requestFieldsValidation = false)
+      val df = TemplatePipeline.run(spark, sysEndpoint, cacheTemplate,
         params ++ cacheParams(c, t), connProps)
       val id = mode match {
         case "full" => t.refreshFull(df)

@@ -39,7 +39,12 @@ final case class CacheConfig(
     primaryKeys: Seq[String] = Nil,
     cursor: Option[CursorConfig] = None,
     retention: RetentionConfig = RetentionConfig(),
-    templateFile: Option[String] = None) {
+    templateFile: Option[String] = None,
+    /** write-triggered cache behavior (reference config_manager.hpp:
+      * 153-154; handleCacheAfterWrite, request_handler.cpp:543): drop
+      * cached plans / re-materialize after a successful write. */
+    invalidateOnWrite: Boolean = false,
+    refreshOnWrite: Boolean = false) {
   def hasCursor: Boolean = cursor.isDefined
   def hasPrimaryKey: Boolean = primaryKeys.nonEmpty
 }

@@ -171,7 +171,9 @@ object YamlConfig {
           keepLastSnapshots = str(rm, "keep-last-snapshots").map(_.toInt),
           maxSnapshotAge = str(rm, "max-snapshot-age"))
       }.getOrElse(RetentionConfig()),
-      templateFile = str(m, "template-file"))
+      templateFile = str(m, "template-file"),
+      invalidateOnWrite = str(m, "invalidate-on-write").exists(_.toBoolean),
+      refreshOnWrite = str(m, "refresh-on-write").exists(_.toBoolean))
   }
 
   private def parseMcpTool(v: Any): McpToolConfig = {

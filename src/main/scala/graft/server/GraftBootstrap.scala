@@ -91,13 +91,20 @@ object GraftBootstrap {
             if (ep.connection.nonEmpty)
               ep.connection.flatMap(n => connByName.getOrElse(n, Map.empty)).toMap
             else allConnProps
+          // resolved cache template rides on the endpoint so the
+          // server can refresh-on-write without re-resolving the VFS
+          val cacheTemplate =
+            if (ep.cache.enabled) ep.cache.templateFile.map(f =>
+              TemplateSource.load(spark, f, Some(templateDir)))
+            else None
           Some(ServedEndpoint(ep, template, connProps = connProps,
             // endpoint rate-limit block → serving token bucket
             rateLimit = ep.rateLimit.filter(_.enabled)
               .map(rl => RateLimitConfig(rl.requestsPerMinute)),
             // auth-enabled endpoints grant their configured users' roles
             allowedRoles = ep.auth.filter(_.enabled).map(a =>
-              a.users.flatMap(_.roles).distinct)))
+              a.users.flatMap(_.roles).distinct),
+            cacheTemplate = cacheTemplate))
         } catch { case e: Exception =>
           System.err.println(s"[bootstrap] endpoint ${ep.urlPath} skipped: ${e.getMessage}")
           None

@@ -24,7 +24,10 @@ final case class ServedEndpoint(
     shape: ResponseShape = ResponseShape(),
     /** MCP RBAC allow-list; None = deny-by-default when auth is on. */
     allowedRoles: Option[Seq[String]] = None,
-    rateLimit: Option[RateLimitConfig] = None)
+    rateLimit: Option[RateLimitConfig] = None,
+    /** resolved cache template (cache.template-file wins over the read
+      * template) — used by write-triggered refresh. */
+    cacheTemplate: Option[String] = None)
 
 /** Wire/serving bounds. `defaultRowCap` bounds NON-paginated JSON reads
   * (the reference defaults limit=100 on everything,
@@ -334,9 +337,29 @@ final class GraftServer(
       (r.rowsAffected, r.returnedData.map(df => collectJson(df.limit(wire.defaultRowCap))))
     }
 
+  /** Write-triggered cache behavior (reference handleCacheAfterWrite,
+    * request_handler.cpp:543-571 — where refresh_on_write is only a
+    * logged stub; here both act): invalidate drops cached serving
+    * plans; refresh re-materializes the snapshot table so the NEXT
+    * read serves the post-write state. Failures are logged, never
+    * surfaced — the write itself already committed. */
+  private def handleCacheAfterWrite(ep: ServedEndpoint): Unit = {
+    val c = ep.config.cache
+    if (!c.enabled || c.table.isEmpty) return
+    if (c.invalidateOnWrite) graft.api.PlanCache.invalidateAll()
+    if (c.refreshOnWrite) cacheManager.foreach { cm =>
+      try cm.refresh(ep.config, ep.cacheTemplate.getOrElse(ep.template),
+        connProps = ep.connProps)
+      catch { case e: Exception =>
+        System.err.println(s"[cache] refresh-on-write ${ep.config.urlPath} failed: ${e.getMessage}")
+      }
+    }
+  }
+
   private def handleWrite(ex: HttpExchange, ep: ServedEndpoint,
                           params: Map[String, String]): Unit = {
     val (rowsAffected, data) = executeWriteRouted(ep, params)
+    handleCacheAfterWrite(ep)
     val status = if (rowsAffected > 0) 201 else 200
     val body = data match {
       case Some(d) => s"""{"rows_affected":$rowsAffected,"data":$d}"""
@@ -561,6 +584,7 @@ final class GraftServer(
               // passthrough) — TemplatePipeline.run would hand the
               // multi-statement template to spark.sql and parse-fail
               val (rowsAffected, data) = executeWriteRouted(ep, args)
+              handleCacheAfterWrite(ep)
               val payload = data match {
                 case Some(d) => s"""{"rows_affected":$rowsAffected,"data":$d}"""
                 case None => s"""{"rows_affected":$rowsAffected}"""

@@ -307,6 +307,41 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(j.get("mcp_available").asBoolean())
   }
 
+  test("refresh-on-write re-materializes the cache and its serve view after a POST") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_row_wh")
+    val cm = new graft.cache.CacheManager(spark, wh.toString)
+    val cfg = CacheConfig(enabled = true, table = "rw_cache", refreshOnWrite = true)
+    val loc = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_srv_rw")
+    if (loc.exists()) loc.listFiles().foreach(_.delete())
+    val ep = ServedEndpoint(
+      EndpointConfig(urlPath = "/rw-notes", method = "POST",
+        templateSource = "rw.sql", isWrite = true, cache = cfg,
+        requestFields = Seq(RequestFieldConfig("note", required = true,
+          validators = Seq(ValidatorConfig("string", min = 1, max = 100))))),
+      """DROP TABLE IF EXISTS srv_rw_notes;
+        |CREATE TABLE srv_rw_notes (note STRING) USING parquet LOCATION '{{conn.loc}}';
+        |INSERT INTO srv_rw_notes VALUES ({{params.note}});
+        |SELECT note FROM srv_rw_notes""".stripMargin,
+      connProps = Map("loc" -> loc.getAbsolutePath),
+      cacheTemplate = Some("SELECT note FROM srv_rw_notes"))
+    val srv = new GraftServer(spark, Seq(ep), cacheManager = Some(cm)).start()
+    try {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${srv.boundPort}/rw-notes"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString("""{"note":"cached-after-write"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 201)
+      // the write itself triggered the cache refresh...
+      val cached = cm.table(cfg).read().collect().map(_.getString(0))
+      assert(cached.contains("cached-after-write"))
+      // ...and the serve view reflects it
+      val viaView = spark.sql("SELECT note FROM cache.rw_cache").collect().map(_.getString(0))
+      assert(viaView.contains("cached-after-write"))
+    } finally srv.stop()
+  }
+
   test("MCP initialize, tools/list, tools/call") {
     val init = rpc("""{"jsonrpc":"2.0","id":1,"method":"initialize"}""")
     assert(init.get("result").get("serverInfo").get("name").asText() == "graft")
