@@ -26,6 +26,9 @@ import graft.config.{CacheConfig, EndpointConfig}
   */
 final class CacheManager(spark: SparkSession, warehouseRoot: String) {
 
+  /** Warehouse root (config-tool introspection). */
+  def warehouse: String = warehouseRoot
+
   // ---- C1: mode resolution (cache_manager.cpp:134-139) ------------------
   def determineMode(c: CacheConfig): String =
     if (!c.hasCursor) "full"

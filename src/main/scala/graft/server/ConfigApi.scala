@@ -116,7 +116,7 @@ final class ConfigApi(
     n
   }
 
-  private def fieldJson(f: RequestFieldConfig) = {
+  private[server] def fieldJson(f: RequestFieldConfig) = {
     val n = mapper.createObjectNode()
     n.put("field-name", f.fieldName)
     n.put("field-in", f.fieldIn)
@@ -128,7 +128,7 @@ final class ConfigApi(
     n
   }
 
-  private def configJson(ep: ServedEndpoint) = {
+  private[server] def configJson(ep: ServedEndpoint) = {
     val c = ep.config
     val n = mapper.createObjectNode()
     n.put("slug", registry.slug(ep))
@@ -150,7 +150,7 @@ final class ConfigApi(
   // ---- endpoint parsing (PUT/POST bodies; JSON is valid YAML, so the
   // shared YamlConfig binder serves both content types) --------------------
 
-  private def parseServed(doc: String): Either[String, ServedEndpoint] =
+  private[server] def parseServed(doc: String): Either[String, ServedEndpoint] =
     try {
       val config = YamlConfig.parseEndpoint(doc)
       val m = new org.yaml.snakeyaml.Yaml().load[Any](doc)
@@ -177,7 +177,7 @@ final class ConfigApi(
 
   /** Endpoint-config validation: structural checks + a dry render with
     * defaults (catches Mustache/dialect errors without executing). */
-  private def validate(ep: ServedEndpoint): Seq[String] = {
+  private[server] def validate(ep: ServedEndpoint): Seq[String] = {
     val errs = scala.collection.mutable.ArrayBuffer.empty[String]
     if (!ep.config.urlPath.startsWith("/")) errs += "url-path must start with '/'"
     if (ep.template.trim.isEmpty) errs += "template is empty"

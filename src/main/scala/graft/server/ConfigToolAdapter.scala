@@ -1,0 +1,223 @@
+package graft.server
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.SparkSession
+
+import graft.api.TemplatePipeline
+
+/** Config-management MCP tools (reference config_tool_adapter.cpp):
+  * the config service's capabilities exposed to AI operators as
+  * `graft_*` tools — same inventory as the reference's `flapi_*` set,
+  * same auth split (read-only tools open, MUTATING tools require the
+  * config-service bearer token when one is configured; a mutation can
+  * never ride an unauthenticated MCP session past the REST gate).
+  * All operations reuse the ConfigApi machinery (parse/validate/
+  * registry swap), so MCP and REST mutations have identical semantics.
+  */
+final class ConfigToolAdapter(
+    spark: SparkSession,
+    registry: EndpointRegistry,
+    cfg: ConfigServiceConfig,
+    api: ConfigApi,
+    cacheManager: Option[graft.cache.CacheManager]) {
+
+  private val mapper = new ObjectMapper()
+
+  /** name → (description, requires auth). Mirrors the reference's
+    * tool table + per-tool auth flags. */
+  val tools: Seq[(String, String, Boolean)] = Seq(
+    ("graft_get_project_config", "Project summary: name, engine, endpoint count", false),
+    ("graft_get_environment", "Engine environment: versions, parallelism", false),
+    ("graft_get_filesystem", "Warehouse and catalog locations", false),
+    ("graft_get_schema", "List catalog tables, or columns of {table}", false),
+    ("graft_refresh_schema", "Refresh catalog metadata (optionally for {table})", false),
+    ("graft_get_template", "SQL template of endpoint {slug}", false),
+    ("graft_update_template", "Replace the SQL template of endpoint {slug}", true),
+    ("graft_expand_template", "Render endpoint {slug}'s template with {params}", false),
+    ("graft_test_template", "Execute endpoint {slug} with {params}, first rows", false),
+    ("graft_list_endpoints", "List endpoint slugs and routes", false),
+    ("graft_get_endpoint", "Full config of endpoint {slug}", false),
+    ("graft_create_endpoint", "Create an endpoint from a YAML/JSON {config}", true),
+    ("graft_update_endpoint", "Replace endpoint {slug} with {config}", true),
+    ("graft_delete_endpoint", "Delete endpoint {slug}", true),
+    ("graft_reload_endpoint", "Re-validate and re-install endpoint {slug}", true),
+    ("graft_get_cache_status", "Snapshot manifest of endpoint {slug}'s cache", false),
+    ("graft_refresh_cache", "Refresh endpoint {slug}'s cache table now", true),
+    ("graft_get_cache_audit", "Recent cache sync events", false),
+    ("graft_run_cache_gc", "Apply retention to endpoint {slug}'s cache", true))
+
+  private val authRequired = tools.map(t => t._1 -> t._3).toMap
+
+  def handles(name: String): Boolean = authRequired.contains(name)
+
+  def requiresAuth(name: String): Boolean = authRequired.getOrElse(name, true)
+
+  /** Bearer-token gate for mutating tools — same token as the REST
+    * config API. No token configured = open (demo mode), matching the
+    * REST route's behavior. */
+  def authorized(name: String, authHeader: Option[String]): Boolean =
+    !requiresAuth(name) || (cfg.token match {
+      case None => true
+      case Some(t) => authHeader.contains(s"Bearer $t")
+    })
+
+  /** Left(error message) | Right(result JSON). */
+  def call(name: String, args: JsonNode): Either[String, String] = {
+    def slugArg: Either[String, ServedEndpoint] = {
+      val s = args.path("slug").asText("")
+      registry.find(s).toRight(s"no endpoint '$s'")
+    }
+    def paramsArg: Map[String, String] = {
+      val p = args.path("params")
+      if (!p.isObject) Map.empty
+      else {
+        val it = p.fieldNames()
+        Iterator.continually(it).takeWhile(_.hasNext)
+          .map(_.next()).map(k => k -> p.path(k).asText("")).toMap
+      }
+    }
+    def obj(fs: (String, Any)*): String = {
+      val n = mapper.createObjectNode()
+      fs.foreach {
+        case (k, v: String) => n.put(k, v)
+        case (k, v: Boolean) => n.put(k, v)
+        case (k, v: Int) => n.put(k, v)
+        case (k, v: Long) => n.put(k, v)
+        case (k, v: JsonNode) => n.set(k, v)
+        case (k, v) => n.put(k, String.valueOf(v))
+      }
+      mapper.writeValueAsString(n)
+    }
+
+    try name match {
+      case "graft_get_project_config" =>
+        Right(obj("name" -> "graft", "engine" -> "spark",
+          "endpoints" -> registry.all.size))
+      case "graft_get_environment" =>
+        Right(obj("spark_version" -> spark.version,
+          "java_version" -> System.getProperty("java.version"),
+          "default_parallelism" -> spark.sparkContext.defaultParallelism,
+          "shuffle_partitions" -> spark.conf.get("spark.sql.shuffle.partitions")))
+      case "graft_get_filesystem" =>
+        Right(obj(
+          "warehouse" -> spark.conf.get("spark.sql.warehouse.dir", ""),
+          "current_database" -> spark.catalog.currentDatabase,
+          "cache_warehouse" -> cacheManager.map(_.warehouse).getOrElse("")))
+      case "graft_get_schema" =>
+        val table = args.path("table").asText("")
+        if (table.isEmpty) {
+          val a = mapper.createArrayNode()
+          spark.catalog.listTables().collect().foreach(t => a.add(t.name))
+          Right(mapper.writeValueAsString(a))
+        } else {
+          val a = mapper.createArrayNode()
+          spark.table(table).schema.fields.foreach { f =>
+            val n = mapper.createObjectNode()
+            n.put("name", f.name); n.put("type", f.dataType.simpleString)
+            a.add(n)
+          }
+          Right(mapper.writeValueAsString(a))
+        }
+      case "graft_refresh_schema" =>
+        val table = args.path("table").asText("")
+        if (table.nonEmpty) spark.catalog.refreshTable(table)
+        else spark.catalog.clearCache()
+        Right(obj("refreshed" -> true))
+      case "graft_get_template" =>
+        slugArg.map(ep => obj("template" -> ep.template))
+      case "graft_update_template" =>
+        slugArg.map { ep =>
+          val t = args.path("template").asText("")
+          registry.replace(registry.slug(ep), ep.copy(template = t))
+          obj("updated" -> true)
+        }
+      case "graft_expand_template" =>
+        slugArg.flatMap { ep =>
+          TemplatePipeline.prepare(ep.config, ep.template, paramsArg, ep.connProps) match {
+            case Left(errs) => Left(errs.map(_.message).mkString("; "))
+            case Right((sql, binds)) =>
+              Right(obj("sql" -> sql, "bind_count" -> binds.length))
+          }
+        }
+      case "graft_test_template" =>
+        slugArg.flatMap { ep =>
+          try {
+            val df = TemplatePipeline.run(spark, ep.config, ep.template,
+              paramsArg, ep.connProps).limit(10)
+            val rows = df.toJSON.collect().mkString("[", ",", "]")
+            Right(obj("rows" -> mapper.readTree(rows)))
+          } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+        }
+      case "graft_list_endpoints" =>
+        val a = mapper.createArrayNode()
+        registry.all.sortBy(_.config.urlPath).foreach { ep =>
+          val n = mapper.createObjectNode()
+          n.put("slug", registry.slug(ep)); n.put("url-path", ep.config.urlPath)
+          n.put("method", ep.config.method)
+          a.add(n)
+        }
+        Right(mapper.writeValueAsString(a))
+      case "graft_get_endpoint" =>
+        slugArg.map(ep => mapper.writeValueAsString(api.configJson(ep)))
+      case "graft_create_endpoint" | "graft_update_endpoint" =>
+        val doc = args.path("config").asText("")
+        api.parseServed(doc) match {
+          case Left(e) => Left(e)
+          case Right(ep) =>
+            val errs = api.validate(ep)
+            if (errs.nonEmpty) Left(errs.mkString("; "))
+            else {
+              if (name == "graft_update_endpoint")
+                registry.replace(args.path("slug").asText(registry.slug(ep)), ep)
+              else registry.upsert(ep)
+              Right(obj("slug" -> registry.slug(ep), "installed" -> true))
+            }
+        }
+      case "graft_delete_endpoint" =>
+        val s = args.path("slug").asText("")
+        Right(obj("deleted" -> registry.remove(s)))
+      case "graft_reload_endpoint" =>
+        slugArg.flatMap { ep =>
+          val errs = api.validate(ep)
+          if (errs.nonEmpty) Left(errs.mkString("; "))
+          else { registry.upsert(ep); Right(obj("reloaded" -> true)) }
+        }
+      case "graft_get_cache_status" =>
+        slugArg.flatMap { ep =>
+          val c = ep.config.cache
+          if (!c.enabled || c.table.isEmpty) Left("endpoint has no cache")
+          else cacheManager.toRight("no cache manager configured").map { cm =>
+            val rows = cm.table(c).snapshots().toJSON.collect().mkString("[", ",", "]")
+            mapper.writeValueAsString(mapper.readTree(rows))
+          }
+        }
+      case "graft_refresh_cache" =>
+        slugArg.flatMap { ep =>
+          cacheManager.toRight("no cache manager configured").flatMap { cm =>
+            try Right(obj("snapshot_id" ->
+              cm.refresh(ep.config, ep.cacheTemplate.getOrElse(ep.template),
+                connProps = ep.connProps)))
+            catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+          }
+        }
+      case "graft_get_cache_audit" =>
+        cacheManager.toRight("no cache manager configured").flatMap { cm =>
+          try {
+            val rows = cm.syncEvents().limit(100).toJSON.collect().mkString("[", ",", "]")
+            Right(mapper.writeValueAsString(mapper.readTree(rows)))
+          } catch { case _: Exception => Right("[]") } // no events yet
+        }
+      case "graft_run_cache_gc" =>
+        slugArg.flatMap { ep =>
+          val c = ep.config.cache
+          if (!c.enabled || c.table.isEmpty) Left("endpoint has no cache")
+          else cacheManager.toRight("no cache manager configured").map { cm =>
+            val dropped = c.retention.keepLastSnapshots
+              .map(k => cm.table(c).expireSnapshots(k)).getOrElse(Nil)
+            obj("dropped_snapshots" -> dropped.size)
+          }
+        }
+      case other => Left(s"unknown config tool '$other'")
+    } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+  }
+}

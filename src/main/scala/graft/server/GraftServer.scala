@@ -119,6 +119,9 @@ final class GraftServer(
     configService.foreach { cs =>
       val api = new ConfigApi(spark, registry, cs, cacheManager, respond)
       server.createContext("/api/v1/_config", (ex: HttpExchange) => safely(ex)(api.handle))
+      // the same capabilities as MCP tools for AI operators
+      // (reference config_tool_adapter.cpp)
+      configTools = Some(new ConfigToolAdapter(spark, registry, cs, api, cacheManager))
     }
     server.createContext("/", (ex: HttpExchange) => safely(ex)(handleRest))
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
@@ -371,6 +374,7 @@ final class GraftServer(
   // ---- MCP JSON-RPC -----------------------------------------------------
 
   private val mcpSessions = new McpSessionManager()
+  @volatile private var configTools: Option[ConfigToolAdapter] = None
 
   private def handleMcp(ex: HttpExchange): Unit = {
     // Session lifecycle (reference mcp_route_handlers.cpp:139-206 +
@@ -527,9 +531,30 @@ final class GraftServer(
           s"""{"name":${quote(toolName(ep))},"description":${quote(ep.config.urlPath)},""" +
             s""""inputSchema":{"type":"object","properties":$props}}"""
         }
-        reply(s"""{"tools":[${tools.mkString(",")}]}""")
+        val cfgTools = configTools.toSeq.flatMap(_.tools.map { case (n, d, _) =>
+          s"""{"name":${quote(n)},"description":${quote(d)},""" +
+            s""""inputSchema":{"type":"object","properties":{}}}"""
+        })
+        reply(s"""{"tools":[${(tools ++ cfgTools).mkString(",")}]}""")
       case "tools/call" =>
         val name = req.path("params").path("name").asText("")
+        // config-management tools first (reference dispatch order:
+        // config_tool_adapter intercepts its names before endpoint
+        // tools); mutations gate on the config-service bearer token
+        configTools.filter(_.handles(name)) match {
+          case Some(ct) =>
+            val authHeader = Option(ex.getRequestHeaders.getFirst("Authorization"))
+            if (!ct.authorized(name, authHeader)) {
+              reply(s"""{"isError":true,"content":[{"type":"text","text":${quote(s"Unauthorized: '$name' requires the config-service token")}}]}""")
+            } else ct.call(name, req.path("params").path("arguments")) match {
+              case Left(errMsg) =>
+                reply(s"""{"isError":true,"content":[{"type":"text","text":${quote(errMsg)}}]}""")
+              case Right(jsonOut) =>
+                reply(s"""{"content":[{"type":"text","text":${quote(jsonOut)}}]}""")
+            }
+            return
+          case None => ()
+        }
         eps.find(toolName(_) == name) match {
           case None =>
             respond(ex, 200,

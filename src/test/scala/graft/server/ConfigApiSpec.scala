@@ -174,6 +174,61 @@ class ConfigApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(req("PUT", "/api/v1/_config/log-level", """{"level":"loud"}""").statusCode() == 400)
   }
 
+  test("config-management MCP tools: read-only open, mutations token-gated") {
+    def rpc(body: String, headers: (String, String)*): com.fasterxml.jackson.databind.JsonNode = {
+      val b = HttpRequest.newBuilder(URI.create(base + "/mcp/jsonrpc"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body))
+      headers.foreach { case (k, v) => b.header(k, v) }
+      mapper.readTree(client.send(b.build(), HttpResponse.BodyHandlers.ofString()).body())
+    }
+    def resultText(j: com.fasterxml.jackson.databind.JsonNode) =
+      j.get("result").get("content").get(0).get("text").asText()
+
+    // advertised alongside endpoint tools
+    val tools = rpc("""{"jsonrpc":"2.0","id":1,"method":"tools/list"}""")
+      .get("result").get("tools")
+    val names = (0 until tools.size()).map(tools.get(_).get("name").asText()).toSet
+    assert(names.contains("graft_list_endpoints"))
+    assert(names.contains("graft_create_endpoint"))
+
+    // read-only: no token required
+    val list = rpc(
+      """{"jsonrpc":"2.0","id":2,"method":"tools/call",
+        |"params":{"name":"graft_list_endpoints","arguments":{}}}""".stripMargin)
+    assert(!list.get("result").path("isError").asBoolean(false))
+    assert(resultText(list).contains("existing"))
+    val tmpl = rpc(
+      """{"jsonrpc":"2.0","id":3,"method":"tools/call",
+        |"params":{"name":"graft_get_template","arguments":{"slug":"existing"}}}""".stripMargin)
+    assert(resultText(tmpl).contains("cfg_customers"))
+
+    // mutation without the config-service token is refused
+    val denied = rpc(
+      """{"jsonrpc":"2.0","id":4,"method":"tools/call",
+        |"params":{"name":"graft_create_endpoint","arguments":{"config":"url-path: /x"}}}""".stripMargin)
+    assert(denied.get("result").get("isError").asBoolean())
+    assert(resultText(denied).contains("Unauthorized"))
+
+    // with the token: create, verify served, delete
+    val cfgDoc =
+      """{"url-path": "/mcp-made", "template-source": "m.sql",
+        |"template": "SELECT id FROM cfg_customers ORDER BY id",
+        |"with-pagination": "false"}""".stripMargin.replace("\n", " ")
+    val created = rpc(
+      s"""{"jsonrpc":"2.0","id":5,"method":"tools/call",
+         |"params":{"name":"graft_create_endpoint","arguments":{"config":${mapper.writeValueAsString(cfgDoc)}}}}""".stripMargin,
+      "Authorization" -> s"Bearer $token")
+    assert(!created.get("result").path("isError").asBoolean(false),
+      s"create failed: $created")
+    assert(req("GET", "/mcp-made").statusCode() == 200)
+    val deleted = rpc(
+      """{"jsonrpc":"2.0","id":6,"method":"tools/call",
+        |"params":{"name":"graft_delete_endpoint","arguments":{"slug":"mcp-made"}}}""".stripMargin,
+      "Authorization" -> s"Bearer $token")
+    assert(resultText(deleted).contains("true"))
+  }
+
   test("security audit flags a deliberately bad config") {
     val bad = Seq(
       // unauthenticated write endpoint + plaintext user on another
