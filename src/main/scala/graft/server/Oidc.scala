@@ -182,6 +182,62 @@ final class JwksManager(
     } catch { case _: Exception => None }
 }
 
+/** Provider metadata resolved from `<issuer>/.well-known/
+  * openid-configuration` (RFC 8414; reference
+  * oidc_discovery_client.cpp): issuer + jwks_uri required, the
+  * standard endpoint fields optional. Documents cache per issuer. A
+  * file-path issuer base resolves the document from disk — the
+  * offline deployment mode. */
+final case class OidcProviderMetadata(
+    issuer: String,
+    jwksUri: String,
+    authorizationEndpoint: String = "",
+    tokenEndpoint: String = "",
+    userinfoEndpoint: String = "",
+    scopesSupported: Seq[String] = Nil)
+
+object OidcDiscovery {
+  private val mapper = new ObjectMapper()
+  private val cache = TrieMap.empty[String, OidcProviderMetadata]
+
+  def metadata(issuerUrl: String): Option[OidcProviderMetadata] =
+    cache.get(issuerUrl).orElse {
+      fetchDocument(issuerUrl).map { m => cache.put(issuerUrl, m); m }
+    }
+
+  def clearCache(): Unit = cache.clear()
+
+  private def fetchDocument(issuerUrl: String): Option[OidcProviderMetadata] =
+    try {
+      val url = issuerUrl.stripSuffix("/") + "/.well-known/openid-configuration"
+      val body =
+        if (url.startsWith("http://") || url.startsWith("https://")) {
+          val res = java.net.http.HttpClient.newBuilder()
+            .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+            .send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+              .timeout(java.time.Duration.ofSeconds(5)).GET().build(),
+              java.net.http.HttpResponse.BodyHandlers.ofString())
+          if (res.statusCode() != 200) return None
+          res.body()
+        } else java.nio.file.Files.readString(
+          java.nio.file.Paths.get(url.stripPrefix("file:")))
+      val j = mapper.readTree(body)
+      val issuer = j.path("issuer").asText("")
+      val jwks = j.path("jwks_uri").asText("")
+      if (issuer.isEmpty || jwks.isEmpty) None // both REQUIRED (RFC 8414)
+      else Some(OidcProviderMetadata(
+        issuer = issuer,
+        jwksUri = jwks,
+        authorizationEndpoint = j.path("authorization_endpoint").asText(""),
+        tokenEndpoint = j.path("token_endpoint").asText(""),
+        userinfoEndpoint = j.path("userinfo_endpoint").asText(""),
+        scopesSupported = {
+          val s = j.path("scopes_supported")
+          if (s.isArray) (0 until s.size()).map(s.get(_).asText()) else Nil
+        }))
+    } catch { case _: Exception => None }
+}
+
 /** Bearer-token verification for OIDC endpoints. On success the same
   * reserved `__auth_*` params as Basic/JWT, with type "oidc". */
 object OidcAuth {
@@ -203,7 +259,11 @@ object OidcAuth {
             if headerNode.path("alg").asText("") == "RS256"
             kid = headerNode.path("kid").asText("")
             if kid.nonEmpty
-            key <- jwks.getKey(kid, cfg.jwksSource)
+            // explicit jwks source wins; otherwise resolve it through
+            // provider discovery (oidc_auth_handler.cpp:52-58)
+            source <- if (cfg.jwksSource.nonEmpty) Some(cfg.jwksSource)
+                      else OidcDiscovery.metadata(cfg.issuerUrl).map(_.jwksUri)
+            key <- jwks.getKey(kid, source)
             sig <- b64urlDecode(s64)
             if rs256Verify(key, s"$h64.$p64", sig)
             pBytes <- b64urlDecode(p64)

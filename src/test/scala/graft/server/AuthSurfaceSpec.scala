@@ -381,6 +381,32 @@ class AuthSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.exists(_("__auth_roles") == "dev,ops"))
   }
 
+  test("OIDC discovery resolves jwks_uri from .well-known/openid-configuration") {
+    // offline mode: the issuer base is a directory holding the document
+    val issuerDir = java.nio.file.Files.createTempDirectory("graft_oidc_issuer")
+    val wellKnown = java.nio.file.Files.createDirectory(issuerDir.resolve(".well-known"))
+    java.nio.file.Files.writeString(wellKnown.resolve("openid-configuration"),
+      s"""{"issuer":"$issuerDir","jwks_uri":"$jwksPath",
+         |"token_endpoint":"https://issuer.spec/token",
+         |"scopes_supported":["openid","email"]}""".stripMargin.replace("\n", ""))
+    OidcDiscovery.clearCache()
+    val md = OidcDiscovery.metadata(issuerDir.toString)
+    assert(md.exists(_.jwksUri == jwksPath.toString))
+    assert(md.exists(_.scopesSupported == Seq("openid", "email")))
+    // a config WITHOUT an explicit jwks source authenticates via discovery
+    val cfg = OidcConfig(issuerUrl = issuerDir.toString,
+      clientId = "graft-client", jwksSource = "")
+    val t = rs256Token("spec-key",
+      s"""{"sub":"dora","iss":"$issuerDir","aud":"graft-client","exp":$far}""")
+    val p = OidcAuth.authenticate(cfg, new JwksManager(), Some(s"Bearer $t"))
+    assert(p.exists(_("__auth_username") == "dora"))
+    // a document missing jwks_uri is rejected (required field)
+    java.nio.file.Files.writeString(wellKnown.resolve("openid-configuration"),
+      s"""{"issuer":"$issuerDir"}""")
+    OidcDiscovery.clearCache()
+    assert(OidcDiscovery.metadata(issuerDir.toString).isEmpty)
+  }
+
   test("OIDC provider presets + validation mirror the reference") {
     val g = OidcProviderPresets(OidcConfig(providerType = "google", clientId = "c"))
     assert(g.issuerUrl == "https://accounts.google.com" && g.usernameClaim == "email")
