@@ -111,11 +111,18 @@ object TemplatePipeline {
   */
 object PlanCache {
   private val MaxEntries = 256
+  /** TTL bounds staleness from OUT-OF-BAND table changes (an external
+    * ETL job, a write endpoint with no cache block): generation bumps
+    * cover in-engine mutations instantly, the TTL covers everything
+    * the engine cannot observe. 30 s is the serving sweet spot —
+    * dashboards/retries hit, data freshness stays near-real-time. */
+  private val TtlMillis = 30000L
   private val generation = new java.util.concurrent.atomic.AtomicLong(0)
 
   private type Key = (Int, Long, String, Seq[Any])
-  private val cache = new java.util.LinkedHashMap[Key, DataFrame](64, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[Key, DataFrame]): Boolean =
+  private final case class Entry(df: DataFrame, builtAt: Long)
+  private val cache = new java.util.LinkedHashMap[Key, Entry](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[Key, Entry]): Boolean =
       size() > MaxEntries
   }
 
@@ -125,11 +132,12 @@ object PlanCache {
   def getOrBuild(spark: SparkSession, sql: String, args: Seq[Any])(
       build: => DataFrame): DataFrame = {
     val key: Key = (System.identityHashCode(spark), generation.get(), sql, args)
-    cache.synchronized(Option(cache.get(key))) match {
-      case Some(df) => df
+    val now = System.currentTimeMillis()
+    cache.synchronized(Option(cache.get(key)).filter(now - _.builtAt < TtlMillis)) match {
+      case Some(e) => e.df
       case None =>
         val df = build // analysis outside the lock — it can take ~100 ms
-        cache.synchronized(cache.put(key, df))
+        cache.synchronized(cache.put(key, Entry(df, now)))
         df
     }
   }

@@ -35,7 +35,17 @@ final class CacheManager(spark: SparkSession, warehouseRoot: String) {
     else if (c.hasPrimaryKey) "merge"
     else "append"
 
+  // one SnapshotTable INSTANCE per (schema, table): the table's
+  // refresh methods synchronize on the instance, so concurrent
+  // refreshes (refresh-on-write racing the scheduler or a config-tool
+  // trigger) serialize instead of colliding on the same snapshot id
+  private val tableInstances =
+    scala.collection.concurrent.TrieMap.empty[(String, String), SnapshotTable]
+
   def table(c: CacheConfig): SnapshotTable =
+    tableInstances.getOrElseUpdate((c.schema, c.table), buildTable(c))
+
+  private def buildTable(c: CacheConfig): SnapshotTable =
     new SnapshotTable(spark, s"$warehouseRoot/${c.schema}", c.table)
 
   // ---- C2/C9: {{cache.*}} parameter injection ---------------------------
@@ -104,11 +114,12 @@ final class CacheManager(spark: SparkSession, warehouseRoot: String) {
         case "merge" => t.refreshMerge(df, c.primaryKeys)
       }
       recordSyncEvent(endpoint, c, mode, "success", "Cache refreshed successfully")
-      c.retention.keepLastSnapshots.foreach(t.expireSnapshots)
+      // ORDER MATTERS: swap the serve view to the new snapshot and drop
+      // cached plans BEFORE expiring old snapshot dirs — a read landing
+      // between an expire and the view swap would scan deleted files
       registerServeView(c)
-      // serving plans referencing the pre-refresh snapshot dirs must
-      // never be served again (SURVEY §4.2c plan cache)
       graft.api.PlanCache.invalidateAll()
+      c.retention.keepLastSnapshots.foreach(t.expireSnapshots)
       id
     } catch {
       case e: Exception =>

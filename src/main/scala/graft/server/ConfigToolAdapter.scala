@@ -23,43 +23,45 @@ final class ConfigToolAdapter(
 
   private val mapper = new ObjectMapper()
 
-  /** name → (description, requires auth). Mirrors the reference's
-    * tool table + per-tool auth flags. */
-  val tools: Seq[(String, String, Boolean)] = Seq(
-    ("graft_get_project_config", "Project summary: name, engine, endpoint count", false),
-    ("graft_get_environment", "Engine environment: versions, parallelism", false),
-    ("graft_get_filesystem", "Warehouse and catalog locations", false),
-    ("graft_get_schema", "List catalog tables, or columns of {table}", false),
-    ("graft_refresh_schema", "Refresh catalog metadata (optionally for {table})", false),
-    ("graft_get_template", "SQL template of endpoint {slug}", false),
-    ("graft_update_template", "Replace the SQL template of endpoint {slug}", true),
-    ("graft_expand_template", "Render endpoint {slug}'s template with {params}", false),
-    ("graft_test_template", "Execute endpoint {slug} with {params}, first rows", false),
-    ("graft_list_endpoints", "List endpoint slugs and routes", false),
-    ("graft_get_endpoint", "Full config of endpoint {slug}", false),
-    ("graft_create_endpoint", "Create an endpoint from a YAML/JSON {config}", true),
-    ("graft_update_endpoint", "Replace endpoint {slug} with {config}", true),
-    ("graft_delete_endpoint", "Delete endpoint {slug}", true),
-    ("graft_reload_endpoint", "Re-validate and re-install endpoint {slug}", true),
-    ("graft_get_cache_status", "Snapshot manifest of endpoint {slug}'s cache", false),
-    ("graft_refresh_cache", "Refresh endpoint {slug}'s cache table now", true),
-    ("graft_get_cache_audit", "Recent cache sync events", false),
-    ("graft_run_cache_gc", "Apply retention to endpoint {slug}'s cache", true))
+  /** name → description. Same inventory as the reference's tool table.
+    * Unlike the reference's per-tool auth flags, EVERY config tool
+    * gates on the config-service bearer token when one is configured —
+    * identical to the REST _config routes, which 401 every method
+    * including GETs. Anything weaker leaks templates/configs/schema
+    * (and graft_test_template executes endpoint SQL) past the gate the
+    * operator explicitly set. */
+  val tools: Seq[(String, String)] = Seq(
+    ("graft_get_project_config", "Project summary: name, engine, endpoint count"),
+    ("graft_get_environment", "Engine environment: versions, parallelism"),
+    ("graft_get_filesystem", "Warehouse and catalog locations"),
+    ("graft_get_schema", "List catalog tables, or columns of {table}"),
+    ("graft_refresh_schema", "Refresh catalog metadata (optionally for {table})"),
+    ("graft_get_template", "SQL template of endpoint {slug}"),
+    ("graft_update_template", "Replace the SQL template of endpoint {slug}"),
+    ("graft_expand_template", "Render endpoint {slug}'s template with {params}"),
+    ("graft_test_template", "Execute endpoint {slug} with {params}, first rows"),
+    ("graft_list_endpoints", "List endpoint slugs and routes"),
+    ("graft_get_endpoint", "Full config of endpoint {slug}"),
+    ("graft_create_endpoint", "Create an endpoint from a YAML/JSON {config}"),
+    ("graft_update_endpoint", "Replace endpoint {slug} with {config}"),
+    ("graft_delete_endpoint", "Delete endpoint {slug}"),
+    ("graft_reload_endpoint", "Re-validate and re-install endpoint {slug}"),
+    ("graft_get_cache_status", "Snapshot manifest of endpoint {slug}'s cache"),
+    ("graft_refresh_cache", "Refresh endpoint {slug}'s cache table now"),
+    ("graft_get_cache_audit", "Recent cache sync events"),
+    ("graft_run_cache_gc", "Apply retention to endpoint {slug}'s cache"))
 
-  private val authRequired = tools.map(t => t._1 -> t._3).toMap
+  private val toolNames = tools.map(_._1).toSet
 
-  def handles(name: String): Boolean = authRequired.contains(name)
+  def handles(name: String): Boolean = toolNames.contains(name)
 
-  def requiresAuth(name: String): Boolean = authRequired.getOrElse(name, true)
-
-  /** Bearer-token gate for mutating tools — same token as the REST
-    * config API. No token configured = open (demo mode), matching the
-    * REST route's behavior. */
+  /** Bearer-token gate — same token, same scope as the REST config
+    * API (all routes). No token configured = open (demo mode). */
   def authorized(name: String, authHeader: Option[String]): Boolean =
-    !requiresAuth(name) || (cfg.token match {
+    cfg.token match {
       case None => true
       case Some(t) => authHeader.contains(s"Bearer $t")
-    })
+    }
 
   /** Left(error message) | Right(result JSON). */
   def call(name: String, args: JsonNode): Either[String, String] = {
@@ -133,7 +135,10 @@ final class ConfigToolAdapter(
         }
       case "graft_expand_template" =>
         slugArg.flatMap { ep =>
-          TemplatePipeline.prepare(ep.config, ep.template, paramsArg, ep.connProps) match {
+          // same cache-key stripping + injection as every other
+          // execution surface — no redirect via caller-supplied keys
+          val p = ServedEndpoint.withCacheNamespace(ep, paramsArg)
+          TemplatePipeline.prepare(ep.config, ep.template, p, ep.connProps) match {
             case Left(errs) => Left(errs.map(_.message).mkString("; "))
             case Right((sql, binds)) =>
               Right(obj("sql" -> sql, "bind_count" -> binds.length))
@@ -141,9 +146,14 @@ final class ConfigToolAdapter(
         }
       case "graft_test_template" =>
         slugArg.flatMap { ep =>
-          try {
+          // a write template executed "as a test" would mutate data —
+          // spark.sql runs a single-statement INSERT eagerly
+          if (ep.config.isWrite)
+            Left("test_template refuses write endpoints — use the endpoint's write route")
+          else try {
+            val p = ServedEndpoint.withCacheNamespace(ep, paramsArg)
             val df = TemplatePipeline.run(spark, ep.config, ep.template,
-              paramsArg, ep.connProps).limit(10)
+              p, ep.connProps).limit(10)
             val rows = df.toJSON.collect().mkString("[", ",", "]")
             Right(obj("rows" -> mapper.readTree(rows)))
           } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }

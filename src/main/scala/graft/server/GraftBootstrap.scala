@@ -170,14 +170,11 @@ object GraftBootstrap {
       val cached = endpoints.filter(e =>
         e.config.cache.enabled && e.config.cache.table.nonEmpty)
       // a dedicated cache template (cache.template-file) wins over the
-      // endpoint's read template, mirroring the reference's split
-      val templates = cached.map { e =>
-        val t = e.config.cache.templateFile match {
-          case Some(f) => TemplateSource.load(spark, f, Some(templateDir))
-          case None => e.template
-        }
-        e.config -> t
-      }.toMap
+      // endpoint's read template, mirroring the reference's split —
+      // already resolved once by loadProject onto ServedEndpoint, so
+      // reuse it (no second VFS round-trip at boot)
+      val templates = cached.map(e =>
+        e.config -> e.cacheTemplate.getOrElse(e.template)).toMap
       // boot warmup (C7): every cache-enabled endpoint refreshes once
       cached.foreach { e =>
         try cm.refresh(e.config, templates(e.config), Map.empty, e.connProps)

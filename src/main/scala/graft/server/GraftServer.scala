@@ -29,6 +29,25 @@ final case class ServedEndpoint(
       * template) — used by write-triggered refresh. */
     cacheTemplate: Option[String] = None)
 
+object ServedEndpoint {
+  /** Serve-time cache namespace (reference
+    * addQueryCacheParamsIfNecessary): strip USER-supplied cache keys —
+    * a caller must never redirect a template to a different table —
+    * then inject the endpoint's own catalog/schema/table. Shared by
+    * every execution surface (REST, MCP tools, resources, config
+    * tools) so no path can be the unstripped one. */
+  def withCacheNamespace(ep: ServedEndpoint,
+                         params: Map[String, String]): Map[String, String] = {
+    val cleaned = params -- graft.template.TemplateContext.reservedCacheKeys
+    val c = ep.config.cache
+    if (!c.enabled || c.table.isEmpty) cleaned
+    else cleaned ++ Map(
+      "cacheCatalog" -> "spark_catalog",
+      "cacheSchema" -> c.schema,
+      "cacheTable" -> c.table)
+  }
+}
+
 /** Wire/serving bounds. `defaultRowCap` bounds NON-paginated JSON reads
   * (the reference defaults limit=100 on everything,
   * request_handler.cpp:19-20; we cap rather than silently paginate).
@@ -260,24 +279,9 @@ final class GraftServer(
     }
   }
 
-  /** Serve-time cache namespace (reference
-    * cache_manager.cpp:addQueryCacheParamsIfNecessary, injected on
-    * every read/write path at database_manager.cpp:361/:404/:683):
-    * cache-enabled endpoints get `{{cache.catalog/schema/table}}` so
-    * read templates query the snapshot-backed catalog view instead of
-    * recomputing from source. USER-supplied cache keys are stripped
-    * first — a caller must never redirect the template to a different
-    * table. */
   private def withCacheParams(ep: ServedEndpoint,
-                              params: Map[String, String]): Map[String, String] = {
-    val cleaned = params -- graft.template.TemplateContext.reservedCacheKeys
-    val c = ep.config.cache
-    if (!c.enabled || c.table.isEmpty) cleaned
-    else cleaned ++ Map(
-      "cacheCatalog" -> "spark_catalog",
-      "cacheSchema" -> c.schema,
-      "cacheTable" -> c.table)
-  }
+                              params: Map[String, String]): Map[String, String] =
+    ServedEndpoint.withCacheNamespace(ep, params)
 
   private def handleRead(ex: HttpExchange, ep: ServedEndpoint,
                          params: Map[String, String], query: Map[String, String]): Unit = {
@@ -351,7 +355,14 @@ final class GraftServer(
     if (!c.enabled || c.table.isEmpty) return
     if (c.invalidateOnWrite) graft.api.PlanCache.invalidateAll()
     if (c.refreshOnWrite) cacheManager.foreach { cm =>
-      try cm.refresh(ep.config, ep.cacheTemplate.getOrElse(ep.template),
+      // a WRITE endpoint's own template is multi-statement DML — it can
+      // never be the cache's materialization query; without a declared
+      // cache template-file the refresh would fail on every POST, so
+      // flag the config once instead of silently looping failures
+      if (ep.cacheTemplate.isEmpty && ep.config.isWrite)
+        System.err.println(s"[cache] ${ep.config.urlPath}: refresh-on-write " +
+          "needs cache.template-file on a write endpoint — refresh skipped")
+      else try cm.refresh(ep.config, ep.cacheTemplate.getOrElse(ep.template),
         connProps = ep.connProps)
       catch { case e: Exception =>
         System.err.println(s"[cache] refresh-on-write ${ep.config.urlPath} failed: ${e.getMessage}")
@@ -452,7 +463,10 @@ final class GraftServer(
             // resources take no input parameters; same bounds as tools —
             // no configured maxRows still caps at the wire default (an
             // unbounded collect is never the default)
-            val df = TemplatePipeline.run(spark, ep.config, ep.template, Map.empty, ep.connProps)
+            // cache namespace injected here too — a resource backed by a
+            // cache-serving endpoint renders the same view reference
+            val df = TemplatePipeline.run(spark, ep.config, ep.template,
+              withCacheParams(ep, Map.empty), ep.connProps)
             val limited = df.limit(ep.shape.maxRows.getOrElse(wire.defaultRowCap))
             val text = collectJson(limited)
             reply(s"""{"contents":[{"uri":${quote(uri)},"mimeType":${quote(ep.config.mcpResource.get.mimeType)},"text":${quote(text)}}]}""")
@@ -531,7 +545,7 @@ final class GraftServer(
           s"""{"name":${quote(toolName(ep))},"description":${quote(ep.config.urlPath)},""" +
             s""""inputSchema":{"type":"object","properties":$props}}"""
         }
-        val cfgTools = configTools.toSeq.flatMap(_.tools.map { case (n, d, _) =>
+        val cfgTools = configTools.toSeq.flatMap(_.tools.map { case (n, d) =>
           s"""{"name":${quote(n)},"description":${quote(d)},""" +
             s""""inputSchema":{"type":"object","properties":{}}}"""
         })

@@ -199,24 +199,36 @@ final case class OidcProviderMetadata(
 object OidcDiscovery {
   private val mapper = new ObjectMapper()
   private val cache = TrieMap.empty[String, OidcProviderMetadata]
+  // negative caching: a failed discovery must not retry on every
+  // request — forged-token floods against an unreachable IdP would
+  // otherwise tie up serving threads in 5 s fetches (same throttle
+  // rationale as JwksManager)
+  private val minAttemptIntervalMillis = 30000L
+  private val lastAttempt = TrieMap.empty[String, Long]
+  private lazy val http = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(5)).build()
 
   def metadata(issuerUrl: String): Option[OidcProviderMetadata] =
     cache.get(issuerUrl).orElse {
-      fetchDocument(issuerUrl).map { m => cache.put(issuerUrl, m); m }
+      val now = System.currentTimeMillis()
+      if (lastAttempt.get(issuerUrl).exists(now - _ < minAttemptIntervalMillis)) None
+      else {
+        lastAttempt.put(issuerUrl, now)
+        fetchDocument(issuerUrl).map { m => cache.put(issuerUrl, m); m }
+      }
     }
 
-  def clearCache(): Unit = cache.clear()
+  def clearCache(): Unit = { cache.clear(); lastAttempt.clear() }
 
   private def fetchDocument(issuerUrl: String): Option[OidcProviderMetadata] =
     try {
       val url = issuerUrl.stripSuffix("/") + "/.well-known/openid-configuration"
       val body =
         if (url.startsWith("http://") || url.startsWith("https://")) {
-          val res = java.net.http.HttpClient.newBuilder()
-            .connectTimeout(java.time.Duration.ofSeconds(5)).build()
-            .send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          val res = http.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
               .timeout(java.time.Duration.ofSeconds(5)).GET().build(),
-              java.net.http.HttpResponse.BodyHandlers.ofString())
+            java.net.http.HttpResponse.BodyHandlers.ofString())
           if (res.statusCode() != 200) return None
           res.body()
         } else java.nio.file.Files.readString(

@@ -192,23 +192,30 @@ class ConfigApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(names.contains("graft_list_endpoints"))
     assert(names.contains("graft_create_endpoint"))
 
-    // read-only: no token required
-    val list = rpc(
+    // EVERY config tool gates on the token when one is set — identical
+    // to the REST _config routes (reads leak templates/schema too)
+    val deniedRead = rpc(
       """{"jsonrpc":"2.0","id":2,"method":"tools/call",
-        |"params":{"name":"graft_list_endpoints","arguments":{}}}""".stripMargin)
+        |"params":{"name":"graft_get_template","arguments":{"slug":"existing"}}}""".stripMargin)
+    assert(deniedRead.get("result").get("isError").asBoolean())
+    assert(resultText(deniedRead).contains("Unauthorized"))
+    val denied = rpc(
+      """{"jsonrpc":"2.0","id":3,"method":"tools/call",
+        |"params":{"name":"graft_create_endpoint","arguments":{"config":"url-path: /x"}}}""".stripMargin)
+    assert(denied.get("result").get("isError").asBoolean())
+
+    // with the token, reads serve
+    val list = rpc(
+      """{"jsonrpc":"2.0","id":4,"method":"tools/call",
+        |"params":{"name":"graft_list_endpoints","arguments":{}}}""".stripMargin,
+      "Authorization" -> s"Bearer $token")
     assert(!list.get("result").path("isError").asBoolean(false))
     assert(resultText(list).contains("existing"))
     val tmpl = rpc(
-      """{"jsonrpc":"2.0","id":3,"method":"tools/call",
-        |"params":{"name":"graft_get_template","arguments":{"slug":"existing"}}}""".stripMargin)
+      """{"jsonrpc":"2.0","id":5,"method":"tools/call",
+        |"params":{"name":"graft_get_template","arguments":{"slug":"existing"}}}""".stripMargin,
+      "Authorization" -> s"Bearer $token")
     assert(resultText(tmpl).contains("cfg_customers"))
-
-    // mutation without the config-service token is refused
-    val denied = rpc(
-      """{"jsonrpc":"2.0","id":4,"method":"tools/call",
-        |"params":{"name":"graft_create_endpoint","arguments":{"config":"url-path: /x"}}}""".stripMargin)
-    assert(denied.get("result").get("isError").asBoolean())
-    assert(resultText(denied).contains("Unauthorized"))
 
     // with the token: create, verify served, delete
     val cfgDoc =
