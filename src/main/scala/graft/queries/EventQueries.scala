@@ -89,5 +89,32 @@ object EventQueries extends QuerySet {
         .orderBy("user_id")
     })
 
-  override val defs: Seq[QueryDef] = Seq(hourly, sessions, funnel, salted)
+  // ---- keep-latest-per-key dedup -----------------------------------------
+  // The temporal-dedup staple of ingest pipelines (keep the newest
+  // version per key). Spark side is a struct-max AGGREGATION, not a
+  // window: max(struct(ts, event_id, …)) compares lexicographically so
+  // the latest (ts, then event_id) row wins — partial aggregation
+  // combines map-side and no per-partition ORDER BY ever runs; at
+  // 100 TB this is one shuffle of one struct per key vs a full sort of
+  // every event. The oracle states the same semantics as a window.
+  private val keepLatest = QueryDef(
+    "dedup_keep_latest",
+    Some("""SELECT user_id, event_id, event_type FROM (
+           |  SELECT user_id, event_id, event_type,
+           |         row_number() OVER (PARTITION BY user_id
+           |                            ORDER BY ts DESC, event_id DESC) AS rn
+           |  FROM events) t
+           |WHERE rn = 1 ORDER BY user_id""".stripMargin),
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables.table(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("m.event_id").as("event_id"),
+          col("m.event_type").as("event_type"))
+        .orderBy("user_id")
+    })
+
+  override val defs: Seq[QueryDef] =
+    Seq(hourly, sessions, funnel, salted, keepLatest)
 }

@@ -415,7 +415,29 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  // ---- stratified sampling ----------------------------------------------
+  // Balanced per-language sampling (the training-mix staple): the k
+  // smallest doc_ids per lang — deterministic, so oracle-exact, unlike
+  // fraction-based sampleBy. The window partitions on lang, whose
+  // cardinality is LOW: at 100 TB this funnels into few reducers, so
+  // the scale path is two-phase top-k (salted partial top-k per
+  // (lang, salt), then a final top-k per lang over k×salt rows); the
+  // semantics — and this gated result — are identical.
+  private val stratified = QueryDef(
+    "stratified_sample",
+    Some("""SELECT lang, doc_id, n_chars FROM (
+           |  SELECT lang, doc_id, n_chars,
+           |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+           |  FROM documents) t
+           |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """SELECT lang, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin))
+
   override val defs: Seq[QueryDef] = Seq(
     dedupExact, neardup, neardupClusters, neardupCorpus, simhash, ngramTopk,
-    langId, quality, tokenStats, winnow)
+    langId, quality, tokenStats, winnow, stratified)
 }

@@ -66,6 +66,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q1 shuffles raw rows instead of partial aggregates:\n$p")
   }
 
+  test("keep-latest dedup is a partial struct-max aggregation, not a window sort") {
+    val p = plan("dedup_keep_latest")
+    assert(p.contains("partial_max"), s"no map-side combine:\n$p")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "),
+      s"keep-latest degraded to a window sort:\n$p")
+  }
+
   test("dedup'd corpus survivor filter is a broadcast anti-join") {
     val p = plan("neardup_dedup_corpus")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
