@@ -76,4 +76,18 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(graft.operators.Parallelize.ensure(big) eq big)
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
+
+  test("Parallelize.ensure falls back to partition count for statless inputs") {
+    // RDD-backed relations report the defaultSizeInBytes sentinel —
+    // exactly the single-partition inputs the guard exists for
+    val rdd = spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L)), 1)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType)))
+    val statless = spark.createDataFrame(rdd, schema)
+    assert(statless.queryExecution.analyzed.stats.sizeInBytes >=
+      BigInt(spark.sessionState.conf.defaultSizeInBytes),
+      "fixture no longer statless — update the test")
+    val widened = graft.operators.Parallelize.ensure(statless)
+    assert(widened.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+  }
 }

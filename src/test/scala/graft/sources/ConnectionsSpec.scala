@@ -56,4 +56,22 @@ class ConnectionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("view name sanitization") {
     assert(Connections.viewName("nw", "Order Details") == "nw_Order_Details")
   }
+
+  test("typed connection credentials land in Hadoop conf; fs.* refs resolve; raw fs.* wins") {
+    val secret = java.nio.file.Files.createTempFile("graft_conn_secret", ".txt")
+    java.nio.file.Files.writeString(secret, "from-file\n")
+    Connections.init(spark, graft.config.ConnectionConfig("credtest", Map(
+      "s3-access-key-id" -> "AKIATYPED",
+      "s3-secret-access-key" -> s"secretfile:$secret",
+      "s3-region" -> "eu-central-1",
+      // raw fs.* applied AFTER discovery/typed props — explicit wins
+      "fs.s3a.endpoint.region" -> "us-west-2",
+      // file: URI values pass through untouched (legit Hadoop scheme)
+      "fs.credtest.probe" -> "file:///srv/data")))
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(conf.get("fs.s3a.access.key") == "AKIATYPED")
+    assert(conf.get("fs.s3a.secret.key") == "from-file")
+    assert(conf.get("fs.s3a.endpoint.region") == "us-west-2")
+    assert(conf.get("fs.credtest.probe") == "file:///srv/data")
+  }
 }
