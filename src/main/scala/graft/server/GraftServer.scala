@@ -215,12 +215,25 @@ final class GraftServer(
       ((basicAuth.isDefined || jwtAuth.isDefined || oidcAuth.isDefined) &&
         ep.config.auth.forall(_.enabled))
 
-  private def authenticate(ex: HttpExchange): Option[Map[String, String]] = {
+  /** Provider dispatch. An endpoint that DECLARES an auth type accepts
+    * only that scheme (reference auth_middleware.cpp:165-174 branches
+    * on endpoint.auth.type — a valid bearer token must not satisfy a
+    * basic-only endpoint); without a declared type, every configured
+    * provider is tried (MCP paths, type-less auth blocks). */
+  private def authenticate(ex: HttpExchange,
+                           ep: Option[ServedEndpoint] = None): Option[Map[String, String]] = {
     val header = Option(ex.getRequestHeaders.getFirst("Authorization"))
-    val viaOidc = oidcAuth.flatMap(cfg => OidcAuth.authenticate(cfg, jwksManager, header))
-    viaOidc
-      .orElse(jwtAuth.flatMap(cfg => JwtAuth.authenticate(cfg, header)))
-      .orElse(basicAuth.flatMap(cfg => BasicAuth.authenticate(cfg, header)))
+    ep.flatMap(_.config.auth).filter(_.enabled).map(_.tpe) match {
+      case Some("basic") => basicAuth.flatMap(BasicAuth.authenticate(_, header))
+      case Some("jwt") | Some("bearer") =>
+        jwtAuth.flatMap(JwtAuth.authenticate(_, header))
+      case Some("oidc") =>
+        oidcAuth.flatMap(OidcAuth.authenticate(_, jwksManager, header))
+      case _ =>
+        oidcAuth.flatMap(OidcAuth.authenticate(_, jwksManager, header))
+          .orElse(jwtAuth.flatMap(JwtAuth.authenticate(_, header)))
+          .orElse(basicAuth.flatMap(BasicAuth.authenticate(_, header)))
+    }
   }
 
   private def handleRest(ex: HttpExchange): Unit = {
@@ -253,8 +266,8 @@ final class GraftServer(
         }
         // auth middleware: reserved __auth_* params injected on success
         val authParams =
-          if (!authRequired(ep)) authenticate(ex).getOrElse(Map.empty)
-          else authenticate(ex) match {
+          if (!authRequired(ep)) authenticate(ex, Some(ep)).getOrElse(Map.empty)
+          else authenticate(ex, Some(ep)) match {
             case Some(p) => p
             case None =>
               ex.getResponseHeaders.set("WWW-Authenticate", "Basic realm=\"graft\"")

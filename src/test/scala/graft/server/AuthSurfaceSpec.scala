@@ -421,6 +421,27 @@ class AuthSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       OidcConfig(issuerUrl = "https://i", clientId = "c")).isEmpty)
   }
 
+  test("endpoint-declared auth type pins the scheme (basic-only rejects a valid JWT)") {
+    val basicOnly = new GraftServer(spark, Seq(ServedEndpoint(
+      EndpointConfig(urlPath = "/basic-only", templateSource = "b.sql",
+        withPagination = false,
+        auth = Some(AuthConfig(enabled = true, tpe = "basic"))),
+      "SELECT 7 AS seven")),
+      basicAuth = Some(BasicAuthConfig(Map(
+        "op" -> ((PasswordHasher.hash("oppw", 1000), Seq("ops")))))),
+      jwtAuth = Some(jwtCfg)).start()
+    try {
+      val b = s"http://127.0.0.1:${basicOnly.boundPort}"
+      // a VALID JWT must not satisfy a basic-declared endpoint
+      // (reference auth_middleware branches on endpoint.auth.type)
+      val jwt = token(Map("sub" -> "a", "iss" -> "graft-spec", "exp" -> far))
+      assert(get(b, "/basic-only", "Authorization" -> s"Bearer $jwt").statusCode() == 401)
+      val cred = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("op:oppw".getBytes("UTF-8"))
+      assert(get(b, "/basic-only", "Authorization" -> cred).statusCode() == 200)
+    } finally basicOnly.stop()
+  }
+
   // ---- password hashing ----------------------------------------------------
 
   test("PBKDF2 hash round-trips; plaintext and bcrypt stored entries fail closed") {
