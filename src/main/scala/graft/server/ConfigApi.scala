@@ -95,8 +95,12 @@ final class ConfigApi(
   private def authorized(ex: HttpExchange): Boolean = cfg.token match {
     case None => true
     case Some(t) =>
-      Option(ex.getRequestHeaders.getFirst("Authorization"))
-        .contains(s"Bearer $t")
+      // constant-time: `==` on a secret leaks match-prefix via timing
+      val presented = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .filter(_.startsWith("Bearer "))
+        .map(_.stripPrefix("Bearer ").trim).getOrElse("")
+      java.security.MessageDigest.isEqual(
+        presented.getBytes(UTF_8), t.getBytes(UTF_8))
   }
 
   private def body(ex: HttpExchange): String =
@@ -218,7 +222,7 @@ final class ConfigApi(
       // security audit over the LIVE registry (reference
       // security_auditor.cpp; findings are advisory — serving continues)
       case (List("audit"), "GET") =>
-        val warnings = SecurityAuditor.audit(registry.all, cfg.templateEnv)
+        val warnings = SecurityAuditor.audit(registry.all, cfg.templateEnv, Some(cfg))
         val root = mapper.createObjectNode()
         root.put("warning_count", warnings.size)
         val a = root.putArray("warnings")

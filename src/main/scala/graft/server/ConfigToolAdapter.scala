@@ -56,11 +56,26 @@ final class ConfigToolAdapter(
   def handles(name: String): Boolean = toolNames.contains(name)
 
   /** Bearer-token gate — same token, same scope as the REST config
-    * API (all routes). No token configured = open (demo mode). */
-  def authorized(name: String, authHeader: Option[String]): Boolean =
+    * API (all routes). Constant-time compare: plain `==` on a secret
+    * leaks the match-prefix length via timing.
+    *
+    * With NO token configured the gate falls back to the SESSION'S
+    * auth state when mcp auth is enabled (fail closed — an anonymous
+    * MCP session must not create/delete endpoints or execute SQL via
+    * graft_test_template just because the operator skipped the
+    * config-service token). Only mcpAuthEnabled=false AND no token is
+    * open (demo mode) — and the SecurityAuditor flags that combination
+    * (CONFIG_SERVICE_NO_TOKEN). */
+  def authorized(name: String, authHeader: Option[String],
+                 sessionAuthenticated: => Boolean,
+                 mcpAuthEnabled: Boolean): Boolean =
     cfg.token match {
-      case None => true
-      case Some(t) => authHeader.contains(s"Bearer $t")
+      case None => !mcpAuthEnabled || sessionAuthenticated
+      case Some(t) =>
+        val presented = authHeader.filter(_.startsWith("Bearer "))
+          .map(_.stripPrefix("Bearer ").trim).getOrElse("")
+        java.security.MessageDigest.isEqual(
+          presented.getBytes("UTF-8"), t.getBytes("UTF-8"))
     }
 
   /** Left(error message) | Right(result JSON). */
@@ -128,10 +143,22 @@ final class ConfigToolAdapter(
       case "graft_get_template" =>
         slugArg.map(ep => obj("template" -> ep.template))
       case "graft_update_template" =>
-        slugArg.map { ep =>
+        slugArg.flatMap { ep =>
+          // same gate as the REST template PUT: a missing/misspelled
+          // argument must not silently install an empty template and
+          // brick the endpoint; then full endpoint validation (prepare
+          // with sample binds) before the registry swap
           val t = args.path("template").asText("")
-          registry.replace(registry.slug(ep), ep.copy(template = t))
-          obj("updated" -> true)
+          if (t.trim.isEmpty) Left("empty template")
+          else {
+            val updated = ep.copy(template = t)
+            val errs = api.validate(updated)
+            if (errs.nonEmpty) Left(errs.mkString("; "))
+            else {
+              registry.replace(registry.slug(ep), updated)
+              Right(obj("updated" -> true))
+            }
+          }
         }
       case "graft_expand_template" =>
         slugArg.flatMap { ep =>

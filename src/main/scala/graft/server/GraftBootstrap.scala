@@ -191,7 +191,7 @@ object GraftBootstrap {
     // project env allowlist rides along so whitelisted refs don't
     // false-positive as TEMPLATE_ENV_DISALLOWED.
     val envAllow = TemplateEnvConfig(project.envWhitelist)
-    SecurityAuditor.audit(endpoints, envAllow).foreach(w =>
+    SecurityAuditor.audit(endpoints, envAllow, configService).foreach(w =>
       System.err.println(s"[audit] ${w.code} @ ${w.location}: ${w.message}"))
     // API-created endpoints get the project connection map too
     val csWithConns = configService.map(cs =>

@@ -364,9 +364,21 @@ final class GraftServer(
     * read serves the post-write state. Failures are logged, never
     * surfaced — the write itself already committed. */
   private def handleCacheAfterWrite(ep: ServedEndpoint): Unit = {
+    // read-your-writes: EVERY successful write bumps the plan-cache
+    // generation (an O(1) counter increment) — a cached analyzed plan
+    // pins the pre-write file index for catalog/parquet tables, so a
+    // GET right after a POST must never serve up to TTL-stale data.
+    // invalidateOnWrite/refreshOnWrite below govern only snapshot-table
+    // refresh semantics, not plan staleness.
+    graft.api.PlanCache.invalidateAll()
     val c = ep.config.cache
     if (!c.enabled || c.table.isEmpty) return
-    if (c.invalidateOnWrite) graft.api.PlanCache.invalidateAll()
+    // invalidate-on-write drops the SNAPSHOT view's cached file-index
+    // metadata so the next cached read re-lists the table (plan
+    // staleness is already handled unconditionally above)
+    if (c.invalidateOnWrite)
+      try spark.catalog.refreshTable(s"`${c.schema}`.`${c.table}`")
+      catch { case _: Exception => () } // view may not exist yet
     if (c.refreshOnWrite) cacheManager.foreach { cm =>
       // a WRITE endpoint's own template is multi-statement DML — it can
       // never be the cache's materialization query; without a declared
@@ -571,7 +583,17 @@ final class GraftServer(
         configTools.filter(_.handles(name)) match {
           case Some(ct) =>
             val authHeader = Option(ex.getRequestHeaders.getFirst("Authorization"))
-            if (!ct.authorized(name, authHeader)) {
+            // per-tool rate limit applies to config tools too — they
+            // execute SQL (test_template) and mutate the registry, so
+            // they must not be the one unmetered surface
+            val cfgAuth = authenticate(ex)
+            val cfgPrincipal = cfgAuth.flatMap(_.get("__auth_username"))
+              .getOrElse("anonymous")
+            val rlDecision = rateLimiter.tryAcquire(
+              "config-tools", cfgPrincipal, GraftServer.ConfigToolRateLimit)
+            if (!rlDecision.allowed) {
+              reply(s"""{"isError":true,"content":[{"type":"text","text":${quote(s"Rate limit exceeded for config tools. Retry after ${rlDecision.retryAfterSeconds} seconds.")}}],"_meta":{"rate_limited":true,"retry_after_seconds":${rlDecision.retryAfterSeconds}}}""")
+            } else if (!ct.authorized(name, authHeader, cfgAuth.isDefined, mcpAuthEnabled)) {
               reply(s"""{"isError":true,"content":[{"type":"text","text":${quote(s"Unauthorized: '$name' requires the config-service token")}}]}""")
             } else ct.call(name, req.path("params").path("arguments")) match {
               case Left(errMsg) =>
@@ -729,4 +751,11 @@ final class GraftServer(
     JsonWire.appendString(b, s)
     b.toString
   }
+}
+
+object GraftServer {
+  /** Per-principal budget for `graft_*` config tools: they execute
+    * SQL and mutate the registry, so they share one metered bucket
+    * rather than riding unmetered past the per-endpoint limits. */
+  val ConfigToolRateLimit: RateLimitConfig = RateLimitConfig(120)
 }

@@ -159,29 +159,78 @@ object BasicAuth {
   // EVERY request — without a cache the hash dominates serving CPU and
   // hands attackers a request-rate CPU-burn primitive. Key = (stored
   // MCF, sha256 of the provided password): no plaintext retained.
-  // POSITIVES only — caching failures would let one garbage attempt
-  // poison a user, and failed attempts SHOULD stay expensive.
   private val VerifyTtlMillis = 5 * 60 * 1000L
   private val MaxCacheEntries = 1000
   private val verified = TrieMap.empty[(String, String), Long]
+
+  // Failed-attempt defenses (r4 advice: ~27 wrong-password req/s for a
+  // valid user saturate the whole 8-thread HTTP pool at 0.3 s PBKDF2
+  // each):
+  //  1. NEGATIVE cache — re-presenting the same wrong credential pays
+  //     one sha256, not another PBKDF2. Keyed like the positive cache
+  //     ((stored MCF, sha256(pass))), so one garbage attempt can never
+  //     poison a DIFFERENT (correct) password for the user. Short TTL:
+  //     a just-rotated password is retried successfully within 30 s.
+  //  2. Per-user failure throttle — after MaxFailuresPerWindow distinct
+  //     wrong passwords inside the window, further UNCACHED attempts
+  //     for that user short-circuit to false without running PBKDF2.
+  //     Legitimate users are outside this regime (the positive cache
+  //     absorbs them; a correct password after throttling engages is
+  //     rejected for at most the window remainder — same contract as
+  //     any lockout policy).
+  //  3. Global PBKDF2 concurrency cap — at most 2 expensive verifies
+  //     in flight; excess attempts fail fast instead of queueing on
+  //     serving threads. Auth floods can no longer occupy the pool.
+  private val NegativeTtlMillis = 30 * 1000L
+  private val negative = TrieMap.empty[(String, String), Long]
+  private val FailureWindowMillis = 60 * 1000L
+  private val MaxFailuresPerWindow = 10
+  private val failures = TrieMap.empty[String, (Int, Long)]
+  private val pbkdf2Permits = new java.util.concurrent.Semaphore(2)
 
   private def sha256Hex(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
 
-  private def cachedVerify(pass: String, stored: String): Boolean = {
+  private def recordFailure(user: String, now: Long): Unit = {
+    if (failures.size > MaxCacheEntries)
+      failures.filterInPlace((_, v) => now - v._2 < FailureWindowMillis)
+    val (n, start) = failures.getOrElse(user, (0, now))
+    if (now - start >= FailureWindowMillis) failures.put(user, (1, now))
+    else failures.put(user, (n + 1, start))
+  }
+
+  private def throttled(user: String, now: Long): Boolean =
+    failures.get(user).exists { case (n, start) =>
+      now - start < FailureWindowMillis && n >= MaxFailuresPerWindow
+    }
+
+  /** Test hook: reset throttle/cache state between specs. */
+  private[server] def resetState(): Unit = {
+    verified.clear(); negative.clear(); failures.clear()
+  }
+
+  private def cachedVerify(user: String, pass: String, stored: String): Boolean = {
     val key = (stored, sha256Hex(pass))
     val now = System.currentTimeMillis()
-    if (verified.get(key).exists(now - _ < VerifyTtlMillis)) true
-    else {
-      val ok = PasswordHasher.verify(pass, stored)
-      if (ok) {
-        if (verified.size >= MaxCacheEntries)
-          verified.filterInPlace((_, t) => now - t < VerifyTtlMillis)
-        if (verified.size < MaxCacheEntries) verified.put(key, now)
-      }
-      ok
+    if (verified.get(key).exists(now - _ < VerifyTtlMillis)) return true
+    if (negative.get(key).exists(now - _ < NegativeTtlMillis)) return false
+    if (throttled(user, now)) return false
+    if (!pbkdf2Permits.tryAcquire()) return false // fail fast under flood
+    val ok =
+      try PasswordHasher.verify(pass, stored)
+      finally pbkdf2Permits.release()
+    if (ok) {
+      if (verified.size >= MaxCacheEntries)
+        verified.filterInPlace((_, t) => now - t < VerifyTtlMillis)
+      if (verified.size < MaxCacheEntries) verified.put(key, now)
+    } else {
+      if (negative.size >= MaxCacheEntries)
+        negative.filterInPlace((_, t) => now - t < NegativeTtlMillis)
+      if (negative.size < MaxCacheEntries) negative.put(key, now)
+      recordFailure(user, now)
     }
+    ok
   }
 
   /** None = no/invalid credentials. */
@@ -193,7 +242,7 @@ object BasicAuth {
       decoded.split(":", 2) match {
         case Array(user, pass) =>
           cfg.users.get(user).collect {
-            case (stored, roles) if cachedVerify(pass, stored) =>
+            case (stored, roles) if cachedVerify(user, pass, stored) =>
               Map(
                 "__auth_username" -> user,
                 "__auth_roles" -> roles.mkString(","),

@@ -35,9 +35,23 @@ object SecurityAuditor {
   private val SelectStar = """(?is)\bSELECT\s+\*""".r
 
   def audit(endpoints: Seq[ServedEndpoint],
-            env: TemplateEnvConfig = TemplateEnvConfig()): Seq[SecurityWarning] = {
+            env: TemplateEnvConfig = TemplateEnvConfig(),
+            configService: Option[ConfigServiceConfig] = None): Seq[SecurityWarning] = {
     val out = scala.collection.mutable.ListBuffer.empty[SecurityWarning]
     val anyAuthEnabled = endpoints.exists(_.config.auth.exists(_.enabled))
+
+    // config service enabled with no bearer token: the graft_* MCP
+    // tools fall back to session auth (fail closed under mcp auth),
+    // but with mcp auth ALSO off the whole config surface — endpoint
+    // CRUD, template replace, SQL execution via test_template — is
+    // open to anyone who can reach the port
+    configService.filter(cs => cs.enabled && cs.token.isEmpty).foreach { _ =>
+      out += SecurityWarning("CONFIG_SERVICE_NO_TOKEN",
+        "Config service is enabled without a bearer token. Config MCP tools " +
+          "then gate only on session auth (open when mcp auth is disabled), " +
+          "and the REST _config routes are fully open. Set config-service " +
+          "token for production.", "config-service")
+    }
 
     endpoints.foreach { ep =>
       val loc = s"endpoint ${ep.config.urlPath}"
