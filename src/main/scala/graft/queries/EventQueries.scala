@@ -115,6 +115,70 @@ object EventQueries extends QuerySet {
         .orderBy("user_id")
     })
 
+  // ---- backward as-of join -----------------------------------------------
+  // For every click, the user's most recent prior (or simultaneous)
+  // view — the classic temporal enrichment. Oracle is DuckDB's native
+  // ASOF JOIN; the Spark side is graft.operators.AsOfJoin (union + one
+  // keyed window — ONE shuffle, no join node, no candidate blowup; see
+  // the operator's scaladoc for the 100 TB argument). gap_us stays in
+  // exact integer microseconds (unix_micros/epoch_us).
+  private val asof = QueryDef(
+    "asof_join_views",
+    Some("""SELECT c.event_id AS click_id, c.user_id AS user_id,
+           |       v.event_id AS view_id,
+           |       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+           |FROM (SELECT * FROM events WHERE event_type = 'click') c
+           |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           |  ON c.user_id = v.user_id AND v.ts <= c.ts
+           |ORDER BY click_id""".stripMargin),
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val events = Tables.table(s, dir, "events")
+      val clicks = events.filter(col("event_type") === "click")
+      val views = events.filter(col("event_type") === "view")
+      graft.operators.AsOfJoin.backward(
+        clicks, views, key = "user_id", leftTime = "ts", rightTime = "ts",
+        payload = Seq("event_id" -> "view_id", "ts" -> "view_ts"),
+        tieBreak = Some("event_id"))
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("view_id"),
+          (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+        .orderBy("click_id")
+    })
+
+  // ---- binned range join --------------------------------------------------
+  // Events inside [day, day+6h) per day-window. The oracle states it as
+  // the naive theta join (which DuckDB executes as its IEJoin); the
+  // Spark side goes through graft.operators.RangeJoin's bin bucketing —
+  // an EQUI join on 4-hour bins plus exact filter, because open-source
+  // Spark would otherwise plan the theta join as BroadcastNestedLoop
+  // (points × intervals — quadratic; the PlanSpec lock asserts no
+  // nested-loop/cartesian node survives here). 4h bins ⇒ each 6h
+  // window explodes to ≤ 3 bins.
+  private val rangeJoin = QueryDef(
+    "range_join_windows",
+    Some("""WITH w AS (SELECT DISTINCT date_trunc('day', ts) AS ws FROM events)
+           |SELECT cast(w.ws AS TIMESTAMP) AS window_start,
+           |       cast(count(e.event_id) AS BIGINT) AS n,
+           |       cast(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+           |FROM w JOIN events e ON e.ts >= w.ws AND e.ts < w.ws + INTERVAL 6 HOUR
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val events = Tables.table(s, dir, "events")
+        .withColumn("p", unix_micros(col("ts")))
+      val windows = events
+        .select(date_trunc("day", col("ts")).as("ws")).distinct()
+        .withColumn("s", unix_micros(col("ws")))
+        .withColumn("e", col("s") + lit(6L * 3600 * 1000000))
+      graft.operators.RangeJoin.pointInInterval(
+        events, "p", windows, "s", "e", binWidth = 4L * 3600 * 1000000)
+        .groupBy(col("ws").as("window_start"))
+        .agg(count(col("event_id")).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("window_start")
+    })
+
   override val defs: Seq[QueryDef] =
-    Seq(hourly, sessions, funnel, salted, keepLatest)
+    Seq(hourly, sessions, funnel, salted, keepLatest, asof, rangeJoin)
 }
