@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+import graft.Tables
+
+/** Bucketed copies of the fact/dim tables for shuffle-free co-located
+  * joins.
+  *
+  * At 100 TB the orders↔customer equi join is the minimal-movement plan
+  * only if BOTH sides must move; when the same join key is hit by many
+  * queries (exactly the reference's serving pattern — every customer
+  * endpoint joins on custkey, flapi caches materialize per endpoint,
+  * /root/reference/src/cache_manager.cpp), pre-bucketing both tables on
+  * the key makes every subsequent join exchange-free: Spark's bucketed
+  * scan exposes HashPartitioning(custkey, n) so SortMergeJoin needs no
+  * Exchange and (with sortBy) no Sort. One write-time shuffle amortized
+  * over every future query — the same trade the reference makes with
+  * its DuckDB cache tables, re-expressed as Spark physical layout.
+  *
+  * Tables are written once per (session, source-dir) as EXTERNAL
+  * bucketed parquet tables under java.io.tmpdir; re-registration is
+  * idempotent and cross-session-safe (a second session re-creates the
+  * catalog entries over the same files).
+  */
+object BucketedTables {
+
+  val NumBuckets = 8
+
+  private val built =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
+
+  /** Ensure bucketed `orders`/`customer` tables exist for `dir`; returns
+    * their catalog names. */
+  def ensure(spark: SparkSession, dir: String): (String, String) =
+    built.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      Tables.register(spark, dir)
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val ordersT = s"graft_b_orders_$tag"
+      val custT = s"graft_b_customer_$tag"
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_bucketed", tag)
+      write(spark, "orders", ordersT, "o_custkey", root.resolve("orders").toString)
+      write(spark, "customer", custT, "c_custkey", root.resolve("customer").toString)
+      (ordersT, custT)
+    })
+
+  private def write(spark: SparkSession, view: String, table: String,
+      key: String, path: String): Unit = {
+    // drop a stale catalog entry (e.g. a previous session's) before
+    // overwriting; the data dir itself is replaced by mode("overwrite")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.table(view)
+      .write
+      .mode("overwrite")
+      .option("path", path)
+      .bucketBy(NumBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+}

@@ -242,5 +242,31 @@ object CoreQueries extends QuerySet {
         .orderBy("c_custkey")
     })
 
-  override val defs: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9)
+  // Co-located bucketed join (§2.3 at serving scale): both sides are
+  // pre-bucketed on the join key (operators/BucketedTables), so the
+  // SortMergeJoin runs with ZERO Exchange and zero Sort — the write-time
+  // shuffle is amortized over every query that hits the key, which is
+  // exactly the reference's cache-table trade re-expressed as Spark
+  // physical layout. The `merge` hints pin SMJ (a broadcast would also
+  // be shuffle-free here but wouldn't exercise the bucketed path);
+  // PlanSpec asserts the executed plan has no shuffle on either side.
+  private val q10 = QueryDef(
+    "bucketed_join_colocated",
+    Some("""SELECT c.c_mktsegment AS mktsegment, count(*) AS n_orders,
+           |       round(sum(o.o_totalprice), 2) AS revenue
+           |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           |GROUP BY c.c_mktsegment
+           |ORDER BY mktsegment""".stripMargin),
+    (s, dir) => {
+      val (ordersT, custT) = graft.operators.BucketedTables.ensure(s, dir)
+      val o = s.table(ordersT).hint("merge")
+      val c = s.table(custT).hint("merge")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment").as("mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("mktsegment")
+    })
+
+  override val defs: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10)
 }

@@ -137,6 +137,92 @@ object EmbeddingQueries extends QuerySet {
         .orderBy("probe_id", "rn")
     })
 
+  // ---- IVF-flat bucketed top-k ------------------------------------------
+  // The coarse-quantizer family proper (companion to the hyperplane LSH
+  // variant above): K seed centroids partition the corpus into cells by
+  // maximum inner product; a probe searches only its `nprobe` nearest
+  // cells. Seeds are a deterministic sample of corpus vectors (vec_id
+  // 5,15,...,75) rather than Lloyd-iterated means so both engines can
+  // derive the identical quantizer; the assignment/search shape is the
+  // same one a trained quantizer would use. Scale design: the seeds are
+  // a constant-size side input folded into a map-side projection
+  // (zero shuffles to assign 100 TB of vectors), cells are disjoint so
+  // candidate sets never duplicate, and on a real deployment the corpus
+  // would be written `bucketBy(cell)` so a probe prunes to nprobe
+  // cells' files. Mirrors FAISS IVF-flat structure; reference scope is
+  // flapi's query surface (/root/reference/README.md) — similarity
+  // search is part of graft's pipeline extension, not a port.
+  private val IvfSeedIds = Seq(5, 15, 25, 35, 45, 55, 65, 75)
+  private val IvfProbeIds = Seq(7, 42, 99)
+  private val IvfNProbe = 2
+
+  private val ivfTopk = QueryDef(
+    "ann_ivf_topk",
+    Some("""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |n AS (
+           |  SELECT vec_id, v,
+           |         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+           |  FROM e),
+           |d AS (
+           |  SELECT n.vec_id, s.vec_id AS sid,
+           |         list_aggregate(list_transform(range(1, len(n.v) + 1),
+           |             i -> n.v[i] * s.v[i]), 'sum') AS dp
+           |  FROM n JOIN n s ON s.vec_id IN (5, 15, 25, 35, 45, 55, 65, 75)),
+           |r AS (
+           |  SELECT vec_id, sid,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, sid) AS srn
+           |  FROM d),
+           |cells AS (SELECT vec_id, sid AS cell FROM r WHERE srn = 1),
+           |pcells AS (
+           |  SELECT vec_id AS probe_id, sid AS pcell FROM r
+           |  WHERE srn <= 2 AND vec_id IN (7, 42, 99)),
+           |s AS (
+           |  SELECT p.probe_id, c.cell, c.vec_id AS neighbor_id,
+           |         round(list_aggregate(list_transform(range(1, len(pv.v) + 1),
+           |             i -> pv.v[i] * cv.v[i]), 'sum') / (pv.nrm * cv.nrm), 6) AS cos
+           |  FROM pcells p
+           |  JOIN cells c ON c.cell = p.pcell AND c.vec_id <> p.probe_id
+           |  JOIN n pv ON pv.vec_id = p.probe_id
+           |  JOIN n cv ON cv.vec_id = c.vec_id),
+           |rr AS (
+           |  SELECT *, row_number() OVER (PARTITION BY probe_id
+           |            ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+           |SELECT probe_id, cell, neighbor_id, cos, rn FROM rr WHERE rn <= 3
+           |ORDER BY probe_id, rn""".stripMargin),
+    (s, dir) => {
+      val e = withNorm(s, dir)
+      val seeds = e.filter(col("vec_id").isin(IvfSeedIds: _*))
+        .select(col("vec_id").cast("int").as("sid"), col("v"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      // (-dot, sid) structs sorted ascending = max-dot first, ties to the
+      // smaller sid — identical ordering to the oracle's (dp DESC, sid).
+      // The fold over seed literals keeps assignment map-side: no
+      // exchange touches the corpus until the candidate join below.
+      val scoredSeeds = array_sort(array(seeds.map { case (sid, sv) =>
+        struct((-call_function("dot_f64", col("v"), array(sv.map(lit): _*))).as("nd"),
+          lit(sid).as("sid"))
+      }: _*))
+      val coded = e.withColumn("cell", element_at(scoredSeeds, 1).getField("sid"))
+      val probes = broadcast(
+        e.filter(col("vec_id").isin(IvfProbeIds: _*))
+          .withColumn("pcell",
+            explode(transform(slice(scoredSeeds, 1, IvfNProbe), x => x.getField("sid"))))
+          .select(col("vec_id").as("probe_id"), col("pcell"),
+            col("v").as("pv"), col("nrm").as("pn")))
+      val cand = coded
+        .join(probes, coded("cell") === probes("pcell") && col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", round(expr(dotExpr) / (col("nrm") * col("pn")), 6))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("probe_id"), col("cell"), col("vec_id").as("neighbor_id"),
+          col("cos"), col("rn"))
+        .orderBy("probe_id", "rn")
+    })
+
   // ---- embedding-cosine near-dup pairs -----------------------------------
   // The dedup-family variant over VECTORS (companion to the text-side
   // MinHash-LSH): banded hyperplane LSH generates candidates — 24
@@ -242,5 +328,5 @@ object EmbeddingQueries extends QuerySet {
         |SELECT label, count(*) AS dims, round(sqrt(sum(m * m)), 6) AS centroid_norm
         |FROM x GROUP BY label ORDER BY label""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(bruteTopk, lshTopk, embDupPairs, centroids)
+  override val defs: Seq[QueryDef] = Seq(bruteTopk, lshTopk, ivfTopk, embDupPairs, centroids)
 }

@@ -437,7 +437,90 @@ object TextQueries extends QuerySet {
         |  FROM documents) t
         |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin))
 
+  // ---- TF-IDF top terms ------------------------------------------------
+  // The classic corpus-statistics op a training-data pipeline runs to
+  // find distinguishing terms / boilerplate: term frequency per doc ×
+  // inverse document frequency, top-3 terms per doc. Scale shape: tok
+  // explodes map-side; `tf` shuffles on (doc_id, term) — partial
+  // aggregation (map-side combine) collapses repeats before the
+  // exchange; `df` is a second agg over the distinct projection whose
+  // result is VOCABULARY-sized (tiny vs corpus), so Catalyst broadcasts
+  // it back onto tf — the corpus body is never shuffled twice. The
+  // top-3 window partitions on doc_id (full parallelism, no low-
+  // cardinality funnel). Ordering uses the ROUNDED score so ties are
+  // term-lexicographic in both engines.
+  private val tfidf = QueryDef(
+    "tfidf_top_terms",
+    Some("""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+           |df AS (SELECT term, count(DISTINCT doc_id) AS dfreq FROM tok GROUP BY term),
+           |nd AS (SELECT count(*) AS n FROM documents),
+           |s AS (
+           |  SELECT tf.doc_id, tf.term, tf.tf, df.dfreq,
+           |         round(tf.tf * ln(CAST(nd.n AS DOUBLE) / df.dfreq), 6) AS tfidf
+           |  FROM tf JOIN df USING (term) CROSS JOIN nd),
+           |r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id
+           |            ORDER BY tfidf DESC, term) AS rn FROM s)
+           |SELECT doc_id, term, tf, dfreq, tfidf, rn FROM r WHERE rn <= 3
+           |ORDER BY doc_id, rn""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """WITH tok AS (
+        |  SELECT doc_id, term FROM documents
+        |  LATERAL VIEW explode(split(text, ' ')) t AS term),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS dfreq FROM tok GROUP BY term),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.dfreq,
+        |         round(tf.tf * ln(CAST(nd.n AS DOUBLE) / df.dfreq), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN nd),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY tfidf DESC, term) AS rn FROM s)
+        |SELECT doc_id, term, tf, dfreq, tfidf, rn FROM r WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin))
+
+  // ---- PII redaction ---------------------------------------------------
+  // Regex scrubbing of emails/phone numbers — a compliance staple before
+  // any corpus ships to training. The synthetic documents table has no
+  // organic PII, so both engines append an identical deterministic
+  // contact suffix and the redaction (plus match counts) is verified on
+  // that. Per-row regexp_replace/regexp_count are codegen'd projections:
+  // embarrassingly parallel, no shuffle at any scale. Patterns stay in
+  // the Java∩RE2 common subset so Spark and DuckDB agree byte-for-byte.
+  private val piiEmailRe = "[a-z0-9.]+@[a-z.]+[a-z]"
+  private val piiPhoneRe = "[+]1-555-[0-9]+"
+  private val piiRedact = QueryDef(
+    "pii_redact",
+    Some(s"""WITH raw AS (
+            |  SELECT doc_id,
+            |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+            |         '@mail.example.com or +1-555-0' || CAST(doc_id % 100 AS VARCHAR)
+            |         AS body
+            |  FROM documents)
+            |SELECT doc_id,
+            |       len(regexp_extract_all(body, '$piiEmailRe')) AS emails,
+            |       len(regexp_extract_all(body, '$piiPhoneRe')) AS phones,
+            |       regexp_replace(regexp_replace(body, '$piiEmailRe', '<EMAIL>', 'g'),
+            |                      '$piiPhoneRe', '<PHONE>', 'g') AS redacted
+            |FROM raw ORDER BY doc_id""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || CAST(doc_id AS STRING) ||
+         |         '@mail.example.com or +1-555-0' || CAST(doc_id % 100 AS STRING)
+         |         AS body
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(regexp_count(body, '$piiEmailRe') AS BIGINT) AS emails,
+         |       CAST(regexp_count(body, '$piiPhoneRe') AS BIGINT) AS phones,
+         |       regexp_replace(regexp_replace(body, '$piiEmailRe', '<EMAIL>'),
+         |                      '$piiPhoneRe', '<PHONE>') AS redacted
+         |FROM raw ORDER BY doc_id""".stripMargin))
+
   override val defs: Seq[QueryDef] = Seq(
     dedupExact, neardup, neardupClusters, neardupCorpus, simhash, ngramTopk,
-    langId, quality, tokenStats, winnow, stratified)
+    langId, quality, tokenStats, winnow, stratified, tfidf, piiRedact)
 }

@@ -54,7 +54,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("similarity operators never produce a cartesian product") {
     Seq("neardup_minhash_lsh", "ann_brute_topk", "ann_lsh_topk",
-      "embdup_cosine_pairs").foreach { q =>
+      "ann_ivf_topk", "embdup_cosine_pairs").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
     }
@@ -152,5 +152,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("near-dup clustering joins stay on the pair set (no corpus-wide loop)") {
     val p = plan("neardup_clusters")
     assert(!p.contains("CartesianProduct"), s"cluster loop went cartesian:\n$p")
+  }
+
+  test("bucketed join runs with no exchange on the join key") {
+    val p = plan("bucketed_join_colocated")
+    assert(p.contains("SortMergeJoin"), s"bucketed join lost SMJ:\n$p")
+    assert(!p.contains("hashpartitioning(o_custkey") &&
+           !p.contains("hashpartitioning(c_custkey"),
+      s"bucketed join still shuffles a side on the join key:\n$p")
+  }
+
+  test("ivf cell assignment is map-side (no corpus shuffle on vec_id)") {
+    val p = plan("ann_ivf_topk")
+    assert(p.contains("dot_f64"), s"ivf missing native kernel:\n$p")
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"ivf cell assignment shuffles the corpus on vec_id:\n$p")
+  }
+
+  test("tfidf term counting is partial (map-side combine before the shuffle)") {
+    val p = plan("tfidf_top_terms")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"tfidf shuffles raw exploded tokens without combine:\n$p")
   }
 }
