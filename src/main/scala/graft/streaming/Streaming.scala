@@ -209,4 +209,45 @@ object Streaming {
           }
       }
   }
+
+  // ---- stream-static enrichment join ------------------------------------
+
+  /** Enrich an event stream with a static dimension table (left join on
+    * `key`). The static side is broadcast, so each micro-batch is a
+    * map-side hash join — no shuffle of the stream, no join state at
+    * all (the dimension is re-resolvable per batch, which also picks up
+    * snapshot-table refreshes between batches). This is the streaming
+    * form of the reference's per-request template join against a cached
+    * dim (flapi endpoints join request params to cache tables). */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  // ---- stream-stream interval join --------------------------------------
+
+  /** Attribute each click to impressions of the same user within
+    * `horizon` after the impression (ad-attribution / funnel-stitch
+    * shape). Expects `impressions(imp_id, imp_ts, user_id)` and
+    * `clicks(click_id, click_ts, click_user)`.
+    *
+    * Both sides carry watermarks and the join predicate bounds
+    * click_ts to [imp_ts, imp_ts + horizon], so Spark derives state
+    * eviction on BOTH buffers: an impression is dropped once the click
+    * watermark passes imp_ts + horizon, a click once the impression
+    * watermark passes click_ts. Without the time bound the buffers grow
+    * forever — unusable at 100 TB/day; with it, state is proportional
+    * to (rate × horizon) regardless of total volume. */
+  def attributeClicks(
+      impressions: DataFrame,
+      clicks: DataFrame,
+      horizon: String = "15 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val i = impressions.withWatermark("imp_ts", watermark)
+    val c = clicks.withWatermark("click_ts", watermark)
+    i.join(c,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr(s"interval $horizon"))
+      .select(col("imp_id"), col("click_id"), col("user_id"),
+        col("imp_ts"), col("click_ts"))
+  }
 }

@@ -203,4 +203,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val modes = table.snapshots().select("mode").collect().map(_.getString(0)).toSet
     assert(modes == Set("append"))
   }
+
+  test("stream-static enrichment left-joins the broadcast dim per micro-batch") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val events = input.toDF.toDF("cust_id", "value")
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("cust_id", "tier")
+    val q = Streaming.enrichStream(events, dim, "cust_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, 10.0), (2L, 20.0), (99L, 30.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+      // matched rows carry the dim attribute; unmatched survive with null
+      assert(rows == Set((1L, Some("GOLD")), (2L, Some("SILVER")), (99L, None)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join attributes clicks within the horizon only") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val joined = Streaming.attributeClicks(
+      imps.toDF.toDF("imp_id", "imp_ts", "user_id"),
+      clicks.toDF.toDF("click_id", "click_ts", "click_user"),
+      horizon = "15 minutes", watermark = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData(
+        (100L, ts("2026-01-01 10:00:00"), 1L),
+        (101L, ts("2026-01-01 10:00:00"), 2L))
+      clicks.addData(
+        (500L, ts("2026-01-01 10:05:00"), 1L), // within 15 min → match
+        (501L, ts("2026-01-01 10:40:00"), 2L), // past horizon → no match
+        (502L, ts("2026-01-01 10:05:00"), 3L)) // no impression → no match
+      q.processAllAvailable()
+      // advance both watermarks so joinable state flushes
+      imps.addData((999L, ts("2026-01-01 12:00:00"), 9L))
+      clicks.addData((998L, ts("2026-01-01 12:00:00"), 8L))
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((100L, 500L)))
+    } finally q.stop()
+  }
 }
