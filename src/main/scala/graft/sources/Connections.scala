@@ -49,6 +49,10 @@ object Connections {
       case Some("jdbc") => registerJdbc(spark, conn)
       case Some("parquet") =>
         conn.properties.get("path").foreach(p => registerParquetPath(spark, conn.name, p))
+      case Some("csv") =>
+        conn.properties.get("path").foreach(p => registerFilePath(spark, conn, "csv", p))
+      case Some("json") =>
+        conn.properties.get("path").foreach(p => registerFilePath(spark, conn, "json", p))
       case _ => ()
     }
     conn.initSql.foreach { sql =>
@@ -128,6 +132,41 @@ object Connections {
     } else {
       // single table or object-storage glob — Hadoop FS resolves it
       spark.read.parquet(path).createOrReplaceTempView(name)
+    }
+  }
+
+  /** CSV/JSON sources (DuckDB's read_csv/read_json surface in the
+    * reference's init SQL; here they're first-class connection types).
+    * Reader options pass through as `option-<name>` connection
+    * properties (e.g. `option-header: "true"`, `option-delimiter: ;`,
+    * `option-multiLine: "true"`). Directory → one view per file,
+    * single file / object-storage glob → one view. Schema inference is
+    * a boot-time cost only; at 100 TB prefer an explicit `schema`
+    * property (DDL string) so registration never scans data. */
+  def registerFilePath(spark: SparkSession, conn: ConnectionConfig,
+      format: String, path: String): Unit = {
+    val opts = conn.properties.collect {
+      case (k, v) if k.startsWith("option-") => k.stripPrefix("option-") -> v
+    }
+    def reader = {
+      var r = spark.read.format(format).options(opts)
+      conn.properties.get("schema").foreach(ddl => r = r.schema(ddl))
+      // inference only when the caller gave no schema: csv needs it to
+      // type columns at all; an explicit DDL schema always wins
+      if (format == "csv" && !conn.properties.contains("schema"))
+        r = r.option("inferSchema", "true")
+      r
+    }
+    val ext = "." + format
+    val dir = new java.io.File(path)
+    if (dir.isDirectory) {
+      dir.listFiles().filter(_.getName.endsWith(ext)).foreach { f =>
+        val table = f.getName.stripSuffix(ext)
+        reader.load(f.getAbsolutePath)
+          .createOrReplaceTempView(viewName(conn.name, table))
+      }
+    } else {
+      reader.load(path).createOrReplaceTempView(conn.name)
     }
   }
 

@@ -74,4 +74,41 @@ class ConnectionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(conf.get("fs.s3a.endpoint.region") == "us-west-2")
     assert(conf.get("fs.credtest.probe") == "file:///srv/data")
   }
+
+  test("csv connection registers per-file views with passthrough options") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_src")
+    java.nio.file.Files.writeString(dir.resolve("fruit.csv"),
+      "id;name;price\n1;apple;2.5\n2;pear;3.0\n")
+    Connections.init(spark, ConnectionConfig("fruits", Map(
+      "type" -> "csv", "path" -> dir.toString,
+      "option-header" -> "true", "option-delimiter" -> ";")))
+    val rows = spark.table("fruits_fruit").orderBy("id").collect()
+    assert(rows.length == 2 && rows.head.getAs[String]("name") == "apple")
+    // inferSchema typed the numeric columns
+    assert(rows.head.getAs[Double]("price") == 2.5)
+  }
+
+  test("csv with explicit DDL schema skips inference and pins types") {
+    val f = java.nio.file.Files.createTempFile("graft_csv_one", ".csv")
+    java.nio.file.Files.writeString(f, "1,widget\n2,gadget\n")
+    Connections.init(spark, ConnectionConfig("parts_src", Map(
+      "type" -> "csv", "path" -> f.toString,
+      "schema" -> "part_id INT, part_name STRING")))
+    val df = spark.table("parts_src")
+    assert(df.schema.fieldNames.toSeq == Seq("part_id", "part_name"))
+    assert(df.count() == 2)
+  }
+
+  test("json connection registers a view over JSONL") {
+    val f = java.nio.file.Files.createTempFile("graft_json_src", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"id":1,"tags":["a","b"]}
+        |{"id":2,"tags":["c"]}
+        |""".stripMargin)
+    Connections.init(spark, ConnectionConfig("docs_src", Map(
+      "type" -> "json", "path" -> f.toString)))
+    val rows = spark.sql(
+      "SELECT id, size(tags) AS n FROM docs_src ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((1L, 2), (2L, 1)))
+  }
 }
