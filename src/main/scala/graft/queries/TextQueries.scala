@@ -257,6 +257,67 @@ object TextQueries extends QuerySet {
       """SELECT doc_id, simhash32(split(text, ' ')) AS simhash
         |FROM documents ORDER BY doc_id""".stripMargin))
 
+  // ---- SimHash banded near-dup pairs -----------------------------------
+  // The candidate-search half of SimHash dedup (the fingerprint query
+  // above is the map-side half): 4 bands of 8 bits — by pigeonhole any
+  // pair within hamming distance 3 agrees on at least one full band, so
+  // banding has perfect recall at the ≤3 threshold. Same scale shape as
+  // MinHash-LSH: map-side fingerprints, one bucket groupBy with the
+  // [2,1000] degenerate-corpus cap (part of the operator definition —
+  // the oracle applies the identical bound), exact hamming verify on
+  // candidates only, never an all-pairs product.
+  private val simhashPairs = QueryDef(
+    "simhash_neardup_pairs",
+    Some("""WITH tok AS (
+           |  SELECT doc_id, t, count(*) AS cnt
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+           |  GROUP BY doc_id, t),
+           |th AS (
+           |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h, cnt FROM tok),
+           |bits AS (
+           |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS w
+           |  FROM th, unnest(range(0, 32)) AS u(b)
+           |  GROUP BY doc_id, b),
+           |fp AS (
+           |  SELECT doc_id,
+           |         cast(sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+           |  FROM bits GROUP BY doc_id),
+           |banded AS (
+           |  SELECT doc_id, simhash, b, (simhash >> CAST(8 * b AS INT)) & 255 AS bh
+           |  FROM fp, unnest(range(0, 4)) AS u(b)),
+           |ok AS (
+           |  SELECT b, bh FROM banded GROUP BY b, bh HAVING count(*) BETWEEN 2 AND 1000),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |  FROM banded x JOIN banded y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+           |  JOIN ok ON ok.b = x.b AND ok.bh = x.bh)
+           |SELECT c.id_a, c.id_b,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |FROM cand c JOIN fp a ON a.doc_id = c.id_a JOIN fp b ON b.doc_id = c.id_b
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin),
+    (s, dir) => {
+      val fp = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), expr("simhash32(split(text, ' '))").as("simhash"))
+      val banded = fp
+        .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("b"))
+        .withColumn("bh", expr("shiftright(simhash, cast(8 * b AS INT)) & 255"))
+      val cand = banded.groupBy("b", "bh")
+        .agg(collect_set("doc_id").as("ids"))
+        .filter(size(col("ids")).between(2, 1000))
+        .select(explode(col("ids")).as("id_a"), col("ids"))
+        .select(col("id_a"), explode(col("ids")).as("id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .distinct()
+      val fa = fp.select(col("doc_id").as("id_a"), col("simhash").as("sha"))
+      val fb = fp.select(col("doc_id").as("id_b"), col("simhash").as("shb"))
+      cand.join(fa, "id_a").join(fb, "id_b")
+        .withColumn("hamming", expr("CAST(bit_count(sha ^ shb) AS BIGINT)"))
+        .filter(col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    })
+
   // ---- one-vs-all n-gram Jaccard top-k ---------------------------------
   // Similarity search for one probe document: its bigram set broadcasts
   // to every partition; the scan stays embarrassingly parallel and the
@@ -521,6 +582,6 @@ object TextQueries extends QuerySet {
          |FROM raw ORDER BY doc_id""".stripMargin))
 
   override val defs: Seq[QueryDef] = Seq(
-    dedupExact, neardup, neardupClusters, neardupCorpus, simhash, ngramTopk,
-    langId, quality, tokenStats, winnow, stratified, tfidf, piiRedact)
+    dedupExact, neardup, neardupClusters, neardupCorpus, simhash, simhashPairs,
+    ngramTopk, langId, quality, tokenStats, winnow, stratified, tfidf, piiRedact)
 }
