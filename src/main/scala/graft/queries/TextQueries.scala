@@ -302,19 +302,20 @@ object TextQueries extends QuerySet {
       val banded = fp
         .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("b"))
         .withColumn("bh", expr("shiftright(simhash, cast(8 * b AS INT)) & 255"))
-      val cand = banded.groupBy("b", "bh")
-        .agg(collect_set("doc_id").as("ids"))
-        .filter(size(col("ids")).between(2, 1000))
-        .select(explode(col("ids")).as("id_a"), col("ids"))
-        .select(col("id_a"), explode(col("ids")).as("id_b"))
-        .filter(col("id_a") < col("id_b"))
-        .distinct()
-      val fa = fp.select(col("doc_id").as("id_a"), col("simhash").as("sha"))
-      val fb = fp.select(col("doc_id").as("id_b"), col("simhash").as("shb"))
-      cand.join(fa, "id_a").join(fb, "id_b")
-        .withColumn("hamming", expr("CAST(bit_count(sha ^ shb) AS BIGINT)"))
+      // fingerprints ride through the bucket (8 bytes each), so hamming
+      // verifies inside the exploded pair row — no fingerprint re-join,
+      // and the pair-dedup distinct runs on SURVIVORS of the hamming
+      // filter, not the full candidate set
+      banded.groupBy("b", "bh")
+        .agg(collect_set(struct(col("doc_id"), col("simhash"))).as("xs"))
+        .filter(size(col("xs")).between(2, 1000))
+        .select(explode(col("xs")).as("x"), col("xs"))
+        .select(col("x"), explode(col("xs")).as("y"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("hamming"))
         .filter(col("hamming") <= 3)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
         .orderBy("id_a", "id_b")
     })
 
