@@ -276,6 +276,33 @@ object SqlSurfaceQueries extends QuerySet {
         |  to_json(named_struct('k', 1, 's', 'x')) AS st,
         |  cast(NULL AS INT) AS null_i""".stripMargin))
 
+  // A6: CUBE — all 2^k grouping combinations (ROLLUP's sibling, same
+  // Expand-based plan in Spark: each input row fans out once per
+  // grouping set before the partial agg, so the shuffle carries
+  // pre-combined partials, not raw fan-out).
+  private val a6 = sqlQuery(
+    "a6_cube",
+    """SELECT c_mktsegment, c_nationkey, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+      |FROM customer
+      |GROUP BY CUBE(c_mktsegment, c_nationkey)
+      |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin)
+
+  // W3: rank-distribution windows (ntile/percent_rank/cume_dist) —
+  // rank-based, so engine-portable (no FP accumulation). The global
+  // ORDER BY window funnels to one reducer by design; at 100 TB the
+  // same result comes from a two-pass rank (global sort boundaries →
+  // per-partition rank offset), which Spark's range partitioner
+  // already gives `ORDER BY` — the gated slice keeps the single-window
+  // form on a bounded key range.
+  private val w3 = sqlQuery(
+    "w3_rank_distribution",
+    """SELECT o_orderkey,
+      |  ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+      |  round(percent_rank() OVER (ORDER BY o_totalprice DESC, o_orderkey), 6) AS pr,
+      |  round(cume_dist() OVER (ORDER BY o_totalprice DESC, o_orderkey), 6) AS cd
+      |FROM orders WHERE o_custkey <= 100
+      |ORDER BY o_orderkey""".stripMargin)
+
   override val defs: Seq[QueryDef] =
-    Seq(a2, a3, a5, w2, j3, set1, set2, f1, f2, f3, f4, f5, j1, i1, o4, o5, t1)
+    Seq(a2, a3, a5, a6, w2, w3, j3, set1, set2, f1, f2, f3, f4, f5, j1, i1, o4, o5, t1)
 }
