@@ -303,6 +303,26 @@ object SqlSurfaceQueries extends QuerySet {
       |FROM orders WHERE o_custkey <= 100
       |ORDER BY o_orderkey""".stripMargin)
 
+  // A7: exact interpolated quantiles per group. Spark's `percentile`
+  // and DuckDB's `quantile_cont` share linear-interpolation semantics,
+  // so the compare is exact at 6 decimals. Exact percentile sorts each
+  // group's values; at 100 TB the swap is `approx_percentile`
+  // (t-digest, mergeable partial agg) — same query shape, bounded
+  // error instead of a per-group sort.
+  private val a7 = QueryDef(
+    "a7_group_percentiles",
+    Some("""SELECT o_orderpriority,
+           |       round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+           |       round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+           |       count(*) AS n
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """SELECT o_orderpriority,
+        |       round(percentile(o_totalprice, 0.5), 6) AS median_price,
+        |       round(percentile(o_totalprice, 0.9), 6) AS p90_price,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   override val defs: Seq[QueryDef] =
-    Seq(a2, a3, a5, a6, w2, w3, j3, set1, set2, f1, f2, f3, f4, f5, j1, i1, o4, o5, t1)
+    Seq(a2, a3, a5, a6, a7, w2, w3, j3, set1, set2, f1, f2, f3, f4, f5, j1, i1, o4, o5, t1)
 }
