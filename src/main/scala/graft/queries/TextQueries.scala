@@ -582,7 +582,78 @@ object TextQueries extends QuerySet {
          |                      '$piiPhoneRe', '<PHONE>') AS redacted
          |FROM raw ORDER BY doc_id""".stripMargin))
 
+  // ---- composed corpus-prep pipeline ------------------------------------
+  // The end-to-end training-data prep flow as ONE dataflow: tokenize →
+  // language-ID → quality score → exact dedup (keep lowest doc_id per
+  // content hash) → keep en-docs above the quality bar → per-source
+  // summary. One pass over the corpus, one shuffle on the 32-byte
+  // content hash (the window partitions on sha256(text), never raw
+  // text), one vocabulary-bounded final agg; every per-row kernel is
+  // the compiled form the stage queries use (tokens_in_set, codegen'd
+  // arithmetic). This is the materialization an endpoint would cache
+  // nightly; the stage operators above are its unit-tested parts.
+  private val corpusPrep = QueryDef(
+    "corpus_prep_summary",
+    Some("""WITH t AS (
+           |  SELECT doc_id, source, text, string_split(text, ' ') AS w FROM documents),
+           |scored AS (
+           |  SELECT doc_id, source, text, len(w) AS n_tok,
+           |    len(list_filter(w, t -> t IN ('the','a','and','of','is'))) * 1.0::DOUBLE / len(w) AS stop_ratio,
+           |    len(list_filter(w, t -> t IN ('the','a','an','and','of','is'))) AS s_en,
+           |    len(list_filter(w, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+           |    len(list_filter(w, t -> t IN ('le','la','les','et','est'))) AS s_fr,
+           |    len(list_filter(w, t -> t IN ('el','los','las','y','es'))) AS s_es
+           |  FROM t WHERE len(w) > 0),
+           |q AS (
+           |  SELECT doc_id, source, text, n_tok,
+           |    least(1.0::DOUBLE, n_tok / 50.0) * (0.5 + stop_ratio) AS quality,
+           |    CASE WHEN s_en >= greatest(s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+           |         WHEN s_de >= greatest(s_fr, s_es) AND s_de > 0 THEN 'de'
+           |         WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+           |         WHEN s_es > 0 THEN 'es'
+           |         ELSE 'und' END AS predicted
+           |  FROM scored),
+           |d AS (
+           |  SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn FROM q)
+           |SELECT source,
+           |       count(*) FILTER (WHERE rn = 1 AND predicted = 'en' AND quality >= 0.55) AS docs_kept,
+           |       count(*) FILTER (WHERE rn > 1) AS dups_dropped,
+           |       count(*) FILTER (WHERE rn = 1 AND NOT (predicted = 'en' AND quality >= 0.55)) AS filtered_out,
+           |       round(avg(quality) FILTER (WHERE rn = 1 AND predicted = 'en' AND quality >= 0.55), 4) AS avg_quality,
+           |       sum(n_tok) FILTER (WHERE rn = 1 AND predicted = 'en' AND quality >= 0.55) AS total_tokens
+           |FROM d GROUP BY source ORDER BY source""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """WITH t AS (
+        |  SELECT doc_id, source, text, split(text, ' ') AS w FROM documents),
+        |scored AS (
+        |  SELECT doc_id, source, text, size(w) AS n_tok,
+        |    tokens_in_set(w, array('the','a','and','of','is')) * 1.0D / size(w) AS stop_ratio,
+        |    tokens_in_set(w, array('the','a','an','and','of','is')) AS s_en,
+        |    tokens_in_set(w, array('der','die','das','und','ist')) AS s_de,
+        |    tokens_in_set(w, array('le','la','les','et','est')) AS s_fr,
+        |    tokens_in_set(w, array('el','los','las','y','es')) AS s_es
+        |  FROM t WHERE size(w) > 0),
+        |q AS (
+        |  SELECT doc_id, source, text, n_tok,
+        |    least(1.0D, n_tok / 50.0D) * (0.5D + stop_ratio) AS quality,
+        |    CASE WHEN s_en >= greatest(s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+        |         WHEN s_de >= greatest(s_fr, s_es) AND s_de > 0 THEN 'de'
+        |         WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+        |         WHEN s_es > 0 THEN 'es'
+        |         ELSE 'und' END AS predicted
+        |  FROM scored),
+        |d AS (
+        |  SELECT *, row_number() OVER (PARTITION BY sha2(text, 256) ORDER BY doc_id) AS rn FROM q)
+        |SELECT source,
+        |       count(*) FILTER (WHERE rn = 1 AND predicted = 'en' AND quality >= 0.55) AS docs_kept,
+        |       count(*) FILTER (WHERE rn > 1) AS dups_dropped,
+        |       count(*) FILTER (WHERE rn = 1 AND NOT (predicted = 'en' AND quality >= 0.55)) AS filtered_out,
+        |       round(avg(quality) FILTER (WHERE rn = 1 AND predicted = 'en' AND quality >= 0.55), 4) AS avg_quality,
+        |       sum(n_tok) FILTER (WHERE rn = 1 AND predicted = 'en' AND quality >= 0.55) AS total_tokens
+        |FROM d GROUP BY source ORDER BY source""".stripMargin))
+
   override val defs: Seq[QueryDef] = Seq(
     dedupExact, neardup, neardupClusters, neardupCorpus, simhash, simhashPairs,
-    ngramTopk, langId, quality, tokenStats, winnow, stratified, tfidf, piiRedact)
+    ngramTopk, langId, quality, tokenStats, winnow, stratified, tfidf, piiRedact,
+    corpusPrep)
 }
