@@ -169,6 +169,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ivf cell assignment shuffles the corpus on vec_id:\n$p")
   }
 
+  test("corpus-prep dedup window shuffles the 32-byte hash, not raw text") {
+    val p = plan("corpus_prep_summary")
+    assert(p.contains("sha2"), s"content hash missing from plan:\n$p")
+    assert(!p.contains("hashpartitioning(text"),
+      s"window partitions on raw document text:\n$p")
+    assert(!p.contains("lambdafunction"), s"interpreted HOF lambda in the plan:\n$p")
+  }
+
   test("tfidf term counting is partial (map-side combine before the shuffle)") {
     val p = plan("tfidf_top_terms")
     assert(p.contains("partial_count") || p.contains("partial_"),
