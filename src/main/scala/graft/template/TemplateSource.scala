@@ -43,6 +43,14 @@ object TemplateSource {
     * FileSystem (file, hdfs, s3a, gs… — whatever the session's Hadoop
     * conf can bind); bare path → local filesystem. */
   def load(spark: SparkSession, source: String, basePath: Option[String] = None): String = {
+    // path_validator.cpp parity: decode-then-check traversal rejection
+    // and the remote scheme allowlist run before any I/O — template
+    // sources are operator-settable at runtime (config API / MCP tools)
+    PathValidator.validate(source, basePath) match {
+      case Left(reason) =>
+        throw new SecurityException(s"template source rejected: $reason")
+      case Right(_) => ()
+    }
     val full = resolve(source, basePath)
     if (full.startsWith("http://") || full.startsWith("https://")) {
       val conn = new java.net.URL(full).openConnection()
