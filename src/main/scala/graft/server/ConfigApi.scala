@@ -65,7 +65,11 @@ final case class ConfigServiceConfig(
     connProps: Map[String, String] = Map.empty,
     /** project env allowlist, consulted by the security audit so
       * whitelisted `{{env.*}}` refs aren't flagged as findings. */
-    templateEnv: graft.config.TemplateEnvConfig = graft.config.TemplateEnvConfig())
+    templateEnv: graft.config.TemplateEnvConfig = graft.config.TemplateEnvConfig(),
+    /** name → path probed by GET /health/storage (reference
+      * vfs_health_checker.cpp wired at config_service.cpp:619-631);
+      * the bootstrap passes the config dir + template dir. */
+    storagePaths: Map[String, String] = Map.empty)
 
 /** Config-service REST API v1 (reference config_service.cpp:258-660):
   * endpoint CRUD, validation, reload, template get/put/expand/test,
@@ -218,6 +222,24 @@ final class ConfigApi(
         n.put("name", "graft"); n.put("engine", "spark")
         n.put("endpoints", registry.all.size)
         json(ex, 200, mapper.writeValueAsString(n))
+
+      // storage-backend health (reference vfs_health_checker.cpp via
+      // config_service.cpp:619-631): accessibility + latency per path
+      case (List("health", "storage"), "GET") =>
+        val h = graft.template.VfsHealth.checkHealth(
+          spark, cfg.storagePaths.toSeq.sortBy(_._1))
+        val root = mapper.createObjectNode()
+        root.put("status", if (h.healthy) "healthy" else "unhealthy")
+        root.put("total_latency_ms", h.totalLatencyMs)
+        val a = root.putArray("backends")
+        h.backends.foreach { b =>
+          val n = mapper.createObjectNode()
+          n.put("name", b.name); n.put("path", b.path); n.put("scheme", b.scheme)
+          n.put("accessible", b.accessible); n.put("latency_ms", b.latencyMs)
+          if (b.error.nonEmpty) n.put("error", b.error)
+          a.add(n)
+        }
+        json(ex, if (h.healthy) 200 else 503, mapper.writeValueAsString(root))
 
       // security audit over the LIVE registry (reference
       // security_auditor.cpp; findings are advisory — serving continues)

@@ -193,10 +193,17 @@ object GraftBootstrap {
     val envAllow = TemplateEnvConfig(project.envWhitelist)
     SecurityAuditor.audit(endpoints, envAllow, configService).foreach(w =>
       System.err.println(s"[audit] ${w.code} @ ${w.location}: ${w.message}"))
-    // API-created endpoints get the project connection map too
+    // API-created endpoints get the project connection map too; the
+    // storage health probe covers the config + template dirs unless the
+    // caller named its own backends
     val csWithConns = configService.map(cs =>
       (if (cs.connProps.isEmpty) cs.copy(connProps = allConnProps) else cs)
-        .copy(templateEnv = envAllow))
+        .copy(templateEnv = envAllow,
+          storagePaths =
+            if (configService.exists(_.storagePaths.nonEmpty)) cs.storagePaths
+            else Map(
+              "config" -> Paths.get(projectYaml).toAbsolutePath.getParent.toString,
+              "templates" -> templateDir)))
     new GraftServer(spark, endpoints, port = port, wire = wire,
       mcpAuthEnabled = anyAuth, basicAuth = basic, jwtAuth = jwt, oidcAuth = oidc,
       configService = csWithConns, cacheManager = manager).start()

@@ -236,6 +236,29 @@ class ConfigApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(resultText(deleted).contains("true"))
   }
 
+  test("storage health reports per-backend accessibility and 503 on a broken mount") {
+    val good = java.nio.file.Files.createTempDirectory("vfs_good")
+    val s2 = new GraftServer(spark, Seq.empty,
+      configService = Some(ConfigServiceConfig(token = Some(token),
+        storagePaths = Map(
+          "templates" -> good.toString,
+          "missing" -> "/nonexistent/graft_vfs_probe")))).start()
+    try {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${s2.boundPort}/api/v1/_config/health/storage"))
+          .header("Authorization", s"Bearer $token").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 503)
+      val n = mapper.readTree(r.body())
+      assert(n.path("status").asText() == "unhealthy")
+      val backends = (0 until n.path("backends").size())
+        .map(n.path("backends").get(_)).map(b =>
+          b.path("name").asText() -> b.path("accessible").asBoolean()).toMap
+      assert(backends == Map("templates" -> true, "missing" -> false))
+    } finally s2.stop()
+  }
+
   test("security audit flags a deliberately bad config") {
     val bad = Seq(
       // unauthenticated write endpoint + plaintext user on another
