@@ -670,16 +670,28 @@ final class GraftServer(
               // rows at all (count + schema only), and maxRows becomes a
               // plan-level LIMIT — r2 collected everything and capped the
               // serialized JSON afterwards, which OOMs on a big table.
-              val shaped =
-                if (ep.shape.sample)
-                  ResponseShaper.sampleJson(df.count(), df.schema.fieldNames.toSeq)
-                else {
-                  // no configured maxRows still caps at the wire default —
-                  // an unbounded collect is never the default
-                  val limited = df.limit(ep.shape.maxRows.getOrElse(wire.defaultRowCap))
-                  ResponseShaper.shape(collectJson(limited), ep.shape)
-                }
-              reply(s"""{"content":[{"type":"text","text":${quote(shaped)}}]}""")
+              val mime = ep.config.mcpTool.map(_.resultMimeType)
+                .getOrElse("application/json")
+              if (!ep.shape.sample && McpContent.isBinaryMime(mime) &&
+                  df.schema.fields.exists(_.dataType ==
+                    org.apache.spark.sql.types.BinaryType)) {
+                // binary result mime + binary column → typed MCP content
+                // (mcp_content_types.cpp); same plan-level row cap
+                val limited = df.limit(ep.shape.maxRows.getOrElse(wire.defaultRowCap))
+                reply(s"""{"content":${McpContent.render(
+                  limited.collect().toSeq, limited.schema, mime, toolName(ep))}}""")
+              } else {
+                val shaped =
+                  if (ep.shape.sample)
+                    ResponseShaper.sampleJson(df.count(), df.schema.fieldNames.toSeq)
+                  else {
+                    // no configured maxRows still caps at the wire default —
+                    // an unbounded collect is never the default
+                    val limited = df.limit(ep.shape.maxRows.getOrElse(wire.defaultRowCap))
+                    ResponseShaper.shape(collectJson(limited), ep.shape)
+                  }
+                reply(s"""{"content":[{"type":"text","text":${quote(shaped)}}]}""")
+              }
             }
         }
       case other =>

@@ -34,6 +34,37 @@ object SecurityAuditor {
   private val EnvRef = """\{\{\s*env\.([A-Za-z0-9_]+)\s*\}\}""".r
   private val SelectStar = """(?is)\bSELECT\s+\*""".r
 
+  /** MCP description hygiene (reference mcp_description_scanner.cpp):
+    * tool/resource/prompt descriptions are fed verbatim to AI clients'
+    * context, so a compromised YAML can smuggle prompt-injection copy
+    * or control bytes through them. One finding per class per
+    * description, mirroring the reference's codes. */
+  private val MaxDescriptionLength = 2048
+  private val InjectionPhrases = Seq(
+    "ignore previous instructions", "ignore the above",
+    "disregard previous instructions", "disregard the above",
+    "system:", "you are now")
+
+  def scanDescription(description: String): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    if (description.exists(c =>
+        (c < 0x20 || c == 0x7f) && c != '\n' && c != '\r' && c != '\t'))
+      out += ("DESCRIPTION_CONTROL_CHARACTER" ->
+        ("MCP description contains a control character (NUL, BEL, etc.); " +
+          "only newline, carriage return, and tab are tolerated."))
+    if (description.length > MaxDescriptionLength)
+      out += ("DESCRIPTION_TOO_LONG" ->
+        (s"MCP description exceeds $MaxDescriptionLength bytes; long " +
+          "descriptions waste model context and can drown out user prompts."))
+    val lower = description.toLowerCase
+    if (InjectionPhrases.exists(lower.contains))
+      out += ("DESCRIPTION_PROMPT_INJECTION" ->
+        ("MCP description contains a phrase commonly used in prompt-injection " +
+          "attempts (e.g. 'ignore previous instructions', 'system:'); if " +
+          "intentional, rephrase — otherwise treat the YAML as compromised."))
+    out.toSeq
+  }
+
   def audit(endpoints: Seq[ServedEndpoint],
             env: TemplateEnvConfig = TemplateEnvConfig(),
             configService: Option[ConfigServiceConfig] = None): Seq[SecurityWarning] = {
@@ -89,6 +120,19 @@ object SecurityAuditor {
             "retention policy: snapshots accumulate every refresh and carry all " +
             "columns. Set retention.keep-last-snapshots or max-snapshot-age, and " +
             "project the needed columns.", loc)
+
+      // MCP description hygiene: every description that reaches an AI
+      // client's context is scanned (tools, resources, prompts, fields)
+      val descs =
+        ep.config.mcpTool.map(t => s"mcp-tool ${t.name}" -> t.description).toSeq ++
+        ep.config.mcpResource.map(r => s"mcp-resource ${r.name}" -> r.description).toSeq ++
+        ep.config.mcpPrompt.map(p => s"mcp-prompt ${p.name}" -> p.description).toSeq ++
+        ep.config.requestFields.map(f => s"field ${f.fieldName}" -> f.description)
+      descs.foreach { case (what, d) =>
+        scanDescription(d).foreach { case (code, msg) =>
+          out += SecurityWarning(code, s"$what: $msg", loc)
+        }
+      }
 
       // env refs outside the project allowlist would leak at render time
       EnvRef.findAllMatchIn(ep.template).map(_.group(1)).toSeq.distinct

@@ -211,6 +211,41 @@ class McpSecuritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(noHeader.statusCode() == 400)
   }
 
+  test("binary result mime emits typed MCP image content with base64 data") {
+    val ss = spark
+    import ss.implicits._
+    Seq((1L, "thumb-a"), (2L, "thumb-b")).toDF("id", "tag")
+      .selectExpr("id", "tag", "cast(tag AS BINARY) AS img")
+      .createOrReplaceTempView("mcp_thumbs")
+    val binServer = new GraftServer(spark, Seq(ServedEndpoint(
+      EndpointConfig(urlPath = "/thumbs", templateSource = "t.sql",
+        withPagination = false,
+        mcpTool = Some(McpToolConfig(name = "thumbs",
+          resultMimeType = "image/png"))),
+      "SELECT id, tag, img FROM mcp_thumbs ORDER BY id"))).start()
+    try {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${binServer.boundPort}/mcp/jsonrpc"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"jsonrpc":"2.0","id":1,"method":"tools/call",
+              |"params":{"name":"thumbs","arguments":{}}}""".stripMargin))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      val content = mapper.readTree(r.body()).get("result").get("content")
+      val kinds = (0 until content.size()).map(content.get(_).get("type").asText())
+      assert(kinds.count(_ == "image") == 2 && kinds.count(_ == "text") == 1)
+      val img0 = content.get(0)
+      assert(img0.get("mimeType").asText() == "image/png")
+      assert(new String(Base64.getDecoder.decode(
+        img0.get("data").asText())) == "thumb-a")
+      // non-binary columns ride in the text item
+      val text = content.get(content.size() - 1).get("text").asText()
+      assert(text.contains("\"tag\":\"thumb-b\"") && !text.contains("img"))
+    } finally binServer.stop()
+  }
+
   test("client capability negotiation parses sampling/roots/protocols") {
     val params = mapper.readTree(
       """{"capabilities":{"sampling":true,"roots":false,
