@@ -74,7 +74,11 @@ object ConfigBundle {
       .toSeq.sortBy(_._1)
     val epochMillis = resolveEpoch(sourceDateEpoch) * 1000L
 
-    val tmp = Files.createTempFile(out.getParent, ".bundle", ".part")
+    // a bare relative filename has a null getParent — anchor on the
+    // absolute path so the temp sibling (same-filesystem atomic move)
+    // always has a directory
+    val outAbs = out.toAbsolutePath
+    val tmp = Files.createTempFile(outAbs.getParent, ".bundle", ".part")
     try {
       val hostBytes = appendTo.map(Files.size(_)).getOrElse(0L)
       val fos = new FileOutputStream(tmp.toFile)
@@ -89,7 +93,7 @@ object ConfigBundle {
       }
       zos.close()
       val total = Files.size(tmp)
-      Files.move(tmp, out, StandardCopyOption.REPLACE_EXISTING,
+      Files.move(tmp, outAbs, StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
       PackResult(out, entries.size, total - hostBytes)
     } finally Files.deleteIfExists(tmp)
@@ -136,11 +140,19 @@ object ConfigBundle {
   /** Boot path: endpoint configs straight from a bundle (embedded
     * archive provider parity — the tree is staged to a scratch dir and
     * discovered with the standard loader, so includes/env expansion
-    * behave identically to a directory boot). */
+    * behave identically to a directory boot). The scratch tree is
+    * deleted before returning: a bundle packed with allowSecrets must
+    * not leave config copies accumulating under the world-readable
+    * tmpdir. Callers that need the files themselves (template serving)
+    * use [[unpackTo]] with a directory they own. */
   def discoverEndpoints(
       bundle: Path,
       envAllow: String => Boolean = _ => false): Seq[EndpointConfig] = {
     val scratch = Files.createTempDirectory("graft_bundle")
-    YamlConfig.discoverEndpoints(unpackTo(bundle, scratch).toString, envAllow)
+    try YamlConfig.discoverEndpoints(unpackTo(bundle, scratch).toString, envAllow)
+    finally {
+      Files.walk(scratch).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
   }
 }

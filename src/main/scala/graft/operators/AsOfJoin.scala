@@ -47,18 +47,22 @@ object AsOfJoin {
       tieBreak: Option[String] = None): DataFrame = {
     require(payload.nonEmpty, "as-of join needs at least one payload column")
     val leftCols = left.columns.toSeq
+    // the tie column keeps its NATIVE type: a string cast would order
+    // numeric tie-breaks lexicographically ("9" > "10"), silently
+    // resolving equal-timestamp ties to the wrong right row across
+    // digit-count boundaries. Left rows carry a typed NULL — their
+    // relative order within an equal (t, side) group is irrelevant
+    // (their __asof_r is null either way).
+    val tieCol = tieBreak.map(col).getOrElse(lit(0))
     val rightSide = right.select(
       col(key),
       col(rightTime).as("__asof_t"),
       struct(payload.map { case (src, out) => col(src).as(out) }: _*).as("__asof_r"),
-      (tieBreak match {
-        case Some(c) => col(c).cast("string")
-        case None => lit("")
-      }).as("__asof_tie"),
+      tieCol.as("__asof_tie"),
       lit(0).as("__asof_side"))
     val leftSide = left
       .withColumn("__asof_t", col(leftTime))
-      .withColumn("__asof_tie", lit(""))
+      .withColumn("__asof_tie", lit(null).cast(rightSide.schema("__asof_tie").dataType))
       .withColumn("__asof_side", lit(1))
     val unioned = leftSide.unionByName(rightSide, allowMissingColumns = true)
     val w = Window.partitionBy(key)

@@ -35,7 +35,11 @@ object BucketedTables {
   def ensure(spark: SparkSession, dir: String): (String, String) =
     built.getOrElseUpdate((System.identityHashCode(spark), dir), {
       Tables.register(spark, dir)
-      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      // full-width content hash: String.hashCode is 32-bit and
+      // collision-prone, and a collision here silently points two
+      // source dirs at the same table files
+      val tag = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
       val ordersT = s"graft_b_orders_$tag"
       val custT = s"graft_b_customer_$tag"
       val root = java.nio.file.Paths.get(

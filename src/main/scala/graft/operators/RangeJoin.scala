@@ -37,11 +37,19 @@ object RangeJoin {
       endCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // exact integer floor-division: BIGINT `/` in Spark SQL is DOUBLE
+    // division, whose rounding error near 2^53-scale axes (epoch micros
+    // approach this) can flip a bin id at the boundary — a silently
+    // missed match the exact post-filter cannot recover. `div` is exact
+    // but truncates toward zero, so adjust for negative axis values.
+    def floorDiv(c: String): String =
+      s"(CASE WHEN $c < 0 AND $c % ${binWidth}L != 0 " +
+        s"THEN $c div ${binWidth}L - 1 ELSE $c div ${binWidth}L END)"
     val binned = intervals
       .filter(col(endCol) > col(startCol))
       .withColumn("__bin", explode(expr(
-        s"sequence(floor($startCol / ${binWidth}L), floor(($endCol - 1) / ${binWidth}L))")))
-    val p = points.withColumn("__bin", expr(s"floor($pointCol / ${binWidth}L)"))
+        s"sequence(${floorDiv(startCol)}, ${floorDiv(s"($endCol - 1)")})")))
+    val p = points.withColumn("__bin", expr(floorDiv(pointCol)))
     p.join(binned, "__bin")
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bin")

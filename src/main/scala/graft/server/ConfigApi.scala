@@ -168,9 +168,22 @@ final class ConfigApi(
       // (local path, file://, hdfs://, s3a://, https://)
       val template =
         if (inline.trim.nonEmpty) inline
-        else if (config.templateSource.nonEmpty)
-          graft.template.TemplateSource.load(spark, config.templateSource)
-        else ""
+        else if (config.templateSource.nonEmpty) {
+          // API-submitted sources are UNTRUSTED: when storage paths are
+          // configured (the bootstrap default: config + template dirs),
+          // confine local reads to them — an absolute source like
+          // /etc/passwd must not resolve just because it exists. With
+          // no storage paths (embedded/test use) behavior is unchanged;
+          // traversal + scheme checks still apply inside load.
+          val v = graft.template.PathValidator.validate(
+            config.templateSource, cfg.storagePaths.get("templates"),
+            graft.template.PathValidator.Config(
+              allowedPrefixes = cfg.storagePaths.values.toSeq))
+          v.left.foreach(reason =>
+            throw new SecurityException(s"template-source rejected: $reason"))
+          graft.template.TemplateSource.load(spark, config.templateSource,
+            cfg.storagePaths.get("templates"))
+        } else ""
       if (template.trim.isEmpty) Left("missing 'template' (SQL text) or resolvable 'template-source'")
       else Right(ServedEndpoint(config, template,
         // same wiring as bootstrap-discovered endpoints: conn props,

@@ -78,6 +78,20 @@ final class ConfigToolAdapter(
           presented.getBytes("UTF-8"), t.getBytes("UTF-8"))
     }
 
+  /** True iff the presented Authorization header carries the valid
+    * config-service token (constant-time). Used to give the admin its
+    * OWN rate-limit principal: without this a token-authenticated
+    * operator with no basic/JWT session shares the "anonymous" bucket,
+    * so an unauthenticated flood (charged before the 401) would
+    * rate-limit the admin off the config surface. */
+  def tokenValid(authHeader: Option[String]): Boolean =
+    cfg.token.exists { t =>
+      val presented = authHeader.filter(_.startsWith("Bearer "))
+        .map(_.stripPrefix("Bearer ").trim).getOrElse("")
+      java.security.MessageDigest.isEqual(
+        presented.getBytes("UTF-8"), t.getBytes("UTF-8"))
+    }
+
   /** Left(error message) | Right(result JSON). */
   def call(name: String, args: JsonNode): Either[String, String] = {
     def slugArg: Either[String, ServedEndpoint] = {

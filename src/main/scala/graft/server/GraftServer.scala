@@ -223,8 +223,11 @@ final class GraftServer(
   private def authenticate(ex: HttpExchange,
                            ep: Option[ServedEndpoint] = None): Option[Map[String, String]] = {
     val header = Option(ex.getRequestHeaders.getFirst("Authorization"))
+    // remote address scopes the basic-auth failure throttle per client
+    val client = Option(ex.getRemoteAddress)
+      .flatMap(a => Option(a.getAddress)).map(_.getHostAddress).getOrElse("")
     ep.flatMap(_.config.auth).filter(_.enabled).map(_.tpe) match {
-      case Some("basic") => basicAuth.flatMap(BasicAuth.authenticate(_, header))
+      case Some("basic") => basicAuth.flatMap(BasicAuth.authenticate(_, header, client))
       case Some("jwt") | Some("bearer") =>
         jwtAuth.flatMap(JwtAuth.authenticate(_, header))
       case Some("oidc") =>
@@ -232,7 +235,7 @@ final class GraftServer(
       case _ =>
         oidcAuth.flatMap(OidcAuth.authenticate(_, jwksManager, header))
           .orElse(jwtAuth.flatMap(JwtAuth.authenticate(_, header)))
-          .orElse(basicAuth.flatMap(BasicAuth.authenticate(_, header)))
+          .orElse(basicAuth.flatMap(BasicAuth.authenticate(_, header, client)))
     }
   }
 
@@ -587,7 +590,11 @@ final class GraftServer(
             // execute SQL (test_template) and mutate the registry, so
             // they must not be the one unmetered surface
             val cfgAuth = authenticate(ex)
+            // a valid config-service token earns its own principal —
+            // the admin must not share the anonymous bucket with an
+            // unauthenticated flood that is charged before its 401
             val cfgPrincipal = cfgAuth.flatMap(_.get("__auth_username"))
+              .orElse(if (ct.tokenValid(authHeader)) Some("__config_token") else None)
               .getOrElse("anonymous")
             val rlDecision = rateLimiter.tryAcquire(
               "config-tools", cfgPrincipal, GraftServer.ConfigToolRateLimit)

@@ -49,15 +49,15 @@ object McpContent {
       }
     }
     // non-binary columns as one JSON text item (omitted when the
-    // result was binary-only)
-    val metaFields = schema.fields.zipWithIndex.filter(_._1.dataType != BinaryType)
-    if (metaFields.nonEmpty) {
-      val arr = rows.map { r =>
-        metaFields.map { case (f, i) =>
-          val v = if (r.isNullAt(i)) "null" else mapper.writeValueAsString(r.get(i))
-          s"${q(f.name)}:$v"
-        }.mkString("{", ",", "}")
-      }.mkString("[", ",", "]")
+    // result was binary-only), serialized through the SAME wire codec
+    // as text results — a bare Jackson mapper has no serializers for
+    // Spark Rows/Scala collections (array/struct/map columns) and
+    // renders timestamps inconsistently with the REST path
+    val metaIdx = schema.fields.zipWithIndex.filter(_._1.dataType != BinaryType).map(_._2)
+    if (metaIdx.nonEmpty) {
+      val metaSchema = StructType(metaIdx.map(schema.fields(_)))
+      val metaRows = rows.iterator.map(r => Row.fromSeq(metaIdx.map(r.get).toSeq))
+      val arr = graft.serialize.JsonWire.rows(metaSchema, metaRows).mkString("[", ",", "]")
       items += s"""{"type":"text","text":${q(arr)}}"""
     }
     items.mkString("[", ",", "]")

@@ -200,8 +200,8 @@ object BasicAuth {
     else failures.put(user, (n + 1, start))
   }
 
-  private def throttled(user: String, now: Long): Boolean =
-    failures.get(user).exists { case (n, start) =>
+  private def throttled(key: String, now: Long): Boolean =
+    failures.get(key).exists { case (n, start) =>
       now - start < FailureWindowMillis && n >= MaxFailuresPerWindow
     }
 
@@ -210,13 +210,23 @@ object BasicAuth {
     verified.clear(); negative.clear(); failures.clear()
   }
 
-  private def cachedVerify(user: String, pass: String, stored: String): Boolean = {
+  private def cachedVerify(user: String, pass: String, stored: String,
+      client: String): Boolean = {
     val key = (stored, sha256Hex(pass))
     val now = System.currentTimeMillis()
     if (verified.get(key).exists(now - _ < VerifyTtlMillis)) return true
     if (negative.get(key).exists(now - _ < NegativeTtlMillis)) return false
-    if (throttled(user, now)) return false
-    if (!pbkdf2Permits.tryAcquire()) return false // fail fast under flood
+    // throttle keys on (user, client): keyed on user alone, 10 garbage
+    // passwords/min from ANY client becomes a renewable unauthenticated
+    // lockout of that username for everyone
+    val throttleKey = s"$user|$client"
+    if (throttled(throttleKey, now)) return false
+    // bounded wait, not fail-fast: three legitimate users logging in
+    // concurrently after a restart must queue briefly, not get a 401
+    // for a correct password; the 2s cap still keeps a flood from
+    // pinning serving threads indefinitely
+    if (!pbkdf2Permits.tryAcquire(2, java.util.concurrent.TimeUnit.SECONDS))
+      return false
     val ok =
       try PasswordHasher.verify(pass, stored)
       finally pbkdf2Permits.release()
@@ -228,13 +238,16 @@ object BasicAuth {
       if (negative.size >= MaxCacheEntries)
         negative.filterInPlace((_, t) => now - t < NegativeTtlMillis)
       if (negative.size < MaxCacheEntries) negative.put(key, now)
-      recordFailure(user, now)
+      recordFailure(s"$user|$client", now)
     }
     ok
   }
 
-  /** None = no/invalid credentials. */
-  def authenticate(cfg: BasicAuthConfig, header: Option[String]): Option[Map[String, String]] =
+  /** None = no/invalid credentials. `client` (remote address) scopes the
+    * failure throttle so one host's garbage cannot lock a username out
+    * for everyone. */
+  def authenticate(cfg: BasicAuthConfig, header: Option[String],
+      client: String = ""): Option[Map[String, String]] =
     header.filter(_.startsWith("Basic ")).flatMap { h =>
       val decoded =
         try new String(Base64.getDecoder.decode(h.stripPrefix("Basic ").trim), "UTF-8")
@@ -242,7 +255,7 @@ object BasicAuth {
       decoded.split(":", 2) match {
         case Array(user, pass) =>
           cfg.users.get(user).collect {
-            case (stored, roles) if cachedVerify(user, pass, stored) =>
+            case (stored, roles) if cachedVerify(user, pass, stored, client) =>
               Map(
                 "__auth_username" -> user,
                 "__auth_roles" -> roles.mkString(","),

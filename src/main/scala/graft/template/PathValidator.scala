@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
 /** Template-path validation (reference path_validator.cpp): template
   * sources can be set by config-service operators at runtime (REST PUT
   * /template, graft_update_template MCP tool), so a hostile or sloppy
-  * value must not read outside the template base.
+  * value must not escape a RELATIVE base by traversal, and absolute /
+  * remote sources are governed by `allowedPrefixes` / the scheme
+  * allowlist — untrusted surfaces (the config API) pass the configured
+  * storage dirs as allowed prefixes, so absolute escapes like
+  * /etc/passwd are rejected there; trusted boot-time loading keeps
+  * absolute paths available.
   *
   * Order matters and mirrors the reference: URL-decode FIRST (an
   * encoded `%2e%2e%2f` must not survive to the filesystem), then

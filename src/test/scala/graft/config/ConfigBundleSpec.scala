@@ -38,6 +38,15 @@ class ConfigBundleSpec extends AnyFunSuite {
       .contains("SELECT"))
   }
 
+  test("pack accepts a bare relative output filename (null getParent)") {
+    val in = tree()
+    val out = java.nio.file.Paths.get("graft_test_rel_bundle.zip")
+    try {
+      val r = ConfigBundle.pack(in, out)
+      assert(r.entryCount == 2 && Files.exists(out))
+    } finally Files.deleteIfExists(out)
+  }
+
   test("pack output is byte-deterministic under a pinned epoch") {
     val in = tree()
     val d = Files.createTempDirectory("bundle_out")

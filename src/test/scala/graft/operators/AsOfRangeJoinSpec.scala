@@ -69,6 +69,30 @@ class AsOfRangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the single greatest-tie row (null px, qid 22), got $r")
   }
 
+  test("asof: numeric tieBreak orders numerically across digit-count boundaries") {
+    val ss = spark
+    import ss.implicits._
+    val left = Seq((1L, 100L, "x")).toDF("k", "t", "l")
+    // "9" > "10" lexicographically — a string-cast tie column would
+    // pick qid 9; numeric ordering must pick qid 10
+    val right = Seq((1L, 100L, 9.0, 9L), (1L, 100L, 10.0, 10L))
+      .toDF("k", "t", "px", "qid")
+    val r = AsOfJoin.backward(left, right, "k", "t", "t",
+      payload = Seq("px" -> "px", "qid" -> "qid"), tieBreak = Some("qid"))
+      .select("qid").collect().head
+    assert(r.getLong(0) == 10L, s"expected numeric-greatest qid 10, got $r")
+  }
+
+  test("range join: negative axis values bin exactly (floor, not truncate)") {
+    val ss = spark
+    import ss.implicits._
+    val points = Seq((-9L, "pn9"), (-1L, "pn1"), (0L, "p0")).toDF("p", "name")
+    val intervals = Seq((-10L, 0L, "w-neg"), (0L, 5L, "w-pos")).toDF("s", "e", "w")
+    val got = RangeJoin.pointInInterval(points, "p", intervals, "s", "e", binWidth = 8L)
+      .select("w", "name").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("w-neg", "pn9"), ("w-neg", "pn1"), ("w-pos", "p0")))
+  }
+
   test("asof plan has no join node: one shuffle on the key, then a window") {
     val ss = spark
     import ss.implicits._

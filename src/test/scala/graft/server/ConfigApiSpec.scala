@@ -259,6 +259,33 @@ class ConfigApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally s2.stop()
   }
 
+  test("api-submitted template-source is confined to the configured storage paths") {
+    val tdir = java.nio.file.Files.createTempDirectory("cfg_tpl")
+    java.nio.file.Files.writeString(tdir.resolve("ok.sql"), "SELECT 1 AS one")
+    val s3 = new GraftServer(spark, Seq.empty,
+      configService = Some(ConfigServiceConfig(token = Some(token),
+        storagePaths = Map("templates" -> tdir.toString)))).start()
+    try {
+      def post(doc: String) = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${s3.boundPort}/api/v1/_config/endpoints"))
+          .header("Authorization", s"Bearer $token")
+          .POST(HttpRequest.BodyPublishers.ofString(doc)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      // absolute path outside the template dir must NOT resolve
+      val escape = post(
+        """{"url-path": "/steal", "template-source": "/etc/hostname",
+          |"with-pagination": "false"}""".stripMargin)
+      assert(escape.statusCode() == 400, escape.body())
+      assert(escape.body().contains("rejected"))
+      // a relative source inside the template dir still works
+      val ok = post(
+        """{"url-path": "/fine", "template-source": "ok.sql",
+          |"with-pagination": "false"}""".stripMargin)
+      assert(ok.statusCode() == 201, ok.body())
+    } finally s3.stop()
+  }
+
   test("audit scans MCP descriptions for injection phrases, control bytes, length") {
     def ep(desc: String) = ServedEndpoint(
       EndpointConfig(urlPath = "/d", templateSource = "d.sql",

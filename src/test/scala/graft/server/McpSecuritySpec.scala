@@ -215,14 +215,15 @@ class McpSecuritySpec extends AnyFunSuite with BeforeAndAfterAll {
     val ss = spark
     import ss.implicits._
     Seq((1L, "thumb-a"), (2L, "thumb-b")).toDF("id", "tag")
-      .selectExpr("id", "tag", "cast(tag AS BINARY) AS img")
+      .selectExpr("id", "tag", "split(tag, '-') AS parts",
+        "cast(tag AS BINARY) AS img")
       .createOrReplaceTempView("mcp_thumbs")
     val binServer = new GraftServer(spark, Seq(ServedEndpoint(
       EndpointConfig(urlPath = "/thumbs", templateSource = "t.sql",
         withPagination = false,
         mcpTool = Some(McpToolConfig(name = "thumbs",
           resultMimeType = "image/png"))),
-      "SELECT id, tag, img FROM mcp_thumbs ORDER BY id"))).start()
+      "SELECT id, tag, parts, img FROM mcp_thumbs ORDER BY id"))).start()
     try {
       val r = client.send(
         HttpRequest.newBuilder(URI.create(
@@ -240,9 +241,11 @@ class McpSecuritySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(img0.get("mimeType").asText() == "image/png")
       assert(new String(Base64.getDecoder.decode(
         img0.get("data").asText())) == "thumb-a")
-      // non-binary columns ride in the text item
+      // non-binary columns — including nested array columns — ride in
+      // the text item through the standard wire codec
       val text = content.get(content.size() - 1).get("text").asText()
       assert(text.contains("\"tag\":\"thumb-b\"") && !text.contains("img"))
+      assert(text.contains("\"parts\":[\"thumb\",\"b\"]"))
     } finally binServer.stop()
   }
 
