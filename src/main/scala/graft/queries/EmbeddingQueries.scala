@@ -239,36 +239,44 @@ object EmbeddingQueries extends QuerySet {
   private val EmbPlanesPerBand = 4
   private val EmbNumBands = 6
 
+  /** Shared CTE prelude ending in a `pairs` relation — the pairs query
+    * selects from it directly; the clusters query appends a recursive
+    * closure over it (mirroring the text-side neardupPairsSql reuse). */
+  private val embdupPairsSql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v,
+      |         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+      |  FROM e),
+      |bits AS (
+      |  SELECT n.vec_id, a.vec_id // 4 AS band,
+      |         sum(CASE WHEN list_aggregate(list_transform(range(1, len(n.v) + 1),
+      |                 i -> n.v[i] * a.v[i]), 'sum') > 0
+      |             THEN (1 << (a.vec_id % 4)) ELSE 0 END) AS bh
+      |  FROM n JOIN n a ON a.vec_id < 24
+      |  GROUP BY n.vec_id, a.vec_id // 4),
+      |ok AS (
+      |  SELECT band, bh FROM bits GROUP BY band, bh
+      |  HAVING count(*) BETWEEN 2 AND 1000),
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      |  FROM bits x JOIN bits y ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id
+      |  JOIN ok ON ok.band = x.band AND ok.bh = x.bh),
+      |pairs AS (
+      |  SELECT c.id_a, c.id_b,
+      |    round(list_aggregate(list_transform(range(1, len(a.v) + 1),
+      |          i -> a.v[i] * b.v[i]), 'sum') / (a.nrm * b.nrm), 6) AS cos
+      |  FROM cand c JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b
+      |  WHERE list_aggregate(list_transform(range(1, len(a.v) + 1),
+      |          i -> a.v[i] * b.v[i]), 'sum') / (a.nrm * b.nrm) >= 0.45)""".stripMargin
+
   private val embDupPairs = QueryDef(
     "embdup_cosine_pairs",
-    Some("""WITH e AS (
-           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-           |n AS (
-           |  SELECT vec_id, v,
-           |         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
-           |  FROM e),
-           |bits AS (
-           |  SELECT n.vec_id, a.vec_id // 4 AS band,
-           |         sum(CASE WHEN list_aggregate(list_transform(range(1, len(n.v) + 1),
-           |                 i -> n.v[i] * a.v[i]), 'sum') > 0
-           |             THEN (1 << (a.vec_id % 4)) ELSE 0 END) AS bh
-           |  FROM n JOIN n a ON a.vec_id < 24
-           |  GROUP BY n.vec_id, a.vec_id // 4),
-           |ok AS (
-           |  SELECT band, bh FROM bits GROUP BY band, bh
-           |  HAVING count(*) BETWEEN 2 AND 1000),
-           |cand AS (
-           |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-           |  FROM bits x JOIN bits y ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id
-           |  JOIN ok ON ok.band = x.band AND ok.bh = x.bh)
-           |SELECT c.id_a, c.id_b,
-           |  round(list_aggregate(list_transform(range(1, len(a.v) + 1),
-           |        i -> a.v[i] * b.v[i]), 'sum') / (a.nrm * b.nrm), 6) AS cos
-           |FROM cand c JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b
-           |WHERE list_aggregate(list_transform(range(1, len(a.v) + 1),
-           |        i -> a.v[i] * b.v[i]), 'sum') / (a.nrm * b.nrm) >= 0.45
-           |ORDER BY id_a, id_b""".stripMargin),
-    (s, dir) => {
+    Some(embdupPairsSql + "\nSELECT id_a, id_b, cos FROM pairs ORDER BY id_a, id_b"),
+    (s, dir) => embPairs(s, dir).orderBy("id_a", "id_b"))
+
+  private def embPairs(s: SparkSession, dir: String): DataFrame = {
       val e = withNorm(s, dir)
       val anchors = e.filter(col("vec_id") < EmbPlanesPerBand * EmbNumBands)
         .select(col("vec_id").cast("int").as("aid"), col("v"))
@@ -305,7 +313,34 @@ object EmbeddingQueries extends QuerySet {
         .withColumn("cosRaw", expr("dot_f64(av, bv)") / (col("an") * col("bn")))
         .filter(col("cosRaw") >= 0.45)
         .select(col("id_a"), col("id_b"), round(col("cosRaw"), 6).as("cos"))
-        .orderBy("id_a", "id_b")
+  }
+
+  // ---- embedding near-dup clusters --------------------------------------
+  // Transitive closure over the cosine pair graph — the vector-side
+  // mate of neardup_clusters: same ConnectedComponents engine (driver
+  // union-find under the size threshold, distributed min-label
+  // propagation above), fed ONLY the pair set, never the corpus.
+  private val embDupClusters = QueryDef(
+    "embdup_clusters",
+    Some(embdupPairsSql.replaceFirst("WITH e", "WITH RECURSIVE e") + """,
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a)
+      |SELECT a AS vec_id, least(a, min(b)) AS cluster_id,
+      |  count(DISTINCT b) FILTER (WHERE b <> a) AS n_linked
+      |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin),
+    (s, dir) => {
+      val labels = graft.operators.ConnectedComponents.labels(
+        embPairs(s, dir).select(col("id_a"), col("id_b")))
+      val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
+      labels.join(sizes, "label")
+        .select(col("id").as("vec_id"), col("label").as("cluster_id"),
+          (col("csize") - 1).as("n_linked"))
+        .orderBy("vec_id")
     })
 
   // ---- per-label centroids ----------------------------------------------
@@ -328,5 +363,6 @@ object EmbeddingQueries extends QuerySet {
         |SELECT label, count(*) AS dims, round(sqrt(sum(m * m)), 6) AS centroid_norm
         |FROM x GROUP BY label ORDER BY label""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(bruteTopk, lshTopk, ivfTopk, embDupPairs, centroids)
+  override val defs: Seq[QueryDef] =
+    Seq(bruteTopk, lshTopk, ivfTopk, embDupPairs, embDupClusters, centroids)
 }
