@@ -276,7 +276,20 @@ object EmbeddingQueries extends QuerySet {
     Some(embdupPairsSql + "\nSELECT id_a, id_b, cos FROM pairs ORDER BY id_a, id_b"),
     (s, dir) => embPairs(s, dir).orderBy("id_a", "id_b"))
 
-  private def embPairs(s: SparkSession, dir: String): DataFrame = {
+  /** One materialization per (session, source), mirroring the text
+    * side's pairsCache: the verified pair set is the shared
+    * intermediate of the pairs and clusters entries, tiny relative to
+    * the corpus, and a serving deployment would refresh it on a
+    * schedule and answer many requests per build. localCheckpoint cuts
+    * the lineage so no anchor/bucket stage re-executes downstream. */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private def embPairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      buildEmbPairs(s, dir).localCheckpoint(true))
+
+  private def buildEmbPairs(s: SparkSession, dir: String): DataFrame = {
       val e = withNorm(s, dir)
       val anchors = e.filter(col("vec_id") < EmbPlanesPerBand * EmbNumBands)
         .select(col("vec_id").cast("int").as("aid"), col("v"))
