@@ -93,6 +93,29 @@ class AsOfRangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(("w-neg", "pn9"), ("w-neg", "pn1"), ("w-pos", "p0")))
   }
 
+  test("asof backward equals the naive per-left greatest-right reference on random data") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val leftRows = Seq.tabulate(120)(i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, i.toLong))
+      val rightRows = Seq.tabulate(150)(i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, i.toLong))
+      val got = AsOfJoin.backward(
+        leftRows.toDF("k", "t", "lid"), rightRows.toDF("k", "t", "rid"),
+        "k", "t", "t", payload = Seq("rid" -> "rid"), tieBreak = Some("rid"))
+        .select("lid", "rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      // independent reference: greatest (t, rid) right row per left
+      val expected = leftRows.map { case (k, lt, lid) =>
+        val m = rightRows.filter(r => r._1 == k && r._2 <= lt)
+        lid -> (if (m.isEmpty) -1L else m.maxBy(r => (r._2, r._3))._3)
+      }.toMap
+      assert(got == expected)
+    }
+  }
+
   test("asof plan has no join node: one shuffle on the key, then a window") {
     val ss = spark
     import ss.implicits._
