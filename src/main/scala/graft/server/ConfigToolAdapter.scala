@@ -40,6 +40,7 @@ final class ConfigToolAdapter(
     ("graft_update_template", "Replace the SQL template of endpoint {slug}"),
     ("graft_expand_template", "Render endpoint {slug}'s template with {params}"),
     ("graft_test_template", "Execute endpoint {slug} with {params}, first rows"),
+    ("graft_explain_template", "Formatted Spark physical plan of endpoint {slug} with {params}"),
     ("graft_list_endpoints", "List endpoint slugs and routes"),
     ("graft_get_endpoint", "Full config of endpoint {slug}"),
     ("graft_create_endpoint", "Create an endpoint from a YAML/JSON {config}"),
@@ -197,6 +198,19 @@ final class ConfigToolAdapter(
               p, ep.connProps).limit(10)
             val rows = df.toJSON.collect().mkString("[", ",", "]")
             Right(obj("rows" -> mapper.readTree(rows)))
+          } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+        }
+      case "graft_explain_template" =>
+        // plan-only introspection: analyze + optimize without running a
+        // job — the AI operator's `.explain("formatted")`, showing
+        // PushedFilters / ReadSchema / join strategies for the endpoint
+        // as it would actually execute (cache namespace included)
+        slugArg.flatMap { ep =>
+          try {
+            val p = ServedEndpoint.withCacheNamespace(ep, paramsArg)
+            val df = TemplatePipeline.run(spark, ep.config, ep.template, p, ep.connProps)
+            Right(obj("plan" -> df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)))
           } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
         }
       case "graft_list_endpoints" =>

@@ -234,6 +234,14 @@ class ConfigApiSpec extends AnyFunSuite with BeforeAndAfterAll {
         |"params":{"name":"graft_delete_endpoint","arguments":{"slug":"mcp-made"}}}""".stripMargin,
       "Authorization" -> s"Bearer $token")
     assert(resultText(deleted).contains("true"))
+
+    // plan introspection: the formatted physical plan, no job executed
+    val explained = rpc(
+      """{"jsonrpc":"2.0","id":7,"method":"tools/call",
+        |"params":{"name":"graft_explain_template","arguments":{"slug":"existing","params":{"id":"2"}}}}""".stripMargin,
+      "Authorization" -> s"Bearer $token")
+    val planText = resultText(explained)
+    assert(planText.contains("Physical Plan"), planText.take(300))
   }
 
   test("storage health reports per-backend accessibility and 503 on a broken mount") {
