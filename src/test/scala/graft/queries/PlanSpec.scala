@@ -177,6 +177,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("lambdafunction"), s"interpreted HOF lambda in the plan:\n$p")
   }
 
+  test("hot-path queries stay inside whole-stage codegen") {
+    // per-row kernels must run compiled, not interpreted: the scan →
+    // filter/project span of each hot query compiles into at least one
+    // WholeStageCodegen region (native expressions like dot_f64 /
+    // tokens_in_set sit inside codegen'd projections)
+    Seq("q1_pricing_summary", "lang_id_heuristic", "quality_score",
+      "token_stats", "pii_redact").foreach { q =>
+      // AQE materializes codegen stages only at execution: run the
+      // query, then the FINAL plan prints codegen'd operators with the
+      // "*(n)" stage prefix
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), s"$q did not finalize:\n$p")
+      assert(p.contains("*("),
+        s"$q has no whole-stage codegen span in its final plan:\n$p")
+    }
+  }
+
   test("tfidf term counting is partial (map-side combine before the shuffle)") {
     val p = plan("tfidf_top_terms")
     assert(p.contains("partial_count") || p.contains("partial_"),
