@@ -179,6 +179,34 @@ object EventQueries extends QuerySet {
         .orderBy("window_start")
     })
 
+  // Conversion funnel: first click → first subsequent purchase per
+  // user, converted iff within 1 hour. Epoch math in integer
+  // microseconds end to end (the ev2 discipline); integer sums cast to
+  // BIGINT for the DuckDB HUGEINT→float64 rendering mismatch. Scale:
+  // two user_id aggregations + one user_id join — all on the stream's
+  // natural high-cardinality key, no low-cardinality funnel stage
+  // until the final single-row digest.
+  private def funnelSql(epochFn: String => String) =
+    s"""WITH c AS (
+       |  SELECT user_id, min(${epochFn("ts")}) AS t_click
+       |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+       |p AS (
+       |  SELECT e.user_id, min(${epochFn("e.ts")}) AS t_buy
+       |  FROM events e JOIN c ON c.user_id = e.user_id
+       |  WHERE e.event_type = 'purchase' AND ${epochFn("e.ts")} > c.t_click
+       |  GROUP BY e.user_id)
+       |SELECT count(*) AS clickers,
+       |  cast(sum(CASE WHEN p.t_buy IS NOT NULL
+       |                 AND p.t_buy - c.t_click <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS converted_1h,
+       |  cast(min(p.t_buy - c.t_click) AS BIGINT) AS min_lag_us,
+       |  cast(max(p.t_buy - c.t_click) AS BIGINT) AS max_lag_us
+       |FROM c LEFT JOIN p ON p.user_id = c.user_id""".stripMargin
+
+  private val conversion = QueryDef(
+    "ev4_funnel_conversion",
+    Some(funnelSql(e => s"epoch_us($e)")),
+    (s, dir) => Tables.sql(s, dir, funnelSql(e => s"unix_micros($e)")))
+
   override val defs: Seq[QueryDef] =
-    Seq(hourly, sessions, funnel, salted, keepLatest, asof, rangeJoin)
+    Seq(hourly, sessions, funnel, salted, keepLatest, asof, rangeJoin, conversion)
 }
