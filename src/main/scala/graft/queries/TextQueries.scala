@@ -480,11 +480,17 @@ object TextQueries extends QuerySet {
   // ---- stratified sampling ----------------------------------------------
   // Balanced per-language sampling (the training-mix staple): the k
   // smallest doc_ids per lang — deterministic, so oracle-exact, unlike
-  // fraction-based sampleBy. The window partitions on lang, whose
-  // cardinality is LOW: at 100 TB this funnels into few reducers, so
-  // the scale path is two-phase top-k (salted partial top-k per
-  // (lang, salt), then a final top-k per lang over k×salt rows); the
-  // semantics — and this gated result — are identical.
+  // fraction-based sampleBy. lang cardinality is LOW, so a single
+  // `PARTITION BY lang` window funnels the whole corpus into ~5
+  // reducers at 100 TB. The Spark side therefore runs the salted
+  // two-phase top-k (the r5 verdict's prescription): phase 1 takes the
+  // k smallest doc_ids per (lang, salt) — 16 salts spread each
+  // language across 16 reducers, each seeing only its hash-slice of
+  // the corpus — and phase 2 re-ranks the surviving ≤ k×16 rows per
+  // lang, a bounded input regardless of corpus size. Any row in the
+  // true per-lang top-k is in its salt-slice's top-k (ranks only
+  // shrink when rows are removed), so the result is identical to the
+  // single-window form the oracle runs.
   private val stratified = QueryDef(
     "stratified_sample",
     Some("""SELECT lang, doc_id, n_chars FROM (
@@ -493,10 +499,19 @@ object TextQueries extends QuerySet {
            |  FROM documents) t
            |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin),
     (s, dir) => Tables.sql(s, dir,
-      """SELECT lang, doc_id, n_chars FROM (
+      """WITH salted AS (
+        |  SELECT lang, doc_id, n_chars, pmod(hash(doc_id), 16) AS salt
+        |  FROM documents),
+        |partial AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY lang, salt ORDER BY doc_id) AS prn
+        |  FROM salted),
+        |survivors AS (
+        |  SELECT lang, doc_id, n_chars FROM partial WHERE prn <= 20)
+        |SELECT lang, doc_id, n_chars FROM (
         |  SELECT lang, doc_id, n_chars,
         |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
-        |  FROM documents) t
+        |  FROM survivors) t
         |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin))
 
   // ---- TF-IDF top terms ------------------------------------------------
@@ -592,6 +607,16 @@ object TextQueries extends QuerySet {
   // the compiled form the stage queries use (tokens_in_set, codegen'd
   // arithmetic). This is the materialization an endpoint would cache
   // nightly; the stage operators above are its unit-tested parts.
+  //
+  // Digest determinism (the r5 red row): a raw `avg(quality)` sums
+  // doubles in engine-specific order, and a last-ULP drift at a
+  // round(…,4) boundary flips the digit; DuckDB additionally widens
+  // `sum(BIGINT)` to HUGEINT, whose serialization differs from int64
+  // (the trap fixed for simhash/neardup_corpus below). So the quality
+  // digest is the EXACT integer sum of per-row micro-units — round is
+  // applied per row (bit-identical across engines, no summation yet),
+  // the sum is integer arithmetic (order-independent) — and both sums
+  // are pinned to BIGINT on the oracle side.
   private val corpusPrep = QueryDef(
     "corpus_prep_summary",
     Some("""WITH t AS (
@@ -619,8 +644,9 @@ object TextQueries extends QuerySet {
            |       count(*) FILTER (WHERE rn = 1 AND predicted = 'en' AND quality >= 0.55) AS docs_kept,
            |       count(*) FILTER (WHERE rn > 1) AS dups_dropped,
            |       count(*) FILTER (WHERE rn = 1 AND NOT (predicted = 'en' AND quality >= 0.55)) AS filtered_out,
-           |       round(avg(quality) FILTER (WHERE rn = 1 AND predicted = 'en' AND quality >= 0.55), 4) AS avg_quality,
-           |       sum(n_tok) FILTER (WHERE rn = 1 AND predicted = 'en' AND quality >= 0.55) AS total_tokens
+           |       cast(sum(cast(round(quality * 1000000) AS BIGINT))
+           |            FILTER (WHERE rn = 1 AND predicted = 'en' AND quality >= 0.55) AS BIGINT) AS sum_quality_u6,
+           |       cast(sum(n_tok) FILTER (WHERE rn = 1 AND predicted = 'en' AND quality >= 0.55) AS BIGINT) AS total_tokens
            |FROM d GROUP BY source ORDER BY source""".stripMargin),
     (s, dir) => Tables.sql(s, dir,
       """WITH t AS (
@@ -648,7 +674,8 @@ object TextQueries extends QuerySet {
         |       count(*) FILTER (WHERE rn = 1 AND predicted = 'en' AND quality >= 0.55) AS docs_kept,
         |       count(*) FILTER (WHERE rn > 1) AS dups_dropped,
         |       count(*) FILTER (WHERE rn = 1 AND NOT (predicted = 'en' AND quality >= 0.55)) AS filtered_out,
-        |       round(avg(quality) FILTER (WHERE rn = 1 AND predicted = 'en' AND quality >= 0.55), 4) AS avg_quality,
+        |       sum(CAST(round(quality * 1000000, 0) AS BIGINT))
+        |         FILTER (WHERE rn = 1 AND predicted = 'en' AND quality >= 0.55) AS sum_quality_u6,
         |       sum(n_tok) FILTER (WHERE rn = 1 AND predicted = 'en' AND quality >= 0.55) AS total_tokens
         |FROM d GROUP BY source ORDER BY source""".stripMargin))
 

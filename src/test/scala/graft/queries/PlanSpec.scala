@@ -196,6 +196,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stratified sample is the salted two-phase top-k (no corpus-wide lang window)") {
+    // lang cardinality is ~5: a single PARTITION BY lang window pulls
+    // the whole corpus through ~5 reducers at 100 TB. Phase 1 must
+    // rank per (lang, salt) — the corpus-sized exchange carries the
+    // salt — and only the bounded survivor set may see a lang-only
+    // window.
+    val p = plan("stratified_sample")
+    assert(p.contains("pmod"), s"salt column missing from plan:\n$p")
+    assert("hashpartitioning\\(lang#\\d+, salt#\\d+".r.findFirstIn(p).isDefined,
+      s"phase-1 window does not partition on (lang, salt):\n$p")
+  }
+
   test("tfidf term counting is partial (map-side combine before the shuffle)") {
     val p = plan("tfidf_top_terms")
     assert(p.contains("partial_count") || p.contains("partial_"),
