@@ -19,9 +19,15 @@ import graft.Tables
   * its DuckDB cache tables, re-expressed as Spark physical layout.
   *
   * Tables are written once per (session, source-dir) as EXTERNAL
-  * bucketed parquet tables under java.io.tmpdir; re-registration is
-  * idempotent and cross-session-safe (a second session re-creates the
-  * catalog entries over the same files).
+  * bucketed parquet tables under the session's WAREHOUSE dir — on a
+  * cluster java.io.tmpdir is per-node local disk (the layout must land
+  * on shared storage to serve other executors), and a fixed /tmp path
+  * is both raceable between JVMs sharing a source dir and
+  * pre-creatable by other users on a multi-tenant host. The path also
+  * carries a per-JVM nonce (user + pid), so concurrent JVMs each build
+  * their own layout instead of overwriting each other mid-query; the
+  * one-time write is per-JVM-amortized, which is the serving pattern
+  * anyway (one long-lived session per server).
   */
 object BucketedTables {
 
@@ -29,6 +35,12 @@ object BucketedTables {
 
   private val built =
     scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
+
+  private lazy val jvmNonce = {
+    val user = String.valueOf(System.getProperty("user.name", "u"))
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    s"${user}_${ProcessHandle.current().pid()}"
+  }
 
   /** Ensure bucketed `orders`/`customer` tables exist for `dir`; returns
     * their catalog names. */
@@ -42,10 +54,16 @@ object BucketedTables {
         .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
       val ordersT = s"graft_b_orders_$tag"
       val custT = s"graft_b_customer_$tag"
-      val root = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_bucketed", tag)
-      write(spark, "orders", ordersT, "o_custkey", root.resolve("orders").toString)
-      write(spark, "customer", custT, "c_custkey", root.resolve("customer").toString)
+      // Hadoop Path, not java.nio: the warehouse dir is a URI and may
+      // point at hdfs:// or s3a:// on a real deployment
+      val warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", spark.sessionState.conf.warehousePath)
+      val root = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(warehouse), s"graft_bucketed/$jvmNonce/$tag")
+      write(spark, "orders", ordersT, "o_custkey",
+        new org.apache.hadoop.fs.Path(root, "orders").toString)
+      write(spark, "customer", custT, "c_custkey",
+        new org.apache.hadoop.fs.Path(root, "customer").toString)
       (ordersT, custT)
     })
 

@@ -185,6 +185,12 @@ object BasicAuth {
   private val negative = TrieMap.empty[(String, String), Long]
   private val FailureWindowMillis = 60 * 1000L
   private val MaxFailuresPerWindow = 10
+  // rotating source IPs reset the per-(user,client) counter, so a
+  // second, higher cap counts failures per USER across all clients —
+  // high enough that a fleet of legitimate clients fat-fingering one
+  // account never trips it, low enough that a distributed brute force
+  // is cut off within the window
+  private val MaxGlobalFailuresPerWindow = 100
   private val failures = TrieMap.empty[String, (Int, Long)]
   private val pbkdf2Permits = new java.util.concurrent.Semaphore(2)
 
@@ -200,9 +206,9 @@ object BasicAuth {
     else failures.put(user, (n + 1, start))
   }
 
-  private def throttled(key: String, now: Long): Boolean =
+  private def throttled(key: String, now: Long, limit: Int): Boolean =
     failures.get(key).exists { case (n, start) =>
-      now - start < FailureWindowMillis && n >= MaxFailuresPerWindow
+      now - start < FailureWindowMillis && n >= limit
     }
 
   /** Test hook: reset throttle/cache state between specs. */
@@ -218,15 +224,28 @@ object BasicAuth {
     if (negative.get(key).exists(now - _ < NegativeTtlMillis)) return false
     // throttle keys on (user, client): keyed on user alone, 10 garbage
     // passwords/min from ANY client becomes a renewable unauthenticated
-    // lockout of that username for everyone
+    // lockout of that username for everyone. A global per-user cap
+    // (higher, so no single client can trip it for the others) closes
+    // the rotating-IP bypass; deployments behind a reverse proxy — all
+    // clients share one remote address — should plumb X-Forwarded-For
+    // from the trusted hop into `client` to keep the per-client key
+    // meaningful.
     val throttleKey = s"$user|$client"
-    if (throttled(throttleKey, now)) return false
-    // bounded wait, not fail-fast: three legitimate users logging in
+    if (throttled(throttleKey, now, MaxFailuresPerWindow)) return false
+    if (throttled(s"!all|$user", now, MaxGlobalFailuresPerWindow)) return false
+    // bounded wait, not fail-fast: legitimate users logging in
     // concurrently after a restart must queue briefly, not get a 401
-    // for a correct password; the 2s cap still keeps a flood from
-    // pinning serving threads indefinitely
-    if (!pbkdf2Permits.tryAcquire(2, java.util.concurrent.TimeUnit.SECONDS))
-      return false
+    // for a correct password. The wait is SHORT (250 ms): every route
+    // shares the serving pool, so a 2 s wait here would let a flood of
+    // novel credentials for a known user pin most of the pool's
+    // threads — a ~100 ms verify drains a 250 ms queue fast enough
+    // that only a genuinely saturated burst sheds load.
+    val acquired =
+      try pbkdf2Permits.tryAcquire(250, java.util.concurrent.TimeUnit.MILLISECONDS)
+      catch { case _: InterruptedException =>
+        Thread.currentThread().interrupt(); false
+      }
+    if (!acquired) return false
     val ok =
       try PasswordHasher.verify(pass, stored)
       finally pbkdf2Permits.release()
@@ -239,6 +258,7 @@ object BasicAuth {
         negative.filterInPlace((_, t) => now - t < NegativeTtlMillis)
       if (negative.size < MaxCacheEntries) negative.put(key, now)
       recordFailure(s"$user|$client", now)
+      recordFailure(s"!all|$user", now)
     }
     ok
   }

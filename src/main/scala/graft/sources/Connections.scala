@@ -114,9 +114,17 @@ object Connections {
   }
 
   /** `nw.Products` in reference templates → `nw_Products` view here
-    * (temp views have no catalog dots). */
+    * (temp views have no catalog dots). Both halves are sanitized: a
+    * file-derived table like `daily-extract` or a dotted `my.data`, or
+    * a dashed connection name, must yield a valid identifier instead
+    * of failing createOrReplaceTempView at connection init. */
+  private[sources] def ident(s: String): String = {
+    val cleaned = s.replaceAll("[^A-Za-z0-9_]", "_")
+    if (cleaned.isEmpty || cleaned.head.isDigit) "t_" + cleaned else cleaned
+  }
+
   def viewName(connName: String, table: String): String =
-    s"${connName}_${table.replaceAll("[^A-Za-z0-9_]", "_")}"
+    s"${ident(connName)}_${table.replaceAll("[^A-Za-z0-9_]", "_")}"
 
   /** A directory (local or object-storage URI) of `<table>.parquet`
     * entries: register each as `<name>_<table>`. */
@@ -131,7 +139,7 @@ object Connections {
         }
     } else {
       // single table or object-storage glob — Hadoop FS resolves it
-      spark.read.parquet(path).createOrReplaceTempView(name)
+      spark.read.parquet(path).createOrReplaceTempView(ident(name))
     }
   }
 
@@ -166,7 +174,7 @@ object Connections {
           .createOrReplaceTempView(viewName(conn.name, table))
       }
     } else {
-      reader.load(path).createOrReplaceTempView(conn.name)
+      reader.load(path).createOrReplaceTempView(ident(conn.name))
     }
   }
 

@@ -69,6 +69,22 @@ object PathValidator {
       val scheme = decoded.takeWhile(_ != ':').toLowerCase
       if (!cfg.allowedSchemes.contains(scheme))
         Left(s"URL scheme not allowed: $scheme")
+      else if (scheme == "file") {
+        // a file: URI is a LOCAL read wearing a scheme — it must pass
+        // the same base-confinement/prefix checks as a bare path, or
+        // `file:///etc/passwd` sails through any allowedPrefixes fence
+        // that correctly blocks `/etc/passwd` (untrusted config-API
+        // submissions pass the storage dirs as prefixes). Strip the
+        // scheme and re-validate as local; the recursion re-runs
+        // decode + traversal checks, so nothing is lost by rewriting.
+        val rest = decoded.substring("file:".length)
+        if (rest.startsWith("//")) {
+          val after = rest.substring(2)
+          if (!after.startsWith("/"))
+            Left("file URI with a remote authority is not allowed")
+          else validate(after, basePath, cfg)
+        } else validate(rest, basePath, cfg)
+      }
       else if (containsTraversal(decoded.dropWhile(_ != ':')))
         Left("Path traversal not allowed")
       else Right(decoded)

@@ -53,6 +53,22 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p2.contains("Exchange"), s"control plan should shuffle:\n$p2")
   }
 
+  test("BucketedTables layout lands under the session's warehouse dir") {
+    // cluster correctness: java.io.tmpdir is per-node local disk and a
+    // fixed shared /tmp path races between JVMs — the layout must live
+    // under the configured warehouse (here a non-default temp dir)
+    // with a per-JVM nonce in the path
+    val (ordersT, _) = BucketedTables.ensure(spark, "/root/testdata/sf0.001")
+    val loc = spark.sql(s"DESCRIBE FORMATTED $ordersT").collect()
+      .find(_.getString(0).trim == "Location").map(_.getString(1)).get
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    assert(loc.contains("graft_bucket_wh") && loc.contains("graft_bucketed"),
+      s"layout not under warehouse dir $wh: $loc")
+    assert(loc.contains(ProcessHandle.current().pid().toString),
+      s"layout path missing the per-JVM nonce: $loc")
+    assert(spark.table(ordersT).count() > 0)
+  }
+
   test("salted join equals plain join row-for-row") {
     val ss = spark
     import ss.implicits._

@@ -191,6 +191,26 @@ class AdvisedSecuritySpec extends AnyFunSuite with BeforeAndAfterAll {
     BasicAuth.resetState()
   }
 
+  test("rotating client addresses cannot bypass the per-user failure cap") {
+    BasicAuth.resetState()
+    val cfg = BasicAuthConfig(Map(
+      "target" -> ((PasswordHasher.hash("goodpw", 1000), Seq("user")))))
+    def attempt(pass: String, client: String): Boolean =
+      BasicAuth.authenticate(cfg, Some(basic("target", pass)), client).isDefined
+    // 10 clients × 10 distinct wrong passwords: each client stays just
+    // under its own 10/min throttle, so without a global cap the brute
+    // force continues indefinitely by rotating source addresses
+    for (c <- 1 to 10; i <- 1 to 10)
+      assert(!attempt(s"wrong-$c-$i", s"10.0.0.$c"))
+    // the global per-user cap now blocks even a FRESH client before
+    // PBKDF2 runs — observable because the correct password (never
+    // positively cached in this spec) is rejected too
+    assert(!attempt("goodpw", "10.9.9.9"))
+    BasicAuth.resetState()
+    assert(attempt("goodpw", "10.9.9.9"))
+    BasicAuth.resetState()
+  }
+
   test("auditor flags an enabled config service without a token") {
     val codes = SecurityAuditor.audit(Nil,
       configService = Some(ConfigServiceConfig(token = None))).map(_.code)

@@ -99,6 +99,20 @@ class ConnectionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 2)
   }
 
+  test("file basenames with dashes/dots register as sanitized view names") {
+    // a directory containing 'daily-extract.csv' must not fail boot
+    // with an invalid-identifier error from createOrReplaceTempView
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_odd")
+    java.nio.file.Files.writeString(dir.resolve("daily-extract.csv"),
+      "id,v\n1,x\n")
+    java.nio.file.Files.writeString(dir.resolve("my.data.csv"),
+      "id,v\n2,y\n")
+    Connections.init(spark, ConnectionConfig("odd-src", Map(
+      "type" -> "csv", "path" -> dir.toString, "option-header" -> "true")))
+    assert(spark.table("odd_src_daily_extract").count() == 1)
+    assert(spark.table("odd_src_my_data").count() == 1)
+  }
+
   test("json connection registers a view over JSONL") {
     val f = java.nio.file.Files.createTempFile("graft_json_src", ".json")
     java.nio.file.Files.writeString(f,

@@ -34,6 +34,24 @@ class PathValidatorSpec extends AnyFunSuite {
     assert(bad("https://host/../x.sql", None))
   }
 
+  test("file: URIs obey the allowed-prefix fence like bare local paths") {
+    val base = Files.createTempDirectory("pv_file_uri")
+    Files.writeString(base.resolve("t.sql"), "SELECT 1")
+    val cfg = PathValidator.Config(allowedPrefixes = Seq(base.toString))
+    // the r5-advised bypass: file:///etc/passwd must not sail through
+    // the remote branch while /etc/passwd is correctly fenced
+    assert(PathValidator.validate("file:///etc/passwd", None, cfg).isLeft)
+    assert(PathValidator.validate("/etc/passwd", None, cfg).isLeft)
+    assert(PathValidator.validate(s"file://$base/t.sql", None, cfg).isRight)
+    // a file URI with a remote authority is not a local read
+    assert(PathValidator.validate("file://evilhost/x.sql", None, cfg).isLeft)
+    // scheme allowlist still applies before any rewriting
+    assert(PathValidator.validate("file:///x.sql", None,
+      PathValidator.Config(allowedSchemes = Set("https"))).isLeft)
+    // unfenced trusted use (no prefixes) keeps absolute file: loads
+    assert(PathValidator.validate(s"file://$base/t.sql", None).isRight)
+  }
+
   test("base confinement and allowed-prefix restriction") {
     val base = Files.createTempDirectory("pv_base")
     val outside = Files.createTempDirectory("pv_outside")
