@@ -58,5 +58,32 @@ object MultimodalQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
-  override val defs: Seq[QueryDef] = Seq(features, frames)
+  // REAL codec round-trip, hash-gated: each doc_id synthesizes a
+  // solid-gray PNG (dims + shade are pure arithmetic on the id), the
+  // batched kernel decodes it back with the JDK's ImageIO, and the
+  // oracle states the expected dimensions and channel mean directly —
+  // so the gate verifies actual PNG encode→decode byte behavior, not a
+  // stub. Both kernels run executor-side in bounded batches; a solid
+  // color makes the mean channel intensity exactly the shade (integer
+  // sum, exact double division), so the compare is hash-exact.
+  private val imageDecode = QueryDef(
+    "multimodal_image_decode",
+    Some("""SELECT doc_id, true AS ok,
+           |  CAST(8 + doc_id % 16 AS INTEGER) AS width,
+           |  CAST(8 + doc_id % 8 AS INTEGER) AS height,
+           |  CAST(doc_id % 256 AS DOUBLE) AS mean_luma
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      import s.implicits._
+      val ids = Tables.table(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+      val media = ids
+        .mapPartitions(_.map(id => (id, graft.multimodal.MediaKernels.syntheticPng(id))))
+        .toDF("id", "bytes")
+      Multimodal.decodeImages(s, media)
+        .toDF("doc_id", "ok", "width", "height", "mean_luma")
+        .orderBy("doc_id")
+    })
+
+  override val defs: Seq[QueryDef] = Seq(features, frames, imageDecode)
 }

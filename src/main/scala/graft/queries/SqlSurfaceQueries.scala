@@ -323,6 +323,43 @@ object SqlSurfaceQueries extends QuerySet {
         |       count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  // A7b: the 100 TB path for A7 — `approx_percentile` (a mergeable
+  // quantile sketch: bounded agg state, map-side partials, no per-group
+  // value buffering, so no OOM-class reducer at any group size). Sketch
+  // internals differ between engines, so the approximate VALUES can't
+  // hash-compare against DuckDB; the gate instead ships the error-bound
+  // CHECK: Spark re-ranks each sketch output against the exact data
+  // (count of rows ≤ the returned quantile, a broadcast join of the
+  // 5-row sketch result back onto orders) and emits per-group booleans
+  // asserting the rank error is within the sketch's contract
+  // (accuracy=1000 → relative rank error ≤ 1e-3, +2 rows of tie
+  // slack). The oracle states the same groups with `true` — the hash
+  // matches iff every bound held, which makes the approximation
+  // quality itself the driver-gated fact.
+  private val a7b = QueryDef(
+    "a7b_group_percentiles_approx",
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |       true AS median_ok, true AS p90_ok
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """WITH a AS (
+        |  SELECT o_orderpriority,
+        |         approx_percentile(o_totalprice, 0.5D, 1000) AS m50,
+        |         approx_percentile(o_totalprice, 0.9D, 1000) AS m90,
+        |         count(*) AS n
+        |  FROM orders GROUP BY o_orderpriority),
+        |v AS (
+        |  SELECT o.o_orderpriority,
+        |         sum(CASE WHEN o.o_totalprice <= a.m50 THEN 1L ELSE 0L END) AS le50,
+        |         sum(CASE WHEN o.o_totalprice <= a.m90 THEN 1L ELSE 0L END) AS le90
+        |  FROM orders o JOIN a USING (o_orderpriority)
+        |  GROUP BY o.o_orderpriority)
+        |SELECT a.o_orderpriority, a.n,
+        |       abs(v.le50 - 0.5D * a.n) <= (0.001D * a.n + 2.0D) AS median_ok,
+        |       abs(v.le90 - 0.9D * a.n) <= (0.001D * a.n + 2.0D) AS p90_ok
+        |FROM a JOIN v USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin))
+
   override val defs: Seq[QueryDef] =
-    Seq(a2, a3, a5, a6, a7, w2, w3, j3, set1, set2, f1, f2, f3, f4, f5, j1, i1, o4, o5, t1)
+    Seq(a2, a3, a5, a6, a7, a7b, w2, w3, j3, set1, set2, f1, f2, f3, f4, f5, j1, i1, o4, o5, t1)
 }

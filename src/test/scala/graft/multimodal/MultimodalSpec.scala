@@ -58,6 +58,32 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fed.head.f1 == 65.0 && fed.head.f2 == 66.0)
   }
 
+  test("real ImageIO decode recovers dimensions and channel mean from PNG bytes") {
+    val ss = spark
+    import ss.implicits._
+    val media = Seq(5L, 12L, 300L)
+      .toDS().map(id => (id, MediaKernels.syntheticPng(id)))
+      .toDF("id", "bytes")
+    val out = Multimodal.decodeImages(spark, media).collect().sortBy(_.id)
+    assert(out.forall(_.ok))
+    assert(out.map(f => (f.id, f.width, f.height, f.meanLuma)).toSeq == Seq(
+      (5L, 13, 13, 5.0), (12L, 20, 12, 12.0), (300L, 20, 12, 44.0)))
+  }
+
+  test("corrupt bytes degrade to an ok=false row, not a task failure") {
+    val ss = spark
+    import ss.implicits._
+    val media = Seq(
+      (1L, MediaKernels.syntheticPng(1L)),
+      (2L, Array[Byte](1, 2, 3, 4, 5)),        // garbage
+      (3L, Array.emptyByteArray))              // empty blob
+      .toDF("id", "bytes")
+    val out = Multimodal.decodeImages(spark, media).collect().sortBy(_.id)
+    assert(out.map(f => (f.id, f.ok)).toSeq == Seq((1L, true), (2L, false), (3L, false)))
+    val bad = out.filter(!_.ok)
+    assert(bad.forall(f => f.width == -1 && f.height == -1))
+  }
+
   test("resize stub yields fixed-size blobs") {
     val resized = Multimodal.resizeStub(sampleMedia(), target = 8)
       .select("bytes").collect().map(_.getAs[Array[Byte]](0))

@@ -208,6 +208,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"phase-1 window does not partition on (lang, salt):\n$p")
   }
 
+  test("approx percentiles aggregate a mergeable sketch partial, not buffered values") {
+    // exact `percentile` buffers every group value in agg state
+    // (OOM-class reducer at 100 TB group sizes); the approx entry must
+    // ship a map-side sketch partial across the exchange instead
+    val p = plan("a7b_group_percentiles_approx")
+    assert(p.contains("partial_approx_percentile"),
+      s"no map-side sketch partial in the plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"sketch-vs-exact verification join should broadcast the 5-row side:\n$p")
+  }
+
   test("tfidf term counting is partial (map-side combine before the shuffle)") {
     val p = plan("tfidf_top_terms")
     assert(p.contains("partial_count") || p.contains("partial_"),
