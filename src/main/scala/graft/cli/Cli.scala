@@ -1,0 +1,192 @@
+package graft.cli
+
+import java.io.PrintStream
+import java.nio.file.{Files, Path, Paths}
+
+import graft.api.TemplatePipeline
+import graft.config.{ConfigBundle, EndpointConfig, YamlConfig}
+
+/** Offline command-line surface over the config machinery — the
+  * capability analog of the reference's TypeScript CLI
+  * (/root/reference/cli/src/commands/{config/validate.ts,templates,
+  * project}): validate endpoint configs, expand a template to its
+  * final engine SQL, pack/unpack config bundles. The reference CLI is
+  * an HTTP client for a running ConfigService; graft is a library, so
+  * the CLI binds the same machinery in-process (the REST/MCP config
+  * surface already covers the remote case) and needs no server and no
+  * SparkSession — every subcommand is a local-developer authoring
+  * tool that works air-gapped.
+  *
+  * Subcommands:
+  *  - `validate <file|dir>`: structural checks + a dry render with
+  *    defaults (the ConfigApi.validate semantics, standalone);
+  *  - `expand-template <file> [k=v ...]`: run the full prepare
+  *    pipeline (validate → prepared-rewrite → Mustache → dialect) and
+  *    print the final Spark SQL with its ordered bind values;
+  *  - `bundle pack <dir> <out> [--allow-secrets] [--epoch N]` /
+  *    `bundle unpack <bundle> <destDir>`: the ConfigBundle surface.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit =
+    sys.exit(run(args.toIndexedSeq, System.out, System.err))
+
+  private val usage =
+    """usage: graft-cli <command>
+      |  validate <endpoint.yaml | config-dir>
+      |  expand-template <endpoint.yaml> [param=value ...]
+      |  bundle pack <config-dir> <out.zip> [--allow-secrets] [--epoch N]
+      |  bundle unpack <bundle.zip> <dest-dir>""".stripMargin
+
+  /** Testable entry: returns the process exit code. */
+  def run(args: Seq[String], out: PrintStream, err: PrintStream): Int =
+    try args.toList match {
+      case "validate" :: path :: Nil =>
+        validate(Paths.get(path), out, err)
+      case "expand-template" :: path :: params =>
+        expand(Paths.get(path), params, out, err)
+      case "bundle" :: "pack" :: dir :: dest :: flags =>
+        pack(dir, dest, flags, out, err)
+      case "bundle" :: "unpack" :: bundle :: dest :: Nil =>
+        val root = ConfigBundle.unpackTo(Paths.get(bundle), Paths.get(dest))
+        out.println(s"unpacked to $root")
+        0
+      case _ =>
+        err.println(usage)
+        2
+    } catch {
+      case e: Exception =>
+        err.println(s"error: ${String.valueOf(e.getMessage)}")
+        1
+    }
+
+  // ---- validate ----------------------------------------------------------
+
+  private def endpointFiles(path: Path): Seq[Path] =
+    if (Files.isDirectory(path)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(path).iterator().asScala.filter(Files.isRegularFile(_))
+        .filter(p => p.toString.endsWith(".yaml") || p.toString.endsWith(".yml"))
+        .filter { p =>
+          val txt = Files.readString(p)
+          txt.contains("url-path") || txt.contains("mcp-tool") ||
+            txt.contains("mcp-resource") || txt.contains("mcp-prompt")
+        }
+        .toSeq.sortBy(_.toString)
+    } else Seq(path)
+
+  private def inlineTemplate(p: Path): Option[String] =
+    try {
+      val m = new org.yaml.snakeyaml.Yaml().load[Any](Files.readString(p))
+        .asInstanceOf[java.util.Map[String, Any]]
+      Option(m.get("template")).map(String.valueOf).filter(_.trim.nonEmpty)
+    } catch { case _: Exception => None }
+
+  private def templateOf(p: Path, cfg: EndpointConfig): Either[String, String] =
+    inlineTemplate(p) match {
+      case Some(t) => Right(t)
+      case None if cfg.templateSource.trim.isEmpty =>
+        Left("missing 'template' (SQL text) or 'template-source'")
+      case None =>
+        val base = Option(p.toAbsolutePath.getParent).map(_.toString)
+        val resolved = Paths.get(
+          graft.template.TemplateSource.resolve(cfg.templateSource, base))
+        if (Files.isRegularFile(resolved)) Right(Files.readString(resolved))
+        else Left(s"template-source not found: $resolved")
+    }
+
+  /** The ConfigApi.validate semantics, standalone: structure, duplicate
+    * fields, template resolution, and a dry prepare with defaults
+    * (catches Mustache/dialect errors without executing anything). */
+  private[cli] def endpointErrors(p: Path): Seq[String] =
+    try {
+      val cfg = YamlConfig.loadEndpoint(p)
+      val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (!cfg.mcpOnly && !cfg.urlPath.startsWith("/"))
+        errs += "url-path must start with '/'"
+      cfg.requestFields.groupBy(_.fieldName).collect {
+        case (n, fs) if fs.size > 1 => errs += s"duplicate request field '$n'"
+      }
+      // prompt-only configs carry a prose template inside the
+      // mcp-prompt block (reference customers-mcp-prompt.yaml) — no SQL
+      // template to resolve or dry-render
+      if (cfg.mcpPrompt.isDefined && cfg.templateSource.trim.isEmpty &&
+          inlineTemplate(p).isEmpty) return errs.toSeq
+      templateOf(p, cfg) match {
+        case Left(e) => errs += e
+        case Right(template) =>
+          if (template.trim.isEmpty) errs += "template is empty"
+          else if (errs.isEmpty)
+            try TemplatePipeline.prepare(cfg, template, Map.empty) match {
+              case Left(_) => () // param errors on EMPTY params are fine
+              case Right(_) => ()
+            } catch { case e: Exception =>
+              errs += s"template error: ${String.valueOf(e.getMessage)}"
+            }
+      }
+      errs.toSeq
+    } catch { case e: Exception => Seq(s"parse error: ${String.valueOf(e.getMessage)}") }
+
+  private def validate(path: Path, out: PrintStream, err: PrintStream): Int = {
+    if (!Files.exists(path)) { err.println(s"no such path: $path"); return 1 }
+    val files = endpointFiles(path)
+    if (files.isEmpty) { err.println(s"no endpoint configs under $path"); return 1 }
+    var failures = 0
+    files.foreach { f =>
+      endpointErrors(f) match {
+        case Seq() => out.println(s"OK    ${f.getFileName}")
+        case errors =>
+          failures += 1
+          out.println(s"FAIL  ${f.getFileName}")
+          errors.foreach(e => out.println(s"      - $e"))
+      }
+    }
+    out.println(s"${files.size - failures} ok, $failures failed")
+    if (failures == 0) 0 else 1
+  }
+
+  // ---- expand-template ---------------------------------------------------
+
+  private def expand(p: Path, paramArgs: List[String],
+      out: PrintStream, err: PrintStream): Int = {
+    val split = paramArgs.map(kv => kv -> kv.split("=", 2))
+    split.collectFirst { case (raw, parts) if parts.length != 2 => raw } match {
+      case Some(bad) => err.println(s"bad param (want k=v): $bad"); return 2
+      case None => ()
+    }
+    val params = split.map { case (_, Array(k, v)) => k -> v }.toMap
+    val cfg = YamlConfig.loadEndpoint(p)
+    templateOf(p, cfg) match {
+      case Left(e) => err.println(e); 1
+      case Right(template) =>
+        TemplatePipeline.prepare(cfg, template, params) match {
+          case Left(errors) =>
+            errors.foreach(e => err.println(s"${e.field}: ${e.message}"))
+            1
+          case Right((sql, binds)) =>
+            out.println(sql)
+            binds.zipWithIndex.foreach { case (v, i) =>
+              out.println(s"-- bind[${i + 1}] = ${String.valueOf(v)}")
+            }
+            0
+        }
+    }
+  }
+
+  // ---- bundle ------------------------------------------------------------
+
+  private def pack(dir: String, dest: String, flags: List[String],
+      out: PrintStream, err: PrintStream): Int = {
+    val allowSecrets = flags.contains("--allow-secrets")
+    val epoch = flags.sliding(2).collectFirst {
+      case List("--epoch", n) => n.toLong
+    }
+    val known = flags.filterNot(_ == "--allow-secrets")
+      .filterNot(_ == "--epoch").filterNot(f => epoch.exists(_.toString == f))
+    if (known.nonEmpty) { err.println(s"unknown flags: ${known.mkString(" ")}"); return 2 }
+    val r = ConfigBundle.pack(Paths.get(dir), Paths.get(dest),
+      allowSecrets = allowSecrets, sourceDateEpoch = epoch)
+    out.println(s"packed ${r.entryCount} entries, ${r.archiveSize} bytes -> ${r.output}")
+    0
+  }
+}

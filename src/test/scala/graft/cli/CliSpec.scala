@@ -1,0 +1,111 @@
+package graft.cli
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The offline authoring CLI: validate, expand-template, bundle — all
+  * in-process, no server, no SparkSession. */
+class CliSpec extends AnyFunSuite {
+
+  private def run(args: String*): (Int, String, String) = {
+    val o = new ByteArrayOutputStream()
+    val e = new ByteArrayOutputStream()
+    val code = Cli.run(args.toIndexedSeq,
+      new PrintStream(o, true, "UTF-8"), new PrintStream(e, true, "UTF-8"))
+    (code, o.toString("UTF-8"), e.toString("UTF-8"))
+  }
+
+  private def writeEndpoint(dir: java.nio.file.Path): Unit = {
+    Files.writeString(dir.resolve("customers.yaml"),
+      """url-path: /cli-customers
+        |template-source: customers.sql
+        |request:
+        |  - field-name: segment
+        |    validators:
+        |      - type: string
+        |        min: 1
+        |        max: 20
+        |""".stripMargin)
+    // top-level {{params.segment}} binds as '?' (section-scoped params
+    // stay on the text path by design — a falsy section would shift
+    // every later bind position)
+    Files.writeString(dir.resolve("customers.sql"),
+      "SELECT * FROM customers WHERE c_mktsegment = {{params.segment}} ORDER BY c_custkey")
+  }
+
+  test("validate passes a good config dir and fails a broken one, by exit code") {
+    val dir = Files.createTempDirectory("cli_good")
+    writeEndpoint(dir)
+    val (code, outTxt, _) = run("validate", dir.toString)
+    assert(code == 0, outTxt)
+    assert(outTxt.contains("OK") && outTxt.contains("1 ok, 0 failed"))
+
+    Files.writeString(dir.resolve("broken.yaml"),
+      """url-path: no-leading-slash
+        |template-source: missing.sql
+        |""".stripMargin)
+    val (code2, out2, _) = run("validate", dir.toString)
+    assert(code2 == 1)
+    assert(out2.contains("FAIL") && out2.contains("url-path"))
+    assert(out2.contains("template-source not found"))
+  }
+
+  test("expand-template prints the final SQL with bound params as placeholders") {
+    val dir = Files.createTempDirectory("cli_expand")
+    writeEndpoint(dir)
+    val (code, outTxt, _) =
+      run("expand-template", dir.resolve("customers.yaml").toString, "segment=BUILDING")
+    assert(code == 0, outTxt)
+    // the bindable param must appear as '?', never spliced as text
+    assert(outTxt.contains("WHERE c_mktsegment = ?"), outTxt)
+    assert(!outTxt.linesIterator.next().contains("BUILDING"))
+    assert(outTxt.contains("bind[1] = BUILDING"))
+    // absent param still binds positionally (as SQL NULL), never shifts
+    val (code2, out2, _) =
+      run("expand-template", dir.resolve("customers.yaml").toString)
+    assert(code2 == 0 && out2.contains("= ?") && out2.contains("bind[1] = null"), out2)
+  }
+
+  test("expand-template surfaces validation failures with a nonzero exit") {
+    val dir = Files.createTempDirectory("cli_expand_bad")
+    writeEndpoint(dir)
+    val (code, _, errTxt) = run("expand-template",
+      dir.resolve("customers.yaml").toString,
+      "segment=" + "X" * 50) // exceeds max:20
+    assert(code == 1 && errTxt.contains("segment"), errTxt)
+  }
+
+  test("bundle pack refuses secrets, packs clean trees, and unpacks round-trip") {
+    val dir = Files.createTempDirectory("cli_bundle")
+    writeEndpoint(dir)
+    Files.writeString(dir.resolve("prod.env"), "TOKEN=hunter2")
+    val out = Files.createTempDirectory("cli_bundle_out")
+    val (codeSecret, _, errTxt) =
+      run("bundle", "pack", dir.toString, out.resolve("b.zip").toString)
+    assert(codeSecret == 1 && errTxt.contains("secret"), errTxt)
+
+    Files.delete(dir.resolve("prod.env"))
+    val (codePack, outTxt, _) =
+      run("bundle", "pack", dir.toString, out.resolve("b.zip").toString, "--epoch", "0")
+    assert(codePack == 0 && outTxt.contains("packed 2 entries"), outTxt)
+
+    val dest = Files.createTempDirectory("cli_bundle_unpack")
+    val (codeUn, _, _) =
+      run("bundle", "unpack", out.resolve("b.zip").toString, dest.toString)
+    assert(codeUn == 0)
+    assert(Files.readString(dest.resolve("customers.sql")).contains("c_mktsegment"))
+  }
+
+  test("validate passes the reference's real example configs") {
+    val (code, outTxt, _) = run("validate", "/root/reference/examples/sqls")
+    assert(code == 0, outTxt)
+    assert(outTxt.contains("0 failed"), outTxt)
+  }
+
+  test("unknown commands print usage and exit 2") {
+    val (code, _, errTxt) = run("frobnicate")
+    assert(code == 2 && errTxt.contains("usage:"))
+  }
+}
