@@ -514,6 +514,55 @@ object TextQueries extends QuerySet {
         |  FROM survivors) t
         |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin))
 
+  // ---- Gopher-style quality rules ---------------------------------------
+  // The rule-based document filter family from the public Gopher/
+  // MassiveText methodology (Rae et al. 2021 §A1.1): word-count
+  // bounds, mean word length bounds, intra-document repetition
+  // (duplicate-word fraction), stop-word floor, symbol-to-word ratio.
+  // Complements quality_score (a continuous score) with the hard
+  // pass/fail gate a corpus-prep pipeline actually applies. Every
+  // kernel is codegen'd column arithmetic — no HOF lambdas: mean word
+  // length falls out of length(text) minus separators (a definition,
+  // applied identically in both engines), repetition uses
+  // array_distinct, stop-words the native tokens_in_set, symbols a
+  // char-class regexp_count. Zero shuffles at any scale.
+  private val gopherStops =
+    "'the','a','an','and','of','is','der','die','das','und','ist'," +
+      "'le','la','les','et','est','el','los','las','y','es'"
+  private val gopher = QueryDef(
+    "gopher_quality_rules",
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+            |m AS (
+            |  SELECT doc_id, len(w) AS n_words,
+            |    (len(text) - (len(w) - 1)) * 1.0::DOUBLE / len(w) AS mean_wlen_raw,
+            |    1.0::DOUBLE - len(list_distinct(w)) * 1.0::DOUBLE / len(w) AS dup_frac_raw,
+            |    len(list_filter(w, x -> x IN ($gopherStops))) AS stopwords,
+            |    len(regexp_extract_all(text, '[#@%^*]')) AS symbols
+            |  FROM t WHERE len(w) > 0)
+            |SELECT doc_id, n_words, round(mean_wlen_raw, 6) AS mean_wlen,
+            |  round(dup_frac_raw, 6) AS dup_word_frac, stopwords,
+            |  (n_words BETWEEN 5 AND 10000 AND mean_wlen_raw >= 2 AND mean_wlen_raw <= 12
+            |   AND dup_frac_raw <= 0.6 AND stopwords >= 2
+            |   AND symbols * 1.0::DOUBLE / n_words <= 0.1) AS passes_gopher
+            |FROM m ORDER BY doc_id""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      s"""WITH t AS (
+         |  SELECT doc_id, text, split(text, ' ') AS w FROM documents),
+         |m AS (
+         |  SELECT doc_id, CAST(size(w) AS BIGINT) AS n_words,
+         |    (length(text) - (size(w) - 1)) * 1.0D / size(w) AS mean_wlen_raw,
+         |    1.0D - size(array_distinct(w)) * 1.0D / size(w) AS dup_frac_raw,
+         |    CAST(tokens_in_set(w, array($gopherStops)) AS BIGINT) AS stopwords,
+         |    CAST(regexp_count(text, '[#@%^*]') AS BIGINT) AS symbols
+         |  FROM t WHERE size(w) > 0)
+         |SELECT doc_id, n_words, round(mean_wlen_raw, 6) AS mean_wlen,
+         |  round(dup_frac_raw, 6) AS dup_word_frac, stopwords,
+         |  (n_words BETWEEN 5 AND 10000 AND mean_wlen_raw >= 2 AND mean_wlen_raw <= 12
+         |   AND dup_frac_raw <= 0.6 AND stopwords >= 2
+         |   AND symbols * 1.0D / n_words <= 0.1) AS passes_gopher
+         |FROM m ORDER BY doc_id""".stripMargin))
+
   // ---- TF-IDF top terms ------------------------------------------------
   // The classic corpus-statistics op a training-data pipeline runs to
   // find distinguishing terms / boilerplate: term frequency per doc ×
@@ -681,6 +730,6 @@ object TextQueries extends QuerySet {
 
   override val defs: Seq[QueryDef] = Seq(
     dedupExact, neardup, neardupClusters, neardupCorpus, simhash, simhashPairs,
-    ngramTopk, langId, quality, tokenStats, winnow, stratified, tfidf, piiRedact,
-    corpusPrep)
+    ngramTopk, langId, quality, tokenStats, winnow, stratified, gopher, tfidf,
+    piiRedact, corpusPrep)
 }
