@@ -75,8 +75,12 @@ object MultimodalQueries extends QuerySet {
            |FROM documents ORDER BY doc_id""".stripMargin),
     (s, dir) => {
       import s.implicits._
-      val ids = Tables.table(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      // ImageIO encode+decode is per-row-heavy: a one-file scan must
+      // not serialize 2×N codec calls on one core (Parallelize no-ops
+      // once the scan arrives well-split at real scale)
+      val ids = graft.operators.Parallelize
+        .ensure(Tables.table(s, dir, "documents").select(col("doc_id").cast("long")))
+        .as[Long]
       val media = ids
         .mapPartitions(_.map(id => (id, graft.multimodal.MediaKernels.syntheticPng(id))))
         .toDF("id", "bytes")

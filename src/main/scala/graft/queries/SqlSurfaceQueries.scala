@@ -360,6 +360,29 @@ object SqlSurfaceQueries extends QuerySet {
         |FROM a JOIN v USING (o_orderpriority)
         |ORDER BY o_orderpriority""".stripMargin))
 
+  // A8: approximate distinct counting — HLL++ (`approx_count_distinct`)
+  // is the 100 TB cardinality path: fixed-size mergeable sketch state
+  // vs the exact count's per-group distinct expansion. Same gate
+  // pattern as A7b: sketch values differ between engines, so the
+  // driver-gated fact is the error bound — Spark computes both the
+  // sketch and the exact count and asserts the estimate lands within
+  // 5× the configured 2% relative standard deviation; the oracle
+  // states the exact counts and `true`.
+  private val a8 = QueryDef(
+    "a8_approx_distinct",
+    Some("""SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_n, true AS approx_ok
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """SELECT o_orderpriority, exact_n,
+        |       abs(approx_n - exact_n) <= 0.1D * exact_n AS approx_ok
+        |FROM (
+        |  SELECT o_orderpriority,
+        |         approx_count_distinct(o_custkey, 0.02) AS approx_n,
+        |         count(DISTINCT o_custkey) AS exact_n
+        |  FROM orders GROUP BY o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin))
+
   override val defs: Seq[QueryDef] =
-    Seq(a2, a3, a5, a6, a7, a7b, w2, w3, j3, set1, set2, f1, f2, f3, f4, f5, j1, i1, o4, o5, t1)
+    Seq(a2, a3, a5, a6, a7, a7b, a8, w2, w3, j3, set1, set2, f1, f2, f3, f4, f5,
+      j1, i1, o4, o5, t1)
 }

@@ -183,7 +183,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // WholeStageCodegen region (native expressions like dot_f64 /
     // tokens_in_set sit inside codegen'd projections)
     Seq("q1_pricing_summary", "lang_id_heuristic", "quality_score",
-      "token_stats", "pii_redact").foreach { q =>
+      "token_stats", "pii_redact", "gopher_quality_rules").foreach { q =>
       // AQE materializes codegen stages only at execution: run the
       // query, then the FINAL plan prints codegen'd operators with the
       // "*(n)" stage prefix
