@@ -286,6 +286,13 @@ class ConfigApiSpec extends AnyFunSuite with BeforeAndAfterAll {
           |"with-pagination": "false"}""".stripMargin)
       assert(escape.statusCode() == 400, escape.body())
       assert(escape.body().contains("rejected"))
+      // the r5-advised bypass: the same escape wearing a file:// scheme
+      // must not slip through the remote-scheme branch
+      val schemed = post(
+        """{"url-path": "/steal2", "template-source": "file:///etc/hostname",
+          |"with-pagination": "false"}""".stripMargin)
+      assert(schemed.statusCode() == 400, schemed.body())
+      assert(schemed.body().contains("rejected"))
       // a relative source inside the template dir still works
       val ok = post(
         """{"url-path": "/fine", "template-source": "ok.sql",
