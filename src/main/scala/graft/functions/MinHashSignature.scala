@@ -98,6 +98,7 @@ object GraftFunctions {
   }
 
   final case class WinnowOut(n_fp: Long, min_fp: Long, max_fp: Long)
+  final case class QuantOut(qmin: Double, qmax: Double, qsum: Long, recon_cos: Double)
 
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     val present =
@@ -143,6 +144,24 @@ object GraftFunctions {
             val set = markers.filter(_ != null).toSet
             Some(tokens.count(t => t != null && set.contains(t)))
           })
+      spark.udf.register("quantize_u8", (v: Seq[java.lang.Double]) =>
+        if (v == null || v.isEmpty || v.exists(_ == null)) None
+        else {
+          var lo = Double.MaxValue; var hi = Double.MinValue
+          v.foreach { d => if (d < lo) lo = d; if (d > hi) hi = d }
+          if (!(hi > lo)) None
+          else {
+            val range = hi - lo
+            var qsum = 0L; var dot = 0.0; var nv = 0.0; var nr = 0.0
+            v.foreach { d =>
+              val c = math.floor((d - lo) / range * 255 + 0.5)
+              qsum += c.toLong
+              val r = lo + c * range / 255
+              dot += d * r; nv += d * d; nr += r * r
+            }
+            Some(QuantOut(lo, hi, qsum, dot / (math.sqrt(nv) * math.sqrt(nr))))
+          }
+        })
       spark.udf.register("winnow_digest", (text: String) => {
         val (k, w) = (5, 4)
         val n = text.length - k + 1
@@ -195,5 +214,9 @@ object GraftFunctions {
       new FunctionIdentifier("tokens_in_set"),
       new ExpressionInfo(classOf[TokensInSet].getName, "tokens_in_set"),
       (exprs: Seq[Expression]) => TokensInSet(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("quantize_u8"),
+      new ExpressionInfo(classOf[QuantizeU8].getName, "quantize_u8"),
+      (exprs: Seq[Expression]) => QuantizeU8(exprs.head)))
   }
 }

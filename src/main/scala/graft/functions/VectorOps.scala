@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -66,4 +67,78 @@ case class DotF64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "dot_f64"
+}
+
+/** `quantize_u8(v)` → STRUCT<qmin DOUBLE, qmax DOUBLE, qsum BIGINT,
+  * recon_cos DOUBLE>: int8 scalar quantization digest — the standard
+  * 4×-storage-cut vector-store technique (min/max per-vector scale,
+  * codes = round((x-lo)/(hi-lo)*255)), summarized as the code sum plus
+  * the cosine between the original and its reconstruction.
+  *
+  * Every step is deterministic IEEE arithmetic applied per row in a
+  * fixed order (sequential sums, half-up rounding of non-negative
+  * scaled values), so a SQL oracle replays the digest EXACTLY — unlike
+  * learned/sketched operators, quantization needs no error-bound gate.
+  * Scale: pure map-side projection, zero shuffles; the one compiled
+  * pass replaces three interpreted list-lambda traversals.
+  * NULL for empty/degenerate (hi ≤ lo) or null-element vectors; the
+  * caller filters those, mirroring the oracle's `WHERE hi > lo`.
+  */
+case class QuantizeU8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("qmin", DoubleType, nullable = false),
+    StructField("qmax", DoubleType, nullable = false),
+    StructField("qsum", LongType, nullable = false),
+    StructField("recon_cos", DoubleType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"quantize_u8 expects ARRAY<DOUBLE>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n == 0) return null
+    var lo = Double.MaxValue
+    var hi = Double.MinValue
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = x.getDouble(i)
+      if (v < lo) lo = v
+      if (v > hi) hi = v
+      i += 1
+    }
+    if (!(hi > lo)) return null
+    val range = hi - lo
+    var qsum = 0L
+    var dot = 0.0
+    var nv = 0.0
+    var nr = 0.0
+    i = 0
+    while (i < n) {
+      val v = x.getDouble(i)
+      // (x-lo)/(hi-lo)*255 ≥ 0: floor(t+0.5) == round-half-away-from-
+      // zero, matching DuckDB's round()
+      val c = math.floor((v - lo) / range * 255 + 0.5)
+      qsum += c.toLong
+      val r = lo + c * range / 255
+      dot += v * r
+      nv += v * v
+      nr += r * r
+    i += 1
+    }
+    InternalRow(lo, hi, qsum, dot / (math.sqrt(nv) * math.sqrt(nr)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeU8 =
+    copy(child = newChild)
+  override def prettyName: String = "quantize_u8"
 }

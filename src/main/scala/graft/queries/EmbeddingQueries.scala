@@ -458,6 +458,52 @@ object EmbeddingQueries extends QuerySet {
         .orderBy("vec_id")
     })
 
+  // ---- int8 scalar quantization -----------------------------------------
+  // The 4×-storage-cut technique a 100 TB vector store applies before
+  // anything else: per-vector min/max scale, 8-bit codes, keep the
+  // (lo, hi) pair for reconstruction. Native `quantize_u8` digest (one
+  // compiled pass, zero shuffles) emits code-sum + reconstruction
+  // cosine; unlike the learned/sketched operators this arithmetic is
+  // deterministic in both engines, so the oracle replays it exactly
+  // and the compare is hash-exact — including the reconstruction
+  // quality itself (recon_cos ≈ 0.9999 at 64 dims).
+  private val quantize = QueryDef(
+    "embedding_quantize_int8",
+    Some("""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |b AS (
+           |  SELECT vec_id, v, list_aggregate(v, 'min') AS lo, list_aggregate(v, 'max') AS hi
+           |  FROM e),
+           |q AS (
+           |  SELECT vec_id, v, lo, hi,
+           |         list_transform(v, x -> round((x - lo) / (hi - lo) * 255)) AS qd
+           |  FROM b WHERE hi > lo),
+           |r AS (
+           |  SELECT vec_id, lo, hi, v,
+           |         cast(list_aggregate(qd, 'sum') AS BIGINT) AS qsum,
+           |         list_transform(qd, c -> lo + c * (hi - lo) / 255) AS recon
+           |  FROM q)
+           |SELECT vec_id, round(lo, 6) AS qmin, round(hi, 6) AS qmax, qsum,
+           |       round(list_aggregate(list_transform(range(1, len(v) + 1),
+           |               i -> v[i] * recon[i]), 'sum') /
+           |             (sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) *
+           |              sqrt(list_aggregate(list_transform(recon, x -> x * x), 'sum'))), 6)
+           |         AS recon_cos
+           |FROM r ORDER BY vec_id""".stripMargin),
+    (s, dir) => {
+      val e = graft.operators.Parallelize.ensure(
+        Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+      e.withColumn("d", expr("quantize_u8(v)"))
+        .filter(col("d").isNotNull) // == the oracle's WHERE hi > lo
+        .select(col("vec_id"),
+          round(col("d.qmin"), 6).as("qmin"),
+          round(col("d.qmax"), 6).as("qmax"),
+          col("d.qsum").as("qsum"),
+          round(col("d.recon_cos"), 6).as("recon_cos"))
+        .orderBy("vec_id")
+    })
+
   // ---- per-label centroids ----------------------------------------------
   // Vector aggregation: element-wise mean per label (classifier
   // centroids), digested to (count, L2 norm) for a narrow result. One
@@ -480,5 +526,5 @@ object EmbeddingQueries extends QuerySet {
 
   override val defs: Seq[QueryDef] =
     Seq(bruteTopk, lshTopk, ivfTopk, ivfTrained, embDupPairs, embDupClusters,
-      centroids)
+      quantize, centroids)
 }

@@ -31,6 +31,22 @@ class FallbackSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(win.count() > 0)
     val nd = graft.SparkEntry.queries("neardup_minhash_lsh")(plain, dir)
     assert(nd.count() >= 0) // plan executes; sf0.001 may have no pairs
+    val qz = graft.SparkEntry.queries("embedding_quantize_int8")(plain, dir)
+    assert(qz.count() > 0)
+  }
+
+  test("quantize_u8 fallback equals the expression arithmetic") {
+    graft.Tables.register(plain, "/root/testdata/sf0.001") // installs fallbacks
+    val r = plain.sql(
+      "SELECT quantize_u8(array(0.0D, 1.0D, 0.5D)) AS d, " +
+        "quantize_u8(array(2.0D, 2.0D)) AS degenerate").collect().head
+    val d = r.getStruct(0)
+    assert(d.getDouble(0) == 0.0 && d.getDouble(1) == 1.0)
+    // codes: 0, 255, round(0.5*255)=128 → qsum 383; recon of 0.5 is
+    // 128/255 ≈ 0.50196 so the cosine is high but below 1
+    assert(d.getLong(2) == 383L)
+    assert(d.getDouble(3) > 0.999 && d.getDouble(3) < 1.0)
+    assert(r.isNullAt(1)) // constant vector has no scale → NULL
   }
 
   test("UDF fallback values equal the expression path") {
