@@ -219,6 +219,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"sketch-vs-exact verification join should broadcast the 5-row side:\n$p")
   }
 
+  test("int8 quantization is a pure map-side digest (no hash exchange at all)") {
+    val p = plan("embedding_quantize_int8")
+    assert(p.contains("quantize_u8"), s"native digest missing from plan:\n$p")
+    assert(!p.contains("hashpartitioning("),
+      s"quantization should never shuffle the corpus:\n$p")
+    assert(!p.contains("lambdafunction"), s"interpreted HOF lambda in the plan:\n$p")
+  }
+
+  test("approx distinct ships a mergeable HLL partial across the exchange") {
+    val p = plan("a8_approx_distinct")
+    assert(p.contains("partial_approx_count_distinct"),
+      s"no map-side sketch partial in the plan:\n$p")
+  }
+
   test("tfidf term counting is partial (map-side combine before the shuffle)") {
     val p = plan("tfidf_top_terms")
     assert(p.contains("partial_count") || p.contains("partial_"),
