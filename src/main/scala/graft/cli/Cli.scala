@@ -33,6 +33,7 @@ object Cli {
 
   private val usage =
     """usage: graft-cli <command>
+      |  init [dir] [--name N] [--no-examples] [--force]
       |  validate <endpoint.yaml | config-dir>
       |  expand-template <endpoint.yaml> [param=value ...]
       |  bundle pack <config-dir> <out.zip> [--allow-secrets] [--epoch N]
@@ -41,6 +42,8 @@ object Cli {
   /** Testable entry: returns the process exit code. */
   def run(args: Seq[String], out: PrintStream, err: PrintStream): Int =
     try args.toList match {
+      case "init" :: rest =>
+        init(rest, out, err)
       case "validate" :: path :: Nil =>
         validate(Paths.get(path), out, err)
       case "expand-template" :: path :: params =>
@@ -59,6 +62,60 @@ object Cli {
         err.println(s"error: ${String.valueOf(e.getMessage)}")
         1
     }
+
+  // ---- init --------------------------------------------------------------
+
+  /** Scaffold a project tree GraftBootstrap.serve can boot (the
+    * reference CLI's `project init`, cli/src/commands/project/init.ts):
+    * flapi.yaml + sqls/ with a working example endpoint, then validate
+    * the generated configs. Refuses to clobber without --force. */
+  private def init(args: List[String], out: PrintStream, err: PrintStream): Int = {
+    val dirArg = args.headOption.filterNot(_.startsWith("--")).getOrElse(".")
+    val flags = args.drop(args.headOption.count(!_.startsWith("--")))
+    val force = flags.contains("--force")
+    val noExamples = flags.contains("--no-examples")
+    val root = Paths.get(dirArg)
+    val name = flags.sliding(2).collectFirst { case List("--name", n) => n }
+      .getOrElse(root.toAbsolutePath.normalize().getFileName.toString)
+    Files.createDirectories(root.resolve("sqls"))
+    val files = scala.collection.mutable.LinkedHashMap(
+      "flapi.yaml" ->
+        s"""project-name: $name
+           |template:
+           |  path: './sqls'
+           |connections:
+           |  main-data:
+           |    properties:
+           |      path: '/path/to/your/data.parquet'
+           |""".stripMargin,
+      ".gitignore" -> "*.log\nspark-warehouse/\n")
+    if (!noExamples) {
+      files += "sqls/customers.yaml" ->
+        """url-path: /customers
+          |template-source: customers.sql
+          |with-pagination: "false"
+          |request:
+          |  - field-name: segment
+          |    validators:
+          |      - type: string
+          |""".stripMargin
+      files += "sqls/customers.sql" ->
+        """SELECT * FROM read_parquet('{{conn.path}}')
+          |WHERE 1=1
+          |{{#params.segment}} AND segment = '{{{params.segment}}}' {{/params.segment}}
+          |LIMIT 100""".stripMargin
+    }
+    val clobbered = files.keys.filter(rel => Files.exists(root.resolve(rel)))
+    if (clobbered.nonEmpty && !force) {
+      err.println(s"refusing to overwrite: ${clobbered.mkString(", ")} (use --force)")
+      return 1
+    }
+    files.foreach { case (rel, content) =>
+      Files.writeString(root.resolve(rel), content)
+      out.println(s"created $rel")
+    }
+    if (noExamples) 0 else validate(root.resolve("sqls"), out, err)
+  }
 
   // ---- validate ----------------------------------------------------------
 

@@ -104,6 +104,19 @@ class CliSpec extends AnyFunSuite {
     assert(outTxt.contains("0 failed"), outTxt)
   }
 
+  test("init scaffolds a validating project tree and refuses to clobber") {
+    val dir = Files.createTempDirectory("cli_init")
+    val (code, outTxt, _) = run("init", dir.toString, "--name", "demo")
+    assert(code == 0, outTxt)
+    assert(Files.readString(dir.resolve("flapi.yaml")).contains("project-name: demo"))
+    assert(Files.exists(dir.resolve("sqls/customers.sql")))
+    assert(outTxt.contains("1 ok, 0 failed"), outTxt) // generated config validates
+    // second init must not silently overwrite
+    val (code2, _, err2) = run("init", dir.toString)
+    assert(code2 == 1 && err2.contains("--force"), err2)
+    assert(run("init", dir.toString, "--force")._1 == 0)
+  }
+
   test("unknown commands print usage and exit 2") {
     val (code, _, errTxt) = run("frobnicate")
     assert(code == 2 && errTxt.contains("usage:"))
