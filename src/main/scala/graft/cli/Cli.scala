@@ -122,7 +122,8 @@ object Cli {
   private def endpointFiles(path: Path): Seq[Path] =
     if (Files.isDirectory(path)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(path).iterator().asScala.filter(Files.isRegularFile(_))
+      val stream = Files.walk(path) // walk holds directory handles — close it
+      try stream.iterator().asScala.filter(Files.isRegularFile(_))
         .filter(p => p.toString.endsWith(".yaml") || p.toString.endsWith(".yml"))
         .filter { p =>
           val txt = Files.readString(p)
@@ -130,6 +131,7 @@ object Cli {
             txt.contains("mcp-resource") || txt.contains("mcp-prompt")
         }
         .toSeq.sortBy(_.toString)
+      finally stream.close()
     } else Seq(path)
 
   private def inlineTemplate(p: Path): Option[String] =
@@ -139,49 +141,44 @@ object Cli {
       Option(m.get("template")).map(String.valueOf).filter(_.trim.nonEmpty)
     } catch { case _: Exception => None }
 
-  private def templateOf(p: Path, cfg: EndpointConfig): Either[String, String] =
+  /** Right(Some(sql)) = resolvable locally; Right(None) = a REMOTE
+    * template-source (https/s3a/hdfs…) — a first-class server feature
+    * this offline tool cannot fetch, so callers validate structure
+    * only instead of failing a working production config. */
+  private def templateOf(p: Path, cfg: EndpointConfig): Either[String, Option[String]] =
     inlineTemplate(p) match {
-      case Some(t) => Right(t)
+      case Some(t) => Right(Some(t))
       case None if cfg.templateSource.trim.isEmpty =>
         Left("missing 'template' (SQL text) or 'template-source'")
+      case None if graft.template.TemplateSource.isRemote(cfg.templateSource) =>
+        Right(None)
       case None =>
         val base = Option(p.toAbsolutePath.getParent).map(_.toString)
         val resolved = Paths.get(
           graft.template.TemplateSource.resolve(cfg.templateSource, base))
-        if (Files.isRegularFile(resolved)) Right(Files.readString(resolved))
+        if (Files.isRegularFile(resolved)) Right(Some(Files.readString(resolved)))
         else Left(s"template-source not found: $resolved")
     }
 
-  /** The ConfigApi.validate semantics, standalone: structure, duplicate
-    * fields, template resolution, and a dry prepare with defaults
-    * (catches Mustache/dialect errors without executing anything). */
+  /** The config service's validation, standalone: the SHARED
+    * EndpointValidator rule set (structure + dry prepare), plus
+    * CLI-side template resolution. */
   private[cli] def endpointErrors(p: Path): Seq[String] =
     try {
       val cfg = YamlConfig.loadEndpoint(p)
-      val errs = scala.collection.mutable.ArrayBuffer.empty[String]
-      if (!cfg.mcpOnly && !cfg.urlPath.startsWith("/"))
-        errs += "url-path must start with '/'"
-      cfg.requestFields.groupBy(_.fieldName).collect {
-        case (n, fs) if fs.size > 1 => errs += s"duplicate request field '$n'"
-      }
+      val structural = graft.api.EndpointValidator.structuralErrors(cfg)
       // prompt-only configs carry a prose template inside the
       // mcp-prompt block (reference customers-mcp-prompt.yaml) — no SQL
       // template to resolve or dry-render
       if (cfg.mcpPrompt.isDefined && cfg.templateSource.trim.isEmpty &&
-          inlineTemplate(p).isEmpty) return errs.toSeq
+          inlineTemplate(p).isEmpty) return structural
       templateOf(p, cfg) match {
-        case Left(e) => errs += e
-        case Right(template) =>
-          if (template.trim.isEmpty) errs += "template is empty"
-          else if (errs.isEmpty)
-            try TemplatePipeline.prepare(cfg, template, Map.empty) match {
-              case Left(_) => () // param errors on EMPTY params are fine
-              case Right(_) => ()
-            } catch { case e: Exception =>
-              errs += s"template error: ${String.valueOf(e.getMessage)}"
-            }
+        case Left(e) => structural :+ e
+        case Right(None) => structural // remote source: structure only
+        case Right(Some(template)) =>
+          if (structural.nonEmpty) structural
+          else graft.api.EndpointValidator.errors(cfg, template)
       }
-      errs.toSeq
     } catch { case e: Exception => Seq(s"parse error: ${String.valueOf(e.getMessage)}") }
 
   private def validate(path: Path, out: PrintStream, err: PrintStream): Int = {
@@ -215,7 +212,11 @@ object Cli {
     val cfg = YamlConfig.loadEndpoint(p)
     templateOf(p, cfg) match {
       case Left(e) => err.println(e); 1
-      case Right(template) =>
+      case Right(None) =>
+        err.println("remote template-source: fetching requires a running " +
+          "session — use the server's template/expand API")
+        1
+      case Right(Some(template)) =>
         TemplatePipeline.prepare(cfg, template, params) match {
           case Left(errors) =>
             errors.foreach(e => err.println(s"${e.field}: ${e.message}"))
@@ -234,13 +235,21 @@ object Cli {
 
   private def pack(dir: String, dest: String, flags: List[String],
       out: PrintStream, err: PrintStream): Int = {
-    val allowSecrets = flags.contains("--allow-secrets")
-    val epoch = flags.sliding(2).collectFirst {
-      case List("--epoch", n) => n.toLong
+    var allowSecrets = false
+    var epoch: Option[Long] = None
+    var rest = flags
+    while (rest.nonEmpty) rest match {
+      case "--allow-secrets" :: t => allowSecrets = true; rest = t
+      case "--epoch" :: v :: t =>
+        v.toLongOption match {
+          case Some(n) => epoch = Some(n); rest = t
+          case None => err.println(s"--epoch requires a number, got '$v'"); return 2
+        }
+      case "--epoch" :: Nil =>
+        err.println("--epoch requires a value"); return 2
+      case f :: _ =>
+        err.println(s"unknown flag: $f"); return 2
     }
-    val known = flags.filterNot(_ == "--allow-secrets")
-      .filterNot(_ == "--epoch").filterNot(f => epoch.exists(_.toString == f))
-    if (known.nonEmpty) { err.println(s"unknown flags: ${known.mkString(" ")}"); return 2 }
     val r = ConfigBundle.pack(Paths.get(dir), Paths.get(dest),
       allowSecrets = allowSecrets, sourceDateEpoch = epoch)
     out.println(s"packed ${r.entryCount} entries, ${r.archiveSize} bytes -> ${r.output}")

@@ -42,6 +42,24 @@ object BucketedTables {
     s"${user}_${ProcessHandle.current().pid()}"
   }
 
+  // The pid nonce keeps concurrent JVMs from clobbering each other,
+  // but without cleanup each restart would strand a full table copy on
+  // shared storage. A shutdown hook deletes THIS JVM's nonce dirs
+  // (only ever our own — no cross-JVM race); hard kills can still
+  // strand a copy, so roots carry the nonce pattern an operator (or a
+  // maintenance job) can sweep by dead pid.
+  private val createdRoots =
+    new java.util.concurrent.ConcurrentLinkedQueue[(org.apache.hadoop.fs.Path,
+      org.apache.hadoop.conf.Configuration)]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      createdRoots.forEach { case (root, conf) =>
+        try root.getFileSystem(conf).delete(root, true)
+        catch { case _: Throwable => () } // best-effort on teardown
+      }
+    }, "graft-bucketed-cleanup"))
+  }
+
   /** Ensure bucketed `orders`/`customer` tables exist for `dir`; returns
     * their catalog names. */
   def ensure(spark: SparkSession, dir: String): (String, String) =
@@ -60,6 +78,9 @@ object BucketedTables {
         "spark.sql.warehouse.dir", spark.sessionState.conf.warehousePath)
       val root = new org.apache.hadoop.fs.Path(
         new org.apache.hadoop.fs.Path(warehouse), s"graft_bucketed/$jvmNonce/$tag")
+      createdRoots.add((root,
+        new org.apache.hadoop.conf.Configuration(
+          spark.sparkContext.hadoopConfiguration)))
       write(spark, "orders", ordersT, "o_custkey",
         new org.apache.hadoop.fs.Path(root, "orders").toString)
       write(spark, "customer", custT, "c_custkey",

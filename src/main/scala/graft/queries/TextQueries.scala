@@ -532,14 +532,16 @@ object TextQueries extends QuerySet {
   private val gopher = QueryDef(
     "gopher_quality_rules",
     Some(s"""WITH t AS (
-            |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+            |  SELECT doc_id, text, string_split(text, ' ') AS w_raw FROM documents),
+            |c AS (
+            |  SELECT doc_id, text, w_raw, list_filter(w_raw, x -> x <> '') AS w FROM t),
             |m AS (
             |  SELECT doc_id, len(w) AS n_words,
-            |    (len(text) - (len(w) - 1)) * 1.0::DOUBLE / len(w) AS mean_wlen_raw,
+            |    (len(text) - (len(w_raw) - 1)) * 1.0::DOUBLE / len(w) AS mean_wlen_raw,
             |    1.0::DOUBLE - len(list_distinct(w)) * 1.0::DOUBLE / len(w) AS dup_frac_raw,
             |    len(list_filter(w, x -> x IN ($gopherStops))) AS stopwords,
             |    len(regexp_extract_all(text, '[#@%^*]')) AS symbols
-            |  FROM t WHERE len(w) > 0)
+            |  FROM c WHERE len(w) > 0)
             |SELECT doc_id, n_words, round(mean_wlen_raw, 6) AS mean_wlen,
             |  round(dup_frac_raw, 6) AS dup_word_frac, stopwords,
             |  (n_words BETWEEN 5 AND 10000 AND mean_wlen_raw >= 2 AND mean_wlen_raw <= 12
@@ -547,15 +549,22 @@ object TextQueries extends QuerySet {
             |   AND symbols * 1.0::DOUBLE / n_words <= 0.1) AS passes_gopher
             |FROM m ORDER BY doc_id""".stripMargin),
     (s, dir) => Tables.sql(s, dir,
+      // empty tokens from consecutive/leading/trailing spaces are NOT
+      // words (they'd inflate n_words and the repetition fraction near
+      // the thresholds) — array_remove drops them natively, no HOF.
+      // Word char-mass stays len(text) minus separators: every ' ' is
+      // one separator whether or not its tokens are empty.
       s"""WITH t AS (
-         |  SELECT doc_id, text, split(text, ' ') AS w FROM documents),
+         |  SELECT doc_id, text, split(text, ' ') AS w_raw FROM documents),
+         |c AS (
+         |  SELECT doc_id, text, w_raw, array_remove(w_raw, '') AS w FROM t),
          |m AS (
          |  SELECT doc_id, CAST(size(w) AS BIGINT) AS n_words,
-         |    (length(text) - (size(w) - 1)) * 1.0D / size(w) AS mean_wlen_raw,
+         |    (length(text) - (size(w_raw) - 1)) * 1.0D / size(w) AS mean_wlen_raw,
          |    1.0D - size(array_distinct(w)) * 1.0D / size(w) AS dup_frac_raw,
          |    CAST(tokens_in_set(w, array($gopherStops)) AS BIGINT) AS stopwords,
          |    CAST(regexp_count(text, '[#@%^*]') AS BIGINT) AS symbols
-         |  FROM t WHERE size(w) > 0)
+         |  FROM c WHERE size(w) > 0)
          |SELECT doc_id, n_words, round(mean_wlen_raw, 6) AS mean_wlen,
          |  round(dup_frac_raw, 6) AS dup_word_frac, stopwords,
          |  (n_words BETWEEN 5 AND 10000 AND mean_wlen_raw >= 2 AND mean_wlen_raw <= 12

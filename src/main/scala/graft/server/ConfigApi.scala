@@ -196,25 +196,11 @@ final class ConfigApi(
           .map(_.users.flatMap(_.roles).distinct)))
     } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
 
-  /** Endpoint-config validation: structural checks + a dry render with
-    * defaults (catches Mustache/dialect errors without executing). */
-  private[server] def validate(ep: ServedEndpoint): Seq[String] = {
-    val errs = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (!ep.config.urlPath.startsWith("/")) errs += "url-path must start with '/'"
-    if (ep.template.trim.isEmpty) errs += "template is empty"
-    ep.config.requestFields.groupBy(_.fieldName).collect {
-      case (n, fs) if fs.size > 1 => errs += s"duplicate request field '$n'"
-    }
-    if (errs.isEmpty)
-      try TemplatePipeline.prepare(ep.config, ep.template,
-        Map.empty, ep.connProps) match {
-        case Left(_) => () // param-validation errors on EMPTY params are fine
-        case Right(_) => ()
-      } catch { case e: Exception =>
-        errs += s"template error: ${String.valueOf(e.getMessage)}"
-      }
-    errs.toSeq
-  }
+  /** Endpoint-config validation: the shared rule set (structural +
+    * dry render) the offline CLI also runs — one source of truth so
+    * the two surfaces cannot drift. */
+  private[server] def validate(ep: ServedEndpoint): Seq[String] =
+    graft.api.EndpointValidator.errors(ep.config, ep.template, ep.connProps)
 
   // ---- dispatcher --------------------------------------------------------
 

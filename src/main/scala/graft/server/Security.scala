@@ -189,7 +189,19 @@ object BasicAuth {
   // second, higher cap counts failures per USER across all clients —
   // high enough that a fleet of legitimate clients fat-fingering one
   // account never trips it, low enough that a distributed brute force
-  // is cut off within the window
+  // is cut off within the window.
+  //
+  // DELIBERATE TRADEOFF: any per-user cap is also a lockout lever — an
+  // attacker sustaining 100 distinct novel credentials/min against one
+  // account defers that account's FRESH logins for the attack's
+  // duration. Scope of the damage: sessions already authenticated keep
+  // working (the positive cache is consulted before the throttle, and
+  // repeats of a cached-correct password never reach it), the window
+  // self-clears in 60 s, and every other account is unaffected. The
+  // alternative — no global cap — leaves distributed password-spraying
+  // bounded only by the PBKDF2 permit rate (~20/s), which guesses a
+  // leaked-list password far faster than it locks anyone out. Standard
+  // account-lockout reasoning picks the cap.
   private val MaxGlobalFailuresPerWindow = 100
   private val failures = TrieMap.empty[String, (Int, Long)]
   private val pbkdf2Permits = new java.util.concurrent.Semaphore(2)

@@ -109,7 +109,8 @@ object Connections {
         conn.properties.get(k).foreach(v => reader = reader.option(k,
           if (k == "user" || k == "password") CredentialManager.resolveRef(v) else v))
       }
-      reader.load().createOrReplaceTempView(viewName(conn.name, t))
+      reader.load().createOrReplaceTempView(
+        claimView(spark, viewName(conn.name, t), s"${conn.name}.$t"))
     }
   }
 
@@ -121,6 +122,24 @@ object Connections {
   private[sources] def ident(s: String): String = {
     val cleaned = s.replaceAll("[^A-Za-z0-9_]", "_")
     if (cleaned.isEmpty || cleaned.head.isDigit) "t_" + cleaned else cleaned
+  }
+
+  // Sanitization can collide ('prod-db' and 'prod.db' both map to
+  // prod_db) and createOrReplaceTempView replaces silently — two
+  // differently-named sources would quietly read each other's data.
+  // Registration therefore records which ORIGINAL name owns each
+  // sanitized view per session and fails init loudly on a clash.
+  private val viewOwners =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  private[sources] def claimView(
+      spark: SparkSession, view: String, original: String): String = {
+    val key = (System.identityHashCode(spark), view)
+    val owner = viewOwners.getOrElseUpdate(key, original)
+    if (owner != original)
+      throw new IllegalArgumentException(
+        s"view name collision: '$original' and '$owner' both sanitize to '$view'")
+    view
   }
 
   def viewName(connName: String, table: String): String =
@@ -135,11 +154,13 @@ object Connections {
         .foreach { f =>
           val table = f.getName.stripSuffix(".parquet")
           spark.read.parquet(f.getAbsolutePath)
-            .createOrReplaceTempView(viewName(name, table))
+            .createOrReplaceTempView(
+              claimView(spark, viewName(name, table), s"$name.$table"))
         }
     } else {
       // single table or object-storage glob — Hadoop FS resolves it
-      spark.read.parquet(path).createOrReplaceTempView(ident(name))
+      spark.read.parquet(path).createOrReplaceTempView(
+        claimView(spark, ident(name), name))
     }
   }
 
@@ -171,10 +192,12 @@ object Connections {
       dir.listFiles().filter(_.getName.endsWith(ext)).foreach { f =>
         val table = f.getName.stripSuffix(ext)
         reader.load(f.getAbsolutePath)
-          .createOrReplaceTempView(viewName(conn.name, table))
+          .createOrReplaceTempView(
+            claimView(spark, viewName(conn.name, table), s"${conn.name}.$table"))
       }
     } else {
-      reader.load(path).createOrReplaceTempView(ident(conn.name))
+      reader.load(path).createOrReplaceTempView(
+        claimView(spark, ident(conn.name), conn.name))
     }
   }
 

@@ -75,20 +75,35 @@ object PathValidator {
         // `file:///etc/passwd` sails through any allowedPrefixes fence
         // that correctly blocks `/etc/passwd` (untrusted config-API
         // submissions pass the storage dirs as prefixes). Strip the
-        // scheme and re-validate as local; the recursion re-runs
-        // decode + traversal checks, so nothing is lost by rewriting.
+        // scheme/authority and run the ALREADY-DECODED remainder
+        // through the local branch — not a recursive validate(), which
+        // would decode a second time and make `file:` paths resolve
+        // differently from the same path written bare.
         val rest = decoded.substring("file:".length)
         if (rest.startsWith("//")) {
           val after = rest.substring(2)
-          if (!after.startsWith("/"))
+          val slash = after.indexOf('/')
+          val authority = if (slash < 0) after else after.substring(0, slash)
+          // RFC 8089: empty and "localhost" authorities mean local
+          if (authority.nonEmpty && authority != "localhost")
             Left("file URI with a remote authority is not allowed")
-          else validate(after, basePath, cfg)
-        } else validate(rest, basePath, cfg)
+          else if (slash < 0) Left("file URI has no path")
+          else validateLocal(after.substring(slash), basePath, cfg)
+        } else validateLocal(rest, basePath, cfg)
       }
       else if (containsTraversal(decoded.dropWhile(_ != ':')))
         Left("Path traversal not allowed")
       else Right(decoded)
-    } else {
+    } else validateLocal(decoded, basePath, cfg)
+  }
+
+  /** The local branch: traversal rejection, optional base confinement,
+    * symlink resolution, allowed-prefix fence. `decoded` must already
+    * be percent-decoded exactly once. */
+  private def validateLocal(
+      decoded: String,
+      basePath: Option[String],
+      cfg: Config): Either[String, String] = {
       if (!cfg.allowLocal) return Left("Local paths not allowed")
       if (containsTraversal(decoded)) return Left("Path traversal not allowed")
       val p = Paths.get(decoded)
@@ -119,6 +134,5 @@ object PathValidator {
             real.startsWith(Paths.get(pre).toAbsolutePath.normalize())))
         Left("Path not within allowed directory")
       else Right(real.toString)
-    }
   }
 }

@@ -117,6 +117,34 @@ class CliSpec extends AnyFunSuite {
     assert(run("init", dir.toString, "--force")._1 == 0)
   }
 
+  test("remote template-sources validate structurally instead of failing offline") {
+    val dir = Files.createTempDirectory("cli_remote")
+    Files.writeString(dir.resolve("remote.yaml"),
+      """url-path: /remote
+        |template-source: s3a://bucket/templates/r.sql
+        |""".stripMargin)
+    val (code, outTxt, _) = run("validate", dir.toString)
+    assert(code == 0, outTxt) // a working production config must not FAIL here
+    // but expanding needs the template text — directed error, not a crash
+    val (code2, _, err2) =
+      run("expand-template", dir.resolve("remote.yaml").toString)
+    assert(code2 == 1 && err2.contains("remote template-source"), err2)
+  }
+
+  test("bundle pack flag errors are directed (bad/missing --epoch values)") {
+    val dir = Files.createTempDirectory("cli_flags")
+    writeEndpoint(dir)
+    val out = Files.createTempDirectory("cli_flags_out").resolve("b.zip").toString
+    val (c1, _, e1) = run("bundle", "pack", dir.toString, out, "--epoch", "soon")
+    assert(c1 == 2 && e1.contains("--epoch requires a number"), e1)
+    val (c2, _, e2) = run("bundle", "pack", dir.toString, out, "--epoch")
+    assert(c2 == 2 && e2.contains("--epoch requires a value"), e2)
+    val (c3, _, e3) = run("bundle", "pack", dir.toString, out, "--frob")
+    assert(c3 == 2 && e3.contains("unknown flag"), e3)
+    // a leading-zero epoch is a number, not an unknown flag
+    assert(run("bundle", "pack", dir.toString, out, "--epoch", "0123")._1 == 0)
+  }
+
   test("unknown commands print usage and exit 2") {
     val (code, _, errTxt) = run("frobnicate")
     assert(code == 2 && errTxt.contains("usage:"))

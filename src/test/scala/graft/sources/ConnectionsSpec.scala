@@ -113,6 +113,26 @@ class ConnectionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("odd_src_my_data").count() == 1)
   }
 
+  test("colliding sanitized names fail init loudly instead of silently overwriting") {
+    val a = java.nio.file.Files.createTempFile("graft_coll_a", ".csv")
+    val b = java.nio.file.Files.createTempFile("graft_coll_b", ".csv")
+    java.nio.file.Files.writeString(a, "1,x\n")
+    java.nio.file.Files.writeString(b, "2,y\n")
+    Connections.init(spark, ConnectionConfig("coll-src", Map(
+      "type" -> "csv", "path" -> a.toString, "schema" -> "id INT, v STRING")))
+    // 'coll.src' sanitizes to the same view name as 'coll-src': without
+    // the guard the second init would silently repoint the view
+    val e = intercept[IllegalArgumentException] {
+      Connections.init(spark, ConnectionConfig("coll.src", Map(
+        "type" -> "csv", "path" -> b.toString, "schema" -> "id INT, v STRING")))
+    }
+    assert(e.getMessage.contains("collision"))
+    // re-initing the ORIGINAL name is still idempotent
+    Connections.init(spark, ConnectionConfig("coll-src", Map(
+      "type" -> "csv", "path" -> a.toString, "schema" -> "id INT, v STRING")))
+    assert(spark.table("coll_src").count() == 1)
+  }
+
   test("json connection registers a view over JSONL") {
     val f = java.nio.file.Files.createTempFile("graft_json_src", ".json")
     java.nio.file.Files.writeString(f,

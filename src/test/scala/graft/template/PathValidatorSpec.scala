@@ -50,6 +50,12 @@ class PathValidatorSpec extends AnyFunSuite {
       PathValidator.Config(allowedSchemes = Set("https"))).isLeft)
     // unfenced trusted use (no prefixes) keeps absolute file: loads
     assert(PathValidator.validate(s"file://$base/t.sql", None).isRight)
+    // RFC 8089: a localhost authority means local
+    assert(PathValidator.validate(s"file://localhost$base/t.sql", None, cfg).isRight)
+    // the scheme must not add a second percent-decode: file:-wrapped
+    // and bare spellings of the same path resolve identically
+    assert(PathValidator.validate("file:///data/a%2520b.sql", None) ==
+      PathValidator.validate("/data/a%2520b.sql", None))
   }
 
   test("base confinement and allowed-prefix restriction") {
