@@ -90,19 +90,25 @@ object Cli {
            |""".stripMargin,
       ".gitignore" -> "*.log\nspark-warehouse/\n")
     if (!noExamples) {
+      // the example deliberately uses the TOP-LEVEL double-brace form:
+      // PreparedRewriter binds those as prepared parameters, so the
+      // user value never splices into SQL text. A triple-brace (or a
+      // tag buried in a conditional section) would be raw splice
+      // guarded only by the injection heuristic — never teach that
+      // pattern in generated code.
       files += "sqls/customers.yaml" ->
         """url-path: /customers
           |template-source: customers.sql
           |with-pagination: "false"
           |request:
           |  - field-name: segment
+          |    required: true
           |    validators:
           |      - type: string
           |""".stripMargin
       files += "sqls/customers.sql" ->
         """SELECT * FROM read_parquet('{{conn.path}}')
-          |WHERE 1=1
-          |{{#params.segment}} AND segment = '{{{params.segment}}}' {{/params.segment}}
+          |WHERE segment = {{params.segment}}
           |LIMIT 100""".stripMargin
     }
     val clobbered = files.keys.filter(rel => Files.exists(root.resolve(rel)))

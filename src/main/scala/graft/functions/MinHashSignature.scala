@@ -154,7 +154,11 @@ object GraftFunctions {
             val range = hi - lo
             var qsum = 0L; var dot = 0.0; var nv = 0.0; var nr = 0.0
             v.foreach { d =>
-              val c = math.floor((d - lo) / range * 255 + 0.5)
+              // exact half-away-from-zero (see VectorOps.QuantizeU8):
+              // floor(t+0.5) mis-rounds when the add carries over half
+              val t = (d - lo) / range * 255
+              val tf = math.floor(t)
+              val c = if (t - tf >= 0.5) tf + 1 else tf
               qsum += c.toLong
               val r = lo + c * range / 255
               dot += d * r; nv += d * d; nr += r * r

@@ -125,9 +125,16 @@ case class QuantizeU8(child: Expression)
     i = 0
     while (i < n) {
       val v = x.getDouble(i)
-      // (x-lo)/(hi-lo)*255 ≥ 0: floor(t+0.5) == round-half-away-from-
-      // zero, matching DuckDB's round()
-      val c = math.floor((v - lo) / range * 255 + 0.5)
+      // round-half-away-from-zero on the non-negative double t,
+      // matching DuckDB's round() bit-for-bit. NOT floor(t+0.5): the
+      // IEEE add can carry t over the half (t=0.49999999999999994 →
+      // t+0.5 rounds to 1.0, floor gives 1, true rounding gives 0).
+      // t - floor(t) is EXACT for t ≥ 0 (Sterbenz: floor(t) ≥ t/2
+      // whenever floor(t) ≥ 1; trivial at floor(t)=0), so comparing
+      // the exact fraction against 0.5 is the correct branch.
+      val t = (v - lo) / range * 255
+      val tf = math.floor(t)
+      val c = if (t - tf >= 0.5) tf + 1 else tf
       qsum += c.toLong
       val r = lo + c * range / 255
       dot += v * r

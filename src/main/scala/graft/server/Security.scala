@@ -203,22 +203,30 @@ object BasicAuth {
   // leaked-list password far faster than it locks anyone out. Standard
   // account-lockout reasoning picks the cap.
   private val MaxGlobalFailuresPerWindow = 100
-  private val failures = TrieMap.empty[String, (Int, Long)]
+  // structurally distinct key types, not '|'-joined strings: a
+  // configured username equal to the sentinel (or containing the
+  // separator) must never alias a per-client counter onto the global
+  // one or vice versa
+  private sealed trait ThrottleKey
+  private final case class PerClientKey(user: String, client: String)
+      extends ThrottleKey
+  private final case class GlobalKey(user: String) extends ThrottleKey
+  private val failures = TrieMap.empty[ThrottleKey, (Int, Long)]
   private val pbkdf2Permits = new java.util.concurrent.Semaphore(2)
 
   private def sha256Hex(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
 
-  private def recordFailure(user: String, now: Long): Unit = {
+  private def recordFailure(key: ThrottleKey, now: Long): Unit = {
     if (failures.size > MaxCacheEntries)
       failures.filterInPlace((_, v) => now - v._2 < FailureWindowMillis)
-    val (n, start) = failures.getOrElse(user, (0, now))
-    if (now - start >= FailureWindowMillis) failures.put(user, (1, now))
-    else failures.put(user, (n + 1, start))
+    val (n, start) = failures.getOrElse(key, (0, now))
+    if (now - start >= FailureWindowMillis) failures.put(key, (1, now))
+    else failures.put(key, (n + 1, start))
   }
 
-  private def throttled(key: String, now: Long, limit: Int): Boolean =
+  private def throttled(key: ThrottleKey, now: Long, limit: Int): Boolean =
     failures.get(key).exists { case (n, start) =>
       now - start < FailureWindowMillis && n >= limit
     }
@@ -242,9 +250,8 @@ object BasicAuth {
     // clients share one remote address — should plumb X-Forwarded-For
     // from the trusted hop into `client` to keep the per-client key
     // meaningful.
-    val throttleKey = s"$user|$client"
-    if (throttled(throttleKey, now, MaxFailuresPerWindow)) return false
-    if (throttled(s"!all|$user", now, MaxGlobalFailuresPerWindow)) return false
+    if (throttled(PerClientKey(user, client), now, MaxFailuresPerWindow)) return false
+    if (throttled(GlobalKey(user), now, MaxGlobalFailuresPerWindow)) return false
     // bounded wait, not fail-fast: legitimate users logging in
     // concurrently after a restart must queue briefly, not get a 401
     // for a correct password. The wait is SHORT (250 ms): every route
@@ -269,8 +276,8 @@ object BasicAuth {
       if (negative.size >= MaxCacheEntries)
         negative.filterInPlace((_, t) => now - t < NegativeTtlMillis)
       if (negative.size < MaxCacheEntries) negative.put(key, now)
-      recordFailure(s"$user|$client", now)
-      recordFailure(s"!all|$user", now)
+      recordFailure(PerClientKey(user, client), now)
+      recordFailure(GlobalKey(user), now)
     }
     ok
   }

@@ -129,13 +129,21 @@ object Connections {
   // differently-named sources would quietly read each other's data.
   // Registration therefore records which ORIGINAL name owns each
   // sanitized view per session and fails init loudly on a clash.
+  // Keyed on the session object itself through a WeakHashMap
+  // (SparkSession keeps identity equals), so ownership lives exactly
+  // as long as the session: no identityHashCode reuse after GC, no
+  // unbounded growth in long-lived multi-session JVMs.
   private val viewOwners =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
 
   private[sources] def claimView(
       spark: SparkSession, view: String, original: String): String = {
-    val key = (System.identityHashCode(spark), view)
-    val owner = viewOwners.getOrElseUpdate(key, original)
+    val owners = viewOwners.synchronized {
+      viewOwners.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty[String, String])
+    }
+    val owner = owners.getOrElseUpdate(view, original)
     if (owner != original)
       throw new IllegalArgumentException(
         s"view name collision: '$original' and '$owner' both sanitize to '$view'")

@@ -231,6 +231,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("a8_approx_distinct")
     assert(p.contains("partial_approx_count_distinct"),
       s"no map-side sketch partial in the plan:\n$p")
+    // the exact verification branch must stay a two-phase hash
+    // aggregate, never the Expand-based distinct rewrite (which
+    // doubles and re-shuffles the scanned rows)
+    assert(!p.contains("Expand"),
+      s"Expand-based distinct rewrite leaked back into the plan:\n$p")
   }
 
   test("tfidf term counting is partial (map-side combine before the shuffle)") {
