@@ -40,8 +40,11 @@ import org.apache.spark.sql.types._
   *
   * Readers see only published snapshots: data dirs are invisible until
   * the manifest row + `_current` pointer land, and the pointer swap is
-  * an atomic rename — the reference's ACID-read guarantee at the
-  * single-writer granularity flapi itself has.
+  * an atomic rename — the reference's ACID-read guarantee. Writers
+  * race optimistically: the snapshot dir create is the atomic claim,
+  * and a loser re-reads the manifest head and retries under the fresh
+  * id (see `withFreshId`), so two drivers sharing a warehouse both
+  * land their refreshes.
   *
   * The manifest is persistent state in a TABLE (restart-safe, readable
   * by any engine), but each public operation loads it exactly once —
@@ -116,7 +119,18 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
 
   private def writeData(id: Long, df: DataFrame): String = {
     val dir = s"s$id"
-    df.write.mode(SaveMode.ErrorIfExists).parquet(snapDir.resolve(dir).toString)
+    val target = snapDir.resolve(dir)
+    // Atomic claim: `createDirectory` is atomic on a POSIX warehouse —
+    // exactly one of two racing drivers creates the dir, the loser
+    // throws FileAlreadyExistsException BEFORE any data lands. A
+    // SaveMode.ErrorIfExists write is NOT that: its existence check
+    // and its write are separate steps, so two drivers can both pass
+    // the check and interleave part files into one snapshot dir. The
+    // data write is then Append INTO the claimed (empty) dir — Append
+    // never deletes the path, so the claim is never released mid-write
+    // the way Overwrite's delete-then-recreate would.
+    Files.createDirectory(target)
+    df.write.mode(SaveMode.Append).parquet(target.toString)
     dir
   }
 
@@ -129,26 +143,81 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
 
   // ---- refresh modes (C1/C2) -------------------------------------------
 
+  /** Optimistic cross-process concurrency. `synchronized` serializes
+    * writers within ONE handle; two drivers (or two handles) sharing a
+    * warehouse can still race to the same next id. `writeData`'s
+    * `ErrorIfExists` makes the loser throw instead of corrupting the
+    * winner's dir — here the loser is caught, the manifest head
+    * re-read, and the publish retried under the fresh id (bounded
+    * attempts), so a scheduled refresh that loses the race lands on
+    * the next attempt instead of staying failed until its next tick —
+    * the reference's ACID-append contract
+    * (docs/spec/components/caching.md:113-170). The body re-derives
+    * everything (parent manifests, merge inputs) from the re-read
+    * state, so a retry appends/merges onto the WINNER's snapshot. */
+  private val MaxPublishAttempts = 3
+  private val CollisionWaitMillis = 30000L
+  private val CollisionPollMillis = 250L
+
+  private def isIdCollision(e: Throwable, id: Long): Boolean = e match {
+    case f: java.nio.file.FileAlreadyExistsException =>
+      Option(f.getFile).exists(_.endsWith(s"s$id"))
+    case _ =>
+      val m = Option(e.getMessage).getOrElse("")
+      (m.contains("already exists") || m.contains("PATH_ALREADY_EXISTS")) &&
+        m.contains(s"s$id")
+  }
+
+  private def withFreshId(body: (Seq[Manifest], Long) => Long): Long = {
+    var attempt = 1
+    var ms = loadManifests()
+    while (true) {
+      val id = ms.headOption.fold(1L)(_.id + 1)
+      try return body(ms, id)
+      catch {
+        case e: Exception if isIdCollision(e, id) && attempt < MaxPublishAttempts =>
+          attempt += 1
+          // The winner holds the dir claim but may still be writing
+          // data: retrying immediately would just collide on the same
+          // id again and exhaust the attempts. Poll until the winner's
+          // manifest lands (head advances past the collided id) before
+          // recomputing; if the claimer died mid-write the head never
+          // advances, the next attempt collides again, and the failure
+          // propagates loudly after MaxPublishAttempts — operator
+          // intervention territory, not silent corruption.
+          val deadline = System.currentTimeMillis() + CollisionWaitMillis
+          var cur = loadManifests()
+          while (cur.headOption.fold(0L)(_.id) < id &&
+              System.currentTimeMillis() < deadline) {
+            Thread.sleep(CollisionPollMillis)
+            cur = loadManifests()
+          }
+          ms = cur
+      }
+    }
+    -1L // unreachable
+  }
+
   /** full: materialize the query result as a brand-new state. */
   def refreshFull(df: DataFrame): Long = synchronized {
-    val ms = loadManifests()
-    val id = ms.headOption.fold(1L)(_.id + 1)
-    val dir = writeData(id, df)
-    publish(id, "full", writtenCount(dir), Seq(dir))
-    id
+    withFreshId { (_, id) =>
+      val dir = writeData(id, df)
+      publish(id, "full", writtenCount(dir), Seq(dir))
+      id
+    }
   }
 
   /** append: write ONLY the new rows; the manifest chains the parent
     * dirs. The caller filters by cursor high-water (CacheManager). */
   def refreshAppend(newRows: DataFrame): Long = synchronized {
-    val ms = loadManifests()
-    val id = ms.headOption.fold(1L)(_.id + 1)
-    val parent = currentSnapshotId.map(manifestFor(ms, _))
-    val dir = writeData(id, newRows)
-    publish(id, "append",
-      parent.fold(0L)(_.rowCount) + writtenCount(dir),
-      parent.fold(Seq.empty[String])(_.dirs) :+ dir)
-    id
+    withFreshId { (ms, id) =>
+      val parent = currentSnapshotId.map(manifestFor(ms, _))
+      val dir = writeData(id, newRows)
+      publish(id, "append",
+        parent.fold(0L)(_.rowCount) + writtenCount(dir),
+        parent.fold(Seq.empty[String])(_.dirs) :+ dir)
+      id
+    }
   }
 
   /** merge: upsert by primary key — keep current rows with no matching
@@ -158,19 +227,19 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
     * layout; with one, only affected partitions would rewrite. */
   def refreshMerge(newRows: DataFrame, primaryKeys: Seq[String]): Long = synchronized {
     require(primaryKeys.nonEmpty, "merge mode requires primary keys")
-    val ms = loadManifests()
-    val id = ms.headOption.fold(1L)(_.id + 1)
-    val merged = currentSnapshotId match {
-      case None => newRows
-      case Some(cur) =>
-        val dirs = manifestFor(ms, cur).dirs.map(dataPath)
-        spark.read.parquet(dirs: _*)
-          .join(newRows, primaryKeys, "left_anti")
-          .unionByName(newRows)
+    withFreshId { (ms, id) =>
+      val merged = currentSnapshotId match {
+        case None => newRows
+        case Some(cur) =>
+          val dirs = manifestFor(ms, cur).dirs.map(dataPath)
+          spark.read.parquet(dirs: _*)
+            .join(newRows, primaryKeys, "left_anti")
+            .unionByName(newRows)
+      }
+      val dir = writeData(id, merged)
+      publish(id, "merge", writtenCount(dir), Seq(dir))
+      id
     }
-    val dir = writeData(id, merged)
-    publish(id, "merge", writtenCount(dir), Seq(dir))
-    id
   }
 
   // ---- reads (C9/C10) ---------------------------------------------------
@@ -215,15 +284,15 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
   /** Compaction: rewrite the live state into `targetFiles` files and
     * publish it as a new snapshot (merge-adjacent-files analog). */
   def compact(targetFiles: Int = 1): Long = synchronized {
-    val ms = loadManifests()
-    val id = ms.headOption.fold(1L)(_.id + 1)
-    val cur = currentSnapshotId.getOrElse(
-      throw new IllegalStateException(s"table $name has no snapshots"))
-    val dirs = manifestFor(ms, cur).dirs.map(dataPath)
-    val df = spark.read.parquet(dirs: _*).repartition(targetFiles)
-    val dir = writeData(id, df)
-    publish(id, "compact", writtenCount(dir), Seq(dir))
-    id
+    withFreshId { (ms, id) =>
+      val cur = currentSnapshotId.getOrElse(
+        throw new IllegalStateException(s"table $name has no snapshots"))
+      val dirs = manifestFor(ms, cur).dirs.map(dataPath)
+      val df = spark.read.parquet(dirs: _*).repartition(targetFiles)
+      val dir = writeData(id, df)
+      publish(id, "compact", writtenCount(dir), Seq(dir))
+      id
+    }
   }
 
   private def rewriteMeta(retained: Seq[Manifest]): Unit = {

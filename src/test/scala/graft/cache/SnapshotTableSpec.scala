@@ -2,6 +2,8 @@ package graft.cache
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -92,6 +94,42 @@ class SnapshotTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("mode", "dirs").collect().head
     assert(m.getString(0) == "compact")
     assert(m.getSeq[String](1) == Seq(s"s$cid"))
+  }
+
+  test("two drivers racing refreshFull on one shared dir both land") {
+    // Two handles over the SAME table dir, on two sessions — the
+    // in-JVM stand-in for two drivers sharing a warehouse. Each
+    // instance's `synchronized` covers only itself, so the pair race
+    // the same next id: the snapshot-dir create is the atomic claim,
+    // the loser polls for the winner's manifest and retries under the
+    // fresh id. Both snapshots must land, the pointer must end at the
+    // higher id, and each snapshot must read back exactly its own
+    // rows (no interleaved part files).
+    val a = new SnapshotTable(spark, root, "t_race")
+    val b = new SnapshotTable(spark.newSession(), root, "t_race")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def racer(t: SnapshotTable, rows: Range): Thread = {
+      val th = new Thread(() =>
+        try { barrier.await(); t.refreshFull(df(rows)) }
+        catch { case e: Throwable => errors.add(e) })
+      th.start(); th
+    }
+    for (round <- 1 to 3) {
+      val t1 = racer(a, 1 to 100)
+      val t2 = racer(b, 1 to 50)
+      t1.join(120000); t2.join(120000)
+      assert(errors.isEmpty, s"round $round: ${errors.asScala.map(_.toString)}")
+      val ids = a.snapshots().select("snapshot_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == (1L to 2L * round), s"round $round ids: $ids")
+      assert(a.currentSnapshotId.contains(2L * round))
+      // every snapshot is exactly one racer's dataset, never a mix
+      ids.foreach { id =>
+        val n = a.read(Some(id)).count()
+        assert(n == 100 || n == 50, s"snapshot $id has $n rows (interleaved write?)")
+      }
+    }
   }
 
   test("interval parsing: reference regex (\\d+)[smhd]") {
