@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-slope gate: measured evidence that the heavy operators scale
+  * near-linearly in data size, not just that their plan SHAPE looks
+  * 100 TB-safe (PlanSpec locks the shape; this locks the slope).
+  *
+  * Method: each heavy query runs COLD at sf0.01 and at sf0.1 — 10× the
+  * data — and the gate asserts the wall-time ratio stays in the
+  * near-linear band. A hidden quadratic (an un-bucketed similarity
+  * join, a window that funnels the corpus through one reducer) shows
+  * up as a ≥50× ratio at 10× data; linear work with per-query fixed
+  * overhead shows up as <10×.
+  *
+  * Cold discipline: every measurement runs on a FRESH `newSession()` —
+  * the shared-intermediate memoizers (pair caches, Lloyd centroids,
+  * bucketed layouts) key on session identity, so a measurement can
+  * never read a previous run's cached work. One JIT warmup pass per
+  * query at sf0.001 precedes measurement so the small-SF numbers
+  * aren't paying first-codegen cost that the big-SF run then skips.
+  *
+  * Gate: ratio ≤ MaxRatio, with the small-side time floored at
+  * [[OverheadFloorSec]] — below the floor a query is mostly fixed
+  * overhead (plan analysis, codegen, job scheduling) and a raw ratio
+  * divides by noise; the floor makes the bound "big-SF time must stay
+  * within MaxRatio × max(small, floor)", which a quadratic still
+  * violates by an order of magnitude.
+  */
+object Slope {
+
+  /** The operators whose 100 TB safety rests on non-obvious structure
+    * (banded LSH instead of all-pairs, bucketed joins, salted windows,
+    * partial aggregation) — the ones where a silent regression to a
+    * quadratic form would be invisible to correctness tests. */
+  val HeavyOps: Seq[String] = Seq(
+    "simhash_neardup_pairs",
+    "neardup_minhash_lsh",
+    "embdup_cosine_pairs",
+    "tfidf_top_terms",
+    "corpus_prep_summary",
+    "ann_ivf_trained",
+    "ev2_sessionize")
+
+  val MaxRatio = 15.0
+  val OverheadFloorSec = 0.3
+
+  final case class Measurement(name: String, tSmall: Double, tBig: Double) {
+    def effRatio: Double = tBig / math.max(tSmall, OverheadFloorSec)
+    def ok: Boolean = tSmall > 0 && tBig > 0 && effRatio <= MaxRatio
+  }
+
+  private def timeCold(root: SparkSession, name: String, dir: String): Double = {
+    val s = root.newSession()
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(s, dir)
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def measure(spark: SparkSession, smallDir: String, bigDir: String,
+      warmupDir: String, names: Seq[String] = HeavyOps): Seq[Measurement] = {
+    names.foreach(n => timeCold(spark, n, warmupDir)) // JIT/codegen warmup
+    names.map { n =>
+      val small = timeCold(spark, n, smallDir)
+      val big = timeCold(spark, n, bigDir)
+      Measurement(n, small, big)
+    }
+  }
+
+  def toJson(ms: Seq[Measurement], smallDir: String, bigDir: String): String = {
+    val rows = ms.map { m =>
+      f""""${m.name}":{"t_small":${m.tSmall}%.3f,"t_big":${m.tBig}%.3f,""" +
+        f""""ratio":${m.effRatio}%.2f,"ok":${m.ok}}"""
+    }.mkString("{", ",", "}")
+    s"""{"sf_small":"$smallDir","sf_big":"$bigDir",""" +
+      s""""data_factor":"10x documents/events/orders, 4x embeddings",""" +
+      s""""max_ratio_gate":$MaxRatio,"overhead_floor_sec":$OverheadFloorSec,""" +
+      s""""all_ok":${ms.forall(_.ok)},"queries":$rows}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val small = args.lift(0).getOrElse("/root/testdata/sf0.01")
+    val big = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val warmup = args.lift(2).getOrElse("/root/testdata/sf0.001")
+    val out = args.lift(3).getOrElse("SLOPE.json")
+    val spark = GraftSession.build("graft-slope")
+    val ms = measure(spark, small, big, warmup)
+    ms.foreach(m => println(
+      f"[slope] ${m.name}%-28s small ${m.tSmall}%6.2fs  big ${m.tBig}%6.2fs  ratio ${m.effRatio}%5.1f  ${if (m.ok) "ok" else "FAIL"}"))
+    val line = toJson(ms, small, big)
+    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    spark.stop()
+    if (!ms.forall(_.ok)) sys.exit(1)
+  }
+}
