@@ -145,6 +145,46 @@ object CacheQueries extends QuerySet {
         .orderBy("c_custkey")
     })
 
+  // C4/C5 end-to-end under the serve path: three cursor appends, then
+  // retention (keep 2 — chained append ancestors' dirs must survive
+  // the manifest drop), then compaction into one dir, then aggressive
+  // retention (keep 1 — now the pre-compaction dirs really delete).
+  // The gated fact is row parity of the final read against the source
+  // recomputed in DuckDB: if compaction lost or duplicated rows, or
+  // expiry deleted a dir the live snapshot still references, the hash
+  // breaks.
+  private val cacheMaint = QueryDef(
+    "cache_maintenance_read",
+    Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+           |FROM orders WHERE o_orderkey <= 3000 ORDER BY o_orderkey""".stripMargin),
+    (s, dir) => {
+      val t = memo(s, "maint", dir) {
+        Tables.register(s, dir)
+        val mgr = new CacheManager(s, freshRoot(s"maint_${math.abs(dir.hashCode)}"))
+        val cursorCfg = CacheConfig(enabled = true, table = "orders_maint",
+          cursor = Some(CursorConfig("o_orderkey", "int")))
+        val ep = EndpointConfig(urlPath = "/orders-maint",
+          templateSource = "orders_maint.sql", cache = cursorCfg)
+        val template =
+          """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            |WHERE o_orderkey <= {{conn.upper_bound}}
+            |{{#cache.cursorLastValue}}
+            |  AND o_orderkey > {{cache.cursorLastValue}}
+            |{{/cache.cursorLastValue}}""".stripMargin
+        mgr.refresh(ep, template, connProps = Map("upper_bound" -> "1000"))
+        mgr.refresh(ep, template, connProps = Map("upper_bound" -> "2000"))
+        mgr.refresh(ep, template, connProps = Map("upper_bound" -> "3000"))
+        val tbl = mgr.table(cursorCfg)
+        tbl.expireSnapshots(keepLast = 2)
+        tbl.compact(targetFiles = 1)
+        tbl.expireSnapshots(keepLast = 1)
+        tbl
+      }
+      t.read()
+        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderkey")
+    })
+
   // C3: snapshot introspection — ids/modes/row counts are deterministic
   // (timestamps are not, so the digest excludes them). Oracle is the
   // expected manifest as inline VALUES.
@@ -162,5 +202,5 @@ object CacheQueries extends QuerySet {
         .orderBy("snapshot_id"))
 
   override val defs: Seq[QueryDef] =
-    Seq(cacheFull, cacheAppend, cacheTravel, cacheMerge, cacheMeta)
+    Seq(cacheFull, cacheAppend, cacheTravel, cacheMerge, cacheMaint, cacheMeta)
 }
