@@ -27,12 +27,29 @@ import org.apache.spark.sql.types._
   *  - NaN / ±Infinity have no JSON rendering → null (reference emits
   *    via double-to-string which JSON parsers reject; null is the safe
   *    wire form and what its HTTP layer effectively produces);
-  *  - CalendarInterval → "months:days.millis" string (:415-421).
+  *  - CalendarInterval → "months:days.millis" string (:415-421);
+  *  - TIME: no Spark TIME type — the wire convention is a LongType
+  *    column carrying micros-since-midnight with metadata `graft.time
+  *    = true`, emitted as `HH:MM:SS.mmm` (:407-413);
+  *  - UNION: no Spark union type — the convention is a StructType of
+  *    (tag: integral, member1, ..., memberN) with metadata
+  *    `graft.union = true`: only the member selected by the row's tag
+  *    emits, as `{memberName: value}` (:647-681 — the reference reads
+  *    the physical union the same way: child 0 is the tag, member i
+  *    lives at child i+1; an out-of-range tag fails safe to null).
   */
 object JsonWire {
 
   /** Metadata key marking a string column as JSON-typed. */
   val JsonAliasKey = "graft.json"
+
+  /** Metadata key marking a LongType column as TIME (micros since
+    * midnight) — emitted as HH:MM:SS.mmm. */
+  val TimeAliasKey = "graft.time"
+
+  /** Metadata key marking a (tag, members...) struct as a UNION —
+    * only the tag-selected member is emitted. */
+  val UnionAliasKey = "graft.union"
 
   private val tsFormat =
     DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").withZone(ZoneOffset.UTC)
@@ -48,17 +65,26 @@ object JsonWire {
       val f = schema(i)
       appendString(b, f.name)
       b.append(':')
-      appendValue(b, f.dataType, r.get(i), isJsonAlias(f.metadata))
+      appendValue(b, f.dataType, r.get(i), f.metadata)
       i += 1
     }
     b.append('}').toString
   }
 
-  private def isJsonAlias(m: Metadata): Boolean =
-    m.contains(JsonAliasKey) && m.getBoolean(JsonAliasKey)
+  private def flag(m: Metadata, key: String): Boolean =
+    m.contains(key) && m.getBoolean(key)
 
-  def appendValue(b: StringBuilder, dt: DataType, v: Any, jsonAlias: Boolean = false): Unit = {
+  def appendValue(b: StringBuilder, dt: DataType, v: Any,
+      meta: Metadata = Metadata.empty): Unit = {
     if (v == null) { b.append("null"); return }
+    val jsonAlias = flag(meta, JsonAliasKey)
+    if (flag(meta, TimeAliasKey)) { appendTime(b, v); return }
+    dt match {
+      case st: StructType if flag(meta, UnionAliasKey) =>
+        appendUnion(b, st, v.asInstanceOf[Row])
+        return
+      case _ =>
+    }
     dt match {
       case BooleanType => b.append(v.toString)
       case ByteType | ShortType | IntegerType | LongType => b.append(v.toString)
@@ -125,13 +151,44 @@ object JsonWire {
           if (i > 0) b.append(',')
           appendString(b, st(i).name)
           b.append(':')
-          appendValue(b, st(i).dataType, r.get(i), isJsonAlias(st(i).metadata))
+          appendValue(b, st(i).dataType, r.get(i), st(i).metadata)
           i += 1
         }
         b.append('}')
       case _ =>
         appendString(b, v.toString) // VARIANT/unknown: ToString fallback
     }
+  }
+
+  /** TIME convention: micros-since-midnight → HH:MM:SS.mmm
+    * (query_executor.cpp:407-413 emits exactly this shape). */
+  private def appendTime(b: StringBuilder, v: Any): Unit = v match {
+    case n: Number =>
+      val micros = n.longValue()
+      if (micros < 0L || micros >= 86400000000L) { b.append("null"); return }
+      val h = micros / 3600000000L
+      val m = micros / 60000000L % 60
+      val s = micros / 1000000L % 60
+      val ms = micros / 1000L % 1000
+      appendString(b, f"$h%02d:$m%02d:$s%02d.$ms%03d")
+    case other => appendString(b, other.toString)
+  }
+
+  /** UNION convention: struct child 0 is the integral tag, member i
+    * lives at child i+1; emit ONLY the active member as {name: value}.
+    * Out-of-range tags fail safe to null rather than reading a
+    * different member (query_executor.cpp:655-681). */
+  private def appendUnion(b: StringBuilder, st: StructType, r: Row): Unit = {
+    val tagOk = st.length >= 2 && !r.isNullAt(0) &&
+      (r.get(0) match { case _: Number => true; case _ => false })
+    if (!tagOk) { b.append("null"); return }
+    val member = r.get(0).asInstanceOf[Number].intValue() + 1
+    if (member < 1 || member >= st.length) { b.append("null"); return }
+    b.append('{')
+    appendString(b, st(member).name)
+    b.append(':')
+    appendValue(b, st(member).dataType, r.get(member), st(member).metadata)
+    b.append('}')
   }
 
   /** A JSON alias embeds raw iff it parses as a JSON object/array/

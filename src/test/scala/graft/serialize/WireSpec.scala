@@ -79,6 +79,39 @@ class WireSpec extends AnyFunSuite {
     assert(JsonWire.row(schema, Row("{oops")) == """{"j":"{oops"}""")
   }
 
+  test("TIME convention: micros-since-midnight long emits HH:MM:SS.mmm") {
+    val meta = new MetadataBuilder().putBoolean(JsonWire.TimeAliasKey, true).build()
+    val schema = StructType(Seq(StructField("t", LongType, metadata = meta)))
+    // 13:45:30.123 = 13h*3600 + 45m*60 + 30.123456s in micros
+    val micros = (13L * 3600 + 45 * 60 + 30) * 1000000L + 123456L
+    assert(JsonWire.row(schema, Row(micros)) == """{"t":"13:45:30.123"}""")
+    assert(JsonWire.row(schema, Row(0L)) == """{"t":"00:00:00.000"}""")
+    assert(JsonWire.row(schema, Row(null)) == """{"t":null}""")
+    // out of the day's range: fail safe, not a nonsense clock reading
+    assert(JsonWire.row(schema, Row(86400000000L)) == """{"t":null}""")
+  }
+
+  test("UNION convention: tagged struct emits only the active member") {
+    val st = StructType(Seq(
+      StructField("tag", ByteType),
+      StructField("num", IntegerType),
+      StructField("str", StringType)))
+    val meta = new MetadataBuilder().putBoolean(JsonWire.UnionAliasKey, true).build()
+    val schema = StructType(Seq(StructField("u", st, metadata = meta)))
+    // tag 0 selects member child 1 (num); the inactive member is absent
+    assert(JsonWire.row(schema, Row(Row(0.toByte, 42, null))) == """{"u":{"num":42}}""")
+    assert(JsonWire.row(schema, Row(Row(1.toByte, null, "x"))) == """{"u":{"str":"x"}}""")
+    // null union row, null tag, and out-of-range tag all fail safe
+    assert(JsonWire.row(schema, Row(null)) == """{"u":null}""")
+    assert(JsonWire.row(schema, Row(Row(null, 1, "x"))) == """{"u":null}""")
+    assert(JsonWire.row(schema, Row(Row(9.toByte, 1, "x"))) == """{"u":null}""")
+    // WITHOUT the metadata the same struct emits generically — the
+    // union reading is opt-in, never inferred from shape
+    val plain = StructType(Seq(StructField("u", st)))
+    assert(JsonWire.row(plain, Row(Row(0.toByte, 42, null))) ==
+      """{"u":{"tag":0,"num":42,"str":null}}""")
+  }
+
   test("full row object") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("name", StringType)))
