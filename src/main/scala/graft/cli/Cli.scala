@@ -10,12 +10,13 @@ import graft.config.{ConfigBundle, EndpointConfig, YamlConfig}
   * capability analog of the reference's TypeScript CLI
   * (/root/reference/cli/src/commands/{config/validate.ts,templates,
   * project}): validate endpoint configs, expand a template to its
-  * final engine SQL, pack/unpack config bundles. The reference CLI is
-  * an HTTP client for a running ConfigService; graft is a library, so
-  * the CLI binds the same machinery in-process (the REST/MCP config
-  * surface already covers the remote case) and needs no server and no
-  * SparkSession — every subcommand is a local-developer authoring
-  * tool that works air-gapped.
+  * final engine SQL, pack/unpack config bundles. The offline
+  * subcommands bind the config machinery in-process and need no
+  * server and no SparkSession — local-developer authoring tools that
+  * work air-gapped. `--server URL` switches to remote mode: an HTTP
+  * client for a RUNNING GraftServer's config service, the same role
+  * the reference CLI plays (ping/health/endpoints/schema/validate/
+  * cache refresh — cli/src/index.ts:6-14).
   *
   * Subcommands:
   *  - `validate <file|dir>`: structural checks + a dry render with
@@ -37,11 +38,35 @@ object Cli {
       |  validate <endpoint.yaml | config-dir>
       |  expand-template <endpoint.yaml> [param=value ...]
       |  bundle pack <config-dir> <out.zip> [--allow-secrets] [--epoch N]
-      |  bundle unpack <bundle.zip> <dest-dir>""".stripMargin
+      |  bundle unpack <bundle.zip> <dest-dir>
+      |
+      |remote mode (client for a running graft server, mirroring the
+      |reference CLI's server commands):
+      |  --server URL [--token T] [--timeout SECS] <remote-command>
+      |    ping                     GET  _config/project
+      |    health                   GET  _config/health
+      |    endpoints list           GET  _config/endpoints
+      |    endpoints get <slug>     GET  _config/endpoints/<slug>
+      |    schema                   GET  _config/schema
+      |    validate <slug>          POST _config/endpoints/<slug>/validate
+      |    cache refresh <slug>     POST _config/endpoints/<slug>/cache/refresh""".stripMargin
 
   /** Testable entry: returns the process exit code. */
   def run(args: Seq[String], out: PrintStream, err: PrintStream): Int =
-    try args.toList match {
+    try {
+      val (remote, rest) = parseRemoteFlags(args.toList)
+      remote match {
+        case Some(r) => runRemote(r, rest, out, err)
+        case None => runLocal(rest, out, err)
+      }
+    } catch {
+      case e: Exception =>
+        err.println(s"error: ${String.valueOf(e.getMessage)}")
+        1
+    }
+
+  private def runLocal(args: List[String], out: PrintStream, err: PrintStream): Int =
+    try args match {
       case "init" :: rest =>
         init(rest, out, err)
       case "validate" :: path :: Nil =>
@@ -62,6 +87,86 @@ object Cli {
         err.println(s"error: ${String.valueOf(e.getMessage)}")
         1
     }
+
+  // ---- remote mode (HTTP client for a running GraftServer) --------------
+
+  /** The reference CLI is an HTTP client for the server's config
+    * service (/root/reference/cli/src/index.ts — ping/health/
+    * endpoints/schema/cache commands over axios); `--server` puts this
+    * CLI in the same role against GraftServer's /api/v1/_config
+    * surface using the JDK HttpClient. Exit code is 0 for 2xx, 1
+    * otherwise; the response body (JSON) prints verbatim to stdout so
+    * output composes with jq the way the reference's does. */
+  private final case class RemoteConfig(
+      base: String, token: Option[String], timeoutSec: Long)
+
+  /** Extract --server/--token/--timeout wherever they appear; the
+    * remainder is the (sub)command. */
+  private def parseRemoteFlags(args: List[String]): (Option[RemoteConfig], List[String]) = {
+    var server: Option[String] = None
+    var token: Option[String] = None
+    var timeout = 30L
+    val rest = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--server" if i + 1 < args.length => server = Some(args(i + 1)); i += 2
+        case "--token" if i + 1 < args.length => token = Some(args(i + 1)); i += 2
+        case "--timeout" if i + 1 < args.length =>
+          timeout = args(i + 1).toLong; i += 2
+        case a => rest += a; i += 1
+      }
+    }
+    (server.map(s => RemoteConfig(s.stripSuffix("/"), token, timeout)), rest.toList)
+  }
+
+  private def request(r: RemoteConfig, method: String, path: String): (Int, String) = {
+    val b = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(r.base + path))
+      .timeout(java.time.Duration.ofSeconds(r.timeoutSec))
+    r.token.foreach(t => b.header("Authorization", s"Bearer $t"))
+    val req = (method match {
+      case "GET" => b.GET()
+      // empty body: the server's validate route treats a non-empty
+      // body as an endpoint definition to validate INSTEAD of the
+      // served one; the CLI's slug form targets the served endpoint
+      case "POST" => b.POST(java.net.http.HttpRequest.BodyPublishers.noBody())
+    }).build()
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(r.timeoutSec)).build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+
+  private def runRemote(r: RemoteConfig, args: List[String],
+      out: PrintStream, err: PrintStream): Int = {
+    val cfgBase = "/api/v1/_config"
+    val call: Option[(String, String)] = args match {
+      case List("ping") => Some(("GET", s"$cfgBase/project"))
+      case List("health") => Some(("GET", s"$cfgBase/health"))
+      case List("endpoints", "list") => Some(("GET", s"$cfgBase/endpoints"))
+      case List("endpoints", "get", slug) =>
+        Some(("GET", s"$cfgBase/endpoints/${enc(slug)}"))
+      case List("schema") => Some(("GET", s"$cfgBase/schema"))
+      case List("validate", slug) =>
+        Some(("POST", s"$cfgBase/endpoints/${enc(slug)}/validate"))
+      case List("cache", "refresh", slug) =>
+        Some(("POST", s"$cfgBase/endpoints/${enc(slug)}/cache/refresh"))
+      case _ => None
+    }
+    call match {
+      case None =>
+        err.println(usage)
+        2
+      case Some((method, path)) =>
+        val (code, bodyText) = request(r, method, path)
+        if (code >= 200 && code < 300) { out.println(bodyText); 0 }
+        else { err.println(s"HTTP $code: $bodyText"); 1 }
+    }
+  }
 
   // ---- init --------------------------------------------------------------
 

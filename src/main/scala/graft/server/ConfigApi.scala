@@ -222,6 +222,17 @@ final class ConfigApi(
         n.put("endpoints", registry.all.size)
         json(ex, 200, mapper.writeValueAsString(n))
 
+      // overall service health (reference CLI `health` hits GET
+      // /api/v1/_config/health): storage verdict + serving counts
+      case (List("health"), "GET") =>
+        val h = graft.template.VfsHealth.checkHealth(
+          spark, cfg.storagePaths.toSeq.sortBy(_._1))
+        val root = mapper.createObjectNode()
+        root.put("status", if (h.healthy) "healthy" else "unhealthy")
+        root.put("endpoints", registry.all.size)
+        root.put("storage_backends", h.backends.size)
+        json(ex, if (h.healthy) 200 else 503, mapper.writeValueAsString(root))
+
       // storage-backend health (reference vfs_health_checker.cpp via
       // config_service.cpp:619-631): accessibility + latency per path
       case (List("health", "storage"), "GET") =>

@@ -1,0 +1,120 @@
+package graft.cli
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.ResponseShape
+import graft.cache.CacheManager
+import graft.config.{CacheConfig, EndpointConfig}
+import graft.server.{ConfigServiceConfig, GraftServer, ServedEndpoint}
+
+/** The CLI's remote mode end-to-end: boot a real GraftServer (config
+  * service + cache manager wired) and drive every `--server`
+  * subcommand against it — the coverage the reference holds for its
+  * TypeScript client (cli/src/commands/{ping,health,endpoints,schema,
+  * cache}). */
+class CliRemoteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var server: GraftServer = _
+  private var base: String = _
+  private val token = "cli-secret"
+
+  private val cachedEndpoint = ServedEndpoint(
+    EndpointConfig(
+      urlPath = "/cli-cached",
+      templateSource = "cli_cached.sql",
+      requestFieldsValidation = false,
+      cache = CacheConfig(enabled = true, table = "cli_cache")),
+    "SELECT id, name FROM cli_src ORDER BY id",
+    shape = ResponseShape())
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]").appName("cli-remote-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val ss = spark
+    import ss.implicits._
+    Seq((1L, "alice"), (2L, "bob")).toDF("id", "name")
+      .createOrReplaceTempView("cli_src")
+    val mgr = new CacheManager(spark,
+      Files.createTempDirectory("graft_cli_remote").toString)
+    server = new GraftServer(spark, Seq(cachedEndpoint),
+      configService = Some(ConfigServiceConfig(token = Some(token))),
+      cacheManager = Some(mgr)).start()
+    base = s"http://127.0.0.1:${server.boundPort}"
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop()
+    if (spark != null) spark.stop()
+  }
+
+  private def cli(args: String*): (Int, String, String) = {
+    val o = new ByteArrayOutputStream()
+    val e = new ByteArrayOutputStream()
+    val code = Cli.run(args.toIndexedSeq,
+      new PrintStream(o, true, "UTF-8"), new PrintStream(e, true, "UTF-8"))
+    (code, o.toString("UTF-8"), e.toString("UTF-8"))
+  }
+
+  private def remote(args: String*): (Int, String, String) =
+    cli(Seq("--server", base, "--token", token) ++ args: _*)
+
+  test("ping reports the running project") {
+    val (code, out, _) = remote("ping")
+    assert(code == 0, out)
+    assert(out.contains("\"graft\"") && out.contains("\"endpoints\":1"))
+  }
+
+  test("health reports overall status") {
+    val (code, out, _) = remote("health")
+    assert(code == 0, out)
+    assert(out.contains("\"status\":\"healthy\""))
+  }
+
+  test("endpoints list and get surface the served endpoint") {
+    val (code, out, _) = remote("endpoints", "list")
+    assert(code == 0, out)
+    assert(out.contains("cli-cached"))
+    val (code2, out2, _) = remote("endpoints", "get", "cli-cached")
+    assert(code2 == 0, out2)
+    assert(out2.contains("/cli-cached"))
+  }
+
+  test("schema lists live catalog tables with columns") {
+    val (code, out, _) = remote("schema")
+    assert(code == 0, out)
+    assert(out.contains("cli_src") && out.contains("\"name\":\"id\""))
+  }
+
+  test("validate runs the server-side rule set") {
+    val (code, out, _) = remote("validate", "cli-cached")
+    assert(code == 0, out)
+    assert(out.contains("\"valid\":true"))
+  }
+
+  test("cache refresh materializes a snapshot through the wired manager") {
+    val (code, out, _) = remote("cache", "refresh", "cli-cached")
+    assert(code == 0, out)
+    assert(out.contains("\"refreshed\":true") && out.contains("\"snapshot_id\":1"))
+    // the snapshot is really there: a second refresh advances the id
+    val (_, out2, _) = remote("cache", "refresh", "cli-cached")
+    assert(out2.contains("\"snapshot_id\":2"))
+  }
+
+  test("auth failures and unknown commands are directed, not silent") {
+    val (code, _, errTxt) =
+      cli("--server", base, "--token", "wrong", "ping")
+    assert(code == 1 && errTxt.contains("401"), errTxt)
+    val (code2, _, err2) = remote("frobnicate")
+    assert(code2 == 2 && err2.contains("usage"), err2)
+  }
+}
