@@ -325,6 +325,69 @@ object EmbeddingQueries extends QuerySet {
         .orderBy("round")
     })
 
+  // ---- IVF recall artifact ----------------------------------------------
+
+  /** Measured recall@3 (vs brute-force cosine ground truth) of the IVF
+    * search at nprobe=2, for the sampled-seed quantizer and for the
+    * Lloyd-trained one — the number the gate deliberately does NOT
+    * assert (recall at fixed nprobe is not monotone in training; the
+    * gated facts are the objective monotonicity above and the search
+    * path via ann_ivf_topk). Emitted into the bench artifact so every
+    * round records what the quantizer actually buys. Probes are the
+    * ids ending in 7 below 100 (10 probes, present at every SF) for a
+    * granularity of 1/30 rather than the 3-probe gate set's 1/9. */
+  def ivfRecallAt3(s: SparkSession, dir: String): (Double, Double) = {
+    val e = withNorm(s, dir).cache()
+    try {
+      val probeIds = (7 to 97 by 10).toSeq
+      val seeds = e.filter(col("vec_id").isin(IvfSeedIds: _*))
+        .select(col("vec_id").cast("int").as("sid"), col("v"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).map(_._2).toSeq
+      val trained = sphericalRounds(e, seeds, IvfTrainedRounds).last._1
+
+      val probes = broadcast(e.filter(col("vec_id").isin(probeIds: _*))
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn")))
+
+      def top3(cand: DataFrame): Map[Long, Set[Long]] = {
+        val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+        cand.withColumn("cos", round(expr(dotExpr) / (col("nrm") * col("pn")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("probe_id").cast("long"), col("vec_id").cast("long"))
+          .collect()
+          .groupBy(_.getLong(0)).map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+      }
+
+      val truth = top3(e.join(probes, col("vec_id") =!= col("probe_id")))
+
+      def recall(cents: Seq[Seq[Double]]): Double = {
+        val cells = cellAssignExpr(cents)
+        val coded = e.withColumn("cell", element_at(cells, 1).getField("cid"))
+        val probeCells = broadcast(
+          e.filter(col("vec_id").isin(probeIds: _*))
+            .withColumn("pcell",
+              explode(transform(slice(cells, 1, IvfNProbe), x => x.getField("cid"))))
+            .select(col("vec_id").as("probe_id"), col("pcell"),
+              col("v").as("pv"), col("nrm").as("pn")))
+        val found = top3(coded.join(probeCells,
+          coded("cell") === probeCells("pcell") && col("vec_id") =!= col("probe_id")))
+        val hits = truth.toSeq.map { case (p, t) =>
+          found.getOrElse(p, Set.empty).count(t.contains).toDouble / t.size
+        }
+        math.rint(hits.sum / hits.size * 1000) / 1000
+      }
+
+      (recall(seeds.map(unitVec)), recall(trained))
+    } finally e.unpersist()
+  }
+
+  private def unitVec(v: Seq[Double]): Seq[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(x => math.rint(x / n * 1e6) / 1e6)
+  }
+
   // ---- embedding-cosine near-dup pairs -----------------------------------
   // The dedup-family variant over VECTORS (companion to the text-side
   // MinHash-LSH): banded hyperplane LSH generates candidates — 24
