@@ -89,5 +89,43 @@ object MultimodalQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
-  override val defs: Seq[QueryDef] = Seq(features, frames, imageDecode)
+  // REAL container round-trip, hash-gated (the video analog of
+  // imageDecode): each doc_id synthesizes a RIFF/AVI whose geometry and
+  // frame count are pure arithmetic on the id and whose movi chunks
+  // carry synthetic PNGs (frame i = syntheticPng(id+i)); the kernel
+  // PARSES the container (avih geometry + chunk offsets), samples the
+  // first and last frame chunks, and ImageIO-decodes their luma. The
+  // oracle states the arithmetic directly — so the gate verifies real
+  // RIFF walking + chunk extraction + codec decode, not a byte-slice
+  // stub.
+  private val videoFrames = QueryDef(
+    "multimodal_video_frames",
+    Some("""SELECT doc_id, true AS ok,
+           |  CAST(8 + doc_id % 16 AS INTEGER) AS width,
+           |  CAST(8 + doc_id % 8 AS INTEGER) AS height,
+           |  CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+           |  CAST(doc_id % 256 AS DOUBLE) AS f0_luma,
+           |  CAST((doc_id + 1 + doc_id % 3) % 256 AS DOUBLE) AS flast_luma
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      import s.implicits._
+      val ids = graft.operators.Parallelize
+        .ensure(Tables.table(s, dir, "documents").select(col("doc_id").cast("long")))
+        .as[Long]
+      val media = ids
+        .mapPartitions(_.map(id => (id, graft.multimodal.MediaKernels.syntheticAvi(id))))
+        .toDF("id", "bytes")
+      graft.multimodal.Multimodal.sampleVideoFrames(s, media, n = 2)
+        .map { vf =>
+          def luma(b: Array[Byte]): Double =
+            graft.multimodal.MediaKernels.decodeImage(Seq((0L, b))).head.meanLuma
+          (vf.id, vf.ok, vf.width, vf.height, vf.nFrames.toLong,
+            luma(vf.frames.head), luma(vf.frames.last))
+        }
+        .toDF("doc_id", "ok", "width", "height", "n_frames", "f0_luma", "flast_luma")
+        .orderBy("doc_id")
+    })
+
+  override val defs: Seq[QueryDef] =
+    Seq(features, frames, imageDecode, videoFrames)
 }

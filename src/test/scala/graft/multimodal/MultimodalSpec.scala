@@ -96,4 +96,45 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.forall(_.size == 4))
     assert(frames.forall(_.forall(_.length <= 4)))
   }
+
+  test("AVI probe reads geometry and frame chunks from real container bytes") {
+    val avi = MediaKernels.syntheticAvi(12L) // nf=2, w=20, h=12
+    val p = MediaKernels.probeAvi(avi)
+    assert(p.isDefined)
+    assert(p.get.width == 20 && p.get.height == 12)
+    assert(p.get.totalFrames == 2 && p.get.frames.length == 2)
+    assert(p.get.usPerFrame == 40000)
+    // each extracted chunk is a decodable PNG with frame-i arithmetic
+    val (off0, sz0) = p.get.frames.head
+    val f0 = java.util.Arrays.copyOfRange(avi, off0, off0 + sz0)
+    val dec = MediaKernels.decodeImage(Seq((0L, f0))).head
+    assert(dec.ok && dec.width == 20 && dec.height == 12 && dec.meanLuma == 12.0)
+  }
+
+  test("AVI probe rejects non-container and truncated bytes, never throws") {
+    assert(MediaKernels.probeAvi(Array.emptyByteArray).isEmpty)
+    assert(MediaKernels.probeAvi("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    assert(MediaKernels.probeAvi(MediaKernels.syntheticPng(5L)).isEmpty)
+    val truncated = MediaKernels.syntheticAvi(7L).take(40)
+    assert(MediaKernels.probeAvi(truncated).isEmpty)
+  }
+
+  test("video frame sampling degrades per row and picks first/last") {
+    val ss = spark
+    import ss.implicits._
+    val media = Seq(
+      (9L, MediaKernels.syntheticAvi(9L)),     // nf = 2 + 9%3 = 2
+      (10L, MediaKernels.syntheticAvi(10L)),   // nf = 3
+      (11L, Array[Byte](9, 9, 9)))             // garbage
+      .toDF("id", "bytes")
+    val out = Multimodal.sampleVideoFrames(spark, media, n = 2)
+      .collect().sortBy(_.id)
+    assert(out.map(v => (v.id, v.ok, v.nFrames)).toSeq ==
+      Seq((9L, true, 2), (10L, true, 3), (11L, false, -1)))
+    // id 10: sampled frames are chunk 0 and chunk 2 (= last), whose
+    // decoded lumas are (10+0)%256 and (10+2)%256
+    val v10 = out.find(_.id == 10L).get
+    val lumas = v10.frames.map(b => MediaKernels.decodeImage(Seq((0L, b))).head.meanLuma)
+    assert(lumas == Seq(10.0, 12.0))
+  }
 }
