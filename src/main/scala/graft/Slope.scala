@@ -68,6 +68,30 @@ object Slope {
     }
   }
 
+  /** Negative control: a DELIBERATE quadratic — all-pairs self-join
+    * over documents with per-pair hash work, the shape every banded-
+    * LSH operator above exists to avoid. Run by the artifact main
+    * (not the spec — it's slow by design) to prove the ratio band
+    * discriminates: if this doesn't blow past MaxRatio at 10× data,
+    * the gate's green rows would be vacuous. */
+  def quadraticControl(root: SparkSession, smallDir: String, bigDir: String): Measurement = {
+    def time(dir: String): Double = {
+      val s = root.newSession()
+      val t0 = System.nanoTime()
+      val d = graft.Tables.table(s, dir, "documents")
+        .selectExpr("doc_id", "substring(text, 1, 32) AS t")
+      // per-pair edit distance = the work profile of a similarity
+      // verify run on EVERY pair instead of banded candidates
+      d.as("a").join(d.as("b"),
+          org.apache.spark.sql.functions.expr("a.doc_id < b.doc_id"))
+        .selectExpr("levenshtein(a.t, b.t) AS h") // bounded ≤32: Σ can't overflow ANSI long
+        .agg(org.apache.spark.sql.functions.sum("h"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    Measurement("control_allpairs_quadratic", time(smallDir), time(bigDir))
+  }
+
   def toJson(ms: Seq[Measurement], smallDir: String, bigDir: String): String = {
     val rows = ms.map { m =>
       f""""${m.name}":{"t_small":${m.tSmall}%.3f,"t_big":${m.tBig}%.3f,""" +
@@ -86,9 +110,13 @@ object Slope {
     val out = args.lift(3).getOrElse("SLOPE.json")
     val spark = GraftSession.build("graft-slope")
     val ms = measure(spark, small, big, warmup)
-    ms.foreach(m => println(
+    val control = quadraticControl(spark, small, big)
+    (ms :+ control).foreach(m => println(
       f"[slope] ${m.name}%-28s small ${m.tSmall}%6.2fs  big ${m.tBig}%6.2fs  ratio ${m.effRatio}%5.1f  ${if (m.ok) "ok" else "FAIL"}"))
-    val line = toJson(ms, small, big)
+    val line = toJson(ms, small, big).stripSuffix("}") +
+      f""","negative_control":{"name":"${control.name}","t_small":${control.tSmall}%.3f,""" +
+      f""""t_big":${control.tBig}%.3f,"ratio":${control.effRatio}%.2f,""" +
+      f""""gate_discriminates":${control.effRatio > MaxRatio}}}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     spark.stop()
