@@ -27,15 +27,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  // session identity -> dir currently registered on that session
-  private val registered = new ConcurrentHashMap[Integer, String]()
+  // session -> dir currently registered on that session (WeakHashMap
+  // semantics via SessionMemo: entry lifetime == session lifetime, no
+  // identity-hash reuse aliasing a fresh session onto a dead one)
+  private val registered = new graft.operators.SessionMemo[String, String]()
 
   /** Idempotently create one temp view per table over `dir`; re-register if
     * the session previously pointed at a different dir. */
   def register(spark: SparkSession, dir: String): Unit = {
-    val key = Integer.valueOf(System.identityHashCode(spark))
-    registered.compute(key, (_, prev) => {
-      if (prev != dir) {
+    registered.compute(spark, "dir") { prev =>
+      if (!prev.contains(dir)) {
         // The driver may hand us a session it built itself (entry()); make
         // sure nanos-timestamp parquet (events.ts) is readable in it too.
         try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -61,7 +62,7 @@ object Tables {
         }
       }
       dir
-    })
+    }
   }
 
   /** Register views then run a SQL query against them. */

@@ -119,7 +119,10 @@ object PlanCache {
   private val TtlMillis = 30000L
   private val generation = new java.util.concurrent.atomic.AtomicLong(0)
 
-  private type Key = (Int, Long, String, Seq[Any])
+  // sessionUUID, not identityHashCode: identity hashes can be reused
+  // after a session is GC'd, which would serve a dead session's plan
+  // to a fresh one inside the TTL window
+  private type Key = (String, Long, String, Seq[Any])
   private final case class Entry(df: DataFrame, builtAt: Long)
   private val cache = new java.util.LinkedHashMap[Key, Entry](64, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[Key, Entry]): Boolean =
@@ -131,7 +134,8 @@ object PlanCache {
 
   def getOrBuild(spark: SparkSession, sql: String, args: Seq[Any])(
       build: => DataFrame): DataFrame = {
-    val key: Key = (System.identityHashCode(spark), generation.get(), sql, args)
+    val key: Key =
+      (graft.operators.SessionMemo.sessionToken(spark), generation.get(), sql, args)
     val now = System.currentTimeMillis()
     cache.synchronized(Option(cache.get(key)).filter(now - _.builtAt < TtlMillis)) match {
       case Some(e) => e.df

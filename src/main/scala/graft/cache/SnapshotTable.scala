@@ -105,6 +105,21 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
     ms.find(_.id == id).getOrElse(
       throw new IllegalArgumentException(s"snapshot $id does not exist for table $name"))
 
+  /** Raised when `_current` points past the manifest view a publish
+    * body loaded — another driver published in between. Retryable via
+    * withFreshId (re-read, recompute), unlike a genuinely missing
+    * snapshot id which stays a loud IllegalArgumentException. */
+  private final class StaleViewException extends RuntimeException(
+    s"manifest view of table $name went stale under a concurrent publish")
+
+  /** manifestFor a publish body: the id coming from `_current` being
+    * AHEAD of `ms` is staleness, not corruption. */
+  private def parentManifest(ms: Seq[Manifest], id: Long): Manifest =
+    ms.find(_.id == id).getOrElse {
+      if (ms.headOption.forall(_.id < id)) throw new StaleViewException
+      throw new IllegalArgumentException(s"snapshot $id does not exist for table $name")
+    }
+
   private def publish(id: Long, mode: String, rowCount: Long, dirs: Seq[String]): Unit = {
     val row = Row(id, new java.sql.Timestamp(System.currentTimeMillis()),
       mode, rowCount, dirs)
@@ -130,7 +145,12 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
     // never deletes the path, so the claim is never released mid-write
     // the way Overwrite's delete-then-recreate would.
     Files.createDirectory(target)
-    df.write.mode(SaveMode.Append).parquet(target.toString)
+    // a failed DATA write (source query error, executor loss) must
+    // release the claim: leaving the dir would make every later
+    // refresh recompute the same head+1, collide on it, and wedge the
+    // table until an operator deletes the orphan by hand
+    try df.write.mode(SaveMode.Append).parquet(target.toString)
+    catch { case e: Throwable => deleteRecursively(target); throw e }
     dir
   }
 
@@ -175,6 +195,12 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
       val id = ms.headOption.fold(1L)(_.id + 1)
       try return body(ms, id)
       catch {
+        case _: StaleViewException if attempt < MaxPublishAttempts =>
+          // another driver published between our manifest read and the
+          // body's `_current` read: the head has ALREADY advanced, so
+          // re-read and retry immediately (no claim was taken yet)
+          attempt += 1
+          ms = loadManifests()
         case e: Exception if isIdCollision(e, id) && attempt < MaxPublishAttempts =>
           attempt += 1
           // The winner holds the dir claim but may still be writing
@@ -211,7 +237,7 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
     * dirs. The caller filters by cursor high-water (CacheManager). */
   def refreshAppend(newRows: DataFrame): Long = synchronized {
     withFreshId { (ms, id) =>
-      val parent = currentSnapshotId.map(manifestFor(ms, _))
+      val parent = currentSnapshotId.map(parentManifest(ms, _))
       val dir = writeData(id, newRows)
       publish(id, "append",
         parent.fold(0L)(_.rowCount) + writtenCount(dir),
@@ -231,7 +257,7 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
       val merged = currentSnapshotId match {
         case None => newRows
         case Some(cur) =>
-          val dirs = manifestFor(ms, cur).dirs.map(dataPath)
+          val dirs = parentManifest(ms, cur).dirs.map(dataPath)
           spark.read.parquet(dirs: _*)
             .join(newRows, primaryKeys, "left_anti")
             .unionByName(newRows)
@@ -265,7 +291,12 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
   /** Retention: keep the newest `keepLast` snapshots (the live one is
     * always kept). Drops manifests, then deletes any data dir no
     * retained manifest references (append chains keep ancestors'
-    * dirs alive). */
+    * dirs alive). In-flight CLAIMS (dirs named past the manifest head)
+    * are never reaped — see the filter below. The manifest REWRITE
+    * itself assumes one maintenance owner per table (the scheduler
+    * role, like DuckLake's heartbeat worker): refresh publishes race
+    * safely against each other, but not against a concurrent
+    * rewriteMeta. */
   def expireSnapshots(keepLast: Int): Seq[Long] = synchronized {
     val ms = loadManifests() // newest first
     val keep = ms.take(math.max(keepLast, 1)).map(_.id).toSet ++ currentSnapshotId
@@ -274,8 +305,20 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
       val retained = ms.filter(m => keep.contains(m.id))
       rewriteMeta(retained)
       val live = retained.flatMap(_.dirs).toSet
+      // Only reap dirs at or below the manifest head we read: a dir
+      // named past the head is another driver's CLAIMED, not-yet-
+      // published snapshot (writeData's createDirectory) — deleting it
+      // under the writer would silently drop part files from a
+      // snapshot that then publishes. Dirs ≤ head that no retained
+      // manifest references are genuinely dead.
+      val head = ms.headOption.fold(0L)(_.id)
       Files.list(snapDir).iterator().asScala.toList
         .filterNot(p => live.contains(p.getFileName.toString))
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("s") && n.drop(1).forall(_.isDigit) &&
+            n.drop(1).toLong <= head
+        }
         .foreach(deleteRecursively)
     }
     drop
@@ -287,7 +330,7 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
     withFreshId { (ms, id) =>
       val cur = currentSnapshotId.getOrElse(
         throw new IllegalStateException(s"table $name has no snapshots"))
-      val dirs = manifestFor(ms, cur).dirs.map(dataPath)
+      val dirs = parentManifest(ms, cur).dirs.map(dataPath)
       val df = spark.read.parquet(dirs: _*).repartition(targetFiles)
       val dir = writeData(id, df)
       publish(id, "compact", writtenCount(dir), Seq(dir))

@@ -216,33 +216,41 @@ object MediaKernels {
           fourcc(bytes, 8) != "AVI ") return None
       var avih: Option[(Int, Int, Int, Int)] = None
       val frames = scala.collection.immutable.IndexedSeq.newBuilder[(Int, Int)]
+      // Chunk sizes come from untrusted bytes: a size that is negative
+      // (u32 > Int.MaxValue) or runs past the buffer is malformed —
+      // bail out entirely rather than clamping, because a corrupt size
+      // also desynchronizes every later chunk boundary. Checking
+      // size < 0 FIRST also guarantees each walk advances by ≥ 8
+      // bytes, so no crafted blob can stall the loop (ok=false is the
+      // contract for bad media, a hung task never is).
       var pos = 12
       while (pos + 8 <= bytes.length) {
         val id = fourcc(bytes, pos)
         val size = u32(bytes, pos + 4).toInt
         val payload = pos + 8
-        if (id == "LIST" && size >= 4 && payload + size <= bytes.length) {
+        if (size < 0 || payload + size > bytes.length) return None
+        if (id == "LIST" && size >= 4) {
           val listType = fourcc(bytes, payload)
+          val end = payload + size
           if (listType == "hdrl") {
             // scan the header list for avih
             var p = payload + 4
-            val end = payload + size
             while (p + 8 <= end) {
               val cid = fourcc(bytes, p)
               val csz = u32(bytes, p + 4).toInt
-              if (cid == "avih" && csz >= 40 && p + 8 + csz <= end)
+              if (csz < 0 || p + 8 + csz > end) return None
+              if (cid == "avih" && csz >= 40)
                 avih = Some((u32(bytes, p + 8).toInt, u32(bytes, p + 24).toInt,
                   u32(bytes, p + 40).toInt, u32(bytes, p + 44).toInt))
               p += 8 + csz + (csz & 1)
             }
           } else if (listType == "movi") {
             var p = payload + 4
-            val end = payload + size
             while (p + 8 <= end) {
               val cid = fourcc(bytes, p)
               val csz = u32(bytes, p + 4).toInt
-              if (p + 8 + csz <= end &&
-                  (cid.endsWith("db") || cid.endsWith("dc")))
+              if (csz < 0 || p + 8 + csz > end) return None
+              if (cid.endsWith("db") || cid.endsWith("dc"))
                 frames += ((p + 8, csz))
               p += 8 + csz + (csz & 1)
             }
@@ -260,7 +268,9 @@ object MediaKernels {
     * Fewer frames than n → all of them; non-AVI bytes → ok=false. */
   def sampleAviFrames(batch: Seq[(Long, Array[Byte])], n: Int): Seq[Multimodal.VideoFrames] =
     batch.map { case (id, bytes) =>
-      probeAvi(bytes) match {
+      // the try wraps the slicing too: one bad blob costs one
+      // ok=false row, never the task (same contract as decodeImage)
+      try probeAvi(bytes) match {
         case None =>
           Multimodal.VideoFrames(id, ok = false, -1, -1, -1, Seq.empty)
         case Some(p) =>
@@ -274,6 +284,8 @@ object MediaKernels {
             java.util.Arrays.copyOfRange(bytes, off, off + sz)
           }
           Multimodal.VideoFrames(id, ok = true, p.width, p.height, k, out)
+      } catch { case _: Exception =>
+        Multimodal.VideoFrames(id, ok = false, -1, -1, -1, Seq.empty)
       }
     }
 

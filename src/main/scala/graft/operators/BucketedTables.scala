@@ -33,8 +33,7 @@ object BucketedTables {
 
   val NumBuckets = 8
 
-  private val built =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
+  private val built = new SessionMemo[String, (String, String)]()
 
   private lazy val jvmNonce = {
     val user = String.valueOf(System.getProperty("user.name", "u"))
@@ -63,7 +62,7 @@ object BucketedTables {
   /** Ensure bucketed `orders`/`customer` tables exist for `dir`; returns
     * their catalog names. */
   def ensure(spark: SparkSession, dir: String): (String, String) =
-    built.getOrElseUpdate((System.identityHashCode(spark), dir), {
+    built.getOrElseUpdate(spark, dir) {
       Tables.register(spark, dir)
       // full-width content hash: String.hashCode is 32-bit and
       // collision-prone, and a collision here silently points two
@@ -86,7 +85,7 @@ object BucketedTables {
       write(spark, "customer", custT, "c_custkey",
         new org.apache.hadoop.fs.Path(root, "customer").toString)
       (ordersT, custT)
-    })
+    }
 
   private def write(spark: SparkSession, view: String, table: String,
       key: String, path: String): Unit = {

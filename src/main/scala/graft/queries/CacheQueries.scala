@@ -24,14 +24,14 @@ object CacheQueries extends QuerySet {
     * schedule and serves many reads per build). The build still runs
     * inside the first (cold) invocation, so correctness covers it.
     */
-  private val built =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), SnapshotTable]
-  // keyed on session identity too: a second session in the same JVM
-  // (test suites stop/rebuild sessions) must not receive a table
-  // bound to a stopped session
+  // keyed on the session object (SessionMemo): a second session in the
+  // same JVM (test suites stop/rebuild sessions) must not receive a
+  // table bound to a stopped session, and a fresh session can never
+  // alias a GC'd one
+  private val built = new graft.operators.SessionMemo[(String, String), SnapshotTable]()
   private def memo(s: SparkSession, tag: String, dir: String)(
       build: => SnapshotTable): SnapshotTable =
-    built.getOrElseUpdate((System.identityHashCode(s), tag, dir), build)
+    built.getOrElseUpdate(s, (tag, dir))(build)
 
   private def freshRoot(tag: String): String = {
     val p = java.nio.file.Paths.get(

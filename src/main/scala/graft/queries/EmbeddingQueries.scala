@@ -301,8 +301,7 @@ object EmbeddingQueries extends QuerySet {
     * intermediate pattern (pairsCache): a serving deployment trains a
     * quantizer once and answers many queries; re-invocation must time
     * the read path, not re-run the Lloyd jobs. */
-  private val lloydCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Seq[Double]]
+  private val lloydCache = new graft.operators.SessionMemo[String, Seq[Double]]()
 
   private val ivfTrained = QueryDef(
     "ann_ivf_trained",
@@ -310,7 +309,7 @@ object EmbeddingQueries extends QuerySet {
            |FROM (VALUES (1), (2)) t(r) ORDER BY round""".stripMargin),
     (s, dir) => {
       import s.implicits._
-      val objs = lloydCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val objs = lloydCache.getOrElseUpdate(s, dir) {
         val e = withNorm(s, dir)
         val seeds = e.filter(col("vec_id").isin(IvfSeedIds: _*))
           .select(col("vec_id").cast("int").as("sid"), col("v"))
@@ -318,7 +317,7 @@ object EmbeddingQueries extends QuerySet {
           .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
           .sortBy(_._1).map(_._2).toSeq
         sphericalRounds(e, seeds, IvfTrainedRounds).map(_._2)
-      })
+      }
       (1 to IvfTrainedRounds)
         .map(r => (r.toLong, objs(r) >= objs(r - 1) - 0.05))
         .toDF("round", "objective_improved")
@@ -379,13 +378,13 @@ object EmbeddingQueries extends QuerySet {
         math.rint(hits.sum / hits.size * 1000) / 1000
       }
 
-      (recall(seeds.map(unitVec)), recall(trained))
+      // sampled = the RAW seed vectors, exactly as ann_ivf_topk
+      // assigns cells (argmax dot with unnormalized seeds); trained =
+      // the unit centroids Lloyd produces. Each number measures the
+      // search path as shipped, so the comparison is the two real
+      // quantizers, not a normalized stand-in.
+      (recall(seeds), recall(trained))
     } finally e.unpersist()
-  }
-
-  private def unitVec(v: Seq[Double]): Seq[Double] = {
-    val n = math.sqrt(v.map(x => x * x).sum)
-    v.map(x => math.rint(x / n * 1e6) / 1e6)
   }
 
   // ---- embedding-cosine near-dup pairs -----------------------------------
@@ -447,12 +446,10 @@ object EmbeddingQueries extends QuerySet {
     * the corpus, and a serving deployment would refresh it on a
     * schedule and answer many requests per build. localCheckpoint cuts
     * the lineage so no anchor/bucket stage re-executes downstream. */
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val pairsCache = new graft.operators.SessionMemo[String, DataFrame]()
 
   private def embPairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate((System.identityHashCode(s), dir),
-      buildEmbPairs(s, dir).localCheckpoint(true))
+    pairsCache.getOrElseUpdate(s, dir)(buildEmbPairs(s, dir).localCheckpoint(true))
 
   private def buildEmbPairs(s: SparkSession, dir: String): DataFrame = {
       val e = withNorm(s, dir)

@@ -390,6 +390,7 @@ object SqlSurfaceQueries extends QuerySet {
         |e AS (
         |  SELECT o_orderpriority, count(*) AS exact_n
         |  FROM (SELECT o_orderpriority, o_custkey FROM orders
+        |        WHERE o_custkey IS NOT NULL -- count(DISTINCT) semantics: NULL is not a value
         |        GROUP BY o_orderpriority, o_custkey)
         |  GROUP BY o_orderpriority)
         |SELECT a.o_orderpriority, e.exact_n,

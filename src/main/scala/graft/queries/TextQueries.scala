@@ -134,7 +134,7 @@ object TextQueries extends QuerySet {
     * set, drop shingles) is the same.
     */
   private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
+    new graft.operators.SessionMemo[String, org.apache.spark.sql.DataFrame]()
 
   private def neardupPairs(s: org.apache.spark.sql.SparkSession, dir: String) =
     // One materialization per (session, source): the pair set is the
@@ -145,12 +145,12 @@ object TextQueries extends QuerySet {
     // invocation still pays the full LSH build, so cold timings and
     // correctness cover it. Keyed on session identity so test suites
     // that stop/rebuild sessions never see a stale checkpoint.
-    pairsCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+    pairsCache.getOrElseUpdate(s, dir) {
       val sh = shingles(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try pairsFromShingles(sh).localCheckpoint(true)
       finally sh.unpersist(false)
-    })
+    }
 
   // ---- near-dup clustering ----------------------------------------------
   // Connected components over the verified pair graph: every clustered

@@ -119,6 +119,20 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MediaKernels.probeAvi(truncated).isEmpty)
   }
 
+  test("AVI probe terminates on malformed chunk sizes (negative u32)") {
+    // corrupt the first LIST's size field to 0xFFFFFFF8 (-8 as Int):
+    // before size validation this made the chunk walk advance by 0 —
+    // a non-throwing infinite loop no catch could break
+    val avi = MediaKernels.syntheticAvi(3L)
+    avi(16) = 0xf8.toByte; avi(17) = 0xff.toByte
+    avi(18) = 0xff.toByte; avi(19) = 0xff.toByte
+    assert(MediaKernels.probeAvi(avi).isEmpty)
+    // zero-size unknown chunks also advance (by the 8-byte header)
+    val pad = "RIFF".getBytes("US-ASCII") ++ Array[Byte](100, 0, 0, 0) ++
+      "AVI JUNK".getBytes("US-ASCII") ++ Array.fill[Byte](92)(0)
+    assert(MediaKernels.probeAvi(pad).isEmpty)
+  }
+
   test("video frame sampling degrades per row and picks first/last") {
     val ss = spark
     import ss.implicits._
