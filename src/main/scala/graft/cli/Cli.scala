@@ -43,13 +43,19 @@ object Cli {
       |remote mode (client for a running graft server, mirroring the
       |reference CLI's server commands):
       |  --server URL [--token T] [--timeout SECS] <remote-command>
-      |    ping                     GET  _config/project
-      |    health                   GET  _config/health
-      |    endpoints list           GET  _config/endpoints
-      |    endpoints get <slug>     GET  _config/endpoints/<slug>
-      |    schema                   GET  _config/schema
-      |    validate <slug>          POST _config/endpoints/<slug>/validate
-      |    cache refresh <slug>     POST _config/endpoints/<slug>/cache/refresh""".stripMargin
+      |    ping                        GET    _config/project
+      |    health                      GET    _config/health
+      |    audit                       GET    _config/audit
+      |    endpoints list              GET    _config/endpoints
+      |    endpoints get <slug>        GET    _config/endpoints/<slug>
+      |    endpoints create <file>     POST   _config/endpoints (file = endpoint YAML/JSON)
+      |    endpoints delete <slug>     DELETE _config/endpoints/<slug>
+      |    schema                      GET    _config/schema
+      |    validate <slug>             POST   _config/endpoints/<slug>/validate
+      |    expand <slug> [k=v ...]     POST   _config/endpoints/<slug>/template/expand
+      |    test <slug> [k=v ...]       POST   _config/endpoints/<slug>/template/test
+      |    cache refresh <slug>        POST   _config/endpoints/<slug>/cache/refresh
+      |    log-level <level>           PUT    _config/log-level""".stripMargin
 
   /** Testable entry: returns the process exit code. */
   def run(args: Seq[String], out: PrintStream, err: PrintStream): Int =
@@ -120,17 +126,21 @@ object Cli {
     (server.map(s => RemoteConfig(s.stripSuffix("/"), token, timeout)), rest.toList)
   }
 
-  private def request(r: RemoteConfig, method: String, path: String): (Int, String) = {
+  private def request(r: RemoteConfig, method: String, path: String,
+      body: Option[String] = None): (Int, String) = {
     val b = java.net.http.HttpRequest
       .newBuilder(java.net.URI.create(r.base + path))
       .timeout(java.time.Duration.ofSeconds(r.timeoutSec))
     r.token.foreach(t => b.header("Authorization", s"Bearer $t"))
+    // bodyless POST matters: the server's validate route treats a
+    // non-empty body as an endpoint definition to validate INSTEAD of
+    // the served one; the CLI's slug form targets the served endpoint
+    val pub = body.fold(java.net.http.HttpRequest.BodyPublishers.noBody())(
+      java.net.http.HttpRequest.BodyPublishers.ofString(_))
     val req = (method match {
       case "GET" => b.GET()
-      // empty body: the server's validate route treats a non-empty
-      // body as an endpoint definition to validate INSTEAD of the
-      // served one; the CLI's slug form targets the served endpoint
-      case "POST" => b.POST(java.net.http.HttpRequest.BodyPublishers.noBody())
+      case "DELETE" => b.DELETE()
+      case m => b.method(m, pub)
     }).build()
     val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(r.timeoutSec)).build()
@@ -141,28 +151,57 @@ object Cli {
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
 
+  /** Render `k=v` args as the {"parameters": {...}} body the template
+    * expand/test routes take. */
+  private def paramsBody(kvs: List[String]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val p = root.putObject("parameters")
+    kvs.foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => p.put(k, v)
+        case _ => throw new IllegalArgumentException(s"expected key=value, got '$kv'")
+      }
+    }
+    mapper.writeValueAsString(root)
+  }
+
   private def runRemote(r: RemoteConfig, args: List[String],
       out: PrintStream, err: PrintStream): Int = {
     val cfgBase = "/api/v1/_config"
-    val call: Option[(String, String)] = args match {
-      case List("ping") => Some(("GET", s"$cfgBase/project"))
-      case List("health") => Some(("GET", s"$cfgBase/health"))
-      case List("endpoints", "list") => Some(("GET", s"$cfgBase/endpoints"))
+    val call: Option[(String, String, Option[String])] = args match {
+      case List("ping") => Some(("GET", s"$cfgBase/project", None))
+      case List("health") => Some(("GET", s"$cfgBase/health", None))
+      case List("audit") => Some(("GET", s"$cfgBase/audit", None))
+      case List("endpoints", "list") => Some(("GET", s"$cfgBase/endpoints", None))
       case List("endpoints", "get", slug) =>
-        Some(("GET", s"$cfgBase/endpoints/${enc(slug)}"))
-      case List("schema") => Some(("GET", s"$cfgBase/schema"))
+        Some(("GET", s"$cfgBase/endpoints/${enc(slug)}", None))
+      case List("endpoints", "create", file) =>
+        Some(("POST", s"$cfgBase/endpoints",
+          Some(Files.readString(Paths.get(file)))))
+      case List("endpoints", "delete", slug) =>
+        Some(("DELETE", s"$cfgBase/endpoints/${enc(slug)}", None))
+      case List("schema") => Some(("GET", s"$cfgBase/schema", None))
       case List("validate", slug) =>
-        Some(("POST", s"$cfgBase/endpoints/${enc(slug)}/validate"))
+        Some(("POST", s"$cfgBase/endpoints/${enc(slug)}/validate", None))
+      case "expand" :: slug :: kvs =>
+        Some(("POST", s"$cfgBase/endpoints/${enc(slug)}/template/expand",
+          Some(paramsBody(kvs))))
+      case "test" :: slug :: kvs =>
+        Some(("POST", s"$cfgBase/endpoints/${enc(slug)}/template/test",
+          Some(paramsBody(kvs))))
       case List("cache", "refresh", slug) =>
-        Some(("POST", s"$cfgBase/endpoints/${enc(slug)}/cache/refresh"))
+        Some(("POST", s"$cfgBase/endpoints/${enc(slug)}/cache/refresh", None))
+      case List("log-level", level) =>
+        Some(("PUT", s"$cfgBase/log-level", Some(s"""{"level":"$level"}""")))
       case _ => None
     }
     call match {
       case None =>
         err.println(usage)
         2
-      case Some((method, path)) =>
-        val (code, bodyText) = request(r, method, path)
+      case Some((method, path, body)) =>
+        val (code, bodyText) = request(r, method, path, body)
         if (code >= 200 && code < 300) { out.println(bodyText); 0 }
         else { err.println(s"HTTP $code: $bodyText"); 1 }
     }

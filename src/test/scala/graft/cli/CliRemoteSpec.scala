@@ -110,6 +110,44 @@ class CliRemoteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out2.contains("\"snapshot_id\":2"))
   }
 
+  test("endpoints create installs from a local file, delete removes") {
+    val f = Files.createTempFile("cli_create", ".yaml")
+    Files.writeString(f,
+      """url-path: /cli-created
+        |template: SELECT id, name FROM cli_src WHERE id = {{params.id}}
+        |request:
+        |  - field-name: id
+        |    required: true
+        |    validators:
+        |      - type: int
+        |""".stripMargin)
+    val (code, out, _) = remote("endpoints", "create", f.toString)
+    assert(code == 0, out)
+    assert(out.contains("/cli-created"))
+    val (_, listed, _) = remote("endpoints", "list")
+    assert(listed.contains("cli-created"))
+    val (code2, out2, _) = remote("endpoints", "delete", "cli-created")
+    assert(code2 == 0 && out2.contains("\"deleted\":true"), out2)
+    val (_, listed2, _) = remote("endpoints", "list")
+    assert(!listed2.contains("cli-created"))
+  }
+
+  test("expand renders the final engine SQL; test runs a capped peek") {
+    val (code, out, _) = remote("expand", "cli-cached")
+    assert(code == 0, out)
+    assert(out.contains("\"sql\"") && out.toLowerCase.contains("select"))
+    val (code2, out2, _) = remote("test", "cli-cached")
+    assert(code2 == 0, out2)
+    assert(out2.contains("\"row_count\":2") && out2.contains("alice"))
+  }
+
+  test("audit and log-level round-trip") {
+    val (code, out, _) = remote("audit")
+    assert(code == 0 && out.contains("warning_count"), out)
+    val (code2, out2, _) = remote("log-level", "WARN")
+    assert(code2 == 0, out2)
+  }
+
   test("auth failures and unknown commands are directed, not silent") {
     val (code, _, errTxt) =
       cli("--server", base, "--token", "wrong", "ping")
