@@ -107,6 +107,12 @@ object GraftFunctions {
     if (!present) {
       spark.udf.register("minhash_sig",
         (sh: Seq[String], k: Int) => minhashPlain(sh, k).toSeq)
+      spark.udf.register("word_shingles", (text: String, n: Int) =>
+        if (text == null) null
+        else {
+          val words = text.split(" ", -1)
+          (0 to words.length - n).map(i => words.slice(i, i + n).mkString(" "))
+        })
       spark.udf.register("simhash32", (tokens: Seq[String]) => {
         val weights = new Array[Long](32)
         tokens.foreach { t =>
@@ -222,5 +228,10 @@ object GraftFunctions {
       new FunctionIdentifier("quantize_u8"),
       new ExpressionInfo(classOf[QuantizeU8].getName, "quantize_u8"),
       (exprs: Seq[Expression]) => QuantizeU8(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -193,3 +193,50 @@ case class TokensInSet(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "tokens_in_set"
 }
+
+/** `word_shingles(text, n)` → ARRAY<STRING>: the n-word shingles of a
+  * single-space-tokenized text, each joined by one space — the gram
+  * unit of benchmark-contamination checks (does a training document
+  * contain an eval-set n-gram?). Tokenization is `split(' ')` KEEPING
+  * empties, matching DuckDB's string_split so gram strings compare
+  * equal across engines. One compiled pass per row; the alternative
+  * `transform(sequence(...), i -> array_join(slice(...)))` spelling
+  * pays an interpreted lambda dispatch per gram. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "word_shingles: n must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"word_shingles expects STRING, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val m = words.length - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingles"
+}

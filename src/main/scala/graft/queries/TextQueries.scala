@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, QuerySet, Tables}
@@ -737,8 +738,97 @@ object TextQueries extends QuerySet {
         |       sum(n_tok) FILTER (WHERE rn = 1 AND predicted = 'en' AND quality >= 0.55) AS total_tokens
         |FROM d GROUP BY source ORDER BY source""".stripMargin))
 
+  // ---- benchmark contamination ------------------------------------------
+  // The decontamination operator every LLM training pipeline runs
+  // before an eval claim (n-gram-overlap flavor, per the public GPT-3
+  // appendix-C / PaLM methodology): extract the eval set's n-grams and
+  // flag every training document containing one. Here the "eval set"
+  // is the doc_id % 100 == 0 slice so both engines derive it
+  // deterministically; n=4 because the synthetic corpus's vocabulary
+  // makes 4-grams sparse-but-present (≈2% of docs hit — a real
+  // discriminator, not all-or-nothing).
+  //
+  // 100 TB shape: the benchmark gram set is BOUNDED (eval suites are
+  // thousands of documents, not billions) — distinct it and broadcast;
+  // the corpus side is a map-side `word_shingles` explode (compiled
+  // kernel, no interpreted HOF) feeding a broadcast hash join and a
+  // two-phase distinct count. The corpus is touched once, shuffled
+  // only by the 'contaminated doc survivors', never joined to itself.
+  // Gram-equality join is token-aligned by construction — a raw
+  // substring contains() would false-positive across word boundaries.
+  private val contamination = QueryDef(
+    "contamination_ngram",
+    Some("""WITH w AS (
+           |  SELECT doc_id,
+           |         list_transform(range(1, len(string_split(text, ' ')) - 2),
+           |           i -> array_to_string(string_split(text, ' ')[i:i+3], ' ')) AS grams
+           |  FROM documents),
+           |g AS (SELECT DISTINCT unnest(grams) AS gram FROM w WHERE doc_id % 100 = 0),
+           |tr AS (SELECT doc_id, unnest(grams) AS gram FROM w WHERE doc_id % 100 <> 0)
+           |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_hits
+           |FROM tr JOIN g USING (gram)
+           |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin),
+    (s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), expr("word_shingles(text, 4)").as("grams"))
+      val bench = broadcast(
+        docs.filter(col("doc_id") % 100 === 0)
+          .select(explode(col("grams")).as("gram")).distinct())
+      docs.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id"), explode(col("grams")).as("gram"))
+        .join(bench, "gram")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gram")).as("n_hits"))
+        .orderBy("doc_id")
+    })
+
+  // ---- training-sequence packing ------------------------------------------
+  // The last pre-training step: concatenate documents into fixed
+  // token-budget sequences ("packing"). The deterministic greedy rule —
+  // within a stream, a document lands in the sequence its PRECEDING
+  // cumulative token count falls in (floor(prev_cum / budget)) — is a
+  // window cumsum, expressible identically in both engines, so the
+  // assignment is hash-gated end to end.
+  //
+  // 100 TB shape: packing is inherently sequential PER STREAM, so the
+  // stream must be bounded — partition by (source, doc_id % 16): 16
+  // shards per source spread the cumsum windows across reducers (the
+  // same discipline as the salted stratified sample; a corpus-wide
+  // ORDER BY doc_id window would funnel 100 TB through one reducer).
+  // More scale = more shards; each training shard file is one
+  // (source, shard) stream.
+  private val seqPacking = QueryDef(
+    "seq_packing_assign",
+    Some("""WITH d AS (
+           |  SELECT doc_id, source, doc_id % 16 AS shard,
+           |         len(string_split(text, ' '))::BIGINT AS n_tokens
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, source, shard, n_tokens,
+           |         coalesce(sum(n_tokens) OVER (
+           |           PARTITION BY source, shard ORDER BY doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+           |  FROM d)
+           |SELECT doc_id, source, shard, n_tokens,
+           |       CAST(prev_cum // 512 AS BIGINT) AS seq_id
+           |FROM c ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      val w = Window
+        .partitionBy(col("source"), col("shard"))
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          pmod(col("doc_id"), lit(16)).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("prev_cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
+          expr("prev_cum div 512").as("seq_id"))
+        .orderBy("doc_id")
+    })
+
   override val defs: Seq[QueryDef] = Seq(
     dedupExact, neardup, neardupClusters, neardupCorpus, simhash, simhashPairs,
     ngramTopk, langId, quality, tokenStats, winnow, stratified, gopher, tfidf,
-    piiRedact, corpusPrep)
+    piiRedact, corpusPrep, contamination, seqPacking)
 }

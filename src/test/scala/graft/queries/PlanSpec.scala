@@ -238,6 +238,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"Expand-based distinct rewrite leaked back into the plan:\n$p")
   }
 
+  test("contamination joins grams via broadcast hash, compiled shingle kernel") {
+    // the benchmark gram set is the bounded side: it must broadcast,
+    // the corpus must shingle map-side with the native kernel (no
+    // interpreted HOF lambda), and nothing may cartesian
+    val p = plan("contamination_ngram")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark grams should broadcast:\n$p")
+    assert(p.contains("word_shingles"), s"native shingle kernel missing:\n$p")
+    assert(!p.contains("lambdafunction"), s"interpreted HOF lambda in the plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination must never all-pairs:\n$p")
+  }
+
+  test("sequence packing windows per (source, shard), never corpus-wide") {
+    // packing is sequential per stream; the stream must be the bounded
+    // (source, shard) pair — a corpus-wide ORDER BY window funnels
+    // everything through one reducer at 100 TB
+    val p = plan("seq_packing_assign")
+    assert("hashpartitioning\\(source#\\d+, shard#\\d+".r.findFirstIn(p).isDefined,
+      s"cumsum window does not partition on (source, shard):\n$p")
+  }
+
   test("tfidf term counting is partial (map-side combine before the shuffle)") {
     val p = plan("tfidf_top_terms")
     assert(p.contains("partial_count") || p.contains("partial_"),
