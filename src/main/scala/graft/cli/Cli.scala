@@ -193,7 +193,11 @@ object Cli {
       case List("cache", "refresh", slug) =>
         Some(("POST", s"$cfgBase/endpoints/${enc(slug)}/cache/refresh", None))
       case List("log-level", level) =>
-        Some(("PUT", s"$cfgBase/log-level", Some(s"""{"level":"$level"}""")))
+        // Jackson, not interpolation: a level containing a quote must
+        // arrive escaped, not as malformed JSON the server coerces to ''
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val n = mapper.createObjectNode(); n.put("level", level)
+        Some(("PUT", s"$cfgBase/log-level", Some(mapper.writeValueAsString(n))))
       case _ => None
     }
     call match {

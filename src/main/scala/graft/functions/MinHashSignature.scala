@@ -107,12 +107,14 @@ object GraftFunctions {
     if (!present) {
       spark.udf.register("minhash_sig",
         (sh: Seq[String], k: Int) => minhashPlain(sh, k).toSeq)
-      spark.udf.register("word_shingles", (text: String, n: Int) =>
+      spark.udf.register("word_shingles", (text: String, n: Int) => {
+        require(n >= 1, "word_shingles: n must be >= 1") // same contract as the native kernel
         if (text == null) null
         else {
           val words = text.split(" ", -1)
           (0 to words.length - n).map(i => words.slice(i, i + n).mkString(" "))
-        })
+        }
+      })
       spark.udf.register("simhash32", (tokens: Seq[String]) => {
         val weights = new Array[Long](32)
         tokens.foreach { t =>
@@ -231,7 +233,14 @@ object GraftFunctions {
     ext.injectFunction((
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (exprs: Seq[Expression]) => WordShingles(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue())))
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "word_shingles(text, n) takes exactly 2 arguments")
+        val n = exprs(1).eval() match {
+          case num: Number => num.intValue()
+          case other => throw new IllegalArgumentException(
+            s"word_shingles: n must be an integer literal, got $other")
+        }
+        WordShingles(exprs.head, n)
+      }))
   }
 }

@@ -752,8 +752,12 @@ object TextQueries extends QuerySet {
   // thousands of documents, not billions) — distinct it and broadcast;
   // the corpus side is a map-side `word_shingles` explode (compiled
   // kernel, no interpreted HOF) feeding a broadcast hash join and a
-  // two-phase distinct count. The corpus is touched once, shuffled
-  // only by the 'contaminated doc survivors', never joined to itself.
+  // two-phase distinct count. The corpus here is scanned twice (once
+  // to derive the eval grams, once for the training side) because the
+  // synthetic eval set is carved out of the same table; a real
+  // pipeline reads the eval suite from its own bounded table, making
+  // the corpus a single scan. Either way the corpus is shuffled only
+  // by the contaminated-doc survivors and never joined to itself.
   // Gram-equality join is token-aligned by construction — a raw
   // substring contains() would false-positive across word boundaries.
   private val contamination = QueryDef(
@@ -819,7 +823,10 @@ object TextQueries extends QuerySet {
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("source"),
-          pmod(col("doc_id"), lit(16)).as("shard"),
+          // % not pmod: the oracle's % is sign-preserving (-17%16=-1)
+          // while pmod(-17,16)=15 — a negative doc_id must not regroup
+          // the cumsum streams differently per engine
+          (col("doc_id") % 16).as("shard"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
         .withColumn("prev_cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
         .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
