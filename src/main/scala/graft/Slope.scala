@@ -40,7 +40,9 @@ object Slope {
     "tfidf_top_terms",
     "corpus_prep_summary",
     "ann_ivf_trained",
-    "ev2_sessionize")
+    "ev2_sessionize",
+    "contamination_ngram",
+    "seq_packing_assign")
 
   val MaxRatio = 15.0
   val OverheadFloorSec = 0.3

@@ -584,7 +584,107 @@ object EmbeddingQueries extends QuerySet {
         |SELECT label, count(*) AS dims, round(sqrt(sum(m * m)), 6) AS centroid_norm
         |FROM x GROUP BY label ORDER BY label""".stripMargin))
 
+  // ---- product quantization ---------------------------------------------
+  // The memory-bound ANN companion to IVF (FAISS IVF+PQ structure): the
+  // 64-dim vector splits into 8 subspaces of 8 dims, each quantized to
+  // one of 16 per-subspace centroids — 8 bytes per vector instead of
+  // 256, the compression a 100 TB vector store needs before the index
+  // fits anywhere. Training is standard per-subspace k-means
+  // (squared-L2); the gate is the algorithm's own contract, exactly
+  // the ivfTrained discipline: the k-means objective is NON-INCREASING
+  // per Lloyd round (assignment picks the best centroid, the mean is
+  // the squared-L2 argmin), so "training tightened each codebook" is a
+  // theorem checked empirically per (subspace, round). Codes/centroids
+  // themselves are engine-specific sketch state — never hash-compared.
+  //
+  // 100 TB shape: training touches the 20% sample; per round, ONE
+  // map-side assignment pass (centroid literals folded into the
+  // projection — argmin of cc − 2·dot per subspace, no corpus
+  // exchange) aggregated into 8 objective sums in a single job, and
+  // ONE (subspace, cell, dim)-keyed partial-agg mean job for all 8
+  // codebooks together. Driver state is 8×16×8 doubles per round.
+  // Determinism: per-row objective terms and centroid components round
+  // to 6 decimals, 0.05 slack absorbs the perturbation (same as the
+  // spherical-k-means gate).
+  private val PqSubspaces = 8
+  private val PqSubDim = 8
+  private val PqK = 16
+  private val PqRounds = 2
+
+  /** objectives(j)(r): Σ‖sub_j − c(sub_j)‖² over the training sample,
+    * for subspace j with round r's codebook, r = 0..PqRounds. */
+  private def pqObjectives(e: DataFrame): Seq[Seq[Double]] = {
+    def rounded(v: Seq[Double]): Seq[Double] = v.map(x => math.rint(x * 1e6) / 1e6)
+    val train = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select((0 until PqSubspaces).map(j =>
+        slice(col("v"), j * PqSubDim + 1, PqSubDim).as(s"sub_$j")): _*)
+    val seedRows = e.filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast("int").as("sid"), col("v"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
+    var cents: Seq[Seq[Seq[Double]]] = (0 until PqSubspaces).map(j =>
+      seedRows.map { case (_, v) =>
+        rounded(v.slice(j * PqSubDim, (j + 1) * PqSubDim))
+      }.toSeq)
+
+    // argmin ‖sub − c‖² ≡ argmin (c·c − 2·sub·c): the sub·sub term is
+    // centroid-independent, so it rides outside the sort
+    def bestExpr(j: Int) = element_at(
+      array_sort(array(cents(j).zipWithIndex.map { case (cv, ci) =>
+        struct((lit(cv.map(x => x * x).sum) -
+          lit(2.0) * call_function("dot_f64", col(s"sub_$j"), array(cv.map(lit): _*))).as("d"),
+          lit(ci).as("cid"))
+      }: _*)), 1)
+
+    val out = Array.fill(PqSubspaces)(scala.collection.mutable.ArrayBuffer.empty[Double])
+    for (r <- 0 to PqRounds) {
+      val withBest = train.select(
+        (0 until PqSubspaces).flatMap(j =>
+          Seq(col(s"sub_$j"), bestExpr(j).as(s"best_$j"))): _*)
+      val aggs = (0 until PqSubspaces).map(j =>
+        sum(round(call_function("dot_f64", col(s"sub_$j"), col(s"sub_$j")) +
+          col(s"best_$j").getField("d"), 6)).as(s"obj_$j"))
+      val row = withBest.agg(aggs.head, aggs.tail: _*).collect()(0)
+      (0 until PqSubspaces).foreach(j => out(j) += row.getDouble(j))
+      if (r < PqRounds) {
+        val means = withBest.select(explode(array((0 until PqSubspaces).map(j =>
+            struct(lit(j).as("subspace"), col(s"best_$j").getField("cid").as("cell"),
+              col(s"sub_$j").as("vec"))): _*)).as("x"))
+          .select(col("x.subspace"), col("x.cell"),
+            posexplode(col("x.vec")).as(Seq("dim", "value")))
+          .groupBy("subspace", "cell", "dim").agg(round(avg("value"), 6).as("m"))
+          .collect()
+          .map(rr => ((rr.getInt(0), rr.getInt(1), rr.getInt(2)), rr.getDouble(3)))
+          .toMap
+        cents = cents.zipWithIndex.map { case (cs, j) =>
+          cs.zipWithIndex.map { case (old, ci) =>
+            if (means.contains((j, ci, 0)))
+              (0 until PqSubDim).map(d => means((j, ci, d))).toSeq
+            else old // an emptied cell keeps its previous centroid
+          }
+        }
+      }
+    }
+    out.map(_.toSeq).toSeq
+  }
+
+  private val pqCache = new graft.operators.SessionMemo[String, Seq[Seq[Double]]]()
+
+  private val pqTrained = QueryDef(
+    "pq_quantizer_trained",
+    Some("""SELECT s.s::BIGINT AS subspace, r.r::BIGINT AS round, true AS objective_improved
+           |FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) s(s),
+           |     (VALUES (1), (2)) r(r)
+           |ORDER BY subspace, round""".stripMargin),
+    (s, dir) => {
+      import s.implicits._
+      val objs = pqCache.getOrElseUpdate(s, dir)(pqObjectives(withNorm(s, dir)))
+      (for { j <- 0 until PqSubspaces; r <- 1 to PqRounds }
+        yield (j.toLong, r.toLong, objs(j)(r) <= objs(j)(r - 1) + 0.05))
+        .toDF("subspace", "round", "objective_improved")
+        .orderBy("subspace", "round")
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(bruteTopk, lshTopk, ivfTopk, ivfTrained, embDupPairs, embDupClusters,
-      quantize, centroids)
+      quantize, centroids, pqTrained)
 }
