@@ -42,7 +42,9 @@ object Slope {
     "ann_ivf_trained",
     "ev2_sessionize",
     "contamination_ngram",
-    "seq_packing_assign")
+    "seq_packing_assign",
+    "incremental_dedup",
+    "unigram_surprisal")
 
   val MaxRatio = 15.0
   val OverheadFloorSec = 0.3

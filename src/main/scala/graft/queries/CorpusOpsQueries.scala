@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QuerySet, Tables}
+
+/** Corpus-operations layer: the recurring jobs a production training-data
+  * pipeline runs BETWEEN full rebuilds — incremental deduplication of an
+  * incoming crawl batch against the standing corpus, unigram-LM surprisal
+  * scoring (the CCNet-style quality signal), retrieval chunking, and
+  * deterministic source-mixture sampling. These extend the one-shot stage
+  * operators in [[TextQueries]]; each is designed for the 100 TB case
+  * first and its plan shape is locked in PlanSpec.
+  */
+object CorpusOpsQueries extends QuerySet {
+
+  // ---- incremental dedup (incoming batch vs existing corpus) -----------
+  // Continuous-crawl pipelines never re-dedup the full corpus per batch:
+  // the standing corpus's MinHash band index is a PRECOMPUTED artifact
+  // (refreshed like a snapshot cache), and each incoming batch — small
+  // relative to the corpus — is banded map-side and hash-joined against
+  // that index. Candidates are (incoming, existing) pairs sharing a band
+  // bucket; exact Jaccard on the shingle sets verifies. The corpus is
+  // never self-joined and the incoming batch never all-pairs anything:
+  // the only corpus-sized shuffle carries (band, bandhash, id) triples.
+  // Here the "incoming batch" is the deterministic doc_id%5==4 slice so
+  // both engines carve identically; a real deployment reads the batch
+  // from its own table and loads the index from the snapshot store.
+  // Same 72-hash / 24-band / 3-row geometry as TextQueries.neardup
+  // (P[miss] ≈ 4e-5 at the J=0.7 report threshold).
+  private val incremental = QueryDef(
+    "incremental_dedup",
+    Some("""WITH sh AS (
+           |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+           |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+           |  WHERE len(w) >= 3),
+           |i AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 = 4),
+           |e AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 <> 4),
+           |p AS (
+           |  SELECT i.doc_id AS i_id, e.doc_id AS e_id,
+           |         len(list_intersect(i.s, e.s)) AS inter,
+           |         len(i.s) + len(e.s) - len(list_intersect(i.s, e.s)) AS uni
+           |  FROM i, e)
+           |SELECT i_id AS incoming_id, count(*) AS n_matches,
+           |       min(e_id) AS first_match,
+           |       max(round(inter * 1.0::DOUBLE / uni, 6)) AS best_jaccard
+           |FROM p WHERE inter * 1.0::DOUBLE / uni >= 0.7
+           |GROUP BY i_id ORDER BY incoming_id""".stripMargin),
+    (s, dir) => incrementalMatches(s, dir).orderBy("incoming_id"))
+
+  /** Banded-index probe + exact verify, lazy (PlanSpec inspects this
+    * stage's shape before the gated entry checkpoints it away). */
+  private[queries] def incrementalPipeline(sh: org.apache.spark.sql.DataFrame) = {
+      val sig = sh.select(col("doc_id"), expr("minhash_sig(sh, 72)").as("sig"))
+      val bands = sig.select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 23), b -> xxhash64(sig[3*b], sig[3*b+1], sig[3*b+2]))")))
+        .toDF("doc_id", "band", "bh")
+      val ex = bands.filter(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id").as("e_id"), col("band"), col("bh"))
+      val in = bands.filter(col("doc_id") % 5 === 4)
+        .select(col("doc_id").as("i_id"), col("band"), col("bh"))
+      val cand = in.join(ex, Seq("band", "bh"))
+        .select("i_id", "e_id").distinct()
+      val shI = sh.filter(col("doc_id") % 5 === 4)
+        .select(col("doc_id").as("i_id"), col("sh").as("si"))
+      val shE = sh.filter(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id").as("e_id"), col("sh").as("se"))
+      cand.join(shI, "i_id").join(shE, "e_id")
+        .withColumn("inter", size(array_intersect(col("si"), col("se"))))
+        .withColumn("uni", size(col("si")) + size(col("se")) - col("inter"))
+        .filter(col("inter") / col("uni") >= 0.7)
+        .groupBy("i_id")
+        .agg(count(lit(1)).as("n_matches"), min("e_id").as("first_match"),
+          max(round(col("inter") / col("uni"), 6)).as("best_jaccard"))
+        .select(col("i_id").as("incoming_id"), col("n_matches"),
+          col("first_match"), col("best_jaccard"))
+  }
+
+  /** Materialized match set, once per (session, dir): the shingle set
+    * feeds four consumers (both band branches + both verify sides), so
+    * it is persisted for the build and released once the (tiny) match
+    * set is checkpointed — the [[TextQueries.neardupPairs]] discipline. */
+  private val incCache =
+    new graft.operators.SessionMemo[String, org.apache.spark.sql.DataFrame]()
+
+  private def incrementalMatches(s: org.apache.spark.sql.SparkSession, dir: String) =
+    incCache.getOrElseUpdate(s, dir) {
+      val sh = TextQueries.shingles(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try incrementalPipeline(sh).localCheckpoint(true)
+      finally sh.unpersist(false)
+    }
+
+  // ---- unigram-LM surprisal scoring ------------------------------------
+  // The CCNet-style quality signal: score each document by its mean
+  // negative log-probability under a unigram LM trained on the corpus
+  // itself (high surprisal = rare-token soup, low = repetitive filler).
+  // Scale shape mirrors tfidf_top_terms: the token explode is map-side;
+  // per-(doc,term) tf shuffles WITH map-side combine; the vocabulary agg
+  // is VOCABULARY-sized (tiny vs corpus) so its join back onto tf
+  // broadcasts; the corpus-wide token total is a 1-row scalar. The
+  // corpus body itself is never shuffled — only (doc_id, term, count)
+  // partials move.
+  //
+  // Digest determinism: per-(doc,term) surprisal is rounded to integer
+  // micro-units BEFORE the per-doc sum (integer addition is order-
+  // independent; a raw double sum is not), and the per-doc mean divides
+  // the two exact integers at the end — the tfidf/corpus_prep discipline.
+  // DuckDB's sum(BIGINT) widens to HUGEINT, so the oracle pins BIGINT.
+  private val surprisalBody =
+    """SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |       CAST(sum(u6) AS BIGINT) AS nll_u6
+      |FROM s GROUP BY doc_id""".stripMargin
+
+  private val surprisal = QueryDef(
+    "unigram_surprisal",
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+            |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+            |v AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+            |n AS (SELECT count(*) AS total FROM tok),
+            |s AS (
+            |  SELECT tf.doc_id, tf.tf,
+            |         CAST(round(tf.tf * ln(CAST(n.total AS DOUBLE) / v.c) * 1000000, 0) AS BIGINT) AS u6
+            |  FROM tf JOIN v USING (term) CROSS JOIN n),
+            |d AS ($surprisalBody)
+            |SELECT doc_id, n_tokens, nll_u6,
+            |       round(nll_u6 / 1000000.0::DOUBLE / n_tokens, 6) AS mean_nll
+            |FROM d ORDER BY doc_id""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      s"""WITH tok AS (
+         |  SELECT doc_id, term FROM documents
+         |  LATERAL VIEW explode(split(text, ' ')) t AS term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |v AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+         |n AS (SELECT count(*) AS total FROM tok),
+         |s AS (
+         |  SELECT tf.doc_id, tf.tf,
+         |         CAST(round(tf.tf * ln(CAST(n.total AS DOUBLE) / v.c) * 1000000, 0) AS BIGINT) AS u6
+         |  FROM tf JOIN v USING (term) CROSS JOIN n),
+         |d AS ($surprisalBody)
+         |SELECT doc_id, n_tokens, nll_u6,
+         |       round(nll_u6 / 1000000.0D / n_tokens, 6) AS mean_nll
+         |FROM d ORDER BY doc_id""".stripMargin))
+
+  // ---- retrieval chunking ----------------------------------------------
+  // RAG/embedding pipelines split documents into overlapping fixed-size
+  // chunks (window 200 chars, stride 150 → 50-char overlap). Pure
+  // map-side: sequence → explode → substring → md5, zero data exchanges
+  // at any scale (the only exchange in the plan is the presentation
+  // sort's range partitioning). The chunk digest is its md5 so the gate
+  // depends on exact chunk bytes without hauling them twice; a real
+  // pipeline would keep the chunk text and feed the embedder.
+  private val ChunkLen = 200
+  private val ChunkStride = 150
+  private val chunks = QueryDef(
+    "doc_chunks",
+    Some(s"""WITH st AS (
+            |  SELECT doc_id, text, unnest(range(1, len(text) + 1, $ChunkStride)) AS st
+            |  FROM documents)
+            |SELECT doc_id, CAST((st - 1) // $ChunkStride AS BIGINT) AS chunk_id,
+            |       CAST(st AS BIGINT) AS chunk_start,
+            |       CAST(len(substr(text, CAST(st AS INT), $ChunkLen)) AS BIGINT) AS chunk_len,
+            |       md5(substr(text, CAST(st AS INT), $ChunkLen)) AS chunk_md5
+            |FROM st ORDER BY doc_id, chunk_id""".stripMargin),
+    (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr(s"sequence(1, length(text), $ChunkStride)")).as("st"),
+          col("text"))
+        .select(col("doc_id"),
+          expr(s"CAST((st - 1) div $ChunkStride AS BIGINT)").as("chunk_id"),
+          col("st").cast("long").as("chunk_start"),
+          expr(s"substring(text, st, $ChunkLen)").as("chunk"))
+        .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+          length(col("chunk")).cast("long").as("chunk_len"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id"))
+
+  // ---- deterministic source-mixture sampling ---------------------------
+  // Training mixtures downsample sources to target weights (web 25%,
+  // curated 100%, ...). Sampling must be DETERMINISTIC and seed-stable
+  // across engines and reruns — rand() is neither — so the keep decision
+  // is a pure function of the row: the first 8 hex chars of
+  // md5(doc_id) compared lexically against the rate's hex threshold
+  // (floor(rate·16^8) zero-padded; both engines emit lowercase hex, and
+  // ASCII compare on same-length lowercase hex IS numeric compare; the
+  // rate-1.0 sentinel 'g' sorts above every hex digit). Map-side filter
+  // + one partial-combined agg on the low-cardinality source key: no
+  // corpus shuffle at any scale. Rates here cycle 0.25/0.5/0.75/1.0 by
+  // source index so every branch is exercised; the kept-id sum is the
+  // exact-survivor-set digest.
+  private val mixThreshold =
+    """CASE CAST(substr(source, 4, 10) AS INT) % 4
+      |    WHEN 0 THEN '40000000' WHEN 1 THEN '80000000'
+      |    WHEN 2 THEN 'c0000000' ELSE 'g' END""".stripMargin
+
+  private val sourceMix = QueryDef(
+    "source_mix_sample",
+    Some(s"""WITH k AS (
+            |  SELECT source, doc_id,
+            |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < $mixThreshold AS keep
+            |  FROM documents)
+            |SELECT source, count(*) AS n_total,
+            |       CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+            |       CAST(sum(CASE WHEN keep THEN doc_id END) AS BIGINT) AS kept_id_sum,
+            |       round(count(*) FILTER (WHERE keep) * 1.0::DOUBLE / count(*), 6) AS achieved_rate
+            |FROM k GROUP BY source ORDER BY source""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      s"""WITH k AS (
+         |  SELECT source, doc_id,
+         |         substring(md5(CAST(doc_id AS STRING)), 1, 8) < $mixThreshold AS keep
+         |  FROM documents)
+         |SELECT source, count(*) AS n_total,
+         |       CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN keep THEN doc_id END) AS BIGINT) AS kept_id_sum,
+         |       round(count(*) FILTER (WHERE keep) * 1.0D / count(*), 6) AS achieved_rate
+         |FROM k GROUP BY source ORDER BY source""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(incremental, surprisal, chunks, sourceMix)
+}

@@ -207,6 +207,46 @@ object EventQueries extends QuerySet {
     Some(funnelSql(e => s"epoch_us($e)")),
     (s, dir) => Tables.sql(s, dir, funnelSql(e => s"unix_micros($e)")))
 
+  // ---- retention cohorts ---------------------------------------------------
+  // The classic product-analytics grid: users cohorted by first-seen
+  // day, retention = fraction of each cohort active again N days later.
+  // Scale: first-seen is a partial-min agg on user_id; the activity set
+  // collapses to DISTINCT (user, day) BEFORE the cohort join (two-phase
+  // distinct — the corpus never reaches the join raw); the join key is
+  // high-cardinality user_id; only the already-collapsed user-day rows
+  // hit the final low-cardinality (cohort, offset) agg. The day-offset
+  // spelling is the one engine-specific piece (Spark datediff vs DuckDB
+  // date_diff), both exact integer days.
+  private def retentionSql(dayDiff: (String, String) => String, oneD: String) =
+    s"""WITH f AS (
+       |  SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+       |  FROM events GROUP BY user_id),
+       |a AS (
+       |  SELECT DISTINCT user_id, date_trunc('day', ts) AS act_day FROM events),
+       |sz AS (
+       |  SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY cohort_day),
+       |j AS (
+       |  SELECT f.cohort_day, ${dayDiff("f.cohort_day", "a.act_day")} AS day_offset,
+       |         a.user_id
+       |  FROM a JOIN f ON a.user_id = f.user_id)
+       |SELECT cast(j.cohort_day AS TIMESTAMP) AS cohort_day,
+       |       cast(j.day_offset AS BIGINT) AS day_offset,
+       |       cast(count(DISTINCT j.user_id) AS BIGINT) AS n_active,
+       |       cast(sz.cohort_size AS BIGINT) AS cohort_size,
+       |       round(count(DISTINCT j.user_id) * $oneD / sz.cohort_size, 6) AS retention
+       |FROM j JOIN sz ON sz.cohort_day = j.cohort_day
+       |GROUP BY j.cohort_day, j.day_offset, sz.cohort_size
+       |ORDER BY cohort_day, day_offset""".stripMargin
+
+  // 1.0 literal: `1.0` parses as DECIMAL in Spark — each engine spells
+  // its exact-double literal.
+  private val retention = QueryDef(
+    "ev5_retention_cohorts",
+    Some(retentionSql((c, a) => s"date_diff('day', $c, $a)", "1.0::DOUBLE")),
+    (s, dir) => Tables.sql(s, dir,
+      retentionSql((c, a) => s"datediff($a, $c)", "1.0D")))
+
   override val defs: Seq[QueryDef] =
-    Seq(hourly, sessions, funnel, salted, keepLatest, asof, rangeJoin, conversion)
+    Seq(hourly, sessions, funnel, salted, keepLatest, asof, rangeJoin, conversion,
+      retention)
 }

@@ -265,4 +265,37 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_count") || p.contains("partial_"),
       s"tfidf shuffles raw exploded tokens without combine:\n$p")
   }
+
+  test("incremental dedup probes the band index, never all-pairs") {
+    // inspect the lazy pipeline (the gated entry checkpoints the tiny
+    // match set away into an RDD scan, like the minhash pair set)
+    val df = CorpusOpsQueries.incrementalPipeline(TextQueries.shingles(spark, sf))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("minhash_sig"), s"native signature kernel missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental dedup must never all-pairs:\n$p")
+  }
+
+  test("doc chunking is pure map-side (no hash exchange at any scale)") {
+    val p = plan("doc_chunks")
+    assert(!p.contains("hashpartitioning("),
+      s"chunking should never shuffle the corpus:\n$p")
+    assert(p.contains("Generate explode"), s"chunk explode missing:\n$p")
+  }
+
+  test("source-mix sampling filters map-side, aggregates with partial combine") {
+    val p = plan("source_mix_sample")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"mix summary shuffles raw rows without combine:\n$p")
+    assert(!p.contains("Expand"),
+      s"FILTER aggregates must not trigger the Expand rewrite:\n$p")
+  }
+
+  test("unigram surprisal combines map-side; vocabulary join broadcasts") {
+    val p = plan("unigram_surprisal")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"surprisal shuffles raw exploded tokens without combine:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row total must broadcast, not cartesian:\n$p")
+  }
 }
