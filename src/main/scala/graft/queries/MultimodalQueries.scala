@@ -126,6 +126,45 @@ object MultimodalQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  // REAL audio round-trip, hash-gated (the audio analog of imageDecode/
+  // videoFrames, completing the image/audio/video modality set): each
+  // doc_id synthesizes a RIFF/WAVE whose format header and every PCM-16
+  // sample are pure arithmetic on the id; the kernel PARSES the
+  // container (fmt + data chunks) and decodes the samples into integer
+  // stats (order-independent sum + peak). The oracle restates the
+  // arithmetic — list_sum/list_transform over range(n) — so the gate
+  // verifies real WAVE byte parsing and 16-bit LE sample decode, not a
+  // stub.
+  private val audioProbe = QueryDef(
+    "multimodal_audio_probe",
+    Some("""WITH d AS (
+           |  SELECT doc_id,
+           |         (64 + doc_id % 32) * (1 + doc_id % 2) AS n
+           |  FROM documents)
+           |SELECT doc_id, true AS ok,
+           |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+           |  CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+           |  CAST(16 AS INTEGER) AS bits,
+           |  CAST(n AS BIGINT) AS n_samples,
+           |  CAST(list_sum(list_transform(range(0, n),
+           |         i -> ((doc_id * 31 + i * 17) % 2001) - 1000)) AS BIGINT) AS sum_samples,
+           |  CAST(list_max(list_transform(range(0, n),
+           |         i -> abs(((doc_id * 31 + i * 17) % 2001) - 1000))) AS BIGINT) AS peak_abs
+           |FROM d ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      import s.implicits._
+      val ids = graft.operators.Parallelize
+        .ensure(Tables.table(s, dir, "documents").select(col("doc_id").cast("long")))
+        .as[Long]
+      val media = ids
+        .mapPartitions(_.map(id => (id, graft.multimodal.MediaKernels.syntheticWav(id))))
+        .toDF("id", "bytes")
+      Multimodal.analyzeAudio(s, media)
+        .toDF("doc_id", "ok", "channels", "sample_rate", "bits",
+          "n_samples", "sum_samples", "peak_abs")
+        .orderBy("doc_id")
+    })
+
   override val defs: Seq[QueryDef] =
-    Seq(features, frames, imageDecode, videoFrames)
+    Seq(features, frames, imageDecode, videoFrames, audioProbe)
 }

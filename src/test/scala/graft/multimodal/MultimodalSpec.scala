@@ -133,6 +133,35 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MediaKernels.probeAvi(pad).isEmpty)
   }
 
+  test("WAV probe parses real RIFF/WAVE bytes and decodes PCM-16 samples") {
+    val wav = MediaKernels.syntheticWav(5L) // 2 ch, 12000 Hz, n = 69*2
+    val p = MediaKernels.probeWav(wav)
+    assert(p.isDefined)
+    assert(p.get.audioFormat == 1 && p.get.channels == 2)
+    assert(p.get.sampleRate == 12000 && p.get.bitsPerSample == 16)
+    assert(p.get.dataSize == 2 * 138)
+    val stats = MediaKernels.analyzeWav(Seq((5L, wav))).head
+    assert(stats.ok && stats.nSamples == 138)
+    val expected = (0 until 138).map(i => (5 * 31 + i * 17) % 2001 - 1000)
+    assert(stats.sumSamples == expected.sum)
+    assert(stats.peakAbs == expected.map(math.abs).max)
+  }
+
+  test("WAV probe rejects non-audio, truncated, and malformed-size bytes") {
+    assert(MediaKernels.probeWav(Array.emptyByteArray).isEmpty)
+    assert(MediaKernels.probeWav(MediaKernels.syntheticAvi(3L)).isEmpty)
+    assert(MediaKernels.probeWav(MediaKernels.syntheticWav(8L).take(30)).isEmpty)
+    val wav = MediaKernels.syntheticWav(2L)
+    wav(16) = 0xf8.toByte; wav(17) = 0xff.toByte // fmt size -> -8
+    wav(18) = 0xff.toByte; wav(19) = 0xff.toByte
+    assert(MediaKernels.probeWav(wav).isEmpty)
+    // non-PCM-16 streams degrade at the analyze layer, not the probe
+    val wav2 = MediaKernels.syntheticWav(2L)
+    wav2(20) = 2 // audioFormat = ADPCM
+    assert(MediaKernels.probeWav(wav2).isDefined)
+    assert(!MediaKernels.analyzeWav(Seq((2L, wav2))).head.ok)
+  }
+
   test("video frame sampling degrades per row and picks first/last") {
     val ss = spark
     import ss.implicits._
