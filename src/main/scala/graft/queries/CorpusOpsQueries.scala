@@ -50,18 +50,34 @@ object CorpusOpsQueries extends QuerySet {
     (s, dir) => incrementalMatches(s, dir).orderBy("incoming_id"))
 
   /** Banded-index probe + exact verify, lazy (PlanSpec inspects this
-    * stage's shape before the gated entry checkpoints it away). */
+    * stage's shape before the gated entry checkpoints it away).
+    * Geometry comes from TextQueries' shared constants — the batch
+    * path must probe exactly the full path's bands. */
   private[queries] def incrementalPipeline(sh: org.apache.spark.sql.DataFrame) = {
-      val sig = sh.select(col("doc_id"), expr("minhash_sig(sh, 72)").as("sig"))
+      val sig = sh.select(col("doc_id"),
+        expr(s"minhash_sig(sh, ${TextQueries.NumHashes})").as("sig"))
+      val r = TextQueries.RowsPerBand
       val bands = sig.select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 23), b -> xxhash64(sig[3*b], sig[3*b+1], sig[3*b+2]))")))
+        s"transform(sequence(0, ${TextQueries.NumBands - 1}), " +
+          s"b -> xxhash64(sig[$r*b], sig[$r*b+1], sig[$r*b+2]))")))
         .toDF("doc_id", "band", "bh")
-      val ex = bands.filter(col("doc_id") % 5 =!= 4)
-        .select(col("doc_id").as("e_id"), col("band"), col("bh"))
-      val in = bands.filter(col("doc_id") % 5 === 4)
-        .select(col("doc_id").as("i_id"), col("band"), col("bh"))
-      val cand = in.join(ex, Seq("band", "bh"))
-        .select("i_id", "e_id").distinct()
+      // One groupBy splits each bucket into its incoming/existing sides
+      // (collect_set skips the when()'s nulls). The total-membership cap
+      // is the full path's [2,1000] guard: a degenerate boilerplate-
+      // heavy batch must not turn a bucket into an m×k pair explosion —
+      // same discipline, same bound, so batch and full path also agree
+      // on WHICH buckets they drop.
+      val buckets = bands
+        .groupBy("band", "bh")
+        .agg(
+          collect_set(when(col("doc_id") % 5 === 4, col("doc_id"))).as("in_ids"),
+          collect_set(when(col("doc_id") % 5 =!= 4, col("doc_id"))).as("ex_ids"))
+        .filter(size(col("in_ids")) >= 1 && size(col("ex_ids")) >= 1 &&
+          (size(col("in_ids")) + size(col("ex_ids"))).between(2, 1000))
+      val cand = buckets
+        .select(explode(col("in_ids")).as("i_id"), col("ex_ids"))
+        .select(col("i_id"), explode(col("ex_ids")).as("e_id"))
+        .distinct()
       val shI = sh.filter(col("doc_id") % 5 === 4)
         .select(col("doc_id").as("i_id"), col("sh").as("si"))
       val shE = sh.filter(col("doc_id") % 5 =!= 4)
@@ -158,7 +174,7 @@ object CorpusOpsQueries extends QuerySet {
     "doc_chunks",
     Some(s"""WITH st AS (
             |  SELECT doc_id, text, unnest(range(1, len(text) + 1, $ChunkStride)) AS st
-            |  FROM documents)
+            |  FROM documents WHERE len(text) > 0)
             |SELECT doc_id, CAST((st - 1) // $ChunkStride AS BIGINT) AS chunk_id,
             |       CAST(st AS BIGINT) AS chunk_start,
             |       CAST(len(substr(text, CAST(st AS INT), $ChunkLen)) AS BIGINT) AS chunk_len,
@@ -166,6 +182,10 @@ object CorpusOpsQueries extends QuerySet {
             |FROM st ORDER BY doc_id, chunk_id""".stripMargin),
     (s, dir) =>
       Tables.table(s, dir, "documents")
+        // empty docs chunk to nothing on both engines — and Spark's
+        // sequence(1, 0, step) THROWS rather than returning [], so the
+        // filter is load-bearing, not cosmetic
+        .filter(length(col("text")) > 0)
         .select(col("doc_id"),
           explode(expr(s"sequence(1, length(text), $ChunkStride)")).as("st"),
           col("text"))

@@ -214,7 +214,9 @@ object EventQueries extends QuerySet {
   // collapses to DISTINCT (user, day) BEFORE the cohort join (two-phase
   // distinct — the corpus never reaches the join raw); the join key is
   // high-cardinality user_id; only the already-collapsed user-day rows
-  // hit the final low-cardinality (cohort, offset) agg. The day-offset
+  // hit the final low-cardinality (cohort, offset) agg — and since they
+  // arrive unique per (user, day), that agg is a plain count, not a
+  // second distinct pass. The day-offset
   // spelling is the one engine-specific piece (Spark datediff vs DuckDB
   // date_diff), both exact integer days.
   private def retentionSql(dayDiff: (String, String) => String, oneD: String) =
@@ -231,9 +233,9 @@ object EventQueries extends QuerySet {
        |  FROM a JOIN f ON a.user_id = f.user_id)
        |SELECT cast(j.cohort_day AS TIMESTAMP) AS cohort_day,
        |       cast(j.day_offset AS BIGINT) AS day_offset,
-       |       cast(count(DISTINCT j.user_id) AS BIGINT) AS n_active,
+       |       cast(count(*) AS BIGINT) AS n_active,
        |       cast(sz.cohort_size AS BIGINT) AS cohort_size,
-       |       round(count(DISTINCT j.user_id) * $oneD / sz.cohort_size, 6) AS retention
+       |       round(count(*) * $oneD / sz.cohort_size, 6) AS retention
        |FROM j JOIN sz ON sz.cohort_day = j.cohort_day
        |GROUP BY j.cohort_day, j.day_offset, sz.cohort_size
        |ORDER BY cohort_day, day_offset""".stripMargin

@@ -42,9 +42,12 @@ object TextQueries extends QuerySet {
   // J≈0.9 the corpus actually contains. Candidates are pairs sharing a
   // band bucket; exact Jaccard on the shingle sets is the final filter,
   // so LSH is purely a candidate generator (no false positives).
-  private val NumHashes = 72
-  private val RowsPerBand = 3
-  private val NumBands = NumHashes / RowsPerBand
+  // shared with CorpusOpsQueries.incrementalPipeline — the incremental
+  // batch path must probe with EXACTLY this geometry or its candidate
+  // recall silently diverges from the full path
+  private[queries] val NumHashes = 72
+  private[queries] val RowsPerBand = 3
+  private[queries] val NumBands = NumHashes / RowsPerBand
 
   /** Oracle CTE producing the verified near-dup pairs — shared by the
     * pair entry and the clustering entry. */
