@@ -238,5 +238,62 @@ object CorpusOpsQueries extends QuerySet {
          |       round(count(*) FILTER (WHERE keep) * 1.0D / count(*), 6) AS achieved_rate
          |FROM k GROUP BY source ORDER BY source""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(incremental, surprisal, chunks, sourceMix)
+  // ---- leakage-safe train/val/test split --------------------------------
+  // The eval-hygiene step every training pipeline needs: hash-assigned
+  // 80/10/10 splits where all members of a near-dup cluster land in the
+  // SAME split — a naive per-doc hash split leaks near-duplicates of
+  // training docs into the eval set. The split key is the doc's cluster
+  // label (min doc_id of its component) when it has near-dups, its own
+  // id otherwise, so the assignment is a pure function of content
+  // relationships — deterministic, engine-portable (md5-hex threshold,
+  // the source_mix discipline), and stable under re-runs.
+  //
+  // 100 TB shape: the label set is the (tiny) clustered-doc set, so the
+  // corpus-side join is a broadcast left join; the hash CASE is
+  // map-side; the final agg groups on 3 splits AFTER the per-split
+  // partials combine. Reuses the memoized verified pair set the other
+  // near-dup entries build.
+  private val splitCase =
+    """CASE WHEN substr(md5(CAST(ck AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+      |     WHEN substr(md5(CAST(ck AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+      |     ELSE 'test' END""".stripMargin
+
+  private val leakageSafeSplit = QueryDef(
+    "leakage_safe_split",
+    Some(TextQueries.neardupPairsSql.replaceFirst("WITH sh", "WITH RECURSIVE sh") + s""",
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |labels AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS label FROM reach GROUP BY a),
+      |k AS (
+      |  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS ck
+      |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+      |s AS (SELECT doc_id, ck, $splitCase AS split FROM k)
+      |SELECT split, count(*) AS n_docs,
+      |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |       CAST(count(DISTINCT ck) AS BIGINT) AS n_groups
+      |FROM s GROUP BY split ORDER BY split""".stripMargin),
+    (s, dir) => {
+      val labels = graft.operators.ConnectedComponents.labels(
+        TextQueries.neardupPairs(s, dir).select(col("id_a"), col("id_b")))
+        .select(col("id").as("doc_id"), col("label"))
+      Tables.table(s, dir, "documents")
+        .join(broadcast(labels), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("ck"))
+        .withColumn("split", expr(
+          splitCase.replace("AS VARCHAR", "AS STRING")))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").cast("long").as("id_sum"),
+          countDistinct("ck").as("n_groups"))
+        .orderBy("split")
+    })
+
+  override val defs: Seq[QueryDef] =
+    Seq(incremental, surprisal, chunks, sourceMix, leakageSafeSplit)
 }

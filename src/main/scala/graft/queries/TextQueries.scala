@@ -50,8 +50,8 @@ object TextQueries extends QuerySet {
   private[queries] val NumBands = NumHashes / RowsPerBand
 
   /** Oracle CTE producing the verified near-dup pairs — shared by the
-    * pair entry and the clustering entry. */
-  private val neardupPairsSql =
+    * pair entry, the clustering entry, and CorpusOpsQueries' split. */
+  private[queries] val neardupPairsSql =
     """WITH sh AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
@@ -140,7 +140,8 @@ object TextQueries extends QuerySet {
   private val pairsCache =
     new graft.operators.SessionMemo[String, org.apache.spark.sql.DataFrame]()
 
-  private def neardupPairs(s: org.apache.spark.sql.SparkSession, dir: String) =
+  // shared with CorpusOpsQueries.leakage-safe split (same memoized build)
+  private[queries] def neardupPairs(s: org.apache.spark.sql.SparkSession, dir: String) =
     // One materialization per (session, source): the pair set is the
     // pipeline's shared intermediate — three gated entries (pairs,
     // clusters, dedup'd corpus) consume it, and a serving deployment

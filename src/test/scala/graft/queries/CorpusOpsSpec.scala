@@ -105,6 +105,28 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(disagree == 0, "first-match ids disagree with the full pair set")
   }
 
+  test("leakage-safe split keeps every near-dup cluster inside one split") {
+    // re-derive each clustered doc's split with the same hash rule the
+    // operator uses, keyed on its CLUSTER label — if any cluster spans
+    // two splits, near-dups of training docs leak into eval
+    val clusters = run("neardup_clusters")
+      .withColumn("split", expr(
+        """CASE WHEN substr(md5(CAST(cluster_id AS STRING)), 1, 8) < 'cccccccc' THEN 'train'
+          |     WHEN substr(md5(CAST(cluster_id AS STRING)), 1, 8) < 'e6666666' THEN 'val'
+          |     ELSE 'test' END""".stripMargin))
+    assert(clusters.select("cluster_id", "split").distinct().count() ==
+      clusters.select("cluster_id").distinct().count(),
+      "a near-dup cluster spans multiple splits")
+    // the gated summary accounts for every document exactly once, with
+    // rates near 80/10/10 (hash-binomial tolerance on 500 docs)
+    val docs = Tables.table(spark, sf, "documents").count()
+    val rows = run("leakage_safe_split").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.values.sum == docs)
+    assert(math.abs(rows("train").toDouble / docs - 0.8) < 0.1)
+    assert(rows.getOrElse("val", 0L) > 0 && rows.getOrElse("test", 0L) > 0)
+  }
+
   test("retention grid: day-0 retention is 1.0 for every cohort, never above 1") {
     val out = run("ev5_retention_cohorts")
     val day0 = out.filter(col("day_offset") === 0)
