@@ -291,6 +291,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"FILTER aggregates must not trigger the Expand rewrite:\n$p")
   }
 
+  test("leakage-safe split broadcasts the label set and combines partially") {
+    // the clustered-doc label set is tiny vs the corpus: the corpus-side
+    // join must broadcast it, and the 3-way split agg must combine
+    // map-side before its exchange
+    val p = plan("leakage_safe_split")
+    assert(p.contains("BroadcastHashJoin"), s"label set not broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"split summary shuffles raw rows without combine:\n$p")
+  }
+
   test("unigram surprisal combines map-side; vocabulary join broadcasts") {
     val p = plan("unigram_surprisal")
     assert(p.contains("partial_count") || p.contains("partial_"),
