@@ -17,21 +17,29 @@ import org.apache.spark.sql.types._
   *     snapshots/s<id>/        parquet data written by snapshot <id>
   *     _meta/                  parquet manifest table:
   *                             (snapshot_id, committed_at, mode,
-  *                              row_count, dirs ARRAY<STRING>)
+  *                              row_count, dirs ARRAY<STRING>,
+  *                              dir_stats ARRAY<STRUCT<dir, pk_sig,
+  *                                pk_min, pk_max, rows>>)
   *     _current                text file holding the live snapshot id
   *                             (advanced by ATOMIC_MOVE rename)
   * }}}
   *
   * A snapshot's state is the UNION of its manifest `dirs` — so:
-  *  - `full` and `merge` write one new dir and reference only it;
+  *  - `full` writes one new dir and references only it;
   *  - `append` writes ONLY the new rows and references the parent's
   *    dirs + its own — no rewrite of existing data, which is the only
   *    design that survives a 100 TB cursor-append cache (DuckLake adds
   *    files the same way);
-  *  - `merge` is PK anti-join + union rewrite (v1 rewrites the full
-  *    state; the scale refinement is copy-on-write of only the
-  *    affected partition dirs — the manifest design already permits
-  *    per-dir replacement);
+  *  - `merge` is file-pruned copy-on-write: the manifest carries
+  *    per-dir PK min/max stats, the delta's keys are tested against
+  *    them (one map-side aggregate over the delta), ONLY the dirs
+  *    whose key range can match are anti-joined + rewritten, and
+  *    untouched dirs are carried into the new snapshot BY REFERENCE —
+  *    so a 0.1% daily delta into a 100 TB table rewrites ~0.1% of the
+  *    files, not the table (DuckLake's file-level MERGE,
+  *    docs/spec/components/caching.md:113-170). Rewritten data is
+  *    range-partitioned on the PK into bucket subdirs so the NEXT
+  *    merge can prune within this one's output too;
   *  - time travel = read an older manifest; expiry = drop manifests
   *    and any data dir no retained manifest references; compaction =
   *    rewrite the live state into one dir and publish it as a new
@@ -61,16 +69,36 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
 
   Files.createDirectories(snapDir)
 
+  /** Per-data-dir pruning stats: min/max of the canonical PK prune
+    * key over the dir's rows (nulls excluded — a NULL PK component
+    * never equi-matches a delta row, so null-only dirs are never
+    * touched), plus the dir's row count. `pkSig` records WHICH key
+    * columns the stats were computed over; a merge with a different
+    * key set treats the dir as unprunable and rewrites it. */
+  private[cache] final case class DirStat(
+      dir: String, pkSig: String,
+      pkMin: Option[String], pkMax: Option[String], rows: Long)
+
+  private val statSchema = StructType(Seq(
+    StructField("dir", StringType, nullable = false),
+    StructField("pk_sig", StringType, nullable = false),
+    StructField("pk_min", StringType, nullable = true),
+    StructField("pk_max", StringType, nullable = true),
+    StructField("rows", LongType, nullable = false)))
+
   private val metaSchema = StructType(Seq(
     StructField("snapshot_id", LongType, nullable = false),
     StructField("committed_at", TimestampType, nullable = false),
     StructField("mode", StringType, nullable = false),
     StructField("row_count", LongType, nullable = false),
-    StructField("dirs", ArrayType(StringType), nullable = false)))
+    StructField("dirs", ArrayType(StringType), nullable = false),
+    // nullable: manifests written before the stats column existed (or
+    // by stat-less modes) read back as null → dirs treated unprunable
+    StructField("dir_stats", ArrayType(statSchema), nullable = true)))
 
   private final case class Manifest(
       id: Long, committedAt: java.sql.Timestamp, mode: String,
-      rowCount: Long, dirs: Seq[String])
+      rowCount: Long, dirs: Seq[String], stats: Seq[DirStat])
 
   // ---- manifest ---------------------------------------------------------
 
@@ -79,15 +107,20 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
     if (!Files.exists(metaDir)) Nil
     else spark.read.schema(metaSchema).parquet(metaDir.toString)
       .collect().toSeq.map { r =>
+        val stats = Option(r.getSeq[Row](5)).getOrElse(Seq.empty).map { s =>
+          DirStat(s.getString(0), s.getString(1),
+            Option(s.getString(2)), Option(s.getString(3)), s.getLong(4))
+        }
         Manifest(r.getLong(0), r.getTimestamp(1), r.getString(2),
-          r.getLong(3), r.getSeq[String](4))
+          r.getLong(3), r.getSeq[String](4), stats)
       }.sortBy(-_.id)
 
   /** All snapshot manifests as a DataFrame (C3 introspection; analog
     * of the ducklake_snapshots() table function). */
   def snapshots(): DataFrame = {
     val rows = loadManifests().map(m =>
-      Row(m.id, m.committedAt, m.mode, m.rowCount, m.dirs))
+      Row(m.id, m.committedAt, m.mode, m.rowCount, m.dirs,
+        m.stats.map(s => Row(s.dir, s.pkSig, s.pkMin.orNull, s.pkMax.orNull, s.rows))))
     spark.createDataFrame(rows.asJava, metaSchema)
   }
 
@@ -120,9 +153,11 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
       throw new IllegalArgumentException(s"snapshot $id does not exist for table $name")
     }
 
-  private def publish(id: Long, mode: String, rowCount: Long, dirs: Seq[String]): Unit = {
+  private def publish(id: Long, mode: String, rowCount: Long, dirs: Seq[String],
+      stats: Seq[DirStat] = Seq.empty): Unit = {
     val row = Row(id, new java.sql.Timestamp(System.currentTimeMillis()),
-      mode, rowCount, dirs)
+      mode, rowCount, dirs,
+      stats.map(s => Row(s.dir, s.pkSig, s.pkMin.orNull, s.pkMax.orNull, s.rows)))
     spark.createDataFrame(java.util.List.of(row), metaSchema)
       .coalesce(1)
       .write.mode(SaveMode.Append).parquet(metaDir.toString)
@@ -188,6 +223,23 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
         m.contains(s"s$id")
   }
 
+  /** Cheap progress fingerprint of another writer's claimed snapshot
+    * dir: (entry count, latest mtime, total size). Changing between
+    * polls = the writer is alive and writing. */
+  private def claimSignature(id: Long): (Long, Long, Long) = {
+    val p = snapDir.resolve(s"s$id")
+    if (!Files.exists(p)) (-1L, -1L, -1L)
+    else {
+      var n = 0L; var mtime = 0L; var size = 0L
+      Files.walk(p).iterator().asScala.foreach { f =>
+        n += 1
+        mtime = math.max(mtime, Files.getLastModifiedTime(f).toMillis)
+        if (Files.isRegularFile(f)) size += Files.size(f)
+      }
+      (n, mtime, size)
+    }
+  }
+
   private def withFreshId(body: (Seq[Manifest], Long) => Long): Long = {
     var attempt = 1
     var ms = loadManifests()
@@ -206,16 +258,25 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
           // The winner holds the dir claim but may still be writing
           // data: retrying immediately would just collide on the same
           // id again and exhaust the attempts. Poll until the winner's
-          // manifest lands (head advances past the collided id) before
-          // recomputing; if the claimer died mid-write the head never
-          // advances, the next attempt collides again, and the failure
-          // propagates loudly after MaxPublishAttempts — operator
-          // intervention territory, not silent corruption.
-          val deadline = System.currentTimeMillis() + CollisionWaitMillis
+          // manifest lands (head advances past the collided id). A
+          // LIVE slow writer must not be mistaken for a crashed one,
+          // so the wait is progress-aware: as long as the claimed
+          // dir's contents keep advancing (file count / mtimes /
+          // sizes), keep waiting — the stall clock only runs while
+          // the claim shows NO progress for CollisionWaitMillis. A
+          // genuinely dead claimer stops producing progress, the
+          // stall deadline fires, the next attempt collides again,
+          // and the failure propagates loudly after
+          // MaxPublishAttempts — operator intervention territory,
+          // not silent corruption.
           var cur = loadManifests()
+          var lastSig = claimSignature(id)
+          var lastProgress = System.currentTimeMillis()
           while (cur.headOption.fold(0L)(_.id) < id &&
-              System.currentTimeMillis() < deadline) {
+              System.currentTimeMillis() - lastProgress < CollisionWaitMillis) {
             Thread.sleep(CollisionPollMillis)
+            val sig = claimSignature(id)
+            if (sig != lastSig) { lastSig = sig; lastProgress = System.currentTimeMillis() }
             cur = loadManifests()
           }
           ms = cur
@@ -246,24 +307,129 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
     }
   }
 
-  /** merge: upsert by primary key — keep current rows with no matching
-    * PK in the delta (anti-join), union the delta, publish as a full
-    * rewrite. The anti-join shuffles both sides on the PK columns,
-    * which is the minimal movement for an upsert without a partitioned
-    * layout; with one, only affected partitions would rewrite. */
-  def refreshMerge(newRows: DataFrame, primaryKeys: Seq[String]): Long = synchronized {
+  /** Canonical sortable prune key for a PK tuple: each component cast
+    * to string, joined with \u0001; NULL if ANY component is null (a
+    * null component never equi-matches, so such rows can neither
+    * touch a dir nor contribute to its stats). Min/max of THIS
+    * encoding per dir is what the manifest stores — containment is
+    * exact by construction (the same tuple always encodes to the same
+    * string, which lies within its dir's [min,max]), so pruning can
+    * only over-approximate, never miss a matching row. */
+  private def pruneKey(pks: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val anyNull = pks.map(col(_).isNull).reduce(_ || _)
+    when(anyNull, lit(null: String))
+      .otherwise(concat_ws("\u0001", pks.map(col(_).cast("string")): _*))
+  }
+
+  private def pkSig(pks: Seq[String]): String = pks.mkString(",")
+
+  private val BucketCol = "__graft_bucket"
+
+  /** Which of the parent's dirs can contain a PK present in the delta.
+    * Dirs with no stats / a different key signature / time-of-write
+    * unknowable content are unprunable → touched. Stat-bearing dirs
+    * are tested with ONE aggregate over the delta (a per-dir
+    * `max(when(key between min and max, 1))` flag — map-side partial
+    * agg, no join, no collect of delta rows). */
+  private def touchedDirs(
+      delta: DataFrame, pks: Seq[String], parent: Manifest): Set[String] = {
+    import org.apache.spark.sql.functions._
+    val sig = pkSig(pks)
+    val statsByDir = parent.stats.map(s => s.dir -> s).toMap
+    val (checkable, blind) = parent.dirs.partition(d =>
+      statsByDir.get(d).exists(s =>
+        s.pkSig == sig && s.pkMin.isDefined && s.pkMax.isDefined))
+    val hits: Set[String] =
+      if (checkable.isEmpty) Set.empty
+      else {
+        val k = pruneKey(pks)
+        val flags = checkable.map { d =>
+          val s = statsByDir(d)
+          max(when(k.between(lit(s.pkMin.get), lit(s.pkMax.get)), 1))
+        }
+        val row = delta.agg(flags.head, flags.tail: _*).collect().head
+        checkable.zipWithIndex.collect {
+          case (d, i) if !row.isNullAt(i) => d
+        }.toSet
+      }
+    hits ++ blind
+  }
+
+  /** Write merge output range-partitioned on the prune key into
+    * `buckets` subdirs of s<id>, and compute each subdir's stats from
+    * a column-pruned read-back of just the PK columns. Returns
+    * (manifest dir entries, their stats); empty when the data is
+    * empty (the claim dir then stays unreferenced and is reaped by a
+    * later expire). Range partitioning (not hash) is deliberate:
+    * contiguous key ranges per dir keep a key-local delta (a date, an
+    * id window) touching O(1) dirs on the NEXT merge, where hash
+    * buckets would all span the full range and never prune. */
+  private def writeMergeData(
+      id: Long, df: DataFrame, pks: Seq[String], buckets: Int): (Seq[String], Seq[DirStat]) = {
+    import org.apache.spark.sql.functions._
+    val dirName = s"s$id"
+    val target = snapDir.resolve(dirName)
+    Files.createDirectory(target) // atomic claim, see writeData
+    try {
+      df.repartitionByRange(math.max(buckets, 1), pruneKey(pks))
+        // evaluated AFTER the exchange, so it names the range bucket;
+        // partitionBy then encodes it in the subdir path (not in the
+        // files) — each task writes straight into its own subdir, no
+        // second shuffle
+        .withColumn(BucketCol, spark_partition_id())
+        .write.mode(SaveMode.Append).partitionBy(BucketCol)
+        .parquet(target.toString)
+    } catch { case e: Throwable => deleteRecursively(target); throw e }
+    val subdirs = Files.list(target).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith(BucketCol + "=")).toList
+    if (subdirs.isEmpty) (Seq.empty, Seq.empty)
+    else {
+      val k = pruneKey(pks)
+      val stats = spark.read.parquet(target.toString)
+        .groupBy(col(BucketCol))
+        .agg(min(k).as("mn"), max(k).as("mx"), count(lit(1)).as("n"))
+        .collect().toSeq.map { r =>
+          DirStat(s"$dirName/$BucketCol=${r.get(0)}", pkSig(pks),
+            Option(r.getString(1)), Option(r.getString(2)), r.getLong(3))
+        }.sortBy(_.dir)
+      (stats.map(_.dir), stats)
+    }
+  }
+
+  /** merge: upsert by primary key, file-pruned. The delta's keys are
+    * tested against the manifest's per-dir stats; only dirs whose key
+    * range can match are read, anti-joined and rewritten — untouched
+    * dirs (and their stats) are carried into the new snapshot by
+    * reference, files unrewritten. An all-new-keys delta therefore
+    * writes only itself; a point update rewrites one bucket. Dirs
+    * without stats (pre-stats manifests, full/append/compact output,
+    * or stats under a different key set) are unprunable and rewrite
+    * once, after which the output is bucketed + stat-bearing. */
+  def refreshMerge(newRows: DataFrame, primaryKeys: Seq[String],
+      mergeBuckets: Int = 4): Long = synchronized {
     require(primaryKeys.nonEmpty, "merge mode requires primary keys")
     withFreshId { (ms, id) =>
-      val merged = currentSnapshotId match {
-        case None => newRows
-        case Some(cur) =>
-          val dirs = parentManifest(ms, cur).dirs.map(dataPath)
-          spark.read.parquet(dirs: _*)
-            .join(newRows, primaryKeys, "left_anti")
-            .unionByName(newRows)
+      currentSnapshotId.map(parentManifest(ms, _)) match {
+        case None =>
+          val (dirs, stats) = writeMergeData(id, newRows, primaryKeys, mergeBuckets)
+          publish(id, "merge", stats.map(_.rows).sum, dirs, stats)
+        case Some(parent) =>
+          val touched = touchedDirs(newRows, primaryKeys, parent)
+          val untouched = parent.dirs.filterNot(touched)
+          val merged =
+            if (touched.isEmpty) newRows
+            else spark.read.parquet(touched.toSeq.map(dataPath): _*)
+              .join(newRows, primaryKeys, "left_anti")
+              .unionByName(newRows)
+          val (newDirs, newStats) = writeMergeData(id, merged, primaryKeys, mergeBuckets)
+          // every untouched dir has stats by construction (stat-less
+          // dirs are always touched), so carried row counts are exact
+          val carried = untouched.flatMap(d => parent.stats.find(_.dir == d))
+          publish(id, "merge",
+            carried.map(_.rows).sum + newStats.map(_.rows).sum,
+            untouched ++ newDirs, carried ++ newStats)
       }
-      val dir = writeData(id, merged)
-      publish(id, "merge", writtenCount(dir), Seq(dir))
       id
     }
   }
@@ -304,22 +470,36 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
     if (drop.nonEmpty) {
       val retained = ms.filter(m => keep.contains(m.id))
       rewriteMeta(retained)
-      val live = retained.flatMap(_.dirs).toSet
-      // Only reap dirs at or below the manifest head we read: a dir
-      // named past the head is another driver's CLAIMED, not-yet-
-      // published snapshot (writeData's createDirectory) — deleting it
-      // under the writer would silently drop part files from a
-      // snapshot that then publishes. Dirs ≤ head that no retained
-      // manifest references are genuinely dead.
+      // manifest dirs may be bucket SUBDIRS ("s5/__graft_bucket=0"),
+      // so liveness is judged at the top-level snapshot dir
+      val live = retained.flatMap(_.dirs).map(_.takeWhile(_ != '/')).toSet
+      // Only reap snapshot dirs at or below the manifest head we
+      // read: a dir named past the head is another driver's CLAIMED,
+      // not-yet-published snapshot (writeData's createDirectory) —
+      // deleting it under the writer would silently drop part files
+      // from a snapshot that then publishes. Dirs ≤ head that no
+      // retained manifest references are genuinely dead. Entries that
+      // are not snapshot dirs at all (a killed write's _temporary
+      // leftovers and the like) are garbage and reaped too; a claim
+      // stuck PAST the head (its writer crashed before publishing) is
+      // logged so an operator sees it instead of it silently
+      // accumulating forever.
       val head = ms.headOption.fold(0L)(_.id)
       Files.list(snapDir).iterator().asScala.toList
         .filterNot(p => live.contains(p.getFileName.toString))
-        .filter { p =>
+        .foreach { p =>
           val n = p.getFileName.toString
-          n.startsWith("s") && n.drop(1).forall(_.isDigit) &&
-            n.drop(1).toLong <= head
+          val isSnapDir = n.startsWith("s") && n.length > 1 && n.drop(1).forall(_.isDigit)
+          if (!isSnapDir) deleteRecursively(p)
+          else if (n.drop(1).toLong <= head) deleteRecursively(p)
+          else {
+            val age = System.currentTimeMillis() -
+              Files.getLastModifiedTime(p).toMillis
+            System.err.println(s"[graft] table $name: snapshot claim $n is " +
+              s"ahead of manifest head $head and ${age / 1000}s old — " +
+              "in-flight writer or orphan of a crashed one; not reaped")
+          }
         }
-        .foreach(deleteRecursively)
     }
     drop
   }
@@ -339,7 +519,8 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
   }
 
   private def rewriteMeta(retained: Seq[Manifest]): Unit = {
-    val rows = retained.map(m => Row(m.id, m.committedAt, m.mode, m.rowCount, m.dirs))
+    val rows = retained.map(m => Row(m.id, m.committedAt, m.mode, m.rowCount, m.dirs,
+      m.stats.map(s => Row(s.dir, s.pkSig, s.pkMin.orNull, s.pkMax.orNull, s.rows))))
     val tmp = tableDir.resolve("_meta_new")
     spark.createDataFrame(rows.asJava, metaSchema)
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)

@@ -69,6 +69,85 @@ class SnapshotTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(1L -> "v1", 2L -> "v2", 3L -> "NEW3", 4L -> "v4", 5L -> "v5", 9L -> "NEW9"))
   }
 
+  test("merge is file-pruned: a 1-row delta rewrites only the bucket whose PK range matches") {
+    val ss = spark
+    import ss.implicits._
+    val t = new SnapshotTable(spark, root, "t_prune")
+    // s1: stat-less full snapshot → the first merge must rewrite it...
+    t.refreshFull(df(1 to 100))
+    // s2: ...into 4 range buckets, each with PK min/max stats
+    t.refreshMerge(Seq((200L, "n200")).toDF("id", "val"), Seq("id"), mergeBuckets = 4)
+    val dirsOf = (id: Long) => t.snapshots().filter(s"snapshot_id = $id")
+      .select("dirs").collect().head.getSeq[String](0)
+    val s2dirs = dirsOf(2L)
+    assert(s2dirs.size == 4 && s2dirs.forall(_.startsWith("s2/")), s2dirs)
+    assert(t.read().count() == 101)
+
+    // fingerprint every s2 bucket's files before the next merge
+    def fileBytes(dir: String): Map[String, Long] = {
+      val p = java.nio.file.Paths.get(root, "t_prune", "snapshots", dir)
+      Files.list(p).iterator().asScala
+        .map(f => f.getFileName.toString -> Files.size(f)).toMap
+    }
+    def fileMtimes(dir: String): Map[String, Long] = {
+      val p = java.nio.file.Paths.get(root, "t_prune", "snapshots", dir)
+      Files.list(p).iterator().asScala
+        .map(f => f.getFileName.toString -> Files.getLastModifiedTime(f).toMillis).toMap
+    }
+    val before = s2dirs.map(d => d -> (fileBytes(d), fileMtimes(d))).toMap
+
+    // s3: update ONE existing key — exactly one s2 bucket may rewrite
+    t.refreshMerge(Seq((37L, "UPD")).toDF("id", "val"), Seq("id"), mergeBuckets = 4)
+    val s3dirs = dirsOf(3L)
+    val carried = s3dirs.filter(_.startsWith("s2/"))
+    assert(carried.size == 3, s"expected 3 carried s2 buckets, got $s3dirs")
+    // the rewritten bucket is the one whose stats range contains "37"
+    val stats = t.snapshots().filter("snapshot_id = 2")
+      .selectExpr("explode(dir_stats) st").selectExpr("st.dir", "st.pk_min", "st.pk_max")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val matching = stats.filter { case (_, mn, mx) => mn <= "37" && "37" <= mx }.map(_._1)
+    assert(matching.length == 1 && !carried.contains(matching.head),
+      s"stats say $matching should rewrite; carried=$carried")
+    // carried dirs are BY-REFERENCE: same files, same sizes, same mtimes
+    carried.foreach { d =>
+      assert((fileBytes(d), fileMtimes(d)) == before(d), s"carried dir $d was rewritten")
+    }
+    val out = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 101 && out(37L) == "UPD" && out(1L) == "v1" && out(200L) == "n200")
+
+    // s4: all-NEW keys, lexically past every bucket's pk_max ("998" >
+    // "99") → zero buckets touched, delta written alone
+    t.refreshMerge(Seq((998L, "n998"), (999L, "n999")).toDF("id", "val"), Seq("id"),
+      mergeBuckets = 4)
+    val s4dirs = dirsOf(4L)
+    assert(s4dirs.count(_.startsWith("s4/")) >= 1)
+    assert(s4dirs.filterNot(_.startsWith("s4/")).toSet == s3dirs.toSet,
+      s"all prior dirs must carry: $s4dirs vs $s3dirs")
+    assert(t.read().count() == 103)
+    // time travel still reassembles older merge snapshots from shared dirs
+    assert(t.read(Some(2L)).count() == 101)
+    assert(t.read(Some(3L)).collect().map(r => r.getLong(0) -> r.getString(1)).toMap.apply(37L) == "UPD")
+  }
+
+  test("merge row_count stays exact across carried dirs and expiry keeps shared buckets") {
+    val ss = spark
+    import ss.implicits._
+    val t = new SnapshotTable(spark, root, "t_prune_ret")
+    t.refreshFull(df(1 to 40))
+    t.refreshMerge(Seq((5L, "a")).toDF("id", "val"), Seq("id"), mergeBuckets = 3)   // s2 rewrite-all
+    t.refreshMerge(Seq((6L, "b")).toDF("id", "val"), Seq("id"), mergeBuckets = 3)   // s3 pruned
+    t.refreshMerge(Seq((99L, "c")).toDF("id", "val"), Seq("id"), mergeBuckets = 3)  // s4 new key
+    val counts = t.snapshots().select("snapshot_id", "row_count").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 40L, 2L -> 40L, 3L -> 40L, 4L -> 41L), counts)
+    // expire everything but the live snapshot: s2 buckets still
+    // referenced by s4 must survive, the rest reaped
+    t.expireSnapshots(keepLast = 1)
+    assert(t.read().count() == 41)
+    val live = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(live(5L) == "a" && live(6L) == "b" && live(99L) == "c" && live(7L) == "v7")
+  }
+
   test("retention drops old manifests but keeps dirs live appends reference") {
     val t = new SnapshotTable(spark, root, "t_ret")
     t.refreshAppend(df(1 to 4))   // s1
