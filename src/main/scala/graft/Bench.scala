@@ -110,15 +110,20 @@ object Bench {
     val failures = results.count(_._3 < 0)
     val warmTotal = results.map(_._3).filter(_ >= 0).sum
     val coldTotal = results.map(_._2).filter(_ >= 0).sum
-    // IVF recall artifact (r6 verdict #7): record what Lloyd training
-    // actually buys in recall@3 vs brute force — measured, not gated
-    // (recall at fixed nprobe is legitimately non-monotone in training)
-    val (recSampled, recTrained) =
-      try graft.queries.EmbeddingQueries.ivfRecallAt3(spark, sfDir)
+    // IVF recall artifact (r6 verdict #7, extended per r7 #2): the
+    // shipped-nprobe recall@3 for both quantizers (measured, not
+    // gated — recall at fixed nprobe is legitimately non-monotone in
+    // training) plus the trained quantizer's recall-vs-nprobe curve,
+    // whose monotone + ≥0.9-at-nprobe-8 shape IS gated in
+    // EmbeddingSpec — the accuracy knob a user of "ANN" expects.
+    val rec =
+      try graft.queries.EmbeddingQueries.ivfRecallReport(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] ivf recall failed: ${e.getMessage}")
-        (-1.0, -1.0)
+        graft.queries.EmbeddingQueries.IvfRecallReport(-1.0, -1.0, Nil)
       }
+    val curveJson = rec.curve
+      .map { case (n, r) => "\"" + n + "\":" + r }.mkString("{", ",", "}")
     val degradedJson = degraded.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contaminatedJson = contaminated
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -126,7 +131,8 @@ object Bench {
       s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${jmap(_._3)},""" +
         s""""cold_queries":${jmap(_._2)},"cold_total":$coldTotal,""" +
         s""""degraded":$degradedJson,"cold_contaminated":$contaminatedJson,""" +
-        s""""ivf_recall_at3":{"sampled":$recSampled,"trained":$recTrained},""" +
+        s""""ivf_recall_at3":{"sampled":${rec.sampled},"trained":${rec.trained}},""" +
+        s""""ivf_recall_curve":$curveJson,""" +
         s""""failures":$failures,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")

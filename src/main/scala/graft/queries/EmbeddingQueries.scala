@@ -326,16 +326,28 @@ object EmbeddingQueries extends QuerySet {
 
   // ---- IVF recall artifact ----------------------------------------------
 
+  /** Recall artifact: shipped-nprobe recall@3 for both quantizers plus
+    * the trained quantizer's recall-vs-nprobe curve. */
+  final case class IvfRecallReport(
+      sampled: Double, trained: Double, curve: Seq[(Int, Double)])
+
   /** Measured recall@3 (vs brute-force cosine ground truth) of the IVF
-    * search at nprobe=2, for the sampled-seed quantizer and for the
-    * Lloyd-trained one — the number the gate deliberately does NOT
-    * assert (recall at fixed nprobe is not monotone in training; the
-    * gated facts are the objective monotonicity above and the search
-    * path via ann_ivf_topk). Emitted into the bench artifact so every
-    * round records what the quantizer actually buys. Probes are the
-    * ids ending in 7 below 100 (10 probes, present at every SF) for a
-    * granularity of 1/30 rather than the 3-probe gate set's 1/9. */
-  def ivfRecallAt3(s: SparkSession, dir: String): (Double, Double) = {
+    * search: at the shipped nprobe=2 for the sampled-seed quantizer
+    * and the Lloyd-trained one (the honest "what does training buy"
+    * numbers, deliberately ungated — recall at FIXED nprobe is not
+    * monotone in training), and the full recall-vs-nprobe CURVE for
+    * the trained quantizer — the user-facing accuracy knob. The curve
+    * IS gateable, by construction: probe cells at nprobe=n are a
+    * prefix of those at n+1, so the candidate set only grows, and any
+    * candidate that can displace a truth member from a top-3 is
+    * itself in the global top-3 — recall@3 is non-decreasing in
+    * nprobe, and at nprobe = #cells the search IS brute force, so the
+    * curve ends at 1.0 (EmbeddingSpec gates monotone + ≥0.9 ceiling).
+    * Probes are the ids ending in 7 below 100 (10 probes, present at
+    * every SF) for a granularity of 1/30 rather than the 3-probe gate
+    * set's 1/9. */
+  def ivfRecallReport(s: SparkSession, dir: String,
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8)): IvfRecallReport = {
     val e = withNorm(s, dir).cache()
     try {
       val probeIds = (7 to 97 by 10).toSeq
@@ -361,13 +373,13 @@ object EmbeddingQueries extends QuerySet {
 
       val truth = top3(e.join(probes, col("vec_id") =!= col("probe_id")))
 
-      def recall(cents: Seq[Seq[Double]]): Double = {
+      def recall(cents: Seq[Seq[Double]], nprobe: Int): Double = {
         val cells = cellAssignExpr(cents)
         val coded = e.withColumn("cell", element_at(cells, 1).getField("cid"))
         val probeCells = broadcast(
           e.filter(col("vec_id").isin(probeIds: _*))
             .withColumn("pcell",
-              explode(transform(slice(cells, 1, IvfNProbe), x => x.getField("cid"))))
+              explode(transform(slice(cells, 1, nprobe), x => x.getField("cid"))))
             .select(col("vec_id").as("probe_id"), col("pcell"),
               col("v").as("pv"), col("nrm").as("pn")))
         val found = top3(coded.join(probeCells,
@@ -383,7 +395,9 @@ object EmbeddingQueries extends QuerySet {
       // the unit centroids Lloyd produces. Each number measures the
       // search path as shipped, so the comparison is the two real
       // quantizers, not a normalized stand-in.
-      (recall(seeds), recall(trained))
+      IvfRecallReport(
+        recall(seeds, IvfNProbe), recall(trained, IvfNProbe),
+        nprobes.map(n => n -> recall(trained, n)))
     } finally e.unpersist()
   }
 
