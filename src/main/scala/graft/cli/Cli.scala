@@ -127,11 +127,16 @@ object Cli {
   }
 
   private def request(r: RemoteConfig, method: String, path: String,
-      body: Option[String] = None): (Int, String) = {
+      body: Option[String] = None,
+      contentType: String = "application/json"): (Int, String) = {
     val b = java.net.http.HttpRequest
       .newBuilder(java.net.URI.create(r.base + path))
       .timeout(java.time.Duration.ofSeconds(r.timeoutSec))
     r.token.foreach(t => b.header("Authorization", s"Bearer $t"))
+    // an explicit Content-Type on every body-bearing request:
+    // GraftServer itself doesn't validate it, but proxies and stricter
+    // dispatchers in front of a server commonly reject untyped bodies
+    body.foreach(_ => b.header("Content-Type", contentType))
     // bodyless POST matters: the server's validate route treats a
     // non-empty body as an endpoint definition to validate INSTEAD of
     // the served one; the CLI's slug form targets the served endpoint
@@ -179,6 +184,7 @@ object Cli {
       case List("endpoints", "create", file) =>
         Some(("POST", s"$cfgBase/endpoints",
           Some(Files.readString(Paths.get(file)))))
+      // (create's body is YAML or JSON by file content — typed below)
       case List("endpoints", "delete", slug) =>
         Some(("DELETE", s"$cfgBase/endpoints/${enc(slug)}", None))
       case List("schema") => Some(("GET", s"$cfgBase/schema", None))
@@ -205,7 +211,16 @@ object Cli {
         err.println(usage)
         2
       case Some((method, path, body)) =>
-        val (code, bodyText) = request(r, method, path, body)
+        // every JSON body above is Jackson-built; the one pass-through
+        // body (endpoint create) is YAML or JSON by file content
+        val ctype = body match {
+          case Some(s) if path.endsWith("/endpoints") && method == "POST" =>
+            if (s.dropWhile(_.isWhitespace).headOption.contains('{'))
+              "application/json"
+            else "application/yaml"
+          case _ => "application/json"
+        }
+        val (code, bodyText) = request(r, method, path, body, ctype)
         if (code >= 200 && code < 300) { out.println(bodyText); 0 }
         else { err.println(s"HTTP $code: $bodyText"); 1 }
     }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Per-session memoization keyed on the session OBJECT.
@@ -11,19 +13,36 @@ import org.apache.spark.sql.SparkSession
   * so a supposedly-cold fresh session could silently read a dead
   * session's cached work (which would quietly defeat Slope's
   * fresh-session cold-measurement methodology) — and entries are
-  * never evicted, growing without bound in long-lived multi-session
-  * JVMs. A WeakHashMap keyed on the SparkSession itself (identity
-  * equals — SparkSession doesn't override equals) fixes both: the
-  * entry lives exactly as long as the session, and a new session can
-  * never alias a dead one. */
+  * never evicted. Keying a WeakHashMap on the SparkSession itself
+  * (identity equals — SparkSession doesn't override equals) fixes the
+  * aliasing for good, but the r7 ADVICE review showed it does NOT fix
+  * eviction for exactly the heavyweight caches: a DataFrame or
+  * SnapshotTable VALUE strongly references its SparkSession, so the
+  * weak KEY stays strongly reachable through the map's own value and
+  * the entry can never clear. GC-based eviction is structurally
+  * impossible for such values — so eviction here is EXPLICIT instead:
+  * every memo registers itself, and the first touch of a
+  * SparkContext installs a listener that purges all entries of all
+  * memos for that context's sessions on application end
+  * (`SparkSession.stop()` stops the context, so the common
+  * session-per-JVM / session-per-run lifecycles are fully covered).
+  * For a long-lived JVM that churns `newSession()` clones over one
+  * context, `SessionMemo.invalidate(session)` drops a session's
+  * entries eagerly. The weak keying is kept for what it IS good for:
+  * lightweight values that don't reference the session (tokens,
+  * centroid seqs, path strings) still clear on their own. */
 final class SessionMemo[K, V] {
   private val maps = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[K, V]]()
 
-  private def forSession(s: SparkSession): scala.collection.concurrent.TrieMap[K, V] =
+  SessionMemo.register(this)
+
+  private def forSession(s: SparkSession): scala.collection.concurrent.TrieMap[K, V] = {
+    SessionMemo.hookContext(s.sparkContext)
     maps.synchronized {
       maps.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty[K, V])
     }
+  }
 
   def getOrElseUpdate(s: SparkSession, key: K)(build: => V): V =
     forSession(s).getOrElseUpdate(key, build)
@@ -37,10 +56,62 @@ final class SessionMemo[K, V] {
       next
     }
   }
+
+  /** Drop one session's entries (explicit eviction for values that
+    * strongly reference the session and so can never weak-clear). */
+  def invalidateSession(s: SparkSession): Unit =
+    maps.synchronized { maps.remove(s); () }
+
+  /** Live session-entry count (observability for the eviction spec). */
+  def liveSessions: Int = maps.synchronized(maps.size)
+
+  private[operators] def invalidateContext(sc: SparkContext): Unit =
+    maps.synchronized {
+      val it = maps.entrySet().iterator()
+      while (it.hasNext) {
+        val k = it.next().getKey
+        if (k != null && (k.sparkContext eq sc)) it.remove()
+      }
+    }
 }
 
 object SessionMemo {
   private val ids = new java.util.WeakHashMap[SparkSession, String]()
+
+  // All live memos (they're static singletons in practice; a strong
+  // list is the intended lifetime).
+  private val registry =
+    new java.util.concurrent.CopyOnWriteArrayList[SessionMemo[_, _]]()
+
+  // Contexts that already carry the purge listener. Weak keys: a
+  // stopped, unreferenced context must not be pinned by this set.
+  private val hooked = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkContext, java.lang.Boolean]())
+
+  private[operators] def register(m: SessionMemo[_, _]): Unit =
+    registry.add(m)
+
+  private[operators] def hookContext(sc: SparkContext): Unit = {
+    val fresh = hooked.synchronized(hooked.add(sc))
+    if (fresh) sc.addSparkListener(new SparkListener {
+      override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
+        registry.forEach(_.invalidateContext(sc))
+        ids.synchronized {
+          val it = ids.entrySet().iterator()
+          while (it.hasNext) {
+            val k = it.next().getKey
+            if (k != null && (k.sparkContext eq sc)) it.remove()
+          }
+        }
+      }
+    })
+  }
+
+  /** Eagerly drop one session's entries across every memo — for JVMs
+    * that churn `newSession()` clones over one long-lived context,
+    * where the context-end purge would come too late. */
+  def invalidate(s: SparkSession): Unit =
+    registry.forEach(_.invalidateSession(s))
 
   /** A unique, never-reused token per live session — for caches that
     * need a session component inside a VALUE key (e.g. a bounded LRU)

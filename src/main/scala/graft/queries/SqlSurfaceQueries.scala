@@ -393,9 +393,15 @@ object SqlSurfaceQueries extends QuerySet {
         |        WHERE o_custkey IS NOT NULL -- count(DISTINCT) semantics: NULL is not a value
         |        GROUP BY o_orderpriority, o_custkey)
         |  GROUP BY o_orderpriority)
-        |SELECT a.o_orderpriority, e.exact_n,
-        |       abs(a.approx_n - e.exact_n) <= 0.1D * e.exact_n AS approx_ok
-        |FROM a JOIN e ON a.o_orderpriority = e.o_orderpriority
+        |-- LEFT from the sketch branch: a group whose custkeys are ALL
+        |-- NULL has no row in e, but the oracle's count(DISTINCT) still
+        |-- emits it with 0 — an inner join would silently drop it
+        |SELECT a.o_orderpriority,
+        |       coalesce(e.exact_n, CAST(0 AS BIGINT)) AS exact_n,
+        |       CASE WHEN e.exact_n IS NULL THEN a.approx_n = 0
+        |            ELSE abs(a.approx_n - e.exact_n) <= 0.1D * e.exact_n
+        |       END AS approx_ok
+        |FROM a LEFT JOIN e ON a.o_orderpriority = e.o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin))
 
   override val defs: Seq[QueryDef] =

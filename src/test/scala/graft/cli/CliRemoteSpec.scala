@@ -155,4 +155,41 @@ class CliRemoteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (code2, _, err2) = remote("frobnicate")
     assert(code2 == 2 && err2.contains("usage"), err2)
   }
+
+  test("body-bearing requests carry an explicit Content-Type (ADVICE r7)") {
+    // GraftServer doesn't validate the header, but proxies in front of
+    // one do — capture what the CLI actually sends with a raw listener
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val probe = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    probe.createContext("/", { ex =>
+      seen.add((ex.getRequestURI.getPath,
+        Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")))
+      ex.getRequestBody.readAllBytes()
+      val resp = "{}".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    probe.start()
+    try {
+      val pbase = s"http://127.0.0.1:${probe.getAddress.getPort}"
+      cli("--server", pbase, "log-level", "WARN")
+      cli("--server", pbase, "expand", "cli-cached", "id=1")
+      val yaml = Files.createTempFile("cli_ct", ".yaml")
+      Files.writeString(yaml, "url-path: /x\ntemplate: SELECT 1\n")
+      cli("--server", pbase, "endpoints", "create", yaml.toString)
+      val json = Files.createTempFile("cli_ct", ".json")
+      Files.writeString(json, "{\"url-path\": \"/x\"}")
+      cli("--server", pbase, "endpoints", "create", json.toString)
+      val got = seen.toArray(Array.empty[(String, String)]).toSeq
+      assert(got.contains(("/api/v1/_config/log-level", "application/json")), got)
+      assert(got.contains(
+        ("/api/v1/_config/endpoints/cli-cached/template/expand",
+          "application/json")), got)
+      // create is pass-through: typed by sniffing the file content
+      assert(got.contains(("/api/v1/_config/endpoints", "application/yaml")), got)
+      assert(got.contains(("/api/v1/_config/endpoints", "application/json")), got)
+    } finally probe.stop(0)
+  }
 }
