@@ -135,6 +135,27 @@ object Multimodal {
       .mapPartitions(_.grouped(batchSize).flatMap(b =>
         MediaKernels.sampleAviFrames(b, n)))
   }
+
+  final case class Mp4Meta(id: Long, ok: Boolean, brand: String,
+      timescale: Long, duration: Long, nTracks: Int, width: Int, height: Int,
+      codec: String)
+
+  /** REAL MP4 metadata extraction: parse each blob as ISO-BMFF
+    * (ISO/IEC 14496-12, the container of .mp4/.mov/.m4a — which is
+    * what real-world video corpora overwhelmingly are, where AVI is
+    * the legacy RIFF cousin) and surface the presentation metadata a
+    * corpus pipeline filters on before ever paying for a codec:
+    * brand, movie timescale/duration, track count, and the first
+    * video track's geometry + sample-entry codec fourcc. JDK-only box
+    * walk, no codec dependency; corrupt boxes degrade to ok=false
+    * rows per the family contract. */
+  def probeVideoMeta(spark: SparkSession, media: DataFrame,
+                     batchSize: Int = DefaultBatchSize): Dataset[Mp4Meta] = {
+    import spark.implicits._
+    media.select(col("id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(MediaKernels.probeMp4Batch))
+  }
 }
 
 object MediaKernels {
@@ -437,5 +458,202 @@ object MediaKernels {
       if ((p.length & 1) == 1) out.write(0) // RIFF chunks pad to even
     }
     out.toByteArray
+  }
+
+  // ---- ISO-BMFF (MP4) probe ---------------------------------------------
+  // Big-endian box walk per the public ISO/IEC 14496-12 layout:
+  // [size:u32][fourcc], with size==1 → a 64-bit largesize follows and
+  // size==0 → the box runs to the end of its parent. Same
+  // untrusted-size discipline as the RIFF walks: a size that is <8
+  // (outside the two specials), can't fit its own header, or overruns
+  // its parent desynchronizes every later boundary — bail to None
+  // rather than clamp; every accepted box advances ≥8 bytes so a
+  // crafted blob can't stall the loop. Only the metadata tree is
+  // parsed (ftyp brand; moov → mvhd timescale/duration v0+v1; trak →
+  // tkhd 16.16 geometry, mdia → hdlr handler, minf/stbl/stsd sample
+  // fourcc); mdat is skipped unread — the whole point of the probe is
+  // to filter a 100 TB corpus on presentation metadata without
+  // touching payload bytes.
+
+  final case class Mp4Probe(brand: String, timescale: Long, duration: Long,
+      nTracks: Int, width: Int, height: Int, codec: String)
+
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+
+  def probeMp4(bytes: Array[Byte]): Option[Mp4Probe] = {
+    final class Malformed extends Exception
+    // f(type, payloadStart, boxEnd) over [start, end); throws on any
+    // inconsistent size
+    def walk(start: Int, end: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val size0 = be32(bytes, pos)
+        val typ = fourcc(bytes, pos + 4)
+        var payload = pos + 8
+        val boxEnd =
+          if (size0 == 0L) end // "to end of enclosing box"
+          else if (size0 == 1L) {
+            if (pos + 16 > end) throw new Malformed
+            val ls = be64(bytes, pos + 8)
+            payload = pos + 16
+            if (ls < 16 || ls > (end - pos).toLong) throw new Malformed
+            pos + ls.toInt
+          } else {
+            if (size0 < 8L || size0 > (end - pos).toLong) throw new Malformed
+            pos + size0.toInt
+          }
+        f(typ, payload, boxEnd)
+        if (boxEnd <= pos) throw new Malformed
+        pos = boxEnd
+      }
+    }
+    try {
+      if (bytes.length < 8 || fourcc(bytes, 4) != "ftyp") return None
+      var brand: Option[String] = None
+      var timescale = -1L
+      var duration = -1L
+      var nTracks = 0
+      var vw = -1; var vh = -1
+      var codec: Option[String] = None
+      walk(0, bytes.length) { (typ, p, e) =>
+        typ match {
+          case "ftyp" =>
+            if (p + 4 > e) throw new Malformed
+            brand = Some(fourcc(bytes, p))
+          case "moov" => walk(p, e) { (mtyp, mp, me) =>
+            mtyp match {
+              case "mvhd" =>
+                if ((bytes(mp) & 0xff) == 1) { // version 1: 64-bit times
+                  if (mp + 32 > me) throw new Malformed
+                  timescale = be32(bytes, mp + 20)
+                  duration = be64(bytes, mp + 24)
+                } else {
+                  if (mp + 20 > me) throw new Malformed
+                  timescale = be32(bytes, mp + 12)
+                  duration = be32(bytes, mp + 16)
+                }
+              case "trak" =>
+                nTracks += 1
+                var w = -1; var h = -1
+                var handler: Option[String] = None
+                var fmt: Option[String] = None
+                walk(mp, me) { (ttyp, tp, te) =>
+                  ttyp match {
+                    case "tkhd" =>
+                      // width/height are 16.16 fixed-point, after the
+                      // matrix: v0 payload offset 76, v1 (64-bit
+                      // times) offset 88
+                      val base = if ((bytes(tp) & 0xff) == 1) tp + 88 else tp + 76
+                      if (base + 8 > te) throw new Malformed
+                      w = (be32(bytes, base) >> 16).toInt
+                      h = (be32(bytes, base + 4) >> 16).toInt
+                    case "mdia" => walk(tp, te) { (dtyp, dp, de) =>
+                      dtyp match {
+                        case "hdlr" =>
+                          if (dp + 12 > de) throw new Malformed
+                          handler = Some(fourcc(bytes, dp + 8))
+                        case "minf" => walk(dp, de) { (ftyp2, fp, fe) =>
+                          if (ftyp2 == "stbl") walk(fp, fe) { (styp, sp, se) =>
+                            if (styp == "stsd") {
+                              // verflags(4) count(4) entrySize(4) fourcc
+                              if (sp + 16 > se) throw new Malformed
+                              fmt = Some(fourcc(bytes, sp + 12))
+                            }
+                          }
+                        }
+                        case _ => ()
+                      }
+                    }
+                    case _ => ()
+                  }
+                }
+                if (handler.contains("vide") && codec.isEmpty) {
+                  vw = w; vh = h; codec = fmt
+                }
+              case _ => ()
+            }
+          }
+          case _ => () // mdat, free, unknown boxes: skipped unread
+        }
+      }
+      for (b <- brand; c <- codec; if timescale > 0 && vw >= 0)
+        yield Mp4Probe(b, timescale, duration, nTracks, vw, vh, c)
+    } catch { case _: Exception => None }
+  }
+
+  /** Batch kernel: probe each blob as ISO-BMFF; non-MP4 or corrupt
+    * bytes degrade to an ok=false row (one bad blob costs one row,
+    * never the task — the family contract). */
+  def probeMp4Batch(batch: Seq[(Long, Array[Byte])]): Seq[Multimodal.Mp4Meta] =
+    batch.map { case (id, bytes) =>
+      try probeMp4(bytes) match {
+        case Some(p) => Multimodal.Mp4Meta(id, ok = true, p.brand,
+          p.timescale, p.duration, p.nTracks, p.width, p.height, p.codec)
+        case None => Multimodal.Mp4Meta(id, ok = false, "", -1L, -1L, -1, -1, -1, "")
+      } catch { case _: Exception =>
+        Multimodal.Mp4Meta(id, ok = false, "", -1L, -1L, -1, -1, -1, "")
+      }
+    }
+
+  /** Deterministic MP4 synthesis — the ISO-BMFF analog of
+    * [[syntheticAvi]]: every metadata field is pure arithmetic on the
+    * id (timescale = 600·(1+id%3), duration = 1000+id%500, tracks =
+    * 1+id%2 with track 1 always 'vide'/avc1 at (16+id%32)×(16+id%16)
+    * and track 2, when present, 'soun'/mp4a), odd ids write a
+    * version-1 (64-bit) mvhd so BOTH fullbox parse paths are
+    * hash-gated, and a trailing mdat forces the walk to skip an
+    * unparsed box. */
+  def syntheticMp4(id: Long): Array[Byte] = {
+    val timescale = 600L * (1 + id % 3)
+    val duration = 1000L + id % 500
+    val nTracks = (1 + id % 2).toInt
+    val w = (16 + id % 32).toInt
+    val h = (16 + id % 16).toInt
+    def b16(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def b32(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def b64(v: Long) = b32(v >>> 32) ++ b32(v & 0xffffffffL)
+    def cc(s: String) = s.getBytes("US-ASCII")
+    def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+      val payload = parts.toArray.flatten
+      b32(8L + payload.length) ++ cc(typ) ++ payload
+    }
+    val unityMatrix = b32(0x10000L) ++ b32(0) ++ b32(0) ++
+      b32(0) ++ b32(0x10000L) ++ b32(0) ++
+      b32(0) ++ b32(0) ++ b32(0x40000000L)
+    val ftyp = box("ftyp", cc("isom"), b32(0))
+    val mvhd =
+      if (id % 2 == 1)
+        box("mvhd", Array[Byte](1, 0, 0, 0), b64(0), b64(0),
+          b32(timescale), b64(duration), b32(0x10000L), b16(0x100), b16(0),
+          b64(0), unityMatrix, Array.fill[Byte](24)(0), b32(nTracks + 1L))
+      else
+        box("mvhd", b32(0), b32(0), b32(0),
+          b32(timescale), b32(duration), b32(0x10000L), b16(0x100), b16(0),
+          b64(0), unityMatrix, Array.fill[Byte](24)(0), b32(nTracks + 1L))
+    def trak(trackId: Int, handler: String, fmt: String, tw: Int, th: Int) = {
+      val tkhd = box("tkhd", b32(0), b32(0), b32(0), b32(trackId), b32(0),
+        b32(duration), b64(0), b16(0), b16(0), b16(0), b16(0), unityMatrix,
+        b32(tw.toLong << 16), b32(th.toLong << 16))
+      val hdlr = box("hdlr", b32(0), b32(0), cc(handler),
+        b32(0), b32(0), b32(0), Array[Byte](0))
+      val stsd = box("stsd", b32(0), b32(1),
+        b32(16), cc(fmt), Array.fill[Byte](8)(0))
+      box("trak", tkhd, box("mdia", hdlr, box("minf", box("stbl", stsd))))
+    }
+    val traks = (1 to nTracks).map { i =>
+      if (i == 1) trak(1, "vide", "avc1", w, h) else trak(2, "soun", "mp4a", 0, 0)
+    }
+    val moov = box("moov", (mvhd +: traks): _*)
+    val mdat = box("mdat", Array.fill[Byte](8)((id % 251).toByte))
+    ftyp ++ moov ++ mdat
   }
 }

@@ -165,6 +165,39 @@ object MultimodalQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  // REAL ISO-BMFF round-trip, hash-gated (the modern-container analog
+  // of videoFrames' RIFF/AVI — real corpora are overwhelmingly MP4):
+  // each doc_id synthesizes an ftyp/moov/mdat tree whose every
+  // metadata field is pure arithmetic on the id, odd ids use a
+  // version-1 (64-bit) mvhd so both fullbox widths are parsed, and the
+  // kernel walks the box tree (brand, movie timescale/duration, track
+  // count, first video track's tkhd geometry + stsd codec fourcc)
+  // without reading mdat. The oracle restates the arithmetic — the
+  // gate verifies real big-endian box walking across both versions.
+  private val mp4Probe = QueryDef(
+    "multimodal_mp4_probe",
+    Some("""SELECT doc_id, true AS ok, 'isom' AS brand,
+           |  CAST(600 * (1 + doc_id % 3) AS BIGINT) AS timescale,
+           |  CAST(1000 + doc_id % 500 AS BIGINT) AS duration,
+           |  CAST(1 + doc_id % 2 AS INTEGER) AS n_tracks,
+           |  CAST(16 + doc_id % 32 AS INTEGER) AS width,
+           |  CAST(16 + doc_id % 16 AS INTEGER) AS height,
+           |  'avc1' AS codec
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      import s.implicits._
+      val ids = graft.operators.Parallelize
+        .ensure(Tables.table(s, dir, "documents").select(col("doc_id").cast("long")))
+        .as[Long]
+      val media = ids
+        .mapPartitions(_.map(id => (id, graft.multimodal.MediaKernels.syntheticMp4(id))))
+        .toDF("id", "bytes")
+      Multimodal.probeVideoMeta(s, media)
+        .toDF("doc_id", "ok", "brand", "timescale", "duration",
+          "n_tracks", "width", "height", "codec")
+        .orderBy("doc_id")
+    })
+
   override val defs: Seq[QueryDef] =
-    Seq(features, frames, imageDecode, videoFrames, audioProbe)
+    Seq(features, frames, imageDecode, videoFrames, audioProbe, mp4Probe)
 }

@@ -180,4 +180,49 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lumas = v10.frames.map(b => MediaKernels.decodeImage(Seq((0L, b))).head.meanLuma)
     assert(lumas == Seq(10.0, 12.0))
   }
+
+  test("MP4 probe reads brand, movie header and video track from real box trees") {
+    // id=14: even → version-0 mvhd; timescale 600*(1+14%3)=1800,
+    // duration 1000+14=1014, tracks 1+14%2=1, geometry 30×30... w=16+14=30, h=16+14%16=30
+    val p = MediaKernels.probeMp4(MediaKernels.syntheticMp4(14L))
+    assert(p.isDefined, p)
+    assert(p.get == MediaKernels.Mp4Probe("isom", 1800L, 1014L, 1, 30, 30, "avc1"))
+    // id=13: odd → version-1 (64-bit) mvhd and a second 'soun' track;
+    // the video track's geometry must still come from track 1
+    val q = MediaKernels.probeMp4(MediaKernels.syntheticMp4(13L))
+    assert(q.isDefined, q)
+    assert(q.get == MediaKernels.Mp4Probe("isom", 1200L, 1013L, 2, 29, 29, "avc1"))
+  }
+
+  test("MP4 probe accepts a 64-bit largesize box and rejects a lying one") {
+    val mp4 = MediaKernels.syntheticMp4(6L)
+    // rewrite the trailing mdat (8+8 bytes) as size==1 + largesize==16:
+    // spec-legal encoding the walk must traverse without desync
+    val mdatOff = mp4.length - 16
+    assert(new String(mp4, mdatOff + 4, 4, "US-ASCII") == "mdat")
+    val big = mp4.clone()
+    big(mdatOff) = 0; big(mdatOff + 1) = 0; big(mdatOff + 2) = 0; big(mdatOff + 3) = 1
+    val withLarge = big.take(mdatOff + 8) ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 24) ++ big.drop(mdatOff + 8)
+    assert(MediaKernels.probeMp4(withLarge).isDefined)
+    // largesize overrunning the buffer must fail the whole probe
+    val lying = withLarge.clone()
+    lying(mdatOff + 15) = 127
+    assert(MediaKernels.probeMp4(lying).isEmpty)
+  }
+
+  test("MP4 probe rejects non-BMFF and corrupt boxes, never throws or stalls") {
+    assert(MediaKernels.probeMp4(Array.emptyByteArray).isEmpty)
+    assert(MediaKernels.probeMp4(MediaKernels.syntheticAvi(3L)).isEmpty)
+    assert(MediaKernels.probeMp4(MediaKernels.syntheticPng(5L)).isEmpty)
+    assert(MediaKernels.probeMp4(MediaKernels.syntheticMp4(9L).take(40)).isEmpty)
+    // corrupt the moov size to 7 (< header): must bail, not clamp
+    val bad = MediaKernels.syntheticMp4(4L)
+    bad(16) = 0; bad(17) = 0; bad(18) = 0; bad(19) = 7
+    assert(MediaKernels.probeMp4(bad).isEmpty)
+    // batch kernel degrades per-row: one corrupt blob, one ok=false row
+    val out = MediaKernels.probeMp4Batch(Seq(
+      (1L, MediaKernels.syntheticMp4(1L)), (2L, Array[Byte](1, 2, 3))))
+    assert(out.map(m => m.id -> m.ok) == Seq(1L -> true, 2L -> false))
+  }
 }
