@@ -108,6 +108,44 @@ object CorpusOpsQueries extends QuerySet {
       finally sh.unpersist(false)
     }
 
+  /** Matches of an arbitrary incoming shingle frame against a standing
+    * corpus via its precomputed band index — the generalized form the
+    * STREAMING face runs per micro-batch
+    * ([[graft.streaming.Streaming.incrementalDedupStream]]): probe is
+    * a hash join on (band, bh), the bucket cap is the SAME combined
+    * [2,1000] membership guard as [[incrementalPipeline]] (so both
+    * faces drop the same degenerate buckets), exact Jaccard at 0.7
+    * verifies, and the summary aggregates per incoming doc. Each
+    * incoming doc's full match set lives in whichever batch carries
+    * the doc, so unioning per-batch outputs over any batch split of
+    * the incoming slice reproduces the batch operator exactly — the
+    * parity StreamingSpec locks that. */
+  private[graft] def matchesVsStanding(
+      incomingSh: org.apache.spark.sql.DataFrame,
+      standingBands: org.apache.spark.sql.DataFrame,
+      standingSh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val inBuckets = TextQueries.bandIndexOf(incomingSh)
+      .groupBy("band", "bh").agg(collect_set("doc_id").as("in_ids"))
+    val exBuckets = standingBands
+      .groupBy("band", "bh").agg(collect_set("doc_id").as("ex_ids"))
+    val cand = inBuckets.join(exBuckets, Seq("band", "bh"))
+      .filter((size(col("in_ids")) + size(col("ex_ids"))).between(2, 1000))
+      .select(explode(col("in_ids")).as("i_id"), col("ex_ids"))
+      .select(col("i_id"), explode(col("ex_ids")).as("e_id"))
+      .distinct()
+    val shI = incomingSh.select(col("doc_id").as("i_id"), col("sh").as("si"))
+    val shE = standingSh.select(col("doc_id").as("e_id"), col("sh").as("se"))
+    cand.join(shI, "i_id").join(shE, "e_id")
+      .withColumn("inter", size(array_intersect(col("si"), col("se"))))
+      .withColumn("uni", size(col("si")) + size(col("se")) - col("inter"))
+      .filter(col("inter") / col("uni") >= 0.7)
+      .groupBy("i_id")
+      .agg(count(lit(1)).as("n_matches"), min("e_id").as("first_match"),
+        max(round(col("inter") / col("uni"), 6)).as("best_jaccard"))
+      .select(col("i_id").as("incoming_id"), col("n_matches"),
+        col("first_match"), col("best_jaccard"))
+  }
+
   // ---- unigram-LM surprisal scoring ------------------------------------
   // The CCNet-style quality signal: score each document by its mean
   // negative log-probability under a unigram LM trained on the corpus

@@ -76,13 +76,34 @@ object TextQueries extends QuerySet {
     // Parallelize.ensure: the shingle + minhash_sig stage is the
     // per-row-heavy kernel; a one-file corpus must not serialize it
     // on one core (no-op when the scan is already well-split).
-    graft.operators.Parallelize.ensure(
-      Tables.table(s, dir, "documents").select("doc_id", "text"))
+    shingleSetsOf(graft.operators.Parallelize.ensure(
+      Tables.table(s, dir, "documents").select("doc_id", "text")))
+
+  /** (doc_id, text) → (doc_id, sh): the shared 3-gram shingle kernel
+    * over an arbitrary doc frame — [[shingles]] less the scan, so the
+    * streaming incremental-dedup path shingles its micro-batches with
+    * EXACTLY the batch path's expression. */
+  private[graft] def shingleSetsOf(docs: org.apache.spark.sql.DataFrame) =
+    docs
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(1, size(w)-2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
         .as("sh"))
+
+  /** (doc_id, sh) → the banded MinHash index (doc_id, band, bh) — the
+    * precomputed artifact a continuous pipeline refreshes like a
+    * snapshot cache and probes per incoming batch. Same 72/24/3
+    * geometry as every dedup path in this file. */
+  private[graft] def bandIndexOf(sh: org.apache.spark.sql.DataFrame) = {
+    val r = RowsPerBand
+    sh.select(col("doc_id"),
+        expr(s"minhash_sig(sh, $NumHashes)").as("sig"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${NumBands - 1}), " +
+          s"b -> xxhash64(sig[$r*b], sig[$r*b+1], sig[$r*b+2]))")))
+      .toDF("doc_id", "band", "bh")
+  }
 
   /** LSH candidate generation + exact-Jaccard verify over a shingle
     * set (lazy — the plan-shape lock in PlanSpec inspects this stage

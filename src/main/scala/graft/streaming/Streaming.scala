@@ -93,6 +93,44 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  // ---- streaming incremental NEAR-dup (vs a standing corpus) -------------
+
+  /** Streaming face of the batch incremental-dedup operator
+    * ([[graft.queries.CorpusOpsQueries]]): the standing corpus's
+    * MinHash band index is a PRECOMPUTED static artifact (refreshed
+    * like a snapshot cache, never rebuilt per batch); each incoming
+    * micro-batch of (doc_id, text) is shingled + banded map-side with
+    * the batch path's exact kernels, hash-joined against the index,
+    * exact-Jaccard verified, and its per-doc match summary handed to
+    * `sink`. `Trigger.AvailableNow` gives catch-up-then-stop
+    * semantics. State is bounded by the micro-batch: the standing
+    * side is static and the incoming side never outlives its batch —
+    * no unbounded streaming state, the only shape that survives a
+    * continuous 100 TB crawl. A doc's full match set lives in the one
+    * batch that carries the doc, so the union of per-batch sinks over
+    * ANY micro-batch split equals the batch operator's output
+    * (parity-locked in StreamingSpec). */
+  def incrementalDedupStream(
+      incoming: DataFrame,
+      standingSh: DataFrame,
+      standingBands: DataFrame,
+      checkpointDir: String)(sink: DataFrame => Unit): StreamingQuery =
+    incoming.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // micro-batch frames run on a cloned session: make sure the
+          // native fns (minhash_sig) resolve there too
+          graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
+          sink(graft.queries.CorpusOpsQueries.matchesVsStanding(
+            graft.queries.TextQueries.shingleSetsOf(batch),
+            standingBands, standingSh))
+        }
+      }
+      .start()
+
   // ---- custom keyed state ------------------------------------------------
 
   final case class UserEvent(user_id: Long, value: Double)

@@ -254,4 +254,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == Set((100L, 500L)))
     } finally q.stop()
   }
+
+  test("streaming incremental dedup equals the batch operator on the same slice (parity)") {
+    val dir = "/root/testdata/sf0.001"
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    // the gated batch operator's slice: doc_id%5==4 is the incoming
+    // crawl batch, the rest is the standing corpus
+    val standingSh = graft.queries.TextQueries
+      .shingleSetsOf(docs.filter(col("doc_id") % 5 =!= 4)).cache()
+    val standingBands = graft.queries.TextQueries
+      .bandIndexOf(standingSh).cache()
+    standingBands.count() // materialize the "precomputed artifact"
+    val tmp = Files.createTempDirectory("inc_dedup_stream")
+    // 3 parquet files + maxFilesPerTrigger=1 → the incoming slice
+    // arrives over ≥3 micro-batches, so parity genuinely exercises
+    // the union-across-batches property, not a single-batch rerun
+    docs.filter(col("doc_id") % 5 === 4)
+      .repartition(3).write.parquet(s"$tmp/incoming")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/incoming")
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Double)]()
+    var batches = 0
+    val q = Streaming.incrementalDedupStream(
+      stream, standingSh, standingBands, s"$tmp/ck") { df =>
+      batches += 1
+      df.collect().foreach(r =>
+        results.add((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))))
+    }
+    try {
+      assert(q.awaitTermination(180000), "AvailableNow did not finish")
+      assert(batches >= 3, s"expected >=3 micro-batches, got $batches")
+      val streamed = results.toArray(Array.empty[(Long, Long, Long, Double)]).toSet
+      val batch = graft.SparkEntry.queries("incremental_dedup")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty) // the fixture really contains near-dups
+    } finally {
+      if (q.isActive) q.stop()
+      standingBands.unpersist(); standingSh.unpersist()
+    }
+  }
 }
