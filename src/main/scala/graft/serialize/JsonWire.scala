@@ -36,7 +36,20 @@ import org.apache.spark.sql.types._
   *    `graft.union = true`: only the member selected by the row's tag
   *    emits, as `{memberName: value}` (:647-681 — the reference reads
   *    the physical union the same way: child 0 is the tag, member i
-  *    lives at child i+1; an out-of-range tag fails safe to null).
+  *    lives at child i+1; an out-of-range tag fails safe to null);
+  *  - VARIANT (:760-767): the reference takes the variant's string
+  *    form and re-parses it as JSON where possible (so a variant
+  *    holding 42 emits the NUMBER 42, one holding an object emits the
+  *    object), degrading to a plain string for non-JSON renderings
+  *    (DuckDB's SQL-ish `{'a': 1}`). Two wire forms here: Spark 4's
+  *    native `VariantType` emits via `VariantVal.toJson` (always
+  *    valid JSON — the parse can't fail, only a corrupt binary can,
+  *    which degrades to the escaped string form), and a StringType
+  *    column tagged `graft.variant = true` carries a pre-rendered
+  *    variant string with the reference's exact parse-else-string
+  *    rule (a distinct tag from `graft.json` because the SEMANTIC
+  *    differs — variant content is any type's rendering, routinely a
+  *    bare scalar, where a json alias declares the column IS JSON).
   */
 object JsonWire {
 
@@ -50,6 +63,11 @@ object JsonWire {
   /** Metadata key marking a (tag, members...) struct as a UNION —
     * only the tag-selected member is emitted. */
   val UnionAliasKey = "graft.union"
+
+  /** Metadata key marking a StringType column as a rendered VARIANT —
+    * embedded as nested JSON where the content parses (including bare
+    * scalars), emitted as a plain string otherwise. */
+  val VariantAliasKey = "graft.variant"
 
   private val tsFormat =
     DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").withZone(ZoneOffset.UTC)
@@ -103,8 +121,16 @@ object JsonWire {
         else b.append(dec.toPlainString)
       case StringType =>
         val s = v.toString
-        if (jsonAlias && embedsAsJson(s)) b.append(s.trim)
+        if ((jsonAlias || flag(meta, VariantAliasKey)) && embedsAsJson(s))
+          b.append(s.trim)
         else appendString(b, s)
+      case VariantType =>
+        // native Spark 4 variant: toJson is the reference's "re-parse
+        // as JSON" made total — the binary IS typed, so no string
+        // round-trip; a corrupt value degrades to the string form
+        try b.append(v.asInstanceOf[org.apache.spark.unsafe.types.VariantVal]
+          .toJson(ZoneOffset.UTC))
+        catch { case _: Exception => appendString(b, v.toString) }
       case DateType =>
         appendString(b, v.toString) // java.sql.Date / LocalDate both print YYYY-MM-DD
       case TimestampType | TimestampNTZType =>

@@ -112,6 +112,45 @@ class WireSpec extends AnyFunSuite {
       """{"u":{"tag":0,"num":42,"str":null}}""")
   }
 
+  test("VARIANT convention: rendered string re-parses as JSON, else plain string") {
+    val meta = new MetadataBuilder().putBoolean(JsonWire.VariantAliasKey, true).build()
+    val schema = StructType(Seq(StructField("v", StringType, metadata = meta)))
+    // JSON renderings embed typed — object, array, and BARE SCALARS
+    // (a variant holding 42 emits the number 42, per the reference's
+    // re-parse rule at query_executor.cpp:760-767)
+    assert(JsonWire.row(schema, Row("""{"a": 1}""")) == """{"v":{"a": 1}}""")
+    assert(JsonWire.row(schema, Row("[1,2]")) == """{"v":[1,2]}""")
+    assert(JsonWire.row(schema, Row("42")) == """{"v":42}""")
+    assert(JsonWire.row(schema, Row("true")) == """{"v":true}""")
+    // DuckDB's SQL-ish rendering is NOT JSON → plain string, and null
+    // stays null
+    assert(JsonWire.row(schema, Row("{'a': 1}")) == """{"v":"{'a': 1}"}""")
+    assert(JsonWire.row(schema, Row(null)) == """{"v":null}""")
+    // WITHOUT the tag the same content is an ordinary escaped string —
+    // opt-in, never inferred
+    val plain = StructType(Seq(StructField("v", StringType)))
+    assert(JsonWire.row(plain, Row("42")) == """{"v":"42"}""")
+  }
+
+  test("native VariantType emits typed JSON via the variant binary") {
+    // build real VariantVals through Spark's parse_json, then serialize
+    // the collected rows through the wire path (getOrCreate: WireSpec
+    // is otherwise session-free; a later suite's lifecycle owns stop)
+    val ss = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("wire-variant-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import ss.implicits._
+    val df = Seq("""{"a": 1, "b": [2, 3]}""", """42""", """"s"""")
+      .toDF("j").selectExpr("parse_json(j) AS v")
+    val rows = df.collect()
+    val schema = df.schema
+    assert(JsonWire.row(schema, rows(0)) == """{"v":{"a":1,"b":[2,3]}}""")
+    assert(JsonWire.row(schema, rows(1)) == """{"v":42}""")
+    assert(JsonWire.row(schema, rows(2)) == """{"v":"s"}""")
+  }
+
   test("full row object") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("name", StringType)))
