@@ -117,4 +117,73 @@ class ServerLoadSpec extends AnyFunSuite with BeforeAndAfterAll {
       c.close()
     } finally pool.shutdown()
   }
+
+  // BASELINE row "1000+ endpoints before noticeable latency"
+  // (docs/MCP_CONFIG_INTEGRATION.md:646): boot a full GraftBootstrap
+  // project tree with N yaml+sql endpoint pairs and compare request
+  // latency at N=10 vs N=1000. Route lookup is a linear scan over the
+  // endpoint table (RouteTranslator.matchAndExtract per endpoint), so
+  // the claim needs MEASUREMENT: the 404 path prices a full-table scan
+  // with zero query work, the hit path prices config-lookup +
+  // first-byte on a real template execution.
+  test("1000-endpoint project: route scan and first-byte stay flat vs 10 endpoints") {
+    def boot(n: Int): (GraftServer, Long) = {
+      val root = java.nio.file.Files.createTempDirectory(s"graft_scale_$n")
+      val sqls = java.nio.file.Files.createDirectory(root.resolve("sqls"))
+      java.nio.file.Files.writeString(root.resolve("project.yaml"),
+        s"project-name: scale-$n\ntemplate:\n  path: './sqls'\n")
+      (0 until n).foreach { i =>
+        java.nio.file.Files.writeString(sqls.resolve(s"ep$i.yaml"),
+          s"url-path: /ep$i\ntemplate-source: ep$i.sql\nwith-pagination: \"false\"\n")
+        java.nio.file.Files.writeString(sqls.resolve(s"ep$i.sql"),
+          s"SELECT $i AS n")
+      }
+      val t0 = System.nanoTime()
+      val srv = GraftBootstrap.serve(spark, root.resolve("project.yaml").toString)
+      (srv, (System.nanoTime() - t0) / 1000000L)
+    }
+    def medianMillis(url: String, warm: Int, timed: Int): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        client.send(HttpRequest.newBuilder(URI.create(url)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (System.nanoTime() - t0) / 1e6
+      }
+      (1 to warm).foreach(_ => once())
+      val xs = (1 to timed).map(_ => once()).sorted
+      xs(timed / 2)
+    }
+    val (small, smallBootMs) = boot(10)
+    val (big, bigBootMs) = boot(1000)
+    try {
+      val smallBase = s"http://127.0.0.1:${small.boundPort}"
+      val bigBase = s"http://127.0.0.1:${big.boundPort}"
+      // routing-only cost: a miss scans the WHOLE endpoint table
+      val scan10 = medianMillis(s"$smallBase/no-such-route", 5, 21)
+      val scan1000 = medianMillis(s"$bigBase/no-such-route", 5, 21)
+      // config-lookup + template execution + first byte on a real hit,
+      // an endpoint near the END of the 1000-entry table (worst case
+      // for the linear scan)
+      val hit10 = medianMillis(s"$smallBase/ep9", 5, 21)
+      val hit1000 = medianMillis(s"$bigBase/ep999", 5, 21)
+      info(f"boot: 10 eps ${smallBootMs}ms, 1000 eps ${bigBootMs}ms; " +
+        f"404 scan: $scan10%.1f -> $scan1000%.1f ms; " +
+        f"hit: $hit10%.1f -> $hit1000%.1f ms")
+      // "no noticeable latency": the full 1000-entry scan stays in
+      // single-digit-to-tens-of-ms territory and the end-to-end hit
+      // stays well under the 2 s interactive budget...
+      assert(scan1000 < 100.0, s"1000-endpoint route scan: $scan1000 ms")
+      assert(hit1000 < 1000.0, s"1000-endpoint first-byte: $hit1000 ms")
+      // ...and neither cost grows anywhere near the 100× table growth
+      // (floors absorb timer jitter on the sub-ms small-table case)
+      assert(scan1000 <= math.max(scan10, 1.0) * 25,
+        s"route scan degraded: $scan10 ms @10 -> $scan1000 ms @1000")
+      assert(hit1000 <= math.max(hit10, 20.0) * 10,
+        s"first-byte degraded: $hit10 ms @10 -> $hit1000 ms @1000")
+      // boot stays linear-ish in config size, not quadratic: 1000
+      // endpoints must not take 100× the 10-endpoint boot
+      assert(bigBootMs < math.max(smallBootMs, 500L) * 40,
+        s"boot degraded: $smallBootMs ms @10 -> $bigBootMs ms @1000")
+    } finally { small.stop(); big.stop() }
+  }
 }
