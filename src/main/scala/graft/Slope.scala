@@ -72,6 +72,40 @@ object Slope {
     }
   }
 
+  /** Synthesize a tier `factor`× above `srcDir`, extending the
+    * measured span to 100× (sf0.01 → sf0.1 → here): the corpus tables
+    * the heavy ops consume (documents/events/embeddings) are
+    * replicated with ids offset by a per-column stride — content
+    * distribution preserved EXACTLY (every text/embedding/timestamp
+    * byte recurs `factor` times), id spaces disjoint so copies never
+    * collide in a join, group, window, or dedup key — and the TPC-H
+    * tables pass through unchanged. All id columns are int64 in the
+    * driver's testdata, so offsetting never overflows or retypes. */
+  def synthesizeTier(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    def replicate(name: String, idCols: Seq[String]): Unit = {
+      val src = spark.read.parquet(s"$srcDir/$name.parquet")
+      val stride: Map[String, Long] = idCols.map { c =>
+        c -> (src.agg(max(col(c))).head.getLong(0) + 1L)
+      }.toMap
+      (0 until factor).map { k =>
+        idCols.foldLeft(src)((d, c) => d.withColumn(c, col(c) + lit(k * stride(c))))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+    replicate("documents", Seq("doc_id"))
+    replicate("events", Seq("event_id", "user_id"))
+    replicate("embeddings", Seq("vec_id"))
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach { t =>
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$srcDir/$t.parquet")))
+          spark.read.parquet(s"$srcDir/$t.parquet")
+            .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      }
+  }
+
   /** Negative control: a DELIBERATE quadratic — all-pairs self-join
     * over documents with per-pair hash work, the shape every banded-
     * LSH operator above exists to avoid. Run by the artifact main
@@ -96,34 +130,45 @@ object Slope {
     Measurement("control_allpairs_quadratic", time(smallDir), time(bigDir))
   }
 
-  def toJson(ms: Seq[Measurement], smallDir: String, bigDir: String): String = {
-    val rows = ms.map { m =>
-      f""""${m.name}":{"t_small":${m.tSmall}%.3f,"t_big":${m.tBig}%.3f,""" +
-        f""""ratio":${m.effRatio}%.2f,"ok":${m.ok}}"""
-    }.mkString("{", ",", "}")
-    s"""{"sf_small":"$smallDir","sf_big":"$bigDir",""" +
-      s""""data_factor":"10x documents/events/orders, 4x embeddings",""" +
-      s""""max_ratio_gate":$MaxRatio,"overhead_floor_sec":$OverheadFloorSec,""" +
-      s""""all_ok":${ms.forall(_.ok)},"queries":$rows}"""
-  }
-
   def main(args: Array[String]): Unit = {
     val small = args.lift(0).getOrElse("/root/testdata/sf0.01")
     val big = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val warmup = args.lift(2).getOrElse("/root/testdata/sf0.001")
     val out = args.lift(3).getOrElse("SLOPE.json")
+    val top = args.lift(4).getOrElse("/tmp/graft_slope_sf1")
     val spark = GraftSession.build("graft-slope")
     val ms = measure(spark, small, big, warmup)
+    // third tier — 10× above sf0.1, so the gated span is the full
+    // 100×: both hops must hold the same near-linear band (two green
+    // 10× hops compose to a green 100×; a quadratic blows either hop)
+    synthesizeTier(spark, big, top, factor = 10)
+    val msTop = HeavyOps.map { n =>
+      Measurement(n, ms.find(_.name == n).get.tBig, timeCold(spark, n, top))
+    }
     val control = quadraticControl(spark, small, big)
-    (ms :+ control).foreach(m => println(
-      f"[slope] ${m.name}%-28s small ${m.tSmall}%6.2fs  big ${m.tBig}%6.2fs  ratio ${m.effRatio}%5.1f  ${if (m.ok) "ok" else "FAIL"}"))
-    val line = toJson(ms, small, big).stripSuffix("}") +
-      f""","negative_control":{"name":"${control.name}","t_small":${control.tSmall}%.3f,""" +
+    ms.zip(msTop).foreach { case (m, t) => println(
+      f"[slope] ${m.name}%-28s small ${m.tSmall}%6.2fs  big ${m.tBig}%6.2fs  " +
+        f"top ${t.tBig}%6.2fs  r1 ${m.effRatio}%5.1f  r2 ${t.effRatio}%5.1f  " +
+        s"${if (m.ok && t.ok) "ok" else "FAIL"}") }
+    println(f"[slope] ${control.name}%-28s small ${control.tSmall}%6.2fs  " +
+      f"big ${control.tBig}%6.2fs  ratio ${control.effRatio}%5.1f")
+    val rows = ms.zip(msTop).map { case (m, t) =>
+      f""""${m.name}":{"t_small":${m.tSmall}%.3f,"t_big":${m.tBig}%.3f,""" +
+        f""""ratio":${m.effRatio}%.2f,"ok":${m.ok},"t_top":${t.tBig}%.3f,""" +
+        f""""ratio_top":${t.effRatio}%.2f,"ok_top":${t.ok}}"""
+    }.mkString("{", ",", "}")
+    val allOk = ms.forall(_.ok) && msTop.forall(_.ok)
+    val line =
+      s"""{"sf_small":"$small","sf_big":"$big","sf_top":"$top",""" +
+      s""""data_factor":"10x per hop; sf_top synthesized from sf0.1 by 10x corpus replication with disjoint ids (content distribution preserved); full span 100x",""" +
+      s""""max_ratio_gate":$MaxRatio,"overhead_floor_sec":$OverheadFloorSec,""" +
+      s""""all_ok":$allOk,"queries":$rows,""" +
+      f""""negative_control":{"name":"${control.name}","t_small":${control.tSmall}%.3f,""" +
       f""""t_big":${control.tBig}%.3f,"ratio":${control.effRatio}%.2f,""" +
       f""""gate_discriminates":${control.effRatio > MaxRatio}}}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     spark.stop()
-    if (!ms.forall(_.ok)) sys.exit(1)
+    if (!allOk) sys.exit(1)
   }
 }
