@@ -276,6 +276,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"incremental dedup must never all-pairs:\n$p")
   }
 
+  test("streaming incremental matcher probes the index hash-wise, never all-pairs") {
+    // the per-micro-batch plan the streaming face runs: incoming side
+    // banded with the native kernel, candidates from a hash join on
+    // (band, bh) — a regression to a nested-loop/cartesian here would
+    // multiply every micro-batch by the standing CORPUS
+    val sh = TextQueries.shingles(spark, sf)
+    val df = CorpusOpsQueries.matchesVsStanding(
+      sh.limit(50), TextQueries.bandIndexOf(sh), sh)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("minhash_sig"), s"native signature kernel missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"streaming matcher must never all-pairs:\n$p")
+  }
+
   test("doc chunking is pure map-side (no hash exchange at any scale)") {
     val p = plan("doc_chunks")
     assert(!p.contains("hashpartitioning("),
