@@ -120,19 +120,29 @@ object CorpusOpsQueries extends QuerySet {
     * the doc, so unioning per-batch outputs over any batch split of
     * the incoming slice reproduces the batch operator exactly — the
     * parity StreamingSpec locks that. */
-  private[graft] def matchesVsStanding(
+  /** Candidate (i_id, e_id) pairs: band the incoming side, hash-join
+    * against the standing index on (band, bh), apply the batch path's
+    * combined [2,1000] bucket-membership cap. */
+  private def candidatePairs(
       incomingSh: org.apache.spark.sql.DataFrame,
-      standingBands: org.apache.spark.sql.DataFrame,
-      standingSh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      standingBands: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val inBuckets = TextQueries.bandIndexOf(incomingSh)
       .groupBy("band", "bh").agg(collect_set("doc_id").as("in_ids"))
     val exBuckets = standingBands
       .groupBy("band", "bh").agg(collect_set("doc_id").as("ex_ids"))
-    val cand = inBuckets.join(exBuckets, Seq("band", "bh"))
+    inBuckets.join(exBuckets, Seq("band", "bh"))
       .filter((size(col("in_ids")) + size(col("ex_ids"))).between(2, 1000))
       .select(explode(col("in_ids")).as("i_id"), col("ex_ids"))
       .select(col("i_id"), explode(col("ex_ids")).as("e_id"))
       .distinct()
+  }
+
+  /** Exact-Jaccard verify + per-incoming-doc summary over candidate
+    * pairs (the shared tail of both standing-side variants). */
+  private def verifyPairs(
+      cand: org.apache.spark.sql.DataFrame,
+      incomingSh: org.apache.spark.sql.DataFrame,
+      standingSh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val shI = incomingSh.select(col("doc_id").as("i_id"), col("sh").as("si"))
     val shE = standingSh.select(col("doc_id").as("e_id"), col("sh").as("se"))
     cand.join(shI, "i_id").join(shE, "e_id")
@@ -144,6 +154,32 @@ object CorpusOpsQueries extends QuerySet {
         max(round(col("inter") / col("uni"), 6)).as("best_jaccard"))
       .select(col("i_id").as("incoming_id"), col("n_matches"),
         col("first_match"), col("best_jaccard"))
+  }
+
+  private[graft] def matchesVsStanding(
+      incomingSh: org.apache.spark.sql.DataFrame,
+      standingBands: org.apache.spark.sql.DataFrame,
+      standingSh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    verifyPairs(candidatePairs(incomingSh, standingBands),
+      incomingSh, standingSh)
+
+  /** [[matchesVsStanding]] verifying against the corpus DOC table
+    * instead of a precomputed shingle frame — the continuous-ingestion
+    * shape ([[graft.streaming.Streaming.corpusIngestStream]]): the
+    * candidate existing ids (tiny — bounded by batch × bucket cap) are
+    * broadcast-semi-joined into the corpus scan, so shingles are
+    * recomputed ONLY for candidate docs. The corpus is scanned (PK-
+    * prunable when it's a snapshot table with per-dir stats), never
+    * shuffled, and never shingled wholesale per batch. */
+  private[graft] def matchesVsCorpus(
+      incomingSh: org.apache.spark.sql.DataFrame,
+      standingBands: org.apache.spark.sql.DataFrame,
+      corpusDocs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cand = candidatePairs(incomingSh, standingBands)
+      .localCheckpoint(true) // tiny; reused by the semi-join AND the verify
+    val eDocs = corpusDocs.join(
+      broadcast(cand.select(col("e_id").as("doc_id")).distinct()), Seq("doc_id"))
+    verifyPairs(cand, incomingSh, TextQueries.shingleSetsOf(eDocs))
   }
 
   // ---- unigram-LM surprisal scoring ------------------------------------

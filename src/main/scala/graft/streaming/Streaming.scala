@@ -131,6 +131,82 @@ object Streaming {
       }
       .start()
 
+  /** Continuous corpus ingestion — the CLOSED loop the incremental
+    * operators build toward: per micro-batch of (doc_id, text),
+    *
+    *  1. match incoming docs against the standing corpus through its
+    *     band-index snapshot table ([[graft.queries.CorpusOpsQueries
+    *     .matchesVsCorpus]]: hash probe on the index, shingles
+    *     recomputed only for candidate docs via a broadcast semi-join
+    *     into the corpus scan);
+    *  2. drop near-dup losers;
+    *  3. append the survivors to the corpus TABLE and their bands to
+    *     the index TABLE as snapshot commits —
+    *
+    * so batch N+1 deduplicates against everything batch N admitted,
+    * without ever rebuilding the index or self-joining the corpus.
+    * `Trigger.AvailableNow` makes each run catch-up-then-stop (the
+    * production cadence: run per crawl drop, resume from the
+    * checkpoint).
+    *
+    * Replay safety: foreachBatch REPLAYS a batch whose commit didn't
+    * reach the streaming checkpoint, and `refreshAppend` is not
+    * idempotent — a marker file recording the last fully-committed
+    * batch id (written AFTER both appends) makes a completed batch's
+    * replay a no-op. The two appends commit INDEX FIRST, deliberately:
+    * a crash between them leaves "ghost" bands whose docs never
+    * reached the corpus, and the replay self-heals — ghost candidates
+    * cannot pass the exact verify (matchesVsCorpus inner-joins the
+    * corpus for candidate shingles; no corpus row, no match), so the
+    * batch's docs are admitted exactly once, and the redundant band
+    * rows are idempotent under candidate generation's collect_set.
+    * The reverse order would instead double-admit the batch into the
+    * corpus on replay. Within-batch duplicates are the upstream
+    * exact-dedup stage's job (the batch operator family), not
+    * re-solved here. */
+  def corpusIngestStream(
+      incoming: DataFrame,
+      corpus: SnapshotTable,
+      index: SnapshotTable,
+      checkpointDir: String): StreamingQuery = {
+    val marker = java.nio.file.Paths.get(checkpointDir, "graft-ingest-committed")
+    def lastCommitted(): Long =
+      if (java.nio.file.Files.exists(marker))
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim.toLong
+      else -1L
+    incoming.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > lastCommitted() && !batch.isEmpty) {
+          graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
+          // small per batch; three consumers (match, anti-join, bands)
+          val docs = batch.localCheckpoint(true)
+          val sh = graft.queries.TextQueries.shingleSetsOf(docs)
+          // cold start: an unseeded table pair has nothing to match
+          // against — the first batch IS the corpus
+          val survivors = (if (index.currentSnapshotId.isEmpty ||
+              corpus.currentSnapshotId.isEmpty) docs
+            else {
+              val losers = graft.queries.CorpusOpsQueries
+                .matchesVsCorpus(sh, index.read(), corpus.read())
+                .select(col("incoming_id").as("doc_id"))
+              docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
+            }).localCheckpoint(true)
+          if (!survivors.isEmpty) {
+            index.refreshAppend(graft.queries.TextQueries.bandIndexOf(
+              graft.queries.TextQueries.shingleSetsOf(survivors)))
+            corpus.refreshAppend(survivors)
+          }
+          java.nio.file.Files.write(marker,
+            batchId.toString.getBytes("UTF-8"))
+          ()
+        }
+      }
+      .start()
+  }
+
   // ---- custom keyed state ------------------------------------------------
 
   final case class UserEvent(user_id: Long, value: Double)

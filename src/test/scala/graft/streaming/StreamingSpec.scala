@@ -255,6 +255,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("corpus ingestion: batch N+1 dedups against what batch N admitted") {
+    val ss = spark
+    import ss.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val tmp = Files.createTempDirectory("corpus_ingest")
+    val corpus = new SnapshotTable(spark, s"$tmp/wh", "corpus")
+    val index = new SnapshotTable(spark, s"$tmp/wh", "band_index")
+    val textA = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val textB = "completely different content about spark snapshot tables and banded minhash indexes for corpora"
+    val textC = "a third unrelated document describing mp4 box walks and audio pcm decoding kernels"
+    // seed the standing corpus + its band index (the batch bootstrap)
+    val standing = Seq((1L, textA)).toDF("doc_id", "text")
+    corpus.refreshFull(standing)
+    index.refreshFull(graft.queries.TextQueries.bandIndexOf(
+      graft.queries.TextQueries.shingleSetsOf(standing)))
+    val inDir = s"$tmp/in"
+    val ck = s"$tmp/ck"
+    def run(): Unit = {
+      val q = Streaming.corpusIngestStream(
+        spark.readStream.schema(standing.schema).parquet(inDir),
+        corpus, index, ck)
+      assert(q.awaitTermination(120000), "ingestion run did not finish")
+    }
+    // crawl drop 1: a near-dup of standing A (one word changed,
+    // J≈0.86 → rejected) and fresh B (admitted)
+    Seq((101L, textA.replace("today", "tonight")), (102L, textB))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    run()
+    // crawl drop 2: a near-dup of B — caught ONLY because drop 1
+    // appended B's bands to the index — and fresh C
+    Seq((201L, textB.replace("corpora", "datasets")), (202L, textC))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    run()
+    val ids = corpus.read().select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 102L, 202L), s"corpus = $ids")
+    // the index covers exactly the admitted docs, so drop 3 would see
+    // them all; both tables advanced one snapshot per non-empty batch
+    val idxIds = index.read().select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(idxIds == Set(1L, 102L, 202L), s"index = $idxIds")
+    assert(corpus.currentSnapshotId.contains(3L))
+    assert(index.currentSnapshotId.contains(3L))
+    // a re-run with nothing new is a no-op (checkpoint + marker)
+    run()
+    assert(corpus.currentSnapshotId.contains(3L))
+  }
+
   test("streaming incremental dedup equals the batch operator on the same slice (parity)") {
     val dir = "/root/testdata/sf0.001"
     graft.functions.GraftFunctions.ensureRegistered(spark)
