@@ -465,25 +465,31 @@ object EmbeddingQueries extends QuerySet {
   private def embPairs(s: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate(s, dir)(buildEmbPairs(s, dir).localCheckpoint(true))
 
+  /** Map-side banded hyperplane codes (vec_id, band, bh) for every
+    * vector — the anchor planes fold in as literals (the standing
+    * "index artifact" of the vector side), zero corpus shuffles. */
+  private def bandedCodes(e: DataFrame): DataFrame = {
+    val anchors = e.filter(col("vec_id") < EmbPlanesPerBand * EmbNumBands)
+      .select(col("vec_id").cast("int").as("aid"), col("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    // band hash columns: a pure map-side fold over anchor literals
+    val bandCols = (0 until EmbNumBands).map { b =>
+      val bh = (0 until EmbPlanesPerBand).map { j =>
+        val (aid, av) = anchors(b * EmbPlanesPerBand + j)
+        when(call_function("dot_f64", col("v"), array(av.map(lit): _*)) > 0,
+          lit(1L << (aid % EmbPlanesPerBand))).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bh.as("bh"))
+    }
+    e.select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
   private def buildEmbPairs(s: SparkSession, dir: String): DataFrame = {
       val e = withNorm(s, dir)
-      val anchors = e.filter(col("vec_id") < EmbPlanesPerBand * EmbNumBands)
-        .select(col("vec_id").cast("int").as("aid"), col("v"))
-        .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
-        .sortBy(_._1)
-      // band hash columns: a pure map-side fold over anchor literals
-      val bandCols = (0 until EmbNumBands).map { b =>
-        val bh = (0 until EmbPlanesPerBand).map { j =>
-          val (aid, av) = anchors(b * EmbPlanesPerBand + j)
-          when(call_function("dot_f64", col("v"), array(av.map(lit): _*)) > 0,
-            lit(1L << (aid % EmbPlanesPerBand))).otherwise(lit(0L))
-        }.reduce(_ + _)
-        struct(lit(b).as("band"), bh.as("bh"))
-      }
-      val banded = e
-        .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val banded = bandedCodes(e)
       // bucket fan-out bounded like the text LSH path (a degenerate
       // all-same-bucket corpus must not go quadratic); the cap is part
       // of the OPERATOR DEFINITION — the oracle's `ok` CTE applies the
@@ -503,6 +509,56 @@ object EmbeddingQueries extends QuerySet {
         .filter(col("cosRaw") >= 0.45)
         .select(col("id_a"), col("id_b"), round(col("cosRaw"), 6).as("cos"))
   }
+
+  // ---- incremental embedding dedup (incoming batch vs standing set) ----
+  // The vector-side mate of CorpusOpsQueries.incremental_dedup: a
+  // continuous embedding pipeline never re-self-joins the standing
+  // vector set per batch — the hyperplane band codes of the standing
+  // side are a PRECOMPUTED artifact (same planes every batch), the
+  // incoming slice (vec_id%5==4, the engines' shared carve) is coded
+  // map-side against those same anchor literals, and candidates come
+  // from one hash join on (band, bh) with the full path's combined
+  // [2,1000] bucket cap. Exact cosine verifies candidates only; the
+  // per-incoming summary names the duplicate set to suppress.
+  private val embIncremental = QueryDef(
+    "incremental_embdup",
+    Some(embdupPairsSql.replace(
+      """|pairs AS (""".stripMargin,
+      """|cand_ie AS (
+         |  SELECT id_a, id_b FROM cand WHERE id_a % 5 = 4 AND id_b % 5 <> 4
+         |  UNION
+         |  SELECT id_b AS id_a, id_a AS id_b FROM cand
+         |  WHERE id_b % 5 = 4 AND id_a % 5 <> 4),
+         |pairs AS (""".stripMargin)
+      .replace("FROM cand c JOIN", "FROM cand_ie c JOIN") +
+      """
+        |SELECT id_a AS incoming_id, count(*) AS n_matches,
+        |       min(id_b) AS first_match, max(cos) AS best_cos
+        |FROM pairs GROUP BY id_a ORDER BY incoming_id""".stripMargin),
+    (s, dir) => {
+      val e = withNorm(s, dir)
+      val buckets = bandedCodes(e).groupBy("band", "bh")
+        .agg(
+          collect_set(when(col("vec_id") % 5 === 4, col("vec_id"))).as("in_ids"),
+          collect_set(when(col("vec_id") % 5 =!= 4, col("vec_id"))).as("ex_ids"))
+        .filter(size(col("in_ids")) >= 1 && size(col("ex_ids")) >= 1 &&
+          (size(col("in_ids")) + size(col("ex_ids"))).between(2, 1000))
+      val cand = buckets
+        .select(explode(col("in_ids")).as("i_id"), col("ex_ids"))
+        .select(col("i_id"), explode(col("ex_ids")).as("e_id"))
+        .distinct()
+      val va = e.select(col("vec_id").as("i_id"), col("v").as("av"), col("nrm").as("an"))
+      val vb = e.select(col("vec_id").as("e_id"), col("v").as("bv"), col("nrm").as("bn"))
+      cand.join(va, "i_id").join(vb, "e_id")
+        .withColumn("cosRaw", expr("dot_f64(av, bv)") / (col("an") * col("bn")))
+        .filter(col("cosRaw") >= 0.45)
+        .groupBy("i_id")
+        .agg(count(lit(1)).as("n_matches"), min("e_id").as("first_match"),
+          max(round(col("cosRaw"), 6)).as("best_cos"))
+        .select(col("i_id").as("incoming_id"), col("n_matches"),
+          col("first_match"), col("best_cos"))
+        .orderBy("incoming_id")
+    })
 
   // ---- embedding near-dup clusters --------------------------------------
   // Transitive closure over the cosine pair graph — the vector-side
@@ -699,6 +755,6 @@ object EmbeddingQueries extends QuerySet {
     })
 
   override val defs: Seq[QueryDef] =
-    Seq(bruteTopk, lshTopk, ivfTopk, ivfTrained, embDupPairs, embDupClusters,
-      quantize, centroids, pqTrained)
+    Seq(bruteTopk, lshTopk, ivfTopk, ivfTrained, embDupPairs, embIncremental,
+      embDupClusters, quantize, centroids, pqTrained)
 }

@@ -54,7 +54,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("similarity operators never produce a cartesian product") {
     Seq("neardup_minhash_lsh", "ann_brute_topk", "ann_lsh_topk",
-      "ann_ivf_topk", "embdup_cosine_pairs", "simhash_neardup_pairs").foreach { q =>
+      "ann_ivf_topk", "embdup_cosine_pairs", "incremental_embdup",
+      "simhash_neardup_pairs").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
     }
