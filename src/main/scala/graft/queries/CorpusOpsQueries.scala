@@ -203,36 +203,89 @@ object CorpusOpsQueries extends QuerySet {
       |       CAST(sum(u6) AS BIGINT) AS nll_u6
       |FROM s GROUP BY doc_id""".stripMargin
 
+  /** Shared per-doc surprisal prelude ending in `d(doc_id, n_tokens,
+    * nll_u6)` — the buckets query reuses it verbatim so both entries
+    * gate the same integers (duck/spark differ only in the unnest
+    * spelling). */
+  private val duckSurprisalPrelude =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+       |v AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+       |n AS (SELECT count(*) AS total FROM tok),
+       |s AS (
+       |  SELECT tf.doc_id, tf.tf,
+       |         CAST(round(tf.tf * ln(CAST(n.total AS DOUBLE) / v.c) * 1000000, 0) AS BIGINT) AS u6
+       |  FROM tf JOIN v USING (term) CROSS JOIN n),
+       |d AS ($surprisalBody)""".stripMargin
+
+  private val sparkSurprisalPrelude =
+    s"""WITH tok AS (
+       |  SELECT doc_id, term FROM documents
+       |  LATERAL VIEW explode(split(text, ' ')) t AS term),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+       |v AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+       |n AS (SELECT count(*) AS total FROM tok),
+       |s AS (
+       |  SELECT tf.doc_id, tf.tf,
+       |         CAST(round(tf.tf * ln(CAST(n.total AS DOUBLE) / v.c) * 1000000, 0) AS BIGINT) AS u6
+       |  FROM tf JOIN v USING (term) CROSS JOIN n),
+       |d AS ($surprisalBody)""".stripMargin
+
   private val surprisal = QueryDef(
     "unigram_surprisal",
-    Some(s"""WITH tok AS (
-            |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-            |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
-            |v AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
-            |n AS (SELECT count(*) AS total FROM tok),
-            |s AS (
-            |  SELECT tf.doc_id, tf.tf,
-            |         CAST(round(tf.tf * ln(CAST(n.total AS DOUBLE) / v.c) * 1000000, 0) AS BIGINT) AS u6
-            |  FROM tf JOIN v USING (term) CROSS JOIN n),
-            |d AS ($surprisalBody)
+    Some(s"""$duckSurprisalPrelude
             |SELECT doc_id, n_tokens, nll_u6,
             |       round(nll_u6 / 1000000.0::DOUBLE / n_tokens, 6) AS mean_nll
             |FROM d ORDER BY doc_id""".stripMargin),
     (s, dir) => Tables.sql(s, dir,
-      s"""WITH tok AS (
-         |  SELECT doc_id, term FROM documents
-         |  LATERAL VIEW explode(split(text, ' ')) t AS term),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
-         |v AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
-         |n AS (SELECT count(*) AS total FROM tok),
-         |s AS (
-         |  SELECT tf.doc_id, tf.tf,
-         |         CAST(round(tf.tf * ln(CAST(n.total AS DOUBLE) / v.c) * 1000000, 0) AS BIGINT) AS u6
-         |  FROM tf JOIN v USING (term) CROSS JOIN n),
-         |d AS ($surprisalBody)
+      s"""$sparkSurprisalPrelude
          |SELECT doc_id, n_tokens, nll_u6,
          |       round(nll_u6 / 1000000.0D / n_tokens, 6) AS mean_nll
          |FROM d ORDER BY doc_id""".stripMargin))
+
+  // ---- CCNet-style perplexity buckets -----------------------------------
+  // CCNet's signature move: cut the corpus into head/middle/tail by
+  // per-doc LM score terciles (head = most fluent) and weight the
+  // training mixture by bucket. Scale shape: the thresholds are a
+  // 2-value GLOBAL aggregate over per-doc means (exact interpolated
+  // percentile here for cross-engine parity — the a7/a7b split applies:
+  // at 1e9 docs swap in the approx_percentile sketch twin, the
+  // assignment below is unchanged), broadcast back as a 1-row cross
+  // join, and bucket assignment is a pure map-side compare — NOT a
+  // corpus-wide ntile, which would funnel every doc through one window
+  // reducer. percentile() ≡ quantile_cont (both linear-interpolate;
+  // proven by a7), and both engines derive mean_nll from the same
+  // integers, so the double compares agree exactly.
+  private val surprisalBuckets = QueryDef(
+    "surprisal_buckets",
+    Some(s"""$duckSurprisalPrelude,
+            |m AS (
+            |  SELECT doc_id, n_tokens,
+            |         CAST(nll_u6 AS DOUBLE) / 1000000.0 / n_tokens AS mean_nll
+            |  FROM d),
+            |t AS (
+            |  SELECT quantile_cont(mean_nll, 1.0/3) AS t1,
+            |         quantile_cont(mean_nll, 2.0/3) AS t2 FROM m)
+            |SELECT doc_id, n_tokens,
+            |       CASE WHEN mean_nll <= t1 THEN 'head'
+            |            WHEN mean_nll <= t2 THEN 'middle'
+            |            ELSE 'tail' END AS bucket
+            |FROM m CROSS JOIN t ORDER BY doc_id""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      s"""$sparkSurprisalPrelude,
+         |m AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(nll_u6 AS DOUBLE) / 1000000.0D / n_tokens AS mean_nll
+         |  FROM d),
+         |t AS (
+         |  SELECT percentile(mean_nll, 1.0D/3) AS t1,
+         |         percentile(mean_nll, 2.0D/3) AS t2 FROM m)
+         |SELECT doc_id, n_tokens,
+         |       CASE WHEN mean_nll <= t1 THEN 'head'
+         |            WHEN mean_nll <= t2 THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM m CROSS JOIN t ORDER BY doc_id""".stripMargin))
 
   // ---- retrieval chunking ----------------------------------------------
   // RAG/embedding pipelines split documents into overlapping fixed-size
@@ -369,5 +422,6 @@ object CorpusOpsQueries extends QuerySet {
     })
 
   override val defs: Seq[QueryDef] =
-    Seq(incremental, surprisal, chunks, sourceMix, leakageSafeSplit)
+    Seq(incremental, surprisal, surprisalBuckets, chunks, sourceMix,
+      leakageSafeSplit)
 }

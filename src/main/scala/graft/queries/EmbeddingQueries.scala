@@ -588,6 +588,39 @@ object EmbeddingQueries extends QuerySet {
         .orderBy("vec_id")
     })
 
+  // Deduplicated vector set — the embedding mate of
+  // neardup_dedup_corpus: drop every non-min member of each cosine
+  // cluster via a broadcast anti-join of the (tiny) loser set, digest
+  // the survivors. At 100 TB the loser set is bounded by the verified
+  // pair graph, never the corpus.
+  private val embDedupCorpus = QueryDef(
+    "embdup_dedup_corpus",
+    Some(embdupPairsSql.replaceFirst("WITH e", "WITH RECURSIVE e") + """,
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+      |losers AS (
+      |  SELECT a AS vec_id FROM reach GROUP BY a HAVING least(a, min(b)) < a)
+      |SELECT count(*) AS n_vecs,
+      |  CAST(sum(label) AS BIGINT) AS label_sum,
+      |  min(vec_id) AS min_id, max(vec_id) AS max_id
+      |FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM losers)""".stripMargin),
+    (s, dir) => {
+      val labels = graft.operators.ConnectedComponents.labels(
+        embPairs(s, dir).select(col("id_a"), col("id_b")))
+      val losers = labels.filter(col("id") =!= col("label"))
+        .select(col("id").as("vec_id"))
+      Tables.table(s, dir, "embeddings")
+        .join(broadcast(losers), Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("label").cast("long")).as("label_sum"),
+          min("vec_id").as("min_id"), max("vec_id").as("max_id"))
+    })
+
   // ---- int8 scalar quantization -----------------------------------------
   // The 4×-storage-cut technique a 100 TB vector store applies before
   // anything else: per-vector min/max scale, 8-bit codes, keep the
@@ -756,5 +789,5 @@ object EmbeddingQueries extends QuerySet {
 
   override val defs: Seq[QueryDef] =
     Seq(bruteTopk, lshTopk, ivfTopk, ivfTrained, embDupPairs, embIncremental,
-      embDupClusters, quantize, centroids, pqTrained)
+      embDupClusters, embDedupCorpus, quantize, centroids, pqTrained)
 }

@@ -75,9 +75,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("dedup'd corpus survivor filter is a broadcast anti-join") {
-    val p = plan("neardup_dedup_corpus")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      s"loser set not broadcast-anti-joined:\n$p")
+    Seq("neardup_dedup_corpus", "embdup_dedup_corpus").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+        s"$q: loser set not broadcast-anti-joined:\n$p")
+    }
+  }
+
+  test("surprisal buckets assign map-side off broadcast thresholds, not a corpus ntile") {
+    val p = plan("surprisal_buckets")
+    assert(!p.contains("Window"),
+      s"bucket cut degraded to a single-reducer window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"thresholds not broadcast back:\n$p")
   }
 
   test("ann probes broadcast; corpus side stays partitioned") {
