@@ -859,8 +859,48 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  // ---- hashed linear classifier scoring ---------------------------------
+  // The fastText-shaped quality classifier every modern pipeline runs
+  // (DataComp/FineWeb style): tokenize, hash each token into a weight
+  // bucket, sum the bucket weights, threshold the mean. The weights
+  // here are hash-DERIVED (a deterministic stand-in both engines can
+  // replay exactly — a trained model would broadcast its weight table
+  // into the same plan); the OPERATOR — map-side explode, per-doc
+  // integer sum with partial combine, zero corpus shuffles beyond the
+  // (doc_id, weight) partials — is the real deliverable. Integer
+  // milli-unit weights in [-1000, 1000] keep the digest order-
+  // independent and the keep decision (mean weight ≥ 0 ⟺ sum ≥ 0)
+  // exact in both engines — no sigmoid, whose libm exp would differ
+  // bitwise between engines.
+  private val classifierScore = QueryDef(
+    "quality_classifier_score",
+    Some("""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+           |w AS (
+           |  SELECT doc_id,
+           |         (ascii(substr(md5(term), 1, 1)) * 31 +
+           |          ascii(substr(md5(term), 2, 1))) % 2001 - 1000 AS u
+           |  FROM tok)
+           |SELECT doc_id, count(*) AS n_terms,
+           |       CAST(sum(u) AS BIGINT) AS score_m,
+           |       sum(u) >= 0 AS keep
+           |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """WITH tok AS (
+        |  SELECT doc_id, term FROM documents
+        |  LATERAL VIEW explode(split(text, ' ')) t AS term),
+        |w AS (
+        |  SELECT doc_id,
+        |         (ascii(substring(md5(term), 1, 1)) * 31 +
+        |          ascii(substring(md5(term), 2, 1))) % 2001 - 1000 AS u
+        |  FROM tok)
+        |SELECT doc_id, count(*) AS n_terms,
+        |       CAST(sum(u) AS BIGINT) AS score_m,
+        |       sum(u) >= 0 AS keep
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   override val defs: Seq[QueryDef] = Seq(
     dedupExact, neardup, neardupClusters, neardupCorpus, simhash, simhashPairs,
     ngramTopk, langId, quality, tokenStats, winnow, stratified, gopher, tfidf,
-    piiRedact, corpusPrep, contamination, seqPacking)
+    piiRedact, corpusPrep, contamination, seqPacking, classifierScore)
 }

@@ -90,6 +90,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"thresholds not broadcast back:\n$p")
   }
 
+  test("classifier scoring is explode + partial-sum; only (doc_id, partial) rows shuffle") {
+    val p = plan("quality_classifier_score")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"no map-side combine — raw token rows would cross the wire:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"classifier plan degraded:\n$p")
+    assert(p.contains("md5"), s"hash-bucket weight kernel missing:\n$p")
+  }
+
   test("ann probes broadcast; corpus side stays partitioned") {
     val p = plan("ann_brute_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
