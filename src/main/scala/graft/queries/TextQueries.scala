@@ -899,8 +899,143 @@ object TextQueries extends QuerySet {
         |       sum(u) >= 0 AS keep
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  // ---- exact duplicated-span stats ---------------------------------------
+  // Substring-granular exact dedup (Lee et al. 2022, "Deduplicating
+  // Training Data Makes Language Models Better"): a token span is
+  // duplicated if its k-gram (k=8 words) occurs anywhere else in the
+  // corpus — including again in the same document. Per doc we report the
+  // duplicated-gram count, the distinct token positions those grams
+  // cover (interval union via re-explode + distinct — each gram fans out
+  // to exactly k rows, so the blow-up is a bounded ×8, never quadratic),
+  // and the keep decision at the 20% coverage threshold. This is the
+  // complement of the doc-level dedup family above: MinHash drops
+  // whole near-dup documents; this finds boilerplate SPANS inside
+  // otherwise-unique documents.
+  //
+  // 100 TB shape: grams are keyed by md5 digest so the corpus-wide
+  // occurrence count shuffles fixed-width keys, never raw 8-gram text
+  // (on a real cluster xxhash64 halves the key again; md5 is the
+  // engine-shared digest the oracle can replay). Count is a partial
+  // agg; the >1 key set joins back as a plain hash join (it can be
+  // corpus-sized for boilerplate-heavy crawls, so no broadcast
+  // assumption); per-doc rollups partial-combine. Everything else is
+  // map-side. All output columns are integers/booleans — exact.
+  private val dupSpans = QueryDef(
+    "dup_span_stats",
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |g AS (
+           |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS gpos,
+           |         md5(array_to_string(w[i:i+7], ' ')) AS k
+           |  FROM t, unnest(range(1, len(w) - 6)) AS r(i)),
+           |occ AS (SELECT k FROM g GROUP BY k HAVING count(*) > 1),
+           |dup AS (SELECT g.doc_id, g.gpos FROM g JOIN occ USING (k)),
+           |cov AS (
+           |  SELECT doc_id, count(DISTINCT tok) AS covered
+           |  FROM (SELECT doc_id, unnest(range(gpos, gpos + 8)) AS tok FROM dup)
+           |  GROUP BY doc_id),
+           |dg AS (SELECT doc_id, count(*) AS dup_grams FROM dup GROUP BY doc_id),
+           |base AS (
+           |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+           |         CAST(greatest(len(w) - 7, 0) AS BIGINT) AS n_grams
+           |  FROM t)
+           |SELECT b.doc_id, b.n_tokens, b.n_grams,
+           |       CAST(coalesce(dg.dup_grams, 0) AS BIGINT) AS dup_grams,
+           |       CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_tokens,
+           |       CAST(coalesce(cov.covered, 0) * 1000000 // b.n_tokens AS BIGINT) AS dup_ppm,
+           |       coalesce(cov.covered, 0) * 5 <= b.n_tokens AS keep
+           |FROM base b LEFT JOIN dg USING (doc_id) LEFT JOIN cov USING (doc_id)
+           |ORDER BY b.doc_id""".stripMargin),
+    (s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val g = docs
+        .select(col("doc_id"),
+          posexplode(expr("word_shingles(text, 8)")).as(Seq("gpos", "gram")))
+        .select(col("doc_id"), col("gpos").cast("long").as("gpos"),
+          md5(col("gram")).as("k"))
+      val occ = g.groupBy("k").agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > 1).select("k")
+      val dup = g.join(occ, "k").select("doc_id", "gpos")
+      val dg = dup.groupBy("doc_id").agg(count(lit(1)).as("dup_grams"))
+      val cov = dup
+        .select(col("doc_id"), explode(expr("sequence(gpos, gpos + 7)")).as("tok"))
+        .groupBy("doc_id").agg(countDistinct(col("tok")).as("covered_tokens"))
+      docs
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("n_grams", greatest(col("n_tokens") - 7, lit(0L)))
+        .join(dg, Seq("doc_id"), "left").join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_grams"),
+          coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+          coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+          expr("coalesce(covered_tokens, 0L) * 1000000 div n_tokens").as("dup_ppm"),
+          (coalesce(col("covered_tokens"), lit(0L)) * 5 <= col("n_tokens")).as("keep"))
+        .orderBy("doc_id")
+    })
+
+  // ---- within-document repetition signals --------------------------------
+  // Gopher's repetition filters (Rae et al. 2021 §A1.2): the fraction of
+  // words that are repeats and the share the single most frequent bigram
+  // claims — high values mark degenerate/generated text. Distinct from
+  // gopher_quality_rules above (those are composition filters: stopword
+  // and symbol ratios); these are self-similarity filters. All signals
+  // are per-document, so the plan is two (doc_id, term)-keyed partial
+  // aggs feeding per-doc rollups — full parallelism, no corpus-wide key.
+  // Ratios ship as integer ppm (exact in both engines); keep thresholds
+  // exercise both branches on the synthetic corpus.
+  private val repetition = QueryDef(
+    "repetition_signals",
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |wc AS (
+           |  SELECT doc_id, count(*) AS n_words, count(DISTINCT term) AS n_distinct
+           |  FROM (SELECT doc_id, unnest(w) AS term FROM t) GROUP BY doc_id),
+           |bg AS (
+           |  SELECT doc_id, gram, count(*) AS c
+           |  FROM (SELECT doc_id,
+           |               unnest(list_transform(range(1, len(w)),
+           |                      i -> array_to_string(w[i:i+1], ' '))) AS gram
+           |        FROM t) GROUP BY doc_id, gram),
+           |bt AS (SELECT doc_id, max(c) AS top_bigram, sum(c) AS n_bigrams
+           |       FROM bg GROUP BY doc_id)
+           |SELECT wc.doc_id,
+           |       CAST(wc.n_words AS BIGINT) AS n_words,
+           |       CAST(wc.n_distinct AS BIGINT) AS n_distinct,
+           |       CAST((wc.n_words - wc.n_distinct) * 1000000 // wc.n_words AS BIGINT)
+           |         AS dup_word_ppm,
+           |       CAST(coalesce(bt.top_bigram, 0) AS BIGINT) AS top_bigram,
+           |       CAST(coalesce(bt.top_bigram, 0) * 1000000 //
+           |            greatest(coalesce(bt.n_bigrams, 0), 1) AS BIGINT)
+           |         AS top_bigram_ppm,
+           |       (wc.n_words - wc.n_distinct) * 2 <= wc.n_words AND
+           |         coalesce(bt.top_bigram, 0) * 10 <=
+           |         greatest(coalesce(bt.n_bigrams, 0), 1) AS keep
+           |FROM wc LEFT JOIN bt USING (doc_id) ORDER BY wc.doc_id""".stripMargin),
+    (s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val wc = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), countDistinct(col("term")).as("n_distinct"))
+      val bt = docs
+        .select(col("doc_id"), explode(expr("word_shingles(text, 2)")).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top_bigram"), sum(col("c")).as("n_bigrams"))
+      wc.join(bt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          expr("(n_words - n_distinct) * 1000000 div n_words").as("dup_word_ppm"),
+          coalesce(col("top_bigram"), lit(0L)).as("top_bigram"),
+          expr("coalesce(top_bigram, 0L) * 1000000 div greatest(coalesce(n_bigrams, 0L), 1L)")
+            .as("top_bigram_ppm"),
+          ((col("n_words") - col("n_distinct")) * 2 <= col("n_words") &&
+            coalesce(col("top_bigram"), lit(0L)) * 10 <=
+              greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L))).as("keep"))
+        .orderBy("doc_id")
+    })
+
   override val defs: Seq[QueryDef] = Seq(
     dedupExact, neardup, neardupClusters, neardupCorpus, simhash, simhashPairs,
     ngramTopk, langId, quality, tokenStats, winnow, stratified, gopher, tfidf,
-    piiRedact, corpusPrep, contamination, seqPacking, classifierScore)
+    piiRedact, corpusPrep, contamination, seqPacking, classifierScore,
+    dupSpans, repetition)
 }

@@ -99,6 +99,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("md5"), s"hash-bucket weight kernel missing:\n$p")
   }
 
+  test("dup-span grams shuffle as md5 keys with map-side combine, never raw text") {
+    val p = plan("dup_span_stats")
+    assert(p.contains("md5"), s"gram digest key missing — raw 8-grams would shuffle:\n$p")
+    assert(p.contains("partial_count"),
+      s"occurrence count shuffles raw gram rows instead of partials:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"dup-span plan degraded:\n$p")
+  }
+
+  test("repetition signals stay per-doc keyed (no corpus-wide key, no window)") {
+    val p = plan("repetition_signals")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"repetition plan degraded:\n$p")
+  }
+
   test("ann probes broadcast; corpus side stays partitioned") {
     val p = plan("ann_brute_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
