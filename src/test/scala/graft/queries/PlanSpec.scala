@@ -115,6 +115,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"repetition plan degraded:\n$p")
   }
 
+  test("bm25 filters query terms map-side, broadcasts stats, top-k never full-sorts") {
+    val p = plan("bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k degraded to a full sort:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"df/N stats not broadcast back:\n$p")
+    assert(p.contains("partial_count"), s"tf shuffles raw token rows:\n$p")
+  }
+
+  test("inverted-index top-5 prunes map-side (partial WindowGroupLimit before the exchange)") {
+    val p = plan("inverted_index_postings")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"map-side group-limit missing — a hot term would ship its full posting list:\n$p")
+    assert(p.contains("partial_count"), s"no map-side combine on tf:\n$p")
+    assert(!p.contains("CartesianProduct"), s"postings plan degraded:\n$p")
+  }
+
   test("ann probes broadcast; corpus side stays partitioned") {
     val p = plan("ann_brute_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
