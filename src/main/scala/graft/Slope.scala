@@ -44,7 +44,15 @@ object Slope {
     "contamination_ngram",
     "seq_packing_assign",
     "incremental_dedup",
-    "unigram_surprisal")
+    "unigram_surprisal",
+    // r8 late additions: corpus-wide gram-occurrence shuffle (the one
+    // new shuffle pattern this round), hashed classifier partial-sum,
+    // and the two lexical-retrieval shapes (map-side-filtered BM25,
+    // WindowGroupLimit-pruned postings)
+    "dup_span_stats",
+    "quality_classifier_score",
+    "bm25_topk",
+    "inverted_index_postings")
 
   val MaxRatio = 15.0
   val OverheadFloorSec = 0.3

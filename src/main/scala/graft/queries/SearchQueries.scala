@@ -61,28 +61,7 @@ object SearchQueries extends QuerySet {
             |       doc_id, score_micro
             |FROM sc ORDER BY rank LIMIT 10""".stripMargin),
     (s, dir) => {
-      val docs = Tables.table(s, dir, "documents")
-      val dl = docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("dl"))
-      val n = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
-      val tf = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .filter(col("term").isin(Terms: _*))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val scored = tf
-        .join(broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(n))
-        // identical parenthesization to the oracle — the doubles must
-        // take the same IEEE path in both engines before the round
-        .select(col("doc_id"), expr(
-          """CAST(round(ln(1.0D + (n - df + 0.5D) / (df + 0.5D)) *
-            |           (tf * 2.2D) /
-            |           (tf + 1.2D * (0.25D + 0.75D * dl /
-            |                         (CAST(tot AS DOUBLE) / n))) *
-            |           1000000.0D, 0) AS BIGINT)""".stripMargin).as("m"))
-      val sc = scored.groupBy("doc_id").agg(sum(col("m")).as("score_micro"))
+      val sc = bm25Scores(s, dir)
         .orderBy(col("score_micro").desc, col("doc_id")).limit(10)
       // rank the (tiny) top-k result; the window runs over 10 rows
       sc.withColumn("rank",
@@ -90,6 +69,32 @@ object SearchQueries extends QuerySet {
             .cast("long"))
         .select(col("rank"), col("doc_id"), col("score_micro"))
     })
+
+  /** All-doc BM25 scores for [[Terms]] — the shared prelude of the
+    * top-k query and the hybrid fusion below. */
+  private def bm25Scores(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = Tables.table(s, dir, "documents")
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val n = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(Terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(n))
+      // identical parenthesization to the oracle — the doubles must
+      // take the same IEEE path in both engines before the round
+      .select(col("doc_id"), expr(
+        """CAST(round(ln(1.0D + (n - df + 0.5D) / (df + 0.5D)) *
+          |           (tf * 2.2D) /
+          |           (tf + 1.2D * (0.25D + 0.75D * dl /
+          |                         (CAST(tot AS DOUBLE) / n))) *
+          |           1000000.0D, 0) AS BIGINT)""".stripMargin).as("m"))
+      .groupBy("doc_id").agg(sum(col("m")).as("score_micro"))
+  }
 
   // ---- inverted-index postings --------------------------------------------
   // The index-build side of lexical search: per term, document
@@ -140,5 +145,111 @@ object SearchQueries extends QuerySet {
         .orderBy("term")
     })
 
-  override val defs: Seq[QueryDef] = Seq(bm25, postings)
+  // ---- hybrid retrieval (reciprocal-rank fusion) ---------------------------
+  // Sparse (BM25) and dense (cosine-to-probe) rankings fused with RRF:
+  // score(d) = Σ_lists 1/(60 + rank_list(d)) over the two top-50 lists
+  // (Cormack et al. 2009) — the standard hybrid-search combiner and the
+  // shape a RAG pipeline runs per query. The corpus id spaces align
+  // (vec_id i embeds document i, TESTDATA.md).
+  //
+  // 100 TB shape: each arm is the already-locked scalable form — BM25
+  // scores shuffle query-filtered partials; the dense arm is one
+  // map-side dot against a broadcast probe — and each arm collapses to
+  // TakeOrderedAndProject for its top-50. Fusion itself touches two
+  // ≤50-row sets (full outer join + a 100-row sort): constant work
+  // regardless of corpus size. RRF contributions are per-row rounds of
+  // exact rationals (1e6/(60+rank)) — integer partials, no float sums.
+  private val hybrid = QueryDef(
+    "hybrid_rrf_topk",
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
+            |n AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+            |tf AS (
+            |  SELECT doc_id, term, count(*) AS tf
+            |  FROM (SELECT doc_id, unnest(w) AS term FROM t)
+            |  WHERE term IN ($TermsSql)
+            |  GROUP BY doc_id, term),
+            |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            |s AS (
+            |  SELECT tf.doc_id,
+            |         CAST(round(ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5)) *
+            |                    (tf.tf * 2.2) /
+            |                    (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl /
+            |                                    (CAST(n.tot AS DOUBLE) / n.n))) *
+            |                    1000000.0) AS BIGINT) AS m
+            |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n),
+            |sc AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS score_micro
+            |       FROM s GROUP BY doc_id),
+            |sp AS (SELECT doc_id, CAST(row_number() OVER (
+            |              ORDER BY score_micro DESC, doc_id) AS BIGINT) AS sparse_rank
+            |       FROM sc),
+            |sp50 AS (SELECT * FROM sp WHERE sparse_rank <= 50),
+            |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            |      FROM embeddings),
+            |nn AS (SELECT vec_id, v,
+            |              sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+            |       FROM e),
+            |p AS (SELECT v AS pv, nrm AS pn FROM nn WHERE vec_id = 0),
+            |dn AS (SELECT c.vec_id AS doc_id,
+            |              round(list_aggregate(list_transform(range(1, len(c.v) + 1),
+            |                      i -> c.v[i] * p.pv[i]), 'sum') / (c.nrm * p.pn), 6) AS cos
+            |       FROM nn c, p WHERE c.vec_id <> 0),
+            |dr AS (SELECT doc_id, CAST(row_number() OVER (
+            |              ORDER BY cos DESC, doc_id) AS BIGINT) AS dense_rank
+            |       FROM dn),
+            |dr50 AS (SELECT * FROM dr WHERE dense_rank <= 50),
+            |f AS (SELECT coalesce(sp50.doc_id, dr50.doc_id) AS doc_id,
+            |             coalesce(sp50.sparse_rank, 0) AS sparse_rank,
+            |             coalesce(dr50.dense_rank, 0) AS dense_rank
+            |      FROM sp50 FULL OUTER JOIN dr50 ON sp50.doc_id = dr50.doc_id),
+            |g AS (SELECT doc_id, sparse_rank, dense_rank,
+            |             CAST(CASE WHEN sparse_rank > 0
+            |                  THEN round(1000000.0 / (60 + sparse_rank))
+            |                  ELSE 0 END AS BIGINT) +
+            |             CAST(CASE WHEN dense_rank > 0
+            |                  THEN round(1000000.0 / (60 + dense_rank))
+            |                  ELSE 0 END AS BIGINT) AS rrf_micro
+            |      FROM f)
+            |SELECT CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id)
+            |            AS BIGINT) AS rank,
+            |       doc_id, rrf_micro, sparse_rank, dense_rank
+            |FROM g ORDER BY rank LIMIT 10""".stripMargin),
+    (s, dir) => {
+      val sparse = bm25Scores(s, dir)
+        .orderBy(col("score_micro").desc, col("doc_id")).limit(50)
+        .withColumn("sparse_rank",
+          row_number().over(Window.orderBy(col("score_micro").desc, col("doc_id")))
+            .cast("long"))
+        .select(col("doc_id"), col("sparse_rank"))
+      val e = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", expr("sqrt(dot_f64(v, v))"))
+      val probe = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("v").as("pv"), col("nrm").as("pn")))
+      val dense = e.filter(col("vec_id") =!= 0).crossJoin(probe)
+        .withColumn("cos", round(expr("dot_f64(v, pv)") / (col("nrm") * col("pn")), 6))
+        .orderBy(col("cos").desc, col("vec_id")).limit(50)
+        .withColumn("dense_rank",
+          row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .select(col("vec_id").as("doc_id"), col("dense_rank"))
+      sparse.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("sparse_rank"), lit(0L)).as("sparse_rank"),
+          coalesce(col("dense_rank"), lit(0L)).as("dense_rank"))
+        .withColumn("rrf_micro", expr(
+          """CAST(CASE WHEN sparse_rank > 0
+            |     THEN round(1000000.0D / (60 + sparse_rank), 0)
+            |     ELSE 0 END AS BIGINT) +
+            |CAST(CASE WHEN dense_rank > 0
+            |     THEN round(1000000.0D / (60 + dense_rank), 0)
+            |     ELSE 0 END AS BIGINT)""".stripMargin))
+        .orderBy(col("rrf_micro").desc, col("doc_id")).limit(10)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("rrf_micro").desc, col("doc_id")))
+            .cast("long"))
+        .select(col("rank"), col("doc_id"), col("rrf_micro"),
+          col("sparse_rank"), col("dense_rank"))
+    })
+
+  override val defs: Seq[QueryDef] = Seq(bm25, postings, hybrid)
 }

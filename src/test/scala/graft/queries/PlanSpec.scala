@@ -131,6 +131,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), s"postings plan degraded:\n$p")
   }
 
+  test("hybrid rrf arms stay scalable: broadcast probe, top-k collapse, no cartesian") {
+    val p = plan("hybrid_rrf_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"arm top-50 degraded to a full sort:\n$p")
+    assert(p.contains("dot_f64"), s"native dot kernel missing from dense arm:\n$p")
+    assert(!p.contains("CartesianProduct"), s"hybrid plan has a cartesian product:\n$p")
+  }
+
   test("ann probes broadcast; corpus side stays partitioned") {
     val p = plan("ann_brute_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
