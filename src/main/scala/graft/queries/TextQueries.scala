@@ -899,6 +899,55 @@ object TextQueries extends QuerySet {
         |       sum(u) >= 0 AS keep
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  // ---- quality-aware canonical dedup --------------------------------------
+  // Production near-dup dedup does NOT keep the min-id member: it keeps
+  // the "best" version of each cluster — here the longest text (the
+  // most complete page version; max n_chars, min doc_id tie-break), the
+  // standard crawl heuristic. The canonical choice is an integer-keyed
+  // ARGMAX, so it stays exact across engines: per-cluster min of
+  // struct(-n_chars, doc_id) — a partial-combining struct-min, no
+  // window sort. Losers (cluster members that lost the argmax) are a
+  // pair-graph-sized set broadcast into one anti-join; the corpus
+  // streams past map-side, as in neardup_dedup_corpus.
+  private val neardupCanonical = QueryDef(
+    "neardup_canonical_corpus",
+    Some(neardupPairsSql.replaceFirst("WITH sh", "WITH RECURSIVE sh") + """,
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |members AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      |            FROM reach GROUP BY a),
+      |ranked AS (
+      |  SELECT m.doc_id, m.cluster_id,
+      |         row_number() OVER (PARTITION BY m.cluster_id
+      |                            ORDER BY d.n_chars DESC, m.doc_id) AS rn
+      |  FROM members m JOIN documents d USING (doc_id)),
+      |losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
+      |SELECT count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin),
+    (s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val members = graft.operators.ConnectedComponents.labels(
+          neardupPairs(s, dir).select(col("id_a"), col("id_b")))
+        .select(col("id").as("doc_id"), col("label"))
+        .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      val canon = members.groupBy("label")
+        .agg(min(struct((-col("n_chars")).as("neg"), col("doc_id").as("doc_id"))).as("c"))
+        .select(col("label"), col("c.doc_id").as("keep_id"))
+      val losers = members.join(canon, "label")
+        .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
+      docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("doc_id")).as("id_sum"))
+    })
+
   // ---- exact duplicated-span stats ---------------------------------------
   // Substring-granular exact dedup (Lee et al. 2022, "Deduplicating
   // Training Data Makes Language Models Better"): a token span is
@@ -1037,5 +1086,5 @@ object TextQueries extends QuerySet {
     dedupExact, neardup, neardupClusters, neardupCorpus, simhash, simhashPairs,
     ngramTopk, langId, quality, tokenStats, winnow, stratified, gopher, tfidf,
     piiRedact, corpusPrep, contamination, seqPacking, classifierScore,
-    dupSpans, repetition)
+    dupSpans, repetition, neardupCanonical)
 }

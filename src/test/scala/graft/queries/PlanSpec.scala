@@ -75,11 +75,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("dedup'd corpus survivor filter is a broadcast anti-join") {
-    Seq("neardup_dedup_corpus", "embdup_dedup_corpus").foreach { q =>
+    Seq("neardup_dedup_corpus", "embdup_dedup_corpus",
+      "neardup_canonical_corpus").foreach { q =>
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
         s"$q: loser set not broadcast-anti-joined:\n$p")
     }
+  }
+
+  test("canonical selection is a partial struct-min, not a per-cluster window sort") {
+    val p = plan("neardup_canonical_corpus")
+    assert(p.contains("partial_min"), s"no map-side combine on the argmax:\n$p")
+    assert(!p.contains("Window"), s"canonical pick degraded to a window sort:\n$p")
   }
 
   test("surprisal buckets assign map-side off broadcast thresholds, not a corpus ntile") {
