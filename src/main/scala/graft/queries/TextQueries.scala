@@ -948,6 +948,58 @@ object TextQueries extends QuerySet {
           sum(col("doc_id")).as("id_sum"))
     })
 
+  // ---- cross-source overlap matrix -----------------------------------------
+  // Dedup planning signal: which SOURCES near-duplicate each other (a
+  // crawl that mirrors another source, a curated set leaking into web
+  // data). The near-dup pair set — already tiny relative to the corpus —
+  // is annotated with both endpoints' sources (two hash joins where the
+  // pair side broadcasts) and rolled up per unordered source pair.
+  // Output is |sources|² at most: constant-size regardless of corpus.
+  private val sourceOverlap = QueryDef(
+    "source_overlap_matrix",
+    Some(neardupPairsSql + """,
+      |ann AS (
+      |  SELECT least(da.source, db.source) AS src_1,
+      |         greatest(da.source, db.source) AS src_2
+      |  FROM pairs p
+      |  JOIN documents da ON p.id_a = da.doc_id
+      |  JOIN documents db ON p.id_b = db.doc_id)
+      |SELECT src_1, src_2, count(*) AS n_pairs
+      |FROM ann GROUP BY src_1, src_2 ORDER BY src_1, src_2""".stripMargin),
+    (s, dir) => {
+      val docs = Tables.table(s, dir, "documents").select(col("doc_id"), col("source"))
+      val pairs = neardupPairs(s, dir).select(col("id_a"), col("id_b"))
+      pairs
+        .join(docs.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("source", "src_a"), "id_a")
+        .join(docs.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("source", "src_b"), "id_b")
+        .select(least(col("src_a"), col("src_b")).as("src_1"),
+          greatest(col("src_a"), col("src_b")).as("src_2"))
+        .groupBy("src_1", "src_2").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src_1", "src_2")
+    })
+
+  // ---- token frequency spectrum --------------------------------------------
+  // The Zipf diagnostic (frequency-of-frequencies): how many distinct
+  // terms occur exactly f times corpus-wide. Two partial-combining
+  // aggs — corpus→vocabulary (the only corpus-sized shuffle, keyed on
+  // terms), vocabulary→spectrum (vocabulary-sized input) — the shape
+  // every corpus-stats job shares with tfidf's df stage.
+  private val freqSpectrum = QueryDef(
+    "token_freq_spectrum",
+    Some("""WITH tok AS (
+           |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+           |tf AS (SELECT term, count(*) AS freq FROM tok GROUP BY term)
+           |SELECT freq, count(*) AS n_terms
+           |FROM tf GROUP BY freq ORDER BY freq""".stripMargin),
+    (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+        .groupBy("freq").agg(count(lit(1)).as("n_terms"))
+        .orderBy("freq"))
+
   // ---- exact duplicated-span stats ---------------------------------------
   // Substring-granular exact dedup (Lee et al. 2022, "Deduplicating
   // Training Data Makes Language Models Better"): a token span is
@@ -1086,5 +1138,5 @@ object TextQueries extends QuerySet {
     dedupExact, neardup, neardupClusters, neardupCorpus, simhash, simhashPairs,
     ngramTopk, langId, quality, tokenStats, winnow, stratified, gopher, tfidf,
     piiRedact, corpusPrep, contamination, seqPacking, classifierScore,
-    dupSpans, repetition, neardupCanonical)
+    dupSpans, repetition, neardupCanonical, sourceOverlap, freqSpectrum)
 }

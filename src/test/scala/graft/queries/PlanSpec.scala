@@ -83,6 +83,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("corpus analytics rollups combine map-side and never cartesian") {
+    Seq("source_overlap_matrix", "token_freq_spectrum").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_count"), s"$q shuffles raw rows:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+    }
+  }
+
   test("canonical selection is a partial struct-min, not a per-cluster window sort") {
     val p = plan("neardup_canonical_corpus")
     assert(p.contains("partial_min"), s"no map-side combine on the argmax:\n$p")
