@@ -52,7 +52,17 @@ object Slope {
     "dup_span_stats",
     "quality_classifier_score",
     "bm25_topk",
-    "inverted_index_postings")
+    "inverted_index_postings",
+    // r8 session-3 additions: the hashed-importance shuffle (dsir), the
+    // constant-bitmap probe (bloom), and the event-stream anomaly agg.
+    // semdedup_corpus is deliberately NOT gated here: with the fixture's
+    // FIXED k=8 cells its within-cell pair search is Θ((N/k)²·k) — the
+    // operator's published contract is k ∝ √N (cells stay constant
+    // size), which the fixture cannot express without retraining seeds
+    // per tier; gating it at fixed k would measure the wrong deployment.
+    "dsir_importance",
+    "bloom_contamination",
+    "ev6_anomaly_hours")
 
   val MaxRatio = 15.0
   val OverheadFloorSec = 0.3

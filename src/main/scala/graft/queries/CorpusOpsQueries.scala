@@ -421,7 +421,112 @@ object CorpusOpsQueries extends QuerySet {
         .orderBy("split")
     })
 
+  // ---- temperature-scaled language mixture ------------------------------
+  // The multilingual rebalancing step (mT5/XLM-R style): sampling
+  // weights ∝ n^(1/τ) with temperature τ=2 upweight tail languages and
+  // downweight the head relative to natural frequency. τ=2 means
+  // w = √n — deliberately: sqrt is IEEE-correctly-rounded in BOTH
+  // engines (hardware op), so unlike pow(n, 1/τ) for general τ there
+  // is no last-ulp libm divergence risk before the integer rounding.
+  // Each per-language weight rounds to an integer micro-unit FIRST and
+  // only the integer partials sum (order-independent); the ppm shares
+  // divide exactly-representable integers.
+  //
+  // 100 TB shape: one partial-combined count on the low-cardinality
+  // lang key — the corpus never shuffles — then constant-size (|langs|
+  // rows) weight arithmetic against a broadcast 1-row total.
+  private def temperatureSql(oneM: String, budget: String) =
+    s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+       |           FROM documents GROUP BY lang),
+       |w AS (SELECT lang, n_docs,
+       |             CAST(round(sqrt(n_docs) * $oneM) AS BIGINT) AS w_micro
+       |      FROM c),
+       |t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tot,
+       |             CAST(sum(n_docs) AS BIGINT) AS n_tot FROM w)
+       |SELECT lang, n_docs, w_micro,
+       |       CAST(round(w_micro * $oneM / t.tot) AS BIGINT) AS weight_ppm,
+       |       CAST(round(w_micro * $budget / t.tot) AS BIGINT) AS target_docs,
+       |       CAST(round(n_docs * $oneM / t.n_tot) AS BIGINT) AS natural_ppm
+       |FROM w CROSS JOIN t ORDER BY lang""".stripMargin
+
+  private val temperatureMix = QueryDef(
+    "lang_temperature_mix",
+    Some(temperatureSql("1000000.0::DOUBLE", "1000.0::DOUBLE")),
+    (s, dir) => Tables.sql(s, dir, temperatureSql("1000000.0D", "1000.0D")))
+
+  // ---- DSIR-style hashed importance weighting ---------------------------
+  // Data Selection via Importance Resampling (Xie et al. 2023): score
+  // every raw document by how target-like its hashed n-gram feature
+  // distribution is, log w(x) = Σ_features ln(p_target(f)/p_raw(f))
+  // with Laplace smoothing. Target here = the src0 slice (stand-in for
+  // the curated corpus), features = unigrams hashed into 128 buckets
+  // via the engine-portable md5-prefix hash.
+  //
+  // Float discipline: the per-bucket log-ratio is ONE ln of a ratio of
+  // exactly-representable integer products ((ct+1)(Tr+B) vs
+  // (cr+1)(Tt+B), all < 2^53), rounded to an integer micro-unit per
+  // BUCKET; a document's score is Σ tf·w_micro over its buckets — an
+  // integer sum of integer products, order-independent, so partial
+  // aggregation can combine in any order and both engines emit the
+  // identical BIGINT.
+  //
+  // 100 TB shape: token explode → map-side bucket hash → one
+  // (doc, bucket) partial-combined tf agg (the only corpus-sized
+  // shuffle, fixed-width keys); bucket stats collapse 128 rows; the
+  // 1-row totals and the 128-row weight table broadcast back; the
+  // final per-doc sum combines partially on doc_id. Nothing
+  // corpus-sized is ever broadcast, sorted, or self-joined.
+  private val dsir = QueryDef(
+    "dsir_importance",
+    Some("""WITH tok AS (
+           |  SELECT doc_id, source = 'src0' AS tgt,
+           |         unnest(string_split(text, ' ')) AS t FROM documents),
+           |tf AS (
+           |  SELECT doc_id, tgt, ('0x' || substr(md5(t), 1, 8))::BIGINT % 128 AS b,
+           |         CAST(count(*) AS BIGINT) AS tf
+           |  FROM tok GROUP BY doc_id, tgt, b),
+           |bs AS (
+           |  SELECT b, CAST(sum(CASE WHEN tgt THEN tf ELSE 0 END) AS BIGINT) AS ct,
+           |         CAST(sum(CASE WHEN NOT tgt THEN tf ELSE 0 END) AS BIGINT) AS cr
+           |  FROM tf GROUP BY b),
+           |tt AS (SELECT CAST(sum(ct) AS BIGINT) AS t_t,
+           |              CAST(sum(cr) AS BIGINT) AS t_r FROM bs),
+           |wt AS (
+           |  SELECT b, CAST(round(ln(CAST((ct + 1) * (t_r + 128) AS DOUBLE) /
+           |                          CAST((cr + 1) * (t_t + 128) AS DOUBLE))
+           |                   * 1000000.0) AS BIGINT) AS w
+           |  FROM bs CROSS JOIN tt)
+           |SELECT tf.doc_id, bool_or(tf.tgt) AS is_target,
+           |       CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           |       CAST(sum(tf.tf * wt.w) AS BIGINT) AS logw_micro
+           |FROM tf JOIN wt USING (b)
+           |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin),
+    (s, dir) => {
+      val tf = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), (col("source") === "src0").as("tgt"),
+          explode(split(col("text"), " ")).as("t"))
+        .select(col("doc_id"), col("tgt"),
+          expr("CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) % 128").as("b"))
+        .groupBy("doc_id", "tgt", "b")
+        .agg(count(lit(1)).as("tf"))
+      val bs = tf.groupBy("b")
+        .agg(sum(when(col("tgt"), col("tf")).otherwise(0L)).as("ct"),
+          sum(when(!col("tgt"), col("tf")).otherwise(0L)).as("cr"))
+      val tt = bs.agg(sum("ct").as("t_t"), sum("cr").as("t_r"))
+      val wt = bs.crossJoin(broadcast(tt))
+        .select(col("b"),
+          expr("""CAST(round(ln(CAST((ct + 1) * (t_r + 128) AS DOUBLE) /
+                 |             CAST((cr + 1) * (t_t + 128) AS DOUBLE))
+                 |      * 1000000.0D) AS BIGINT)""".stripMargin).as("w"))
+      tf.join(broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(bool_or(col("tgt")).as("is_target"),
+          sum("tf").cast("long").as("n_tokens"),
+          sum(col("tf") * col("w")).cast("long").as("logw_micro"))
+        .orderBy("doc_id")
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(incremental, surprisal, surprisalBuckets, chunks, sourceMix,
-      leakageSafeSplit)
+      leakageSafeSplit, temperatureMix, dsir)
 }

@@ -621,6 +621,90 @@ object EmbeddingQueries extends QuerySet {
           min("vec_id").as("min_id"), max("vec_id").as("max_id"))
     })
 
+  // ---- SemDeDup (cluster-scoped semantic dedup) -------------------------
+  // Abbas et al. 2023: k-means-cluster the embedding space, then look
+  // for semantic duplicates ONLY within each cluster — the candidate
+  // step is cluster-scoped, never corpus-wide. Complements the
+  // hyperplane-LSH embdup family above with the other standard
+  // candidate-generation geometry: cells here are Voronoi regions of
+  // the deterministic IVF seed centroids (vec_id 5,15,…,75 — the
+  // ann_ivf_topk quantizer, so both engines derive identical cells),
+  // τ=0.40 on exact cosine, and within each duplicate pair the larger
+  // vec_id is dropped (greedy keep-first, the paper's "keep one per
+  // group" rule with a deterministic order).
+  //
+  // 100 TB shape: cell assignment is a map-side argmax over seed
+  // literals (zero corpus shuffles — the ann_ivf machinery); the pair
+  // search is an equi-join keyed on cell, so its cost is Σ|cell|²,
+  // bounded by growing k with the corpus (k ∝ √N keeps cells constant
+  // — SemDeDup's own deployment recipe); the loser set is bounded by
+  // the pair graph and broadcast for the anti-join. Honest recall
+  // trade vs LSH: pairs straddling a cell boundary are not candidates
+  // (18 of 59 τ-pairs at sf0.01 land in-cell) — that locality loss is
+  // the operator's published contract, not a bug.
+  private val semDedup = QueryDef(
+    "semdedup_corpus",
+    Some("""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |n AS (
+           |  SELECT vec_id, v,
+           |         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+           |  FROM e),
+           |d AS (
+           |  SELECT n.vec_id, s.vec_id AS sid,
+           |         list_aggregate(list_transform(range(1, len(n.v) + 1),
+           |             i -> n.v[i] * s.v[i]), 'sum') AS dp
+           |  FROM n JOIN n s ON s.vec_id IN (5, 15, 25, 35, 45, 55, 65, 75)),
+           |r AS (
+           |  SELECT vec_id, sid,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, sid) AS srn
+           |  FROM d),
+           |cells AS (SELECT vec_id, sid AS cell FROM r WHERE srn = 1),
+           |p AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
+           |  WHERE list_aggregate(list_transform(range(1, len(na.v) + 1),
+           |          i -> na.v[i] * nb.v[i]), 'sum') / (na.nrm * nb.nrm) >= 0.40),
+           |losers AS (SELECT DISTINCT id_b AS vec_id FROM p)
+           |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           |       CAST((SELECT count(*) FROM losers) AS BIGINT) AS n_dropped,
+           |       CAST(sum(label) AS BIGINT) AS label_sum,
+           |       min(vec_id) AS min_id, max(vec_id) AS max_id
+           |FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM losers)""".stripMargin),
+    (s, dir) => {
+      val e = withNorm(s, dir)
+      val seeds = e.filter(col("vec_id").isin(IvfSeedIds: _*))
+        .select(col("vec_id").cast("int").as("sid"), col("v"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      // map-side argmax over seed literals — identical ordering to the
+      // oracle's (dp DESC, sid) via the (-dot, sid) struct-min trick
+      val scoredSeeds = array_sort(array(seeds.map { case (sid, sv) =>
+        struct((-call_function("dot_f64", col("v"), array(sv.map(lit): _*))).as("nd"),
+          lit(sid).as("sid"))
+      }: _*))
+      val coded = e.withColumn("cell", element_at(scoredSeeds, 1).getField("sid"))
+      val a = coded.select(col("cell"), col("vec_id").as("id_a"),
+        col("v").as("av"), col("nrm").as("an"))
+      val b = coded.select(col("cell"), col("vec_id").as("id_b"),
+        col("v").as("bv"), col("nrm").as("bn"))
+      val losers = a.join(b, "cell")
+        .filter(col("id_a") < col("id_b"))
+        .filter(expr("dot_f64(av, bv)") / (col("an") * col("bn")) >= 0.40)
+        .select(col("id_b").as("vec_id")).distinct()
+      Tables.table(s, dir, "embeddings")
+        .join(broadcast(losers), Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("label").cast("long")).as("label_sum"),
+          min("vec_id").as("min_id"), max("vec_id").as("max_id"))
+        // 1-row × 1-row join appends the loser count (constant-size)
+        .crossJoin(broadcast(losers.agg(count(lit(1)).as("n_dropped"))))
+        .select(col("n_vecs"), col("n_dropped"), col("label_sum"),
+          col("min_id"), col("max_id"))
+    })
+
   // ---- int8 scalar quantization -----------------------------------------
   // The 4×-storage-cut technique a 100 TB vector store applies before
   // anything else: per-vector min/max scale, 8-bit codes, keep the
@@ -789,5 +873,5 @@ object EmbeddingQueries extends QuerySet {
 
   override val defs: Seq[QueryDef] =
     Seq(bruteTopk, lshTopk, ivfTopk, ivfTrained, embDupPairs, embIncremental,
-      embDupClusters, embDedupCorpus, quantize, centroids, pqTrained)
+      embDupClusters, embDedupCorpus, semDedup, quantize, centroids, pqTrained)
 }

@@ -248,7 +248,45 @@ object EventQueries extends QuerySet {
     (s, dir) => Tables.sql(s, dir,
       retentionSql((c, a) => s"datediff($a, $c)", "1.0D")))
 
+  // ---- hourly anomaly detection -------------------------------------------
+  // Ops-monitoring staple over the stream archive: flag (event_type,
+  // hour) buckets whose count deviates >3σ from that type's hourly
+  // mean. The z-test is done ENTIRELY in integer arithmetic — the
+  // textbook |cnt − μ| > 3σ with μ = S/n, σ² = (nQ − S²)/n² cross-
+  // multiplies to (n·cnt − S)² > 9(nQ − S²), every term an exact
+  // BIGINT of counts — so the flag (and the emitted evidence columns)
+  // is bit-identical across engines with zero float divisions.
+  // Magnitudes: cnt ≤ events-per-hour, S ≤ |events|, so at 1e12 events
+  // spread over ≥1e4 hours the products stay < 2^63; a corpus where
+  // they would not (all events in one hour) has n = 1 and σ² = 0.
+  //
+  // 100 TB shape: the hourly rollup is one partial-agg shuffle on the
+  // natural (type, hour) key; the per-type moment table is a second
+  // partial agg over the ALREADY-collapsed hourly rows (tiny), joined
+  // back broadcast. No window over the raw stream, no sort.
+  private val anomalySql =
+    """WITH h AS (
+      |  SELECT event_type, cast(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+      |         CAST(sum(cnt) AS BIGINT) AS sm, CAST(sum(cnt * cnt) AS BIGINT) AS sq
+      |  FROM h GROUP BY event_type)
+      |SELECT h.event_type, h.hour, h.cnt, s.n_hours,
+      |       (s.n_hours * h.cnt - s.sm) * (s.n_hours * h.cnt - s.sm) AS dev2_n2,
+      |       9 * (s.n_hours * s.sq - s.sm * s.sm) AS nine_var_n2
+      |FROM h JOIN s ON s.event_type = h.event_type
+      |WHERE (s.n_hours * h.cnt - s.sm) * (s.n_hours * h.cnt - s.sm)
+      |      > 9 * (s.n_hours * s.sq - s.sm * s.sm)
+      |ORDER BY h.event_type, h.hour""".stripMargin
+
+  private val anomaly = QueryDef(
+    "ev6_anomaly_hours",
+    Some(anomalySql),
+    (s, dir) => Tables.sql(s, dir, anomalySql))
+
   override val defs: Seq[QueryDef] =
     Seq(hourly, sessions, funnel, salted, keepLatest, asof, rangeJoin, conversion,
-      retention)
+      retention, anomaly)
 }

@@ -811,6 +811,81 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  // ---- Bloom-filter decontamination ------------------------------------
+  // The membership structure a 100 TB decontamination pass actually
+  // ships: the exact-join variant above must broadcast EVERY benchmark
+  // gram; this one compresses the whole eval suite into a CONSTANT
+  // 8 KiB bitmap (m=65536 bits, k=2 hashes = the two 32-bit words of
+  // one md5), so the probe is a pure map-side bit test with zero
+  // growth in the reference set — the standard Bloom trade: false
+  // positives possible (over-flagging is safe for decontamination),
+  // false negatives IMPOSSIBLE by construction (a member's bits are
+  // always set). Both hash words are engine-portable md5 prefixes, so
+  // the oracle replays the exact bitmap and the gate is hash-exact —
+  // including the FP count itself (n_bloom ≥ n_exact per row is the
+  // no-false-negative theorem; BloomSpec asserts it). The exact-join
+  // columns ride along as the FP audit a production rollout would
+  // sample; the serving path needs only the bitmap.
+  private val bloomContamination = QueryDef(
+    "bloom_contamination",
+    Some("""WITH w AS (
+           |  SELECT doc_id,
+           |         list_transform(range(1, len(string_split(text, ' ')) - 2),
+           |           i -> array_to_string(string_split(text, ' ')[i:i+3], ' ')) AS grams
+           |  FROM documents),
+           |g AS (SELECT DISTINCT unnest(grams) AS gram FROM w WHERE doc_id % 100 = 0),
+           |pos AS (SELECT ('0x' || substr(md5(gram), 1, 8))::BIGINT % 65536 AS p FROM g
+           |        UNION
+           |        SELECT ('0x' || substr(md5(gram), 9, 8))::BIGINT % 65536 FROM g),
+           |tr AS (SELECT DISTINCT doc_id, gram
+           |       FROM (SELECT doc_id, unnest(grams) AS gram FROM w WHERE doc_id % 100 <> 0)),
+           |h AS (SELECT doc_id, gram,
+           |        ('0x' || substr(md5(gram), 1, 8))::BIGINT % 65536 AS h1,
+           |        ('0x' || substr(md5(gram), 9, 8))::BIGINT % 65536 AS h2 FROM tr),
+           |c AS (SELECT doc_id, count(*) AS n_grams,
+           |        CAST(sum(CASE WHEN h1 IN (SELECT p FROM pos)
+           |                       AND h2 IN (SELECT p FROM pos)
+           |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom,
+           |        CAST(sum(CASE WHEN gram IN (SELECT gram FROM g)
+           |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+           |      FROM h GROUP BY doc_id)
+           |SELECT doc_id, n_grams, n_bloom, n_exact FROM c
+           |WHERE n_bloom > 0 ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), expr("word_shingles(text, 4)").as("grams"))
+      val ref = docs.filter(col("doc_id") % 100 === 0)
+        .select(explode(col("grams")).as("gram")).distinct()
+      def hashExpr(off: Int) =
+        s"CAST(conv(substr(md5(gram), $off, 8), 16, 10) AS BIGINT) % 65536"
+      // Build the bitmap on the driver: one tiny job over the benchmark
+      // slice (eval suites are small by construction; ≤2·|grams| ints,
+      // hard-capped at m). The 1024-word bitmap folds into the probe
+      // projection as an array literal — constant-size side input, the
+      // anchor-vector discipline.
+      val positions = ref.select(expr(hashExpr(1)).as("p"))
+        .union(ref.select(expr(hashExpr(9)).as("p")))
+        .distinct().collect().map(_.getLong(0))
+      val words = new Array[Long](1024)
+      positions.foreach(p => words(p.toInt >> 6) |= (1L << (p.toInt & 63)))
+      def bitTest(h: String) =
+        s"(shiftright(element_at(bm, CAST($h div 64 AS INT) + 1), " +
+          s"CAST($h % 64 AS INT)) & 1) = 1"
+      docs.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id"), explode(col("grams")).as("gram")).distinct()
+        .withColumn("h1", expr(hashExpr(1)))
+        .withColumn("h2", expr(hashExpr(9)))
+        .withColumn("bm", typedLit(words.toSeq))
+        .withColumn("bloom_hit", expr(s"${bitTest("h1")} AND ${bitTest("h2")}"))
+        .join(broadcast(ref.withColumn("is_ref", lit(1L))), Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom"),
+          sum(coalesce(col("is_ref"), lit(0L))).as("n_exact"))
+        .filter(col("n_bloom") > 0)
+        .orderBy("doc_id")
+    })
+
   // ---- training-sequence packing ------------------------------------------
   // The last pre-training step: concatenate documents into fixed
   // token-budget sequences ("packing"). The deterministic greedy rule —
@@ -1137,6 +1212,7 @@ object TextQueries extends QuerySet {
   override val defs: Seq[QueryDef] = Seq(
     dedupExact, neardup, neardupClusters, neardupCorpus, simhash, simhashPairs,
     ngramTopk, langId, quality, tokenStats, winnow, stratified, gopher, tfidf,
-    piiRedact, corpusPrep, contamination, seqPacking, classifierScore,
-    dupSpans, repetition, neardupCanonical, sourceOverlap, freqSpectrum)
+    piiRedact, corpusPrep, contamination, bloomContamination, seqPacking,
+    classifierScore, dupSpans, repetition, neardupCanonical, sourceOverlap,
+    freqSpectrum)
 }

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Behavioral invariants for the round's pipeline operators — the
+  * properties the hash gate can't state: SemDeDup survivor semantics
+  * against a driver brute-force, the Bloom filter's no-false-negative
+  * theorem, DSIR's target/raw separation, the anomaly detector's exact
+  * integer z-inequality, and temperature-mixture rebalancing direction.
+  */
+class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfTiny = "/root/testdata/sf0.001"
+  private val sfMid = "/root/testdata/sf0.01"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]").appName("pipeline-ops-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .withExtensions(graft.functions.GraftFunctions.register)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def run(name: String, sf: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("semdedup matches a driver brute-force of the same cells and threshold") {
+    // Independent re-derivation: collect the tiny corpus, assign each
+    // vector to its max-dot seed cell (ties to the smaller seed id),
+    // enumerate within-cell pairs, drop the larger id of every pair
+    // with cosine >= 0.40 — then the query's survivor summary must
+    // agree exactly.
+    val vecs = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v", "label")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.map(i => a(i) * b(i)).sum
+    val seeds = vecs.filter(v => Seq(5L, 15L, 25L, 35L, 45L, 55L, 65L, 75L)
+      .contains(v._1))
+    assert(seeds.length == 8, "seed vectors missing from the tiny tier")
+    def cell(v: Array[Double]) =
+      seeds.map(s => (-dot(v, s._2), s._1)).min._2
+    val cells = vecs.map(v => (v._1, cell(v._2))).toMap
+    val losers = (for {
+      a <- vecs; b <- vecs
+      if a._1 < b._1 && cells(a._1) == cells(b._1)
+      cos = dot(a._2, b._2) /
+        (math.sqrt(dot(a._2, a._2)) * math.sqrt(dot(b._2, b._2)))
+      if cos >= 0.40
+    } yield b._1).toSet
+    val row = run("semdedup_corpus", sfTiny).collect().head
+    assert(row.getLong(0) == vecs.length - losers.size,
+      s"survivor count ${row.getLong(0)} != ${vecs.length - losers.size}")
+    assert(row.getLong(1) == losers.size,
+      s"dropped count ${row.getLong(1)} != ${losers.size}")
+    val labelSum = vecs.filterNot(v => losers(v._1)).map(_._3.toLong).sum
+    assert(row.getLong(2) == labelSum, "survivor label digest mismatch")
+  }
+
+  test("bloom decontamination never misses an exact hit (no false negatives)") {
+    val out = run("bloom_contamination", sfMid)
+      .select("doc_id", "n_grams", "n_bloom", "n_exact").collect()
+    assert(out.nonEmpty, "no bloom hits at sf0.01 — probe degenerate")
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1),
+        s"doc ${r.getLong(0)}: more bloom hits than grams")
+      assert(r.getLong(3) <= r.getLong(2),
+        s"doc ${r.getLong(0)}: exact hit missed by the bloom filter " +
+          s"(exact=${r.getLong(3)} bloom=${r.getLong(2)})")
+    }
+    // every document with an exact hit must appear (exact ⊆ bloom ⇒ the
+    // n_bloom > 0 output filter cannot hide it)
+    assert(out.exists(_.getLong(3) > 0),
+      "fixture lost its planted exact contamination")
+  }
+
+  test("dsir importance separates target-like documents from the raw pool") {
+    val out = run("dsir_importance", sfMid)
+      .select("is_target", "logw_micro").collect()
+      .map(r => (r.getBoolean(0), r.getLong(1)))
+    val (t, r) = out.partition(_._1)
+    assert(t.nonEmpty && r.nonEmpty, "target carve degenerate")
+    val tMean = t.map(_._2).sum.toDouble / t.length
+    val rMean = r.map(_._2).sum.toDouble / r.length
+    // the scorer exists to rank target-distribution docs above the raw
+    // pool; on the deterministic fixture the separation is material
+    assert(tMean > rMean,
+      s"target mean $tMean not above raw mean $rMean — scorer inverted")
+  }
+
+  test("anomaly hours satisfy the exact integer 3-sigma inequality") {
+    val events = spark.read.parquet(s"$sfMid/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.get(1).toString, r.getLong(2)))
+    val byType = hourly.groupBy(_._1)
+    val expected = hourly.filter { case (et, _, cnt) =>
+      val hs = byType(et).map(_._3)
+      val (n, sm, sq) = (hs.length.toLong, hs.sum, hs.map(c => c * c).sum)
+      val dev = n * cnt - sm
+      dev * dev > 9 * (n * sq - sm * sm)
+    }.map { case (et, h, _) => (et, h) }.toSet
+    val got = run("ev6_anomaly_hours", sfMid)
+      .select("event_type", "hour").collect()
+      .map(r => (r.getString(0), r.get(1).toString)).toSet
+    assert(got == expected,
+      s"flagged set mismatch: missing=${expected -- got} extra=${got -- expected}")
+    assert(got.nonEmpty, "no anomalies at sf0.01 — fixture degenerate")
+  }
+
+  test("temperature mixture flattens the head and lifts the tail") {
+    val rows = run("lang_temperature_mix", sfMid)
+      .select("lang", "n_docs", "weight_ppm", "target_docs", "natural_ppm")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // shares sum to 1e6 within per-row rounding
+    assert(math.abs(rows.map(_._3).sum - 1000000L) <= rows.length,
+      s"ppm sum ${rows.map(_._3).sum} off by more than rounding")
+    assert(math.abs(rows.map(_._4).sum - 1000L) <= rows.length,
+      "target_docs budget off by more than rounding")
+    val head = rows.maxBy(_._2)
+    val tail = rows.minBy(_._2)
+    assert(head._3 < head._5,
+      s"head lang ${head._1} not downweighted: ppm=${head._3} natural=${head._5}")
+    assert(tail._3 > tail._5,
+      s"tail lang ${tail._1} not upweighted: ppm=${tail._3} natural=${tail._5}")
+  }
+}

@@ -396,4 +396,48 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"),
       s"the 1-row total must broadcast, not cartesian:\n$p")
   }
+
+  test("dsir: tf combines partially, weight table broadcasts, no cartesian") {
+    val p = plan("dsir_importance")
+    assert(p.contains("partial_count"),
+      s"raw exploded tokens would cross the wire without combine:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 128-row weight table is not broadcast back:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in dsir:\n$p")
+  }
+
+  test("semdedup: cell-keyed pair join and broadcast anti-join, never all-pairs") {
+    val p = plan("semdedup_corpus")
+    assert(!p.contains("CartesianProduct"),
+      s"within-cell search degraded to an all-pairs product:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"survivor filter is not an anti-join:\n$p")
+  }
+
+  test("bloom probe is map-side (literal bitmap); only per-doc partials shuffle") {
+    val p = plan("bloom_contamination")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-doc counts shuffle raw gram rows without combine:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the exact-audit join is not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in bloom probe:\n$p")
+  }
+
+  test("anomaly hours: both aggregations combine partially, moments broadcast back") {
+    val p = plan("ev6_anomaly_hours")
+    assert(p.contains("partial_count"),
+      s"hourly rollup shuffles raw events without combine:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"per-type moment table not broadcast:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"anomaly flagging degraded:\n$p")
+  }
+
+  test("temperature mix never shuffles the corpus: one partial count on lang") {
+    val p = plan("lang_temperature_mix")
+    assert(p.contains("partial_count"),
+      s"language counts shuffle raw docs without combine:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row total must broadcast, not cartesian:\n$p")
+  }
 }
