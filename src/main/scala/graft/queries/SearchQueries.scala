@@ -251,5 +251,40 @@ object SearchQueries extends QuerySet {
           col("sparse_rank"), col("dense_rank"))
     })
 
-  override val defs: Seq[QueryDef] = Seq(bm25, postings, hybrid)
+  // ---- positional phrase search ------------------------------------------
+  // The capability a bag-of-words index can't express: exact phrase
+  // match ("scan merge" as ADJACENT tokens) via positional postings —
+  // the standard two-term intersection over (doc, position) lists.
+  // 100 TB shape: positions are assigned map-side during the explode
+  // and the vocabulary filter prunes to the query's terms BEFORE any
+  // exchange (the BM25 discipline), so the only shuffled rows are the
+  // two terms' postings; adjacency is a pure EQUI join — the left
+  // side's key is (doc_id, pos+1) precomputed map-side, so Catalyst
+  // plans a hash join, never a theta/nested-loop. Position base
+  // (0- vs 1-based) cancels in the adjacency relation.
+  private val phrase = QueryDef(
+    "phrase_search",
+    Some("""WITH tok AS (
+           |  SELECT doc_id, t.i AS pos, w[t.i] AS term
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |       unnest(range(1, len(w) + 1)) AS t(i)),
+           |a AS (SELECT doc_id, pos FROM tok WHERE term = 'scan'),
+           |b AS (SELECT doc_id, pos FROM tok WHERE term = 'merge')
+           |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+           |FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+           |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin),
+    (s, dir) => {
+      val tok = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .filter(col("term").isin("scan", "merge"))
+      val a = tok.filter(col("term") === "scan")
+        .select(col("doc_id"), (col("pos") + 1).as("next_pos"))
+      val b = tok.filter(col("term") === "merge")
+        .select(col("doc_id").as("doc_b"), col("pos").as("pos_b"))
+      a.join(b, a("doc_id") === b("doc_b") && a("next_pos") === b("pos_b"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+        .orderBy("doc_id")
+    })
+
+  override val defs: Seq[QueryDef] = Seq(bm25, postings, hybrid, phrase)
 }

@@ -886,6 +886,63 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  // ---- Count-Min sketch heavy hitters ------------------------------------
+  // The mergeable frequency sketch (Cormode & Muthukrishnan 2005) a
+  // 100 TB pipeline keeps as a standing artifact: d=4 hash rows ×
+  // w buckets of exact integer counts — partial-aggregable, constant
+  // size, unioned across shards/days by plain addition. Estimate =
+  // min over the d bucket counts; the sketch NEVER undercounts (every
+  // bucket holds the true count plus non-negative collision mass — a
+  // theorem, gated per row) and only overcounts on collisions. w=16
+  // here is deliberately far below the vocabulary so the collision/
+  // overcount path is EXERCISED and hash-gated (8 of the top-20 rows
+  // overcount at sf0.01); a deployment sizes w ≈ e/ε for its error
+  // budget — the plan shape is w-independent. The exact top-20 rides
+  // along as the audit (a production pass reads candidates from the
+  // sketch instead). Hashes are the engine-portable md5 prefix over a
+  // row-salted token, so the oracle replays the sketch bit-for-bit —
+  // including every collision.
+  private def cmsHash(engine: String, w: Int) = engine match {
+    case "duck" => s"('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || %s), 1, 8))::BIGINT %% $w"
+    case _ => s"CAST(conv(substr(md5(CAST(i AS STRING) || ':' || %s), 1, 8), 16, 10) AS BIGINT) %% $w"
+  }
+
+  private val cmsHeavyHitters = QueryDef(
+    "cms_heavy_hitters",
+    Some(s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+            |tc AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY t),
+            |top AS (SELECT t, cnt FROM tc ORDER BY cnt DESC, t LIMIT 20),
+            |r AS (SELECT unnest(range(0, 4)) AS i),
+            |sk AS (SELECT r.i, ${cmsHash("duck", 16).format("tok.t")} AS b,
+            |              CAST(count(*) AS BIGINT) AS c
+            |       FROM tok CROSS JOIN r GROUP BY 1, 2),
+            |est AS (SELECT top.t, top.cnt, min(sk.c) AS cms_est
+            |        FROM top CROSS JOIN r
+            |        JOIN sk ON sk.i = r.i AND sk.b = ${cmsHash("duck", 16).format("top.t")}
+            |        GROUP BY top.t, top.cnt)
+            |SELECT t AS token, cnt, cms_est, cms_est >= cnt AS never_undercounts
+            |FROM est ORDER BY cnt DESC, token""".stripMargin),
+    (s, dir) => {
+      val fourRows = array((0 until 4).map(lit): _*)
+      val tok = Tables.table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("t"))
+      // sketch build: ×4 row replication and bucket hash are map-side;
+      // the ONLY corpus-sized shuffle carries (i, b) partial counts into
+      // a 4×w-row result — the constant-size mergeable artifact
+      val sk = tok.select(col("t"), explode(fourRows).as("i"))
+        .select(col("i"), expr(cmsHash("spark", 16).format("t")).as("b"))
+        .groupBy("i", "b").agg(count(lit(1)).as("c"))
+      val top = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("t")).limit(20)
+      top.select(col("t"), col("cnt"), explode(fourRows).as("i"))
+        .withColumn("b", expr(cmsHash("spark", 16).format("t")))
+        .join(broadcast(sk), Seq("i", "b"))
+        .groupBy("t", "cnt").agg(min("c").as("cms_est"))
+        .select(col("t").as("token"), col("cnt"), col("cms_est"),
+          (col("cms_est") >= col("cnt")).as("never_undercounts"))
+        .orderBy(col("cnt").desc, col("token"))
+    })
+
   // ---- training-sequence packing ------------------------------------------
   // The last pre-training step: concatenate documents into fixed
   // token-budget sequences ("packing"). The deterministic greedy rule —
@@ -1212,7 +1269,7 @@ object TextQueries extends QuerySet {
   override val defs: Seq[QueryDef] = Seq(
     dedupExact, neardup, neardupClusters, neardupCorpus, simhash, simhashPairs,
     ngramTopk, langId, quality, tokenStats, winnow, stratified, gopher, tfidf,
-    piiRedact, corpusPrep, contamination, bloomContamination, seqPacking,
-    classifierScore, dupSpans, repetition, neardupCanonical, sourceOverlap,
-    freqSpectrum)
+    piiRedact, corpusPrep, contamination, bloomContamination, cmsHeavyHitters,
+    seqPacking, classifierScore, dupSpans, repetition, neardupCanonical,
+    sourceOverlap, freqSpectrum)
 }

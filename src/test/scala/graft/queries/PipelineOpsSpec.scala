@@ -123,6 +123,38 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty, "no anomalies at sf0.01 — fixture degenerate")
   }
 
+  test("cms estimates never undercount and the collision path is exercised") {
+    val rows = run("cms_heavy_hitters", sfMid)
+      .select("token", "cnt", "cms_est", "never_undercounts").collect()
+    assert(rows.length == 20, "top-20 candidate set wrong size")
+    rows.foreach { r =>
+      assert(r.getBoolean(3) && r.getLong(2) >= r.getLong(1),
+        s"token ${r.getString(0)} undercounted: est=${r.getLong(2)} true=${r.getLong(1)}")
+    }
+    // w=16 is far below the vocabulary precisely so collisions happen —
+    // a run where no candidate overcounts means the fixture stopped
+    // exercising the approximation
+    assert(rows.exists(r => r.getLong(2) > r.getLong(1)),
+      "no collision overcount at w=16 — sketch degenerate")
+  }
+
+  test("phrase search agrees with a driver scan for adjacent token pairs") {
+    val expected = spark.read.parquet(s"$sfMid/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val w = r.getString(1).split(" ")
+        val n = w.indices.dropRight(1)
+          .count(i => w(i) == "scan" && w(i + 1) == "merge")
+        (r.getLong(0), n.toLong)
+      }.filter(_._2 > 0).toMap
+    val got = run("phrase_search", sfMid).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected,
+      s"phrase match sets differ: missing=${expected.keySet -- got.keySet} " +
+        s"extra=${got.keySet -- expected.keySet}")
+    assert(got.nonEmpty, "no phrase hits at sf0.01 — fixture degenerate")
+  }
+
   test("temperature mixture flattens the head and lifts the tail") {
     val rows = run("lang_temperature_mix", sfMid)
       .select("lang", "n_docs", "weight_ppm", "target_docs", "natural_ppm")

@@ -433,6 +433,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"anomaly flagging degraded:\n$p")
   }
 
+  test("cms sketch build combines partially; estimate join broadcasts the sketch") {
+    val p = plan("cms_heavy_hitters")
+    assert(p.contains("partial_count"),
+      s"sketch buckets shuffle raw token rows without combine:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 4×w sketch is not broadcast to the candidates:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in cms:\n$p")
+  }
+
+  test("phrase search filters vocabulary map-side and joins postings hash-wise") {
+    val p = plan("phrase_search")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"adjacency degraded to a non-equi join:\n$p")
+    assert(p.contains("partial_count"),
+      s"occurrence count shuffles raw matches without combine:\n$p")
+  }
+
   test("temperature mix never shuffles the corpus: one partial count on lang") {
     val p = plan("lang_temperature_mix")
     assert(p.contains("partial_count"),
