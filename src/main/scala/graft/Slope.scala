@@ -62,7 +62,8 @@ object Slope {
     // per tier; gating it at fixed k would measure the wrong deployment.
     "dsir_importance",
     "bloom_contamination",
-    "ev6_anomaly_hours")
+    "ev6_anomaly_hours",
+    "bigram_surprisal")
 
   val MaxRatio = 15.0
   val OverheadFloorSec = 0.3

@@ -421,6 +421,128 @@ object CorpusOpsQueries extends QuerySet {
         .orderBy("split")
     })
 
+  // ---- interpolated bigram-LM surprisal ---------------------------------
+  // The next rung of the CCNet quality-signal ladder above
+  // unigram_surprisal: per-doc total surprisal under an interpolated
+  // bigram LM, −ln(0.8·c₁₂/c₁ + 0.2·c₂/N) summed over bigram
+  // positions. Float discipline: each distinct bigram TYPE's surprisal
+  // is computed once from exact integer counts with identical
+  // parenthesization in both engines ((0.8·c₁₂)/c₁ + (0.2·c₂)/N —
+  // every operand < 2^53), rounded to integer micro-units, and the
+  // per-doc score is Σ tf·s_micro over integer partials — order-
+  // independent. Both literals are spelled as explicit doubles
+  // (DuckDB's bare 0.8 parses as DECIMAL and its decimal·BIGINT
+  // arithmetic would diverge from Spark's double path).
+  //
+  // 100 TB shape: one (doc, bigram) partial-agg shuffle (tfidf
+  // dataflow); the bigram table collapses to ≤ vocabulary² rows and
+  // its unigram joins broadcast; scoring joins back per (doc, bigram)
+  // with partial-combined per-doc sums. No corpus-wide window, no
+  // self-join.
+  private def bigramSql(d8: String, d2: String, oneM: String) =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |bg AS (SELECT doc_id, list_transform(range(1, len(w)),
+       |         i -> w[i] || ' ' || w[i+1]) AS gs FROM w WHERE len(w) >= 2),
+       |btf AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf
+       |        FROM (SELECT doc_id, unnest(gs) AS g FROM bg) GROUP BY doc_id, g),
+       |bc AS (SELECT g, CAST(sum(tf) AS BIGINT) AS c12 FROM btf GROUP BY g),
+       |uc AS (SELECT t, CAST(count(*) AS BIGINT) AS c1
+       |       FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+       |       GROUP BY t),
+       |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM uc),
+       |sc AS (SELECT bc.g,
+       |         CAST(round(-ln($d8 * bc.c12 / u1.c1 + $d2 * u2.c1 / n.n) * $oneM) AS BIGINT) AS s
+       |       FROM bc
+       |       JOIN uc u1 ON u1.t = string_split(bc.g, ' ')[1]
+       |       JOIN uc u2 ON u2.t = string_split(bc.g, ' ')[2]
+       |       CROSS JOIN n)
+       |SELECT btf.doc_id, CAST(sum(btf.tf) AS BIGINT) AS n_bigrams,
+       |       CAST(sum(btf.tf * sc.s) AS BIGINT) AS surprisal_micro
+       |FROM btf JOIN sc ON sc.g = btf.g
+       |GROUP BY btf.doc_id ORDER BY btf.doc_id""".stripMargin
+
+  private val bigramSurprisal = QueryDef(
+    "bigram_surprisal",
+    Some(bigramSql("0.8::DOUBLE", "0.2::DOUBLE", "1000000.0::DOUBLE")),
+    (s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val btf = docs
+        .select(col("doc_id"), explode(expr("word_shingles(text, 2)")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+      val bc = btf.groupBy("g").agg(sum("tf").cast("long").as("c12"))
+      val uc = docs.select(explode(split(col("text"), " ")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c1"))
+      val n = uc.agg(sum("c1").cast("long").as("n"))
+      val sc = bc
+        .withColumn("w1", split(col("g"), " ").getItem(0))
+        .withColumn("w2", split(col("g"), " ").getItem(1))
+        .join(broadcast(uc.select(col("t").as("w1"), col("c1").as("c1a"))), "w1")
+        .join(broadcast(uc.select(col("t").as("w2"), col("c1").as("c1b"))), "w2")
+        .crossJoin(broadcast(n))
+        // identical parenthesization to the oracle: (0.8·c12)/c1 + (0.2·c2)/N
+        .select(col("g"), expr(
+          "CAST(round(-ln(0.8D * c12 / c1a + 0.2D * c1b / n) * 1000000.0D) AS BIGINT)")
+          .as("s"))
+      btf.join(sc, "g")
+        .groupBy("doc_id")
+        .agg(sum("tf").cast("long").as("n_bigrams"),
+          sum(col("tf") * col("s")).cast("long").as("surprisal_micro"))
+        .orderBy("doc_id")
+    })
+
+  // ---- content-defined chunking (CDC) -----------------------------------
+  // The dedup-friendly complement of doc_chunks' fixed windows: chunk
+  // boundaries are a pure function of LOCAL CONTENT (a boundary sits
+  // wherever the 4-char window's hash ≡ 0 mod 64, expected chunk
+  // ≈ 64 chars) — so inserting a prefix re-synchronizes after the
+  // first boundary and downstream chunks keep their digests, which is
+  // what makes chunk-level dedup survive edits (the rsync/LBFS
+  // principle; PipelineOpsSpec proves the resynchronization). Entirely
+  // map-side: boundary scan, bounds assembly, substring, md5 — zero
+  // exchanges at any scale (the doc_chunks discipline). Engine quirk
+  // guarded: DuckDB range(2, x) EXCLUDES x while Spark sequence(2, x)
+  // includes it (→ x-1 on the Spark side), and sequence() must be
+  // gated on length because it would descend, not empty, on an
+  // inverted range.
+  private val cdcChunks = QueryDef(
+    "cdc_chunks",
+    Some("""WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents),
+           |b AS (SELECT doc_id, text,
+           |        list_concat(list_concat([1],
+           |          list_filter(range(2, CAST(L AS INT) - 2),
+           |            i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), 4)), 1, 8))::BIGINT % 64 = 0)),
+           |          [CAST(L AS INT) + 1]) AS bounds
+           |      FROM d),
+           |c AS (SELECT doc_id, j AS chunk_idx, bounds[j] AS start_pos,
+           |        bounds[j+1] - bounds[j] AS chunk_len,
+           |        md5(substr(text, CAST(bounds[j] AS INT),
+           |                   CAST(bounds[j+1] - bounds[j] AS INT))) AS chunk_md5
+           |      FROM b, unnest(range(1, len(bounds))) AS t(j))
+           |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           |       CAST(start_pos AS BIGINT) AS start_pos,
+           |       CAST(chunk_len AS BIGINT) AS chunk_len, chunk_md5
+           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
+    (s, dir) => Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).as("L"))
+      .withColumn("bounds", expr(
+        """concat(array(1),
+          |  CASE WHEN L >= 5 THEN
+          |    filter(sequence(2, CAST(L AS INT) - 3),
+          |      i -> CAST(conv(substr(md5(substr(text, i, 4)), 1, 8), 16, 10) AS BIGINT) % 64 = 0)
+          |  ELSE CAST(array() AS ARRAY<INT>) END,
+          |  array(CAST(L AS INT) + 1))""".stripMargin))
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, size(bounds) - 1)")).as("chunk_idx"),
+        col("bounds"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        expr("CAST(element_at(bounds, chunk_idx) AS BIGINT)").as("start_pos"),
+        expr("CAST(element_at(bounds, chunk_idx + 1) - element_at(bounds, chunk_idx) AS BIGINT)")
+          .as("chunk_len"),
+        expr("""md5(substr(text, element_at(bounds, chunk_idx),
+               |    element_at(bounds, chunk_idx + 1) - element_at(bounds, chunk_idx)))""".stripMargin)
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx"))
+
   // ---- temperature-scaled language mixture ------------------------------
   // The multilingual rebalancing step (mT5/XLM-R style): sampling
   // weights ∝ n^(1/τ) with temperature τ=2 upweight tail languages and
@@ -528,5 +650,5 @@ object CorpusOpsQueries extends QuerySet {
 
   override val defs: Seq[QueryDef] =
     Seq(incremental, surprisal, surprisalBuckets, chunks, sourceMix,
-      leakageSafeSplit, temperatureMix, dsir)
+      leakageSafeSplit, temperatureMix, dsir, bigramSurprisal, cdcChunks)
 }

@@ -155,6 +155,68 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty, "no phrase hits at sf0.01 — fixture degenerate")
   }
 
+  test("bigram surprisal counts every adjacency and scores strictly positive") {
+    val wordCounts = spark.read.parquet(s"$sfMid/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").length.toLong))
+      .toMap
+    val rows = run("bigram_surprisal", sfMid)
+      .select("doc_id", "n_bigrams", "surprisal_micro").collect()
+    assert(rows.length == wordCounts.size, "docs lost by the bigram scorer")
+    rows.foreach { r =>
+      assert(r.getLong(1) == wordCounts(r.getLong(0)) - 1,
+        s"doc ${r.getLong(0)}: bigram count ${r.getLong(1)} != words-1")
+      // every probability is < 1 (interpolation with corpus frequencies),
+      // so -ln sums are strictly positive
+      assert(r.getLong(2) > 0, s"doc ${r.getLong(0)}: non-positive surprisal")
+    }
+  }
+
+  /** The operator's boundary rule, reimplemented independently:
+    * 1-based position i in [2, L-3] is a boundary iff the md5 of the
+    * 4-char window at i ≡ 0 mod 64 (first 8 hex chars as an integer). */
+  private def cdcChunksOf(text: String): Seq[(Int, Int, String)] = {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val l = text.length
+    val bounds = Seq(1) ++
+      (2 to l - 3).filter { i =>
+        java.lang.Long.parseLong(md5hex(text.substring(i - 1, i + 3)).take(8), 16) % 64 == 0
+      } ++ Seq(l + 1)
+    bounds.sliding(2).zipWithIndex.map { case (Seq(a, b), j) =>
+      (j + 1, a, md5hex(text.substring(a - 1, b - 1)))
+    }.toSeq
+  }
+
+  test("cdc chunks match an independent driver re-derivation on every doc") {
+    val texts = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val expected = texts.flatMap { case (id, t) =>
+      cdcChunksOf(t).map { case (idx, start, md5) => (id, idx.toLong, start.toLong, md5) }
+    }.toSet
+    val got = run("cdc_chunks", sfTiny)
+      .select("doc_id", "chunk_idx", "start_pos", "chunk_md5").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == expected,
+      s"chunk sets differ: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
+  test("cdc boundaries resynchronize after an edit (the chunk-dedup property)") {
+    // Prepend a prefix to a real document: a fixed-window chunker shifts
+    // every chunk; the content-defined one re-aligns after the first
+    // boundary, so all later chunk digests survive — that is what makes
+    // chunk-level dedup robust to edits.
+    val text = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .orderBy("doc_id").select("text").head().getString(0)
+    val orig = cdcChunksOf(text).map(_._3)
+    val edited = cdcChunksOf("edited prefix inserted " + text).map(_._3)
+    val shared = orig.toSet.intersect(edited.toSet)
+    assert(orig.size >= 3, "fixture doc too short to chunk")
+    assert(shared.size >= orig.size - 2,
+      s"only ${shared.size} of ${orig.size} chunk digests survived the edit — no resync")
+  }
+
   test("temperature mixture flattens the head and lifts the tail") {
     val rows = run("lang_temperature_mix", sfMid)
       .select("lang", "n_docs", "weight_ppm", "target_docs", "natural_ppm")

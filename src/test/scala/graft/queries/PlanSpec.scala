@@ -433,6 +433,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"anomaly flagging degraded:\n$p")
   }
 
+  test("bigram LM combines partially; unigram/total tables broadcast") {
+    val p = plan("bigram_surprisal")
+    assert(p.contains("partial_count"),
+      s"bigram tf shuffles raw exploded grams without combine:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"unigram count joins are not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in bigram LM:\n$p")
+  }
+
+  test("cdc chunking is pure map-side (no hash exchange at any scale)") {
+    val p = plan("cdc_chunks")
+    assert(!p.contains("hashpartitioning("),
+      s"content-defined chunking should never shuffle the corpus:\n$p")
+    assert(p.contains("Generate explode"), s"chunk explode missing:\n$p")
+  }
+
   test("cms sketch build combines partially; estimate join broadcasts the sketch") {
     val p = plan("cms_heavy_hitters")
     assert(p.contains("partial_count"),
