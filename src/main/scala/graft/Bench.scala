@@ -124,6 +124,15 @@ object Bench {
       }
     val curveJson = rec.curve
       .map { case (n, r) => "\"" + n + "\":" + r }.mkString("{", ",", "}")
+    // MinHash-LSH measured recall vs brute-force ground truth (the text
+    // dedup mate of the IVF curve; geometry predicts ≥ 0.9999 at J=0.7,
+    // so any visible dip flags a banding/hash regression).
+    val (lshRec, nExact, nLsh, nBoth) =
+      try graft.queries.TextQueries.lshRecallReport(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] lsh recall failed: ${e.getMessage}")
+        (-1.0, -1L, -1L, -1L)
+      }
     val degradedJson = degraded.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contaminatedJson = contaminated
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -133,6 +142,8 @@ object Bench {
         s""""degraded":$degradedJson,"cold_contaminated":$contaminatedJson,""" +
         s""""ivf_recall_at3":{"sampled":${rec.sampled},"trained":${rec.trained}},""" +
         s""""ivf_recall_curve":$curveJson,""" +
+        s""""lsh_recall_at_j07":{"recall":$lshRec,"exact_pairs":$nExact,""" +
+        s""""lsh_pairs":$nLsh,"found":$nBoth},""" +
         s""""failures":$failures,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")

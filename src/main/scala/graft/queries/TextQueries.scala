@@ -178,6 +178,40 @@ object TextQueries extends QuerySet {
       finally sh.unpersist(false)
     }
 
+  /** Measured MinHash-LSH recall at the J≥0.7 report threshold: the
+    * banded pair set vs a BRUTE-FORCE all-pairs ground truth — the
+    * "measure, don't guess" artifact for the dedup family (the ANN
+    * side's ivf_recall_curve mate). The 72-hash/24-band/3-row geometry
+    * predicts P[miss] ≈ (1−J³)²⁴ ≤ 4e-5 at J=0.7; Bench emits the
+    * measured number so a geometry regression (fewer bands, broken
+    * hash) shows up as recall, not silence. The brute-force side is
+    * the AUDIT, deliberately quadratic — it exists to check the
+    * operator, never to replace it (the slope gate's negative control
+    * is this same shape).
+    *
+    * @return (recall, exactPairs, lshPairs, intersection) */
+  def lshRecallReport(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Double, Long, Long, Long) = {
+    val sh = shingles(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sb"))
+      val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("uni", size(col("sa")) + size(col("sb")) - col("inter"))
+        .filter(col("inter") / col("uni") >= 0.7)
+        .select("id_a", "id_b")
+        .localCheckpoint(true)
+      val lsh = neardupPairs(s, dir).select("id_a", "id_b")
+      val nExact = exact.count()
+      val nLsh = lsh.count()
+      val nBoth = lsh.intersect(exact).count()
+      val recall = if (nExact == 0) 1.0 else nBoth.toDouble / nExact
+      (math.rint(recall * 1000) / 1000, nExact, nLsh, nBoth)
+    } finally sh.unpersist(false)
+  }
+
   // ---- near-dup clustering ----------------------------------------------
   // Connected components over the verified pair graph: every clustered
   // doc gets its component's MIN doc_id as cluster_id (the canonical

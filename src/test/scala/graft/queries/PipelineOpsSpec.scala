@@ -217,6 +217,17 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"only ${shared.size} of ${orig.size} chunk digests survived the edit — no resync")
   }
 
+  test("minhash-lsh banding recall vs brute force matches the geometry's promise") {
+    // 72 hashes / 24 bands / 3 rows predicts P[miss] ≤ 4e-5 at J=0.7 —
+    // measured recall below 0.9 means the banding or hash regressed
+    val (recall, nExact, nLsh, nBoth) =
+      TextQueries.lshRecallReport(spark, sfTiny)
+    assert(nExact > 0, "no exact near-dup pairs — fixture degenerate")
+    assert(nLsh >= nBoth, "pair bookkeeping inconsistent")
+    assert(recall >= 0.9,
+      s"LSH recall $recall ($nBoth of $nExact ground-truth pairs) — geometry broken")
+  }
+
   test("temperature mixture flattens the head and lifts the tail") {
     val rows = run("lang_temperature_mix", sfMid)
       .select("lang", "n_docs", "weight_ppm", "target_docs", "natural_ppm")
