@@ -941,6 +941,19 @@ object TextQueries extends QuerySet {
     case _ => s"CAST(conv(substr(md5(CAST(i AS STRING) || ':' || %s), 1, 8), 16, 10) AS BIGINT) %% $w"
   }
 
+  /** (…, text) → (i, b, c) partial Count-Min sketch over an arbitrary
+    * doc frame — the shared kernel of the gated batch entry and the
+    * streaming face ([[graft.streaming.Streaming.cmsSketchStream]]):
+    * CMS partials over ANY split of the corpus merge into the full
+    * sketch by plain cell-wise addition, so per-micro-batch partials
+    * from this exact expression sum to the batch sketch (parity-locked
+    * in StreamingSpec). */
+  private[graft] def cmsPartialOf(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(explode(split(col("text"), " ")).as("t"))
+      .select(col("t"), explode(array((0 until 4).map(lit): _*)).as("i"))
+      .select(col("i"), expr(cmsHash("spark", 16).format("t")).as("b"))
+      .groupBy("i", "b").agg(count(lit(1)).as("c"))
+
   private val cmsHeavyHitters = QueryDef(
     "cms_heavy_hitters",
     Some(s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
@@ -958,14 +971,12 @@ object TextQueries extends QuerySet {
             |FROM est ORDER BY cnt DESC, token""".stripMargin),
     (s, dir) => {
       val fourRows = array((0 until 4).map(lit): _*)
-      val tok = Tables.table(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("t"))
+      val docs = Tables.table(s, dir, "documents")
+      val tok = docs.select(explode(split(col("text"), " ")).as("t"))
       // sketch build: ×4 row replication and bucket hash are map-side;
       // the ONLY corpus-sized shuffle carries (i, b) partial counts into
       // a 4×w-row result — the constant-size mergeable artifact
-      val sk = tok.select(col("t"), explode(fourRows).as("i"))
-        .select(col("i"), expr(cmsHash("spark", 16).format("t")).as("b"))
-        .groupBy("i", "b").agg(count(lit(1)).as("c"))
+      val sk = cmsPartialOf(docs)
       val top = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("t")).limit(20)
       top.select(col("t"), col("cnt"), explode(fourRows).as("i"))

@@ -131,6 +131,34 @@ object Streaming {
       }
       .start()
 
+  /** Streaming Count-Min sketch build: each micro-batch of (…, text)
+    * contributes a PARTIAL sketch — the exact (i, b) → count frame the
+    * gated batch entry builds ([[graft.queries.TextQueries
+    * .cmsPartialOf]]) — and the standing sketch is their cell-wise
+    * sum, because CMS's defining property is mergeability by addition.
+    * That makes the streaming state trivially bounded: the standing
+    * artifact is d×w integers REGARDLESS of stream length, each batch
+    * ships at most d×w partial cells, and the merge is associative +
+    * commutative so replays/out-of-order batches cannot corrupt it.
+    * This is how a continuous 100 TB ingest keeps live heavy-hitter
+    * counts without ever re-scanning the corpus (parity with the
+    * batch sketch over any micro-batch split is locked in
+    * StreamingSpec). */
+  def cmsSketchStream(
+      incoming: DataFrame,
+      checkpointDir: String)(mergePartial: DataFrame => Unit): StreamingQuery =
+    incoming.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
+          mergePartial(graft.queries.TextQueries.cmsPartialOf(batch))
+        }
+      }
+      .start()
+
   /** Continuous corpus ingestion — the CLOSED loop the incremental
     * operators build toward: per micro-batch of (doc_id, text),
     *

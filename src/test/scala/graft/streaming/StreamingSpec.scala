@@ -345,4 +345,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       standingBands.unpersist(); standingSh.unpersist()
     }
   }
+
+  test("streaming cms partials sum to the batch sketch over any micro-batch split") {
+    val dir = "/root/testdata/sf0.001"
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val tmp = Files.createTempDirectory("cms_stream")
+    docs.repartition(3).write.parquet(s"$tmp/incoming")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/incoming")
+    // standing sketch = cell-wise sum of per-batch partials (the merge a
+    // production ingest applies to its persisted d×w artifact)
+    val standing = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    var batches = 0
+    val q = graft.streaming.Streaming.cmsSketchStream(stream, s"$tmp/ck") { part =>
+      batches += 1
+      part.collect().foreach { r =>
+        val k = (r.getInt(0), r.getLong(1))
+        standing(k) = standing.getOrElse(k, 0L) + r.getLong(2)
+      }
+    }
+    try {
+      assert(q.awaitTermination(180000), "AvailableNow did not finish")
+      assert(batches >= 3, s"expected >=3 micro-batches, got $batches")
+      val batch = graft.queries.TextQueries.cmsPartialOf(docs).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(standing.toMap == batch,
+        "streamed cell-wise sum diverges from the batch sketch")
+      assert(batch.nonEmpty)
+    } finally if (q.isActive) q.stop()
+  }
 }
