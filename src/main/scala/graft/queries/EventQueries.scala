@@ -286,7 +286,44 @@ object EventQueries extends QuerySet {
     Some(anomalySql),
     (s, dir) => Tables.sql(s, dir, anomalySql))
 
+  // ---- winsorized value stats ---------------------------------------------
+  // The outlier-clamp preprocessing every metrics/training pipeline
+  // applies before aggregating a heavy-tailed value column: clamp to
+  // the per-type [p05, p95] band, report clamp counts and the
+  // winsorized sum. Cross-engine disciplines in play: the thresholds
+  // use the a7-proven percentile ≡ quantile_cont parity (identical
+  // interpolation); the winsorized SUM would be an order-dependent
+  // double sum, so each clamped value rounds to an integer micro-unit
+  // per ROW and only integer partials combine (bit-exact at any
+  // parallelism). 100 TB shape: the 5-row threshold table broadcasts
+  // back onto the stream, the clamp is map-side, the final agg
+  // combines partially on the natural event_type key; the exact
+  // percentile is the parity form — at 1e9-row groups the a7b split
+  // applies (swap the threshold agg for the mergeable
+  // approx_percentile sketch, everything downstream unchanged).
+  private def winsorSql(pct: (String, String) => String, oneM: String) =
+    s"""WITH t AS (
+       |  SELECT event_type, ${pct("value", "0.05")} AS lo, ${pct("value", "0.95")} AS hi
+       |  FROM events GROUP BY event_type)
+       |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(CASE WHEN e.value < t.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+       |       CAST(sum(CASE WHEN e.value > t.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high,
+       |       CAST(sum(CAST(round((CASE WHEN e.value < t.lo THEN t.lo
+       |                                 WHEN e.value > t.hi THEN t.hi
+       |                                 ELSE e.value END) * $oneM) AS BIGINT)) AS BIGINT)
+       |         AS winsor_sum_micro,
+       |       max(CAST(round(t.lo * $oneM) AS BIGINT)) AS lo_micro,
+       |       max(CAST(round(t.hi * $oneM) AS BIGINT)) AS hi_micro
+       |FROM events e JOIN t ON t.event_type = e.event_type
+       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
+  private val winsorized = QueryDef(
+    "ev7_winsorized_stats",
+    Some(winsorSql((c, p) => s"quantile_cont($c, $p)", "1000000.0::DOUBLE")),
+    (s, dir) => Tables.sql(s, dir,
+      winsorSql((c, p) => s"percentile($c, ${p}D)", "1000000.0D")))
+
   override val defs: Seq[QueryDef] =
     Seq(hourly, sessions, funnel, salted, keepLatest, asof, rangeJoin, conversion,
-      retention, anomaly)
+      retention, anomaly, winsorized)
 }

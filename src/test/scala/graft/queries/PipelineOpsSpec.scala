@@ -228,6 +228,25 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"LSH recall $recall ($nBoth of $nExact ground-truth pairs) — geometry broken")
   }
 
+  test("winsorization clamps ~5% per tail and the sum stays inside the band") {
+    val rows = run("ev7_winsorized_stats", sfMid)
+      .select("event_type", "n", "n_clamped_low", "n_clamped_high",
+        "winsor_sum_micro", "lo_micro", "hi_micro").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, lo, hi) = (r.getLong(1), r.getLong(5), r.getLong(6))
+      assert(lo <= hi, s"${r.getString(0)}: inverted band")
+      // interpolated p05/p95: strictly-outside counts sit at ≈5% of n
+      Seq(r.getLong(2), r.getLong(3)).foreach { c =>
+        assert(c >= (n * 3) / 100 && c <= (n * 7) / 100,
+          s"${r.getString(0)}: clamp count $c of $n outside the 3–7% band")
+      }
+      val s = r.getLong(4)
+      assert(s >= n * lo && s <= n * hi,
+        s"${r.getString(0)}: winsorized sum escaped the clamp band")
+    }
+  }
+
   test("temperature mixture flattens the head and lifts the tail") {
     val rows = run("lang_temperature_mix", sfMid)
       .select("lang", "n_docs", "weight_ppm", "target_docs", "natural_ppm")

@@ -466,6 +466,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"occurrence count shuffles raw matches without combine:\n$p")
   }
 
+  test("winsorize broadcasts the threshold table and combines the clamp agg partially") {
+    val p = plan("ev7_winsorized_stats")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-type thresholds not broadcast back onto the stream:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"clamp aggregation shuffles raw events without combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in winsorize:\n$p")
+  }
+
   test("temperature mix never shuffles the corpus: one partial count on lang") {
     val p = plan("lang_temperature_mix")
     assert(p.contains("partial_count"),
