@@ -174,6 +174,20 @@ object GraftFunctions {
             Some(QuantOut(lo, hi, qsum, dot / (math.sqrt(nv) * math.sqrt(nr))))
           }
         })
+      spark.udf.register("cdc_bounds", (text: String) =>
+        if (text == null) null
+        else {
+          val l = text.length
+          val out = scala.collection.mutable.ArrayBuffer(1)
+          var i = 2
+          while (i <= l - 3) {
+            if (Md5Prefix.hash(text.substring(i - 1, i + 3).getBytes("UTF-8")) % 64 == 0)
+              out += i
+            i += 1
+          }
+          out += l + 1
+          out.toSeq
+        })
       spark.udf.register("winnow_digest", (text: String) => {
         val (k, w) = (5, 4)
         val n = text.length - k + 1
@@ -230,6 +244,10 @@ object GraftFunctions {
       new FunctionIdentifier("quantize_u8"),
       new ExpressionInfo(classOf[QuantizeU8].getName, "quantize_u8"),
       (exprs: Seq[Expression]) => QuantizeU8(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("cdc_bounds"),
+      new ExpressionInfo(classOf[CdcBounds].getName, "cdc_bounds"),
+      (exprs: Seq[Expression]) => CdcBounds(exprs.head)))
     ext.injectFunction((
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),

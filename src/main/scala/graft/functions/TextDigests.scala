@@ -98,6 +98,53 @@ case class WinnowDigest(child: Expression, k: Int = 5, w: Int = 4)
   override def prettyName: String = "winnow_digest"
 }
 
+/** `cdc_bounds(text)` → ARRAY<INT>: content-defined chunk boundaries —
+  * 1-based positions `[1] ++ {i ∈ [2, L−3] : md5prefix(substr(i, 4))
+  * % 64 == 0} ++ [L+1]`, exactly the boundary rule the cdc_chunks
+  * oracle states in SQL. One compiled pass per row replaces a
+  * `filter(sequence(...), i -> md5(...))` HOF whose per-position
+  * interpreted-lambda dispatch measured 5.7 s warm at sf0.1 (~300
+  * positions × 5000 docs); the winnow_digest ASCII fast path applies —
+  * a 4-char window of ASCII text is a 4-byte slice of the UTF-8
+  * buffer, hashed in place with zero per-position allocation.
+  */
+case class CdcBounds(child: Expression, window: Int = 4, mod: Int = 64)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"cdc_bounds expects STRING, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val bytes = u.getBytes
+    val ascii = bytes.length == u.numChars()
+    val s = if (ascii) null else u.toString
+    val l = if (ascii) bytes.length else s.length
+    val out = new scala.collection.mutable.ArrayBuffer[Int](16)
+    out += 1
+    // 1-based position i in [2, L-3]: window = chars [i, i+3]
+    var i = 2
+    val last = l - 3
+    while (i <= last) {
+      val h =
+        if (ascii) Md5Prefix.hash(bytes, i - 1, window)
+        else Md5Prefix.hash(s.substring(i - 1, i - 1 + window).getBytes("UTF-8"))
+      if (h % mod == 0) out += i
+      i += 1
+    }
+    out += l + 1
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcBounds =
+    copy(child = newChild)
+  override def prettyName: String = "cdc_bounds"
+}
+
 /** `simhash32(tokens)` → BIGINT: 32-bit SimHash over a token array.
   * Per-bit weight = Σ over tokens of (bit set ? +1 : -1) — iterating
   * duplicates naturally applies count weighting. Replaces a 32×-row

@@ -498,12 +498,13 @@ object CorpusOpsQueries extends QuerySet {
   // first boundary and downstream chunks keep their digests, which is
   // what makes chunk-level dedup survive edits (the rsync/LBFS
   // principle; PipelineOpsSpec proves the resynchronization). Entirely
-  // map-side: boundary scan, bounds assembly, substring, md5 — zero
-  // exchanges at any scale (the doc_chunks discipline). Engine quirk
-  // guarded: DuckDB range(2, x) EXCLUDES x while Spark sequence(2, x)
-  // includes it (→ x-1 on the Spark side), and sequence() must be
-  // gated on length because it would descend, not empty, on an
-  // inverted range.
+  // map-side: boundary scan (native cdc_bounds expression — one
+  // compiled pass), bounds assembly, substring, md5 — zero exchanges
+  // at any scale (the doc_chunks discipline). The oracle states the
+  // identical rule in SQL; its range(2, x) EXCLUDES x (a Spark
+  // sequence() spelling would need x−1 and a length guard because
+  // sequence descends, not empties, on an inverted range — the trap
+  // the native kernel sidesteps).
   private val cdcChunks = QueryDef(
     "cdc_chunks",
     Some("""WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents),
@@ -523,14 +524,14 @@ object CorpusOpsQueries extends QuerySet {
            |       CAST(chunk_len AS BIGINT) AS chunk_len, chunk_md5
            |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
     (s, dir) => Tables.table(s, dir, "documents")
-      .select(col("doc_id"), col("text"), length(col("text")).as("L"))
-      .withColumn("bounds", expr(
-        """concat(array(1),
-          |  CASE WHEN L >= 5 THEN
-          |    filter(sequence(2, CAST(L AS INT) - 3),
-          |      i -> CAST(conv(substr(md5(substr(text, i, 4)), 1, 8), 16, 10) AS BIGINT) % 64 = 0)
-          |  ELSE CAST(array() AS ARRAY<INT>) END,
-          |  array(CAST(L AS INT) + 1))""".stripMargin))
+      .select(col("doc_id"), col("text"),
+        // native cdc_bounds expression (graft.functions): one compiled
+        // boundary scan per row — the HOF spelling
+        // filter(sequence(2, L-3), i -> md5-prefix % 64 = 0) computes
+        // the identical array but pays an interpreted lambda dispatch
+        // PER POSITION (measured 5.7 s warm at sf0.1 vs sub-second
+        // compiled; the winnow_digest lesson repeated)
+        expr("cdc_bounds(text)").as("bounds"))
       .select(col("doc_id"), col("text"),
         explode(expr("sequence(1, size(bounds) - 1)")).as("chunk_idx"),
         col("bounds"))

@@ -936,10 +936,18 @@ object TextQueries extends QuerySet {
   // sketch instead). Hashes are the engine-portable md5 prefix over a
   // row-salted token, so the oracle replays the sketch bit-for-bit —
   // including every collision.
-  private def cmsHash(engine: String, w: Int) = engine match {
-    case "duck" => s"('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || %s), 1, 8))::BIGINT %% $w"
-    case _ => s"CAST(conv(substr(md5(CAST(i AS STRING) || ':' || %s), 1, 8), 16, 10) AS BIGINT) %% $w"
-  }
+  // The d=4 row hashes are the four 32-bit words of ONE md5 digest
+  // (hex slices at offsets 1/9/17/25) — one hash computation per token
+  // instead of four salted digests (the salted spelling paid 4× md5
+  // per token post-explode and measured 1.9 s warm at sf0.1; hashing
+  // BEFORE the ×4 replication and slicing after is the compiled-cheap
+  // form, and 32-bit words of a 128-bit digest are exactly the
+  // pairwise-independent-enough family CMS asks for).
+  private def cmsSlice(engine: String, w: Int, hexCol: String, iRef: String) =
+    engine match {
+      case "duck" => s"('0x' || substr($hexCol, 1 + 8 * $iRef, 8))::BIGINT % $w"
+      case _ => s"CAST(conv(substr($hexCol, 1 + 8 * $iRef, 8), 16, 10) AS BIGINT) % $w"
+    }
 
   /** (…, text) → (i, b, c) partial Count-Min sketch over an arbitrary
     * doc frame — the shared kernel of the gated batch entry and the
@@ -950,22 +958,27 @@ object TextQueries extends QuerySet {
     * in StreamingSpec). */
   private[graft] def cmsPartialOf(docs: org.apache.spark.sql.DataFrame) =
     docs.select(explode(split(col("text"), " ")).as("t"))
-      .select(col("t"), explode(array((0 until 4).map(lit): _*)).as("i"))
-      .select(col("i"), expr(cmsHash("spark", 16).format("t")).as("b"))
+      .select(md5(col("t")).as("h"))
+      .select(col("h"), explode(array((0 until 4).map(lit): _*)).as("i"))
+      .select(col("i"), expr(cmsSlice("spark", 16, "h", "i")).as("b"))
       .groupBy("i", "b").agg(count(lit(1)).as("c"))
 
   private val cmsHeavyHitters = QueryDef(
     "cms_heavy_hitters",
-    Some(s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
-            |tc AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY t),
+    Some(s"""WITH tok AS (SELECT md5(t) AS h
+            |             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+            |tc AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt
+            |       FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+            |       GROUP BY t),
             |top AS (SELECT t, cnt FROM tc ORDER BY cnt DESC, t LIMIT 20),
             |r AS (SELECT unnest(range(0, 4)) AS i),
-            |sk AS (SELECT r.i, ${cmsHash("duck", 16).format("tok.t")} AS b,
+            |sk AS (SELECT r.i, ${cmsSlice("duck", 16, "tok.h", "r.i")} AS b,
             |              CAST(count(*) AS BIGINT) AS c
             |       FROM tok CROSS JOIN r GROUP BY 1, 2),
             |est AS (SELECT top.t, top.cnt, min(sk.c) AS cms_est
             |        FROM top CROSS JOIN r
-            |        JOIN sk ON sk.i = r.i AND sk.b = ${cmsHash("duck", 16).format("top.t")}
+            |        JOIN sk ON sk.i = r.i
+            |               AND sk.b = ${cmsSlice("duck", 16, "md5(top.t)", "r.i")}
             |        GROUP BY top.t, top.cnt)
             |SELECT t AS token, cnt, cms_est, cms_est >= cnt AS never_undercounts
             |FROM est ORDER BY cnt DESC, token""".stripMargin),
@@ -973,14 +986,16 @@ object TextQueries extends QuerySet {
       val fourRows = array((0 until 4).map(lit): _*)
       val docs = Tables.table(s, dir, "documents")
       val tok = docs.select(explode(split(col("text"), " ")).as("t"))
-      // sketch build: ×4 row replication and bucket hash are map-side;
-      // the ONLY corpus-sized shuffle carries (i, b) partial counts into
-      // a 4×w-row result — the constant-size mergeable artifact
+      // sketch build: md5 once per token, THEN the ×4 row replication
+      // slices the digest — all map-side; the ONLY corpus-sized shuffle
+      // carries (i, b) partial counts into a 4×w-row result — the
+      // constant-size mergeable artifact
       val sk = cmsPartialOf(docs)
       val top = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("t")).limit(20)
-      top.select(col("t"), col("cnt"), explode(fourRows).as("i"))
-        .withColumn("b", expr(cmsHash("spark", 16).format("t")))
+      top.select(col("t"), col("cnt"), md5(col("t")).as("h"),
+          explode(fourRows).as("i"))
+        .withColumn("b", expr(cmsSlice("spark", 16, "h", "i")))
         .join(broadcast(sk), Seq("i", "b"))
         .groupBy("t", "cnt").agg(min("c").as("cms_est"))
         .select(col("t").as("token"), col("cnt"), col("cms_est"),
