@@ -8,8 +8,9 @@ object SparkEntry {
 
   /** All query sets, one per SURVEY.md §2 area. */
   def sets: Seq[QuerySet] = Seq(CoreQueries, EndpointQueries, SqlSurfaceQueries,
-    TextQueries, CorpusOpsQueries, SearchQueries, EmbeddingQueries, CacheQueries,
-    WriteQueries, MultimodalQueries, EventQueries)
+    TextQueries, CorpusOpsQueries, CurationQueries, SearchQueries,
+    EmbeddingQueries, CacheQueries, WriteQueries, MultimodalQueries,
+    EventQueries)
 
   def allDefs: Seq[QueryDef] = sets.flatMap(_.defs)
 

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QuerySet, Tables}
+
+/** Data-curation layer: entity-resolution blocking, corpus drift
+  * measurement, and weighted subsampling — the cross-cutting jobs that
+  * sit between raw ingestion and the per-document stage operators in
+  * [[TextQueries]]/[[CorpusOpsQueries]]. Reference scope: flAPI's
+  * curation endpoints expose exactly this kind of derived-quality
+  * query over cached tables (`/root/reference/examples/sqls/` shows
+  * the customers/products linkage templates); the algorithms here are
+  * the standard large-scale forms, re-expressed Spark-first.
+  */
+object CurationQueries extends QuerySet {
+
+  // ---- fuzzy entity linkage (deletion-neighborhood blocking) -----------
+  // Record linkage at scale NEVER compares all pairs: the SymSpell /
+  // FastSS blocking insight is that two strings at Levenshtein
+  // distance ≤ 1 must share an entry in their deletion neighborhoods
+  // (delete the differing position from both sides of a substitution;
+  // the shorter string IS a deletion variant of the longer for an
+  // indel), so the candidate set is an equi-join on variant strings —
+  // O(n·L) variants, hash-partitioned, bucket sizes bounded by
+  // |alphabet|·L — and the exact levenshtein verify runs per candidate
+  // only. The join is load-bearing both ways: blocking is COMPLETE
+  // (no distance-1 pair can be missed — CurationSpec proves it against
+  // a quadratic brute-force audit) and the verify is NECESSARY
+  // (variant collisions admit distance-2 pairs, e.g. "…010"/"…100").
+  // 100 TB shape: map-side variant explode over the entity table, one
+  // hash shuffle on the variant key, per-candidate verify — the
+  // quadratic all-pairs form never appears (PlanSpec: no cartesian).
+  // Levenshtein is the classic Wagner–Fischer integer DP in both
+  // engines, so the gate is exact.
+  private val fuzzyLinkage = QueryDef(
+    "fuzzy_name_linkage",
+    Some("""WITH var AS (
+           |  SELECT c_custkey, c_name,
+           |         unnest(list_prepend(c_name, list_transform(range(1, len(c_name) + 1),
+           |                i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)))) AS d
+           |  FROM customer),
+           |cand AS (
+           |  SELECT DISTINCT a.c_custkey AS custkey_a, a.c_name AS name_a,
+           |                  b.c_custkey AS custkey_b, b.c_name AS name_b
+           |  FROM var a JOIN var b ON a.d = b.d AND a.c_name < b.c_name)
+           |SELECT custkey_a, name_a, custkey_b, name_b
+           |FROM cand WHERE levenshtein(name_a, name_b) = 1
+           |ORDER BY name_a, name_b""".stripMargin),
+    (s, dir) => {
+      val vars = Tables.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          // variant set = the string itself (0 deletions) ++ every
+          // single-deletion — including the original catches pure
+          // indel pairs where one side is the other's variant
+          explode(expr(
+            """concat(array(c_name),
+              |  transform(sequence(1, length(c_name)),
+              |    i -> concat(substring(c_name, 1, i - 1), substring(c_name, i + 1))))"""
+              .stripMargin)).as("d"))
+      val a = vars.select(col("c_custkey").as("custkey_a"),
+        col("c_name").as("name_a"), col("d"))
+      val b = vars.select(col("c_custkey").as("custkey_b"),
+        col("c_name").as("name_b"), col("d"))
+      a.join(b, "d")
+        .filter(col("name_a") < col("name_b"))
+        .select("custkey_a", "name_a", "custkey_b", "name_b")
+        .distinct() // a pair can share several variants; verify ONCE per pair
+        .filter(expr("levenshtein(name_a, name_b) = 1"))
+        .orderBy("name_a", "name_b")
+    })
+
+  // ---- per-source KL divergence (corpus drift) -------------------------
+  // Source-quality monitoring: KL(p_source ‖ p_corpus) over unigram
+  // distributions quantifies how far each source's token mix drifts
+  // from the corpus — the signal that catches a crawler suddenly
+  // ingesting boilerplate or a source changing domain. Dataflow is the
+  // tfidf/surprisal discipline: the corpus body never shuffles — only
+  // (source, term, count) partials move (map-side combined), the
+  // global term distribution is VOCABULARY-sized so its join onto the
+  // per-source counts broadcasts, and the corpus total is a 1-row
+  // scalar. Each KL term (c_st/N_s)·ln(c_st·N / (N_s·c_t)) is computed
+  // once per (source, term) with identical parenthesization in both
+  // engines (ln/division parity per the surprisal precedent), rounded
+  // to integer NANO units, and only order-independent integer partials
+  // combine per source. Gibbs' inequality (KL ≥ 0, equality iff the
+  // distributions match) is gated in CurationSpec.
+  private def klSql(unnestTok: String, dlit: String) =
+    s"""WITH tok AS ($unnestTok),
+       |st AS (SELECT source, term, count(*) AS c_st FROM tok GROUP BY source, term),
+       |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM tok GROUP BY source),
+       |g AS (SELECT term, count(*) AS c_t FROM tok GROUP BY term),
+       |n AS (SELECT count(*) AS total FROM tok),
+       |terms AS (
+       |  SELECT st.source,
+       |         CAST(round((CAST(st.c_st AS DOUBLE) / ns.n_s) *
+       |              ln((CAST(st.c_st AS DOUBLE) * n.total) /
+       |                 (CAST(ns.n_s AS DOUBLE) * g.c_t)) * 1000000000, 0) AS BIGINT) AS u9
+       |  FROM st JOIN ns USING (source) JOIN g USING (term) CROSS JOIN n),
+       |k AS (SELECT source, CAST(sum(u9) AS BIGINT) AS kl_u9 FROM terms GROUP BY source)
+       |SELECT k.source, ns.n_s AS n_tokens, k.kl_u9,
+       |       round(k.kl_u9 / 1000000000.0$dlit, 6) AS kl_nats
+       |FROM k JOIN ns USING (source) ORDER BY source""".stripMargin
+
+  private val klDivergence = QueryDef(
+    "kl_divergence_sources",
+    Some(klSql(
+      "SELECT source, unnest(string_split(text, ' ')) AS term FROM documents",
+      "::DOUBLE")),
+    (s, dir) => Tables.sql(s, dir, klSql(
+      """SELECT source, term FROM documents
+        |  LATERAL VIEW explode(split(text, ' ')) t AS term""".stripMargin,
+      "D")))
+
+  // ---- weighted sampling without replacement (A-ES keys) ---------------
+  // Quality-weighted subsampling — "keep the best ~k docs, probability
+  // proportional to weight" — is how curated mixtures upsample long or
+  // high-quality documents without a biased heuristic. The
+  // Efraimidis–Spirakis method makes it a pure top-k: key_i =
+  // ln(u_i)/w_i with u_i uniform in (0,1] — the max-key item is drawn
+  // with probability w_i/Σw, inductively giving an exact weighted
+  // sample without replacement. u_i must be DETERMINISTIC and
+  // engine-portable (rand() is neither), so u = (md5_32(doc_id)+1)/2³²
+  // — the source_mix hashing discipline. 100 TB shape: the key is
+  // map-side arithmetic and ORDER BY key LIMIT k compiles to
+  // TakeOrderedAndProject (per-partition top-k partials, driver merges
+  // k·partitions rows — PlanSpec locks no global sort); weight here =
+  // n_chars (longer docs favored), ties impossible (distinct md5
+  // inputs), ln/division parity per the surprisal precedent.
+  private def aesSql(h32: String, dlit: String) =
+    s"""WITH k AS (
+       |  SELECT doc_id, n_chars,
+       |         ln(($h32 + 1.0$dlit) / 4294967296.0$dlit) / n_chars AS key
+       |  FROM documents WHERE n_chars > 0)
+       |SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+       |       CAST(round(key * 1000000000, 0) AS BIGINT) AS key_n9
+       |FROM k ORDER BY key DESC, doc_id LIMIT 100""".stripMargin
+
+  private val weightedSample = QueryDef(
+    "weighted_sample_aes",
+    Some(aesSql(
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT", "::DOUBLE")),
+    (s, dir) => Tables.sql(s, dir, aesSql(
+      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)",
+      "D")))
+
+  override val defs: Seq[QueryDef] =
+    Seq(fuzzyLinkage, klDivergence, weightedSample)
+}

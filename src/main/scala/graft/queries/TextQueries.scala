@@ -890,16 +890,12 @@ object TextQueries extends QuerySet {
         .select(col("doc_id"), expr("word_shingles(text, 4)").as("grams"))
       val ref = docs.filter(col("doc_id") % 100 === 0)
         .select(explode(col("grams")).as("gram")).distinct()
-      def hashExpr(off: Int) =
-        s"CAST(conv(substr(md5(gram), $off, 8), 16, 10) AS BIGINT) % 65536"
       // Build the bitmap on the driver: one tiny job over the benchmark
       // slice (eval suites are small by construction; ≤2·|grams| ints,
       // hard-capped at m). The 1024-word bitmap folds into the probe
       // projection as an array literal — constant-size side input, the
       // anchor-vector discipline.
-      val positions = ref.select(expr(hashExpr(1)).as("p"))
-        .union(ref.select(expr(hashExpr(9)).as("p")))
-        .distinct().collect().map(_.getLong(0))
+      val positions = bloomPositionsOfGrams(ref).collect().map(_.getLong(0))
       val words = new Array[Long](1024)
       positions.foreach(p => words(p.toInt >> 6) |= (1L << (p.toInt & 63)))
       def bitTest(h: String) =
@@ -907,8 +903,8 @@ object TextQueries extends QuerySet {
           s"CAST($h % 64 AS INT)) & 1) = 1"
       docs.filter(col("doc_id") % 100 =!= 0)
         .select(col("doc_id"), explode(col("grams")).as("gram")).distinct()
-        .withColumn("h1", expr(hashExpr(1)))
-        .withColumn("h2", expr(hashExpr(9)))
+        .withColumn("h1", expr(bloomHashExpr(1)))
+        .withColumn("h2", expr(bloomHashExpr(9)))
         .withColumn("bm", typedLit(words.toSeq))
         .withColumn("bloom_hit", expr(s"${bitTest("h1")} AND ${bitTest("h2")}"))
         .join(broadcast(ref.withColumn("is_ref", lit(1L))), Seq("gram"), "left")
@@ -919,6 +915,30 @@ object TextQueries extends QuerySet {
         .filter(col("n_bloom") > 0)
         .orderBy("doc_id")
     })
+
+  private def bloomHashExpr(off: Int) =
+    s"CAST(conv(substr(md5(gram), $off, 8), 16, 10) AS BIGINT) % 65536"
+
+  /** (gram) → (p) distinct Bloom bit positions (m=65536, k=2 = the two
+    * 32-bit words of one md5) — the shared kernel of the batch
+    * decontamination entry and the streaming face. */
+  private[graft] def bloomPositionsOfGrams(
+      grams: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    grams.select(expr(bloomHashExpr(1)).as("p"))
+      .union(grams.select(expr(bloomHashExpr(9)).as("p")))
+      .distinct()
+
+  /** (…, text) → (p) distinct Bloom positions for every 4-gram in an
+    * arbitrary doc frame — the per-micro-batch partial the streaming
+    * face ([[graft.streaming.Streaming.bloomRefStream]]) merges into
+    * the standing bitmap by OR. OR is idempotent AND commutative —
+    * strictly stronger replay safety than the CMS sum merge: a batch
+    * replayed after a checkpoint gap re-sets the same bits and the
+    * bitmap is unchanged, so no dedup bookkeeping is needed at all. */
+  private[graft] def bloomPositionsOf(
+      refDocs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bloomPositionsOfGrams(
+      refDocs.select(explode(expr("word_shingles(text, 4)")).as("gram")).distinct())
 
   // ---- Count-Min sketch heavy hitters ------------------------------------
   // The mergeable frequency sketch (Cormode & Muthukrishnan 2005) a

@@ -159,6 +159,32 @@ object Streaming {
       }
       .start()
 
+  /** Streaming Bloom-bitmap maintenance — the decontamination mate of
+    * [[cmsSketchStream]]: as new benchmark/eval documents arrive, each
+    * micro-batch contributes its distinct bit positions
+    * ([[graft.queries.TextQueries.bloomPositionsOf]]) and the standing
+    * m=65536 bitmap absorbs them by OR. The artifact is 8 KiB
+    * REGARDLESS of how much reference material streams in, and OR is
+    * idempotent + commutative — a replayed or out-of-order batch
+    * re-sets the same bits, so the merge needs no replay bookkeeping
+    * at all (stronger than the CMS additive merge, which relies on the
+    * checkpoint for exactly-once). Parity with the batch bitmap over
+    * any micro-batch split is locked in StreamingSpec. */
+  def bloomRefStream(
+      incoming: DataFrame,
+      checkpointDir: String)(mergePositions: DataFrame => Unit): StreamingQuery =
+    incoming.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
+          mergePositions(graft.queries.TextQueries.bloomPositionsOf(batch))
+        }
+      }
+      .start()
+
   /** Continuous corpus ingestion — the CLOSED loop the incremental
     * operators build toward: per micro-batch of (doc_id, text),
     *

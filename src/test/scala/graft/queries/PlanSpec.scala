@@ -482,4 +482,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"),
       s"the 1-row total must broadcast, not cartesian:\n$p")
   }
+
+  test("fuzzy linkage is an equi-join on deletion variants, never all-pairs") {
+    val p = plan("fuzzy_name_linkage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy linkage degraded to an all-pairs comparison:\n$p")
+  }
+
+  test("KL drift combines tf partially; vocabulary join broadcasts; no cartesian") {
+    val p = plan("kl_divergence_sources")
+    assert(p.contains("partial_count"),
+      s"KL shuffles raw exploded tokens without combine:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row total must broadcast, not cartesian:\n$p")
+  }
+
+  test("A-ES weighted sample compiles to per-partition top-k, not a global sort") {
+    val p = plan("weighted_sample_aes")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted top-k degraded to a full sort:\n$p")
+  }
 }

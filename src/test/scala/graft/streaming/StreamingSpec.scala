@@ -376,4 +376,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(batch.nonEmpty)
     } finally if (q.isActive) q.stop()
   }
+
+  test("streaming bloom positions OR to the batch bitmap, and replay is a no-op") {
+    val dir = "/root/testdata/sf0.001"
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // reference slice = the decontamination entry's benchmark carve
+    val ref = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") % 100 === 0)
+    val tmp = Files.createTempDirectory("bloom_stream")
+    ref.repartition(3).write.parquet(s"$tmp/incoming")
+    val stream = spark.readStream.schema(ref.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/incoming")
+    val standing = scala.collection.mutable.Set.empty[Long]
+    var batches = 0
+    var replaySafe = true
+    val q = graft.streaming.Streaming.bloomRefStream(stream, s"$tmp/ck") { pos =>
+      batches += 1
+      val ps = pos.collect().map(_.getLong(0))
+      standing ++= ps
+      // OR-idempotence: merging the same partial again changes nothing
+      val before = standing.size
+      standing ++= ps
+      replaySafe &&= standing.size == before
+    }
+    try {
+      assert(q.awaitTermination(180000), "AvailableNow did not finish")
+      assert(batches >= 3, s"expected >=3 micro-batches, got $batches")
+      assert(replaySafe, "re-merging a batch's partial changed the bitmap")
+      val batch = graft.queries.TextQueries.bloomPositionsOf(ref)
+        .collect().map(_.getLong(0)).toSet
+      assert(standing.toSet == batch,
+        "streamed OR of per-batch positions diverges from the batch bitmap")
+      assert(batch.nonEmpty)
+    } finally if (q.isActive) q.stop()
+  }
 }
