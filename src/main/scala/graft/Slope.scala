@@ -63,7 +63,19 @@ object Slope {
     "dsir_importance",
     "bloom_contamination",
     "ev6_anomaly_hours",
-    "bigram_surprisal")
+    "bigram_surprisal",
+    // r8 session-4 additions: the compiled CDC boundary scan (formerly
+    // the slowest warm query — the native-expression rewrite must stay
+    // linear), the single-digest CMS build, and the KL drift measure
+    // (tf-partial + vocab-broadcast dataflow). fuzzy_name_linkage is
+    // NOT gated here for the semdedup reason: its scaling driver is
+    // the ENTITY table, which synthesizeTier passes through unchanged
+    // (and replicating identical names would manufacture quadratic
+    // variant buckets no real 10× entity population has), so a tier
+    // ratio would measure the wrong deployment either way.
+    "cdc_chunks",
+    "cms_heavy_hitters",
+    "kl_divergence_sources")
 
   val MaxRatio = 15.0
   val OverheadFloorSec = 0.3
