@@ -969,32 +969,39 @@ object TextQueries extends QuerySet {
       case _ => s"CAST(conv(substr($hexCol, 1 + 8 * $iRef, 8), 16, 10) AS BIGINT) % $w"
     }
 
+  /** (t, tf) → (i, b, c): sketch cells from a term-frequency frame —
+    * the ×4 row replication and digest slicing run over VOCABULARY-
+    * sized rows weighted by tf, never over raw token occurrences
+    * (Σ over types of tf ≡ count over tokens, cell by cell). */
+  private[graft] def cmsOfTf(tf: org.apache.spark.sql.DataFrame) =
+    tf.select(md5(col("t")).as("h"), col("tf"))
+      .select(col("h"), col("tf"), explode(array((0 until 4).map(lit): _*)).as("i"))
+      .select(col("i"), expr(cmsSlice("spark", 16, "h", "i")).as("b"), col("tf"))
+      .groupBy("i", "b").agg(sum("tf").as("c"))
+
   /** (…, text) → (i, b, c) partial Count-Min sketch over an arbitrary
     * doc frame — the shared kernel of the gated batch entry and the
     * streaming face ([[graft.streaming.Streaming.cmsSketchStream]]):
     * CMS partials over ANY split of the corpus merge into the full
     * sketch by plain cell-wise addition, so per-micro-batch partials
     * from this exact expression sum to the batch sketch (parity-locked
-    * in StreamingSpec). */
+    * in StreamingSpec). The only corpus-sized operation is the tf
+    * combine (map-side partial agg); md5, the ×4 replication, and the
+    * cell agg all run at vocabulary scale via [[cmsOfTf]]. */
   private[graft] def cmsPartialOf(docs: org.apache.spark.sql.DataFrame) =
-    docs.select(explode(split(col("text"), " ")).as("t"))
-      .select(md5(col("t")).as("h"))
-      .select(col("h"), explode(array((0 until 4).map(lit): _*)).as("i"))
-      .select(col("i"), expr(cmsSlice("spark", 16, "h", "i")).as("b"))
-      .groupBy("i", "b").agg(count(lit(1)).as("c"))
+    cmsOfTf(docs.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("tf")))
 
   private val cmsHeavyHitters = QueryDef(
     "cms_heavy_hitters",
-    Some(s"""WITH tok AS (SELECT md5(t) AS h
-            |             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
-            |tc AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt
+    Some(s"""WITH tc AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt
             |       FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
             |       GROUP BY t),
             |top AS (SELECT t, cnt FROM tc ORDER BY cnt DESC, t LIMIT 20),
             |r AS (SELECT unnest(range(0, 4)) AS i),
-            |sk AS (SELECT r.i, ${cmsSlice("duck", 16, "tok.h", "r.i")} AS b,
-            |              CAST(count(*) AS BIGINT) AS c
-            |       FROM tok CROSS JOIN r GROUP BY 1, 2),
+            |sk AS (SELECT r.i, ${cmsSlice("duck", 16, "md5(tc.t)", "r.i")} AS b,
+            |              CAST(sum(tc.cnt) AS BIGINT) AS c
+            |       FROM tc CROSS JOIN r GROUP BY 1, 2),
             |est AS (SELECT top.t, top.cnt, min(sk.c) AS cms_est
             |        FROM top CROSS JOIN r
             |        JOIN sk ON sk.i = r.i
@@ -1005,13 +1012,16 @@ object TextQueries extends QuerySet {
     (s, dir) => {
       val fourRows = array((0 until 4).map(lit): _*)
       val docs = Tables.table(s, dir, "documents")
-      val tok = docs.select(explode(split(col("text"), " ")).as("t"))
-      // sketch build: md5 once per token, THEN the ×4 row replication
-      // slices the digest — all map-side; the ONLY corpus-sized shuffle
-      // carries (i, b) partial counts into a 4×w-row result — the
-      // constant-size mergeable artifact
-      val sk = cmsPartialOf(docs)
-      val top = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+      // ONE corpus-sized operation: the tf combine (map-side partial
+      // agg). Sketch cells AND the exact top-20 both derive from the
+      // tf frame — the identical subtree lets AQE reuse the exchange —
+      // so md5, the ×4 replication, and the cell agg all run at
+      // vocabulary scale, and the sketch stays the constant-size
+      // mergeable artifact.
+      val tf = docs.select(explode(split(col("text"), " ")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("tf"))
+      val sk = cmsOfTf(tf)
+      val top = tf.select(col("t"), col("tf").as("cnt"))
         .orderBy(col("cnt").desc, col("t")).limit(20)
       top.select(col("t"), col("cnt"), md5(col("t")).as("h"),
           explode(fourRows).as("i"))
