@@ -47,15 +47,26 @@ object Tables {
           val p = s"$dir/$n.parquet"
           if (new java.io.File(p).exists() || dir.contains("://")) {
             var df = spark.read.parquet(p)
-            // events.ts is parquet TIMESTAMP(NANOS) which Spark reads as
-            // LongType under spark.sql.legacy.parquet.nanosAsLong (set by
-            // our entry points). The data is µs-precision, so converting
-            // nanos→micros is lossless and round-trips against DuckDB.
+            // events.ts normalization — the driver's generator has shipped
+            // two physical shapes across rounds, both µs-precision data:
+            //  * TIMESTAMP(NANOS), which Spark reads as LongType under
+            //    spark.sql.legacy.parquet.nanosAsLong (set above) —
+            //    convert nanos→micros (lossless);
+            //  * TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4
+            //    infers as TIMESTAMP_NTZ — cast to TIMESTAMP (session TZ
+            //    is UTC everywhere, so the µs values are unchanged and
+            //    unix_micros/window arithmetic keep working).
             // Restricted to the events table: any other long 'ts' column
             // (epoch millis, a counter) must not be rewritten.
-            if (n == "events" && df.schema.fields.exists(f =>
-                f.name == "ts" && f.dataType == LongType)) {
-              df = df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            if (n == "events") {
+              df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+                case Some(LongType) =>
+                  df = df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+                case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+                  df = df.withColumn("ts",
+                    df("ts").cast(org.apache.spark.sql.types.TimestampType))
+                case _ => ()
+              }
             }
             df.createOrReplaceTempView(n)
           }

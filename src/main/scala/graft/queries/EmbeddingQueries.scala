@@ -871,7 +871,212 @@ object EmbeddingQueries extends QuerySet {
         .orderBy("subspace", "round")
     })
 
+  // ---- Johnson–Lindenstrauss random-sign projection ----------------------
+  // The dimensionality-reduction front end of every large-scale vector
+  // pipeline: project 64-dim embeddings to 16 dims with a random ±1
+  // sign matrix scaled by 1/√k — the JL construction (Achlioptas'
+  // database-friendly variant: signs, no Gaussians), which preserves
+  // pairwise distances within (1±ε) w.h.p. and makes everything
+  // downstream (LSH banding, k-means, dedup verify) 4× cheaper. The
+  // sign matrix must be DETERMINISTIC and engine-portable, so entry
+  // (d, j) = +1 iff the first hex nibble of md5("d_j") is even — the
+  // source_mix hashing discipline, derivable identically in any
+  // engine. Spark folds the 16×64 signs as array literals computed
+  // once on the driver (zero per-row hashing); the oracle re-derives
+  // the same matrix from md5 in SQL. dot products run element-
+  // sequential in double (dot_f64 ≡ list_aggregate order), rounded to
+  // 6 decimals per component.
+  //
+  // 100 TB shape: pure map-side projection — no exchange of any kind
+  // touches the corpus (PlanSpec locks no hashpartitioning), the
+  // operator composes with a parquet write into the reduced table.
+  // JL distance preservation is gated empirically in EmbeddingSpec
+  // (sampled pair distortion within the ε the 16-dim regime implies).
+  private val JlOutDims = 16
+  private val JlInDims = 64
+
+  /** sign(d)(j) ∈ {+1.0, −1.0} from md5("d_j") — driver-side mirror of
+    * the oracle's SQL derivation (same md5 of the same ASCII string). */
+  private[queries] def jlSigns: Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until JlOutDims).map(d => (0 until JlInDims).map { j =>
+      val hex = md.digest(s"${d}_$j".getBytes("UTF-8"))
+      // first hex nibble = high nibble of byte 0
+      if (((hex(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+    })
+  }
+
+  private val jlProjection = QueryDef(
+    "jl_projection",
+    Some("""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |sg AS (
+           |  SELECT d.d AS d, list(CASE WHEN ('0x' || substr(md5(d.d || '_' || j.j), 1, 1))::INT % 2 = 0
+           |                             THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END ORDER BY j.j) AS sv
+           |  FROM range(0, 16) d(d), range(0, 64) j(j) GROUP BY d.d),
+           |p AS (
+           |  SELECT e.vec_id, sg.d,
+           |         round(list_aggregate(list_transform(range(1, 65),
+           |                 i -> e.v[i] * sg.sv[i]), 'sum') * 0.25::DOUBLE, 6) AS x
+           |  FROM e CROSS JOIN sg)
+           |SELECT vec_id, list(x ORDER BY d) AS proj
+           |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+    (s, dir) => {
+      val e = withNorm(s, dir)
+      val signs = jlSigns
+      val projCols = (0 until JlOutDims).map(d =>
+        round(call_function("dot_f64", col("v"),
+          array(signs(d).map(lit): _*)) * lit(0.25), 6))
+      e.select(col("vec_id"), array(projCols: _*).as("proj"))
+        .orderBy("vec_id")
+    })
+
+  // ---- IVF-PQ asymmetric-distance search ---------------------------------
+  // The FAISS-standard shape for billion-vector search, composing the
+  // two quantizers already gated separately: the COARSE quantizer
+  // (ann_ivf_topk's seed cells) routes a probe to nprobe cells, and
+  // within them candidates are ranked by PRODUCT-QUANTIZED distance —
+  // each candidate is stored as 8 one-byte codes (its nearest PQ
+  // centroid per 8-dim subspace; 64 doubles → 8 bytes, a 64× memory
+  // cut), and the probe scores a candidate WITHOUT touching its full
+  // vector: approx d²(p, x) = Σ_j ‖sub_j(p) − c_{j,code_j(x)}‖², the
+  // asymmetric distance computation. The probe-side subvector terms
+  // ‖sub_j(p)‖² are constant per probe, so they are dropped — ranking
+  // is invariant — leaving per-(pair, subspace) terms
+  // (‖c‖² − 2·sub_j(p)·c), each rounded to INTEGER micro-units so the
+  // 8-term sum is order-independent and engine-exact (the KL/surprisal
+  // integer-partials discipline). Code assignment is the same argmin,
+  // also in integer micro-units, ties to the lower cell id.
+  //
+  // 100 TB shape: cell + code assignment are PURE MAP-SIDE (seed and
+  // codebook literals folded into the projection — zero corpus
+  // exchanges before the candidate join; the codes table is what a
+  // real deployment would persist, bucketed by cell); the probe set
+  // broadcasts; the candidate join touches nprobe cells only; scoring
+  // reads 8 small literal lookups per pair, never the candidate's full
+  // vector. PlanSpec locks no-cartesian + broadcast; EmbeddingSpec
+  // gates ADC ranking quality against the exact in-cell ordering.
+  // Codebooks here are the PQ seed centroids (vec_id < 16 subvectors,
+  // pq_quantizer_trained's round-0 state) so both engines derive the
+  // identical quantizer from the data — the trained codebooks drop in
+  // via the same literal-folding path.
+  private val AdcTopK = 5
+
+  private val ivfpqAdc = QueryDef(
+    "ann_ivfpq_adc",
+    Some("""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |d AS (
+           |  SELECT n.vec_id, s.vec_id AS sid,
+           |         list_aggregate(list_transform(range(1, len(n.v) + 1),
+           |             i -> n.v[i] * s.v[i]), 'sum') AS dp
+           |  FROM e n JOIN e s ON s.vec_id IN (5, 15, 25, 35, 45, 55, 65, 75)),
+           |r AS (
+           |  SELECT vec_id, sid,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, sid) AS srn
+           |  FROM d),
+           |cells AS (SELECT vec_id, sid AS cell FROM r WHERE srn = 1),
+           |pcells AS (
+           |  SELECT vec_id AS probe_id, sid AS pcell FROM r
+           |  WHERE srn <= 2 AND vec_id IN (7, 42, 99)),
+           |cb AS (
+           |  SELECT j.j AS j, CAST(c.vec_id AS INT) AS cid,
+           |         list_slice(c.v, j.j * 8 + 1, j.j * 8 + 8) AS cv
+           |  FROM e c, range(0, 8) j(j) WHERE c.vec_id < 16),
+           |cc AS (
+           |  SELECT j, cid, cv,
+           |         list_aggregate(list_transform(cv, x -> x * x), 'sum') AS c2
+           |  FROM cb),
+           |codes AS (
+           |  SELECT vec_id, j, cid AS code FROM (
+           |    SELECT s.vec_id, c.j, c.cid,
+           |           row_number() OVER (PARTITION BY s.vec_id, c.j ORDER BY
+           |             CAST(round((c.c2 - 2.0::DOUBLE * list_aggregate(list_transform(range(1, 9),
+           |                 i -> s.v[c.j * 8 + i] * c.cv[i]), 'sum')) * 1000000.0::DOUBLE, 0) AS BIGINT),
+           |             c.cid) AS rn
+           |    FROM e s CROSS JOIN cc c) t WHERE rn = 1),
+           |p AS (
+           |  SELECT pc.probe_id, cl.vec_id AS neighbor_id
+           |  FROM pcells pc JOIN cells cl ON cl.cell = pc.pcell AND cl.vec_id <> pc.probe_id),
+           |terms AS (
+           |  SELECT p.probe_id, p.neighbor_id,
+           |         CAST(round((cc.c2 - 2.0::DOUBLE * list_aggregate(list_transform(range(1, 9),
+           |             i -> pv.v[cc.j * 8 + i] * cc.cv[i]), 'sum')) * 1000000.0::DOUBLE, 0) AS BIGINT) AS u6
+           |  FROM p
+           |  JOIN codes cd ON cd.vec_id = p.neighbor_id
+           |  JOIN cc ON cc.j = cd.j AND cc.cid = cd.code
+           |  JOIN e pv ON pv.vec_id = p.probe_id),
+           |sc AS (
+           |  SELECT probe_id, neighbor_id, CAST(sum(u6) AS BIGINT) AS score_u6
+           |  FROM terms GROUP BY probe_id, neighbor_id),
+           |rr AS (
+           |  SELECT *, row_number() OVER (PARTITION BY probe_id
+           |            ORDER BY score_u6, neighbor_id) AS rn FROM sc)
+           |SELECT probe_id, neighbor_id, score_u6, rn FROM rr WHERE rn <= 5
+           |ORDER BY probe_id, rn""".stripMargin),
+    (s, dir) => {
+      val e = withNorm(s, dir)
+      val seeds = e.filter(col("vec_id").isin(IvfSeedIds: _*))
+        .select(col("vec_id").cast("int").as("sid"), col("v"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      val scoredSeeds = array_sort(array(seeds.map { case (sid, sv) =>
+        struct((-call_function("dot_f64", col("v"), array(sv.map(lit): _*))).as("nd"),
+          lit(sid).as("sid"))
+      }: _*))
+      // PQ codebooks: the 16 seed vectors' subspace slices, plus each
+      // centroid's ‖c‖² folded on the driver with the same sequential
+      // double sum DuckDB's list_aggregate performs.
+      val pqSeeds = e.filter(col("vec_id") < PqK)
+        .select(col("vec_id").cast("int").as("sid"), col("v"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1).map(_._2)
+      val cents: Seq[Seq[Seq[Double]]] = (0 until PqSubspaces).map(j =>
+        pqSeeds.map(v => v.slice(j * PqSubDim, (j + 1) * PqSubDim).toSeq).toSeq)
+      val c2: Seq[Seq[Double]] =
+        cents.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
+      def termU6(j: Int, sub: org.apache.spark.sql.Column,
+          cv: org.apache.spark.sql.Column, cc: org.apache.spark.sql.Column) =
+        round((cc - lit(2.0) * call_function("dot_f64", sub, cv)) * lit(1000000.0), 0)
+          .cast("long")
+      def codeExpr(j: Int) = element_at(array_sort(array(
+        cents(j).zipWithIndex.map { case (cv, ci) =>
+          struct(termU6(j, slice(col("v"), j * PqSubDim + 1, PqSubDim),
+            array(cv.map(lit): _*), lit(c2(j)(ci))).as("d"), lit(ci).as("cid"))
+        }: _*)), 1).getField("cid")
+      val coded = e
+        .withColumn("cell", element_at(scoredSeeds, 1).getField("sid"))
+        .select(col("vec_id") +: col("cell") +:
+          (0 until PqSubspaces).map(j => codeExpr(j).as(s"code_$j")): _*)
+      val probes = broadcast(
+        e.filter(col("vec_id").isin(IvfProbeIds: _*))
+          .withColumn("pcell",
+            explode(transform(slice(scoredSeeds, 1, IvfNProbe), x => x.getField("sid"))))
+          .select(col("vec_id").as("probe_id"), col("pcell"), col("v").as("pv")))
+      val cand = coded
+        .join(probes, coded("cell") === probes("pcell") && col("vec_id") =!= col("probe_id"))
+      // ADC: per-subspace lookup of the candidate's code into the
+      // probe-vs-codebook table — spelled as literal-array lookups so
+      // the candidate's full vector is never read at scoring time
+      val score = (0 until PqSubspaces).map { j =>
+        termU6(j, slice(col("pv"), j * PqSubDim + 1, PqSubDim),
+          element_at(array(cents(j).map(cv => array(cv.map(lit): _*)): _*),
+            col(s"code_$j") + 1),
+          element_at(array(c2(j).map(lit): _*), col(s"code_$j") + 1))
+      }.reduce(_ + _)
+      val w = Window.partitionBy("probe_id").orderBy(col("score_u6"), col("vec_id"))
+      cand.withColumn("score_u6", score)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= AdcTopK)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          col("score_u6"), col("rn"))
+        .orderBy("probe_id", "rn")
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(bruteTopk, lshTopk, ivfTopk, ivfTrained, embDupPairs, embIncremental,
-      embDupClusters, embDedupCorpus, semDedup, quantize, centroids, pqTrained)
+      embDupClusters, embDedupCorpus, semDedup, quantize, centroids, pqTrained,
+      jlProjection, ivfpqAdc)
 }

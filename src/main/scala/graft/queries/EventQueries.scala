@@ -323,7 +323,101 @@ object EventQueries extends QuerySet {
     (s, dir) => Tables.sql(s, dir,
       winsorSql((c, p) => s"percentile($c, ${p}D)", "1000000.0D")))
 
+  // ---- SCD Type-2 interval build ------------------------------------------
+  // The warehouse staple: collapse each user's event-type stream into
+  // validity intervals (one row per RUN of equal states) with
+  // valid_from / valid_to / is_current — the slowly-changing-dimension
+  // table an ingest job derives from a change stream. Classic
+  // gaps-and-islands: a run boundary is `state <> lag(state)`, the run
+  // id is the running count of boundaries (ROWS frame, explicit so
+  // both engines pin the same frame), runs collapse by min(ts)/count,
+  // and valid_to = the NEXT run's valid_from via lead (NULL ⇒ current).
+  //
+  // 100 TB shape: every window partitions by user_id — a single hash
+  // exchange on the stream's natural high-cardinality key feeds the
+  // lag and the running sum (same partitioning, one sort). The run
+  // collapse and the lead window operate on RUN rows (already ~5×
+  // smaller than the stream here, and in a real dimension stream
+  // orders of magnitude smaller), so the second exchange carries the
+  // collapsed table, never the raw stream. No corpus-wide sort, no
+  // self-join — the naive SCD2 spelling (each event joined to the next
+  // change via a theta join) never appears.
+  // Integer casts: the run id is an integer-sum (DuckDB sums to
+  // HUGEINT → BIGINT cast), count(*) likewise.
+  private val scd2Sql =
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_type, ts,
+      |         sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+      |                  THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      |  FROM o),
+      |r AS (
+      |  SELECT user_id, run_id, event_type AS state,
+      |         min(ts) AS valid_from, count(*) AS n_events
+      |  FROM m GROUP BY user_id, run_id, event_type),
+      |f AS (
+      |  SELECT user_id, run_id, state, valid_from, n_events,
+      |         lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to
+      |  FROM r)
+      |SELECT user_id, CAST(run_id AS BIGINT) AS version, state,
+      |       CAST(valid_from AS TIMESTAMP) AS valid_from,
+      |       CAST(valid_to AS TIMESTAMP) AS valid_to,
+      |       CAST(n_events AS BIGINT) AS n_events,
+      |       (valid_to IS NULL) AS is_current
+      |FROM f ORDER BY user_id, version""".stripMargin
+
+  private val scd2 = QueryDef(
+    "ev8_scd2_intervals",
+    Some(scd2Sql),
+    (s, dir) => Tables.sql(s, dir, scd2Sql))
+
+  // ---- session-scoped Markov transition matrix ----------------------------
+  // The navigation model product analytics fits over a click stream:
+  // P(next state | state), estimated from transitions WITHIN a session
+  // (ev2's 30-minute gap rule — a transition across a session break is
+  // a fiction the raw lag would happily count, which is exactly what
+  // ev3's unscoped counts do; this op is the statistically honest
+  // refinement). Probabilities are row-normalized to integer PPM so the
+  // output is engine-exact: n and tot are exact BIGINT counts and the
+  // one double division rounds half-up identically (positive domain).
+  //
+  // 100 TB shape: one window pass per user partition (single hash
+  // exchange on user_id, lag of type and ts share one sort), then a
+  // partial-agg collapse to the |types|² transition matrix — constant-
+  // size output, map-side combined; the row-total join touches the
+  // already-collapsed matrix (broadcast). Epoch math in exact integer
+  // microseconds (unix_micros/epoch_us, the ev2 discipline).
+  private def markovSql(epochFn: String => String, oneM: String) =
+    s"""WITH o AS (
+       |  SELECT user_id, event_type,
+       |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+       |         ${epochFn("ts")} - ${epochFn("lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)")} AS gap_us
+       |  FROM events),
+       |t AS (
+       |  SELECT prev_type AS from_state, event_type AS to_state,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM o
+       |  WHERE prev_type IS NOT NULL AND gap_us <= 1800000000
+       |  GROUP BY prev_type, event_type),
+       |tot AS (
+       |  SELECT from_state, CAST(sum(n) AS BIGINT) AS row_total
+       |  FROM t GROUP BY from_state)
+       |SELECT t.from_state, t.to_state, t.n, tot.row_total,
+       |       CAST(round(t.n * $oneM / tot.row_total, 0) AS BIGINT) AS p_ppm
+       |FROM t JOIN tot ON tot.from_state = t.from_state
+       |ORDER BY t.from_state, t.to_state""".stripMargin
+
+  private val markov = QueryDef(
+    "ev9_markov_transitions",
+    Some(markovSql(e => s"epoch_us($e)", "1000000.0::DOUBLE")),
+    (s, dir) => Tables.sql(s, dir, markovSql(e => s"unix_micros($e)", "1000000.0D")))
+
   override val defs: Seq[QueryDef] =
     Seq(hourly, sessions, funnel, salted, keepLatest, asof, rangeJoin, conversion,
-      retention, anomaly, winsorized)
+      retention, anomaly, winsorized, scd2, markov)
 }

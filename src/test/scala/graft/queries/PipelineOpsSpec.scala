@@ -101,8 +101,9 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("anomaly hours satisfy the exact integer 3-sigma inequality") {
-    val events = spark.read.parquet(s"$sfMid/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // via Tables so the ts physical-shape normalization (nanos-long or
+    // NTZ, driver-generator dependent) matches what the operator sees
+    val events = graft.Tables.table(spark, sfMid, "events")
     val hourly = events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("cnt"))
