@@ -649,7 +649,87 @@ object CorpusOpsQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  // ---- corpus-wide duplicate-segment removal (boilerplate strip) --------
+  // The RefinedWeb/CCNet line-dedup stage: segments that repeat across
+  // the corpus (headers, footers, navigation chrome) are REMOVED from
+  // every document — not whole-document dedup (TextQueries) and not
+  // just measurement (dup_span_stats): the output is the cleaned text
+  // itself. Segments here are consecutive 3-word windows (the synthetic
+  // corpus has no newlines; a real crawl would segment on '\n' with the
+  // identical dataflow), and a segment is boilerplate when it occurs
+  // ≥ 4 times corpus-wide.
+  //
+  // 100 TB shape, stage by stage: segmentation is PURE MAP-SIDE array
+  // arithmetic (one transform over the pre-split words, no explode-
+  // regroup round trip to build segments); the corpus-frequency count
+  // shuffles ONLY (digest, count) partials — the md5 digest replaces
+  // raw segment text on the wire (the dup_span_stats discipline);
+  // the boilerplate set — bounded above by n_segments/threshold and in
+  // practice ~0.1% of segment types — broadcasts back, so marking is a
+  // map-side hash probe; one groupBy(doc_id) rebuilds each document
+  // from its kept segments (sort_array on (seg_id, seg) structs —
+  // per-doc arrays, never a corpus sort). The rebuilt text leaves the
+  // operator as md5 + length, so the gated output is constant-width
+  // per doc no matter how large documents get. If a degenerate corpus
+  // ever made the boilerplate set exceed broadcast size, the same plan
+  // with the hint dropped degrades to a shuffled hash join — still
+  // linear, never quadratic.
+  private val SegWords = 3
+  private val SegDupThreshold = 4
+
+  private val segmentDedup = QueryDef(
+    "segment_dedup_clean",
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            |seg AS (
+            |  SELECT doc_id, i AS seg_id,
+            |         array_to_string(list_slice(ws, (i - 1) * $SegWords + 1,
+            |                                    (i - 1) * $SegWords + $SegWords), ' ') AS seg
+            |  FROM w, LATERAL unnest(range(1,
+            |         CAST(ceil(len(ws) / ${SegWords}.0) AS BIGINT) + 1)) t(i)),
+            |c AS (SELECT md5(seg) AS h FROM seg GROUP BY md5(seg)
+            |      HAVING count(*) >= $SegDupThreshold),
+            |m AS (
+            |  SELECT s.doc_id, s.seg_id, s.seg, (c.h IS NOT NULL) AS dup
+            |  FROM seg s LEFT JOIN c ON c.h = md5(s.seg)),
+            |g AS (
+            |  SELECT doc_id,
+            |         CAST(count(*) AS BIGINT) AS n_segments,
+            |         CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+            |         coalesce(string_agg(CASE WHEN dup THEN NULL ELSE seg END,
+            |                             ' ' ORDER BY seg_id), '') AS clean
+            |  FROM m GROUP BY doc_id)
+            |SELECT doc_id, n_segments, n_removed,
+            |       CAST(length(clean) AS BIGINT) AS clean_n_chars,
+            |       md5(clean) AS clean_md5
+            |FROM g ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      val segs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(1, cast(ceil(size(ws) / ${SegWords}.0D) as int)),
+             |  i -> concat_ws(' ', slice(ws, (i - 1) * $SegWords + 1, $SegWords)))"""
+            .stripMargin)).as(Seq("pos", "seg")))
+        .select(col("doc_id"), (col("pos") + 1).as("seg_id"), col("seg"),
+          md5(col("seg")).as("h"))
+      val boiler = segs.groupBy("h").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= SegDupThreshold)
+        .select(col("h").as("dup_h"))
+      segs.join(broadcast(boiler), segs("h") === boiler("dup_h"), "left")
+        .withColumn("dup", col("dup_h").isNotNull)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_segments"),
+          sum(when(col("dup"), 1).otherwise(0)).cast("long").as("n_removed"),
+          concat_ws(" ", expr(
+            "transform(filter(array_sort(collect_list(struct(seg_id, dup, seg))), x -> NOT x.dup), x -> x.seg)"))
+            .as("clean"))
+        .select(col("doc_id"), col("n_segments"), col("n_removed"),
+          length(col("clean")).cast("long").as("clean_n_chars"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy("doc_id")
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(incremental, surprisal, surprisalBuckets, chunks, sourceMix,
-      leakageSafeSplit, temperatureMix, dsir, bigramSurprisal, cdcChunks)
+      leakageSafeSplit, temperatureMix, dsir, bigramSurprisal, cdcChunks,
+      segmentDedup)
 }

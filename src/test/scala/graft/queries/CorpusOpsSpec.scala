@@ -127,6 +127,43 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.getOrElse("val", 0L) > 0 && rows.getOrElse("test", 0L) > 0)
   }
 
+  test("segment dedup reproduces a full driver re-derivation") {
+    // independent re-derivation of the whole operator: segment every
+    // document into 3-word windows, count corpus-wide, remove segments
+    // occurring >= 4 times, rebuild the text, hash — then compare
+    // row-for-row with the operator's output.
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // limit -1 keeps trailing empty fields, matching Spark split() and
+    // DuckDB string_split (plain Scala split drops them)
+    def segsOf(t: String): Seq[String] =
+      t.split(" ", -1).grouped(3).map(_.mkString(" ")).toSeq
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    docs.foreach { case (_, t) =>
+      segsOf(t).foreach(s => counts(s) = counts.getOrElse(s, 0) + 1) }
+    val dup = counts.collect { case (s, n) if n >= 4 => s }.toSet
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = docs.map { case (id, t) =>
+      val segs = segsOf(t)
+      val kept = segs.filterNot(dup)
+      id -> ((segs.length.toLong, (segs.length - kept.length).toLong,
+        md5hex(kept.mkString(" "))))
+    }.toMap
+    val got = run("segment_dedup_clean").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4))))
+      .toMap
+    assert(got.keySet == expect.keySet, "document set mismatch")
+    val bad = expect.collect {
+      case (id, e) if got(id) != e => (id, got(id), e) }
+    assert(bad.isEmpty, s"mismatched docs: ${bad.take(3)}")
+    assert(expect.values.map(_._2).sum > 0,
+      "vacuous fixture: no duplicated segments removed")
+    assert(expect.values.exists(v => v._1 > v._2),
+      "vacuous fixture: everything removed")
+  }
+
   test("retention grid: day-0 retention is 1.0 for every cohort, never above 1") {
     val out = run("ev5_retention_cohorts")
     val day0 = out.filter(col("day_offset") === 0)

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, Tables}
+
+/** Behavioral gates for the round-9 embedding operators, each proved
+  * against an independent driver-side re-derivation:
+  *  - JL projection: the distance-preservation property the transform
+  *    exists for (sampled pair distortion inside the k=16 regime's
+  *    bounds), plus sign-matrix determinism;
+  *  - IVF-PQ ADC: an exact end-to-end replay (cells, codes, integer
+  *    ADC scores, final ranking recomputed from raw vectors on the
+  *    driver) and a quantization-quality floor against the exact
+  *    in-cell distance ranking.
+  */
+class EmbeddingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]").appName("embedding-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .withExtensions(graft.functions.GraftFunctions.register)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  /** Raw vectors as doubles, keyed by vec_id. */
+  private def vectors(): Map[Long, Array[Double]] =
+    Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+
+  test("JL projection preserves sampled pairwise distances within the k=16 regime") {
+    val v = vectors()
+    val proj = run("jl_projection").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(proj.keySet == v.keySet)
+    assert(proj.values.forall(_.length == 16))
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // E‖p(a)−p(b)‖² = ‖a−b‖² for the sign construction scaled by 1/√k;
+    // with k = 16 the per-pair ratio has std ≈ √(2/k) ≈ 0.35, so
+    // individual ratios live in a wide band but the mean concentrates.
+    val ids = v.keys.toSeq.sorted.take(80)
+    val ratios = for {
+      i <- ids.indices; j <- (i + 1) until math.min(i + 5, ids.length)
+      a = ids(i); b = ids(j)
+      orig = d2(v(a), v(b)) if orig > 0
+    } yield d2(proj(a), proj(b)) / orig
+    assert(ratios.size > 100, "not enough sampled pairs")
+    assert(ratios.forall(r => r > 0.15 && r < 4.0),
+      s"pair distortion outside the plausible band: min=${ratios.min} max=${ratios.max}")
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.75 && mean < 1.3, s"mean distortion $mean drifted from 1")
+  }
+
+  test("JL sign matrix re-derives from md5 exactly (engine-portable determinism)") {
+    val signs = EmbeddingQueries.jlSigns
+    assert(signs.length == 16 && signs.forall(_.length == 64))
+    assert(signs.flatten.forall(s => s == 1.0 || s == -1.0))
+    // not degenerate: both signs occur in every output dimension
+    signs.zipWithIndex.foreach { case (row, d) =>
+      assert(row.contains(1.0) && row.contains(-1.0), s"dim $d is constant-sign")
+    }
+    // spot-check one entry against a hand computation of md5("0_0")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nib = (md.digest("0_0".getBytes("UTF-8"))(0) >> 4) & 0xf
+    assert(signs(0)(0) == (if (nib % 2 == 0) 1.0 else -1.0))
+  }
+
+  test("IVF-PQ ADC replays exactly from a driver-side re-derivation") {
+    val v = vectors()
+    val seedIds = Seq(5L, 15L, 25L, 35L, 45L, 55L, 65L, 75L)
+    val probeIds = Seq(7L, 42L, 99L)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    // cells: argmax dot with the seed vectors, ties to the lower sid
+    def cellsOf(x: Array[Double], n: Int): Seq[Long] =
+      seedIds.map(s => (-dot(x, v(s)), s)).sorted.take(n).map(_._2)
+    // PQ codebooks: subspace slices of vec_id < 16
+    val cents = (0 until 8).map(j => (0 until 16).map(c =>
+      v(c.toLong).slice(j * 8, j * 8 + 8)))
+    // HALF_UP (away from zero) matches Spark's round() and DuckDB's on
+    // negatives, where math.round would round toward +inf
+    def termU6(sub: Array[Double], cv: Array[Double]): Long =
+      BigDecimal((dot(cv, cv) - 2.0 * dot(sub, cv)) * 1000000.0)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    def codesOf(x: Array[Double]): Seq[Int] =
+      (0 until 8).map { j =>
+        val sub = x.slice(j * 8, j * 8 + 8)
+        (0 until 16).map(c => (termU6(sub, cents(j)(c)), c)).min._2
+      }
+    val cellOf = v.keys.map(id => id -> cellsOf(v(id), 1).head).toMap
+    val expect = probeIds.flatMap { p =>
+      val pcells = cellsOf(v(p), 2).toSet
+      val cand = v.keys.filter(id => id != p && pcells.contains(cellOf(id)))
+      val scored = cand.map { id =>
+        val codes = codesOf(v(id))
+        val score = (0 until 8).map(j =>
+          termU6(v(p).slice(j * 8, j * 8 + 8), cents(j)(codes(j)))).sum
+        (id, score)
+      }.toSeq.sortBy { case (id, s) => (s, id) }.take(5)
+      scored.zipWithIndex.map { case ((id, s), i) => (p, id, s, (i + 1).toLong) }
+    }.toSet
+    val got = run("ann_ivfpq_adc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3).toLong))
+      .toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+
+    // quantization quality: within the probed cells, the ADC top-5 must
+    // recover a reasonable share of the EXACT-distance top-5 (the
+    // asymmetric approximation loses precision but not the plot)
+    def exactTop5(p: Long): Set[Long] = {
+      val pcells = cellsOf(v(p), 2).toSet
+      v.keys.filter(id => id != p && pcells.contains(cellOf(id)))
+        .map { id =>
+          val d = v(p).zip(v(id)).map { case (a, b) => (a - b) * (a - b) }.sum
+          (id, d)
+        }.toSeq.sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+    }
+    val overlaps = probeIds.map { p =>
+      val adc = expect.filter(_._1 == p).map(_._2)
+      exactTop5(p).intersect(adc).size
+    }
+    assert(overlaps.sum >= probeIds.size,
+      s"ADC recovered too little of the exact top-5: $overlaps")
+  }
+}

@@ -266,4 +266,87 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tail._3 > tail._5,
       s"tail lang ${tail._1} not upweighted: ppm=${tail._3} natural=${tail._5}")
   }
+
+  /** Exact epoch microseconds of a Timestamp (getTime carries millis,
+    * getNanos the full fractional second — take only its sub-milli part). */
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
+  /** Each user's events in (ts, event_id) order — the ordering every
+    * run/transition derivation below shares with the operators. */
+  private def orderedEvents(): Map[Long, Seq[(String, java.sql.Timestamp, Long)]] =
+    graft.Tables.table(spark, sfMid, "events")
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3)))
+      .groupBy(_._1)
+      .map { case (u, rs) =>
+        u -> rs.sortBy(r => (micros(r._3), r._4))
+          .map(r => (r._2, r._3, r._4)).toSeq
+      }
+
+  test("SCD2 intervals partition each user's stream into maximal runs") {
+    val byUser = orderedEvents()
+    val got = run("ev8_scd2_intervals", sfMid).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getLong(5),
+        r.getBoolean(6)))
+    // re-derive runs per user: collapse consecutive equal states
+    val expect = byUser.toSeq.flatMap { case (u, evs) =>
+      val runs = scala.collection.mutable.ArrayBuffer
+        .empty[(String, java.sql.Timestamp, Long)]
+      evs.foreach { case (st, ts, _) =>
+        if (runs.nonEmpty && runs.last._1 == st) {
+          val (s, f, n) = runs.last; runs(runs.length - 1) = (s, f, n + 1)
+        } else runs += ((st, ts, 1L))
+      }
+      runs.zipWithIndex.map { case ((st, from, n), i) =>
+        val to = if (i + 1 < runs.length) Some(runs(i + 1)._2) else None
+        (u, (i + 1).toLong, st, from, to, n, to.isEmpty)
+      }
+    }.toSet
+    assert(got.toSet == expect,
+      s"missing=${(expect -- got.toSet).take(2)} extra=${(got.toSet -- expect).take(2)}")
+    // structural invariants: exactly one open interval per user;
+    // adjacent versions never share a state (runs are maximal)
+    got.groupBy(_._1).foreach { case (u, rows) =>
+      assert(rows.count(_._7) == 1, s"user $u open intervals != 1")
+      rows.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 != b._3, s"user $u adjacent runs share state ${a._3}")
+          assert(a._5.contains(b._4), s"user $u intervals not contiguous")
+        case _ => ()
+      }
+    }
+  }
+
+  test("markov transitions recount exactly and rows normalize to ppm") {
+    val byUser = orderedEvents()
+    val trans = scala.collection.mutable.Map.empty[(String, String), Long]
+    byUser.values.foreach { evs =>
+      evs.sliding(2).foreach {
+        case Seq((a, ta, _), (b, tb, _)) =>
+          val gapUs = micros(tb) - micros(ta)
+          if (gapUs <= 1800000000L)
+            trans((a, b)) = trans.getOrElse((a, b), 0L) + 1
+        case _ => ()
+      }
+    }
+    val rowTotals = trans.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val got = run("ev9_markov_transitions", sfMid).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet == trans.keySet.toSet)
+    trans.foreach { case (k, n) =>
+      val (gn, gt, gp) = got(k)
+      assert(gn == n, s"$k count $gn != $n")
+      assert(gt == rowTotals(k._1), s"$k row total")
+      assert(gp == math.round(n * 1000000.0 / rowTotals(k._1)), s"$k ppm")
+    }
+    // each from-state's ppm column sums to ~1e6 (per-cell rounding slack)
+    got.groupBy(_._1._1).foreach { case (f, m) =>
+      val s = m.values.map(_._3).sum
+      assert(math.abs(s - 1000000L) <= m.size, s"$f ppm sum $s")
+    }
+  }
 }

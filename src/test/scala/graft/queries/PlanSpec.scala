@@ -502,4 +502,47 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"),
       s"weighted top-k degraded to a full sort:\n$p")
   }
+
+  test("JL projection is a pure map-side literal fold (no hash exchange, no HOF)") {
+    val p = plan("jl_projection")
+    assert(p.contains("dot_f64"), s"native dot kernel missing:\n$p")
+    assert(!p.contains("hashpartitioning("),
+      s"projection should never shuffle the corpus:\n$p")
+    assert(!p.contains("lambdafunction"),
+      s"interpreted HOF lambda in the projection path:\n$p")
+  }
+
+  test("IVF-PQ ADC broadcasts probes, assigns codes map-side, never cartesians") {
+    val p = plan("ann_ivfpq_adc")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"probe set should broadcast onto the coded corpus:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"ADC search degraded to an all-pairs product:\n$p")
+  }
+
+  test("segment dedup counts digests with map-side combine and broadcasts the boilerplate set") {
+    val p = plan("segment_dedup_clean")
+    assert(p.contains("partial_count"),
+      s"segment frequency shuffles raw segments without combine:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"boilerplate set should broadcast back onto the segments:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"segment dedup planned a cartesian:\n$p")
+  }
+
+  test("SCD2 windows ride the user_id hash exchange; no self-join appears") {
+    val p = plan("ev8_scd2_intervals")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"SCD2 windows must partition by the stream's user key:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"SCD2 degraded to the naive event-to-next-change join:\n$p")
+  }
+
+  test("Markov matrix collapses with partial aggregation after one window pass") {
+    val p = plan("ev9_markov_transitions")
+    assert(p.contains("partial_count"),
+      s"transition counts shuffle raw events without combine:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"markov rollup planned a cartesian:\n$p")
+  }
 }
