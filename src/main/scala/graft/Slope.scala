@@ -75,7 +75,17 @@ object Slope {
     // ratio would measure the wrong deployment either way.
     "cdc_chunks",
     "cms_heavy_hitters",
-    "kl_divergence_sources")
+    "kl_divergence_sources",
+    // r9 additions: the segment-level boilerplate strip (digest-count
+    // shuffle + per-doc rebuild), the SCD2 interval build (the
+    // window-over-stream family's representative), the map-side JL
+    // projection, and the IVF-PQ ADC search (map-side code assignment
+    // + probe-cell candidate scan — candidates grow linearly with the
+    // corpus at fixed cell count).
+    "segment_dedup_clean",
+    "ev8_scd2_intervals",
+    "jl_projection",
+    "ann_ivfpq_adc")
 
   val MaxRatio = 15.0
   val OverheadFloorSec = 0.3

@@ -417,6 +417,47 @@ object EventQueries extends QuerySet {
     Some(markovSql(e => s"epoch_us($e)", "1000000.0::DOUBLE")),
     (s, dir) => Tables.sql(s, dir, markovSql(e => s"unix_micros($e)", "1000000.0D")))
 
+  /** One streaming step of the session-scoped transition matrix (ev9's
+    * streaming face, driven by [[graft.streaming.Streaming
+    * .transitionStream]]): given the per-user FRONTIER — the last seen
+    * event per user from prior batches — and a new time-ordered batch,
+    * returns (transition partial counts, new frontier). The frontier
+    * supplies exactly the cross-batch boundary transition the in-batch
+    * lag cannot see; its own earlier transitions were counted when it
+    * was the batch. State is one row per user (the stream's natural
+    * key cardinality) plus the constant |types|² matrix — bounded
+    * regardless of stream length, and the count merge is plain
+    * addition (associative + commutative), so the standing matrix
+    * updates cell-wise like the CMS sketch. Parity with the batch
+    * operator over any time-ordered micro-batch split is locked in
+    * StreamingSpec. */
+  private[graft] def transitionStep(
+      frontier: Option[org.apache.spark.sql.DataFrame],
+      batch: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val cols = Seq("user_id", "event_type", "ts", "event_id").map(col)
+    val slice = batch.select(cols: _*)
+    val all = frontier.map(f => slice.unionByName(f.select(cols: _*)))
+      .getOrElse(slice)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val lagged = all
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+    val partial = lagged
+      .filter(col("prev_type").isNotNull && col("gap_us") <= 1800000000L)
+      .groupBy(col("prev_type").as("from_state"), col("event_type").as("to_state"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    // keep-latest per user: struct-max partial agg, no window sort
+    val newFrontier = all.groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("m.event_type").as("event_type"),
+        col("m.ts").as("ts"), col("m.event_id").as("event_id"))
+    (partial, newFrontier)
+  }
+
   override val defs: Seq[QueryDef] =
     Seq(hourly, sessions, funnel, salted, keepLatest, asof, rangeJoin, conversion,
       retention, anomaly, winsorized, scd2, markov)

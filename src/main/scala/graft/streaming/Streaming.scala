@@ -185,6 +185,30 @@ object Streaming {
       }
       .start()
 
+  /** Streaming session-scoped transition matrix — ev9's streaming face,
+    * the STATEFUL sibling of [[cmsSketchStream]]: the transition counts
+    * merge by plain addition, but unlike the sketch each micro-batch
+    * also needs the previous batch's last event per user (the session
+    * FRONTIER) to count the one boundary transition the in-batch lag
+    * cannot see. The caller owns both pieces of state — the standing
+    * matrix (constant |types|²) and the frontier (one row per user) —
+    * and applies [[graft.queries.EventQueries.transitionStep]] per
+    * batch; this wrapper only sequences the micro-batches. Batches
+    * must arrive event-time ordered per user (the cursor-append
+    * contract); parity with the batch operator over any such split is
+    * locked in StreamingSpec. */
+  def transitionStream(
+      incoming: DataFrame,
+      checkpointDir: String)(step: DataFrame => Unit): StreamingQuery =
+    incoming.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) step(batch)
+      }
+      .start()
+
   /** Continuous corpus ingestion — the CLOSED loop the incremental
     * operators build toward: per micro-batch of (doc_id, text),
     *

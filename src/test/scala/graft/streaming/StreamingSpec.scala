@@ -410,4 +410,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(batch.nonEmpty)
     } finally if (q.isActive) q.stop()
   }
+
+  test("streaming transition matrix equals the batch operator over a time-ordered split") {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.Tables.table(spark, dir, "events")
+      .select("user_id", "event_type", "ts", "event_id")
+    // three TIME-ordered micro-batches (the cursor-append contract):
+    // global (ts, event_id) terciles, written as one file each with
+    // forced modification times so the file source replays them in order
+    val n = events.count()
+    val ranked = events.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))))
+    val tmp = Files.createTempDirectory("trans_stream")
+    Files.createDirectory(tmp.resolve("incoming"))
+    (0 until 3).foreach { i =>
+      val lo = i * n / 3; val hi = (i + 1) * n / 3
+      val stage = s"$tmp/stage_$i"
+      ranked.filter(col("rk") > lo && col("rk") <= hi).drop("rk")
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(s"$tmp/incoming/b$i.parquet")
+      Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/incoming")
+    // caller-owned state: standing matrix + session frontier
+    val standing = scala.collection.mutable.Map.empty[(String, String), Long]
+    var frontier: Option[org.apache.spark.sql.DataFrame] = None
+    var batches = 0
+    val q = graft.streaming.Streaming.transitionStream(stream, s"$tmp/ck") { b =>
+      batches += 1
+      val (partial, nf) = graft.queries.EventQueries.transitionStep(frontier, b)
+      partial.collect().foreach { r =>
+        val k = (r.getString(0), r.getString(1))
+        standing(k) = standing.getOrElse(k, 0L) + r.getLong(2)
+      }
+      // the frontier must survive the micro-batch's lifetime: pin it
+      // driver-side (one row per user, bounded)
+      val rows = nf.collect()
+      frontier = Some(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq), nf.schema))
+    }
+    try {
+      assert(q.awaitTermination(180000), "AvailableNow did not finish")
+      assert(batches == 3, s"expected 3 micro-batches, got $batches")
+      val batch = graft.SparkEntry.queries("ev9_markov_transitions")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(standing.toMap == batch,
+        s"streamed matrix diverges from batch: " +
+          s"stream=${standing.toMap.toSeq.sorted.take(4)} batch=${batch.toSeq.sorted.take(4)}")
+      assert(batch.nonEmpty && batch.values.sum > 20,
+        "vacuous fixture: too few transitions")
+    } finally if (q.isActive) q.stop()
+  }
 }
