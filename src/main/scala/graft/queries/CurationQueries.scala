@@ -48,8 +48,12 @@ object CurationQueries extends QuerySet {
            |FROM cand WHERE levenshtein(name_a, name_b) = 1
            |ORDER BY name_a, name_b""".stripMargin),
     (s, dir) => {
-      val vars = Tables.table(s, dir, "customer")
-        .select(col("c_custkey"), col("c_name"),
+      val customers = Tables.table(s, dir, "customer")
+      // the variant join ships ONLY (custkey, variant) — names rejoin
+      // AFTER blocking via a broadcast of the entity dim (map-side, no
+      // exchange), halving the bytes through the one real shuffle
+      val vars = customers
+        .select(col("c_custkey"),
           // variant set = the string itself (0 deletions) ++ every
           // single-deletion — including the original catches pure
           // indel pairs where one side is the other's variant
@@ -58,15 +62,41 @@ object CurationQueries extends QuerySet {
               |  transform(sequence(1, length(c_name)),
               |    i -> concat(substring(c_name, 1, i - 1), substring(c_name, i + 1))))"""
               .stripMargin)).as("d"))
-      val a = vars.select(col("c_custkey").as("custkey_a"),
-        col("c_name").as("name_a"), col("d"))
-      val b = vars.select(col("c_custkey").as("custkey_b"),
-        col("c_name").as("name_b"), col("d"))
+      // EXPLICIT partition count on the variant key: the blocking join's
+      // inputs are tiny (~10 MB at sf0.1) but its OUTPUT fans out ~5×
+      // and feeds the per-pair verify kernel — AQE's size-based
+      // coalescing sees only the input bytes, folds the exchange to 1-2
+      // partitions, and serializes 1.46M levenshtein calls on two
+      // cores. A user-specified repartition count is exempt from AQE
+      // coalescing, becomes the join's own exchange (no extra shuffle),
+      // and keeps the verify stage on every core. At real scale the
+      // inputs are big enough that AQE would never coalesce; this pins
+      // the expanding-join case the advisory size heuristic misjudges.
+      val par = s.sparkContext.defaultParallelism
+      val a = vars.select(col("c_custkey").as("custkey_a"), col("d"))
+        .repartition(par, col("d"))
+      val b = vars.select(col("c_custkey").as("custkey_b"), col("d"))
+        .repartition(par, col("d"))
+      val nameA = broadcast(customers.select(col("c_custkey").as("custkey_a"),
+        col("c_name").as("name_a")))
+      val nameB = broadcast(customers.select(col("c_custkey").as("custkey_b"),
+        col("c_name").as("name_b")))
       a.join(b, "d")
+        .filter(col("custkey_a") =!= col("custkey_b"))
+        .join(nameA, "custkey_a").join(nameB, "custkey_b")
         .filter(col("name_a") < col("name_b"))
+        // verify BEFORE the pair-dedup, with the THRESHOLD levenshtein
+        // (banded DP, early exit — Spark 3.5+): on ID-shaped corpora
+        // (dense "Customer#000000042" names) the blocking emits ~100
+        // variant collisions per customer, so the full-DP verify over
+        // 1.46M candidates plus a wide distinct over all of them was
+        // the entire 6.3 s warm cost at sf0.1; the banded kernel is
+        // ~6× cheaper per pair and the distinct then shuffles only
+        // genuine distance-1 survivors. Same output set — the oracle
+        // states the distinct-then-full-verify form and hashes equal.
+        .filter(expr("levenshtein(name_a, name_b, 1) = 1"))
         .select("custkey_a", "name_a", "custkey_b", "name_b")
-        .distinct() // a pair can share several variants; verify ONCE per pair
-        .filter(expr("levenshtein(name_a, name_b) = 1"))
+        .distinct()
         .orderBy("name_a", "name_b")
     })
 
