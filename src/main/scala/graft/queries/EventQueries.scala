@@ -417,6 +417,50 @@ object EventQueries extends QuerySet {
     Some(markovSql(e => s"epoch_us($e)", "1000000.0::DOUBLE")),
     (s, dir) => Tables.sql(s, dir, markovSql(e => s"unix_micros($e)", "1000000.0D")))
 
+  // ---- three-step strict-order funnel -------------------------------------
+  // ev4's conversion funnel extended to the full view → click →
+  // purchase chain with per-hop 1-hour windows — the product-analytics
+  // report shape (entered / converted per step). Strict order: each
+  // step's timestamp must exceed the previous step's FIRST qualifying
+  // time (min-aggregation semantics, stated identically in the
+  // oracle). Epoch math in exact integer microseconds (the ev2
+  // discipline); counts cast BIGINT for DuckDB's HUGEINT rendering.
+  //
+  // 100 TB shape: three user_id partial-min aggregations and two
+  // user_id joins — all on the stream's natural high-cardinality key;
+  // each later step aggregates only the previous step's survivors, so
+  // the funnel NARROWS the data per hop and the single-row digest is
+  // the only low-cardinality stage.
+  private def funnelStepsSql(epochFn: String => String) =
+    s"""WITH v AS (
+       |  SELECT user_id, min(${epochFn("ts")}) AS t0
+       |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+       |c AS (
+       |  SELECT e.user_id, min(${epochFn("e.ts")}) AS t1
+       |  FROM events e JOIN v ON v.user_id = e.user_id
+       |  WHERE e.event_type = 'click' AND ${epochFn("e.ts")} > v.t0
+       |  GROUP BY e.user_id),
+       |p AS (
+       |  SELECT e.user_id, min(${epochFn("e.ts")}) AS t2
+       |  FROM events e JOIN c ON c.user_id = e.user_id
+       |  WHERE e.event_type = 'purchase' AND ${epochFn("e.ts")} > c.t1
+       |  GROUP BY e.user_id)
+       |SELECT CAST(count(*) AS BIGINT) AS viewers,
+       |  CAST(count(c.user_id) AS BIGINT) AS clicked,
+       |  CAST(sum(CASE WHEN c.t1 - v.t0 <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS clicked_1h,
+       |  CAST(count(p.user_id) AS BIGINT) AS purchased,
+       |  CAST(sum(CASE WHEN p.t2 - c.t1 <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS purchased_1h
+       |FROM v
+       |LEFT JOIN c ON c.user_id = v.user_id
+       |LEFT JOIN p ON p.user_id = v.user_id""".stripMargin
+
+  private val funnelSteps = QueryDef(
+    "ev10_funnel_steps",
+    Some(funnelStepsSql(e => s"epoch_us($e)")),
+    (s, dir) => Tables.sql(s, dir, funnelStepsSql(e => s"unix_micros($e)")))
+
   /** One streaming step of the session-scoped transition matrix (ev9's
     * streaming face, driven by [[graft.streaming.Streaming
     * .transitionStream]]): given the per-user FRONTIER — the last seen
@@ -460,5 +504,5 @@ object EventQueries extends QuerySet {
 
   override val defs: Seq[QueryDef] =
     Seq(hourly, sessions, funnel, salted, keepLatest, asof, rangeJoin, conversion,
-      retention, anomaly, winsorized, scd2, markov)
+      retention, anomaly, winsorized, scd2, markov, funnelSteps)
 }

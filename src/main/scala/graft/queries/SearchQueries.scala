@@ -286,5 +286,50 @@ object SearchQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
-  override val defs: Seq[QueryDef] = Seq(bm25, postings, hybrid, phrase)
+  // ---- per-document keyword extraction (TF-IDF top terms) ----------------
+  // The transpose of the capped postings list: instead of "top docs per
+  // term", the top-3 TF-IDF KEYWORDS per document — the tagging stage a
+  // curation pipeline runs to label documents for mixture/routing
+  // decisions. Scoring discipline: tf·ln(N/df) rounded to integer
+  // micro-units once per (doc, term) (exact BIGINT counts inside the
+  // one double expression, identical parenthesization both engines);
+  // terms present in every document carry score 0 and are excluded —
+  // ubiquity is the definition of a non-keyword.
+  //
+  // 100 TB shape: one (doc, term) partial-agg shuffle builds tf (the
+  // corpus body never moves raw — the explode is map-side); df is a
+  // second partial agg over the already-collapsed tf table at
+  // vocabulary scale, broadcast back; the per-doc top-3 window
+  // partitions by the corpus's natural high-cardinality doc key and
+  // rides Catalyst's WindowGroupLimit — each input partition prunes to
+  // its own top-3 per doc BEFORE the exchange (the postings
+  // discipline, PlanSpec-locked).
+  private def docTopTermsSql(unnestTok: String, oneM: String) =
+    s"""WITH tok AS ($unnestTok),
+       |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tok),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM tok GROUP BY doc_id, term),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |s AS (SELECT tf.doc_id, tf.term,
+       |        CAST(round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) * $oneM, 0)
+       |             AS BIGINT) AS score_micro
+       |      FROM tf JOIN df ON df.term = tf.term CROSS JOIN n),
+       |r AS (SELECT doc_id, term, score_micro,
+       |        row_number() OVER (PARTITION BY doc_id
+       |                           ORDER BY score_micro DESC, term) AS rk
+       |      FROM s WHERE score_micro > 0)
+       |SELECT doc_id, CAST(rk AS BIGINT) AS rank, term, score_micro
+       |FROM r WHERE rk <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  private val docTopTerms = QueryDef(
+    "doc_top_terms",
+    Some(docTopTermsSql(
+      "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents",
+      "1000000.0::DOUBLE")),
+    (s, dir) => graft.Tables.sql(s, dir, docTopTermsSql(
+      """SELECT doc_id, term FROM documents
+        |  LATERAL VIEW explode(split(text, ' ')) t AS term""".stripMargin,
+      "1000000.0D")))
+
+  override val defs: Seq[QueryDef] = Seq(bm25, postings, hybrid, phrase, docTopTerms)
 }

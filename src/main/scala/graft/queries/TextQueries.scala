@@ -1356,10 +1356,46 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  // ---- BPE merge candidates (first tokenizer-training iteration) ---------
+  // The inner loop of byte-pair-encoding training: count adjacent
+  // symbol pairs across the corpus, weighted by word frequency, and
+  // surface the top merge candidates. This is the op a tokenizer
+  // pipeline runs repeatedly (merge the winner, re-count) — one
+  // iteration is gated here; the loop re-invokes the same dataflow.
+  //
+  // 100 TB shape: the ONLY corpus-sized work is the word tf partial agg
+  // (the freqSpectrum/CMS discipline — raw tokens collapse map-side);
+  // the pair explode then runs at VOCABULARY scale over word TYPES
+  // weighted by tf, so a 100 TB corpus with a 1M-type vocabulary
+  // explodes ~20M (type, position) rows, not 10¹² token rows. Words of
+  // length 1 contribute no pairs and are filtered identically in both
+  // engines (also guarding Spark's descending-sequence trap:
+  // sequence(1, 0) yields [1, 0], not empty).
+  private def bpeSql(unnestTok: String, pairGen: String) =
+    s"""WITH tok AS ($unnestTok),
+       |tf AS (SELECT word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY word),
+       |p AS ($pairGen),
+       |c AS (SELECT a, b, CAST(sum(tf) AS BIGINT) AS n FROM p GROUP BY a, b)
+       |SELECT a, b, n FROM c ORDER BY n DESC, a, b LIMIT 20""".stripMargin
+
+  private val bpePairs = QueryDef(
+    "bpe_merge_pairs",
+    Some(bpeSql(
+      "SELECT unnest(string_split(text, ' ')) AS word FROM documents",
+      """SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, tf
+        |  FROM tf, LATERAL unnest(range(1, len(word))) r(i)
+        |  WHERE len(word) >= 2""".stripMargin)),
+    (s, dir) => Tables.sql(s, dir, bpeSql(
+      """SELECT word FROM documents
+        |  LATERAL VIEW explode(split(text, ' ')) t AS word""".stripMargin,
+      """SELECT substring(word, i, 1) AS a, substring(word, i + 1, 1) AS b, tf
+        |  FROM tf LATERAL VIEW explode(sequence(1, length(word) - 1)) r AS i
+        |  WHERE length(word) >= 2""".stripMargin)))
+
   override val defs: Seq[QueryDef] = Seq(
     dedupExact, neardup, neardupClusters, neardupCorpus, simhash, simhashPairs,
     ngramTopk, langId, quality, tokenStats, winnow, stratified, gopher, tfidf,
     piiRedact, corpusPrep, contamination, bloomContamination, cmsHeavyHitters,
     seqPacking, classifierScore, dupSpans, repetition, neardupCanonical,
-    sourceOverlap, freqSpectrum)
+    sourceOverlap, freqSpectrum, bpePairs)
 }

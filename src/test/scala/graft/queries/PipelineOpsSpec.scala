@@ -349,4 +349,36 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(s - 1000000L) <= m.size, s"$f ppm sum $s")
     }
   }
+
+  test("three-step funnel recounts from the ordered event stream") {
+    val byUser = orderedEvents()
+    val hour = 3600000000L
+    var (viewers, clicked, clicked1h, purchased, purchased1h) = (0L, 0L, 0L, 0L, 0L)
+    byUser.values.foreach { evs =>
+      val t0 = evs.collect { case ("view", t, _) => micros(t) }.minOption
+      t0.foreach { v =>
+        viewers += 1
+        val t1 = evs.collect { case ("click", t, _) => micros(t) }
+          .filter(_ > v).minOption
+        t1.foreach { c =>
+          clicked += 1
+          if (c - v <= hour) clicked1h += 1
+          val t2 = evs.collect { case ("purchase", t, _) => micros(t) }
+            .filter(_ > c).minOption
+          t2.foreach { p =>
+            purchased += 1
+            if (p - c <= hour) purchased1h += 1
+          }
+        }
+      }
+    }
+    val r = run("ev10_funnel_steps", sfMid).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((viewers, clicked, clicked1h, purchased, purchased1h)),
+      s"got $r expect ($viewers,$clicked,$clicked1h,$purchased,$purchased1h)")
+    // funnel narrows monotonically
+    assert(viewers >= clicked && clicked >= purchased &&
+      clicked >= clicked1h && purchased >= purchased1h)
+    assert(purchased > 0, "vacuous fixture: nobody completed the funnel")
+  }
 }

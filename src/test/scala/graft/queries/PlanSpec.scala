@@ -545,4 +545,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"),
       s"markov rollup planned a cartesian:\n$p")
   }
+
+  test("doc keywords ride WindowGroupLimit with partial tf aggregation") {
+    val p = plan("doc_top_terms")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-doc top-3 shuffles unpruned scores (no group-limit pushdown):\n$p")
+    assert(p.contains("partial_count"),
+      s"tf shuffles raw exploded tokens without combine:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row N must broadcast, not cartesian:\n$p")
+  }
+
+  test("BPE pair counts collapse to vocabulary scale before the pair explode") {
+    val p = plan("bpe_merge_pairs")
+    assert(p.contains("partial_count"),
+      s"word tf shuffles raw tokens without combine:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 merge candidates degraded to a full sort:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("funnel steps aggregate partially on user_id; no cartesian") {
+    val p = plan("ev10_funnel_steps")
+    assert(p.contains("partial_min"),
+      s"step times shuffle raw events without a min combine:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"funnel planned a cartesian:\n$p")
+  }
 }

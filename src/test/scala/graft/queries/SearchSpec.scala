@@ -120,4 +120,53 @@ class SearchSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter((col("score_m") >= 0) =!= col("keep")).count()
     assert(bad == 0, s"$bad docs where keep != (score_m >= 0)")
   }
+
+  test("doc keywords reproduce a full driver TF-IDF re-derivation") {
+    val docs = graft.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val n = docs.length.toLong
+    val tf = docs.map { case (id, ws) =>
+      id -> ws.groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+    }.toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (w, o) => w -> o.size.toLong }
+    def score(t: Long, d: Long): Long =
+      BigDecimal(t * math.log(n.toDouble / d) * 1000000.0)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    val expect = tf.flatMap { case (id, m) =>
+      m.toSeq.map { case (w, t) => (w, score(t, df(w))) }
+        .filter(_._2 > 0)
+        .sortBy { case (w, sc) => (-sc, w) }.take(3).zipWithIndex
+        .map { case ((w, sc), i) => (id, (i + 1).toLong, w, sc) }
+    }.toSet
+    val got = run("doc_top_terms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+    assert(expect.nonEmpty)
+    // ubiquitous terms (df = N) are non-keywords by construction
+    assert(!got.exists { case (_, _, w, _) => df.get(w).contains(n) })
+  }
+
+  test("BPE merge candidates recount exactly from the corpus vocabulary") {
+    val words = graft.Tables.table(spark, sf, "documents")
+      .select("text").collect().flatMap(_.getString(0).split(" ", -1))
+    val tfm = words.groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+    val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+    tfm.foreach { case (w, t) =>
+      if (w.length >= 2) w.sliding(2).foreach { p =>
+        val k = (p.substring(0, 1), p.substring(1, 2))
+        pairs(k) = pairs.getOrElse(k, 0L) + t
+      }
+    }
+    val expect = pairs.toSeq.sortBy { case ((a, b), cnt) => (-cnt, a, b) }.take(20)
+      .map { case ((a, b), cnt) => (a, b, cnt) }
+    val got = run("bpe_merge_pairs").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expect, s"got=${got.take(4)} expect=${expect.take(4)}")
+    // the winner is a genuine merge candidate: it appears in >1 word type
+    val (wa, wb, _) = got.head
+    assert(tfm.keys.count(_.contains(wa + wb)) > 1)
+  }
 }
