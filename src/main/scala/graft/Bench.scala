@@ -133,6 +133,16 @@ object Bench {
         System.err.println(s"[bench] lsh recall failed: ${e.getMessage}")
         (-1.0, -1L, -1L, -1L)
       }
+    // ADC quality artifact: overlap@5 of the IVF-PQ asymmetric ranking
+    // vs the exact in-cell top-5, for the gated seed codebooks and the
+    // Lloyd-trained ones (coarse quantizer held fixed, so the pair
+    // isolates what PQ training buys the search). Ungated by design.
+    val adc =
+      try graft.queries.EmbeddingQueries.adcRecallReport(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] adc recall failed: ${e.getMessage}")
+        graft.queries.EmbeddingQueries.AdcRecallReport(-1.0, -1.0)
+      }
     val degradedJson = degraded.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contaminatedJson = contaminated
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -144,6 +154,7 @@ object Bench {
         s""""ivf_recall_curve":$curveJson,""" +
         s""""lsh_recall_at_j07":{"recall":$lshRec,"exact_pairs":$nExact,""" +
         s""""lsh_pairs":$nLsh,"found":$nBoth},""" +
+        s""""adc_recall_at5":{"seed":${adc.seed},"trained":${adc.trained}},""" +
         s""""failures":$failures,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")

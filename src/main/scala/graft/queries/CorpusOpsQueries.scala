@@ -728,8 +728,40 @@ object CorpusOpsQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  // ---- per-source document cap (domain capping) --------------------------
+  // The Common-Crawl-style domain cap: no source may contribute more
+  // than K documents, and WHICH K must be unbiased and deterministic —
+  // so the keep order is the md5 of the doc id (the source_mix hashing
+  // discipline: seed-stable across engines and reruns, uncorrelated
+  // with content), not arrival order or length. The output is the
+  // KEPT set only — the rank filter is what lets Catalyst prune.
+  //
+  // 100 TB shape: one window partitioned by the source key, ranked by
+  // the hash — the rank ≤ K FILTER rides Catalyst's WindowGroupLimit,
+  // so every input partition prunes to its own top-K per source
+  // BEFORE the exchange and the shuffle carries at most
+  // K·|sources|·partitions rows, not the corpus (plan-locked). A
+  // skewed giant source costs its one partition only the K-row heap,
+  // never a full sort spill.
+  private val SourceCap = 15
+
+  private def capSql(h32: String) =
+    s"""WITH k AS (
+       |  SELECT doc_id, source, $h32 AS h FROM documents),
+       |r AS (
+       |  SELECT doc_id, source,
+       |         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+       |  FROM k)
+       |SELECT doc_id, source, CAST(rk AS BIGINT) AS rank
+       |FROM r WHERE rk <= $SourceCap ORDER BY doc_id""".stripMargin
+
+  private val sourceCap = QueryDef(
+    "source_cap_sample",
+    Some(capSql("md5(CAST(doc_id AS VARCHAR))")),
+    (s, dir) => Tables.sql(s, dir, capSql("md5(CAST(doc_id AS STRING))")))
+
   override val defs: Seq[QueryDef] =
     Seq(incremental, surprisal, surprisalBuckets, chunks, sourceMix,
       leakageSafeSplit, temperatureMix, dsir, bigramSurprisal, cdcChunks,
-      segmentDedup)
+      segmentDedup, sourceCap)
 }

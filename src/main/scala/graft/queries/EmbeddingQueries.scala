@@ -800,7 +800,15 @@ object EmbeddingQueries extends QuerySet {
 
   /** objectives(j)(r): Σ‖sub_j − c(sub_j)‖² over the training sample,
     * for subspace j with round r's codebook, r = 0..PqRounds. */
-  private def pqObjectives(e: DataFrame): Seq[Seq[Double]] = {
+  private def pqObjectives(e: DataFrame): Seq[Seq[Double]] = pqTrainAll(e)._1
+
+  /** The trained codebooks pqObjectives ends on: cents(j)(c) = the
+    * round-PqRounds centroid c of subspace j (what a deployment would
+    * persist and fold into the ADC literals). */
+  private[queries] def pqTrainedCodebooks(e: DataFrame): Seq[Seq[Seq[Double]]] =
+    pqTrainAll(e)._2
+
+  private def pqTrainAll(e: DataFrame): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
     def rounded(v: Seq[Double]): Seq[Double] = v.map(x => math.rint(x * 1e6) / 1e6)
     val train = e.filter(pmod(col("vec_id"), lit(5)) === 0)
       .select((0 until PqSubspaces).map(j =>
@@ -851,7 +859,7 @@ object EmbeddingQueries extends QuerySet {
         }
       }
     }
-    out.map(_.toSeq).toSeq
+    (out.map(_.toSeq).toSeq, cents)
   }
 
   private val pqCache = new graft.operators.SessionMemo[String, Seq[Seq[Double]]]()
@@ -1075,8 +1083,115 @@ object EmbeddingQueries extends QuerySet {
         .orderBy("probe_id", "rn")
     })
 
+  /** ADC quality artifact: mean overlap@5 between the ADC ranking and
+    * the exact in-cell L2 top-5, for the SEED codebooks (the gated
+    * query's quantizer) and the Lloyd-TRAINED ones — the honest "what
+    * does PQ training buy the search" numbers, deliberately ungated
+    * (quantization recall on a random corpus is not a theorem). The
+    * probe set is the recall-curve's 10 probes; the coarse quantizer
+    * is held fixed (seed cells) so the two numbers isolate the PQ
+    * codebook's contribution. Driver-side replay over the collected
+    * corpus — this is an AUDIT artifact (like the spec's exact replay),
+    * not a serving path; the corpus at bench scale is ~2k vectors. */
+  final case class AdcRecallReport(seed: Double, trained: Double)
+
+  def adcRecallReport(s: SparkSession, dir: String): AdcRecallReport = {
+    val e = withNorm(s, dir)
+    val v = e.select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < a.length) { s0 += a(i) * b(i); i += 1 }; s0
+    }
+    val seeds = IvfSeedIds.map(_.toLong).map(v)
+    def cellsOf(x: Array[Double], n: Int): Seq[Int] =
+      seeds.zipWithIndex.map { case (sv, i) => (-dot(x, sv), i) }.sorted
+        .take(n).map(_._2)
+    val cellOf = v.keys.map(id => id -> cellsOf(v(id), 1).head).toMap
+    val seedBooks: Seq[Seq[Seq[Double]]] = (0 until PqSubspaces).map(j =>
+      (0 until PqK).map(c => v(c.toLong).slice(j * PqSubDim, (j + 1) * PqSubDim).toSeq))
+    val trainedBooks = pqTrainedCodebooks(e)
+    def overlap(books: Seq[Seq[Seq[Double]]]): Double = {
+      val cents = books.map(_.map(_.toArray))
+      def codesOf(x: Array[Double]) = (0 until PqSubspaces).map { j =>
+        val sub = x.slice(j * PqSubDim, (j + 1) * PqSubDim)
+        (0 until PqK).map(c =>
+          (dot(cents(j)(c), cents(j)(c)) - 2.0 * dot(sub, cents(j)(c)), c)).min._2
+      }
+      val probes = (7 to 97 by 10).map(_.toLong).filter(v.contains)
+      val hits = probes.map { p =>
+        val pcells = cellsOf(v(p), IvfNProbe).toSet
+        val cand = v.keys.filter(id => id != p && pcells.contains(cellOf(id))).toSeq
+        val adc = cand.map { id =>
+          val cs = codesOf(v(id))
+          val sc = (0 until PqSubspaces).map { j =>
+            val cv = cents(j)(cs(j))
+            dot(cv, cv) - 2.0 * dot(v(p).slice(j * 8, j * 8 + 8), cv)
+          }.sum
+          (id, sc)
+        }.sortBy { case (id, sc) => (sc, id) }.take(5).map(_._1).toSet
+        val exact = cand.map { id =>
+          val d = v(p).zip(v(id)).map { case (a, b) => (a - b) * (a - b) }.sum
+          (id, d)
+        }.sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+        exact.intersect(adc).size.toDouble / exact.size
+      }
+      math.rint(hits.sum / hits.size * 1000) / 1000
+    }
+    AdcRecallReport(overlap(seedBooks), overlap(trainedBooks))
+  }
+
+  // ---- hard-negative mining ----------------------------------------------
+  // The contrastive-training data op: for each anchor vector, the most
+  // similar vectors of a DIFFERENT label — the "hard negatives" that
+  // make embedding training informative (easy random negatives teach
+  // nothing; the near-misses define the decision boundary). Shape is
+  // the brute-force top-k with the label disequality folded into the
+  // candidate filter: the anchor set broadcasts (constant side input),
+  // the corpus scan stays embarrassingly parallel, and the per-anchor
+  // top-5 collapses through the rank filter — linear in corpus size,
+  // never all-pairs. At deployment scale the scan side would be the
+  // IVF/ADC-coded corpus (the candidate join above) with the label
+  // filter applied in-cell; the gated form is the exact-oracle
+  // baseline of that path.
+  private val hardNegatives = QueryDef(
+    "hard_negatives_topk",
+    Some("""WITH e AS (
+           |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+           |  FROM embeddings),
+           |n AS (
+           |  SELECT vec_id, label, v,
+           |         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+           |  FROM e),
+           |s AS (
+           |  SELECT p.vec_id AS anchor_id, p.label AS anchor_label,
+           |         c.vec_id AS negative_id, c.label AS negative_label,
+           |         round(list_aggregate(list_transform(range(1, len(p.v) + 1),
+           |                 i -> p.v[i] * c.v[i]), 'sum') / (p.nrm * c.nrm), 6) AS cos
+           |  FROM n p JOIN n c ON p.vec_id IN (0, 1, 2) AND c.label <> p.label),
+           |r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY anchor_id
+           |            ORDER BY cos DESC, negative_id) AS rn FROM s)
+           |SELECT anchor_id, anchor_label, negative_id, negative_label, cos, rn
+           |FROM r WHERE rn <= 5 ORDER BY anchor_id, rn""".stripMargin),
+    (s, dir) => {
+      val e = withNorm(s, dir)
+      val anchors = broadcast(e.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+          col("v").as("pv"), col("nrm").as("pn")))
+      val scored = e.join(anchors, col("label") =!= col("anchor_label"))
+        .withColumn("cos", round(expr(dotExpr) / (col("nrm") * col("pn")), 6))
+      val w = Window.partitionBy("anchor_id").orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("anchor_id"), col("anchor_label"),
+          col("vec_id").as("negative_id"), col("label").as("negative_label"),
+          col("cos"), col("rn"))
+        .orderBy("anchor_id", "rn")
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(bruteTopk, lshTopk, ivfTopk, ivfTrained, embDupPairs, embIncremental,
       embDupClusters, embDedupCorpus, semDedup, quantize, centroids, pqTrained,
-      jlProjection, ivfpqAdc)
+      jlProjection, ivfpqAdc, hardNegatives)
 }

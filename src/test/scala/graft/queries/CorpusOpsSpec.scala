@@ -164,6 +164,26 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "vacuous fixture: everything removed")
   }
 
+  test("source cap keeps exactly the K hash-first docs per source") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.map { case (id, _) => (id, md5hex(id.toString)) }
+        .sortBy { case (id, h) => (h, id) }.take(15).zipWithIndex
+        .map { case ((id, _), i) => (id, src, (i + 1).toLong) }
+    }.toSet
+    val got = run("source_cap_sample").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+    // the cap binds on this fixture (sources hold > K docs)
+    assert(got.size < docs.length, "vacuous fixture: cap never binds")
+    got.groupBy(_._2).values.foreach(g => assert(g.size <= 15))
+  }
+
   test("retention grid: day-0 retention is 1.0 for every cohort, never above 1") {
     val out = run("ev5_retention_cohorts")
     val day0 = out.filter(col("day_offset") === 0)

@@ -143,4 +143,32 @@ class EmbeddingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(overlaps.sum >= probeIds.size,
       s"ADC recovered too little of the exact top-5: $overlaps")
   }
+
+  test("hard negatives: top-5 cross-label cosine, replayed from raw vectors") {
+    val labels = Tables.table(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val v = vectors()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def d(x: Array[Double], y: Array[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      math.rint(d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b))) * 1e6) / 1e6
+    }
+    val expect = Seq(0L, 1L, 2L).flatMap { p =>
+      v.keys.filter(id => labels(id) != labels(p))
+        .map(id => (id, cos(v(p), v(id)))).toSeq
+        .sortBy { case (id, c) => (-c, id) }.take(5).zipWithIndex
+        .map { case ((id, c), i) => (p, id, c, (i + 1).toLong) }
+    }.toSet
+    val got = run("hard_negatives_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(4), r.getInt(5).toLong))
+      .toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+    // every reported negative crosses the label boundary
+    run("hard_negatives_topk").collect().foreach { r =>
+      assert(r.getInt(1) != r.getInt(3),
+        s"anchor ${r.getLong(0)} got a same-label 'negative' ${r.getLong(2)}")
+    }
+  }
 }

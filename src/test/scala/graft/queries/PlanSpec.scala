@@ -572,4 +572,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"),
       s"funnel planned a cartesian:\n$p")
   }
+
+  test("source cap prunes to per-partition top-K before the exchange") {
+    val p = plan("source_cap_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"cap shuffles the whole corpus through the window:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("hard negatives broadcast the anchor set; never a cartesian") {
+    val p = plan("hard_negatives_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"anchors should broadcast onto the corpus scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"hard-negative mining degraded to a cartesian:\n$p")
+  }
 }
