@@ -85,7 +85,14 @@ object Slope {
     "segment_dedup_clean",
     "ev8_scd2_intervals",
     "jl_projection",
-    "ann_ivfpq_adc")
+    "ann_ivfpq_adc",
+    // batch-2/3 additions: per-doc keywords (tf partial agg + the
+    // WindowGroupLimit top-3) and the per-source cap (corpus-wide
+    // window with group-limit pruning) — both window-over-corpus
+    // shapes whose linearity depends on the pre-exchange pruning
+    // actually firing.
+    "doc_top_terms",
+    "source_cap_sample")
 
   val MaxRatio = 15.0
   val OverheadFloorSec = 0.3
