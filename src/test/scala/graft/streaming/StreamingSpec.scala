@@ -466,4 +466,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         "vacuous fixture: too few transitions")
     } finally if (q.isActive) q.stop()
   }
+
+  test("transition step: ANY time-ordered split sums to the single-pass matrix") {
+    // randomized generalization of the 3-way parity above: synthetic
+    // stream with deliberate session breaks (2h jumps), five random
+    // split patterns — the frontier mechanism must make every split
+    // pattern reproduce the single-pass counts exactly.
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(42)
+    var t = 1700000000000000L // µs
+    val events = (1 to 300).map { i =>
+      t += (if (rnd.nextInt(10) == 0) 7200L else 60L) * 1000000L
+      ((i % 7).toLong, Seq("a", "b", "c")(rnd.nextInt(3)),
+        new Timestamp(t / 1000), i.toLong)
+    }
+    def df(rows: Seq[(Long, String, Timestamp, Long)]) =
+      rows.toDF("user_id", "event_type", "ts", "event_id")
+    def matrixOf(partials: Seq[Array[org.apache.spark.sql.Row]]) =
+      partials.flatten.groupBy(r => (r.getString(0), r.getString(1)))
+        .map { case (k, rs) => k -> rs.map(_.getLong(2)).sum }
+    val single = matrixOf(Seq(
+      graft.queries.EventQueries.transitionStep(None, df(events))._1.collect()))
+    assert(single.values.sum > 50, "vacuous: gap rule killed the fixture")
+    for (trial <- 1 to 5) {
+      val nCuts = 1 + rnd.nextInt(4)
+      val cuts = (Seq(0, events.length) ++
+        Seq.fill(nCuts)(1 + rnd.nextInt(events.length - 1))).distinct.sorted
+      val chunks = cuts.sliding(2).map { case Seq(a, b) => events.slice(a, b) }.toSeq
+      var frontier: Option[org.apache.spark.sql.DataFrame] = None
+      val partials = chunks.map { c =>
+        val (p, nf) = graft.queries.EventQueries.transitionStep(frontier, df(c))
+        val rows = nf.collect()
+        frontier = Some(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq), nf.schema))
+        p.collect()
+      }
+      assert(matrixOf(partials) == single,
+        s"trial $trial (${chunks.map(_.size).mkString("+")}) diverged")
+    }
+  }
 }
