@@ -461,6 +461,79 @@ object EventQueries extends QuerySet {
     Some(funnelStepsSql(e => s"epoch_us($e)")),
     (s, dir) => Tables.sql(s, dir, funnelStepsSql(e => s"unix_micros($e)")))
 
+  /** One streaming step of the SCD2 interval build (ev8's streaming
+    * face — the CDC-processing form: a change stream arrives in
+    * time-ordered micro-batches and the dimension's closed validity
+    * intervals append continuously, with exactly one OPEN interval per
+    * user held as state). Given the open-interval FRONTIER
+    * (user_id, version, state, valid_from, n_events) and a batch,
+    * returns (closed intervals to append, new frontier).
+    *
+    * Mechanics: the batch collapses to maximal runs (the ev8
+    * gaps-and-islands), the frontier joins in as run 0, and a SECOND
+    * gaps-and-islands pass over the per-user run sequence merges the
+    * one place a boundary can continue a run (frontier.state == first
+    * batch state) — uniform, so a user absent from the batch passes
+    * through untouched. Version numbers stay continuous: the merged
+    * run inherits the frontier's version, later runs increment.
+    * State is one open interval per user (the stream's key
+    * cardinality); closed intervals leave the operator per batch and
+    * are never revisited — replaying the closed output plus the final
+    * frontier reproduces the batch operator exactly (StreamingSpec
+    * parity over time-ordered splits). */
+  private[graft] def scd2Step(
+      frontier: Option[org.apache.spark.sql.DataFrame],
+      batch: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val batchRuns = batch.select("user_id", "event_type", "ts", "event_id")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("brk", when(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"), 1).otherwise(0))
+      .withColumn("run_id",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run_id")
+      .agg(max(col("event_type")).as("state"), // constant within a run
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).cast("long").as("n_events"))
+    val fr = frontier.map(_.select(col("user_id"), lit(0L).as("run_id"),
+      col("state"), col("valid_from"), col("n_events"), col("version")))
+    val seqd = batchRuns.withColumn("version", lit(null).cast("long"))
+      .select("user_id", "run_id", "state", "valid_from", "n_events", "version")
+      .unionByName(fr.getOrElse(batchRuns.limit(0)
+        .select("user_id", "run_id", "state", "valid_from", "n_events")
+        .withColumn("version", lit(null).cast("long"))))
+    val w2 = Window.partitionBy("user_id").orderBy("run_id")
+    val merged = seqd
+      .withColumn("prev_state", lag(col("state"), 1).over(w2))
+      .withColumn("brk", when(col("prev_state").isNull ||
+        col("prev_state") =!= col("state"), 1).otherwise(0))
+      .withColumn("mrun",
+        sum(col("brk")).over(w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "mrun")
+      .agg(max(col("state")).as("state"), min(col("valid_from")).as("valid_from"),
+        sum(col("n_events")).cast("long").as("n_events"),
+        min(col("version")).as("base0")) // non-null only on the frontier run
+    val w3 = Window.partitionBy("user_id")
+    val versioned = merged
+      // the frontier (mrun 1 when present) carries the version base;
+      // a frontier-less user starts at 1
+      .withColumn("base", coalesce(min(col("base0")).over(w3), lit(1L)))
+      .withColumn("version", col("base") + col("mrun") - 1)
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1).over(w3.orderBy("mrun")))
+      .withColumn("last", col("mrun") === max(col("mrun")).over(w3))
+    val closed = versioned.filter(!col("last"))
+      .select(col("user_id"), col("version"), col("state"), col("valid_from"),
+        col("valid_to"), col("n_events"))
+    val newFrontier = versioned.filter(col("last"))
+      .select(col("user_id"), col("version"), col("state"), col("valid_from"),
+        col("n_events"))
+    (closed, newFrontier)
+  }
+
   /** One streaming step of the session-scoped transition matrix (ev9's
     * streaming face, driven by [[graft.streaming.Streaming
     * .transitionStream]]): given the per-user FRONTIER — the last seen

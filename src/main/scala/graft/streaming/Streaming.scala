@@ -209,6 +209,27 @@ object Streaming {
       }
       .start()
 
+  /** Streaming SCD2 dimension build — ev8's streaming face, the
+    * CDC-processing loop: each time-ordered micro-batch of change
+    * events CLOSES the validity intervals it supersedes (appended
+    * downstream, never revisited) and leaves exactly one open interval
+    * per user as state. The caller owns the open-interval frontier and
+    * applies [[graft.queries.EventQueries.scd2Step]] per batch; closed
+    * intervals ∪ final frontier ≡ the batch operator over any
+    * time-ordered split (StreamingSpec parity). Same sequencing
+    * contract as [[transitionStream]]. */
+  def scd2Stream(
+      incoming: DataFrame,
+      checkpointDir: String)(step: DataFrame => Unit): StreamingQuery =
+    incoming.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) step(batch)
+      }
+      .start()
+
   /** Continuous corpus ingestion — the CLOSED loop the incremental
     * operators build toward: per micro-batch of (doc_id, text),
     *

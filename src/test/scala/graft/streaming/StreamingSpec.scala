@@ -467,6 +467,61 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally if (q.isActive) q.stop()
   }
 
+  test("streaming SCD2: closed intervals plus final frontier equal the batch build") {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.Tables.table(spark, dir, "events")
+      .select("user_id", "event_type", "ts", "event_id")
+    val n = events.count()
+    val ranked = events.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))))
+    val tmp = Files.createTempDirectory("scd2_stream")
+    Files.createDirectory(tmp.resolve("incoming"))
+    (0 until 3).foreach { i =>
+      val lo = i * n / 3; val hi = (i + 1) * n / 3
+      val stage = s"$tmp/stage_$i"
+      ranked.filter(col("rk") > lo && col("rk") <= hi).drop("rk")
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(s"$tmp/incoming/b$i.parquet")
+      Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/incoming")
+    type Interval = (Long, Long, String, Timestamp, Option[Timestamp], Long)
+    val closed = scala.collection.mutable.ArrayBuffer.empty[Interval]
+    var frontier: Option[org.apache.spark.sql.DataFrame] = None
+    var batches = 0
+    val q = graft.streaming.Streaming.scd2Stream(stream, s"$tmp/ck") { b =>
+      batches += 1
+      val (cl, nf) = graft.queries.EventQueries.scd2Step(frontier, b)
+      closed ++= cl.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), Some(r.getTimestamp(4)), r.getLong(5)))
+      val rows = nf.collect()
+      frontier = Some(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq), nf.schema))
+    }
+    try {
+      assert(q.awaitTermination(180000), "AvailableNow did not finish")
+      assert(batches == 3)
+      val open = frontier.get.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getTimestamp(3), None: Option[Timestamp], r.getLong(4)))
+      val streamed: Set[Interval] = (closed ++ open).toSet
+      val batchRows = graft.SparkEntry.queries("ev8_scd2_intervals")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getTimestamp(3), Option(r.getTimestamp(4)), r.getLong(5))).toSet
+      assert(streamed == batchRows,
+        s"missing=${(batchRows -- streamed).take(2)} extra=${(streamed -- batchRows).take(2)}")
+      assert(closed.nonEmpty && open.nonEmpty)
+      // closed intervals never reopen: every closed (user, version) is
+      // absent from the final frontier
+      val openKeys = open.map(i => (i._1, i._2)).toSet
+      assert(!closed.exists(i => openKeys.contains((i._1, i._2))))
+    } finally if (q.isActive) q.stop()
+  }
+
   test("transition step: ANY time-ordered split sums to the single-pass matrix") {
     // randomized generalization of the 3-way parity above: synthetic
     // stream with deliberate session breaks (2h jumps), five random
