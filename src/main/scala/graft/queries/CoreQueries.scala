@@ -268,5 +268,50 @@ object CoreQueries extends QuerySet {
         .orderBy("mktsegment")
     })
 
-  override val defs: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10)
+  // ---- Z-order layout key -------------------------------------------------
+  // The multi-dimensional clustering primitive behind Delta/Iceberg
+  // OPTIMIZE ZORDER: interleave the bits of two scan-predicate columns
+  // into one Morton code, so range-partitioning and sorting by the
+  // code co-locates rows that are close in BOTH dimensions — a scan
+  // filtered on either column (or a rectangle of both) then prunes to
+  // a contiguous band of files instead of reading everything. The
+  // gated query emits the code itself (16 bits per axis, truncation by
+  // mask stated identically in both engines) plus the 256-way range
+  // bucket a writer would lay files out by; code assignment is PURE
+  // MAP-SIDE bit arithmetic (the 32-term interleave sum is exact
+  // integer math, engine-identical by construction) and the bucket is
+  // z >> 24 — a static mask, not a data-dependent range split, so the
+  // gate needs no sampling nondeterminism. The write path at scale is
+  // repartitionByRange(z).sortWithinPartitions(z) into parquet;
+  // CoreSpec proves the locality theorem the layout exists for
+  // (axis monotonicity + rectangle-to-band containment).
+  private def mortonExpr(x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"(((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1}))")
+      .mkString(" + ")
+
+  // identical bit spelling both engines: Spark 4 and DuckDB share the
+  // `>>`/`<<`/`&` integer operators, and the interleave is exact
+  // integer math — no float anywhere
+  private val zorderSql = {
+    val z = mortonExpr("xk", "yk")
+    s"""WITH k AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |         CAST(l_orderkey & 65535 AS BIGINT) AS xk,
+       |         CAST(l_partkey & 65535 AS BIGINT) AS yk
+       |  FROM lineitem),
+       |z AS (SELECT l_orderkey, l_linenumber, xk, yk,
+       |             CAST($z AS BIGINT) AS zcode FROM k)
+       |SELECT l_orderkey, l_linenumber, xk, yk, zcode,
+       |       CAST(zcode >> 24 AS BIGINT) AS layout_bucket
+       |FROM z ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
+
+  private val zorder = QueryDef(
+    "zorder_layout_key",
+    Some(zorderSql),
+    (s, dir) => Tables.sql(s, dir, zorderSql))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, zorder)
 }
