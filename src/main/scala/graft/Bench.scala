@@ -141,7 +141,7 @@ object Bench {
       try graft.queries.EmbeddingQueries.adcRecallReport(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] adc recall failed: ${e.getMessage}")
-        graft.queries.EmbeddingQueries.AdcRecallReport(-1.0, -1.0)
+        graft.queries.EmbeddingQueries.AdcRecallReport(-1.0, -1.0, -1.0)
       }
     val degradedJson = degraded.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contaminatedJson = contaminated
@@ -154,7 +154,7 @@ object Bench {
         s""""ivf_recall_curve":$curveJson,""" +
         s""""lsh_recall_at_j07":{"recall":$lshRec,"exact_pairs":$nExact,""" +
         s""""lsh_pairs":$nLsh,"found":$nBoth},""" +
-        s""""adc_recall_at5":{"seed":${adc.seed},"trained":${adc.trained}},""" +
+        s""""adc_recall_at5":{"seed":${adc.seed},"trained":${adc.trained},"rerank":${adc.rerank}},""" +
         s""""failures":$failures,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")

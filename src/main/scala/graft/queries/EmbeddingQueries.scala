@@ -1023,63 +1023,178 @@ object EmbeddingQueries extends QuerySet {
            |SELECT probe_id, neighbor_id, score_u6, rn FROM rr WHERE rn <= 5
            |ORDER BY probe_id, rn""".stripMargin),
     (s, dir) => {
-      val e = withNorm(s, dir)
-      val seeds = e.filter(col("vec_id").isin(IvfSeedIds: _*))
-        .select(col("vec_id").cast("int").as("sid"), col("v"))
-        .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
-        .sortBy(_._1)
-      val scoredSeeds = array_sort(array(seeds.map { case (sid, sv) =>
-        struct((-call_function("dot_f64", col("v"), array(sv.map(lit): _*))).as("nd"),
-          lit(sid).as("sid"))
-      }: _*))
-      // PQ codebooks: the 16 seed vectors' subspace slices, plus each
-      // centroid's ‖c‖² folded on the driver with the same sequential
-      // double sum DuckDB's list_aggregate performs.
-      val pqSeeds = e.filter(col("vec_id") < PqK)
-        .select(col("vec_id").cast("int").as("sid"), col("v"))
-        .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
-        .sortBy(_._1).map(_._2)
-      val cents: Seq[Seq[Seq[Double]]] = (0 until PqSubspaces).map(j =>
-        pqSeeds.map(v => v.slice(j * PqSubDim, (j + 1) * PqSubDim).toSeq).toSeq)
-      val c2: Seq[Seq[Double]] =
-        cents.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
-      def termU6(j: Int, sub: org.apache.spark.sql.Column,
-          cv: org.apache.spark.sql.Column, cc: org.apache.spark.sql.Column) =
-        round((cc - lit(2.0) * call_function("dot_f64", sub, cv)) * lit(1000000.0), 0)
-          .cast("long")
-      def codeExpr(j: Int) = element_at(array_sort(array(
-        cents(j).zipWithIndex.map { case (cv, ci) =>
-          struct(termU6(j, slice(col("v"), j * PqSubDim + 1, PqSubDim),
-            array(cv.map(lit): _*), lit(c2(j)(ci))).as("d"), lit(ci).as("cid"))
-        }: _*)), 1).getField("cid")
-      val coded = e
-        .withColumn("cell", element_at(scoredSeeds, 1).getField("sid"))
-        .select(col("vec_id") +: col("cell") +:
-          (0 until PqSubspaces).map(j => codeExpr(j).as(s"code_$j")): _*)
-      val probes = broadcast(
-        e.filter(col("vec_id").isin(IvfProbeIds: _*))
-          .withColumn("pcell",
-            explode(transform(slice(scoredSeeds, 1, IvfNProbe), x => x.getField("sid"))))
-          .select(col("vec_id").as("probe_id"), col("pcell"), col("v").as("pv")))
-      val cand = coded
-        .join(probes, coded("cell") === probes("pcell") && col("vec_id") =!= col("probe_id"))
-      // ADC: per-subspace lookup of the candidate's code into the
-      // probe-vs-codebook table — spelled as literal-array lookups so
-      // the candidate's full vector is never read at scoring time
-      val score = (0 until PqSubspaces).map { j =>
-        termU6(j, slice(col("pv"), j * PqSubDim + 1, PqSubDim),
-          element_at(array(cents(j).map(cv => array(cv.map(lit): _*)): _*),
-            col(s"code_$j") + 1),
-          element_at(array(c2(j).map(lit): _*), col(s"code_$j") + 1))
-      }.reduce(_ + _)
       val w = Window.partitionBy("probe_id").orderBy(col("score_u6"), col("vec_id"))
-      cand.withColumn("score_u6", score)
+      adcScoredCandidates(s, dir)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= AdcTopK)
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
           col("score_u6"), col("rn"))
+        .orderBy("probe_id", "rn")
+    })
+
+  /** (probe_id, pv, vec_id, score_u6): every in-cell candidate with its
+    * integer ADC score — the shared head of the top-k query and the
+    * two-stage re-rank below. */
+  private def adcScoredCandidates(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val seeds = e.filter(col("vec_id").isin(IvfSeedIds: _*))
+      .select(col("vec_id").cast("int").as("sid"), col("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val scoredSeeds = array_sort(array(seeds.map { case (sid, sv) =>
+      struct((-call_function("dot_f64", col("v"), array(sv.map(lit): _*))).as("nd"),
+        lit(sid).as("sid"))
+    }: _*))
+    // PQ codebooks: the 16 seed vectors' subspace slices, plus each
+    // centroid's ‖c‖² folded on the driver with the same sequential
+    // double sum DuckDB's list_aggregate performs.
+    val pqSeeds = e.filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast("int").as("sid"), col("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1).map(_._2)
+    val cents: Seq[Seq[Seq[Double]]] = (0 until PqSubspaces).map(j =>
+      pqSeeds.map(v => v.slice(j * PqSubDim, (j + 1) * PqSubDim).toSeq).toSeq)
+    val c2: Seq[Seq[Double]] =
+      cents.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
+    def termU6(j: Int, sub: org.apache.spark.sql.Column,
+        cv: org.apache.spark.sql.Column, cc: org.apache.spark.sql.Column) =
+      round((cc - lit(2.0) * call_function("dot_f64", sub, cv)) * lit(1000000.0), 0)
+        .cast("long")
+    def codeExpr(j: Int) = element_at(array_sort(array(
+      cents(j).zipWithIndex.map { case (cv, ci) =>
+        struct(termU6(j, slice(col("v"), j * PqSubDim + 1, PqSubDim),
+          array(cv.map(lit): _*), lit(c2(j)(ci))).as("d"), lit(ci).as("cid"))
+      }: _*)), 1).getField("cid")
+    val coded = e
+      .withColumn("cell", element_at(scoredSeeds, 1).getField("sid"))
+      .select(col("vec_id") +: col("cell") +:
+        (0 until PqSubspaces).map(j => codeExpr(j).as(s"code_$j")): _*)
+    val probes = broadcast(
+      e.filter(col("vec_id").isin(IvfProbeIds: _*))
+        .withColumn("pcell",
+          explode(transform(slice(scoredSeeds, 1, IvfNProbe), x => x.getField("sid"))))
+        .select(col("vec_id").as("probe_id"), col("pcell"), col("v").as("pv")))
+    val cand = coded
+      .join(probes, coded("cell") === probes("pcell") && col("vec_id") =!= col("probe_id"))
+    // ADC: per-subspace lookup of the candidate's code into the
+    // probe-vs-codebook table — spelled as literal-array lookups so
+    // the candidate's full vector is never read at scoring time
+    val score = (0 until PqSubspaces).map { j =>
+      termU6(j, slice(col("pv"), j * PqSubDim + 1, PqSubDim),
+        element_at(array(cents(j).map(cv => array(cv.map(lit): _*)): _*),
+          col(s"code_$j") + 1),
+        element_at(array(c2(j).map(lit): _*), col(s"code_$j") + 1))
+    }.reduce(_ + _)
+    cand.withColumn("score_u6", score)
+      .select(col("probe_id"), col("pv"), col("vec_id"), col("score_u6"))
+  }
+
+  // ---- two-stage ADC search: shortlist + exact re-rank -------------------
+  // The deployment form of IVF-PQ: the asymmetric codes are a RANKING
+  // device, not the final metric — the probe takes the ADC top-R
+  // shortlist (R = 20 here, reading 8 bytes per candidate), then
+  // fetches only those R full vectors and re-ranks them by EXACT
+  // squared L2. Recall@k of this two-stage form is ≥ the ADC-only
+  // recall BY THEOREM: every true top-k member the ADC top-k finds is
+  // also in the top-R shortlist (k ≤ R), and the exact re-rank can
+  // only promote true members within the shortlist — EmbeddingSpec
+  // gates exactly that dominance on a driver replay. The exact
+  // distance is spelled (p·p − 2·p·c) + c·c with fixed
+  // parenthesization and rounded to 6 decimals in both engines.
+  //
+  // 100 TB shape: identical to ann_ivfpq_adc until the shortlist
+  // (codes only), then ONE equi join of the R·|probes|-row shortlist
+  // back to the vector table — the full-vector fetch a real deployment
+  // pays only for shortlist members.
+  private val AdcShortlist = 20
+
+  private val ivfpqRerank = QueryDef(
+    "ann_ivfpq_rerank",
+    Some("""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |d AS (
+           |  SELECT n.vec_id, s.vec_id AS sid,
+           |         list_aggregate(list_transform(range(1, len(n.v) + 1),
+           |             i -> n.v[i] * s.v[i]), 'sum') AS dp
+           |  FROM e n JOIN e s ON s.vec_id IN (5, 15, 25, 35, 45, 55, 65, 75)),
+           |r AS (
+           |  SELECT vec_id, sid,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, sid) AS srn
+           |  FROM d),
+           |cells AS (SELECT vec_id, sid AS cell FROM r WHERE srn = 1),
+           |pcells AS (
+           |  SELECT vec_id AS probe_id, sid AS pcell FROM r
+           |  WHERE srn <= 2 AND vec_id IN (7, 42, 99)),
+           |cb AS (
+           |  SELECT j.j AS j, CAST(c.vec_id AS INT) AS cid,
+           |         list_slice(c.v, j.j * 8 + 1, j.j * 8 + 8) AS cv
+           |  FROM e c, range(0, 8) j(j) WHERE c.vec_id < 16),
+           |cc AS (
+           |  SELECT j, cid, cv,
+           |         list_aggregate(list_transform(cv, x -> x * x), 'sum') AS c2
+           |  FROM cb),
+           |codes AS (
+           |  SELECT vec_id, j, cid AS code FROM (
+           |    SELECT s.vec_id, c.j, c.cid,
+           |           row_number() OVER (PARTITION BY s.vec_id, c.j ORDER BY
+           |             CAST(round((c.c2 - 2.0::DOUBLE * list_aggregate(list_transform(range(1, 9),
+           |                 i -> s.v[c.j * 8 + i] * c.cv[i]), 'sum')) * 1000000.0::DOUBLE, 0) AS BIGINT),
+           |             c.cid) AS rn
+           |    FROM e s CROSS JOIN cc c) t WHERE rn = 1),
+           |p AS (
+           |  SELECT pc.probe_id, cl.vec_id AS neighbor_id
+           |  FROM pcells pc JOIN cells cl ON cl.cell = pc.pcell AND cl.vec_id <> pc.probe_id),
+           |terms AS (
+           |  SELECT p.probe_id, p.neighbor_id,
+           |         CAST(round((cc.c2 - 2.0::DOUBLE * list_aggregate(list_transform(range(1, 9),
+           |             i -> pv.v[cc.j * 8 + i] * cc.cv[i]), 'sum')) * 1000000.0::DOUBLE, 0) AS BIGINT) AS u6
+           |  FROM p
+           |  JOIN codes cd ON cd.vec_id = p.neighbor_id
+           |  JOIN cc ON cc.j = cd.j AND cc.cid = cd.code
+           |  JOIN e pv ON pv.vec_id = p.probe_id),
+           |sc AS (
+           |  SELECT probe_id, neighbor_id, CAST(sum(u6) AS BIGINT) AS score_u6
+           |  FROM terms GROUP BY probe_id, neighbor_id),
+           |short AS (
+           |  SELECT probe_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY probe_id
+           |              ORDER BY score_u6, neighbor_id) AS rn FROM sc) t
+           |  WHERE rn <= 20),
+           |ex AS (
+           |  SELECT sh.probe_id, sh.neighbor_id,
+           |         round((list_aggregate(list_transform(range(1, 65),
+           |                  i -> pv.v[i] * pv.v[i]), 'sum') -
+           |                2.0::DOUBLE * list_aggregate(list_transform(range(1, 65),
+           |                  i -> pv.v[i] * cv.v[i]), 'sum')) +
+           |               list_aggregate(list_transform(range(1, 65),
+           |                  i -> cv.v[i] * cv.v[i]), 'sum'), 6) AS d2
+           |  FROM short sh
+           |  JOIN e pv ON pv.vec_id = sh.probe_id
+           |  JOIN e cv ON cv.vec_id = sh.neighbor_id),
+           |rr AS (
+           |  SELECT *, row_number() OVER (PARTITION BY probe_id
+           |            ORDER BY d2, neighbor_id) AS rn FROM ex)
+           |SELECT probe_id, neighbor_id, d2, rn FROM rr WHERE rn <= 5
+           |ORDER BY probe_id, rn""".stripMargin),
+    (s, dir) => {
+      val e = withNorm(s, dir)
+      val wAdc = Window.partitionBy("probe_id").orderBy(col("score_u6"), col("vec_id"))
+      val short = adcScoredCandidates(s, dir)
+        .withColumn("rn_adc", row_number().over(wAdc))
+        .filter(col("rn_adc") <= AdcShortlist)
+        .select(col("probe_id"), col("pv"), col("vec_id").as("neighbor_id"))
+      val vecs = e.select(col("vec_id").as("neighbor_id"), col("v"))
+      val d2 = round((call_function("dot_f64", col("pv"), col("pv")) -
+        lit(2.0) * call_function("dot_f64", col("pv"), col("v"))) +
+        call_function("dot_f64", col("v"), col("v")), 6)
+      val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("neighbor_id"))
+      short.join(vecs, "neighbor_id")
+        .withColumn("d2", d2)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= AdcTopK)
+        .select(col("probe_id"), col("neighbor_id"), col("d2"), col("rn"))
         .orderBy("probe_id", "rn")
     })
 
@@ -1093,7 +1208,7 @@ object EmbeddingQueries extends QuerySet {
     * codebook's contribution. Driver-side replay over the collected
     * corpus — this is an AUDIT artifact (like the spec's exact replay),
     * not a serving path; the corpus at bench scale is ~2k vectors. */
-  final case class AdcRecallReport(seed: Double, trained: Double)
+  final case class AdcRecallReport(seed: Double, trained: Double, rerank: Double)
 
   def adcRecallReport(s: SparkSession, dir: String): AdcRecallReport = {
     val e = withNorm(s, dir)
@@ -1111,7 +1226,7 @@ object EmbeddingQueries extends QuerySet {
     val seedBooks: Seq[Seq[Seq[Double]]] = (0 until PqSubspaces).map(j =>
       (0 until PqK).map(c => v(c.toLong).slice(j * PqSubDim, (j + 1) * PqSubDim).toSeq))
     val trainedBooks = pqTrainedCodebooks(e)
-    def overlap(books: Seq[Seq[Seq[Double]]]): Double = {
+    def overlap(books: Seq[Seq[Seq[Double]]]): (Double, Double) = {
       val cents = books.map(_.map(_.toArray))
       def codesOf(x: Array[Double]) = (0 until PqSubspaces).map { j =>
         val sub = x.slice(j * PqSubDim, (j + 1) * PqSubDim)
@@ -1122,23 +1237,30 @@ object EmbeddingQueries extends QuerySet {
       val hits = probes.map { p =>
         val pcells = cellsOf(v(p), IvfNProbe).toSet
         val cand = v.keys.filter(id => id != p && pcells.contains(cellOf(id))).toSeq
-        val adc = cand.map { id =>
+        val adcRanked = cand.map { id =>
           val cs = codesOf(v(id))
           val sc = (0 until PqSubspaces).map { j =>
             val cv = cents(j)(cs(j))
             dot(cv, cv) - 2.0 * dot(v(p).slice(j * 8, j * 8 + 8), cv)
           }.sum
           (id, sc)
-        }.sortBy { case (id, sc) => (sc, id) }.take(5).map(_._1).toSet
-        val exact = cand.map { id =>
+        }.sortBy { case (id, sc) => (sc, id) }.map(_._1)
+        def exactOrder(ids: Seq[Long]) = ids.map { id =>
           val d = v(p).zip(v(id)).map { case (a, b) => (a - b) * (a - b) }.sum
           (id, d)
-        }.sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
-        exact.intersect(adc).size.toDouble / exact.size
+        }.sortBy { case (id, d) => (d, id) }.map(_._1)
+        val exact = exactOrder(cand).take(5).toSet
+        val adc5 = adcRanked.take(5).toSet
+        // two-stage: exact re-rank of the ADC top-20 shortlist
+        val rerank5 = exactOrder(adcRanked.take(20)).take(5).toSet
+        (exact.intersect(adc5).size.toDouble / exact.size,
+          exact.intersect(rerank5).size.toDouble / exact.size)
       }
-      math.rint(hits.sum / hits.size * 1000) / 1000
+      def mean(xs: Seq[Double]) = math.rint(xs.sum / xs.size * 1000) / 1000
+      (mean(hits.map(_._1)), mean(hits.map(_._2)))
     }
-    AdcRecallReport(overlap(seedBooks), overlap(trainedBooks))
+    val (seedAdc, seedRerank) = overlap(seedBooks)
+    AdcRecallReport(seedAdc, overlap(trainedBooks)._1, seedRerank)
   }
 
   // ---- hard-negative mining ----------------------------------------------
@@ -1193,5 +1315,5 @@ object EmbeddingQueries extends QuerySet {
   override val defs: Seq[QueryDef] =
     Seq(bruteTopk, lshTopk, ivfTopk, ivfTrained, embDupPairs, embIncremental,
       embDupClusters, embDedupCorpus, semDedup, quantize, centroids, pqTrained,
-      jlProjection, ivfpqAdc, hardNegatives)
+      jlProjection, ivfpqAdc, ivfpqRerank, hardNegatives)
 }

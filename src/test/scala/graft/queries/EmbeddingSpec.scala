@@ -144,6 +144,43 @@ class EmbeddingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ADC recovered too little of the exact top-5: $overlaps")
   }
 
+  test("two-stage re-rank recall dominates ADC-only recall (shortlist theorem)") {
+    val v = vectors()
+    val seedIds = Seq(5L, 15L, 25L, 35L, 45L, 55L, 65L, 75L)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < a.length) { s0 += a(i) * b(i); i += 1 }; s0
+    }
+    def cellsOf(x: Array[Double], n: Int): Seq[Long] =
+      seedIds.map(s => (-dot(x, v(s)), s)).sorted.take(n).map(_._2)
+    val cellOf = v.keys.map(id => id -> cellsOf(v(id), 1).head).toMap
+    def exactTop5(p: Long): Set[Long] = {
+      val pcells = cellsOf(v(p), 2).toSet
+      v.keys.filter(id => id != p && pcells.contains(cellOf(id)))
+        .map { id =>
+          val d = v(p).zip(v(id)).map { case (a, b) => (a - b) * (a - b) }.sum
+          (id, d)
+        }.toSeq.sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+    }
+    val adc = run("ann_ivfpq_adc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (p, rs) => p -> rs.map(_._2).toSet }
+    val rr = run("ann_ivfpq_rerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (p, rs) => p -> rs.map(_._2).toSet }
+    assert(adc.keySet == rr.keySet && adc.nonEmpty)
+    adc.keys.foreach { p =>
+      val truth = exactTop5(p)
+      val recallAdc = truth.intersect(adc(p)).size
+      val recallRr = truth.intersect(rr(p)).size
+      // theorem: every truth member the ADC top-5 finds is in the
+      // top-20 shortlist, and the exact re-rank can only promote truth
+      // members within it — per-probe dominance, not just on average
+      assert(recallRr >= recallAdc,
+        s"probe $p: rerank recall $recallRr < adc recall $recallAdc")
+    }
+  }
+
   test("hard negatives: top-5 cross-label cosine, replayed from raw vectors") {
     val labels = Tables.table(spark, sf, "embeddings")
       .select("vec_id", "label").collect()
