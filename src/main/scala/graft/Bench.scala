@@ -143,6 +143,17 @@ object Bench {
         System.err.println(s"[bench] adc recall failed: ${e.getMessage}")
         graft.queries.EmbeddingQueries.AdcRecallReport(-1.0, -1.0, -1.0)
       }
+    // Binary-quantization quality artifact: recall@5 of the Hamming-only
+    // top-5 and the exact-reranked top-20 shortlist vs the true cosine
+    // top-5 (the sign-bit mate of adc_recall_at5; the rerank ≥ hamming
+    // dominance is the gated theorem in EmbeddingSpec, these are the
+    // measured absolute numbers).
+    val bin =
+      try graft.queries.EmbeddingQueries.binaryRecallReport(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] binary recall failed: ${e.getMessage}")
+        graft.queries.EmbeddingQueries.BinaryRecallReport(-1.0, -1.0)
+      }
     val degradedJson = degraded.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contaminatedJson = contaminated
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -155,6 +166,7 @@ object Bench {
         s""""lsh_recall_at_j07":{"recall":$lshRec,"exact_pairs":$nExact,""" +
         s""""lsh_pairs":$nLsh,"found":$nBoth},""" +
         s""""adc_recall_at5":{"seed":${adc.seed},"trained":${adc.trained},"rerank":${adc.rerank}},""" +
+        s""""binary_recall_at5":{"hamming":${bin.hamming},"rerank":${bin.rerank}},""" +
         s""""failures":$failures,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")

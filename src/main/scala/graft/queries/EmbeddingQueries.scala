@@ -1312,8 +1312,185 @@ object EmbeddingQueries extends QuerySet {
         .orderBy("anchor_id", "rn")
     })
 
+  // ---- binary (1-bit) quantization ---------------------------------------
+  // The third quantization family next to int8 (embedding_quantize_int8)
+  // and PQ (pq_quantizer_trained): one SIGN BIT per dimension, packed
+  // into 32-bit words carried as BIGINTs — a 64-dim double vector
+  // (512 bytes) becomes 8 bytes of code, and the candidate metric is
+  // pure integer popcount. bit i of word w is set iff v[32w+i] > 0
+  // (ties at exactly 0.0 clear the bit — stated identically in both
+  // engines; the float→double widening is exact so the compare agrees
+  // bit-for-bit). Packing is pure map-side exact-integer math: zero
+  // exchanges, plan-locked in PlanSpec.
+  private def binWord(vcol: org.apache.spark.sql.Column, from: Int) =
+    (0 until 32).map(i =>
+      when(vcol.getItem(from + i) > 0.0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  private def binCoded(s: SparkSession, dir: String): DataFrame =
+    withNorm(s, dir)
+      .withColumn("lo", binWord(col("v"), 0))
+      .withColumn("hi", binWord(col("v"), 32))
+
+  private val binCodesSql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v,
+      |         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+      |  FROM e),
+      |b AS (
+      |  SELECT vec_id,
+      |         list_aggregate(list_transform(range(1, 33),
+      |           i -> CASE WHEN v[i] > 0 THEN 1::BIGINT << (i - 1)
+      |                ELSE 0::BIGINT END), 'sum') AS lo,
+      |         list_aggregate(list_transform(range(33, 65),
+      |           i -> CASE WHEN v[i] > 0 THEN 1::BIGINT << (i - 33)
+      |                ELSE 0::BIGINT END), 'sum') AS hi
+      |  FROM e)""".stripMargin
+
+  private val binaryQuantize = QueryDef(
+    "embedding_quantize_binary",
+    Some(binCodesSql + """
+      |SELECT vec_id, lo, hi,
+      |       CAST(bit_count(lo) + bit_count(hi) AS INTEGER) AS nbits
+      |FROM b ORDER BY vec_id""".stripMargin),
+    (s, dir) => binCoded(s, dir)
+      .select(col("vec_id"), col("lo"), col("hi"),
+        (expr("bit_count(lo)") + expr("bit_count(hi)")).cast("int").as("nbits"))
+      .orderBy("vec_id"))
+
+  // Two-stage binary search: Hamming shortlist + exact re-rank — the
+  // deployment form of binary quantization (the sign codes are a
+  // RANKING device like the PQ ADC scores, never the final metric).
+  // The corpus scan against each broadcast probe costs ONE xor+popcount
+  // per 32 dims instead of 32 double multiplies; the per-probe top-20
+  // shortlist collapses through the rank filter, and only shortlist
+  // members' full vectors are fetched (one equi join) for the exact
+  // cosine re-rank. Recall@5 of the two-stage form dominates
+  // Hamming-only recall BY THEOREM (a truth member in the shortlist is
+  // among the exact top-5 of the whole candidate set, so at most 4
+  // shortlist members beat it under the true metric) — EmbeddingSpec
+  // gates that dominance per probe on a driver replay; Bench measures
+  // the actual recall numbers (binary_recall_at5).
+  private val BinShortlist = 20
+
+  private val binaryRerank = QueryDef(
+    "ann_binary_rerank",
+    Some(binCodesSql + """,
+      |p AS (SELECT vec_id AS probe_id, lo AS plo, hi AS phi FROM b
+      |      WHERE vec_id IN (0, 1, 2)),
+      |h AS (
+      |  SELECT p.probe_id, c.vec_id,
+      |         CAST(bit_count(xor(c.lo, p.plo)) +
+      |              bit_count(xor(c.hi, p.phi)) AS INTEGER) AS hamming
+      |  FROM b c JOIN p ON c.vec_id <> p.probe_id),
+      |sh AS (
+      |  SELECT probe_id, vec_id, hamming FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY probe_id
+      |              ORDER BY hamming, vec_id) AS hrn FROM h) t
+      |  WHERE hrn <= 20),
+      |ex AS (
+      |  SELECT sh.probe_id, sh.vec_id AS neighbor_id, sh.hamming,
+      |         round(list_aggregate(list_transform(range(1, len(pv.v) + 1),
+      |                 i -> pv.v[i] * cv.v[i]), 'sum') / (pv.nrm * cv.nrm), 6) AS cos
+      |  FROM sh JOIN n pv ON pv.vec_id = sh.probe_id
+      |          JOIN n cv ON cv.vec_id = sh.vec_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY probe_id
+      |            ORDER BY cos DESC, neighbor_id) AS rn FROM ex)
+      |SELECT probe_id, neighbor_id, hamming, cos, rn
+      |FROM r WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin),
+    (s, dir) => {
+      val coded = binCoded(s, dir)
+      val probes = broadcast(coded.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("probe_id"),
+          col("lo").as("plo"), col("hi").as("phi")))
+      // shortlist scan carries codes only — 16 bytes/row, never vectors
+      val wh = Window.partitionBy("probe_id").orderBy(col("hamming"), col("vec_id"))
+      val short = coded.select(col("vec_id"), col("lo"), col("hi"))
+        .crossJoin(probes)
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("hamming",
+          (expr("bit_count(lo ^ plo)") + expr("bit_count(hi ^ phi)")).cast("int"))
+        .withColumn("hrn", row_number().over(wh))
+        .filter(col("hrn") <= BinShortlist)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("hamming"))
+      val e = withNorm(s, dir)
+      val pvecs = broadcast(e.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn")))
+      val nvecs = e.select(col("vec_id").as("neighbor_id"),
+        col("v").as("cv"), col("nrm").as("cn"))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+      // the shortlist is |probes|·20 rows — broadcast it so the
+      // full-vector fetch streams the corpus through a BroadcastHashJoin
+      // instead of shuffling it on neighbor_id
+      broadcast(short).join(pvecs, "probe_id").join(nvecs, "neighbor_id")
+        .withColumn("cos",
+          round(expr("dot_f64(pv, cv)") / (col("pn") * col("cn")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("neighbor_id"), col("hamming"), col("cos"), col("rn"))
+        .orderBy("probe_id", "rn")
+    })
+
+  /** Binary-quantization quality artifact (the Hamming mate of
+    * adcRecallReport): mean recall@5 vs the exact cosine top-5 over
+    * the recall-curve's 10 probes, for the Hamming-only top-5 and the
+    * re-ranked top-20 shortlist. Driver-side audit replay; the
+    * dominance of rerank over hamming-only is gated per-probe in
+    * EmbeddingSpec, the absolute numbers are measured (Bench) and
+    * deliberately ungated — sign-bit recall on a random corpus is not
+    * a theorem. */
+  final case class BinaryRecallReport(hamming: Double, rerank: Double)
+
+  def binaryRecallReport(s: SparkSession, dir: String): BinaryRecallReport = {
+    val rows = perProbeBinaryRecall(s, dir)
+    def mean(xs: Seq[Double]) = math.rint(xs.sum / xs.size * 1000) / 1000
+    BinaryRecallReport(mean(rows.map(_._2)), mean(rows.map(_._3)))
+  }
+
+  /** (probe_id, hammingOnlyRecall@5, rerankRecall@5) per probe — the
+    * spec gates rerank >= hamming row by row (the shortlist theorem). */
+  def perProbeBinaryRecall(s: SparkSession, dir: String): Seq[(Long, Double, Double)] = {
+    val e = withNorm(s, dir)
+    val v = e.select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < a.length) { s0 += a(i) * b(i); i += 1 }; s0
+    }
+    def code(x: Array[Double]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      var i = 0
+      while (i < 32) { if (x(i) > 0) lo |= (1L << i); i += 1 }
+      while (i < 64) { if (x(i) > 0) hi |= (1L << (i - 32)); i += 1 }
+      (lo, hi)
+    }
+    val codes = v.map { case (id, x) => id -> code(x) }
+    val probes = (7 to 97 by 10).map(_.toLong).filter(v.contains)
+    probes.map { p =>
+      val (plo, phi) = codes(p)
+      val cand = v.keys.filter(_ != p).toSeq
+      def cosOrder(ids: Seq[Long]) = ids.map { id =>
+        val c = dot(v(p), v(id)) /
+          (math.sqrt(dot(v(p), v(p))) * math.sqrt(dot(v(id), v(id))))
+        (id, c)
+      }.sortBy { case (id, c) => (-c, id) }.map(_._1)
+      val truth = cosOrder(cand).take(5).toSet
+      val hamRanked = cand.map { id =>
+        val (lo, hi) = codes(id)
+        (id, java.lang.Long.bitCount(lo ^ plo) + java.lang.Long.bitCount(hi ^ phi))
+      }.sortBy { case (id, h) => (h, id) }.map(_._1)
+      val ham5 = hamRanked.take(5).toSet
+      val rerank5 = cosOrder(hamRanked.take(BinShortlist)).take(5).toSet
+      (p, truth.intersect(ham5).size / 5.0, truth.intersect(rerank5).size / 5.0)
+    }
+  }
+
   override val defs: Seq[QueryDef] =
     Seq(bruteTopk, lshTopk, ivfTopk, ivfTrained, embDupPairs, embIncremental,
       embDupClusters, embDedupCorpus, semDedup, quantize, centroids, pqTrained,
-      jlProjection, ivfpqAdc, ivfpqRerank, hardNegatives)
+      jlProjection, ivfpqAdc, ivfpqRerank, hardNegatives, binaryQuantize,
+      binaryRerank)
 }

@@ -181,6 +181,65 @@ class EmbeddingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("binary codes replay bit-by-bit from raw vectors") {
+    val v = vectors()
+    def code(x: Array[Double]): (Long, Long) = {
+      var lo = 0L; var hi = 0L; var i = 0
+      while (i < 32) { if (x(i) > 0) lo |= (1L << i); i += 1 }
+      while (i < 64) { if (x(i) > 0) hi |= (1L << (i - 32)); i += 1 }
+      (lo, hi)
+    }
+    val got = run("embedding_quantize_binary").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(got.keySet == v.keySet)
+    v.foreach { case (id, x) =>
+      val (lo, hi) = code(x)
+      assert(got(id) == ((lo, hi,
+        java.lang.Long.bitCount(lo) + java.lang.Long.bitCount(hi))),
+        s"vec $id: packed code mismatch")
+    }
+  }
+
+  test("binary rerank replays exactly and its recall dominates hamming-only (shortlist theorem)") {
+    val v = vectors()
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < a.length) { s0 += a(i) * b(i); i += 1 }; s0
+    }
+    def code(x: Array[Double]): (Long, Long) = {
+      var lo = 0L; var hi = 0L; var i = 0
+      while (i < 32) { if (x(i) > 0) lo |= (1L << i); i += 1 }
+      while (i < 64) { if (x(i) > 0) hi |= (1L << (i - 32)); i += 1 }
+      (lo, hi)
+    }
+    val codes = v.map { case (id, x) => id -> code(x) }
+    // full replay of the two-stage query from raw vectors
+    val expect = Seq(0L, 1L, 2L).flatMap { p =>
+      val (plo, phi) = codes(p)
+      val short = v.keys.filter(_ != p).map { id =>
+        val (lo, hi) = codes(id)
+        (id, java.lang.Long.bitCount(lo ^ plo) + java.lang.Long.bitCount(hi ^ phi))
+      }.toSeq.sortBy { case (id, h) => (h, id) }.take(20)
+      short.map { case (id, h) =>
+        val c = math.rint(dot(v(p), v(id)) /
+          (math.sqrt(dot(v(p), v(p))) * math.sqrt(dot(v(id), v(id)))) * 1e6) / 1e6
+        (id, h, c)
+      }.sortBy { case (id, _, c) => (-c, id) }.take(5).zipWithIndex
+        .map { case ((id, h, c), i) => (p, id, h, c, i + 1) }
+    }.toSet
+    val got = run("ann_binary_rerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+      .toSet
+    assert(got == expect, s"binary rerank replay mismatch:\n got=$got\n exp=$expect")
+    // per-probe dominance: a truth member surfaced by the Hamming top-5
+    // is in the top-20 shortlist, and the exact re-rank can only
+    // promote truth members within it
+    graft.queries.EmbeddingQueries.perProbeBinaryRecall(spark, sf)
+      .foreach { case (p, ham, rr) =>
+        assert(rr >= ham, s"probe $p: rerank recall $rr < hamming recall $ham")
+      }
+  }
+
   test("hard negatives: top-5 cross-label cosine, replayed from raw vectors") {
     val labels = Tables.table(spark, sf, "embeddings")
       .select("vec_id", "label").collect()

@@ -301,6 +301,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("lambdafunction"), s"interpreted HOF lambda in the plan:\n$p")
   }
 
+  test("binary quantization packs map-side (no hash exchange, no HOF lambda)") {
+    val p = plan("embedding_quantize_binary")
+    assert(!p.contains("hashpartitioning("),
+      s"sign-bit packing should never shuffle the corpus:\n$p")
+    assert(!p.contains("lambdafunction"), s"interpreted HOF lambda in the plan:\n$p")
+  }
+
+  test("binary rerank: codes-only shortlist scan, broadcast vector fetch, no cartesian") {
+    val p = plan("ann_binary_rerank")
+    assert(!p.contains("CartesianProduct"), s"binary rerank went cartesian:\n$p")
+    // the full-vector fetch must stream the corpus through a broadcast
+    // join of the 60-row shortlist, never shuffle it on neighbor_id
+    assert(!p.contains("hashpartitioning(neighbor_id"),
+      s"vector fetch shuffles the corpus on neighbor_id:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"shortlist should broadcast into the vector fetch:\n$p")
+  }
+
   test("approx distinct ships a mergeable HLL partial across the exchange") {
     val p = plan("a8_approx_distinct")
     assert(p.contains("partial_approx_count_distinct"),
