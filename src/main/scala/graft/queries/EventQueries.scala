@@ -575,7 +575,113 @@ object EventQueries extends QuerySet {
     (partial, newFrontier)
   }
 
+  // ---- ev11: hopping (sliding) window rollup -----------------------------
+  // Overlapping 1-hour windows sliding every 15 minutes — the standard
+  // "smooth rate" dashboard aggregation, stated Spark-natively with
+  // `window(ts, '1 hour', '15 minutes')` (each event lands in exactly
+  // 4 windows; Catalyst expands it map-side and the count/sum combine
+  // partially before the single window_start exchange). The oracle
+  // restates the same semantics arithmetically: the 4 containing
+  // window starts are time_bucket(15 min, ts) − k·15 min for k = 0..3
+  // — both engines' buckets are epoch-aligned, so the starts agree
+  // exactly. 100 TB shape: output is (time-range / slide) rows per
+  // type, independent of corpus size; the only corpus-sized work is
+  // the partial agg before the exchange.
+  private val hopping = QueryDef(
+    "ev11_hopping_window",
+    Some("""SELECT start AS window_start, count(*) AS n,
+           |       round(sum(value), 2) AS total
+           |FROM (
+           |  SELECT time_bucket(INTERVAL 15 minutes, ts)
+           |           - k.k * INTERVAL '15 minutes' AS start, value
+           |  FROM events, range(0, 4) k(k)
+           |  WHERE event_type = 'purchase')
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables.table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(col("w.start").as("window_start"), col("n"), col("total"))
+        .orderBy("window_start")
+    })
+
+  // ---- ev12: gap-fill + linear interpolation -----------------------------
+  // Dense hourly spine per event type with missing hours linearly
+  // interpolated between the neighboring observed hours — the
+  // time-series repair step every monitoring/feature pipeline needs
+  // before resampling. All arithmetic is exact-integer: hour index =
+  // epoch_us div 3600e6 (BIGINT floor-div in both engines), and the
+  // interpolated value is the integer-micro rounding of
+  // (pn·(nh−h) + nn·(h−ph)) · 1e6 / (nh−ph) with identical
+  // parenthesization. Neighbors come from IGNORE-NULLS running
+  // first/last over the spine — windows partition on event_type and
+  // the spine is (time-range × types)-sized, so at 100 TB the only
+  // corpus-scale work is the hourly partial agg before one exchange;
+  // the spine/window stage is constant-bounded by the calendar.
+  private val gapfill = QueryDef(
+    "ev12_gapfill_interpolate",
+    Some("""WITH c AS (
+           |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS n
+           |  FROM events GROUP BY 1, 2),
+           |b AS (SELECT event_type, min(h) AS mn, max(h) AS mx FROM c GROUP BY 1),
+           |s AS (SELECT event_type, unnest(generate_series(mn, mx)) AS h FROM b),
+           |j AS (
+           |  SELECT s.event_type, s.h, c.n FROM s
+           |  LEFT JOIN c ON c.event_type = s.event_type AND c.h = s.h),
+           |f AS (
+           |  SELECT event_type, h, n,
+           |    last_value(CASE WHEN n IS NOT NULL THEN h END IGNORE NULLS)
+           |      OVER (PARTITION BY event_type ORDER BY h
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+           |    last_value(CASE WHEN n IS NOT NULL THEN n END IGNORE NULLS)
+           |      OVER (PARTITION BY event_type ORDER BY h
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pn,
+           |    first_value(CASE WHEN n IS NOT NULL THEN h END IGNORE NULLS)
+           |      OVER (PARTITION BY event_type ORDER BY h
+           |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh,
+           |    first_value(CASE WHEN n IS NOT NULL THEN n END IGNORE NULLS)
+           |      OVER (PARTITION BY event_type ORDER BY h
+           |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nn
+           |  FROM j)
+           |SELECT event_type, h,
+           |       CASE WHEN n IS NOT NULL THEN 'obs' ELSE 'fill' END AS src,
+           |       CASE WHEN n IS NOT NULL THEN n * 1000000
+           |            ELSE CAST(round((pn * (nh - h) + nn * (h - ph)) * 1000000.0
+           |                            / (nh - ph), 0) AS BIGINT)
+           |       END AS n_u6
+           |FROM f ORDER BY event_type, h""".stripMargin),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val c = Tables.table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val spine = c.groupBy("event_type")
+        .agg(min("h").as("mn"), max("h").as("mx"))
+        .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("h"))
+      val j = spine.join(c, Seq("event_type", "h"), "left")
+      val back = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val present = col("n").isNotNull
+      j.withColumn("ph", last(when(present, col("h")), ignoreNulls = true).over(back))
+        .withColumn("pn", last(when(present, col("n")), ignoreNulls = true).over(back))
+        .withColumn("nh", first(when(present, col("h")), ignoreNulls = true).over(fwd))
+        .withColumn("nn", first(when(present, col("n")), ignoreNulls = true).over(fwd))
+        .select(col("event_type"), col("h"),
+          when(present, lit("obs")).otherwise(lit("fill")).as("src"),
+          when(present, col("n") * lit(1000000L))
+            .otherwise(round((col("pn") * (col("nh") - col("h"))
+              + col("nn") * (col("h") - col("ph"))) * lit(1000000.0)
+              / (col("nh") - col("ph")), 0).cast("long")).as("n_u6"))
+        .orderBy("event_type", "h")
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(hourly, sessions, funnel, salted, keepLatest, asof, rangeJoin, conversion,
-      retention, anomaly, winsorized, scd2, markov, funnelSteps)
+      retention, anomaly, winsorized, scd2, markov, funnelSteps, hopping, gapfill)
 }

@@ -360,6 +360,49 @@ object SqlSurfaceQueries extends QuerySet {
         |FROM a JOIN v USING (o_orderpriority)
         |ORDER BY o_orderpriority""".stripMargin))
 
+  // F6: ordered-analytics aggregates — arg-max/arg-min (`max_by`/
+  // `min_by` ↔ DuckDB `arg_max`/`arg_min`), `median`, and
+  // deterministic `mode`. The argmax keys on the UNIQUE o_orderkey so
+  // both engines' tie-break is vacuous; median's even-count
+  // interpolation is (a+b)/2 in both; mode uses Spark's
+  // `mode(e, true)` ties-to-lowest form, which the oracle restates
+  // arithmetically (count desc, value asc, row 1) — the identical
+  // function, not a tie-break gamble. All five collapse through
+  // partial aggregation on the group key; median is the one
+  // full-sort-per-group aggregate, acceptable because groups here are
+  // the 3 order statuses (the sketch twin for unbounded groups is
+  // a7b's approx_percentile).
+  private val f6 = QueryDef(
+    "f6_argminmax_median_mode",
+    Some("""WITH m AS (
+           |  SELECT o_orderstatus, o_orderpriority, count(*) AS c
+           |  FROM orders GROUP BY 1, 2),
+           |md AS (
+           |  SELECT o_orderstatus, o_orderpriority AS mode_priority FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+           |              ORDER BY c DESC, o_orderpriority) AS rn FROM m) t
+           |  WHERE rn = 1),
+           |a AS (
+           |  SELECT o_orderstatus,
+           |         arg_min(o_orderdate, o_orderkey) AS first_date,
+           |         arg_max(o_orderdate, o_orderkey) AS last_date,
+           |         round(median(o_totalprice), 2) AS med_price,
+           |         count(*) AS n
+           |  FROM orders GROUP BY 1)
+           |SELECT a.o_orderstatus, a.first_date, a.last_date, a.med_price,
+           |       md.mode_priority, a.n
+           |FROM a JOIN md USING (o_orderstatus)
+           |ORDER BY o_orderstatus""".stripMargin),
+    (s, dir) => Tables.table(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        min_by(col("o_orderdate"), col("o_orderkey")).as("first_date"),
+        max_by(col("o_orderdate"), col("o_orderkey")).as("last_date"),
+        round(median(col("o_totalprice")), 2).as("med_price"),
+        expr("mode(o_orderpriority, true)").as("mode_priority"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus"))
+
   // A8: approximate distinct counting — HLL++ (`approx_count_distinct`)
   // is the 100 TB cardinality path: fixed-size mergeable sketch state
   // vs the exact count's per-group distinct expansion. Same gate
@@ -406,5 +449,5 @@ object SqlSurfaceQueries extends QuerySet {
 
   override val defs: Seq[QueryDef] =
     Seq(a2, a3, a5, a6, a7, a7b, a8, w2, w3, j3, set1, set2, f1, f2, f3, f4, f5,
-      j1, i1, o4, o5, t1)
+      f6, j1, i1, o4, o5, t1)
 }

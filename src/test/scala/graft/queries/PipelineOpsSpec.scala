@@ -381,4 +381,70 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       clicked >= clicked1h && purchased >= purchased1h)
     assert(purchased > 0, "vacuous fixture: nobody completed the funnel")
   }
+
+  test("hopping windows: every event lands in exactly 4 slides and recounts exactly") {
+    val evs = graft.Tables.table(spark, sfTiny, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .selectExpr("unix_micros(ts) us").collect().map(_.getLong(0))
+    val slide = 15L * 60 * 1000000
+    // driver replay: the 4 containing window starts per event
+    val expect = evs.flatMap { us =>
+      val b = Math.floorDiv(us, slide) * slide
+      (0 until 4).map(k => b - k * slide)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = run("ev11_hopping_window", sfTiny).collect()
+      .map(r => (r.getTimestamp(0).toInstant.toEpochMilli * 1000, r.getLong(1))).toMap
+    assert(got == expect, s"hopping recount mismatch: ${got.size} vs ${expect.size} windows")
+    assert(got.values.sum == evs.length * 4L, "each event must land in exactly 4 windows")
+  }
+
+  test("gap-fill: dense spine, observed hours exact, fills bounded by their anchors") {
+    val rows = run("ev12_gapfill_interpolate", sfTiny).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byType = rows.groupBy(_._1)
+    assert(byType.nonEmpty)
+    byType.foreach { case (t, rs) =>
+      val hs = rs.map(_._2).sorted
+      // dense: every hour between min and max appears exactly once
+      assert(hs.length == (hs.last - hs.head + 1).toInt,
+        s"$t spine is not dense: ${hs.length} rows over [${hs.head}, ${hs.last}]")
+      assert(rs.count(_._3 == "fill") > 0,
+        s"vacuous fixture: no gaps to fill for $t at sf0.001")
+      // every fill sits between its neighboring observed values
+      val obs = rs.filter(_._3 == "obs").map(r => r._2 -> r._4).sortBy(_._1)
+      rs.filter(_._3 == "fill").foreach { case (_, h, _, u6) =>
+        val (ph, pv) = obs.takeWhile(_._1 < h).last
+        val (nh, nv) = obs.dropWhile(_._1 < h).head
+        assert(u6 >= math.min(pv, nv) && u6 <= math.max(pv, nv),
+          s"$t hour $h fill $u6 outside anchor band [$pv, $nv]")
+        // exact linear form replayed
+        val exact = math.rint((pv / 1000000.0 * (nh - h) + nv / 1000000.0 * (h - ph))
+          * 1000000.0 / (nh - ph)).toLong
+        assert(math.abs(u6 - exact) <= 1, s"$t hour $h fill $u6 != replay $exact")
+      }
+    }
+  }
+
+  test("argmax/median/mode replay from collected rows") {
+    val orders = graft.Tables.table(spark, sfTiny, "orders")
+      .selectExpr("o_orderstatus", "o_orderkey", "o_orderdate",
+        "o_totalprice", "o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.get(2), r.getDouble(3), r.getString(4)))
+    val got = run("f6_argminmax_median_mode", sfTiny).collect()
+      .map(r => r.getString(0) ->
+        ((r.get(1), r.get(2), r.getDouble(3), r.getString(4), r.getLong(5)))).toMap
+    orders.groupBy(_._1).foreach { case (st, rs) =>
+      val (fd, ld, med, mode, n) = got(st)
+      assert(fd == rs.minBy(_._2)._3 && ld == rs.maxBy(_._2)._3,
+        s"$st argmin/argmax dates mismatch")
+      val ps = rs.map(_._4).sorted
+      val m = if (ps.length % 2 == 1) ps(ps.length / 2)
+      else (ps(ps.length / 2 - 1) + ps(ps.length / 2)) / 2.0
+      val mr = BigDecimal(m).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(med - mr) < 1e-9, s"$st median $med != replay $mr")
+      val freq = rs.groupBy(_._5).view.mapValues(_.size).toMap
+      val expMode = freq.toSeq.sortBy { case (v, c) => (-c, v) }.head._1
+      assert(mode == expMode && n == rs.length, s"$st mode/count mismatch")
+    }
+  }
 }

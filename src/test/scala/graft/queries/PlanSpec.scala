@@ -301,6 +301,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("lambdafunction"), s"interpreted HOF lambda in the plan:\n$p")
   }
 
+  test("hopping windows expand map-side and combine partially before one exchange") {
+    val p = plan("ev11_hopping_window")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"no map-side partial in the hopping rollup:\n$p")
+    assert(!p.contains("CartesianProduct"), s"hopping rollup went cartesian:\n$p")
+    // the event-type filter must reach the scan, not run post-expand
+    assert(p.contains("PushedFilters") && p.contains("event_type"),
+      s"type filter not pushed to the scan:\n$p")
+  }
+
+  test("gap-fill: corpus work is one partial hourly agg; spine windows ride event_type") {
+    val p = plan("ev12_gapfill_interpolate")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"hourly count does not combine map-side:\n$p")
+    assert(p.contains("hashpartitioning(event_type"),
+      s"interpolation windows must partition on event_type:\n$p")
+    assert(!p.contains("CartesianProduct"), s"gap-fill went cartesian:\n$p")
+  }
+
   test("binary quantization packs map-side (no hash exchange, no HOF lambda)") {
     val p = plan("embedding_quantize_binary")
     assert(!p.contains("hashpartitioning("),
