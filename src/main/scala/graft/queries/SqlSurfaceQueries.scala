@@ -360,6 +360,28 @@ object SqlSurfaceQueries extends QuerySet {
         |FROM a JOIN v USING (o_orderpriority)
         |ORDER BY o_orderpriority""".stripMargin))
 
+  // W4: DuckDB QUALIFY clause through the dialect layer — the query is
+  // WRITTEN in DuckDB syntax (the template surface users author), the
+  // oracle runs that text verbatim, and the Spark side runs
+  // DuckDialect.translate's subquery rewrite of the SAME text — so the
+  // gate proves the dialect's QUALIFY semantics, not a hand-matched
+  // restatement. Scale: the rank filter rides Catalyst's
+  // WindowGroupLimit exactly like the native top-n queries.
+  private val w4QualifyText =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+      |  row_number() OVER (PARTITION BY o_custkey
+      |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |FROM orders
+      |WHERE o_custkey <= 100
+      |QUALIFY rn <= 2
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  private val w4 = QueryDef(
+    "w4_qualify_topn",
+    Some(w4QualifyText),
+    (s, dir) => Tables.sql(s, dir,
+      graft.dialect.DuckDialect.translate(w4QualifyText)))
+
   // F6: ordered-analytics aggregates — arg-max/arg-min (`max_by`/
   // `min_by` ↔ DuckDB `arg_max`/`arg_min`), `median`, and
   // deterministic `mode`. The argmax keys on the UNIQUE o_orderkey so
@@ -448,6 +470,6 @@ object SqlSurfaceQueries extends QuerySet {
         |ORDER BY o_orderpriority""".stripMargin))
 
   override val defs: Seq[QueryDef] =
-    Seq(a2, a3, a5, a6, a7, a7b, a8, w2, w3, j3, set1, set2, f1, f2, f3, f4, f5,
-      f6, j1, i1, o4, o5, t1)
+    Seq(a2, a3, a5, a6, a7, a7b, a8, w2, w3, w4, j3, set1, set2, f1, f2, f3, f4,
+      f5, f6, j1, i1, o4, o5, t1)
 }

@@ -80,6 +80,32 @@ class DuckDialectSpec extends AnyFunSuite {
     assert(translate(sql) == sql)
   }
 
+  test("QUALIFY rewrites to the subquery form it abbreviates") {
+    val got = translate(
+      "SELECT g, row_number() OVER (PARTITION BY g ORDER BY v) AS rn " +
+        "FROM t QUALIFY rn <= 3 ORDER BY g, rn LIMIT 10")
+      .replaceAll("\\s+", " ")
+    assert(got.startsWith("SELECT * FROM ("), got)
+    assert(got.contains(") __graft_q WHERE rn <= 3 ORDER BY g, rn LIMIT 10"), got)
+    assert(!got.toLowerCase.contains("qualify"), got)
+  }
+
+  test("QUALIFY inside a subquery rewrites only its own block") {
+    val got = translate(
+      "SELECT * FROM (SELECT g, rank() OVER (ORDER BY v) AS r " +
+        "FROM t QUALIFY r = 1) s JOIN u ON s.g = u.g")
+      .replaceAll("\\s+", " ")
+    assert(got.contains("(SELECT * FROM (SELECT g,"), got)
+    assert(got.contains("WHERE r = 1) s JOIN u"), got)
+    assert(!got.toLowerCase.contains("qualify"), got)
+  }
+
+  test("QUALIFY with an inline window raises the directed error") {
+    val e = intercept[IllegalArgumentException](translate(
+      "SELECT g FROM t QUALIFY row_number() OVER (ORDER BY v) = 1"))
+    assert(e.getMessage.contains("alias the window function"))
+  }
+
   test("empty OVER () gains a synthetic order key (W1)") {
     assert(translate("SELECT ROW_NUMBER() OVER () AS id FROM t") ==
       "SELECT ROW_NUMBER() OVER (ORDER BY monotonically_increasing_id()) AS id FROM t")

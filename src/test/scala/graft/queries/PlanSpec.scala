@@ -301,6 +301,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("lambdafunction"), s"interpreted HOF lambda in the plan:\n$p")
   }
 
+  test("QUALIFY rewrite rides WindowGroupLimit like a native top-n") {
+    val p = plan("w4_qualify_topn")
+    assert(p.contains("WindowGroupLimit"),
+      s"qualify's rank filter did not become a group limit:\n$p")
+    // the custkey predicate must still reach the scan through the
+    // dialect-generated subquery
+    assert(p.contains("PushedFilters") && p.contains("o_custkey"),
+      s"filter lost under the qualify subquery:\n$p")
+  }
+
   test("hopping windows expand map-side and combine partially before one exchange") {
     val p = plan("ev11_hopping_window")
     assert(p.contains("partial_count") || p.contains("partial count"),
