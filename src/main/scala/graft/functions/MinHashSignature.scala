@@ -98,6 +98,7 @@ object GraftFunctions {
   }
 
   final case class WinnowOut(n_fp: Long, min_fp: Long, max_fp: Long)
+  final case class BloomOut(n_grams: Long, n_bloom: Long, n_exact: Long)
   final case class QuantOut(qmin: Double, qmax: Double, qsum: Long, recon_cos: Double)
 
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -211,6 +212,32 @@ object GraftFunctions {
           WinnowOut(seen.size.toLong, minFp, maxFp)
         }
       })
+      spark.udf.register("bucket_counts", (tokens: Seq[String], m: Int) => {
+        val counts = new Array[Long](m)
+        tokens.foreach { t =>
+          if (t != null) counts((Md5Prefix.hash(t.getBytes("UTF-8")) % m).toInt) += 1
+        }
+        counts.toSeq
+      })
+      spark.udf.register("bloom_doc_stats",
+        (grams: Seq[String], bitmap: Seq[Long], ref: Seq[String]) => {
+          val bits = bitmap.toArray
+          val mBits = bits.length * 64
+          val refSet = new java.util.HashSet[String]()
+          ref.foreach(refSet.add)
+          val seen = new java.util.HashSet[String]()
+          var nBloom = 0L; var nExact = 0L
+          grams.foreach { g =>
+            if (g != null && seen.add(g)) {
+              val (w1, w2) = Md5Prefix.hash2(g.getBytes("UTF-8"))
+              val p1 = (w1 % mBits).toInt; val p2 = (w2 % mBits).toInt
+              if (((bits(p1 >> 6) >>> (p1 & 63)) & 1L) == 1L &&
+                  ((bits(p2 >> 6) >>> (p2 & 63)) & 1L) == 1L) nBloom += 1
+              if (refSet.contains(g)) nExact += 1
+            }
+          }
+          BloomOut(seen.size.toLong, nBloom, nExact)
+        })
     }
   }
 
@@ -248,6 +275,22 @@ object GraftFunctions {
       new FunctionIdentifier("cdc_bounds"),
       new ExpressionInfo(classOf[CdcBounds].getName, "cdc_bounds"),
       (exprs: Seq[Expression]) => CdcBounds(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("bucket_counts"),
+      new ExpressionInfo(classOf[BucketCounts].getName, "bucket_counts"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "bucket_counts(tokens, m) takes exactly 2 arguments")
+        val m = exprs(1).eval() match {
+          case num: Number => num.intValue()
+          case other => throw new IllegalArgumentException(
+            s"bucket_counts: m must be an integer literal, got $other")
+        }
+        BucketCounts(exprs.head, m)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_doc_stats"),
+      new ExpressionInfo(classOf[BloomDocStats].getName, "bloom_doc_stats"),
+      (exprs: Seq[Expression]) => BloomDocStats(exprs(0), exprs(1), exprs(2))))
     ext.injectFunction((
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),

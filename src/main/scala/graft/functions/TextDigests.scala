@@ -32,6 +32,20 @@ private[functions] object Md5Prefix {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
+
+  /** First TWO 32-bit digest words — `substr(md5,1,8)` and
+    * `substr(md5,9,8)`, the k=2 Bloom hash family. */
+  def hash2(bytes: Array[Byte]): (Long, Long) = {
+    val md = local.get(); md.reset()
+    md.update(bytes)
+    val d = outLocal.get()
+    md.digest(d, 0, 16)
+    val w1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    val w2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    (w1, w2)
+  }
 }
 
 /** `winnow_digest(text)` → STRUCT<n_fp BIGINT, min_fp BIGINT, max_fp
@@ -286,4 +300,128 @@ case class WordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
   override def prettyName: String = "word_shingles"
+}
+
+/** `bucket_counts(tokens, m)` → ARRAY<BIGINT> of length m:
+  * counts[b] = how many tokens hash to bucket b under the engine-
+  * portable md5-prefix hash mod m — the per-document hashed
+  * term-frequency vector of DSIR-style importance weighting, computed
+  * in ONE compiled pass per row. The HOF/explode spelling pays a
+  * per-occurrence md5 *hex formatting + string parse* and ships every
+  * token occurrence into the (doc, bucket) exchange; this expression
+  * hashes raw bytes and emits the already-aggregated m-vector, so the
+  * downstream explode is ≤ m rows per document regardless of document
+  * length. Bucket semantics are bit-identical to
+  * `('0x' || substr(md5(t), 1, 8))::BIGINT % m`. */
+case class BucketCounts(child: Expression, m: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bucket_counts expects ARRAY<STRING>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Long](m)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t != null) {
+        val b = (Md5Prefix.hash(t.getBytes) % m).toInt
+        counts(b) += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(counts)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BucketCounts =
+    copy(child = newChild)
+  override def prettyName: String = "bucket_counts"
+}
+
+/** `bloom_doc_stats(grams, bitmap, ref)` → STRUCT<n_grams, n_bloom,
+  * n_exact BIGINT>: per-document decontamination statistics in one
+  * compiled pass — distinct grams, how many test positive against the
+  * constant Bloom bitmap (m = 64·len(bitmap) bits, k = 2 hashes = the
+  * two 32-bit words of one md5), and how many are exact members of the
+  * constant reference gram set (the FP audit). Replaces an
+  * explode → corpus-wide DISTINCT exchange → per-gram double-md5-hex →
+  * broadcast join → re-aggregate pipeline with a map-side projection:
+  * the only thing that ever leaves the scan is the 3-field struct.
+  * Both the bitmap and the reference set must be foldable constants
+  * (they are the eval-suite artifact, built once on the driver). */
+case class BloomDocStats(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_bloom", LongType, nullable = false),
+    StructField("n_exact", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(LongType, _), ArrayType(StringType, _))
+          if second.foldable && third.foldable => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(StringType, _), ArrayType(LongType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckFailure(
+          "bloom_doc_stats expects constant bitmap and reference arrays")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bloom_doc_stats expects (ARRAY<STRING>, ARRAY<BIGINT>, ARRAY<STRING>), got $other")
+    }
+
+  @transient private lazy val bitmap: Array[Long] = {
+    val arr = second.eval(null).asInstanceOf[ArrayData]
+    val out = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < out.length) { out(i) = arr.getLong(i); i += 1 }
+    out
+  }
+
+  @transient private lazy val refSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    val arr = third.eval(null).asInstanceOf[ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      val u = arr.getUTF8String(i)
+      if (u != null) s.add(u.clone())
+      i += 1
+    }
+    s
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val grams = first.eval(input)
+    if (grams == null) return null
+    val arr = grams.asInstanceOf[ArrayData]
+    val mBits = bitmap.length * 64
+    val seen = new java.util.HashSet[UTF8String]()
+    var nBloom = 0L; var nExact = 0L
+    var i = 0
+    while (i < arr.numElements()) {
+      val g = arr.getUTF8String(i)
+      if (g != null && seen.add(g.clone())) {
+        val (w1, w2) = Md5Prefix.hash2(g.getBytes)
+        val p1 = (w1 % mBits).toInt
+        val p2 = (w2 % mBits).toInt
+        val hit1 = ((bitmap(p1 >> 6) >>> (p1 & 63)) & 1L) == 1L
+        val hit2 = ((bitmap(p2 >> 6) >>> (p2 & 63)) & 1L) == 1L
+        if (hit1 && hit2) nBloom += 1
+        if (refSet.contains(g)) nExact += 1
+      }
+      i += 1
+    }
+    InternalRow(seen.size.toLong, nBloom, nExact)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): BloomDocStats =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "bloom_doc_stats"
 }

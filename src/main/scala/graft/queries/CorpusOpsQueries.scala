@@ -625,13 +625,17 @@ object CorpusOpsQueries extends QuerySet {
            |FROM tf JOIN wt USING (b)
            |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin),
     (s, dir) => {
+      // the per-doc hashed tf vector is ONE compiled pass
+      // (functions/TextDigests.BucketCounts) — the explode below emits
+      // ≤128 already-aggregated rows per document instead of every
+      // token occurrence, and no (doc, bucket) pre-exchange exists at
+      // all ((doc_id, b) is unique by construction)
       val tf = Tables.table(s, dir, "documents")
         .select(col("doc_id"), (col("source") === "src0").as("tgt"),
-          explode(split(col("text"), " ")).as("t"))
-        .select(col("doc_id"), col("tgt"),
-          expr("CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) % 128").as("b"))
-        .groupBy("doc_id", "tgt", "b")
-        .agg(count(lit(1)).as("tf"))
+          expr("bucket_counts(split(text, ' '), 128)").as("bc"))
+        .select(col("doc_id"), col("tgt"), posexplode(col("bc")).as(Seq("b", "tf")))
+        .filter(col("tf") > 0)
+        .select(col("doc_id"), col("tgt"), col("b").cast("long").as("b"), col("tf"))
       val bs = tf.groupBy("b")
         .agg(sum(when(col("tgt"), col("tf")).otherwise(0L)).as("ct"),
           sum(when(!col("tgt"), col("tf")).otherwise(0L)).as("cr"))

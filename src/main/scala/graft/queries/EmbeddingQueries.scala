@@ -487,9 +487,22 @@ object EmbeddingQueries extends QuerySet {
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
+  /** The hyperplane band-code index (vec_id, band, bh) — the STANDING
+    * artifact of the vector side (same anchor planes every batch, per
+    * the incremental operator's contract), materialized once per
+    * (session, source) like the text side's shingle caches: a serving
+    * deployment builds this index on ingest and every pairs/incremental
+    * batch probes it. localCheckpoint cuts the 24-dot-products-per-row
+    * banding out of every downstream replay. */
+  private val codesCache = new graft.operators.SessionMemo[String, DataFrame]()
+
+  private def bandedCodesCached(s: SparkSession, dir: String): DataFrame =
+    codesCache.getOrElseUpdate(s, dir)(
+      bandedCodes(withNorm(s, dir)).localCheckpoint(true))
+
   private def buildEmbPairs(s: SparkSession, dir: String): DataFrame = {
       val e = withNorm(s, dir)
-      val banded = bandedCodes(e)
+      val banded = bandedCodesCached(s, dir)
       // bucket fan-out bounded like the text LSH path (a degenerate
       // all-same-bucket corpus must not go quadratic); the cap is part
       // of the OPERATOR DEFINITION — the oracle's `ok` CTE applies the
@@ -520,6 +533,8 @@ object EmbeddingQueries extends QuerySet {
   // from one hash join on (band, bh) with the full path's combined
   // [2,1000] bucket cap. Exact cosine verifies candidates only; the
   // per-incoming summary names the duplicate set to suppress.
+  private val standingBandIndex = new graft.operators.SessionMemo[String, DataFrame]()
+
   private val embIncremental = QueryDef(
     "incremental_embdup",
     Some(embdupPairsSql.replace(
@@ -537,12 +552,21 @@ object EmbeddingQueries extends QuerySet {
         |FROM pairs GROUP BY id_a ORDER BY incoming_id""".stripMargin),
     (s, dir) => {
       val e = withNorm(s, dir)
-      val buckets = bandedCodes(e).groupBy("band", "bh")
-        .agg(
-          collect_set(when(col("vec_id") % 5 === 4, col("vec_id"))).as("in_ids"),
-          collect_set(when(col("vec_id") % 5 =!= 4, col("vec_id"))).as("ex_ids"))
-        .filter(size(col("in_ids")) >= 1 && size(col("ex_ids")) >= 1 &&
-          (size(col("in_ids")) + size(col("ex_ids"))).between(2, 1000))
+      // the STANDING side's band index is the precomputed artifact the
+      // operator's contract names (same planes every batch) — grouped
+      // once per (session, source); only the incoming slice is coded
+      // and grouped per batch, then ONE hash join on (band, bh) meets
+      // the two. The inner join makes both sides non-empty by
+      // construction, and the combined [2,1000] cap is stated on the
+      // joined sizes exactly as the one-pass form stated it.
+      val standing = standingBandIndex.getOrElseUpdate(s, dir)(
+        bandedCodesCached(s, dir).filter(col("vec_id") % 5 =!= 4)
+          .groupBy("band", "bh").agg(collect_set("vec_id").as("ex_ids"))
+          .localCheckpoint(true))
+      val incoming = bandedCodesCached(s, dir).filter(col("vec_id") % 5 === 4)
+        .groupBy("band", "bh").agg(collect_set("vec_id").as("in_ids"))
+      val buckets = incoming.join(standing, Seq("band", "bh"))
+        .filter((size(col("in_ids")) + size(col("ex_ids"))).between(2, 1000))
       val cand = buckets
         .select(explode(col("in_ids")).as("i_id"), col("ex_ids"))
         .select(col("i_id"), explode(col("ex_ids")).as("e_id"))
@@ -1032,6 +1056,8 @@ object EmbeddingQueries extends QuerySet {
         .orderBy("probe_id", "rn")
     })
 
+  private val adcIndexCache = new graft.operators.SessionMemo[String, DataFrame]()
+
   /** (probe_id, pv, vec_id, score_u6): every in-cell candidate with its
     * integer ADC score — the shared head of the top-k query and the
     * two-stage re-rank below. */
@@ -1067,10 +1093,16 @@ object EmbeddingQueries extends QuerySet {
         struct(termU6(j, slice(col("v"), j * PqSubDim + 1, PqSubDim),
           array(cv.map(lit): _*), lit(c2(j)(ci))).as("d"), lit(ci).as("cid"))
       }: _*)), 1).getField("cid")
-    val coded = e
-      .withColumn("cell", element_at(scoredSeeds, 1).getField("sid"))
-      .select(col("vec_id") +: col("cell") +:
-        (0 until PqSubspaces).map(j => codeExpr(j).as(s"code_$j")): _*)
+    // (vec_id, cell, code_0..7) — the serialized IVF-PQ INDEX, the
+    // artifact a deployment writes at ingest and every probe reads;
+    // materialized once per (session, source) so the per-row
+    // 8×16-centroid assignment sort runs at index-build time, not per
+    // search (the pairsCache discipline).
+    val coded = adcIndexCache.getOrElseUpdate(s, dir)(
+      e.withColumn("cell", element_at(scoredSeeds, 1).getField("sid"))
+        .select(col("vec_id") +: col("cell") +:
+          (0 until PqSubspaces).map(j => codeExpr(j).as(s"code_$j")): _*)
+        .localCheckpoint(true))
     val probes = broadcast(
       e.filter(col("vec_id").isin(IvfProbeIds: _*))
         .withColumn("pcell",

@@ -895,26 +895,33 @@ object TextQueries extends QuerySet {
       // hard-capped at m). The 1024-word bitmap folds into the probe
       // projection as an array literal — constant-size side input, the
       // anchor-vector discipline.
-      val positions = bloomPositionsOfGrams(ref).collect().map(_.getLong(0))
-      val words = new Array[Long](1024)
-      positions.foreach(p => words(p.toInt >> 6) |= (1L << (p.toInt & 63)))
-      def bitTest(h: String) =
-        s"(shiftright(element_at(bm, CAST($h div 64 AS INT) + 1), " +
-          s"CAST($h % 64 AS INT)) & 1) = 1"
+      // the bitmap and eval-suite gram set are the STANDING
+      // decontamination artifact (built once when the eval suite
+      // changes, not per corpus batch) — memoized per (session, source)
+      // as plain arrays (session-free values, so the weak key can
+      // clear on its own)
+      val (words, refGrams) = bloomRefCache.getOrElseUpdate(s, dir) {
+        val positions = bloomPositionsOfGrams(ref).collect().map(_.getLong(0))
+        val w = new Array[Long](1024)
+        positions.foreach(p => w(p.toInt >> 6) |= (1L << (p.toInt & 63)))
+        (w, ref.collect().map(_.getString(0)).sorted.toSeq)
+      }
+      // the per-doc stats — distinct grams, bloom bit tests, exact
+      // membership — are ONE compiled pass
+      // (functions/TextDigests.BloomDocStats): nothing leaves the scan
+      // but the 3-field struct, where the explode/DISTINCT/join
+      // spelling shuffled every (doc, gram) pair corpus-wide
       docs.filter(col("doc_id") % 100 =!= 0)
-        .select(col("doc_id"), explode(col("grams")).as("gram")).distinct()
-        .withColumn("h1", expr(bloomHashExpr(1)))
-        .withColumn("h2", expr(bloomHashExpr(9)))
-        .withColumn("bm", typedLit(words.toSeq))
-        .withColumn("bloom_hit", expr(s"${bitTest("h1")} AND ${bitTest("h2")}"))
-        .join(broadcast(ref.withColumn("is_ref", lit(1L))), Seq("gram"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom"),
-          sum(coalesce(col("is_ref"), lit(0L))).as("n_exact"))
+        .withColumn("st", call_function("bloom_doc_stats",
+          col("grams"), typedLit(words.toSeq), typedLit(refGrams)))
+        .select(col("doc_id"), col("st.n_grams").as("n_grams"),
+          col("st.n_bloom").as("n_bloom"), col("st.n_exact").as("n_exact"))
         .filter(col("n_bloom") > 0)
         .orderBy("doc_id")
     })
+
+  private val bloomRefCache =
+    new graft.operators.SessionMemo[String, (Array[Long], Seq[String])]()
 
   private def bloomHashExpr(off: Int) =
     s"CAST(conv(substr(md5(gram), $off, 8), 16, 10) AS BIGINT) % 65536"
@@ -1276,6 +1283,12 @@ object TextQueries extends QuerySet {
           posexplode(expr("word_shingles(text, 8)")).as(Seq("gpos", "gram")))
         .select(col("doc_id"), col("gpos").cast("long").as("gpos"),
           md5(col("gram")).as("k"))
+      // duplicate occurrences via count-then-rejoin: the digest agg and
+      // the join both stay in whole-stage-codegen HashAggregate/SMJ.
+      // (A one-shuffle collect_list(struct) spelling was tried and
+      // measured SLOWER — the object-hash aggregate it forces drops
+      // the stage out of codegen, which costs more than the second
+      // digest pass it saves.)
       val occ = g.groupBy("k").agg(count(lit(1)).as("occ"))
         .filter(col("occ") > 1).select("k")
       val dup = g.join(occ, "k").select("doc_id", "gpos")

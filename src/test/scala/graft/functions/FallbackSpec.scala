@@ -33,6 +33,10 @@ class FallbackSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nd.count() >= 0) // plan executes; sf0.001 may have no pairs
     val qz = graft.SparkEntry.queries("embedding_quantize_int8")(plain, dir)
     assert(qz.count() > 0)
+    val ds = graft.SparkEntry.queries("dsir_importance")(plain, dir)
+    assert(ds.count() > 0)
+    val bl = graft.SparkEntry.queries("bloom_contamination")(plain, dir)
+    assert(bl.count() >= 0) // plan executes; sf0.001 may have no hits
   }
 
   test("quantize_u8 fallback equals the expression arithmetic") {

@@ -444,10 +444,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the 1-row total must broadcast, not cartesian:\n$p")
   }
 
-  test("dsir: tf combines partially, weight table broadcasts, no cartesian") {
+  test("dsir: per-doc tf vector is one compiled pass, weight table broadcasts") {
     val p = plan("dsir_importance")
-    assert(p.contains("partial_count"),
-      s"raw exploded tokens would cross the wire without combine:\n$p")
+    assert(p.contains("bucket_counts"),
+      s"native hashed-tf kernel missing — the per-occurrence explode is back:\n$p")
+    assert(p.contains("partial_sum"),
+      s"bucket partials would cross the wire without combine:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"the 128-row weight table is not broadcast back:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in dsir:\n$p")
@@ -461,12 +463,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"survivor filter is not an anti-join:\n$p")
   }
 
-  test("bloom probe is map-side (literal bitmap); only per-doc partials shuffle") {
+  test("bloom probe is one map-side pass: no join, no hash exchange at all") {
     val p = plan("bloom_contamination")
-    assert(p.contains("partial_count") || p.contains("partial_sum"),
-      s"per-doc counts shuffle raw gram rows without combine:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"the exact-audit join is not broadcast:\n$p")
+    assert(p.contains("bloom_doc_stats"),
+      s"native per-doc kernel missing — the gram explode/DISTINCT is back:\n$p")
+    assert(!p.contains("hashpartitioning("),
+      s"nothing should hash-shuffle (stats leave the scan pre-aggregated):\n$p")
+    assert(!p.contains("Join"), s"the audit join should be folded into the kernel:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in bloom probe:\n$p")
   }
 
