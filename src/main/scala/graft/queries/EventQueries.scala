@@ -681,7 +681,86 @@ object EventQueries extends QuerySet {
         .orderBy("event_type", "h")
     })
 
+  // ---- ev13: time-weighted average ---------------------------------------
+  // The signal-processing mean for irregularly-sampled series: each
+  // observation is weighted by how long it REMAINED the current value
+  // (until the next event of its type) — the standard rate/gauge
+  // aggregation downsampling pipelines need, where a plain avg
+  // over-weights bursts. All arithmetic is exact-integer: value
+  // rounds to micro-units once per row, the interval is an integer
+  // floor-div to milliseconds, and only integer products/sums combine
+  // (order-independent). Overflow headroom is time-range-bounded, not
+  // corpus-bounded: Σ(v_u6·gap_ms) ≤ max_v_u6 · total-range-ms
+  // (≈1.3e18 here) regardless of row count, so the BIGINT sum is safe
+  // at any SF. One lead window per type, then a partial-combined agg.
+  private def twaSql(epochFn: String => String, intDiv: String) =
+    s"""WITH o AS (
+       |  SELECT event_type, value,
+       |         ${epochFn("ts")} AS t_us,
+       |         ${epochFn("lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)")} AS nxt_us
+       |  FROM events),
+       |i AS (
+       |  SELECT event_type,
+       |         CAST(round(value * 1000000.0) AS BIGINT) AS v_u6,
+       |         (nxt_us - t_us) $intDiv 1000 AS gap_ms
+       |  FROM o WHERE nxt_us IS NOT NULL),
+       |a AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+       |         CAST(sum(v_u6 * gap_ms) AS BIGINT) AS su,
+       |         CAST(sum(gap_ms) AS BIGINT) AS sg
+       |  FROM i GROUP BY event_type)
+       |SELECT event_type, n_intervals,
+       |       CAST(round(CAST(su AS DOUBLE) / sg, 0) AS BIGINT) AS twa_u6
+       |FROM a ORDER BY event_type""".stripMargin
+
+  private val twa = QueryDef(
+    "ev13_time_weighted_avg",
+    Some(twaSql(e => s"epoch_us($e)", "//")),
+    (s, dir) => Tables.sql(s, dir, twaSql(e => s"unix_micros($e)", "div")))
+
+  // ---- ev14: session path mining -----------------------------------------
+  // The journey-analysis classic: the most common 3-step event paths
+  // WITHIN sessions (30-min inactivity rule, the ev2 constant). The
+  // session index is the gaps-and-islands running sum; the trigram
+  // window partitions on (user, session) so a path can never straddle
+  // a session break by construction — no post-filter on session
+  // equality is needed, the partition boundary IS the rule. Both
+  // engines run the identical text (modulo the epoch spelling); the
+  // top-10 collapses through TakeOrderedAndProject, never a global
+  // sort. Scale: two user-keyed window passes (high-cardinality key)
+  // and one trigram partial agg over a constant-bounded key space
+  // (|types|³).
+  private def pathsSql(epochFn: String => String) =
+    s"""WITH o AS (
+       |  SELECT user_id, event_type, ts, event_id,
+       |         CASE WHEN ${epochFn("ts")} - ${epochFn(
+      "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)")} > 1800000000
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM events),
+       |s AS (
+       |  SELECT user_id, event_type, ts, event_id,
+       |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                        ROWS UNBOUNDED PRECEDING) AS sess
+       |  FROM o),
+       |p AS (
+       |  SELECT event_type AS e1,
+       |         lead(event_type, 1) OVER (PARTITION BY user_id, sess
+       |                                   ORDER BY ts, event_id) AS e2,
+       |         lead(event_type, 2) OVER (PARTITION BY user_id, sess
+       |                                   ORDER BY ts, event_id) AS e3
+       |  FROM s)
+       |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+       |FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+       |GROUP BY e1, e2, e3
+       |ORDER BY n DESC, e1, e2, e3 LIMIT 10""".stripMargin
+
+  private val sessionPaths = QueryDef(
+    "ev14_session_paths",
+    Some(pathsSql(e => s"epoch_us($e)")),
+    (s, dir) => Tables.sql(s, dir, pathsSql(e => s"unix_micros($e)")))
+
   override val defs: Seq[QueryDef] =
     Seq(hourly, sessions, funnel, salted, keepLatest, asof, rangeJoin, conversion,
-      retention, anomaly, winsorized, scd2, markov, funnelSteps, hopping, gapfill)
+      retention, anomaly, winsorized, scd2, markov, funnelSteps, hopping, gapfill,
+      twa, sessionPaths)
 }

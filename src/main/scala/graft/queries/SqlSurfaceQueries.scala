@@ -182,6 +182,30 @@ object SqlSurfaceQueries extends QuerySet {
         .schema.fieldNames.toSeq.sorted.toDF("column_name")
     })
 
+  // I2: one-shot table profile — the data-catalog summary (row count,
+  // null fill, numeric range/total, low-cardinality distincts) every
+  // ingestion pipeline runs before trusting a new source. Spelled as
+  // one expand-free aggregate for the partial-aggable stats plus one
+  // tiny distinct-collapse per categorical column, cross-joined as
+  // 1-row frames — deliberately NOT `count(DISTINCT a), count(DISTINCT
+  // b)` in a single aggregate, which would trigger Catalyst's
+  // Expand rewrite and replicate the 100 TB scan per distinct column
+  // (the a8 lesson). Identical text on both engines.
+  private val i2 = sqlQuery(
+    "i2_profile_table",
+    """WITH base AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |         CAST(count(text) AS BIGINT) AS text_filled,
+      |         CAST(min(n_chars) AS BIGINT) AS min_chars,
+      |         CAST(max(n_chars) AS BIGINT) AS max_chars,
+      |         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |  FROM documents),
+      |ds AS (SELECT CAST(count(*) AS BIGINT) AS n_sources
+      |       FROM (SELECT DISTINCT source FROM documents) t),
+      |dl AS (SELECT CAST(count(*) AS BIGINT) AS n_langs
+      |       FROM (SELECT DISTINCT lang FROM documents) t)
+      |SELECT * FROM base CROSS JOIN ds CROSS JOIN dl""".stripMargin)
+
   // O4: scalar subquery (top-1 idiom; reference products-create.sql:63-65
   // uses WHERE id = (SELECT MAX(id) ...) as its RETURNING emulation).
   private val o4 = sqlQuery(
@@ -471,5 +495,5 @@ object SqlSurfaceQueries extends QuerySet {
 
   override val defs: Seq[QueryDef] =
     Seq(a2, a3, a5, a6, a7, a7b, a8, w2, w3, w4, j3, set1, set2, f1, f2, f3, f4,
-      f5, f6, j1, i1, o4, o5, t1)
+      f5, f6, j1, i1, i2, o4, o5, t1)
 }

@@ -53,6 +53,11 @@ object Connections {
         conn.properties.get("path").foreach(p => registerFilePath(spark, conn, "csv", p))
       case Some("json") =>
         conn.properties.get("path").foreach(p => registerFilePath(spark, conn, "json", p))
+      case Some("orc") =>
+        // columnar like parquet (predicate pushdown + column pruning
+        // come from Spark's native ORC reader), registered through the
+        // same per-file view mechanics as csv/json
+        conn.properties.get("path").foreach(p => registerFilePath(spark, conn, "orc", p))
       case _ => ()
     }
     conn.initSql.foreach { sql =>

@@ -73,6 +73,30 @@ object Streaming {
         col("window.start").as("window_start"),
         col(typeCol), col("n"), round(col("total"), 2).as("total"))
 
+  /** Hopping (sliding) window counts — the streaming face of the
+    * ev11_hopping_window batch operator: each event lands in
+    * windowLen/slide overlapping windows (Catalyst expands the
+    * membership map-side exactly as in batch, so stream ≡ batch on the
+    * same rows — parity-locked in StreamingSpec). State is bounded the
+    * same way as the tumbling form: a window evicts once the watermark
+    * passes its end, and the number of OPEN windows per type is
+    * (windowLen + watermark) / slide — constant, independent of stream
+    * length. */
+  def hoppingEventCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      windowLen: String = "1 hour",
+      slide: String = "15 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col(typeCol))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(
+        col("window.start").as("window_start"),
+        col(typeCol), col("n"), round(col("total"), 2).as("total"))
+
   // ---- streaming exact dedup ----------------------------------------------
 
   /** Streaming face of the dedup family: drop rows whose key was

@@ -88,6 +88,30 @@ class ConnectionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.head.getAs[Double]("price") == 2.5)
   }
 
+  test("orc connection round-trips schema and values through the native reader") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_src")
+    // write a real ORC file (Spark's native writer), then register the
+    // directory as an orc-typed connection and read it back
+    spark.range(3).selectExpr("id", "concat('n', id) AS name",
+      "cast(id * 1.5 as double) AS score")
+      .coalesce(1).write.mode("overwrite").orc(dir.resolve("scores_w").toString)
+    val part = new java.io.File(dir.resolve("scores_w").toString).listFiles()
+      .find(_.getName.endsWith(".orc")).get
+    java.nio.file.Files.copy(part.toPath, dir.resolve("scores.orc"))
+    Connections.init(spark, ConnectionConfig("orcsrc", Map(
+      "type" -> "orc", "path" -> dir.resolve("scores.orc").toString)))
+    val rows = spark.table("orcsrc").orderBy("id").collect()
+    assert(rows.length == 3 && rows.head.getAs[String]("name") == "n0")
+    assert(rows.last.getAs[Double]("score") == 3.0)
+    // columnar pruning: a single-column projection reads only it
+    val plan = spark.table("orcsrc").select("name")
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator
+      .flatMap(_.split(", ").find(_.startsWith("ReadSchema"))).mkString
+    assert(readSchema.contains("name") && !readSchema.contains("score"),
+      s"orc scan did not prune columns: $readSchema\n$plan")
+  }
+
   test("csv with explicit DDL schema skips inference and pins types") {
     val f = java.nio.file.Files.createTempFile("graft_csv_one", ".csv")
     java.nio.file.Files.writeString(f, "1,widget\n2,gadget\n")

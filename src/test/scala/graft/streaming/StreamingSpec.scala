@@ -68,6 +68,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("hopping windows: stream equals batch on the same rows (every slide counted)") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF.toDF("ts", "event_type", "value")
+    // 20-min windows sliding 5 min → every event lands in exactly 4
+    val agg = Streaming.hoppingEventCounts(
+      events, windowLen = "20 minutes", slide = "5 minutes", watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("hop_counts")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val data = Seq(
+        (ts("2026-01-01 10:01:00"), "click", 1.0),
+        (ts("2026-01-01 10:07:00"), "click", 2.0),
+        (ts("2026-01-01 10:09:00"), "view", 5.0))
+      input.addData(data.take(2): _*)
+      q.processAllAvailable()
+      input.addData(data.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("hop_counts")
+        .groupBy("window_start", "event_type")
+        .agg(max("n").as("n"), max("total").as("total")).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      // batch replay of the same rows through the identical expression
+      val batch = data.toDF("ts", "event_type", "value")
+        .groupBy(org.apache.spark.sql.functions.window(
+          col("ts"), "20 minutes", "5 minutes"), col("event_type"))
+        .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"),
+          sum("value").as("total"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), round(col("total"), 2).as("total")).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == batch, s"stream/batch hopping mismatch:\n got=$got\n exp=$batch")
+      // 3 events × 4 slides each, across the two types
+      assert(got.toSeq.map(_._3).sum == 12L)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeats within the watermark, state evicts past it") {
     val ss = spark
     import ss.implicits._
