@@ -182,6 +182,71 @@ object SqlSurfaceQueries extends QuerySet {
         .schema.fieldNames.toSeq.sorted.toDF("column_name")
     })
 
+  // W5: calendar-interval RANGE frame — the moving-window form where
+  // the frame is defined by TIME distance, not row count (a 30-day
+  // trailing spend), so gaps and ties are handled by value: all rows
+  // within the interval enter the frame regardless of how many there
+  // are. Accumulation order inside a frame is engine-internal, but the
+  // frame SUM is over a deterministic row SET, and we round after the
+  // sum like w2. Identical text on both engines.
+  private val w5 = sqlQuery(
+    "w5_interval_range_frame",
+    """SELECT o_custkey, o_orderkey, cast(o_orderdate AS DATE) AS odate,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+      |        RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2) AS spend_30d,
+      |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+      |        RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS n_30d
+      |FROM orders WHERE o_custkey <= 200
+      |ORDER BY o_custkey, odate, o_orderkey""".stripMargin)
+
+  // A9: explicit GROUPING SETS with grouping() disambiguation — the
+  // general form a5/a6's ROLLUP/CUBE abbreviate; gid tells subtotal
+  // rows apart from genuine NULL group values. Identical text.
+  private val a9 = sqlQuery(
+    "a9_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS BIGINT) AS gid,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), (o_orderpriority), ())
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+
+  // J4: correlated LATERAL subquery — top-n-per-group stated as "for
+  // each customer, its 2 biggest orders" with the outer row in scope.
+  // Spark plans the correlated limit as a window under the hood
+  // (DomainJoin rewrite), so the scale shape is the same WindowGroupLimit
+  // top-n, but the SURFACE — the SQL a user migrating from
+  // DuckDB/Postgres writes — is covered verbatim. Identical text.
+  private val j4 = sqlQuery(
+    "j4_lateral_topn",
+    """SELECT c.o_custkey, t.o_orderkey, t.price
+      |FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey <= 100) c,
+      |LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS price
+      |         FROM orders o WHERE o.o_custkey = c.o_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c.o_custkey, t.price DESC, t.o_orderkey""".stripMargin)
+
+  // P1: PIVOT — event counts per user rotated into one column per
+  // type. Spark has first-class PIVOT syntax; the oracle states the
+  // same rotation as conditional aggregation (the canonical ANSI
+  // spelling DuckDB also accepts), so the gate proves the semantics
+  // rather than echoing one parser's sugar.
+  private val p1 = QueryDef(
+    "p1_pivot",
+    Some("""SELECT user_id,
+           |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+           |FROM events WHERE user_id <= 50
+           |GROUP BY user_id ORDER BY user_id""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """SELECT * FROM (
+        |  SELECT user_id, event_type FROM events WHERE user_id <= 50)
+        |PIVOT (count(*) FOR event_type IN ('click' AS click,
+        |       'purchase' AS purchase, 'view' AS view))
+        |ORDER BY user_id""".stripMargin))
+
   // I2: one-shot table profile — the data-catalog summary (row count,
   // null fill, numeric range/total, low-cardinality distincts) every
   // ingestion pipeline runs before trusting a new source. Spelled as
@@ -494,6 +559,6 @@ object SqlSurfaceQueries extends QuerySet {
         |ORDER BY o_orderpriority""".stripMargin))
 
   override val defs: Seq[QueryDef] =
-    Seq(a2, a3, a5, a6, a7, a7b, a8, w2, w3, w4, j3, set1, set2, f1, f2, f3, f4,
-      f5, f6, j1, i1, i2, o4, o5, t1)
+    Seq(a2, a3, a5, a6, a7, a7b, a8, a9, w2, w3, w4, w5, j3, j4, set1, set2,
+      f1, f2, f3, f4, f5, f6, j1, i1, i2, o4, o5, p1, t1)
 }

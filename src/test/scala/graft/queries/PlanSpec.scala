@@ -301,6 +301,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("lambdafunction"), s"interpreted HOF lambda in the plan:\n$p")
   }
 
+  test("lateral top-n decorrelates to a windowed join, never a per-row re-scan") {
+    val p = plan("j4_lateral_topn")
+    assert(!p.contains("CartesianProduct"),
+      s"lateral degenerated to a cartesian:\n$p")
+    assert(p.contains("row_number"),
+      s"correlated LIMIT did not decorrelate into a window:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("o_custkey"),
+      s"correlation filter lost from the scan:\n$p")
+  }
+
   test("QUALIFY rewrite rides WindowGroupLimit like a native top-n") {
     val p = plan("w4_qualify_topn")
     assert(p.contains("WindowGroupLimit"),
