@@ -344,7 +344,7 @@ object EventQueries extends QuerySet {
   // change via a theta join) never appears.
   // Integer casts: the run id is an integer-sum (DuckDB sums to
   // HUGEINT → BIGINT cast), count(*) likewise.
-  private val scd2Sql =
+  private val scd2CoreSql =
     """WITH o AS (
       |  SELECT user_id, event_type, ts, event_id,
       |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
@@ -363,13 +363,15 @@ object EventQueries extends QuerySet {
       |f AS (
       |  SELECT user_id, run_id, state, valid_from, n_events,
       |         lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to
-      |  FROM r)
-      |SELECT user_id, CAST(run_id AS BIGINT) AS version, state,
-      |       CAST(valid_from AS TIMESTAMP) AS valid_from,
-      |       CAST(valid_to AS TIMESTAMP) AS valid_to,
-      |       CAST(n_events AS BIGINT) AS n_events,
-      |       (valid_to IS NULL) AS is_current
-      |FROM f ORDER BY user_id, version""".stripMargin
+      |  FROM r)""".stripMargin
+
+  private val scd2Sql = scd2CoreSql + """
+    |SELECT user_id, CAST(run_id AS BIGINT) AS version, state,
+    |       CAST(valid_from AS TIMESTAMP) AS valid_from,
+    |       CAST(valid_to AS TIMESTAMP) AS valid_to,
+    |       CAST(n_events AS BIGINT) AS n_events,
+    |       (valid_to IS NULL) AS is_current
+    |FROM f ORDER BY user_id, version""".stripMargin
 
   private val scd2 = QueryDef(
     "ev8_scd2_intervals",
@@ -759,8 +761,35 @@ object EventQueries extends QuerySet {
     Some(pathsSql(e => s"epoch_us($e)")),
     (s, dir) => Tables.sql(s, dir, pathsSql(e => s"unix_micros($e)")))
 
+  // ---- ev15: point-in-time dimension lookup over the SCD2 build ----------
+  // The consumption side of ev8: "what was each user's state AS OF
+  // time T" — the temporal join every fact-to-dimension enrichment
+  // with history needs. Three probe instants cross-join (broadcast,
+  // constant side) onto the interval table and containment
+  // `valid_from <= T < valid_to` (open-ended for the current run)
+  // selects exactly one version per (user, probe) — uniqueness is a
+  // THEOREM of ev8's contiguous maximal runs, asserted by the gate's
+  // row count. At 100 TB the interval table is the compact dimension
+  // (runs, not events); the probe set is constant — no corpus-sized
+  // work beyond the ev8 build itself.
+  private val pitSql = scd2CoreSql + """,
+    |probes AS (SELECT CAST(pt AS TIMESTAMP) AS pt FROM (
+    |  SELECT TIMESTAMP '2024-01-08 00:00:00' AS pt
+    |  UNION ALL SELECT TIMESTAMP '2024-01-15 00:00:00'
+    |  UNION ALL SELECT TIMESTAMP '2024-01-22 00:00:00') t)
+    |SELECT p.pt, f.user_id, CAST(f.run_id AS BIGINT) AS version, f.state
+    |FROM f JOIN probes p
+    |  ON f.valid_from <= p.pt AND (f.valid_to IS NULL OR f.valid_to > p.pt)
+    |WHERE f.user_id <= 50
+    |ORDER BY p.pt, f.user_id""".stripMargin
+
+  private val pointInTime = QueryDef(
+    "ev15_scd2_point_in_time",
+    Some(pitSql),
+    (s, dir) => Tables.sql(s, dir, pitSql))
+
   override val defs: Seq[QueryDef] =
     Seq(hourly, sessions, funnel, salted, keepLatest, asof, rangeJoin, conversion,
       retention, anomaly, winsorized, scd2, markov, funnelSteps, hopping, gapfill,
-      twa, sessionPaths)
+      twa, sessionPaths, pointInTime)
 }

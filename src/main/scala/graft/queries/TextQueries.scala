@@ -326,37 +326,41 @@ object TextQueries extends QuerySet {
   // [2,1000] degenerate-corpus cap (part of the operator definition —
   // the oracle applies the identical bound), exact hamming verify on
   // candidates only, never an all-pairs product.
-  private val simhashPairs = QueryDef(
-    "simhash_neardup_pairs",
-    Some("""WITH tok AS (
-           |  SELECT doc_id, t, count(*) AS cnt
-           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
-           |  GROUP BY doc_id, t),
-           |th AS (
-           |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h, cnt FROM tok),
-           |bits AS (
-           |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS w
-           |  FROM th, unnest(range(0, 32)) AS u(b)
-           |  GROUP BY doc_id, b),
-           |fp AS (
-           |  SELECT doc_id,
-           |         cast(sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
-           |  FROM bits GROUP BY doc_id),
-           |banded AS (
-           |  SELECT doc_id, simhash, b, (simhash >> CAST(8 * b AS INT)) & 255 AS bh
-           |  FROM fp, unnest(range(0, 4)) AS u(b)),
-           |ok AS (
-           |  SELECT b, bh FROM banded GROUP BY b, bh HAVING count(*) BETWEEN 2 AND 1000),
-           |cand AS (
-           |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-           |  FROM banded x JOIN banded y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
-           |  JOIN ok ON ok.b = x.b AND ok.bh = x.bh)
-           |SELECT c.id_a, c.id_b,
-           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-           |FROM cand c JOIN fp a ON a.doc_id = c.id_a JOIN fp b ON b.doc_id = c.id_b
-           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-           |ORDER BY id_a, id_b""".stripMargin),
-    (s, dir) => {
+  private[graft] val simhashPairsCoreSql =
+    """WITH tok AS (
+      |  SELECT doc_id, t, count(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      |  GROUP BY doc_id, t),
+      |th AS (
+      |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h, cnt FROM tok),
+      |bits AS (
+      |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS w
+      |  FROM th, unnest(range(0, 32)) AS u(b)
+      |  GROUP BY doc_id, b),
+      |fp AS (
+      |  SELECT doc_id,
+      |         cast(sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, simhash, b, (simhash >> CAST(8 * b AS INT)) & 255 AS bh
+      |  FROM fp, unnest(range(0, 4)) AS u(b)),
+      |ok AS (
+      |  SELECT b, bh FROM banded GROUP BY b, bh HAVING count(*) BETWEEN 2 AND 1000),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM banded x JOIN banded y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+      |  JOIN ok ON ok.b = x.b AND ok.bh = x.bh),
+      |pairs AS (
+      |  SELECT c.id_a, c.id_b,
+      |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |  FROM cand c JOIN fp a ON a.doc_id = c.id_a JOIN fp b ON b.doc_id = c.id_b
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)""".stripMargin
+
+  /** The verified simhash pair frame (id_a < id_b, hamming ≤ 3) —
+    * shared by the pairs entry and the triangle counter below. */
+  private[graft] def simhashPairsFrame(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       val fp = Tables.table(s, dir, "documents")
         .select(col("doc_id"), expr("simhash32(split(text, ' '))").as("simhash"))
       val banded = fp
@@ -376,7 +380,46 @@ object TextQueries extends QuerySet {
           expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("hamming"))
         .filter(col("hamming") <= 3)
         .distinct()
-        .orderBy("id_a", "id_b")
+  }
+
+  private val simhashPairs = QueryDef(
+    "simhash_neardup_pairs",
+    Some(simhashPairsCoreSql +
+      "\nSELECT id_a, id_b, hamming FROM pairs ORDER BY id_a, id_b"),
+    (s, dir) => simhashPairsFrame(s, dir).orderBy("id_a", "id_b"))
+
+  // ---- triangle count on the near-dup graph ------------------------------
+  // The graph-analytics classic over the pair set: triangles measure
+  // how CLIQUE-LIKE near-dup neighborhoods are — a high
+  // triangle-to-edge ratio means clusters are genuine duplicate
+  // families (transitive), a low one means chains stitched by
+  // borderline pairs (the case where cluster-level dedup over-merges).
+  // Enumeration is the oriented node-iterator: edges are already
+  // ordered (a < b), so each triangle a<b<c is produced exactly once
+  // by joining x=(a,b), y=(b,c), z=(a,c) — two hash joins on the PAIR
+  // SET only, never the corpus, with join fan-out bounded by the
+  // banding bucket cap that bounds any vertex's degree.
+  private val triangles = QueryDef(
+    "neardup_triangles",
+    Some(simhashPairsCoreSql + """,
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs),
+      |tri AS (
+      |  SELECT x.a, x.b, y.b AS c
+      |  FROM edges x JOIN edges y ON y.a = x.b
+      |  JOIN edges z ON z.a = x.a AND z.b = y.b)
+      |SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+      |       CAST(coalesce(sum(a + b + c), 0) AS BIGINT) AS vertex_digest
+      |FROM tri""".stripMargin),
+    (s, dir) => {
+      val e = simhashPairsFrame(s, dir).select(col("id_a").as("a"), col("id_b").as("b"))
+      val x = e
+      val y = e.select(col("a").as("ya"), col("b").as("yb"))
+      val z = e.select(col("a").as("za"), col("b").as("zb"))
+      x.join(y, col("b") === col("ya"))
+        .join(z, col("a") === col("za") && col("yb") === col("zb"))
+        .agg(count(lit(1)).as("n_triangles"),
+          coalesce(sum(col("a") + col("b") + col("yb")), lit(0L)).as("vertex_digest"))
+        .select(col("n_triangles"), col("vertex_digest").cast("long").as("vertex_digest"))
     })
 
   // ---- one-vs-all n-gram Jaccard top-k ---------------------------------
@@ -1405,10 +1448,55 @@ object TextQueries extends QuerySet {
         |  FROM tf LATERAL VIEW explode(sequence(1, length(word) - 1)) r AS i
         |  WHERE length(word) >= 2""".stripMargin)))
 
+  // ---- BPE merge application (the apply half of one training round) -----
+  // bpe_merge_pairs elects the winning pair; this operator APPLIES it —
+  // the other half of a byte-pair-encoding training iteration: count
+  // the greedy left-to-right merge sites per vocabulary type and emit
+  // what the round buys (tokens touched, total merges, symbol count
+  // before/after). Merge-site counting is the replace trick:
+  // (len(w) − len(replace(w, ab, ''))) / 2 — `replace` removes
+  // leftmost-non-overlapping occurrences in both engines, which IS
+  // BPE's greedy application order (exact for a==b runs too: 'aaa'
+  // merges once). Like the count side, everything after the word-tf
+  // partial agg runs at VOCABULARY scale: the 1-row winner cross-joins
+  // (broadcast) onto the type table, never the corpus.
+  private def bpeApplySql(unnestTok: String, pairGen: String,
+      cat: String, intDiv: String) =
+    s"""WITH tok AS ($unnestTok),
+       |tf AS (SELECT word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY word),
+       |p AS ($pairGen),
+       |c AS (SELECT a, b, CAST(sum(tf) AS BIGINT) AS n FROM p GROUP BY a, b),
+       |top AS (SELECT a, b FROM c ORDER BY n DESC, a, b LIMIT 1),
+       |m AS (SELECT tf.word, tf.tf, top.a, top.b,
+       |        (length(tf.word) - length(replace(tf.word, $cat, ''))) $intDiv 2 AS sites
+       |      FROM tf CROSS JOIN top)
+       |SELECT a AS pair_a, b AS pair_b,
+       |       CAST(sum(CASE WHEN sites > 0 THEN tf ELSE 0 END) AS BIGINT) AS tokens_touched,
+       |       CAST(sum(sites * tf) AS BIGINT) AS total_merges,
+       |       CAST(sum(length(word) * tf) AS BIGINT) AS symbols_before,
+       |       CAST(sum((length(word) - sites) * tf) AS BIGINT) AS symbols_after
+       |FROM m GROUP BY a, b""".stripMargin
+
+  private val bpeApply = QueryDef(
+    "bpe_apply_merge",
+    Some(bpeApplySql(
+      "SELECT unnest(string_split(text, ' ')) AS word FROM documents",
+      """SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, tf
+        |  FROM tf, LATERAL unnest(range(1, len(word))) r(i)
+        |  WHERE len(word) >= 2""".stripMargin,
+      "top.a || top.b", "//")),
+    (s, dir) => Tables.sql(s, dir, bpeApplySql(
+      """SELECT word FROM documents
+        |  LATERAL VIEW explode(split(text, ' ')) t AS word""".stripMargin,
+      """SELECT substring(word, i, 1) AS a, substring(word, i + 1, 1) AS b, tf
+        |  FROM tf LATERAL VIEW explode(sequence(1, length(word) - 1)) r AS i
+        |  WHERE length(word) >= 2""".stripMargin,
+      "concat(top.a, top.b)", "div")))
+
   override val defs: Seq[QueryDef] = Seq(
     dedupExact, neardup, neardupClusters, neardupCorpus, simhash, simhashPairs,
     ngramTopk, langId, quality, tokenStats, winnow, stratified, gopher, tfidf,
     piiRedact, corpusPrep, contamination, bloomContamination, cmsHeavyHitters,
     seqPacking, classifierScore, dupSpans, repetition, neardupCanonical,
-    sourceOverlap, freqSpectrum, bpePairs)
+    sourceOverlap, freqSpectrum, bpePairs, bpeApply, triangles)
 }

@@ -425,6 +425,70 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("triangle count replays from the pair set and each triangle counts once") {
+    val pairs = TextQueries.simhashPairsFrame(spark, sfMid)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.toSet
+    val adj = pairs.flatMap(p => Seq(p, (p._2, p._1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // oriented enumeration a < b < c — each triangle exactly once
+    val tris = for {
+      (a, b) <- pairs
+      c <- adj.getOrElse(b, Set.empty)
+      if c > b && edges.contains((a, c))
+    } yield (a, b, c)
+    val row = run("neardup_triangles", sfMid).collect().head
+    assert(row.getLong(0) == tris.length,
+      s"triangle count ${row.getLong(0)} != replay ${tris.length}")
+    assert(row.getLong(1) == tris.map { case (a, b, c) => a + b + c }.sum,
+      "vertex digest mismatch")
+    assert(tris.nonEmpty, "vacuous fixture: no triangles in the pair graph")
+  }
+
+  test("bpe apply: winner pair and merge stats recount from the vocabulary") {
+    val words = spark.read.parquet(s"$sfMid/documents.parquet")
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+    val tf = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pairCounts = tf.toSeq.flatMap { case (w, n) =>
+      (0 until w.length - 1).map(i => (w.substring(i, i + 1), w.substring(i + 1, i + 2)) -> n)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val (wa, wb) = pairCounts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head._1
+    val pat = wa + wb
+    def sites(w: String): Long = (w.length - w.replace(pat, "").length) / 2L
+    val row = run("bpe_apply_merge", sfMid).collect().head
+    assert(row.getString(0) == wa && row.getString(1) == wb, "winner pair mismatch")
+    assert(row.getLong(2) == tf.collect { case (w, n) if sites(w) > 0 => n }.sum,
+      "tokens_touched mismatch")
+    assert(row.getLong(3) == tf.map { case (w, n) => sites(w) * n }.sum,
+      "total_merges mismatch")
+    assert(row.getLong(4) - row.getLong(5) == row.getLong(3),
+      "symbols saved must equal merges applied")
+    assert(row.getLong(3) > 0, "vacuous fixture: winning pair never merges")
+  }
+
+  test("point-in-time lookup selects exactly one SCD2 version per (probe, user)") {
+    val intervals = run("ev8_scd2_intervals", sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4))))
+      .filter(_._1 <= 50)
+    val probes = Seq("2024-01-08 00:00:00", "2024-01-15 00:00:00", "2024-01-22 00:00:00")
+      .map(java.sql.Timestamp.valueOf)
+    val expect = (for {
+      p <- probes
+      (u, v, st, from, to) <- intervals
+      if !from.after(p) && to.forall(_.after(p))
+    } yield (p.getTime, u, v, st)).toSet
+    val got = run("ev15_scd2_point_in_time", sfTiny).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSet == expect, "point-in-time set mismatch vs interval replay")
+    // the uniqueness theorem: contiguous maximal runs admit one version per probe
+    assert(got.length == got.map(r => (r._1, r._2)).distinct.length,
+      "a (probe, user) matched more than one version")
+    assert(got.nonEmpty)
+  }
+
   test("argmax/median/mode replay from collected rows") {
     val orders = graft.Tables.table(spark, sfTiny, "orders")
       .selectExpr("o_orderstatus", "o_orderkey", "o_orderdate",
