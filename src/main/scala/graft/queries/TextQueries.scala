@@ -1493,10 +1493,77 @@ object TextQueries extends QuerySet {
         |  WHERE length(word) >= 2""".stripMargin,
       "concat(top.a, top.b)", "div")))
 
+  // ---- PageRank over the near-dup graph ----------------------------------
+  // The canonical iterative graph computation, run where a dedup
+  // pipeline actually wants it: rank vertices of the near-dup graph by
+  // structural centrality (a high-rank member is the "hub" its
+  // cluster's canonical representative should be). Three damped power
+  // iterations (d = 0.85) with the integer-micro discipline making the
+  // iteration ENGINE-EXACT despite floating point: each edge's
+  // contribution p(u)/deg(u) rounds to an integer micro-unit FIRST, so
+  // the per-vertex sum is an order-independent integer sum, and the
+  // damping update rounds once per iteration — both engines replay the
+  // identical integer sequence (the oracle unrolls the loop as a CTE
+  // chain). 100 TB shape: each iteration is one hash join of the rank
+  // vector against the EDGE LIST (never the corpus) plus a partial-agg
+  // combine on dst; degrees are bounded by the banding bucket cap, and
+  // the iteration count is a constant — O(iters) shuffles of the pair
+  // set, the same plan GraphX's Pregel would stage.
+  private val PrIters = 3
+
+  private val pagerank = QueryDef(
+    "pagerank_neardup",
+    Some {
+      val base = simhashPairsCoreSql + """,
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+        |r0 AS (SELECT id, deg,
+        |         CAST(round(1000000.0 / nn.n, 0) AS BIGINT) AS p
+        |       FROM deg CROSS JOIN nn)""".stripMargin
+      val iters = (1 to PrIters).map { k =>
+        s"""r$k AS (
+           |  SELECT d.id, d.deg,
+           |         CAST(round(0.15 * 1000000.0 / nn.n + 0.85 * s.contrib, 0) AS BIGINT) AS p
+           |  FROM deg d CROSS JOIN nn
+           |  JOIN (SELECT e.dst AS id,
+           |               CAST(sum(CAST(round(CAST(r.p AS DOUBLE) / r.deg, 0) AS BIGINT)) AS BIGINT) AS contrib
+           |        FROM edges e JOIN r${k - 1} r ON r.id = e.src
+           |        GROUP BY e.dst) s ON s.id = d.id)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      base + iters + s"""
+        |SELECT id, deg, p AS p_u6 FROM r$PrIters
+        |ORDER BY p_u6 DESC, id LIMIT 20""".stripMargin
+    },
+    (s, dir) => {
+      val pairs = simhashPairsFrame(s, dir).select("id_a", "id_b")
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      val n = broadcast(deg.agg(count(lit(1)).as("n")))
+      var r = deg.crossJoin(n)
+        .select(col("id"), col("deg"),
+          expr("CAST(round(1000000.0 / n, 0) AS BIGINT)").as("p"))
+      for (_ <- 1 to PrIters) {
+        val contrib = edges
+          .join(r.select(col("id").as("src"), col("deg").as("sdeg"), col("p")), "src")
+          .select(col("dst").as("id"),
+            expr("CAST(round(CAST(p AS DOUBLE) / sdeg, 0) AS BIGINT)").as("c"))
+          .groupBy("id").agg(sum("c").as("contrib"))
+        r = deg.crossJoin(n).join(contrib, "id")
+          .select(col("id"), col("deg"),
+            expr("CAST(round(0.15 * 1000000.0 / n + 0.85 * contrib, 0) AS BIGINT)").as("p"))
+      }
+      r.select(col("id"), col("deg"), col("p").as("p_u6"))
+        .orderBy(col("p_u6").desc, col("id")).limit(20)
+    })
+
   override val defs: Seq[QueryDef] = Seq(
     dedupExact, neardup, neardupClusters, neardupCorpus, simhash, simhashPairs,
     ngramTopk, langId, quality, tokenStats, winnow, stratified, gopher, tfidf,
     piiRedact, corpusPrep, contamination, bloomContamination, cmsHeavyHitters,
     seqPacking, classifierScore, dupSpans, repetition, neardupCanonical,
-    sourceOverlap, freqSpectrum, bpePairs, bpeApply, triangles)
+    sourceOverlap, freqSpectrum, bpePairs, bpeApply, triangles, pagerank)
 }

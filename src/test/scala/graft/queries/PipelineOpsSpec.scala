@@ -446,6 +446,36 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tris.nonEmpty, "vacuous fixture: no triangles in the pair graph")
   }
 
+  test("pagerank replays the exact integer iteration sequence from the pair set") {
+    val pairs = TextQueries.simhashPairsFrame(spark, sfMid)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val out = pairs.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val deg = out.view.mapValues(_.length.toLong).toMap
+    val n = deg.size
+    // engines round() half-up for positives; p/deg hits exact .5 on
+    // even degrees, where rint's half-even would diverge
+    def halfUp(x: Double): Long = math.floor(x + 0.5).toLong
+    var p = deg.keys.map(id => id -> halfUp(1000000.0 / n)).toMap
+    for (_ <- 1 to 3) {
+      val contrib = deg.keys.map { v =>
+        // in-neighbors == out-neighbors (undirected)
+        v -> out(v).map(u => halfUp(p(u).toDouble / deg(u))).sum
+      }.toMap
+      p = deg.keys.map(v =>
+        v -> halfUp(0.15 * 1000000.0 / n + 0.85 * contrib(v))).toMap
+    }
+    val expTop = p.toSeq.sortBy { case (id, pr) => (-pr, id) }.take(20)
+      .map { case (id, pr) => (id, deg(id), pr) }
+    val got = run("pagerank_neardup", sfMid).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expTop, s"pagerank top-20 mismatch:\n got=$got\n exp=$expTop")
+    // a hub must rank above the uniform start — iteration moved mass
+    assert(got.head._3 > halfUp(1000000.0 / n),
+      "no vertex gained rank over uniform — iteration vacuous")
+  }
+
   test("bpe apply: winner pair and merge stats recount from the vocabulary") {
     val words = spark.read.parquet(s"$sfMid/documents.parquet")
       .select("text").collect()

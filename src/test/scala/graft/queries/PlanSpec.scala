@@ -301,6 +301,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("lambdafunction"), s"interpreted HOF lambda in the plan:\n$p")
   }
 
+  test("pagerank iterates on the edge list with partial combines, never the corpus") {
+    val p = plan("pagerank_neardup")
+    assert(!p.contains("CartesianProduct"), s"pagerank went cartesian:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-dst contributions must combine map-side:\n$p")
+  }
+
   test("lateral top-n decorrelates to a windowed join, never a per-row re-scan") {
     val p = plan("j4_lateral_topn")
     assert(!p.contains("CartesianProduct"),
