@@ -92,7 +92,18 @@ object Slope {
     // shapes whose linearity depends on the pre-exchange pruning
     // actually firing.
     "doc_top_terms",
-    "source_cap_sample")
+    "source_cap_sample",
+    // r8 session-5 additions: the two-stage binary search (code scan +
+    // broadcast vector fetch — the 64×-less-compute shortlist must
+    // stay linear), triangle enumeration and the PageRank iteration
+    // (both edge-list-bound: the pair set grows ~linearly when docs
+    // replicate with disjoint ids, and a regression to corpus-joined
+    // iteration would blow the ratio), and the hopping rollup (4×
+    // map-side expand + partial agg).
+    "ann_binary_rerank",
+    "neardup_triangles",
+    "pagerank_neardup",
+    "ev11_hopping_window")
 
   val MaxRatio = 15.0
   val OverheadFloorSec = 0.3

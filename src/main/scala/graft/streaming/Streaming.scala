@@ -447,6 +447,44 @@ object Streaming {
       }
   }
 
+  final case class TwaEvent(event_type: String, tsUs: Long, eventId: Long, value: Double)
+  final case class TwaState(lastUs: Long, lastEventId: Long, lastVu6: Long,
+      sumU: Long, sumGapMs: Long, nIntervals: Long)
+  final case class TwaRow(event_type: String, n_intervals: Long,
+      sum_u: Long, sum_gap_ms: Long)
+
+  /** Streaming face of ev13_time_weighted_avg: maintain per-type
+    * (Σ v_u6·gap_ms, Σ gap_ms) continuously via mapGroupsWithState.
+    * State per type is ONE frontier observation plus two integer
+    * accumulators — constant regardless of stream length — because the
+    * TWA update is incremental by construction: a new event closes
+    * exactly the interval the frontier opened, with the identical
+    * integer arithmetic as the batch lead-window form (v_u6 rounded
+    * once, gap as integer-ms floor-div). Over any TIME-ORDERED
+    * micro-batch split the final accumulators equal the batch
+    * operator's sums exactly (parity-locked in StreamingSpec). */
+  def twaStream(events: Dataset[TwaEvent]): Dataset[TwaRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[TwaState, TwaRow](GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[TwaEvent], state: GroupState[TwaState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tsUs, e.eventId))
+          var s = state.getOption.getOrElse(TwaState(Long.MinValue, 0L, 0L, 0L, 0L, 0L))
+          sorted.foreach { e =>
+            val vU6 = math.floor(e.value * 1000000.0 + 0.5).toLong
+            if (s.lastUs != Long.MinValue) {
+              val gapMs = Math.floorDiv(e.tsUs - s.lastUs, 1000L)
+              s = s.copy(sumU = s.sumU + s.lastVu6 * gapMs,
+                sumGapMs = s.sumGapMs + gapMs, nIntervals = s.nIntervals + 1)
+            }
+            s = s.copy(lastUs = e.tsUs, lastEventId = e.eventId, lastVu6 = vU6)
+          }
+          state.update(s)
+          TwaRow(tpe, s.nIntervals, s.sumU, s.sumGapMs)
+      }
+  }
+
   // ---- stream-static enrichment join ------------------------------------
 
   /** Enrich an event stream with a static dimension table (left join on

@@ -109,6 +109,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming TWA accumulators equal the batch lead-window sums over a time-ordered split") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .selectExpr("event_type", "unix_micros(ts) AS tsUs", "event_id AS eventId", "value")
+      .as[Streaming.TwaEvent].collect().sortBy(e => (e.tsUs, e.eventId))
+    val cuts = Seq(evs.length / 3, 2 * evs.length / 3)
+    val batches = Seq(evs.take(cuts(0)), evs.slice(cuts(0), cuts(1)), evs.drop(cuts(1)))
+    val input = MemoryStream[Streaming.TwaEvent]
+    val q = Streaming.twaStream(input.toDS())
+      .writeStream.format("memory").queryName("twa_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      batches.foreach { b => input.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      // accumulators are monotone (positive domain), so max = final
+      val got = spark.table("twa_stream").groupBy("event_type")
+        .agg(max("n_intervals").as("n"), max("sum_u").as("su"),
+          max("sum_gap_ms").as("sg")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      // driver replay of the batch operator's integer accounting
+      val expect = evs.groupBy(_.event_type).map { case (t, es) =>
+        val s = es.sortBy(e => (e.tsUs, e.eventId))
+        val terms = s.zip(s.tail).map { case (a, b) =>
+          val v = math.floor(a.value * 1000000.0 + 0.5).toLong
+          val g = Math.floorDiv(b.tsUs - a.tsUs, 1000L)
+          (v * g, g)
+        }
+        t -> ((terms.length.toLong, terms.map(_._1).sum, terms.map(_._2).sum))
+      }
+      assert(got == expect, s"twa stream/batch mismatch:\n got=$got\n exp=$expect")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeats within the watermark, state evicts past it") {
     val ss = spark
     import ss.implicits._
