@@ -271,6 +271,55 @@ object SqlSurfaceQueries extends QuerySet {
       |       FROM (SELECT DISTINCT lang FROM documents) t)
       |SELECT * FROM base CROSS JOIN ds CROSS JOIN dl""".stripMargin)
 
+  // I3: equi-width histogram — the profiling companion of i2: 20
+  // fixed-width bins over the price domain with the overflow clamped
+  // into the top bin. The bin id is one floor-div spelled identically
+  // in both engines (no width_bucket dialect dependence), so the whole
+  // operator is a map-side projection plus one partial-combined count
+  // on a 20-value key. Identical text.
+  private val i3 = sqlQuery(
+    "i3_histogram",
+    """SELECT least(CAST(floor(o_totalprice / 30000.0) AS BIGINT), 19) AS bin,
+      |       count(*) AS n,
+      |       round(min(o_totalprice), 2) AS lo,
+      |       round(max(o_totalprice), 2) AS hi
+      |FROM orders
+      |GROUP BY 1 ORDER BY bin""".stripMargin)
+
+  // EV17-adjacent: exact-integer least-squares trend of hourly event
+  // volume per type — "is traffic growing and how fast" as a
+  // regression slope. The moment sums (Σx, Σy, Σxy, Σx², n) are EXACT
+  // BIGINTs (x = hour index, y = count), so the shuffle carries five
+  // order-independent integers per type and the one double division
+  // per coefficient happens after aggregation with identical
+  // parenthesization — no single-pass covariance accumulation order
+  // can diverge between engines. Slope/intercept in integer
+  // micro-units. Identical text modulo the epoch spelling.
+  private def trendSql(epochHour: String) =
+    s"""WITH c AS (
+       |  SELECT event_type, $epochHour AS h, CAST(count(*) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |z AS (
+       |  SELECT event_type, h - CAST((SELECT min(h) FROM c) AS BIGINT) AS x, y FROM c),
+       |m AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+       |  FROM z GROUP BY event_type)
+       |SELECT event_type, n,
+       |       CAST(round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+       |                  (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+       |                  * 1000000.0, 0) AS BIGINT) AS slope_u6,
+       |       CAST(round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+       |                  (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+       |                  / n * 1000000.0, 0) AS BIGINT) AS intercept_u6
+       |FROM m ORDER BY event_type""".stripMargin
+
+  private val f7 = QueryDef(
+    "f7_regression_trend",
+    Some(trendSql("epoch_us(ts) // 3600000000")),
+    (s, dir) => Tables.sql(s, dir, trendSql("unix_micros(ts) div 3600000000")))
+
   // O4: scalar subquery (top-1 idiom; reference products-create.sql:63-65
   // uses WHERE id = (SELECT MAX(id) ...) as its RETURNING emulation).
   private val o4 = sqlQuery(
@@ -560,5 +609,5 @@ object SqlSurfaceQueries extends QuerySet {
 
   override val defs: Seq[QueryDef] =
     Seq(a2, a3, a5, a6, a7, a7b, a8, a9, w2, w3, w4, w5, j3, j4, set1, set2,
-      f1, f2, f3, f4, f5, f6, j1, i1, i2, o4, o5, p1, t1)
+      f1, f2, f3, f4, f5, f6, f7, j1, i1, i2, i3, o4, o5, p1, t1)
 }

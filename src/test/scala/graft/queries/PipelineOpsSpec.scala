@@ -519,6 +519,44 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty)
   }
 
+  test("histogram bins clamp into the top bin and partition every row") {
+    val prices = spark.read.parquet(s"$sfMid/orders.parquet")
+      .select("o_totalprice").collect().map(_.getDouble(0))
+    val rows = run("i3_histogram", sfMid).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._2).sum == prices.length, "bins must partition all rows")
+    rows.foreach { case (bin, _, lo, hi) =>
+      assert(bin >= 0 && bin <= 19 && lo <= hi, s"bin $bin malformed")
+      if (bin < 19) assert(hi < (bin + 1) * 30000.0, s"bin $bin leaks upward")
+      assert(lo >= bin * 30000.0 || bin == 19, s"bin $bin leaks downward")
+    }
+    val expected = prices.groupBy(p => math.min(math.floor(p / 30000.0).toLong, 19L))
+      .view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == expected, "bin counts mismatch")
+  }
+
+  test("regression trend replays from exact integer moment sums") {
+    val events = graft.Tables.table(spark, sfMid, "events")
+      .selectExpr("event_type", "unix_micros(ts) div 3600000000 AS h")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val h0 = events.map(_._2).min
+    val got = run("f7_regression_trend", sfMid).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    events.groupBy(_._1).foreach { case (t, es) =>
+      val pts = es.groupBy(_._2).map { case (h, g) => (h - h0, g.length.toLong) }.toSeq
+      val n = pts.length.toLong
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (n.toDouble * sxy - sx.toDouble * sy) / (n.toDouble * sxx - sx.toDouble * sx)
+      val icept = (sy.toDouble - slope * sx) / n
+      val (gn, gs, gi) = got(t)
+      assert(gn == n, s"$t point count mismatch")
+      assert(math.abs(gs - math.floor(slope * 1000000.0 + 0.5)) <= 1, s"$t slope mismatch")
+      assert(math.abs(gi - math.floor(icept * 1000000.0 + 0.5)) <= 1, s"$t intercept mismatch")
+    }
+  }
+
   test("argmax/median/mode replay from collected rows") {
     val orders = graft.Tables.table(spark, sfTiny, "orders")
       .selectExpr("o_orderstatus", "o_orderkey", "o_orderdate",
