@@ -20,6 +20,16 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // runtime skew-join splitting: on a 1000-executor cluster a hot
+      // key (a boilerplate near-dup bucket, a whale customer) otherwise
+      // turns one reducer into the stage's critical path; local[32]
+      // rarely triggers it but the setting is part of the shipped
+      // defaults, not a tuning afterthought
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // demote to broadcast at runtime when a join side MEASURES small
+      // even though static stats said otherwise (AQE's post-shuffle
+      // size beats any estimate at 100 TB, where stats drift)
+      .config("spark.sql.adaptive.localShuffleReader.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // driver testdata ships TIMESTAMP(NANOS) parquet (events.ts); read as

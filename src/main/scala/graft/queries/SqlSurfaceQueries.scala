@@ -520,6 +520,31 @@ object SqlSurfaceQueries extends QuerySet {
     (s, dir) => Tables.sql(s, dir,
       graft.dialect.DuckDialect.translate(w4QualifyText)))
 
+  // D1: DuckDB function-surface portability through the dialect — like
+  // w4, the query is WRITTEN in DuckDB's function vocabulary
+  // (string_split, list_filter with a lambda, list_distinct,
+  // array_to_string, list_contains, strpos, regexp_matches), the
+  // oracle runs that text verbatim, and the Spark side runs
+  // DuckDialect.translate's renames (split with metachar-escaped
+  // separator, filter, array_distinct, array_join, array_contains,
+  // instr, regexp_like) — the gate proves each mapping's semantics
+  // including lambda syntax and separator escaping.
+  private val d1Text =
+    """SELECT doc_id,
+      |  length(array_to_string(list_filter(string_split(text, ' '),
+      |         w -> w > 'm'), '-')) AS tail_len,
+      |  length(array_to_string(list_distinct(string_split(text, ' ')), '.')) AS uniq_len,
+      |  list_contains(string_split(text, ' '), 'data') AS has_data,
+      |  strpos(text, 'data') AS data_pos,
+      |  regexp_matches(text, '^[a-z]') AS starts_lower
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
+  private val d1 = QueryDef(
+    "d1_dialect_functions",
+    Some(d1Text),
+    (s, dir) => Tables.sql(s, dir,
+      graft.dialect.DuckDialect.translate(d1Text)))
+
   // F6: ordered-analytics aggregates — arg-max/arg-min (`max_by`/
   // `min_by` ↔ DuckDB `arg_max`/`arg_min`), `median`, and
   // deterministic `mode`. The argmax keys on the UNIQUE o_orderkey so
@@ -609,5 +634,5 @@ object SqlSurfaceQueries extends QuerySet {
 
   override val defs: Seq[QueryDef] =
     Seq(a2, a3, a5, a6, a7, a7b, a8, a9, w2, w3, w4, w5, j3, j4, set1, set2,
-      f1, f2, f3, f4, f5, f6, f7, j1, i1, i2, i3, o4, o5, p1, t1)
+      d1, f1, f2, f3, f4, f5, f6, f7, j1, i1, i2, i3, o4, o5, p1, t1)
 }

@@ -80,6 +80,27 @@ class DuckDialectSpec extends AnyFunSuite {
     assert(translate(sql) == sql)
   }
 
+  test("DuckDB function names map to Spark equivalents") {
+    assert(translate("SELECT epoch_us(ts), strpos(s, 'x'), quantile_cont(v, 0.5) FROM t") ==
+      "SELECT unix_micros(ts), instr(s, 'x'), percentile(v, 0.5) FROM t")
+    assert(translate("SELECT list_transform(l, x -> x + 1), list_filter(l, x -> x > 0) FROM t") ==
+      "SELECT transform(l, x -> x + 1), filter(l, x -> x > 0) FROM t")
+    assert(translate("SELECT array_to_string(list_distinct(l), ','), list_contains(l, 3) FROM t") ==
+      "SELECT array_join(array_distinct(l), ','), array_contains(l, 3) FROM t")
+    // bare identifiers that merely share a mapped name are untouched
+    val bare = "SELECT strpos FROM t"
+    assert(translate(bare) == bare)
+  }
+
+  test("string_split escapes regex metachars in a literal separator") {
+    assert(translate("SELECT string_split(s, ' ') FROM t") ==
+      "SELECT split(s, ' ') FROM t")
+    assert(translate("SELECT string_split(s, '.') FROM t") ==
+      "SELECT split(s, '\\\\.') FROM t")
+    assert(translate("SELECT string_split(s, '|') FROM t") ==
+      "SELECT split(s, '\\\\|') FROM t")
+  }
+
   test("QUALIFY rewrites to the subquery form it abbreviates") {
     val got = translate(
       "SELECT g, row_number() OVER (PARTITION BY g ORDER BY v) AS rn " +
