@@ -106,8 +106,17 @@ final class CacheManager(spark: SparkSession, warehouseRoot: String) {
       // param would otherwise block every scheduled/boot refresh)
       val sysEndpoint = endpoint.copy(
         requestFields = Nil, requestFieldsValidation = false)
-      val df = TemplatePipeline.run(spark, sysEndpoint, cacheTemplate,
+      val df0 = TemplatePipeline.run(spark, sysEndpoint, cacheTemplate,
         params ++ cacheParams(c, t), connProps)
+      // optional z-order layout (C-layout): physical placement only —
+      // the row set is untouched, so every downstream read/gate is
+      // unaffected while filtered scans prune to a band of files
+      val df = c.zorderBy match {
+        case Seq(x, y) => graft.operators.ZOrderLayout(df0, x, y)
+        case Nil => df0
+        case other => throw new IllegalArgumentException(
+          s"${endpoint.urlPath}: zorder-by needs exactly 2 columns, got $other")
+      }
       val id = mode match {
         case "full" => t.refreshFull(df)
         case "append" => t.refreshAppend(df)

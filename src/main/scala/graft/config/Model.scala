@@ -44,7 +44,12 @@ final case class CacheConfig(
       * 153-154; handleCacheAfterWrite, request_handler.cpp:543): drop
       * cached plans / re-materialize after a successful write. */
     invalidateOnWrite: Boolean = false,
-    refreshOnWrite: Boolean = false) {
+    refreshOnWrite: Boolean = false,
+    /** optional z-order file layout for the materialized snapshots:
+      * exactly two integral scan-predicate columns (operators/
+      * ZOrderLayout) — rows are range-partitioned and sorted by their
+      * Morton code at write time so filtered reads prune files. */
+    zorderBy: Seq[String] = Nil) {
   def hasCursor: Boolean = cursor.isDefined
   def hasPrimaryKey: Boolean = primaryKeys.nonEmpty
 }

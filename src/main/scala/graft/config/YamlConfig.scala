@@ -173,7 +173,9 @@ object YamlConfig {
       }.getOrElse(RetentionConfig()),
       templateFile = str(m, "template-file"),
       invalidateOnWrite = str(m, "invalidate-on-write").exists(_.toBoolean),
-      refreshOnWrite = str(m, "refresh-on-write").exists(_.toBoolean))
+      refreshOnWrite = str(m, "refresh-on-write").exists(_.toBoolean),
+      zorderBy = Option(m.get("zorder-by"))
+        .map(asList(_).map(String.valueOf)).getOrElse(Nil))
   }
 
   private def parseMcpTool(v: Any): McpToolConfig = {
