@@ -312,6 +312,98 @@ object CoreQueries extends QuerySet {
     Some(zorderSql),
     (s, dir) => Tables.sql(s, dir, zorderSql))
 
+  // ---- classic TPC-H shapes q11–q14 --------------------------------------
+  // Four decision-support plan shapes the q1–q10 set doesn't yet
+  // exercise, stated with the integer-cents discipline (revenue terms
+  // round to cent-integers per ROW so only order-independent integer
+  // partials combine — the float-sum order dependence that would
+  // otherwise break the cross-engine hash). Identical text on both
+  // engines.
+
+  /** Q14 shape: conditional-aggregate ratio over a dimension join —
+    * "what fraction of revenue is promotional". One broadcast-sized
+    * part join, one pass, the CASE folds into the partial agg. */
+  private val q11 = QueryDef(
+    "q11_promo_revenue",
+    Some("""SELECT
+           |  CAST(sum(CASE WHEN p_type = 'PROMO'
+           |       THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           |       ELSE 0 END) AS BIGINT) AS promo_cents,
+           |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           |  count(*) AS n_lines
+           |FROM lineitem JOIN part ON p_partkey = l_partkey
+           |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |       THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |       ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin))
+
+  /** Q15 shape: aggregate CTE + scalar-max subquery over it — the top
+    * revenue supplier(s) in a quarter. The CTE materializes once per
+    * engine; the max is a 1-row broadcast back onto it. */
+  private val q12Text =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_cents
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE total_cents = (SELECT max(total_cents) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  private val q12 = QueryDef(
+    "q12_top_supplier_revenue",
+    Some(q12Text), (s, dir) => Tables.sql(s, dir, q12Text))
+
+  /** Q18 shape: IN-subquery with HAVING — large-volume orders.
+    * Catalyst decorrelates the IN into a semi-join against the
+    * aggregated subquery; the group-by-all-output form matches the
+    * classic statement. */
+  private val q13Text =
+    """SELECT c.c_custkey, o.o_orderkey,
+      |       CAST(o.o_orderdate AS DATE) AS odate,
+      |       round(o.o_totalprice, 2) AS price,
+      |       CAST(round(sum(l.l_quantity)) AS BIGINT) AS total_qty
+      |FROM customer c
+      |JOIN orders o ON o.o_custkey = c.c_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+      |GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+      |ORDER BY price DESC, o.o_orderkey""".stripMargin
+
+  private val q13 = QueryDef(
+    "q13_large_volume_customers",
+    Some(q13Text), (s, dir) => Tables.sql(s, dir, q13Text))
+
+  /** Q19 shape: disjunctive multi-predicate join (OR of AND-groups
+    * mixing both sides' columns) — the planner must push the common
+    * p_partkey equi-condition while keeping the OR as a join residual,
+    * not degrade to a cartesian. */
+  private val q14Text =
+    """SELECT
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+      |   OR (p_brand = 'Brand#22' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+      |   OR (p_brand = 'Brand#33' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin
+
+  private val q14 = QueryDef(
+    "q14_disjunctive_selective_join",
+    Some(q14Text), (s, dir) => Tables.sql(s, dir, q14Text))
+
   override val defs: Seq[QueryDef] =
-    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, zorder)
+    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, zorder)
 }

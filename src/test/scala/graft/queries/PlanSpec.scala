@@ -301,6 +301,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("lambdafunction"), s"interpreted HOF lambda in the plan:\n$p")
   }
 
+  test("large-volume IN-subquery decorrelates to a semi join against the aggregate") {
+    val p = plan("q13_large_volume_customers")
+    assert(p.contains("LeftSemi"),
+      s"IN (SELECT ... HAVING) did not become a semi join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q13 went cartesian:\n$p")
+  }
+
+  test("disjunctive join keeps the equi-key hash join with the OR as residual") {
+    val p = plan("q14_disjunctive_selective_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"OR-of-ANDs degraded the join to a product:\n$p")
+    assert(p.contains("p_partkey"), s"equi key lost:\n$p")
+  }
+
   test("pagerank iterates on the edge list with partial combines, never the corpus") {
     val p = plan("pagerank_neardup")
     assert(!p.contains("CartesianProduct"), s"pagerank went cartesian:\n$p")
