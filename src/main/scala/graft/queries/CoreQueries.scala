@@ -404,6 +404,123 @@ object CoreQueries extends QuerySet {
     "q14_disjunctive_selective_join",
     Some(q14Text), (s, dir) => Tables.sql(s, dir, q14Text))
 
+  // ---- classic TPC-H shapes q15–q19: the correlated-subquery face --------
+  // The q11–q14 batch covered conditional aggregation, scalar-max CTEs,
+  // IN-with-HAVING and disjunctive join residuals; what was still
+  // unexercised is Catalyst's DECORRELATION surface — correlated scalar
+  // subqueries, null-aware NOT IN, correlated [NOT] EXISTS with extra
+  // correlated inequality predicates. Each of these is a rewrite the
+  // optimizer must get right at 100 TB (a naive per-row re-execution
+  // would be O(n²) scans); the gates pin the semantics and PlanSpec-style
+  // reasoning applies: every one decorrelates to a join whose build side
+  // is an aggregate or a semi/anti structure, never a nested loop over
+  // the fact table. Identical text on both engines; money terms in
+  // integer cents per row so only order-independent partials combine.
+
+  /** Q17 shape: correlated scalar AVG subquery — "revenue from
+    * small-quantity lineitems, where small = below half the part's own
+    * average". Catalyst decorrelates the per-part average into ONE
+    * aggregate over lineitem joined back on l_partkey — two scans and a
+    * broadcast-sized join against 2000 part averages, not a re-scan per
+    * row. The 0.5*avg threshold is double math on small-int quantities:
+    * the sum of ≤60k small ints is exact in double in either engine, so
+    * the comparison is engine-deterministic. */
+  private val q15Text =
+    """SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |       count(*) AS n_lines
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand = 'Brand#11'
+      |  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+      |                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
+  private val q15 = QueryDef(
+    "q15_small_qty_correlated_avg",
+    Some(q15Text), (s, dir) => Tables.sql(s, dir, q15Text))
+
+  /** Q16 shape: count(DISTINCT) per attribute triple with a NOT IN
+    * exclusion subquery. NOT IN is the null-aware anti join — the
+    * planner must prove the subquery side non-null (s_suppkey is a key)
+    * or fall back to the null-aware variant; either way the exclusion
+    * list (suppliers in arrears) is broadcast-sized. The distinct
+    * aggregation is the usual two-phase expand on (brand,type,size). */
+  private val q16Text =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part JOIN lineitem ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#11' AND p_size IN (1, 5, 10, 15, 20)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  private val q16 = QueryDef(
+    "q16_supplier_variety_not_in",
+    Some(q16Text), (s, dir) => Tables.sql(s, dir, q16Text))
+
+  /** Q4 shape: correlated EXISTS whose inner predicate references BOTH
+    * sides (l_shipdate vs o_orderdate + 60 days) — late-shipping orders
+    * by priority. Decorrelates to a left-semi join on l_orderkey with
+    * the inequality as join residual; the orders-side date filter still
+    * reaches the parquet scan. */
+  private val q17Text =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  private val q17 = QueryDef(
+    "q17_late_orders_exists",
+    Some(q17Text), (s, dir) => Tables.sql(s, dir, q17Text))
+
+  /** Q22 shape: uncorrelated scalar AVG threshold + correlated NOT
+    * EXISTS — above-average-balance customers who never placed a large
+    * order. The average is stated over integer cents (exact integer sum
+    * ÷ count in double — bit-identical across engines); the NOT EXISTS
+    * decorrelates to a left-anti join on o_custkey whose right side is
+    * pre-filtered to large orders (filter pushed below the anti join,
+    * so the anti-join build is small at any scale). */
+  private val q18Text =
+    """SELECT c_mktsegment, count(*) AS numcust,
+      |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM customer c
+      |WHERE CAST(round(c_acctbal * 100) AS BIGINT) >
+      |      (SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT)) FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  private val q18 = QueryDef(
+    "q18_rich_small_spenders_not_exists",
+    Some(q18Text), (s, dir) => Tables.sql(s, dir, q18Text))
+
+  /** Q21 shape: EXISTS + NOT EXISTS on the SAME fact table with a
+    * `<>`-correlated key — "suppliers who were the sole late shipper in
+    * finished multi-supplier orders". Two decorrelated joins against
+    * lineitem keyed on l_orderkey with the supplier-inequality residual;
+    * the classic plan stress test for semi/anti stacking (a wrong
+    * rewrite either drops the inequality or degenerates to a per-row
+    * re-scan). */
+  private val q19Text =
+    """SELECT s.s_name, count(*) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND l1.l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > TIMESTAMP '1997-06-01 00:00:00')
+      |GROUP BY s.s_name ORDER BY numwait DESC, s.s_name""".stripMargin
+
+  private val q19 = QueryDef(
+    "q19_sole_late_supplier_waits",
+    Some(q19Text), (s, dir) => Tables.sql(s, dir, q19Text))
+
   override val defs: Seq[QueryDef] =
-    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, zorder)
+    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14,
+        q15, q16, q17, q18, q19, zorder)
 }

@@ -632,7 +632,59 @@ object SqlSurfaceQueries extends QuerySet {
         |FROM a LEFT JOIN e ON a.o_orderpriority = e.o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin))
 
+  // ---- recursive CTEs ----------------------------------------------------
+  // WITH RECURSIVE is first-class SQL surface in both engines (DuckDB
+  // always had it; Spark 4 executes it as an iterative UNION-ALL loop
+  // where each step is a distributed job over the previous step's
+  // output). Two canonical uses, identical text on both engines:
+
+  /** Date-spine generation + gapless left join — the standard "report
+    * every month even if empty" idiom that otherwise needs a calendar
+    * table. The recursion is 80 driver-sized rows (one per month); the
+    * only corpus-sized work is the orders aggregation, which Spark
+    * executes as one partial-agg pass joined to the 80-row spine — the
+    * recursion itself never touches the fact table. */
+  private val r1 = sqlQuery(
+    "r1_recursive_date_spine",
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT DATE '1995-01-01'
+      |  UNION ALL SELECT m + INTERVAL 1 MONTH FROM months WHERE m < DATE '2001-08-01'
+      |)
+      |SELECT m, count(o_orderkey) AS n_orders
+      |FROM months LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+      |GROUP BY m ORDER BY m""".stripMargin)
+
+  /** DAG reachability with path counting — transitive closure over a
+    * deterministic two-rule edge set derived from nation (strictly
+    * forward edges, so UNION ALL terminates without dedup; depth cap is
+    * a belt besides that proof). min(depth) is BFS distance, count(*)
+    * is the number of distinct paths — both engines must agree on every
+    * expansion step to agree on the 347-path tail. At scale each step
+    * is one equi join of the frontier against the edge table: frontier
+    * size is the growth driver, never a cartesian. */
+  private val r2 = sqlQuery(
+    "r2_recursive_reachability",
+    """WITH RECURSIVE reach(node, depth) AS (
+      |  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+      |  UNION ALL
+      |  SELECT e.dst, r.depth + 1
+      |  FROM reach r
+      |  JOIN (SELECT n_nationkey AS src,
+      |               n_nationkey + 1 + (n_nationkey % 3) AS dst
+      |        FROM nation
+      |        WHERE n_nationkey + 1 + (n_nationkey % 3) <= 24
+      |        UNION ALL
+      |        SELECT n_nationkey AS src,
+      |               n_nationkey + 2 + (n_nationkey % 5) AS dst
+      |        FROM nation
+      |        WHERE n_nationkey + 2 + (n_nationkey % 5) <= 24) e
+      |    ON e.src = r.node
+      |  WHERE r.depth < 15
+      |)
+      |SELECT node, min(depth) AS min_depth, count(*) AS n_paths
+      |FROM reach GROUP BY node ORDER BY node""".stripMargin)
+
   override val defs: Seq[QueryDef] =
     Seq(a2, a3, a5, a6, a7, a7b, a8, a9, w2, w3, w4, w5, j3, j4, set1, set2,
-      d1, f1, f2, f3, f4, f5, f6, f7, j1, i1, i2, i3, o4, o5, p1, t1)
+      d1, f1, f2, f3, f4, f5, f6, f7, j1, i1, i2, i3, o4, o5, p1, r1, r2, t1)
 }

@@ -668,4 +668,37 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"),
       s"hard-negative mining degraded to a cartesian:\n$p")
   }
+
+  test("correlated scalar-avg subquery decorrelates to ONE aggregate joined back") {
+    // q15's threshold references the outer row's l_partkey; a wrong plan
+    // re-scans lineitem per row. The right plan computes the per-part
+    // average ONCE (partial_avg + one exchange on l_partkey) and joins
+    // it back — lineitem appears exactly twice (probe + average).
+    val p = plan("q15_small_qty_correlated_avg")
+    assert(p.contains("partial_avg"),
+      s"per-part average is not a partial aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated avg degraded to a nested re-scan:\n$p")
+    val lineitemScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("l_partkey"))
+    assert(lineitemScans <= 2, s"lineitem scanned $lineitemScans times:\n$p")
+  }
+
+  test("EXISTS / NOT EXISTS stack decorrelates to semi + anti joins") {
+    val p19 = plan("q19_sole_late_supplier_waits")
+    assert(p19.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p19")
+    assert(p19.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$p19")
+    assert(!p19.contains("CartesianProduct"), s"q19 planned a cartesian:\n$p19")
+    val p18 = plan("q18_rich_small_spenders_not_exists")
+    assert(p18.contains("LeftAnti"), s"q18 NOT EXISTS not an anti join:\n$p18")
+    val p17 = plan("q17_late_orders_exists")
+    assert(p17.contains("LeftSemi"), s"q17 EXISTS not a semi join:\n$p17")
+    assert(!p17.contains("CartesianProduct"))
+  }
+
+  test("NOT IN exclusion stays an anti structure with a pushed dimension filter") {
+    val p = plan("q16_supplier_variety_not_in")
+    assert(p.contains("LeftAnti"), s"NOT IN did not become an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q16 planned a cartesian:\n$p")
+  }
 }
