@@ -632,6 +632,28 @@ object SqlSurfaceQueries extends QuerySet {
         |FROM a LEFT JOIN e ON a.o_orderpriority = e.o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin))
 
+  // F8: ordered string aggregation through the dialect. DuckDB puts the
+  // ordering INSIDE the call — string_agg(x, sep ORDER BY k) — while
+  // Spark spells the same aggregate listagg(x, sep) WITHIN GROUP
+  // (ORDER BY k). Like w4/d1 the query is WRITTEN in DuckDB's
+  // vocabulary, the oracle runs it verbatim, and the Spark side runs
+  // DuckDialect.translate — gating the ORDER-BY hoist (including a
+  // two-key DESC ordering) end-to-end. The aggregation itself is the
+  // usual partial-combine shape; each group buffers only its own
+  // members, so memory is bounded by group size like any collect_list.
+  private val f8Text =
+    """SELECT c_mktsegment,
+      |       string_agg(c_name, '|' ORDER BY c_custkey) AS names,
+      |       string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_acctbal DESC, c_custkey) AS by_balance,
+      |       count(*) AS n
+      |FROM customer WHERE c_custkey <= 40
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  private val f8 = QueryDef(
+    "f8_string_agg_ordered",
+    Some(f8Text),
+    (s, dir) => Tables.sql(s, dir, graft.dialect.DuckDialect.translate(f8Text)))
+
   // ---- recursive CTEs ----------------------------------------------------
   // WITH RECURSIVE is first-class SQL surface in both engines (DuckDB
   // always had it; Spark 4 executes it as an iterative UNION-ALL loop
@@ -686,5 +708,5 @@ object SqlSurfaceQueries extends QuerySet {
 
   override val defs: Seq[QueryDef] =
     Seq(a2, a3, a5, a6, a7, a7b, a8, a9, w2, w3, w4, w5, j3, j4, set1, set2,
-      d1, f1, f2, f3, f4, f5, f6, f7, j1, i1, i2, i3, o4, o5, p1, r1, r2, t1)
+      d1, f1, f2, f3, f4, f5, f6, f7, f8, j1, i1, i2, i3, o4, o5, p1, r1, r2, t1)
 }

@@ -101,6 +101,33 @@ class DuckDialectSpec extends AnyFunSuite {
       "SELECT split(s, '\\\\|') FROM t")
   }
 
+  test("string_agg hoists an in-call ORDER BY into WITHIN GROUP") {
+    assert(translate("SELECT string_agg(x, '|' ORDER BY k) FROM t") ==
+      "SELECT listagg(x, '|') WITHIN GROUP (ORDER BY k) FROM t")
+    // multi-key ordering with direction survives the hoist
+    assert(translate("SELECT string_agg(x, ',' ORDER BY a DESC, b) FROM t") ==
+      "SELECT listagg(x, ',') WITHIN GROUP (ORDER BY a DESC, b) FROM t")
+    // no in-call ordering → plain rename (unordered in both engines)
+    assert(translate("SELECT string_agg(x, ';') FROM t") ==
+      "SELECT listagg(x, ';') FROM t")
+    // ORDER BY inside a NESTED call is not the aggregate's ordering
+    assert(translate("SELECT string_agg(f(x ORDER BY k), '|') FROM t") ==
+      "SELECT listagg(f(x ORDER BY k), '|') FROM t")
+  }
+
+  test("VARCHAR/TEXT type spellings become STRING only in type position") {
+    assert(translate("SELECT CAST(x AS VARCHAR) FROM t") ==
+      "SELECT CAST(x AS STRING) FROM t")
+    assert(translate("SELECT CAST(x AS VARCHAR(12)) FROM t") ==
+      "SELECT CAST(x AS STRING) FROM t")
+    assert(translate("SELECT x::VARCHAR FROM t") == "SELECT x::STRING FROM t")
+    assert(translate("SELECT CAST(x AS TEXT) FROM t") ==
+      "SELECT CAST(x AS STRING) FROM t")
+    // `text` as an alias or column name is NOT a type spelling
+    assert(translate("SELECT x AS text FROM t") == "SELECT x AS text FROM t")
+    assert(translate("SELECT text FROM documents") == "SELECT text FROM documents")
+  }
+
   test("QUALIFY rewrites to the subquery form it abbreviates") {
     val got = translate(
       "SELECT g, row_number() OVER (PARTITION BY g ORDER BY v) AS rn " +
