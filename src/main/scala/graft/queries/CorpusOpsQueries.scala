@@ -764,8 +764,77 @@ object CorpusOpsQueries extends QuerySet {
     Some(capSql("md5(CAST(doc_id AS VARCHAR))")),
     (s, dir) => Tables.sql(s, dir, capSql("md5(CAST(doc_id AS STRING))")))
 
+  // ---- feature-hashing vectorizer ---------------------------------------
+  // The hashing trick (Weinberger et al. 2009): vectorize text into a
+  // FIXED-width signed-count vector with no vocabulary pass — bucket =
+  // hash(token) mod D, sign = an independent hash bit (the sign makes
+  // collision noise zero-mean, which is what lets D stay small). This
+  // is how fastText-style quality classifiers featurize a crawl before
+  // scoring it, and it pairs with quality_classifier_score: that entry
+  // assumes a trained weight vector; this one builds the features a
+  // trainer would consume. D = 16 here so the gate can check every
+  // lane; production would use 2^18+ with the identical dataflow.
+  //
+  // 100 TB shape: bucket and sign are map-side md5 arithmetic on the
+  // exploded tokens; the only corpus-sized shuffle carries (doc_id,
+  // bucket, partial-sum) rows — ≤D per doc survive the map-side
+  // combine. The dense 16-lane assembly is a per-doc transform over the
+  // ≤16 collected (bucket, weight) pairs (no spine join, no second
+  // corpus scan); absent lanes zero-fill via null-safe element lookup.
+  private val featureHash = QueryDef(
+    "feature_hash_vectorizer",
+    Some("""WITH tok AS (
+           |  SELECT doc_id, t FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+           |  WHERE t <> ''),
+           |h AS (
+           |  SELECT doc_id,
+           |         ('0x' || substr(md5(t), 1, 8))::BIGINT % 16 AS bucket,
+           |         CASE WHEN (('0x' || substr(md5(t), 1, 8))::BIGINT // 16) % 2 = 1
+           |              THEN 1 ELSE -1 END AS sgn
+           |  FROM tok),
+           |g AS (
+           |  SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS wt
+           |  FROM h GROUP BY doc_id, bucket),
+           |d AS (
+           |  SELECT doc_id,
+           |         list_sort(list(struct_pack(b := bucket, w := wt))) AS pairs,
+           |         CAST(sum(wt * wt) AS BIGINT) AS l2sq,
+           |         CAST(count(*) FILTER (WHERE wt <> 0) AS BIGINT) AS nnz
+           |  FROM g GROUP BY doc_id)
+           |SELECT doc_id,
+           |       to_json(list_transform(range(0, 16),
+           |         i -> coalesce(list_filter(pairs, p -> p.b = i)[1].w, 0::BIGINT))) AS vec,
+           |       l2sq, nnz
+           |FROM d ORDER BY doc_id""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """WITH tok AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id, explode(split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> ''),
+        |h AS (
+        |  SELECT doc_id,
+        |         CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) % 16 AS bucket,
+        |         CASE WHEN (CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) div 16) % 2 = 1
+        |              THEN 1 ELSE -1 END AS sgn
+        |  FROM tok),
+        |g AS (
+        |  SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS wt
+        |  FROM h GROUP BY doc_id, bucket),
+        |d AS (
+        |  SELECT doc_id,
+        |         array_sort(collect_list(named_struct('b', bucket, 'w', wt))) AS pairs,
+        |         CAST(sum(wt * wt) AS BIGINT) AS l2sq,
+        |         CAST(count(*) FILTER (WHERE wt <> 0) AS BIGINT) AS nnz
+        |  FROM g GROUP BY doc_id)
+        |SELECT doc_id,
+        |       to_json(transform(sequence(0, 15),
+        |         i -> coalesce(try_element_at(filter(pairs, p -> p.b = i), 1).w, CAST(0 AS BIGINT)))) AS vec,
+        |       l2sq, nnz
+        |FROM d ORDER BY doc_id""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(incremental, surprisal, surprisalBuckets, chunks, sourceMix,
       leakageSafeSplit, temperatureMix, dsir, bigramSurprisal, cdcChunks,
-      segmentDedup, sourceCap)
+      segmentDedup, sourceCap, featureHash)
 }

@@ -1520,9 +1520,87 @@ object EmbeddingQueries extends QuerySet {
     }
   }
 
+  // ---- Matryoshka truncation evaluation --------------------------------
+  // MRL-style embeddings (Kusupati et al. 2022) are trained so a PREFIX
+  // of the vector is itself a usable embedding — production systems
+  // retrieve with the first k dims and re-rank with the full vector.
+  // Before adopting a truncation level you measure exactly this: for
+  // each probe, the exact cosine top-5 using only dims [1..k] versus
+  // the full-dim top-5, overlap@5 per (k, probe). On these synthetic
+  // (untrained) vectors the overlap at small k is honestly low — the
+  // measurement, not a quality claim, is the operator; k=64 reaching
+  // overlap 5 is the by-construction ceiling that anchors the gate.
+  //
+  // 100 TB shape: the 12-row (k × probe) side broadcasts onto ONE
+  // corpus scan; per-row truncation is slice() + the native dot_f64
+  // kernel (map-side, no corpus exchange); the only shuffle carries
+  // (k, probe, cos, id) tuples into the per-(k,probe) top-5 windows.
+  // Ranking rounds to 6 dp before ordering (both engines sum doubles
+  // sequentially, so the rounded keys are bit-identical) with the id
+  // tie-break, the same discipline every ANN gate here uses.
+  private val matryoshka = QueryDef(
+    "ann_matryoshka_overlap",
+    Some("""WITH ks AS (SELECT unnest([8, 16, 32, 64]) AS k),
+           |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |p AS (SELECT k, vec_id AS probe_id, v[1:k] AS pv,
+           |             sqrt(list_aggregate(list_transform(v[1:k], x -> x * x), 'sum')) AS pn
+           |      FROM e CROSS JOIN ks WHERE vec_id IN (0, 1, 2)),
+           |s AS (SELECT p.k, p.probe_id, c.vec_id AS neighbor_id,
+           |             round(list_aggregate(list_transform(range(1, p.k + 1),
+           |                     i -> p.pv[i] * c.v[i]), 'sum')
+           |                   / (p.pn * sqrt(list_aggregate(list_transform(c.v[1:p.k], x -> x * x), 'sum'))), 6) AS cos
+           |      FROM p JOIN e c ON c.vec_id <> p.probe_id),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY k, probe_id
+           |              ORDER BY cos DESC, neighbor_id) AS rn FROM s WHERE cos IS NOT NULL),
+           |t AS (SELECT k, probe_id, neighbor_id, rn FROM r WHERE rn <= 5),
+           |agg AS (SELECT k, probe_id,
+           |               string_agg(CAST(neighbor_id AS VARCHAR), ',' ORDER BY rn) AS top5
+           |        FROM t GROUP BY k, probe_id),
+           |full5 AS (SELECT probe_id, neighbor_id FROM t WHERE k = 64),
+           |ov AS (SELECT t.k, t.probe_id, count(*) AS overlap_n
+           |       FROM t JOIN full5 f ON f.probe_id = t.probe_id AND f.neighbor_id = t.neighbor_id
+           |       GROUP BY t.k, t.probe_id)
+           |SELECT a.k, a.probe_id, a.top5,
+           |       CAST(coalesce(o.overlap_n, 0) AS BIGINT) AS overlap_n
+           |FROM agg a LEFT JOIN ov o ON o.k = a.k AND o.probe_id = a.probe_id
+           |ORDER BY a.k, a.probe_id""".stripMargin),
+    (s, dir) => {
+      // Spark inlines WITH-CTEs, so deriving agg/full5/overlap from the
+      // same `t` CTE would re-run the corpus scoring three times (6
+      // embeddings scans). Materialize the ≤|ks|·|probes|·5-row top-5
+      // set ONCE (driver-tiny), then the three derivations are joins
+      // over that checkpoint — embeddings is scanned exactly twice
+      // (probe side + corpus side), whatever the downstream shape.
+      val t = Tables.sql(s, dir,
+        """WITH ks AS (SELECT explode(array(8, 16, 32, 64)) AS k),
+          |e AS (SELECT vec_id, cast(embedding AS array<double>) AS v FROM embeddings),
+          |p AS (SELECT k, vec_id AS probe_id, slice(v, 1, k) AS pv,
+          |             sqrt(dot_f64(slice(v, 1, k), slice(v, 1, k))) AS pn
+          |      FROM e CROSS JOIN ks WHERE vec_id IN (0, 1, 2)),
+          |s AS (SELECT p.k, p.probe_id, c.vec_id AS neighbor_id,
+          |             round(dot_f64(p.pv, slice(c.v, 1, p.k))
+          |                   / (p.pn * sqrt(dot_f64(slice(c.v, 1, p.k), slice(c.v, 1, p.k)))), 6) AS cos
+          |      FROM p JOIN e c ON c.vec_id <> p.probe_id),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY k, probe_id
+          |              ORDER BY cos DESC, neighbor_id) AS rn FROM s WHERE cos IS NOT NULL)
+          |SELECT k, probe_id, neighbor_id, rn FROM r WHERE rn <= 5""".stripMargin)
+        .localCheckpoint(true)
+      val agg = t.groupBy(col("k"), col("probe_id"))
+        .agg(expr("listagg(CAST(neighbor_id AS STRING), ',') WITHIN GROUP (ORDER BY rn)").as("top5"))
+      val full5 = t.filter(col("k") === 64)
+        .select(col("probe_id").as("f_probe"), col("neighbor_id").as("f_neighbor"))
+      val ov = t.join(full5, t("probe_id") === full5("f_probe") &&
+          t("neighbor_id") === full5("f_neighbor"))
+        .groupBy(col("k"), col("probe_id")).agg(count(lit(1)).as("ov_n"))
+      agg.join(ov, Seq("k", "probe_id"), "left")
+        .select(col("k"), col("probe_id"), col("top5"),
+          coalesce(col("ov_n"), lit(0L)).cast("long").as("overlap_n"))
+        .orderBy("k", "probe_id")
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(bruteTopk, lshTopk, ivfTopk, ivfTrained, embDupPairs, embIncremental,
       embDupClusters, embDedupCorpus, semDedup, quantize, centroids, pqTrained,
       jlProjection, ivfpqAdc, ivfpqRerank, hardNegatives, binaryQuantize,
-      binaryRerank)
+      binaryRerank, matryoshka)
 }

@@ -669,6 +669,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"hard-negative mining degraded to a cartesian:\n$p")
   }
 
+  test("feature hashing shuffles (doc, bucket) partials, never raw tokens") {
+    val p = plan("feature_hash_vectorizer")
+    assert(p.contains("partial_sum"),
+      s"signed counts shuffle raw tokens without a map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("matryoshka eval materializes the top-5 set once; no cartesian, no re-score") {
+    // The scoring stage runs ONCE into a localCheckpoint (the agg /
+    // full-dim / overlap derivations would otherwise each re-run it —
+    // Spark inlines CTEs). The final plan therefore reads the
+    // checkpointed rows: embeddings must NOT be re-scanned downstream.
+    val p = plan("ann_matryoshka_overlap")
+    assert(!p.contains("CartesianProduct"),
+      s"matryoshka scoring degraded to a cartesian:\n$p")
+    val corpusScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("embedding"))
+    assert(corpusScans == 0,
+      s"downstream of the checkpoint embeddings is scanned $corpusScans times:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"top-5 set is not the materialized checkpoint:\n$p")
+  }
+
   test("correlated scalar-avg subquery decorrelates to ONE aggregate joined back") {
     // q15's threshold references the outer row's l_partkey; a wrong plan
     // re-scans lineitem per row. The right plan computes the per-part
