@@ -787,12 +787,12 @@ object CorpusOpsQueries extends QuerySet {
            |  SELECT doc_id, t FROM (
            |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
            |  WHERE t <> ''),
+           |hx AS (
+           |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok),
            |h AS (
-           |  SELECT doc_id,
-           |         ('0x' || substr(md5(t), 1, 8))::BIGINT % 16 AS bucket,
-           |         CASE WHEN (('0x' || substr(md5(t), 1, 8))::BIGINT // 16) % 2 = 1
-           |              THEN 1 ELSE -1 END AS sgn
-           |  FROM tok),
+           |  SELECT doc_id, h % 16 AS bucket,
+           |         CASE WHEN (h // 16) % 2 = 1 THEN 1 ELSE -1 END AS sgn
+           |  FROM hx),
            |g AS (
            |  SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS wt
            |  FROM h GROUP BY doc_id, bucket),
@@ -812,12 +812,12 @@ object CorpusOpsQueries extends QuerySet {
         |  SELECT doc_id, t FROM (
         |    SELECT doc_id, explode(split(text, ' ')) AS t FROM documents)
         |  WHERE t <> ''),
+        |hx AS (
+        |  SELECT doc_id, CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) AS h FROM tok),
         |h AS (
-        |  SELECT doc_id,
-        |         CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) % 16 AS bucket,
-        |         CASE WHEN (CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) div 16) % 2 = 1
-        |              THEN 1 ELSE -1 END AS sgn
-        |  FROM tok),
+        |  SELECT doc_id, h % 16 AS bucket,
+        |         CASE WHEN (h div 16) % 2 = 1 THEN 1 ELSE -1 END AS sgn
+        |  FROM hx),
         |g AS (
         |  SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS wt
         |  FROM h GROUP BY doc_id, bucket),
