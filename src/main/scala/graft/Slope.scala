@@ -103,7 +103,13 @@ object Slope {
     "ann_binary_rerank",
     "neardup_triangles",
     "pagerank_neardup",
-    "ev11_hopping_window")
+    "ev11_hopping_window",
+    // r8 session-6 addition: the feature-hashing vectorizer — its
+    // linearity rests on the (doc_id, bucket) partial-agg collapsing
+    // ≤16 rows per doc before the exchange and the dense assembly
+    // staying per-doc; a regression to a token-level shuffle or a
+    // corpus-wide spine join would blow the ratio.
+    "feature_hash_vectorizer")
 
   val MaxRatio = 15.0
   val OverheadFloorSec = 0.3

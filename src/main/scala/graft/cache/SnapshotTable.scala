@@ -434,6 +434,43 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
     }
   }
 
+  /** delete: remove every row whose primary key appears in `keys` —
+    * the right-to-be-forgotten path. File-pruned exactly like merge:
+    * the key set is tested against the manifest's per-dir stats, only
+    * dirs whose key range can match are read, anti-joined and
+    * rewritten; untouched dirs (and their stats) carry into the new
+    * snapshot by reference. A delete of keys the table never held
+    * publishes a new version over the SAME dirs (the audit trail
+    * records that the request was processed — at 100 TB that
+    * no-op-with-provenance is the common case for compliance sweeps).
+    * Old snapshots still contain the rows until retention expires
+    * them — full erasure = deleteByKeys + expireSnapshots(1), the
+    * same two-step contract DuckLake/Iceberg erasure has. */
+  def deleteByKeys(keys: DataFrame, primaryKeys: Seq[String],
+      mergeBuckets: Int = 4): Long = synchronized {
+    require(primaryKeys.nonEmpty, "delete requires primary keys")
+    withFreshId { (ms, id) =>
+      val parent = currentSnapshotId.map(parentManifest(ms, _)).getOrElse(
+        throw new IllegalStateException(s"table $name has no snapshots to delete from"))
+      val touched = touchedDirs(keys, primaryKeys, parent)
+      val untouched = parent.dirs.filterNot(touched)
+      if (touched.isEmpty) {
+        publish(id, "delete", parent.rowCount, parent.dirs, parent.stats)
+      } else {
+        val kept = spark.read.parquet(touched.toSeq.map(dataPath): _*)
+          .join(keys, primaryKeys, "left_anti")
+        val (newDirs, newStats) = writeMergeData(id, kept, primaryKeys, mergeBuckets)
+        // every untouched dir has stats by construction (stat-less
+        // dirs are always touched), so carried row counts are exact
+        val carried = untouched.flatMap(d => parent.stats.find(_.dir == d))
+        publish(id, "delete",
+          carried.map(_.rows).sum + newStats.map(_.rows).sum,
+          untouched ++ newDirs, carried ++ newStats)
+      }
+      id
+    }
+  }
+
   // ---- reads (C9/C10) ---------------------------------------------------
 
   /** Read the live state, or a specific snapshot (time travel). */

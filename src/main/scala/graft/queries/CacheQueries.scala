@@ -185,6 +185,45 @@ object CacheQueries extends QuerySet {
         .orderBy("o_orderkey")
     })
 
+  // Right-to-be-forgotten: PK-addressed delete through the same
+  // file-pruned machinery as merge. The build seeds a merge-mode table
+  // (bucketed, stat-bearing dirs), then runs a compliance sweep of two
+  // deletes: an ABSENT key (publishes a no-op version over the same
+  // dirs — the audit-trail-only case a real sweep mostly hits) and a
+  // real key range (rewrites only the buckets whose PK range matches;
+  // the rest carry by reference — SnapshotTableSpec proves the
+  // byte-identity). The gated fact is the final state: seeded rows
+  // minus the deleted range, recomputed by DuckDB from source.
+  private val cacheDelete = QueryDef(
+    "cache_delete_read",
+    Some("""SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+           |FROM customer
+           |WHERE c_custkey <= 300 AND c_custkey NOT BETWEEN 101 AND 150
+           |ORDER BY c_custkey""".stripMargin),
+    (s, dir) => {
+      val t = memo(s, "delete", dir) {
+        Tables.register(s, dir)
+        val mgr = new CacheManager(s, freshRoot(s"delete_${math.abs(dir.hashCode)}"))
+        val cfg = CacheConfig(enabled = true, table = "cust_delete",
+          primaryKeys = Seq("c_custkey"))
+        val ep = EndpointConfig(urlPath = "/cust-delete",
+          templateSource = "cust_delete.sql", cache = cfg)
+        mgr.refresh(ep,
+          "SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 300")
+        val tbl = mgr.table(cfg)
+        tbl.deleteByKeys(
+          s.sql("SELECT CAST(999999 AS BIGINT) AS c_custkey"), Seq("c_custkey"))
+        tbl.deleteByKeys(
+          Tables.table(s, dir, "customer")
+            .filter(col("c_custkey").between(101, 150)).select("c_custkey"),
+          Seq("c_custkey"))
+        tbl
+      }
+      t.read()
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy("c_custkey")
+    })
+
   // C3: snapshot introspection — ids/modes/row counts are deterministic
   // (timestamps are not, so the digest excludes them). Oracle is the
   // expected manifest as inline VALUES.
@@ -202,5 +241,6 @@ object CacheQueries extends QuerySet {
         .orderBy("snapshot_id"))
 
   override val defs: Seq[QueryDef] =
-    Seq(cacheFull, cacheAppend, cacheTravel, cacheMerge, cacheMaint, cacheMeta)
+    Seq(cacheFull, cacheAppend, cacheTravel, cacheMerge, cacheDelete,
+      cacheMaint, cacheMeta)
 }

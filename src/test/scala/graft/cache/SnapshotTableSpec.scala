@@ -129,6 +129,46 @@ class SnapshotTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.read(Some(3L)).collect().map(r => r.getLong(0) -> r.getString(1)).toMap.apply(37L) == "UPD")
   }
 
+  test("deleteByKeys is file-pruned; an absent key publishes a no-op version") {
+    val ss = spark
+    import ss.implicits._
+    val t = new SnapshotTable(spark, root, "t_del")
+    t.refreshFull(df(1 to 100))
+    // s2: bucket + stats pass (stat-less s1 rewrites into 4 ranges)
+    t.refreshMerge(Seq((200L, "n200")).toDF("id", "val"), Seq("id"), mergeBuckets = 4)
+    val dirsOf = (id: Long) => t.snapshots().filter(s"snapshot_id = $id")
+      .select("dirs").collect().head.getSeq[String](0)
+    val s2dirs = dirsOf(2L)
+    assert(s2dirs.size == 4 && t.read().count() == 101)
+
+    def fp(dir: String): Map[String, (Long, Long)] = {
+      val p = java.nio.file.Paths.get(root, "t_del", "snapshots", dir)
+      Files.list(p).iterator().asScala.map(f => f.getFileName.toString ->
+        (Files.size(f), Files.getLastModifiedTime(f).toMillis)).toMap
+    }
+    val before = s2dirs.map(d => d -> fp(d)).toMap
+
+    // s3: delete a key lexically past every bucket's pk_max — zero
+    // dirs touched; the version still publishes (compliance audit row)
+    t.deleteByKeys(Seq(999999L).toDF("id"), Seq("id"))
+    assert(dirsOf(3L).toSet == s2dirs.toSet, "no-op delete must carry all dirs")
+    assert(t.read().count() == 101)
+
+    // s4: delete ONE present key — exactly one bucket rewrites
+    t.deleteByKeys(Seq(37L).toDF("id"), Seq("id"))
+    val s4dirs = dirsOf(4L)
+    val carried = s4dirs.filter(_.startsWith("s2/"))
+    assert(carried.size == 3, s"expected 3 carried s2 buckets, got $s4dirs")
+    carried.foreach(d => assert(fp(d) == before(d), s"carried dir $d was rewritten"))
+    val out = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 100 && !out.contains(37L) && out(200L) == "n200")
+    // erasure is two-step: the old snapshot still holds the row until
+    // retention expires it (time travel proves the pre-delete state)
+    assert(t.read(Some(2L)).count() == 101)
+    t.expireSnapshots(keepLast = 1)
+    assert(t.read().count() == 100)
+  }
+
   test("merge row_count stays exact across carried dirs and expiry keeps shared buckets") {
     val ss = spark
     import ss.implicits._
