@@ -788,8 +788,103 @@ object EventQueries extends QuerySet {
     Some(pitSql),
     (s, dir) => Tables.sql(s, dir, pitSql))
 
+  // ---- ev16: deterministic experiment assignment ------------------------
+  // The A/B bucketing every product-analytics pipeline runs: variant is
+  // a pure function of the unit id (md5-hex threshold — the
+  // source_mix_sample discipline), so assignment is reproducible across
+  // reruns, engines, and backfills, and needs no assignment table. The
+  // readout is per-variant users / events / converters / revenue — the
+  // inputs to any downstream test statistic (SRM is visible as the
+  // n_users split, conversion lift as n_converted/n_users).
+  //
+  // 100 TB shape: assignment is map-side hash arithmetic; the per-user
+  // collapse is one (user) partial agg; the final 2-row rollup combines
+  // per-variant partials. No corpus-sized join — `assign` is derived
+  // from events itself, so Spark plans the USING join as an aggregate
+  // reuse (distinct users), never a second scan of raw events.
+  private val abAssign = QueryDef(
+    "ev16_ab_assignment",
+    Some("""WITH assign AS (
+           |  SELECT DISTINCT user_id,
+           |         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 8) < '80000000'
+           |              THEN 'control' ELSE 'treatment' END AS variant
+           |  FROM events),
+           |m AS (
+           |  SELECT a.variant, e.user_id,
+           |         count(*) AS n_events,
+           |         count(*) FILTER (WHERE e.event_type = 'purchase') AS n_purch,
+           |         CAST(sum(CASE WHEN e.event_type = 'purchase'
+           |              THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev_cents
+           |  FROM events e JOIN assign a USING (user_id)
+           |  GROUP BY a.variant, e.user_id)
+           |SELECT variant, count(*) AS n_users,
+           |       CAST(sum(n_events) AS BIGINT) AS n_events,
+           |       CAST(count(*) FILTER (WHERE n_purch > 0) AS BIGINT) AS n_converted,
+           |       CAST(sum(rev_cents) AS BIGINT) AS rev_cents
+           |FROM m GROUP BY variant ORDER BY variant""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """WITH assign AS (
+        |  SELECT DISTINCT user_id,
+        |         CASE WHEN substr(md5(CAST(user_id AS STRING)), 1, 8) < '80000000'
+        |              THEN 'control' ELSE 'treatment' END AS variant
+        |  FROM events),
+        |m AS (
+        |  SELECT a.variant, e.user_id,
+        |         count(*) AS n_events,
+        |         count(*) FILTER (WHERE e.event_type = 'purchase') AS n_purch,
+        |         CAST(sum(CASE WHEN e.event_type = 'purchase'
+        |              THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev_cents
+        |  FROM events e JOIN assign a USING (user_id)
+        |  GROUP BY a.variant, e.user_id)
+        |SELECT variant, count(*) AS n_users,
+        |       CAST(sum(n_events) AS BIGINT) AS n_events,
+        |       CAST(count(*) FILTER (WHERE n_purch > 0) AS BIGINT) AS n_converted,
+        |       CAST(sum(rev_cents) AS BIGINT) AS rev_cents
+        |FROM m GROUP BY variant ORDER BY variant""".stripMargin))
+
+  // ---- ev17: DAU / rolling-7d WAU / stickiness --------------------------
+  // Exact DAU and WAU come from the (day, user) distinct collapse; the
+  // 7-day window joins the 30-row day spine against that collapse, so
+  // the expansion is ≤7× a deduplicated frame, never raw events. The
+  // scale path rides alongside and is gated like a8: per-day HLL
+  // sketches (map-side mergeable partials over events) roll up by
+  // UNIONING 7 sketches per spine day — 210 sketch rows instead of
+  // re-shuffling user ids per window — and approx_ok asserts the
+  // estimate lands within 10% of the exact count (2% sketches; the
+  // oracle states the exact arithmetic and a literal true).
+  // Stickiness is integer ppm (exact integer division, engine-exact).
+  private val stickiness = QueryDef(
+    "ev17_dau_wau_stickiness",
+    Some("""WITH ud AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id FROM events),
+           |days AS (SELECT DISTINCT d FROM ud),
+           |dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+           |roll AS (
+           |  SELECT d1.d, count(DISTINCT u.user_id) AS wau
+           |  FROM days d1 JOIN ud u ON u.d BETWEEN d1.d - 6 AND d1.d
+           |  GROUP BY d1.d)
+           |SELECT dau.d, CAST(dau.dau AS BIGINT) AS dau, CAST(roll.wau AS BIGINT) AS wau,
+           |       CAST((dau.dau * 1000000) // roll.wau AS BIGINT) AS stickiness_ppm,
+           |       true AS approx_ok
+           |FROM dau JOIN roll ON dau.d = roll.d ORDER BY dau.d""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """WITH ud AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d FROM ud),
+        |dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+        |roll AS (
+        |  SELECT d1.d, count(DISTINCT u.user_id) AS wau
+        |  FROM days d1 JOIN ud u ON u.d BETWEEN d1.d - 6 AND d1.d
+        |  GROUP BY d1.d),
+        |sk AS (SELECT d, hll_sketch_agg(user_id) AS s FROM ud GROUP BY d),
+        |ra AS (SELECT d1.d, hll_sketch_estimate(hll_union_agg(sk.s)) AS wau_approx
+        |       FROM days d1 JOIN sk ON sk.d BETWEEN d1.d - 6 AND d1.d GROUP BY d1.d)
+        |SELECT dau.d, CAST(dau.dau AS BIGINT) AS dau, CAST(roll.wau AS BIGINT) AS wau,
+        |       CAST((dau.dau * 1000000) div roll.wau AS BIGINT) AS stickiness_ppm,
+        |       abs(ra.wau_approx - roll.wau) <= CAST(ceil(0.1 * roll.wau) AS BIGINT) AS approx_ok
+        |FROM dau JOIN roll ON dau.d = roll.d JOIN ra ON ra.d = dau.d
+        |ORDER BY dau.d""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(hourly, sessions, funnel, salted, keepLatest, asof, rangeJoin, conversion,
       retention, anomaly, winsorized, scd2, markov, funnelSteps, hopping, gapfill,
-      twa, sessionPaths, pointInTime)
+      twa, sessionPaths, pointInTime, abAssign, stickiness)
 }

@@ -632,6 +632,21 @@ object SqlSurfaceQueries extends QuerySet {
         |FROM a LEFT JOIN e ON a.o_orderpriority = e.o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin))
 
+  // P2: UNPIVOT — the wide-to-long transpose PIVOT abbreviates the
+  // other way. Identical clause syntax in both engines (value column,
+  // name column, measure list); the measures are pre-cast to one type
+  // (UNPIVOT requires a common value type) and emitted in integer
+  // cents. Map-side row expansion — 2× the input, no shuffle at all
+  // before the ORDER BY.
+  private val p2 = sqlQuery(
+    "p2_unpivot",
+    """SELECT p_partkey, metric, CAST(round(val * 100) AS BIGINT) AS val_cents
+      |FROM (SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS retail,
+      |             CAST(p_size AS DOUBLE) AS sz
+      |      FROM part WHERE p_partkey <= 50)
+      |UNPIVOT (val FOR metric IN (retail, sz))
+      |ORDER BY p_partkey, metric""".stripMargin)
+
   // F8: ordered string aggregation through the dialect. DuckDB puts the
   // ordering INSIDE the call — string_agg(x, sep ORDER BY k) — while
   // Spark spells the same aggregate listagg(x, sep) WITHIN GROUP
@@ -748,5 +763,5 @@ object SqlSurfaceQueries extends QuerySet {
 
   override val defs: Seq[QueryDef] =
     Seq(a2, a3, a5, a6, a7, a7b, a8, a9, w2, w3, w4, w5, j3, j4, set1, set2,
-      d1, f1, f2, f3, f4, f5, f6, f7, f8, j1, i1, i2, i3, o4, o5, p1, r1, r2, t1)
+      d1, f1, f2, f3, f4, f5, f6, f7, f8, j1, i1, i2, i3, o4, o5, p1, p2, r1, r2, t1)
 }

@@ -54,6 +54,37 @@ object Streaming {
       .start()
   }
 
+  /** Stream delete-key files from `sourceDir` into `table` as
+    * file-pruned delete snapshots — the continuous right-to-be-forgotten
+    * path (a compliance topic drained on a schedule). One snapshot per
+    * non-empty micro-batch; each batch prunes to the buckets its keys
+    * can touch, so a sparse delete stream rewrites O(batch) dirs, not
+    * the table. Deletes are idempotent (re-deleting an absent key is a
+    * no-op version), so checkpoint replay after a crash is safe. */
+  def deleteKeysStream(
+      spark: SparkSession,
+      sourceDir: String,
+      schemaSource: String,
+      primaryKeys: Seq[String],
+      table: SnapshotTable,
+      checkpointDir: String): StreamingQuery = {
+    val schema = spark.read.parquet(schemaSource).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          table.deleteByKeys(batch, primaryKeys)
+          ()
+        }
+      }
+      .start()
+  }
+
   // ---- watermarked windowed aggregation ---------------------------------
 
   /** Event-time tumbling-window counts per event type with a watermark.

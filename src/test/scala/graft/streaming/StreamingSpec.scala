@@ -279,6 +279,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(modes == Set("append"))
   }
 
+  test("delete-key stream equals one batch delete; replay after restart is a no-op") {
+    val ss = spark
+    import ss.implicits._
+    val keySrc = Files.createTempDirectory("graft_del_src")
+    val rootA = Files.createTempDirectory("graft_del_tblA")
+    val rootB = Files.createTempDirectory("graft_del_tblB")
+    val ckpt = Files.createTempDirectory("graft_del_ckpt")
+    def seed(root: java.nio.file.Path): SnapshotTable = {
+      val t = new SnapshotTable(spark, root.toString, "del_cache")
+      t.refreshFull((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"))
+      // bucket + stats pass so the delete stream can prune
+      t.refreshMerge(Seq((200L, "n200")).toDF("id", "v"), Seq("id"), mergeBuckets = 4)
+      t
+    }
+    val streamed = seed(rootA)
+    val batch = seed(rootB)
+
+    // two delete-key files drained in order by one AvailableNow run
+    Seq(7L, 11L).toDF("id").write.mode("append").parquet(keySrc.toString)
+    val q1 = Streaming.deleteKeysStream(
+      spark, keySrc.toString, keySrc.toString, Seq("id"), streamed, ckpt.toString)
+    q1.awaitTermination()
+    Seq(42L, 999999L).toDF("id").write.mode("append").parquet(keySrc.toString)
+    val q2 = Streaming.deleteKeysStream(
+      spark, keySrc.toString, keySrc.toString, Seq("id"), streamed, ckpt.toString)
+    q2.awaitTermination()
+
+    batch.deleteByKeys(Seq(7L, 11L, 42L, 999999L).toDF("id"), Seq("id"))
+    val a = streamed.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = batch.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "streamed deletes must equal the single batch delete")
+    assert(a.size == 98 && !a.contains(7L) && !a.contains(42L) && a.contains(200L))
+
+    // checkpoint replay safety: a third run with no new files deletes nothing
+    val idBefore = streamed.currentSnapshotId
+    val q3 = Streaming.deleteKeysStream(
+      spark, keySrc.toString, keySrc.toString, Seq("id"), streamed, ckpt.toString)
+    q3.awaitTermination()
+    assert(streamed.currentSnapshotId == idBefore, "empty drain must not publish")
+    assert(streamed.read().count() == 98)
+  }
+
   test("stream-static enrichment left-joins the broadcast dim per micro-batch") {
     val ss = spark
     import ss.implicits._
