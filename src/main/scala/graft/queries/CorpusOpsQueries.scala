@@ -833,8 +833,36 @@ object CorpusOpsQueries extends QuerySet {
         |       l2sq, nnz
         |FROM d ORDER BY doc_id""".stripMargin))
 
+  // ---- context-length truncation loss -----------------------------------
+  // The context-budget question every pretraining run answers before
+  // picking a sequence length: at max_len L, how many documents
+  // truncate and what fraction of the token mass falls off the end?
+  // (The complement of seq_packing_assign — that entry packs short
+  // docs; this one prices the cap for long ones.) One map-side token
+  // count per doc, a 3-row length spine expanded map-side, and a
+  // per-L partial agg; loss is exact integer ppm.
+  private val truncationLoss = QueryDef(
+    "context_truncation_loss",
+    Some("""WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+           |L AS (SELECT unnest([16, 32, 64]) AS max_len)
+           |SELECT max_len,
+           |  CAST(count(*) FILTER (WHERE n > max_len) AS BIGINT) AS docs_truncated,
+           |  CAST(sum(CASE WHEN n > max_len THEN n - max_len ELSE 0 END) AS BIGINT) AS tokens_lost,
+           |  CAST(sum(n) AS BIGINT) AS tokens_total,
+           |  CAST((sum(CASE WHEN n > max_len THEN n - max_len ELSE 0 END) * 1000000) // sum(n) AS BIGINT) AS loss_ppm
+           |FROM tok CROSS JOIN L GROUP BY max_len ORDER BY max_len""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """WITH tok AS (SELECT doc_id, size(split(text, ' ')) AS n FROM documents),
+        |L AS (SELECT explode(array(16, 32, 64)) AS max_len)
+        |SELECT max_len,
+        |  CAST(count(*) FILTER (WHERE n > max_len) AS BIGINT) AS docs_truncated,
+        |  CAST(sum(CASE WHEN n > max_len THEN n - max_len ELSE 0 END) AS BIGINT) AS tokens_lost,
+        |  CAST(sum(n) AS BIGINT) AS tokens_total,
+        |  CAST((sum(CASE WHEN n > max_len THEN n - max_len ELSE 0 END) * 1000000) div sum(n) AS BIGINT) AS loss_ppm
+        |FROM tok CROSS JOIN L GROUP BY max_len ORDER BY max_len""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(incremental, surprisal, surprisalBuckets, chunks, sourceMix,
       leakageSafeSplit, temperatureMix, dsir, bigramSurprisal, cdcChunks,
-      segmentDedup, sourceCap, featureHash)
+      segmentDedup, sourceCap, featureHash, truncationLoss)
 }

@@ -251,6 +251,51 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  // ---- cluster-size histogram -------------------------------------------
+  // The duplication PROFILE of the corpus: how many near-dup families
+  // exist at each size. This is the number a curation team reads before
+  // choosing a dedup policy (a corpus of pairs dedups cheaply; a few
+  // thousand-member families signal boilerplate that wants segment-level
+  // handling instead). Derived entirely from the memoized verified pair
+  // set: component labels → per-cluster size → size histogram, plus the
+  // singleton row from a broadcast anti-join of the doc ids against the
+  // (tiny) clustered set — the corpus is never re-shuffled.
+  private val clusterSizeHist = QueryDef(
+    "neardup_cluster_size_hist",
+    Some(neardupPairsSql.replaceFirst("WITH sh", "WITH RECURSIVE sh") + """,
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |perdoc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      |           FROM reach GROUP BY a),
+      |sizes AS (SELECT cluster_id, count(*) AS csize FROM perdoc GROUP BY cluster_id),
+      |hist AS (
+      |  SELECT csize, count(*) AS n_clusters FROM sizes GROUP BY csize
+      |  UNION ALL
+      |  SELECT 1, (SELECT count(*) FROM documents) - (SELECT count(*) FROM perdoc))
+      |SELECT CAST(csize AS BIGINT) AS csize,
+      |       CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+      |FROM hist GROUP BY csize ORDER BY csize""".stripMargin),
+    (s, dir) => {
+      val labels = graft.operators.ConnectedComponents.labels(
+        neardupPairs(s, dir).select(col("id_a"), col("id_b")))
+      val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
+      val hist = sizes.groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+      val docs = Tables.table(s, dir, "documents").select(col("doc_id"))
+      val singles = docs
+        .join(broadcast(labels.select(col("id").as("doc_id"))), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(lit(1L).as("csize"), col("n_clusters"))
+      hist.unionByName(singles)
+        .groupBy("csize").agg(sum("n_clusters").cast("long").as("n_clusters"))
+        .select(col("csize").cast("long").as("csize"), col("n_clusters"))
+        .orderBy("csize")
+    })
+
   // ---- deduplicated corpus ----------------------------------------------
   // The pipeline's END PRODUCT: drop every near-dup that is not its
   // cluster's canonical keeper (min doc_id), keep everything else.
@@ -1561,7 +1606,7 @@ object TextQueries extends QuerySet {
     })
 
   override val defs: Seq[QueryDef] = Seq(
-    dedupExact, neardup, neardupClusters, neardupCorpus, simhash, simhashPairs,
+    dedupExact, neardup, neardupClusters, clusterSizeHist, neardupCorpus, simhash, simhashPairs,
     ngramTopk, langId, quality, tokenStats, winnow, stratified, gopher, tfidf,
     piiRedact, corpusPrep, contamination, bloomContamination, cmsHeavyHitters,
     seqPacking, classifierScore, dupSpans, repetition, neardupCanonical,
