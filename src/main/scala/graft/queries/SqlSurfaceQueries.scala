@@ -761,7 +761,63 @@ object SqlSurfaceQueries extends QuerySet {
            |FROM reach GROUP BY node ORDER BY node""".stripMargin)
     })
 
+  // W6: ratio-to-report — each row's share of its partition total plus
+  // the running concentration sum. Two windows on the same partition
+  // key (one unordered total, one ordered running frame) — a single
+  // exchange on c_mktsegment serves both; the share is exact integer
+  // ppm so no float division order can split the engines.
+  private val w6Body =
+    """WITH seg AS (
+      |  SELECT c_mktsegment, c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      |  FROM customer WHERE c_acctbal > 0 AND c_custkey <= 200)
+      |SELECT c_mktsegment, c_custkey, bal_cents,
+      |  CAST((bal_cents * 1000000) %DIV% sum(bal_cents) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS share_ppm,
+      |  CAST(sum(bal_cents) OVER (PARTITION BY c_mktsegment ORDER BY bal_cents DESC, c_custkey
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+      |FROM seg ORDER BY c_mktsegment, bal_cents DESC, c_custkey""".stripMargin
+
+  private val w6 = QueryDef(
+    "w6_ratio_to_report",
+    Some(w6Body.replace("%DIV%", "//")),
+    (s, dir) => Tables.sql(s, dir, w6Body.replace("%DIV%", "div")))
+
+  // W7: decile revenue concentration (the Pareto read: what share of
+  // spend the top decile holds). ntile over the per-customer spend
+  // aggregate — the window input is already collapsed to |customers|
+  // rows, so the global sort inside ntile is dimension-sized, never
+  // the fact table; the grand total is a 1-row scalar subquery.
+  private val w7Body =
+    """WITH cust AS (
+      |  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend
+      |  FROM orders GROUP BY o_custkey),
+      |dec AS (SELECT o_custkey, spend, ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile FROM cust)
+      |SELECT decile, count(*) AS n_cust, CAST(sum(spend) AS BIGINT) AS spend_cents,
+      |  CAST((sum(spend) * 1000000) %DIV% (SELECT sum(spend) FROM cust) AS BIGINT) AS share_ppm
+      |FROM dec GROUP BY decile ORDER BY decile""".stripMargin
+
+  private val w7 = QueryDef(
+    "w7_decile_concentration",
+    Some(w7Body.replace("%DIV%", "//")),
+    (s, dir) => Tables.sql(s, dir, w7Body.replace("%DIV%", "div")))
+
+  // F9: bitwise and boolean aggregate families — identical names and
+  // semantics in both engines (bit_and/bit_or/bit_xor over BIGINT,
+  // bool_and/bool_or over predicates). All are order-independent
+  // partial-aggregable reductions.
+  private val f9 = sqlQuery(
+    "f9_bit_bool_aggs",
+    """SELECT o_orderpriority,
+      |  CAST(bit_and(o_orderkey) AS BIGINT) AS band,
+      |  CAST(bit_or(o_orderkey) AS BIGINT) AS bor,
+      |  CAST(bit_xor(o_orderkey) AS BIGINT) AS bxor,
+      |  bool_and(o_totalprice > 1000) AS all_over_1k,
+      |  bool_or(o_totalprice > 450000) AS any_over_450k,
+      |  count(*) AS n
+      |FROM orders WHERE o_orderkey <= 500
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
   override val defs: Seq[QueryDef] =
-    Seq(a2, a3, a5, a6, a7, a7b, a8, a9, w2, w3, w4, w5, j3, j4, set1, set2,
-      d1, f1, f2, f3, f4, f5, f6, f7, f8, j1, i1, i2, i3, o4, o5, p1, p2, r1, r2, t1)
+    Seq(a2, a3, a5, a6, a7, a7b, a8, a9, w2, w3, w4, w5, w6, w7, j3, j4,
+      set1, set2, d1, f1, f2, f3, f4, f5, f6, f7, f8, f9, j1, i1, i2, i3,
+      o4, o5, p1, p2, r1, r2, t1)
 }
