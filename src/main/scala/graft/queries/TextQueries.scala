@@ -251,6 +251,97 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  // ---- PMI collocations ---------------------------------------------------
+  // Pointwise mutual information over adjacent word pairs — the classic
+  // collocation extractor (Church & Hanks 1990), used in pipelines to
+  // find multi-word expressions worth protecting from tokenizer splits.
+  // PMI = ln(c_ab·N / (c_a·c_b)) on exact integer counts, rounded to
+  // integer nano-units AFTER the one ln call (the kl_divergence
+  // discipline — products stay < 2^53 so the double inputs are exact
+  // and identical in both engines). The pair explode is corpus-sized
+  // but collapses through a map-side-combined (a, b) partial agg; the
+  // unigram table is vocabulary-scale and joins only the top-20 pairs.
+  private val pmiSpellings: (String, String) = (
+    // DuckDB: 1-based list indexing, unnest, ','-join via struct_pack
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (
+      |  SELECT p.a, p.b FROM (
+      |    SELECT unnest(list_transform(range(1, len(ws)),
+      |             i -> struct_pack(a := ws[i], b := ws[i+1]))) AS p
+      |    FROM w WHERE len(ws) >= 2)
+      |  WHERE p.a <> '' AND p.b <> ''),
+      |pc AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+      |tot AS (SELECT count(*) AS n FROM bg),
+      |tok AS (SELECT t, count(*) AS c FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS t FROM documents) WHERE t <> '' GROUP BY t),
+      |top AS (SELECT a, b, c_ab FROM pc WHERE c_ab >= 5
+      |        ORDER BY c_ab DESC, a, b LIMIT 20)
+      |SELECT top.a, top.b, CAST(top.c_ab AS BIGINT) AS c_ab,
+      |  CAST(round(1e9 * ln((top.c_ab * tot.n)::DOUBLE / (ta.c * tb.c))) AS BIGINT) AS pmi_nano
+      |FROM top, tot
+      |JOIN tok ta ON ta.t = top.a
+      |JOIN tok tb ON tb.t = top.b
+      |ORDER BY c_ab DESC, a, b""".stripMargin,
+    // Spark: 0-based array indexing, explode, named_struct
+    """WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+      |bg AS (
+      |  SELECT p.a, p.b FROM (
+      |    SELECT explode(transform(sequence(0, size(ws) - 2),
+      |             i -> named_struct('a', ws[i], 'b', ws[i+1]))) AS p
+      |    FROM w WHERE size(ws) >= 2)
+      |  WHERE p.a <> '' AND p.b <> ''),
+      |pc AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+      |tot AS (SELECT count(*) AS n FROM bg),
+      |tok AS (SELECT t, count(*) AS c FROM (
+      |  SELECT explode(split(text, ' ')) AS t FROM documents) WHERE t <> '' GROUP BY t),
+      |top AS (SELECT a, b, c_ab FROM pc WHERE c_ab >= 5
+      |        ORDER BY c_ab DESC, a, b LIMIT 20)
+      |SELECT top.a, top.b, CAST(top.c_ab AS BIGINT) AS c_ab,
+      |  CAST(round(1e9 * ln(CAST(top.c_ab * tot.n AS DOUBLE) / (ta.c * tb.c))) AS BIGINT) AS pmi_nano
+      |FROM top CROSS JOIN tot
+      |JOIN tok ta ON ta.t = top.a
+      |JOIN tok tb ON tb.t = top.b
+      |ORDER BY c_ab DESC, a, b""".stripMargin)
+
+  private val pmiCollocations = QueryDef(
+    "pmi_collocations",
+    Some(pmiSpellings._1),
+    (s, dir) => Tables.sql(s, dir, pmiSpellings._2))
+
+  // ---- language confusion matrix ------------------------------------------
+  // Data-quality readout for the lang-ID heuristic: declared `lang`
+  // column × predicted language, with counts — the matrix a curation
+  // team reads to decide whether the detector is trustworthy per
+  // source language before filtering on it. Same scoring subquery as
+  // lang_id_heuristic (oracle restates it with list_filter; Spark runs
+  // the compiled tokens_in_set kernel), collapsed to ‖langs‖² rows.
+  private def langScoreSql(filterFn: (String, String) => String): String =
+    s"""SELECT lang, predicted, count(*) AS n FROM (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN s_en >= greatest(s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+       |         WHEN s_de >= greatest(s_fr, s_es) AND s_de > 0 THEN 'de'
+       |         WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+       |         WHEN s_es > 0 THEN 'es'
+       |         ELSE 'und' END AS predicted
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      ${filterFn("s_en", "'the','a','an','and','of','is'")},
+       |      ${filterFn("s_de", "'der','die','das','und','ist'")},
+       |      ${filterFn("s_fr", "'le','la','les','et','est'")},
+       |      ${filterFn("s_es", "'el','los','las','y','es'")}
+       |    FROM (SELECT doc_id, lang, %SPLIT% AS w FROM documents)))
+       |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+
+  private val langConfusion = QueryDef(
+    "lang_confusion_matrix",
+    Some(langScoreSql((alias, set) =>
+        s"len(list_filter(w, t -> t IN ($set))) AS $alias")
+      .replace("%SPLIT%", "string_split(text, ' ')")),
+    (s, dir) => Tables.sql(s, dir,
+      langScoreSql((alias, set) =>
+          s"tokens_in_set(w, array($set)) AS $alias")
+        .replace("%SPLIT%", "split(text, ' ')")))
+
   // ---- cluster-size histogram -------------------------------------------
   // The duplication PROFILE of the corpus: how many near-dup families
   // exist at each size. This is the number a curation team reads before
@@ -1607,6 +1698,7 @@ object TextQueries extends QuerySet {
 
   override val defs: Seq[QueryDef] = Seq(
     dedupExact, neardup, neardupClusters, clusterSizeHist, neardupCorpus, simhash, simhashPairs,
+    pmiCollocations, langConfusion,
     ngramTopk, langId, quality, tokenStats, winnow, stratified, gopher, tfidf,
     piiRedact, corpusPrep, contamination, bloomContamination, cmsHeavyHitters,
     seqPacking, classifierScore, dupSpans, repetition, neardupCanonical,
