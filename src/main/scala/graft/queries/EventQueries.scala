@@ -883,8 +883,78 @@ object EventQueries extends QuerySet {
         |FROM dau JOIN roll ON dau.d = roll.d JOIN ra ON ra.d = dau.d
         |ORDER BY dau.d""".stripMargin))
 
+  // ---- ev18: cohort lifetime value --------------------------------------
+  // Revenue by (signup-week cohort, age-in-weeks) — the LTV grid growth
+  // teams read. Cohort is the week of each user's FIRST event (one
+  // user-level partial-min agg), age is exact integer week arithmetic
+  // on week-truncated dates, revenue in integer cents. The corpus-sized
+  // work is two partial aggs on user_id; the grid itself is
+  // weeks² rows.
+  private val cohortLtv = QueryDef(
+    "ev18_cohort_ltv",
+    Some("""WITH fe AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_w
+           |           FROM events GROUP BY user_id),
+           |ev AS (SELECT e.user_id, fe.cohort_w,
+           |         CAST(datediff('day', fe.cohort_w, CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT) AS age_w,
+           |         CASE WHEN e.event_type = 'purchase' THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END AS cents
+           |       FROM events e JOIN fe USING (user_id))
+           |SELECT cohort_w, age_w, CAST(count(DISTINCT user_id) AS BIGINT) AS active_users,
+           |       CAST(sum(cents) AS BIGINT) AS rev_cents
+           |FROM ev GROUP BY cohort_w, age_w ORDER BY cohort_w, age_w""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """WITH fe AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_w
+        |           FROM events GROUP BY user_id),
+        |ev AS (SELECT e.user_id, fe.cohort_w,
+        |         CAST(datediff(CAST(date_trunc('week', e.ts) AS DATE), fe.cohort_w) div 7 AS BIGINT) AS age_w,
+        |         CASE WHEN e.event_type = 'purchase' THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END AS cents
+        |       FROM events e JOIN fe USING (user_id))
+        |SELECT cohort_w, age_w, CAST(count(DISTINCT user_id) AS BIGINT) AS active_users,
+        |       CAST(sum(cents) AS BIGINT) AS rev_cents
+        |FROM ev GROUP BY cohort_w, age_w ORDER BY cohort_w, age_w""".stripMargin))
+
+  // ---- ev19: time-to-convert percentiles --------------------------------
+  // First view → first subsequent purchase, per user, summarized as
+  // interpolated percentiles (the a7-proven quantile_cont/percentile
+  // parity) over EXACT integer seconds — the delta is stated in epoch
+  // microseconds with floor division on both engines, because
+  // DuckDB's datediff('second') counts boundary crossings while
+  // Spark's timestampdiff truncates the interval (a measured ±1 s
+  // divergence on sub-second timestamps).
+  private val timeToConvert = QueryDef(
+    "ev19_time_to_convert",
+    Some("""WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
+           |           WHERE event_type = 'view' GROUP BY user_id),
+           |p AS (SELECT e.user_id, min(e.ts) AS first_purchase
+           |      FROM events e JOIN v USING (user_id)
+           |      WHERE e.event_type = 'purchase' AND e.ts > v.first_view
+           |      GROUP BY e.user_id),
+           |d AS (SELECT v.user_id,
+           |        CAST((epoch_us(p.first_purchase) - epoch_us(v.first_view)) // 1000000 AS BIGINT) AS sec
+           |      FROM v JOIN p USING (user_id))
+           |SELECT CAST(count(*) AS BIGINT) AS n_users,
+           |  CAST(round(quantile_cont(sec, 0.5)) AS BIGINT) AS p50_sec,
+           |  CAST(round(quantile_cont(sec, 0.9)) AS BIGINT) AS p90_sec,
+           |  CAST(min(sec) AS BIGINT) AS min_sec, CAST(max(sec) AS BIGINT) AS max_sec
+           |FROM d""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS first_purchase
+        |      FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > v.first_view
+        |      GROUP BY e.user_id),
+        |d AS (SELECT v.user_id,
+        |        CAST((unix_micros(p.first_purchase) - unix_micros(v.first_view)) div 1000000 AS BIGINT) AS sec
+        |      FROM v JOIN p USING (user_id))
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(round(percentile(sec, 0.5D)) AS BIGINT) AS p50_sec,
+        |  CAST(round(percentile(sec, 0.9D)) AS BIGINT) AS p90_sec,
+        |  CAST(min(sec) AS BIGINT) AS min_sec, CAST(max(sec) AS BIGINT) AS max_sec
+        |FROM d""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(hourly, sessions, funnel, salted, keepLatest, asof, rangeJoin, conversion,
       retention, anomaly, winsorized, scd2, markov, funnelSteps, hopping, gapfill,
-      twa, sessionPaths, pointInTime, abAssign, stickiness)
+      twa, sessionPaths, pointInTime, abAssign, stickiness, cohortLtv,
+      timeToConvert)
 }

@@ -331,5 +331,54 @@ object SearchQueries extends QuerySet {
         |  LATERAL VIEW explode(split(text, ' ')) t AS term""".stripMargin,
       "1000000.0D")))
 
-  override val defs: Seq[QueryDef] = Seq(bm25, postings, hybrid, phrase, docTopTerms)
+  // ---- Dirichlet query-likelihood ranking --------------------------------
+  // The other classic lexical ranker next to BM25: language-model
+  // retrieval with Dirichlet smoothing (Zhai & Lafferty 2001),
+  // score(d) = Σ_t ln((tf_td + μ·p_t)/(|d| + μ)), μ = 2000, p_t the
+  // corpus unigram probability. Unlike BM25 every document scores on
+  // every query term (absent terms contribute the smoothed background
+  // mass), so the scoring frame is |docs|×|terms| — built by crossing
+  // the doc-length table with the 3-row term stats and LEFT-joining
+  // the sparse tf — with each term's ln rounded to integer micro-units
+  // before the order-independent sum (the surprisal/KL discipline).
+  private val qlDirichlet = QueryDef(
+    "ql_dirichlet_topk",
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
+            |n AS (SELECT CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+            |ctf AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM (
+            |  SELECT unnest(w) AS term FROM t) WHERE term IN ($TermsSql) GROUP BY term),
+            |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+            |  SELECT doc_id, unnest(w) AS term FROM t) WHERE term IN ($TermsSql) GROUP BY doc_id, term),
+            |s AS (
+            |  SELECT dl.doc_id,
+            |    CAST(round(1e6 * ln((coalesce(tf.tf, 0) + 2000.0 * ctf.c / n.tot) / (dl.dl + 2000.0))) AS BIGINT) AS m
+            |  FROM dl CROSS JOIN n
+            |  JOIN ctf ON true
+            |  LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = ctf.term),
+            |sc AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS score_micro FROM s GROUP BY doc_id)
+            |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
+            |       doc_id, score_micro
+            |FROM sc ORDER BY rank LIMIT 10""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      s"""WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+         |dl AS (SELECT doc_id, CAST(size(w) AS BIGINT) AS dl FROM t),
+         |n AS (SELECT CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+         |ctf AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM (
+         |  SELECT explode(w) AS term FROM t) WHERE term IN ($TermsSql) GROUP BY term),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+         |  SELECT doc_id, explode(w) AS term FROM t) WHERE term IN ($TermsSql) GROUP BY doc_id, term),
+         |s AS (
+         |  SELECT dl.doc_id,
+         |    CAST(round(1e6 * ln((coalesce(tf.tf, 0) + 2000.0 * ctf.c / n.tot) / (dl.dl + 2000.0))) AS BIGINT) AS m
+         |  FROM dl CROSS JOIN n
+         |  CROSS JOIN ctf
+         |  LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = ctf.term),
+         |sc AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS score_micro FROM s GROUP BY doc_id)
+         |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
+         |       doc_id, score_micro
+         |FROM sc ORDER BY rank LIMIT 10""".stripMargin))
+
+  override val defs: Seq[QueryDef] =
+    Seq(bm25, postings, hybrid, phrase, docTopTerms, qlDirichlet)
 }
