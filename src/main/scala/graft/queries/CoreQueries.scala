@@ -520,7 +520,73 @@ object CoreQueries extends QuerySet {
     "q19_sole_late_supplier_waits",
     Some(q19Text), (s, dir) => Tables.sql(s, dir, q19Text))
 
+  // ---- retail analytics: basket pairs, Gini, RFM -------------------------
+
+  /** Market-basket pair counts — the co-purchase signal association
+    * mining starts from. The self-join is keyed on l_orderkey, so the
+    * pair explode is bounded by per-order line counts (≤7 here, ~dozens
+    * in practice), never corpus-quadratic; the (pa, pb) partial agg
+    * collapses map-side and top-20 rides TakeOrderedAndProject. */
+  private val q20Text =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+      |SELECT pa, pb, CAST(count(*) AS BIGINT) AS n_orders
+      |FROM pr GROUP BY pa, pb
+      |ORDER BY n_orders DESC, pa, pb LIMIT 20""".stripMargin
+
+  private val q20 = QueryDef(
+    "q20_basket_pair_counts",
+    Some(q20Text), (s, dir) => Tables.sql(s, dir, q20Text))
+
+  /** Gini coefficient of customer spend — the inequality summary, by
+    * the sorted-cumulative formula G = Σ(2i−n−1)·x_(i) / (n·Σx) on
+    * exact integer cents. The rank window runs over the per-customer
+    * aggregate (dimension-sized). The ppm rescale divides num by
+    * (den div 1e6) in INTEGER space: num·1e6 would overflow BIGINT
+    * (DuckDB silently widens to int128, Spark's ANSI mode rightly
+    * refuses), and a double detour would go inexact past 2^53 at
+    * larger SFs — the two-step integer division stays exact and
+    * engine-identical at any scale. */
+  private val giniBody =
+    """WITH spend AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      |               FROM orders GROUP BY o_custkey),
+      |rk AS (SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i, count(*) OVER () AS n,
+      |              sum(x) OVER () AS tot FROM spend)
+      |SELECT CAST(max(n) AS BIGINT) AS n_cust,
+      |  CAST(sum((2 * i - n - 1) * x) AS BIGINT) AS gini_num,
+      |  CAST(max(n) * max(tot) AS BIGINT) AS gini_den,
+      |  CAST(CAST(sum((2 * i - n - 1) * x) AS BIGINT) %DIV% (CAST(max(n) * max(tot) AS BIGINT) %DIV% 1000000) AS BIGINT) AS gini_ppm
+      |FROM rk""".stripMargin
+
+  private val q21 = QueryDef(
+    "q21_gini_spend",
+    Some(giniBody.replace("%DIV%", "//")),
+    (s, dir) => Tables.sql(s, dir, giniBody.replace("%DIV%", "div")))
+
+  /** RFM segmentation — recency/frequency/monetary quartile labels per
+    * customer, collapsed to the 4³ segment-size grid. The three ntile
+    * windows run over the per-customer aggregate with full tie-breaks,
+    * so the quartile assignment is deterministic and engine-identical;
+    * recency orders on the timestamp itself (no epoch conversion —
+    * engine-portable across TIMESTAMP/NTZ physical types). */
+  private val rfmText =
+    """WITH m AS (
+      |  SELECT o_custkey, max(o_orderdate) AS last_order,
+      |    CAST(count(*) AS BIGINT) AS freq,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS money
+      |  FROM orders GROUP BY o_custkey),
+      |q AS (SELECT o_custkey, ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+      |             ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f,
+      |             ntile(4) OVER (ORDER BY money DESC, o_custkey) AS mq FROM m)
+      |SELECT r, f, mq, CAST(count(*) AS BIGINT) AS n_cust
+      |FROM q GROUP BY r, f, mq ORDER BY r, f, mq""".stripMargin
+
+  private val q22 = QueryDef(
+    "q22_rfm_segments",
+    Some(rfmText), (s, dir) => Tables.sql(s, dir, rfmText))
+
   override val defs: Seq[QueryDef] =
     Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14,
-        q15, q16, q17, q18, q19, zorder)
+        q15, q16, q17, q18, q19, q20, q21, q22, zorder)
 }

@@ -952,9 +952,26 @@ object EventQueries extends QuerySet {
         |  CAST(min(sec) AS BIGINT) AS min_sec, CAST(max(sec) AS BIGINT) AS max_sec
         |FROM d""".stripMargin))
 
+  // ---- ev20: behavioral entropy per user --------------------------------
+  // Shannon entropy of each user's event-type distribution — the
+  // diversity feature behavioral models consume (a bot hammers one
+  // type, entropy ≈ 0; an engaged user spreads across types). Counts
+  // are exact integers; each type's −p·ln(p) term rounds to integer
+  // NANO-units before the per-user sum, so the only float op is one
+  // ln per (user, type) row and the sum is order-independent — the
+  // surprisal/KL discipline. Two partial aggs on user_id, no window.
+  private val userEntropy = sqlQuery(
+    "ev20_user_entropy",
+    """WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY user_id, event_type),
+      |t AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY user_id),
+      |e AS (SELECT c.user_id,
+      |        CAST(sum(CAST(round(-1e9 * (c.c * 1.0 / t.n) * ln(c.c * 1.0 / t.n)) AS BIGINT)) AS BIGINT) AS ent_nano
+      |      FROM c JOIN t USING (user_id) GROUP BY c.user_id)
+      |SELECT user_id, ent_nano FROM e ORDER BY user_id LIMIT 100""".stripMargin)
+
   override val defs: Seq[QueryDef] =
     Seq(hourly, sessions, funnel, salted, keepLatest, asof, rangeJoin, conversion,
       retention, anomaly, winsorized, scd2, markov, funnelSteps, hopping, gapfill,
       twa, sessionPaths, pointInTime, abAssign, stickiness, cohortLtv,
-      timeToConvert)
+      timeToConvert, userEntropy)
 }
