@@ -969,9 +969,36 @@ object EventQueries extends QuerySet {
       |      FROM c JOIN t USING (user_id) GROUP BY c.user_id)
       |SELECT user_id, ent_nano FROM e ORDER BY user_id LIMIT 100""".stripMargin)
 
+  // ---- ev21: MAD-robust outlier hours -----------------------------------
+  // The robust complement of ev6's 3σ z-test: median absolute
+  // deviation tolerates the contamination that inflates a standard
+  // deviation (one huge hour widens σ until nothing is anomalous; the
+  // median barely moves). Medians use the a7-proven interpolation
+  // parity over exact integer counts, so the 3·MAD comparison is on
+  // bit-identical doubles in both engines. Corpus work is one hourly
+  // partial agg; the two median passes run over the (type, hour) frame.
+  private def madSql(pct: (String, String) => String) =
+    s"""WITH h AS (SELECT event_type, cast(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+       |                  CAST(count(*) AS BIGINT) AS c
+       |           FROM events GROUP BY 1, 2),
+       |med AS (SELECT event_type, ${pct("c", "0.5")} AS med FROM h GROUP BY event_type),
+       |dev AS (SELECT h.event_type, h.hr, h.c, abs(h.c - med.med) AS ad
+       |        FROM h JOIN med USING (event_type)),
+       |m2 AS (SELECT event_type, ${pct("ad", "0.5")} AS mad FROM dev GROUP BY event_type)
+       |SELECT d.event_type, d.hr, d.c,
+       |       CAST(round(d.ad * 1000) AS BIGINT) AS ad_milli
+       |FROM dev d JOIN m2 USING (event_type)
+       |WHERE d.ad > 3 * m2.mad AND m2.mad > 0
+       |ORDER BY d.event_type, d.hr""".stripMargin
+
+  private val madOutliers = QueryDef(
+    "ev21_mad_outliers",
+    Some(madSql((x, q) => s"quantile_cont($x, $q)")),
+    (s, dir) => Tables.sql(s, dir, madSql((x, q) => s"percentile($x, ${q}D)")))
+
   override val defs: Seq[QueryDef] =
     Seq(hourly, sessions, funnel, salted, keepLatest, asof, rangeJoin, conversion,
       retention, anomaly, winsorized, scd2, markov, funnelSteps, hopping, gapfill,
       twa, sessionPaths, pointInTime, abAssign, stickiness, cohortLtv,
-      timeToConvert, userEntropy)
+      timeToConvert, userEntropy, madOutliers)
 }

@@ -761,6 +761,24 @@ object SqlSurfaceQueries extends QuerySet {
            |FROM reach GROUP BY node ORDER BY node""".stripMargin)
     })
 
+  // I4: referential-integrity audit — the warehouse data-quality sweep
+  // run before trusting a load: orphan counts for every FK edge of the
+  // schema plus the table cardinalities that anchor them. Each orphan
+  // count decorrelates to an anti join against a broadcast-sized key
+  // projection; a clean load answers all zeros, and the cardinalities
+  // give the hash gate teeth a zero-only row would lack.
+  private val i4 = sqlQuery(
+    "i4_integrity_audit",
+    """SELECT
+      |  CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS li_orphan_orders,
+      |  CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS BIGINT) AS li_orphan_parts,
+      |  CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT) AS li_orphan_supp,
+      |  CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS o_orphan_cust,
+      |  CAST((SELECT count(*) FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT) AS c_orphan_nation,
+      |  CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_lineitem,
+      |  CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_orders,
+      |  CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_customer""".stripMargin)
+
   // W6: ratio-to-report — each row's share of its partition total plus
   // the running concentration sum. Two windows on the same partition
   // key (one unordered total, one ordered running frame) — a single
@@ -819,5 +837,5 @@ object SqlSurfaceQueries extends QuerySet {
   override val defs: Seq[QueryDef] =
     Seq(a2, a3, a5, a6, a7, a7b, a8, a9, w2, w3, w4, w5, w6, w7, j3, j4,
       set1, set2, d1, f1, f2, f3, f4, f5, f6, f7, f8, f9, j1, i1, i2, i3,
-      o4, o5, p1, p2, r1, r2, t1)
+      o4, o5, p1, p2, r1, r2, t1, i4)
 }

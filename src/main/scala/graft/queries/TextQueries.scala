@@ -251,6 +251,36 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  // ---- Flesch readability --------------------------------------------------
+  // The classic readability screen (Flesch 1948) corpus filters use as
+  // a cheap fluency proxy: 206.835 − 1.015·(words/sentence) −
+  // 84.6·(syllables/word), with syllables approximated by vowel-group
+  // counting — the standard programmatic stand-in. Emitted in integer
+  // milli-units; the two divisions run on exact integer counts in a
+  // fixed order, so the rounded score is engine-identical. Pure
+  // map-side projection: no shuffle at all before the ORDER BY.
+  private val flesch = QueryDef(
+    "flesch_readability",
+    Some("""WITH s AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+           |    CAST(greatest(len(string_split(text, '. ')), 1) AS BIGINT) AS sents,
+           |    CAST(greatest(length(regexp_replace(lower(text), '[^aeiouy]+', '', 'g')), 1) AS BIGINT) AS vowels
+           |  FROM documents)
+           |SELECT doc_id, words, sents, vowels,
+           |  CAST(round(206835 - 1015 * words * 1.0 / sents - 84600 * vowels * 1.0 / words) AS BIGINT) AS flesch_milli
+           |FROM s WHERE words > 0 ORDER BY doc_id LIMIT 200""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(size(split(text, ' ')) AS BIGINT) AS words,
+        |    CAST(greatest(size(split(text, '\\. ')), 1) AS BIGINT) AS sents,
+        |    CAST(greatest(length(regexp_replace(lower(text), '[^aeiouy]+', '')), 1) AS BIGINT) AS vowels
+        |  FROM documents)
+        |SELECT doc_id, words, sents, vowels,
+        |  CAST(round(206835 - 1015 * words * 1.0 / sents - 84600 * vowels * 1.0 / words) AS BIGINT) AS flesch_milli
+        |FROM s WHERE words > 0 ORDER BY doc_id LIMIT 200""".stripMargin))
+
   // ---- PMI collocations ---------------------------------------------------
   // Pointwise mutual information over adjacent word pairs — the classic
   // collocation extractor (Church & Hanks 1990), used in pipelines to
@@ -1726,7 +1756,7 @@ object TextQueries extends QuerySet {
 
   override val defs: Seq[QueryDef] = Seq(
     dedupExact, neardup, neardupClusters, clusterSizeHist, neardupCorpus, simhash, simhashPairs,
-    pmiCollocations, langConfusion,
+    pmiCollocations, langConfusion, flesch,
     ngramTopk, langId, quality, tokenStats, winnow, stratified, gopher, tfidf,
     piiRedact, corpusPrep, contamination, bloomContamination, cmsHeavyHitters,
     seqPacking, classifierScore, dupSpans, repetition, neardupCanonical,
