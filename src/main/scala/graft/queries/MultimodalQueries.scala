@@ -198,6 +198,40 @@ object MultimodalQueries extends QuerySet {
         .orderBy("doc_id")
     })
 
+  // PNG structural probe with CRC-32 verification — the integrity
+  // check run BEFORE paying for a decode (ImageIO decodes some damaged
+  // files without complaint; the per-chunk CRC does not lie). The
+  // synthetic PNGs come from the real ImageIO encoder, so the gate
+  // asserts a REAL codec's chunk stream parses to the arithmetic
+  // geometry and verifies bit-exact; MultimodalSpec covers the
+  // degradation ladder (bad signature, truncation, lying length,
+  // flipped CRC byte, bit-rot inside IDAT).
+  private val pngProbe = QueryDef(
+    "multimodal_png_probe",
+    Some("""SELECT doc_id, true AS ok,
+           |  CAST(8 + doc_id % 16 AS INTEGER) AS width,
+           |  CAST(8 + doc_id % 8 AS INTEGER) AS height,
+           |  CAST(8 AS INTEGER) AS bit_depth,
+           |  CAST(2 AS INTEGER) AS color_type,
+           |  CAST(0 AS INTEGER) AS interlace,
+           |  'IHDR|IDAT|IEND' AS chunks,
+           |  true AS crc_ok
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      import s.implicits._
+      val ids = graft.operators.Parallelize
+        .ensure(Tables.table(s, dir, "documents").select(col("doc_id").cast("long")))
+        .as[Long]
+      val media = ids
+        .mapPartitions(_.map(id => (id, graft.multimodal.MediaKernels.syntheticPng(id))))
+        .toDF("id", "bytes")
+      Multimodal.probeImageMeta(s, media)
+        .toDF("doc_id", "ok", "width", "height", "bit_depth", "color_type",
+          "interlace", "chunks", "crc_ok")
+        .orderBy("doc_id")
+    })
+
   override val defs: Seq[QueryDef] =
-    Seq(features, frames, imageDecode, videoFrames, audioProbe, mp4Probe)
+    Seq(features, frames, imageDecode, videoFrames, audioProbe, mp4Probe,
+      pngProbe)
 }

@@ -225,4 +225,36 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, MediaKernels.syntheticMp4(1L)), (2L, Array[Byte](1, 2, 3))))
     assert(out.map(m => m.id -> m.ok) == Seq(1L -> true, 2L -> false))
   }
+
+  test("PNG probe walks real encoder output and verifies every chunk CRC") {
+    for (id <- Seq(0L, 7L, 123L)) {
+      val p = MediaKernels.probePng(MediaKernels.syntheticPng(id)).get
+      assert(p.width == 8 + (id % 16).toInt && p.height == 8 + (id % 8).toInt)
+      assert(p.bitDepth == 8 && p.colorType == 2 && p.interlace == 0)
+      assert(p.chunks == "IHDR|IDAT|IEND" && p.crcOk)
+    }
+  }
+
+  test("PNG probe degradation ladder: bad sig / truncation / lying length / CRC") {
+    val good = MediaKernels.syntheticPng(5L)
+    val badSig = good.clone(); badSig(0) = 0x00
+    assert(MediaKernels.probePng(badSig).isEmpty, "wrong signature must reject")
+    assert(MediaKernels.probePng(good.take(good.length - 6)).isEmpty,
+      "truncation (no IEND reachable) must reject")
+    // lying length on the first chunk: walk desynchronizes → reject
+    val lying = good.clone(); lying(8) = 0x7f
+    assert(MediaKernels.probePng(lying).isEmpty, "overflowing length must reject")
+    // a flipped CRC byte parses (structure intact) but fails verification
+    val badCrc = good.clone()
+    badCrc(good.length - 2) = (badCrc(good.length - 2) ^ 0xff).toByte
+    val p1 = MediaKernels.probePng(badCrc).get
+    assert(!p1.crcOk && p1.width == 13, "flipped CRC byte must fail verify only")
+    // bit-rot inside IDAT data: CRC catches what a decoder might not
+    val rot = good.clone(); rot(60) = (rot(60) ^ 0x01).toByte
+    assert(!MediaKernels.probePng(rot).get.crcOk, "payload bit-rot must fail CRC")
+    // batch contract: corrupt rows degrade, good rows survive
+    val out = MediaKernels.probePngBatch(Seq(
+      (1L, MediaKernels.syntheticPng(1L)), (2L, Array[Byte](9, 9, 9))))
+    assert(out.map(m => m.id -> m.ok) == Seq(1L -> true, 2L -> false))
+  }
 }
