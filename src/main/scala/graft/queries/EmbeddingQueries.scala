@@ -1520,6 +1520,50 @@ object EmbeddingQueries extends QuerySet {
     }
   }
 
+  // ---- label separability (Fisher criterion) ----------------------------
+  // The embedding-quality readout a classifier team checks before
+  // training on a labeled corpus: per label pair, squared inter-centroid
+  // distance over the summed within-label scatter (Fisher's criterion —
+  // below ~1 the pair is not linearly separable on these features).
+  // Within-scatter uses the variance identity E‖v‖² − ‖m‖², so NO
+  // per-vector-to-centroid join exists anywhere: the corpus pass is one
+  // map-side dot_f64 + a (label, dim) partial-avg agg, and everything
+  // downstream runs on ‖labels‖·64 centroid rows. Doubles round to 6 dp
+  // at the output only (the centroid-gate discipline).
+  private val separability = QueryDef(
+    "label_separability_fisher",
+    Some("""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |vv AS (SELECT label, avg(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS avg_vv FROM e GROUP BY label),
+           |cd AS (SELECT label, i AS dim, avg(v[i]) AS m
+           |       FROM e, unnest(range(1, 65)) AS u(i) GROUP BY label, i),
+           |cn AS (SELECT label, sum(m * m) AS mm FROM cd GROUP BY label),
+           |msd AS (SELECT vv.label, vv.avg_vv - cn.mm AS s FROM vv JOIN cn USING (label)),
+           |inter AS (
+           |  SELECT a.label AS la, b.label AS lb, sum((a.m - b.m) * (a.m - b.m)) AS d2
+           |  FROM cd a JOIN cd b ON a.dim = b.dim AND a.label < b.label
+           |  GROUP BY a.label, b.label)
+           |SELECT i.la, i.lb, round(i.d2, 6) AS dist2,
+           |  round(sa.s + sb.s, 6) AS scatter2,
+           |  round(i.d2 / (sa.s + sb.s), 6) AS fisher
+           |FROM inter i JOIN msd sa ON sa.label = i.la JOIN msd sb ON sb.label = i.lb
+           |ORDER BY la, lb""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """WITH e AS (SELECT vec_id, label, cast(embedding AS array<double>) AS v FROM embeddings),
+        |vv AS (SELECT label, avg(dot_f64(v, v)) AS avg_vv FROM e GROUP BY label),
+        |cd AS (SELECT label, pos + 1 AS dim, avg(e2) AS m
+        |       FROM e LATERAL VIEW posexplode(v) t AS pos, e2 GROUP BY label, pos),
+        |cn AS (SELECT label, sum(m * m) AS mm FROM cd GROUP BY label),
+        |msd AS (SELECT vv.label, vv.avg_vv - cn.mm AS s FROM vv JOIN cn USING (label)),
+        |inter AS (
+        |  SELECT a.label AS la, b.label AS lb, sum((a.m - b.m) * (a.m - b.m)) AS d2
+        |  FROM cd a JOIN cd b ON a.dim = b.dim AND a.label < b.label
+        |  GROUP BY a.label, b.label)
+        |SELECT i.la, i.lb, round(i.d2, 6) AS dist2,
+        |  round(sa.s + sb.s, 6) AS scatter2,
+        |  round(i.d2 / (sa.s + sb.s), 6) AS fisher
+        |FROM inter i JOIN msd sa ON sa.label = i.la JOIN msd sb ON sb.label = i.lb
+        |ORDER BY la, lb""".stripMargin))
+
   // ---- Matryoshka truncation evaluation --------------------------------
   // MRL-style embeddings (Kusupati et al. 2022) are trained so a PREFIX
   // of the vector is itself a usable embedding — production systems
@@ -1602,5 +1646,5 @@ object EmbeddingQueries extends QuerySet {
     Seq(bruteTopk, lshTopk, ivfTopk, ivfTrained, embDupPairs, embIncremental,
       embDupClusters, embDedupCorpus, semDedup, quantize, centroids, pqTrained,
       jlProjection, ivfpqAdc, ivfpqRerank, hardNegatives, binaryQuantize,
-      binaryRerank, matryoshka)
+      binaryRerank, matryoshka, separability)
 }

@@ -417,6 +417,52 @@ object TextQueries extends QuerySet {
         .orderBy("csize")
     })
 
+  // ---- dedup threshold sweep ----------------------------------------------
+  // The policy-tuning readout BEFORE committing to a similarity cutoff:
+  // at each candidate threshold, how many verified pairs survive and
+  // how many documents they link. Reads the memoized pair set (exact
+  // jaccard already attached by the LSH verify), expands it over a
+  // 3-row threshold spine, and left-joins back so a threshold that
+  // kills every pair still reports its zero row. Thresholds sit inside
+  // the fixture's observed [0.90, 0.99] jaccard band so the sweep
+  // actually discriminates.
+  private val thresholdSweep = QueryDef(
+    "neardup_threshold_sweep",
+    Some(neardupPairsSql + """,
+      |th AS (SELECT unnest([90, 95, 98]) AS threshold_centi),
+      |f AS (SELECT th.threshold_centi, p.id_a, p.id_b
+      |      FROM pairs p JOIN th ON p.jaccard >= th.threshold_centi / 100.0),
+      |np AS (SELECT threshold_centi, CAST(count(*) AS BIGINT) AS n_pairs FROM f GROUP BY threshold_centi),
+      |nd AS (SELECT threshold_centi, CAST(count(DISTINCT d) AS BIGINT) AS n_docs_linked
+      |       FROM (SELECT threshold_centi, id_a AS d FROM f UNION ALL SELECT threshold_centi, id_b FROM f)
+      |       GROUP BY threshold_centi)
+      |SELECT th.threshold_centi,
+      |  CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+      |  CAST(coalesce(nd.n_docs_linked, 0) AS BIGINT) AS n_docs_linked
+      |FROM th LEFT JOIN np USING (threshold_centi) LEFT JOIN nd USING (threshold_centi)
+      |ORDER BY threshold_centi""".stripMargin),
+    (s, dir) => {
+      val p = neardupPairs(s, dir)
+      val th = Seq(90, 95, 98)
+      val f = p.withColumn("threshold_centi",
+          explode(array(th.map(lit): _*)))
+        .filter(col("jaccard") >= col("threshold_centi") / 100.0)
+      val np = f.groupBy("threshold_centi").agg(count(lit(1)).as("n_pairs"))
+      val nd = f.select(col("threshold_centi"),
+          explode(array(col("id_a"), col("id_b"))).as("d"))
+        .distinct()
+        .groupBy("threshold_centi").agg(count(lit(1)).as("n_docs_linked"))
+      val spine = f.sparkSession.range(0, th.length)
+        .select(element_at(array(th.map(lit): _*), (col("id") + 1).cast("int"))
+          .as("threshold_centi"))
+      spine.join(np, Seq("threshold_centi"), "left")
+        .join(nd, Seq("threshold_centi"), "left")
+        .select(col("threshold_centi"),
+          coalesce(col("n_pairs"), lit(0L)).cast("long").as("n_pairs"),
+          coalesce(col("n_docs_linked"), lit(0L)).cast("long").as("n_docs_linked"))
+        .orderBy("threshold_centi")
+    })
+
   // ---- deduplicated corpus ----------------------------------------------
   // The pipeline's END PRODUCT: drop every near-dup that is not its
   // cluster's canonical keeper (min doc_id), keep everything else.
@@ -1756,7 +1802,7 @@ object TextQueries extends QuerySet {
 
   override val defs: Seq[QueryDef] = Seq(
     dedupExact, neardup, neardupClusters, clusterSizeHist, neardupCorpus, simhash, simhashPairs,
-    pmiCollocations, langConfusion, flesch,
+    pmiCollocations, langConfusion, flesch, thresholdSweep,
     ngramTopk, langId, quality, tokenStats, winnow, stratified, gopher, tfidf,
     piiRedact, corpusPrep, contamination, bloomContamination, cmsHeavyHitters,
     seqPacking, classifierScore, dupSpans, repetition, neardupCanonical,
