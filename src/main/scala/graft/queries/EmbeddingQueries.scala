@@ -1533,11 +1533,9 @@ object EmbeddingQueries extends QuerySet {
   private val separability = QueryDef(
     "label_separability_fisher",
     Some("""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-           |vv AS (SELECT label, avg(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS avg_vv FROM e GROUP BY label),
-           |cd AS (SELECT label, i AS dim, avg(v[i]) AS m
+           |cd AS (SELECT label, i AS dim, avg(v[i]) AS m, avg(v[i] * v[i]) AS m2
            |       FROM e, unnest(range(1, 65)) AS u(i) GROUP BY label, i),
-           |cn AS (SELECT label, sum(m * m) AS mm FROM cd GROUP BY label),
-           |msd AS (SELECT vv.label, vv.avg_vv - cn.mm AS s FROM vv JOIN cn USING (label)),
+           |msd AS (SELECT label, sum(m2 - m * m) AS s FROM cd GROUP BY label),
            |inter AS (
            |  SELECT a.label AS la, b.label AS lb, sum((a.m - b.m) * (a.m - b.m)) AS d2
            |  FROM cd a JOIN cd b ON a.dim = b.dim AND a.label < b.label
@@ -1547,22 +1545,35 @@ object EmbeddingQueries extends QuerySet {
            |  round(i.d2 / (sa.s + sb.s), 6) AS fisher
            |FROM inter i JOIN msd sa ON sa.label = i.la JOIN msd sb ON sb.label = i.lb
            |ORDER BY la, lb""".stripMargin),
-    (s, dir) => Tables.sql(s, dir,
-      """WITH e AS (SELECT vec_id, label, cast(embedding AS array<double>) AS v FROM embeddings),
-        |vv AS (SELECT label, avg(dot_f64(v, v)) AS avg_vv FROM e GROUP BY label),
-        |cd AS (SELECT label, pos + 1 AS dim, avg(e2) AS m
-        |       FROM e LATERAL VIEW posexplode(v) t AS pos, e2 GROUP BY label, pos),
-        |cn AS (SELECT label, sum(m * m) AS mm FROM cd GROUP BY label),
-        |msd AS (SELECT vv.label, vv.avg_vv - cn.mm AS s FROM vv JOIN cn USING (label)),
-        |inter AS (
-        |  SELECT a.label AS la, b.label AS lb, sum((a.m - b.m) * (a.m - b.m)) AS d2
-        |  FROM cd a JOIN cd b ON a.dim = b.dim AND a.label < b.label
-        |  GROUP BY a.label, b.label)
-        |SELECT i.la, i.lb, round(i.d2, 6) AS dist2,
-        |  round(sa.s + sb.s, 6) AS scatter2,
-        |  round(i.d2 / (sa.s + sb.s), 6) AS fisher
-        |FROM inter i JOIN msd sa ON sa.label = i.la JOIN msd sb ON sb.label = i.lb
-        |ORDER BY la, lb""".stripMargin))
+    (s, dir) => {
+      // ONE corpus pass: both moments per (label, dim) come out of a
+      // single posexplode + partial-avg agg (the variance identity
+      // Σ(m2 − m²) replaces any per-vector-to-centroid join), and the
+      // ‖labels‖·64-row moment frame is materialized once so the
+      // scatter / inter-centroid / final-join derivations never
+      // re-scan embeddings (Spark inlines CTEs — the SQL spelling
+      // would re-expand the corpus scan six times).
+      val cd = Tables.sql(s, dir,
+        """SELECT label, pos + 1 AS dim, avg(e2) AS m, avg(e2 * e2) AS m2
+          |FROM (SELECT label, cast(embedding AS array<double>) AS v FROM embeddings)
+          |LATERAL VIEW posexplode(v) t AS pos, e2
+          |GROUP BY label, pos""".stripMargin)
+        .localCheckpoint(true)
+      val msd = cd.groupBy("label")
+        .agg(sum(col("m2") - col("m") * col("m")).as("s"))
+      val a = cd.select(col("label").as("la"), col("dim"), col("m").as("ma"))
+      val b = cd.select(col("label").as("lb"), col("dim").as("bdim"), col("m").as("mb"))
+      val inter = a.join(b, col("dim") === col("bdim") && col("la") < col("lb"))
+        .groupBy("la", "lb")
+        .agg(sum((col("ma") - col("mb")) * (col("ma") - col("mb"))).as("d2"))
+      inter
+        .join(msd.select(col("label").as("la"), col("s").as("sa")), "la")
+        .join(msd.select(col("label").as("lb"), col("s").as("sb")), "lb")
+        .select(col("la"), col("lb"), round(col("d2"), 6).as("dist2"),
+          round(col("sa") + col("sb"), 6).as("scatter2"),
+          round(col("d2") / (col("sa") + col("sb")), 6).as("fisher"))
+        .orderBy("la", "lb")
+    })
 
   // ---- Matryoshka truncation evaluation --------------------------------
   // MRL-style embeddings (Kusupati et al. 2022) are trained so a PREFIX

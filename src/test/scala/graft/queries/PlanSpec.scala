@@ -724,4 +724,43 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("LeftAnti"), s"NOT IN did not become an anti join:\n$p")
     assert(!p.contains("CartesianProduct"), s"q16 planned a cartesian:\n$p")
   }
+
+  test("basket pairs self-join stays keyed on the order id, never a cartesian") {
+    val p = plan("q20_basket_pair_counts")
+    assert(!p.contains("CartesianProduct"), s"basket join degraded:\n$p")
+    assert(p.contains("partial_count"), s"pair counts lack a map-side combine:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 degraded to a full sort:\n$p")
+  }
+
+  test("QL ranking joins vocabulary-scale stats; integer partials combine") {
+    val p = plan("ql_dirichlet_topk")
+    assert(!p.contains("CartesianProduct"), s"QL scoring degraded:\n$p")
+    assert(p.contains("partial_sum"), s"score terms lack a map-side combine:\n$p")
+  }
+
+  test("user entropy and AB assignment collapse with partial aggs, no window") {
+    for (q <- Seq("ev20_user_entropy", "ev16_ab_assignment")) {
+      val p = plan(q)
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q shuffles raw events without a combine:\n$p")
+      assert(!p.contains("Window"), s"$q uses a window it does not need:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("Fisher separability never joins vectors to centroids") {
+    // the variance identity makes the per-vector work one dot_f64 pass;
+    // everything after the (label, dim) partial-avg runs on centroid
+    // rows — embeddings must be scanned at most twice (vv + cd arms)
+    // the moment frame is localCheckpoint-materialized: downstream of
+    // it the corpus must never reappear (Spark would otherwise
+    // re-expand the scan per CTE reference — measured 6 scans)
+    val p = plan("label_separability_fisher")
+    assert(!p.contains("CartesianProduct"), s"separability degraded:\n$p")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("embedding"))
+    assert(scans == 0, s"embeddings re-scanned downstream of the checkpoint:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"moment frame is not the materialized checkpoint:\n$p")
+  }
 }
