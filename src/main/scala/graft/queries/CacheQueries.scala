@@ -224,6 +224,53 @@ object CacheQueries extends QuerySet {
         .orderBy("c_custkey")
     })
 
+  // Snapshot DIFF — the change-data readout between two table versions
+  // (what Iceberg calls an incremental scan): rows removed and added
+  // between the seed snapshot and the post-delete head, as counts plus
+  // a key digest so the hash gate pins WHICH rows moved, not just how
+  // many. Shares the delete table's memoized build; both sides of the
+  // diff are PK anti joins over snapshot reads — at scale these read
+  // only the dirs the manifests reference, and a merge/delete history
+  // means most dirs are SHARED between the two versions (carried by
+  // reference), so the diff work is bounded by the rewritten buckets.
+  private val cacheDiff = QueryDef(
+    "cache_snapshot_diff",
+    Some("""SELECT CAST(50 AS BIGINT) AS removed_n,
+           |  CAST((SELECT sum(c_custkey) FROM customer WHERE c_custkey BETWEEN 101 AND 150) AS BIGINT) AS removed_key_sum,
+           |  CAST(0 AS BIGINT) AS added_n,
+           |  CAST(0 AS BIGINT) AS added_key_sum""".stripMargin),
+    (s, dir) => {
+      val t = memo(s, "delete", dir) {
+        Tables.register(s, dir)
+        val mgr = new CacheManager(s, freshRoot(s"delete_${math.abs(dir.hashCode)}"))
+        val cfg = CacheConfig(enabled = true, table = "cust_delete",
+          primaryKeys = Seq("c_custkey"))
+        val ep = EndpointConfig(urlPath = "/cust-delete",
+          templateSource = "cust_delete.sql", cache = cfg)
+        mgr.refresh(ep,
+          "SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 300")
+        val tbl = mgr.table(cfg)
+        tbl.deleteByKeys(
+          s.sql("SELECT CAST(999999 AS BIGINT) AS c_custkey"), Seq("c_custkey"))
+        tbl.deleteByKeys(
+          Tables.table(s, dir, "customer")
+            .filter(col("c_custkey").between(101, 150)).select("c_custkey"),
+          Seq("c_custkey"))
+        tbl
+      }
+      val v1 = t.read(Some(1L)).select("c_custkey")
+      val head = t.read().select("c_custkey")
+      val removed = v1.join(head, Seq("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("removed_n"),
+          coalesce(sum("c_custkey"), lit(0L)).cast("long").as("removed_key_sum"))
+      val added = head.join(v1, Seq("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("added_n"),
+          coalesce(sum("c_custkey"), lit(0L)).cast("long").as("added_key_sum"))
+      removed.crossJoin(added)
+        .select(col("removed_n"), col("removed_key_sum"),
+          col("added_n"), col("added_key_sum"))
+    })
+
   // C3: snapshot introspection — ids/modes/row counts are deterministic
   // (timestamps are not, so the digest excludes them). Oracle is the
   // expected manifest as inline VALUES.
@@ -242,5 +289,5 @@ object CacheQueries extends QuerySet {
 
   override val defs: Seq[QueryDef] =
     Seq(cacheFull, cacheAppend, cacheTravel, cacheMerge, cacheDelete,
-      cacheMaint, cacheMeta)
+      cacheDiff, cacheMaint, cacheMeta)
 }
