@@ -240,6 +240,37 @@ object Streaming {
       }
       .start()
 
+  /** Streaming per-day distinct-user sketches — the HLL member of the
+    * sketch-merge family (CMS cells ADD, Bloom bits OR, HLL registers
+    * MAX). Each micro-batch contributes per-day `hll_sketch_agg`
+    * partials over its user ids; the standing per-day sketch absorbs
+    * them with `hll_union`. Register merge is max-per-register —
+    * idempotent AND commutative like the Bloom OR, so a replayed or
+    * out-of-order batch re-asserts the same registers and the merge
+    * needs no replay bookkeeping (stronger than the CMS additive
+    * merge). The standing artifact is one fixed-size sketch per day
+    * regardless of stream length — the scale path ev17's rolling WAU
+    * reads instead of re-shuffling user ids per window. */
+  def hllDailyStream(
+      incoming: DataFrame,
+      checkpointDir: String)(mergeSketches: DataFrame => Unit): StreamingQuery =
+    incoming.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          mergeSketches(batch
+            .select(org.apache.spark.sql.functions
+              .expr("CAST(date_trunc('day', ts) AS DATE)").as("d"),
+              org.apache.spark.sql.functions.col("user_id"))
+            .groupBy("d")
+            .agg(org.apache.spark.sql.functions
+              .expr("hll_sketch_agg(user_id)").as("sk")))
+        }
+      }
+      .start()
+
   /** Streaming session-scoped transition matrix — ev9's streaming face,
     * the STATEFUL sibling of [[cmsSketchStream]]: the transition counts
     * merge by plain addition, but unlike the sketch each micro-batch

@@ -279,6 +279,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(modes == Set("append"))
   }
 
+  test("streaming HLL day-sketches union to the batch sketch; re-merge is a no-op") {
+    val dir = "/root/testdata/sf0.001"
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("CAST(ts AS TIMESTAMP) AS ts", "user_id")
+    val tmp = Files.createTempDirectory("hll_stream")
+    // 3 time-ordered micro-batches (the cms/bloom split discipline)
+    val withRank = events.orderBy("ts").withColumn("part",
+      (row_number().over(org.apache.spark.sql.expressions.Window.orderBy("ts")) % 3))
+    withRank.write.partitionBy("part").parquet(s"$tmp/in")
+    val partials = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.DataFrame]()
+    (0 until 3).foreach { p =>
+      val stream = spark.readStream
+        .schema(events.schema)
+        .parquet(s"$tmp/in/part=$p")
+      val q = Streaming.hllDailyStream(stream, s"$tmp/ck$p") { df =>
+        partials.add(df.cache()); df.count(); ()
+      }
+      assert(q.awaitTermination(120000), "AvailableNow did not finish")
+    }
+    val all = partials.toArray(Array.empty[org.apache.spark.sql.DataFrame])
+    assert(all.length == 3)
+    def estimate(dfs: Seq[org.apache.spark.sql.DataFrame]): Map[java.sql.Date, Long] =
+      dfs.reduce(_ unionByName _)
+        .groupBy("d").agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n"))
+        .collect().map(r => r.getDate(0) -> r.getLong(1)).toMap
+    val streamed = estimate(all.toSeq)
+    val batch = events
+      .selectExpr("CAST(date_trunc('day', ts) AS DATE) AS d", "user_id")
+      .groupBy("d").agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("n"))
+      .collect().map(r => r.getDate(0) -> r.getLong(1)).toMap
+    assert(streamed == batch,
+      s"streamed union must equal the single-pass sketch: $streamed vs $batch")
+    // register merge is MAX: re-merging a batch's partial changes nothing
+    val replayed = estimate(all.toSeq :+ all(1))
+    assert(replayed == streamed, "replaying a partial must be a no-op (max-merge)")
+  }
+
   test("delete-key stream equals one batch delete; replay after restart is a no-op") {
     val ss = spark
     import ss.implicits._
