@@ -108,6 +108,29 @@ class PropertySpec extends AnyFunSuite {
 
   // ---- CSV escape -------------------------------------------------------
 
+  test("dialect translation is idempotent over every gated oracle text") {
+    // translate() must be a FIXPOINT on its own output: a second pass
+    // over already-translated SQL rewrites nothing. If a rule fired
+    // twice (double-escaping a separator, re-hoisting a WITHIN GROUP,
+    // re-wrapping a QUALIFY subquery) the product would corrupt SQL
+    // that happens to flow through the translator more than once
+    // (template expand → cache refresh re-render is exactly that
+    // path). The corpus is every oracle text in the suite — the
+    // broadest stock of realistic DuckDB-dialect SQL we have.
+    var checked = 0
+    graft.SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val once =
+        try graft.dialect.DuckDialect.translate(sql)
+        catch { case _: IllegalArgumentException => null } // directed errors are fine
+      if (once != null) {
+        val twice = graft.dialect.DuckDialect.translate(once)
+        assert(twice == once, s"$name: translate is not idempotent")
+        checked += 1
+      }
+    }
+    assert(checked > 150, s"only $checked oracle texts checked")
+  }
+
   test("escapeCSV output never breaks a CSV row structure") {
     check("csv-escape", forAll { (s: String) =>
       val cell = CsvWire.escapeCSV(s)
