@@ -148,7 +148,22 @@ final class CacheManager(spark: SparkSession, warehouseRoot: String) {
     val dirs = table(c).currentDataDirs
     if (dirs.nonEmpty) {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS `${c.schema}`")
-      val body = dirs.map(d => s"SELECT * FROM parquet.`$d`").mkString(" UNION ALL ")
+      // A positional UNION ALL breaks the moment a schema-widening
+      // merge leaves narrow untouched dirs next to the widened rewrite
+      // (column counts differ). Project every arm to the MERGED column
+      // list instead, NULL-filling each dir's missing columns — the
+      // view then serves union-by-name semantics identical to
+      // SnapshotTable.read's mergeSchema read.
+      val merged = spark.read.option("mergeSchema", "true")
+        .parquet(dirs: _*).schema
+      val body = dirs.map { d =>
+        val have = spark.read.parquet(d).schema.fieldNames.toSet
+        val cols = merged.fields.map { f =>
+          if (have(f.name)) s"`${f.name}`"
+          else s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`"
+        }.mkString(", ")
+        s"SELECT $cols FROM parquet.`$d`"
+      }.mkString(" UNION ALL ")
       spark.sql(s"CREATE OR REPLACE VIEW `${c.schema}`.`${c.table}` AS $body")
     }
   }

@@ -421,7 +421,15 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
             if (touched.isEmpty) newRows
             else spark.read.parquet(touched.toSeq.map(dataPath): _*)
               .join(newRows, primaryKeys, "left_anti")
-              .unionByName(newRows)
+              // schema evolution on merge: a delta that ADDS columns
+              // widens the table (carried rows read NULL for the new
+              // columns), and a delta missing table columns keeps them
+              // (its rows read NULL) — the additive evolution contract
+              // Delta/Iceberg mergeSchema has. Untouched dirs keep
+              // their narrower files; the multi-schema read is safe
+              // because parquet union-reads by name with missing
+              // columns as NULL when the frames union this way.
+              .unionByName(newRows, allowMissingColumns = true)
           val (newDirs, newStats) = writeMergeData(id, merged, primaryKeys, mergeBuckets)
           // every untouched dir has stats by construction (stat-less
           // dirs are always touched), so carried row counts are exact
@@ -478,7 +486,13 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
     val id = version.orElse(currentSnapshotId).getOrElse(
       throw new IllegalStateException(s"table $name has no snapshots"))
     val dirs = manifestFor(loadManifests(), id).dirs.map(dataPath)
-    spark.read.parquet(dirs: _*)
+    // mergeSchema: after a schema-widening merge the snapshot's dirs
+    // legitimately carry different parquet schemas (untouched narrow
+    // dirs ride by reference next to the widened rewrite); the merged
+    // read unions columns by name with NULL for a dir's missing ones.
+    // Cost is one footer read per file at planning — the same price
+    // Delta/Iceberg pay for their schema logs.
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
   /** Data dirs of the CURRENT snapshot — the serve-view registration

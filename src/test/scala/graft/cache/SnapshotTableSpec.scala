@@ -169,6 +169,33 @@ class SnapshotTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.read().count() == 100)
   }
 
+  test("schema-widening merge: carried narrow dirs read NULL for new columns") {
+    val ss = spark
+    import ss.implicits._
+    val t = new SnapshotTable(spark, root, "t_widen")
+    t.refreshFull(df(1 to 100))
+    t.refreshMerge(Seq((200L, "n200")).toDF("id", "val"), Seq("id"), mergeBuckets = 4)
+    // widening delta: adds a `score` column and touches ONE existing key
+    t.refreshMerge(Seq((37L, "UPD", 9L), (300L, "n300", 5L)).toDF("id", "val", "score"),
+      Seq("id"), mergeBuckets = 4)
+    val out = t.read().collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(r.fieldIndex("score"))) None else Some(r.getLong(r.fieldIndex("score")))))
+      .toMap
+    assert(out.size == 102)
+    assert(out(37L) == ("UPD", Some(9L)), "delta row must carry the new column")
+    assert(out(300L) == ("n300", Some(5L)))
+    assert(out(1L) == ("v1", None), "carried narrow rows read NULL for the new column")
+    assert(out(200L)._2.isEmpty)
+    // narrowing direction: a later delta MISSING the new column keeps it
+    t.refreshMerge(Seq((38L, "UPD38")).toDF("id", "val"), Seq("id"), mergeBuckets = 4)
+    val out2 = t.read().collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(r.fieldIndex("score"))) None
+        else Some(r.getLong(r.fieldIndex("score"))))).toMap
+    assert(out2(37L) == Some(9L), "widened value must survive a narrow delta")
+    assert(out2(38L).isEmpty)
+  }
+
   test("merge row_count stays exact across carried dirs and expiry keeps shared buckets") {
     val ss = spark
     import ss.implicits._
