@@ -1520,6 +1520,57 @@ object EmbeddingQueries extends QuerySet {
     }
   }
 
+  // ---- IVF cell-balance health ------------------------------------------
+  // The operational metric an ANN index is monitored by: per-cell
+  // population and load factor (1e6 = perfectly balanced). A hot cell
+  // means its probes scan far more candidates than the nprobe model
+  // assumes — latency and recall both drift — and the fix (re-train,
+  // split the cell) is triggered off exactly this readout. Cell
+  // assignment is the gated map-side argmax over the seed-centroid
+  // literals (zero corpus exchanges); the only shuffle carries
+  // (cell, partial-count) rows.
+  private val ivfBalance = QueryDef(
+    "ann_ivf_cell_balance",
+    Some("""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |d AS (
+           |  SELECT e.vec_id, s.vec_id AS sid,
+           |         list_aggregate(list_transform(range(1, len(e.v) + 1),
+           |             i -> e.v[i] * s.v[i]), 'sum') AS dp
+           |  FROM e JOIN e s ON s.vec_id IN (5, 15, 25, 35, 45, 55, 65, 75)),
+           |cells AS (
+           |  SELECT vec_id, sid AS cell FROM (
+           |    SELECT vec_id, sid,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, sid) AS srn
+           |    FROM d) WHERE srn = 1),
+           |sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY cell),
+           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS k FROM sz)
+           |SELECT sz.cell, sz.n,
+           |  CAST((sz.n * 1000000) // tot.t AS BIGINT) AS share_ppm,
+           |  CAST((sz.n * tot.k * 1000000) // tot.t AS BIGINT) AS load_factor_ppm
+           |FROM sz, tot ORDER BY cell""".stripMargin),
+    (s, dir) => {
+      val e = withNorm(s, dir)
+      val seeds = e.filter(col("vec_id").isin(IvfSeedIds: _*))
+        .select(col("vec_id").cast("int").as("sid"), col("v"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      val scoredSeeds = array_sort(array(seeds.map { case (sid, sv) =>
+        struct((-call_function("dot_f64", col("v"), array(sv.map(lit): _*))).as("nd"),
+          lit(sid).as("sid"))
+      }: _*))
+      val sz = e.withColumn("cell",
+          element_at(scoredSeeds, 1).getField("sid").cast("long"))
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+      val tot = sz.agg(sum("n").as("t"), count(lit(1)).as("k"))
+      sz.crossJoin(broadcast(tot))
+        .select(col("cell"), col("n"),
+          expr("CAST((n * 1000000) div t AS BIGINT)").as("share_ppm"),
+          expr("CAST((n * k * 1000000) div t AS BIGINT)").as("load_factor_ppm"))
+        .orderBy("cell")
+    })
+
   // ---- label separability (Fisher criterion) ----------------------------
   // The embedding-quality readout a classifier team checks before
   // training on a labeled corpus: per label pair, squared inter-centroid
@@ -1657,5 +1708,5 @@ object EmbeddingQueries extends QuerySet {
     Seq(bruteTopk, lshTopk, ivfTopk, ivfTrained, embDupPairs, embIncremental,
       embDupClusters, embDedupCorpus, semDedup, quantize, centroids, pqTrained,
       jlProjection, ivfpqAdc, ivfpqRerank, hardNegatives, binaryQuantize,
-      binaryRerank, matryoshka, separability)
+      binaryRerank, matryoshka, separability, ivfBalance)
 }

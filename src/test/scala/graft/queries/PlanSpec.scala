@@ -725,6 +725,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), s"q16 planned a cartesian:\n$p")
   }
 
+  test("ivf cell balance assigns map-side; only (cell, partial) rows shuffle") {
+    val p = plan("ann_ivf_cell_balance")
+    assert(p.contains("partial_count"),
+      s"cell sizes shuffle raw vectors without a combine:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Exchange hashpartitioning(vec_id"),
+      s"cell assignment must not shuffle the corpus on vec_id:\n$p")
+  }
+
+  test("snapshot diff reads are anti joins") {
+    // the final 1-row × 1-row crossJoin of the two aggregates is an
+    // intentional constant-size product; the load-bearing shape is the
+    // two PK anti joins over the snapshot reads
+    val p = plan("cache_snapshot_diff")
+    assert(p.contains("LeftAnti"), s"diff sides must be anti joins:\n$p")
+  }
+
   test("basket pairs self-join stays keyed on the order id, never a cartesian") {
     val p = plan("q20_basket_pair_counts")
     assert(!p.contains("CartesianProduct"), s"basket join degraded:\n$p")
