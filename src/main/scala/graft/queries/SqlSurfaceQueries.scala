@@ -779,6 +779,22 @@ object SqlSurfaceQueries extends QuerySet {
       |  CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_orders,
       |  CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_customer""".stripMargin)
 
+  // G1: star-EXCLUDE + GROUP BY ALL through the dialect — two DuckDB
+  // authoring idioms reference templates lean on. The query is WRITTEN
+  // in DuckDB's vocabulary (EXCLUDE), the oracle runs it verbatim, and
+  // Spark runs the translator's EXCEPT rewrite; GROUP BY ALL is native
+  // in both engines and passes through untouched.
+  private val g1Text =
+    """WITH t AS (SELECT * EXCLUDE (c_name, c_acctbal) FROM customer)
+      |SELECT c_mktsegment, c_nationkey, count(*) AS n
+      |FROM t GROUP BY ALL
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
+  private val g1 = QueryDef(
+    "g1_exclude_group_by_all",
+    Some(g1Text),
+    (s, dir) => Tables.sql(s, dir, graft.dialect.DuckDialect.translate(g1Text)))
+
   // W6: ratio-to-report — each row's share of its partition total plus
   // the running concentration sum. Two windows on the same partition
   // key (one unordered total, one ordered running frame) — a single
@@ -837,5 +853,5 @@ object SqlSurfaceQueries extends QuerySet {
   override val defs: Seq[QueryDef] =
     Seq(a2, a3, a5, a6, a7, a7b, a8, a9, w2, w3, w4, w5, w6, w7, j3, j4,
       set1, set2, d1, f1, f2, f3, f4, f5, f6, f7, f8, f9, j1, i1, i2, i3,
-      o4, o5, p1, p2, r1, r2, t1, i4)
+      o4, o5, p1, p2, r1, r2, t1, i4, g1)
 }

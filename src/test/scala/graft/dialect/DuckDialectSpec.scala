@@ -128,6 +128,16 @@ class DuckDialectSpec extends AnyFunSuite {
     assert(translate("SELECT text FROM documents") == "SELECT text FROM documents")
   }
 
+  test("star-EXCLUDE becomes star-EXCEPT; frame-position EXCLUDE untouched") {
+    assert(translate("SELECT * EXCLUDE (a, b) FROM t") ==
+      "SELECT * EXCEPT (a, b) FROM t")
+    assert(translate("SELECT t.* EXCLUDE (a) FROM t") ==
+      "SELECT t.* EXCEPT (a) FROM t")
+    // not in star position: left alone (a column named exclude, or a
+    // window-frame exclusion) — surfaces downstream, never corrupted
+    assert(translate("SELECT exclude FROM t") == "SELECT exclude FROM t")
+  }
+
   test("QUALIFY rewrites to the subquery form it abbreviates") {
     val got = translate(
       "SELECT g, row_number() OVER (PARTITION BY g ORDER BY v) AS rn " +
