@@ -795,6 +795,23 @@ object SqlSurfaceQueries extends QuerySet {
     Some(g1Text),
     (s, dir) => Tables.sql(s, dir, graft.dialect.DuckDialect.translate(g1Text)))
 
+  // D2: DISTINCT ON through the dialect — the Postgres/DuckDB
+  // first-row-per-group idiom (latest order per customer here). The
+  // oracle runs DuckDB's clause verbatim; Spark runs the translator's
+  // window rewrite (row_number over the keys ordered by the query's
+  // ORDER BY, kept where rn = 1, helper column dropped via * EXCEPT).
+  // Fully tie-broken so both engines pick the identical row.
+  private val d2Text =
+    """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey,
+      |  round(o_totalprice, 2) AS price
+      |FROM orders WHERE o_custkey <= 100
+      |ORDER BY o_custkey, o_orderdate DESC, o_orderkey""".stripMargin
+
+  private val d2 = QueryDef(
+    "d2_distinct_on",
+    Some(d2Text),
+    (s, dir) => Tables.sql(s, dir, graft.dialect.DuckDialect.translate(d2Text)))
+
   // W6: ratio-to-report — each row's share of its partition total plus
   // the running concentration sum. Two windows on the same partition
   // key (one unordered total, one ordered running frame) — a single
@@ -852,6 +869,6 @@ object SqlSurfaceQueries extends QuerySet {
 
   override val defs: Seq[QueryDef] =
     Seq(a2, a3, a5, a6, a7, a7b, a8, a9, w2, w3, w4, w5, w6, w7, j3, j4,
-      set1, set2, d1, f1, f2, f3, f4, f5, f6, f7, f8, f9, j1, i1, i2, i3,
+      set1, set2, d1, d2, f1, f2, f3, f4, f5, f6, f7, f8, f9, j1, i1, i2, i3,
       o4, o5, p1, p2, r1, r2, t1, i4, g1)
 }

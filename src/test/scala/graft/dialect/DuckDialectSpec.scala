@@ -128,6 +128,22 @@ class DuckDialectSpec extends AnyFunSuite {
     assert(translate("SELECT text FROM documents") == "SELECT text FROM documents")
   }
 
+  test("DISTINCT ON rewrites to the first-row-per-group window form") {
+    val got = translate(
+      "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC LIMIT 5")
+      .replaceAll("\\s+", " ").trim
+    assert(got ==
+      "SELECT k, v FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY k ORDER BY k, v DESC ) AS __graft_don " +
+        "FROM t ) __graft_don_sub WHERE __graft_don = 1 ORDER BY k, v DESC LIMIT 5", got)
+    // no ORDER BY: the window orders by the keys (stable arbitrary pick
+    // inside DuckDB's any-row semantics)
+    val un = translate("SELECT DISTINCT ON (a, b) a, b, c FROM t")
+    assert(un.contains("PARTITION BY a, b ORDER BY a, b"), un)
+    // plain DISTINCT untouched
+    assert(translate("SELECT DISTINCT k FROM t") == "SELECT DISTINCT k FROM t")
+  }
+
   test("star-EXCLUDE becomes star-EXCEPT; frame-position EXCLUDE untouched") {
     assert(translate("SELECT * EXCLUDE (a, b) FROM t") ==
       "SELECT * EXCEPT (a, b) FROM t")
