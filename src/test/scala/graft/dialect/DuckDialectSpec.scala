@@ -128,6 +128,24 @@ class DuckDialectSpec extends AnyFunSuite {
     assert(translate("SELECT text FROM documents") == "SELECT text FROM documents")
   }
 
+  test("non-portable DuckDB surface raises directed errors naming the fix") {
+    def fails(sql: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](translate(sql))
+      assert(e.getMessage.contains(needle), s"$sql → ${e.getMessage}")
+    }
+    fails("SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.ts >= b.ts",
+      "graft.operators.AsOfJoin")
+    fails("SELECT * FROM t USING SAMPLE 10%", "md5-threshold")
+    fails("PIVOT t ON col USING sum(v)", "standard SQL PIVOT")
+    // near-misses stay untouched: standard PIVOT, a USING join column
+    // list, and a column named pivot
+    assert(translate("SELECT * FROM t PIVOT (sum(v) FOR c IN ('a'))")
+      .contains("PIVOT"))
+    assert(translate("SELECT * FROM a JOIN b USING (sample)")
+      .contains("USING (sample)"))
+    assert(translate("SELECT pivot FROM t") == "SELECT pivot FROM t")
+  }
+
   test("DISTINCT ON rewrites to the first-row-per-group window form") {
     val got = translate(
       "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC LIMIT 5")
