@@ -151,6 +151,48 @@ object EndpointQueries extends QuerySet {
                |                           'ARRAY<STRING>')) AS r)
                |ORDER BY role""".stripMargin))
 
+  // "Latest order per customer" — the canonical DISTINCT ON endpoint
+  // shape, driven through the FULL pipeline (validation → prepared
+  // rewrite → Mustache → dialect translation → spark.sql): the
+  // template is written in DuckDB's vocabulary (DISTINCT ON +
+  // star-EXCLUDE) exactly as a reference author would write it, and
+  // the translator's window rewrite + EXCEPT rename must survive the
+  // prepared-statement parameter binding. Fully tie-broken ordering so
+  // both engines keep the identical row per customer.
+  val latestOrderTemplate: String =
+    """SELECT * EXCLUDE (o_orderpriority, o_orderstatus) FROM (
+      |  SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey,
+      |    round(o_totalprice, 2) AS price, o_orderpriority, o_orderstatus
+      |  FROM orders
+      |  WHERE o_totalprice >= {{params.min_total}}
+      |  ORDER BY o_custkey, o_orderdate DESC, o_orderkey)
+      |ORDER BY o_custkey""".stripMargin
+
+  val latestOrderEndpoint: EndpointConfig = EndpointConfig(
+    urlPath = "/latest-order",
+    templateSource = "latest_order.sql",
+    requestFields = Seq(
+      RequestFieldConfig("min_total",
+        defaultValue = Some("0"),
+        validators = Seq(ValidatorConfig("number")))),
+    requestFieldsValidation = true)
+
+  private val epLatestOrder = QueryDef(
+    "ep_latest_order",
+    Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price
+           |FROM (
+           |  SELECT o_custkey, o_orderkey, o_totalprice,
+           |    row_number() OVER (PARTITION BY o_custkey
+           |                       ORDER BY o_orderdate DESC, o_orderkey) AS rn
+           |  FROM orders WHERE o_totalprice >= 100000)
+           |WHERE rn = 1 ORDER BY o_custkey""".stripMargin),
+    (s, dir) => {
+      Tables.register(s, dir)
+      TemplatePipeline.run(s, latestOrderEndpoint, latestOrderTemplate,
+        Map("min_total" -> "100000"))
+    })
+
   override val defs: Seq[QueryDef] =
-    Seq(epCustomers, epCustomersById, epCustomersPage, epCustomersCount, epSecrets)
+    Seq(epCustomers, epCustomersById, epCustomersPage, epCustomersCount,
+      epSecrets, epLatestOrder)
 }
