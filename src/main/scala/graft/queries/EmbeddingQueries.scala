@@ -1571,6 +1571,42 @@ object EmbeddingQueries extends QuerySet {
         .orderBy("cell")
     })
 
+  // ---- centroid drift between ingestion waves ----------------------------
+  // The embedding-drift monitor every production vector pipeline runs:
+  // split the corpus into two deterministic waves (md5-threshold — a
+  // stand-in for "last week's batch vs this week's") and measure the
+  // per-label centroid displacement. A drifting encoder or a shifted
+  // upstream distribution shows up here BEFORE recall degrades; the
+  // alert threshold is calibrated against this baseline on stable
+  // data. One corpus pass: wave assignment is map-side hash
+  // arithmetic, centroids are a (label, wave, dim) partial-avg agg,
+  // and the displacement sum runs on ‖labels‖·2·64 centroid rows.
+  private val centroidDrift = QueryDef(
+    "embedding_centroid_drift",
+    Some("""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v,
+           |                  substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8' AS wave_a
+           |           FROM embeddings),
+           |cd AS (SELECT label, wave_a, i AS dim, avg(v[i]) AS m
+           |       FROM e, unnest(range(1, 65)) AS u(i) GROUP BY label, wave_a, i),
+           |d AS (SELECT a.label, sum((a.m - b.m) * (a.m - b.m)) AS drift2
+           |      FROM cd a JOIN cd b ON a.label = b.label AND a.dim = b.dim
+           |      WHERE a.wave_a AND NOT b.wave_a
+           |      GROUP BY a.label)
+           |SELECT label, round(sqrt(drift2), 6) AS centroid_drift
+           |FROM d ORDER BY label""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """WITH e AS (SELECT vec_id, label, cast(embedding AS array<double>) AS v,
+        |                  substr(md5(CAST(vec_id AS STRING)), 1, 1) < '8' AS wave_a
+        |           FROM embeddings),
+        |cd AS (SELECT label, wave_a, pos + 1 AS dim, avg(e2) AS m
+        |       FROM e LATERAL VIEW posexplode(v) t AS pos, e2 GROUP BY label, wave_a, pos),
+        |d AS (SELECT a.label, sum((a.m - b.m) * (a.m - b.m)) AS drift2
+        |      FROM cd a JOIN cd b ON a.label = b.label AND a.dim = b.dim
+        |      WHERE a.wave_a AND NOT b.wave_a
+        |      GROUP BY a.label)
+        |SELECT label, round(sqrt(drift2), 6) AS centroid_drift
+        |FROM d ORDER BY label""".stripMargin))
+
   // ---- label separability (Fisher criterion) ----------------------------
   // The embedding-quality readout a classifier team checks before
   // training on a labeled corpus: per label pair, squared inter-centroid
@@ -1708,5 +1744,5 @@ object EmbeddingQueries extends QuerySet {
     Seq(bruteTopk, lshTopk, ivfTopk, ivfTrained, embDupPairs, embIncremental,
       embDupClusters, embDedupCorpus, semDedup, quantize, centroids, pqTrained,
       jlProjection, ivfpqAdc, ivfpqRerank, hardNegatives, binaryQuantize,
-      binaryRerank, matryoshka, separability, ivfBalance)
+      binaryRerank, matryoshka, separability, ivfBalance, centroidDrift)
 }

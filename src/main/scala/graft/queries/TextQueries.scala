@@ -417,6 +417,36 @@ object TextQueries extends QuerySet {
         .orderBy("csize")
     })
 
+  // ---- hapax rate by source -----------------------------------------------
+  // Vocabulary richness per source: the share of term TYPES occurring
+  // exactly once (hapax legomena). Template-generated or scraped-
+  // boilerplate sources show an anomalously LOW hapax rate (every page
+  // reuses the same phrases); genuinely authored text sits much
+  // higher — a cheap source-quality screen read next to the KL drift
+  // measure. One (source, term) partial-agg shuffle at vocabulary
+  // scale; the per-source rollup combines counts.
+  private val hapaxRate = QueryDef(
+    "hapax_rate_by_source",
+    Some("""WITH tf AS (SELECT source, t, count(*) AS c FROM (
+           |  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+           |  WHERE t <> '' GROUP BY source, t)
+           |SELECT source,
+           |  CAST(count(*) AS BIGINT) AS n_types,
+           |  CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+           |  CAST((count(*) FILTER (WHERE c = 1)) * 1000000 // count(*) AS BIGINT) AS hapax_ppm,
+           |  CAST(sum(c) AS BIGINT) AS n_tokens
+           |FROM tf GROUP BY source ORDER BY source""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """WITH tf AS (SELECT source, t, count(*) AS c FROM (
+        |  SELECT source, explode(split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> '' GROUP BY source, t)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+        |  CAST((count(*) FILTER (WHERE c = 1)) * 1000000 div count(*) AS BIGINT) AS hapax_ppm,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin))
+
   // ---- dedup threshold sweep ----------------------------------------------
   // The policy-tuning readout BEFORE committing to a similarity cutoff:
   // at each candidate threshold, how many verified pairs survive and
@@ -1802,7 +1832,7 @@ object TextQueries extends QuerySet {
 
   override val defs: Seq[QueryDef] = Seq(
     dedupExact, neardup, neardupClusters, clusterSizeHist, neardupCorpus, simhash, simhashPairs,
-    pmiCollocations, langConfusion, flesch, thresholdSweep,
+    pmiCollocations, langConfusion, flesch, thresholdSweep, hapaxRate,
     ngramTopk, langId, quality, tokenStats, winnow, stratified, gopher, tfidf,
     piiRedact, corpusPrep, contamination, bloomContamination, cmsHeavyHitters,
     seqPacking, classifierScore, dupSpans, repetition, neardupCanonical,
