@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-pass distributed global rank — the scale-safe replacement for
+  * `row_number() OVER (ORDER BY …)` (an empty-partition window funnels
+  * every row through ONE reducer task; at a 100 TB fact or even a
+  * 10⁹-row dimension that single sort is the whole job's critical
+  * path).
+  *
+  * Pass 1: `repartitionByRange` on the order key — Spark's range
+  * partitioner samples boundaries so partition p's keys all precede
+  * partition p+1's (a total order ACROSS partitions), then each
+  * partition ranks LOCALLY with a partitioned window (parallel,
+  * spill-safe). Pass 2: per-partition row counts — a `numPartitions`-
+  * sized aggregate — collect to the driver (constant-sized side input,
+  * the anchors/codebooks discipline) and fold the cumulative offsets
+  * back in as a literal map lookup, so `rank = offset(pid) + local_rn`
+  * is pure map-side arithmetic. No single-partition WindowExec appears
+  * anywhere in the plan.
+  *
+  * The caller must make the order key UNIQUE (append a tie-break
+  * column): ranks are then deterministic regardless of where the
+  * sampled boundaries land, because any boundary split of equal keys
+  * is impossible. Reference scope: flAPI serves global-rank shapes via
+  * DuckDB's single-node sort (e.g. ROW_NUMBER templates,
+  * `/root/reference/src/duckdb_manager.cpp` executes them in-process);
+  * this operator is the cluster re-expression of the same semantics.
+  */
+object GlobalRank {
+
+  /** `df` plus a BIGINT column `rankCol` = 1-based global rank under
+    * `order` (which must be a total order — include a tie-break). The
+    * returned frame is localCheckpoint-materialized (the count pass
+    * already executed it; callers reuse the standing RDD — wrap in a
+    * SessionMemo for warm serving).
+    */
+  def withRank(df: DataFrame, order: Seq[Column], rankCol: String,
+               numPartitions: Int = 32): DataFrame = {
+    val local = df
+      .repartitionByRange(numPartitions, order: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+      .withColumn("__gr_lrn",
+        row_number().over(Window.partitionBy("__gr_pid").orderBy(order: _*)))
+      .localCheckpoint(true)
+    val counts = local.groupBy("__gr_pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).init)
+    // literal pid -> offset map: folded into the projection, zero joins
+    val offMap = map(offsets.flatMap { case (p, o) =>
+      Seq(lit(p), lit(o)) }.toSeq: _*)
+    local
+      .withColumn(rankCol, element_at(offMap, col("__gr_pid")) + col("__gr_lrn"))
+      .drop("__gr_pid", "__gr_lrn")
+  }
+
+  /** SQL-standard `ntile(k)` derived from a 1-based global rank by pure
+    * arithmetic (the first n mod k buckets take ceil(n/k) rows): the
+    * scale path for quantile labels — no window at all once the rank
+    * exists. `n` is the total row count.
+    */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    // exact integer division: operands stay < 2^53 so the double
+    // detour is exact; numerators are exact multiples of the divisor
+    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val q = idiv(n, lit(k))            // small-bucket size
+    val r = pmod(n, lit(k))            // number of big buckets
+    val big = q + lit(1)               // big-bucket size
+    when(rank <= r * big, idiv(rank - 1, big) + 1)
+      // greatest() guards the (unreachable when q=0) small-bucket arm
+      .otherwise(r + idiv(rank - lit(1) - r * big, greatest(q, lit(1))) + 1)
+  }
+}

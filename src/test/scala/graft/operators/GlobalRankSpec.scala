@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class GlobalRankSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]").appName("global-rank-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("two-pass rank equals the single-window row_number on a unique key") {
+    val sess = spark; import sess.implicits._
+    // keys deliberately skewed + duplicated values, unique tie-break id
+    val df = (1 to 997).map(i => (i.toLong, (i % 13).toLong)).toDF("id", "v")
+      .repartition(7)
+    val got = GlobalRank
+      .withRank(df, Seq(col("v"), col("id")), "i", numPartitions = 5)
+      .select("id", "i").as[(Long, Long)].collect().toMap
+    val want = df
+      .withColumn("i", row_number().over(Window.orderBy(col("v"), col("id"))))
+      .select("id", "i").collect().map(r => r.getLong(0) -> r.getInt(1).toLong)
+      .toMap
+    assert(got == want)
+  }
+
+  test("descending order and more partitions than rows both rank correctly") {
+    val sess = spark; import sess.implicits._
+    val df = Seq((1L, 5.0), (2L, 1.0), (3L, 9.0)).toDF("id", "v")
+    val got = GlobalRank
+      .withRank(df, Seq(col("v").desc, col("id")), "i", numPartitions = 16)
+      .select("id", "i").as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 1L, 1L -> 2L, 2L -> 3L))
+  }
+
+  test("ntileFromRank matches SQL ntile for every (n, k) in a sweep") {
+    val sess = spark; import sess.implicits._
+    for (n <- Seq(1, 3, 4, 7, 8, 10, 97); k <- Seq(2, 4, 5)) {
+      val df = (1 to n).map(_.toLong).toDF("id")
+      val got = df
+        .select(col("id"),
+          GlobalRank.ntileFromRank(col("id"), lit(n.toLong), k).as("t"))
+        .as[(Long, Long)].collect().toMap
+      val want = df
+        .withColumn("t", ntile(k).over(Window.orderBy("id")))
+        .as[(Long, Int)].collect().map { case (i, t) => i -> t.toLong }.toMap
+      assert(got == want, s"ntile mismatch at n=$n k=$k")
+    }
+  }
+
+  test("plan carries no empty-partition window and folds offsets as literals") {
+    val sess = spark; import sess.implicits._
+    val df = (1 to 100).map(_.toLong).toDF("id")
+    val ranked = GlobalRank.withRank(df, Seq(col("id")), "i", numPartitions = 4)
+    val p = ranked.queryExecution.executedPlan.toString
+    // downstream of the checkpoint: a pure projection over ExistingRDD
+    assert(p.contains("Scan ExistingRDD"), s"no materialized rank base:\n$p")
+    assert(!p.contains("Window"), s"window leaked past the rank build:\n$p")
+    assert(!p.contains("Exchange"), s"offset fold should be map-side:\n$p")
+  }
+}

@@ -486,6 +486,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     p.linesIterator.count(l =>
       l.contains("FileScan parquet") && l.contains(marker))
 
+  test("gini / RFM run NO single-reducer window (two-pass GlobalRank)") {
+    // r8 verdict's "weak family": q21/q22 ran row_number()/ntile OVER
+    // (ORDER BY …) — a single-partition sort. Both now rank via
+    // GlobalRank (range partition → local rank → literal offset fold)
+    // inside a memoized build; the served plan must carry no Window
+    // operator at all and never re-scan orders past the checkpoint.
+    Seq("q21_gini_spend", "q22_rfm_segments").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q still runs a window (single-reducer rank came back):\n$p")
+      assert(corpusScans(p, "o_custkey#") == 0,
+        s"$q re-scans orders downstream of the ranked checkpoint:\n$p")
+      assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+        s"$q does not read the materialized ranked frame:\n$p")
+    }
+  }
+
   test("corpus-pass operators hold their locked FileScan budgets") {
     // (query, marker, budget, justification-if-budget>0)
     val budgets = Seq(
