@@ -120,10 +120,11 @@ object Bench {
       try graft.queries.EmbeddingQueries.ivfRecallReport(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] ivf recall failed: ${e.getMessage}")
-        graft.queries.EmbeddingQueries.IvfRecallReport(-1.0, -1.0, Nil)
+        graft.queries.EmbeddingQueries.IvfRecallReport(-1.0, -1.0, Nil, Nil)
       }
-    val curveJson = rec.curve
-      .map { case (n, r) => "\"" + n + "\":" + r }.mkString("{", ",", "}")
+    def icurve(c: Seq[(Int, Double)]) =
+      c.map { case (n, r) => "\"" + n + "\":" + r }.mkString("{", ",", "}")
+    val curveJson = icurve(rec.curve)
     // MinHash-LSH measured recall vs brute-force ground truth (the text
     // dedup mate of the IVF curve; geometry predicts ≥ 0.9999 at J=0.7,
     // so any visible dip flags a banding/hash regression).
@@ -133,26 +134,29 @@ object Bench {
         System.err.println(s"[bench] lsh recall failed: ${e.getMessage}")
         (-1.0, -1L, -1L, -1L)
       }
-    // ADC quality artifact: overlap@5 of the IVF-PQ asymmetric ranking
-    // vs the exact in-cell top-5, for the gated seed codebooks and the
-    // Lloyd-trained ones (coarse quantizer held fixed, so the pair
-    // isolates what PQ training buys the search). Ungated by design.
+    // ADC quality artifact: recall@5 at the SHIPPED configuration
+    // (trained integer-Lloyd codebooks, nprobe=4, shortlist R=64) —
+    // seed vs trained isolates what PQ training buys the ADC ranking,
+    // rerank is the shipped two-stage number, and the curve sweeps the
+    // shortlist width R (the deployment accuracy knob). Ungated by
+    // design; r9 verdict #1's ≥0.6 target reads from `rerank`.
     val adc =
       try graft.queries.EmbeddingQueries.adcRecallReport(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] adc recall failed: ${e.getMessage}")
-        graft.queries.EmbeddingQueries.AdcRecallReport(-1.0, -1.0, -1.0)
+        graft.queries.EmbeddingQueries.AdcRecallReport(-1.0, -1.0, -1.0, Nil)
       }
     // Binary-quantization quality artifact: recall@5 of the Hamming-only
-    // top-5 and the exact-reranked top-20 shortlist vs the true cosine
-    // top-5 (the sign-bit mate of adc_recall_at5; the rerank ≥ hamming
-    // dominance is the gated theorem in EmbeddingSpec, these are the
-    // measured absolute numbers).
+    // top-5 and the exact-reranked top-R shortlist (shipped R=100) vs
+    // the true cosine top-5, plus the recall-vs-shortlist curve (the
+    // sign-bit mate of adc_recall_at5; the rerank ≥ hamming dominance
+    // is the gated theorem in EmbeddingSpec, these are the measured
+    // absolute numbers).
     val bin =
       try graft.queries.EmbeddingQueries.binaryRecallReport(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] binary recall failed: ${e.getMessage}")
-        graft.queries.EmbeddingQueries.BinaryRecallReport(-1.0, -1.0)
+        graft.queries.EmbeddingQueries.BinaryRecallReport(-1.0, -1.0, Nil)
       }
     val degradedJson = degraded.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contaminatedJson = contaminated
@@ -163,10 +167,13 @@ object Bench {
         s""""degraded":$degradedJson,"cold_contaminated":$contaminatedJson,""" +
         s""""ivf_recall_at3":{"sampled":${rec.sampled},"trained":${rec.trained}},""" +
         s""""ivf_recall_curve":$curveJson,""" +
+        s""""ivf_recall_curve_sampled":${icurve(rec.sampledCurve)},""" +
         s""""lsh_recall_at_j07":{"recall":$lshRec,"exact_pairs":$nExact,""" +
         s""""lsh_pairs":$nLsh,"found":$nBoth},""" +
-        s""""adc_recall_at5":{"seed":${adc.seed},"trained":${adc.trained},"rerank":${adc.rerank}},""" +
-        s""""binary_recall_at5":{"hamming":${bin.hamming},"rerank":${bin.rerank}},""" +
+        s""""adc_recall_at5":{"seed":${adc.seed},"trained":${adc.trained},""" +
+        s""""rerank":${adc.rerank},"curve_by_shortlist":${icurve(adc.curve)}},""" +
+        s""""binary_recall_at5":{"hamming":${bin.hamming},"rerank":${bin.rerank},""" +
+        s""""curve_by_shortlist":${icurve(bin.curve)}},""" +
         s""""failures":$failures,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")

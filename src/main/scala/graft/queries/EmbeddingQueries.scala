@@ -154,7 +154,14 @@ object EmbeddingQueries extends QuerySet {
   // search is part of graft's pipeline extension, not a port.
   private val IvfSeedIds = Seq(5, 15, 25, 35, 45, 55, 65, 75)
   private val IvfProbeIds = Seq(7, 42, 99)
-  private val IvfNProbe = 2
+  // Shipped operating point (r9 verdict #6): nprobe=2 measured
+  // recall@3 of 0.467/0.5 (sampled/trained) — below useful; the
+  // recall-vs-nprobe curve says nprobe=4 buys 0.667/0.867 for 2× the
+  // candidate work, and the cell-balance readout (ann_ivf_cell_balance)
+  // shows no hot cell making that 2× regressive. At deployment scale
+  // the knob is nprobe/K with K in the thousands; 4-of-8 here keeps the
+  // same prune-half shape the curve artifact (BENCH) documents.
+  private val IvfNProbe = 4
 
   private val ivfTopk = QueryDef(
     "ann_ivf_topk",
@@ -176,7 +183,7 @@ object EmbeddingQueries extends QuerySet {
            |cells AS (SELECT vec_id, sid AS cell FROM r WHERE srn = 1),
            |pcells AS (
            |  SELECT vec_id AS probe_id, sid AS pcell FROM r
-           |  WHERE srn <= 2 AND vec_id IN (7, 42, 99)),
+           |  WHERE srn <= 4 AND vec_id IN (7, 42, 99)),
            |s AS (
            |  SELECT p.probe_id, c.cell, c.vec_id AS neighbor_id,
            |         round(list_aggregate(list_transform(range(1, len(pv.v) + 1),
@@ -329,7 +336,8 @@ object EmbeddingQueries extends QuerySet {
   /** Recall artifact: shipped-nprobe recall@3 for both quantizers plus
     * the trained quantizer's recall-vs-nprobe curve. */
   final case class IvfRecallReport(
-      sampled: Double, trained: Double, curve: Seq[(Int, Double)])
+      sampled: Double, trained: Double, curve: Seq[(Int, Double)],
+      sampledCurve: Seq[(Int, Double)] = Nil)
 
   /** Measured recall@3 (vs brute-force cosine ground truth) of the IVF
     * search: at the shipped nprobe=2 for the sampled-seed quantizer
@@ -397,7 +405,8 @@ object EmbeddingQueries extends QuerySet {
       // quantizers, not a normalized stand-in.
       IvfRecallReport(
         recall(seeds, IvfNProbe), recall(trained, IvfNProbe),
-        nprobes.map(n => n -> recall(trained, n)))
+        nprobes.map(n => n -> recall(trained, n)),
+        nprobes.map(n => n -> recall(seeds, n)))
     } finally e.unpersist()
   }
 
@@ -823,14 +832,13 @@ object EmbeddingQueries extends QuerySet {
   private val PqRounds = 2
 
   /** objectives(j)(r): Σ‖sub_j − c(sub_j)‖² over the training sample,
-    * for subspace j with round r's codebook, r = 0..PqRounds. */
+    * for subspace j with round r's codebook, r = 0..PqRounds. (The
+    * books the GATED ADC paths fold are the engine-exact integer-u6
+    * ones from pqTrainedBooksU6 below; this double-avg loop exists to
+    * gate the Lloyd objective-descent theorem, whose 0.05-slack
+    * comparison tolerates summation-order noise the hash gate
+    * cannot.) */
   private def pqObjectives(e: DataFrame): Seq[Seq[Double]] = pqTrainAll(e)._1
-
-  /** The trained codebooks pqObjectives ends on: cents(j)(c) = the
-    * round-PqRounds centroid c of subspace j (what a deployment would
-    * persist and fold into the ADC literals). */
-  private[queries] def pqTrainedCodebooks(e: DataFrame): Seq[Seq[Seq[Double]]] =
-    pqTrainAll(e)._2
 
   private def pqTrainAll(e: DataFrame): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
     def rounded(v: Seq[Double]): Seq[Double] = v.map(x => math.rint(x * 1e6) / 1e6)
@@ -902,6 +910,177 @@ object EmbeddingQueries extends QuerySet {
         .toDF("subspace", "round", "objective_improved")
         .orderBy("subspace", "round")
     })
+
+  // ---- engine-exact trained PQ codebooks (integer micro-unit Lloyd) ------
+  // r9 verdict #1 (carried r8 #5): the gated ADC/rerank paths must rank
+  // with TRAINED codebooks, not the round-0 seed slices — measured
+  // rerank recall@5 was stuck at 0.30 with seeds. pqObjectives above
+  // proves training improves the objective but its double-avg update is
+  // summation-order-sensitive, so its books can't be hash-compared to a
+  // DuckDB re-derivation. This second training loop restates Lloyd's so
+  // both engines derive BIT-IDENTICAL books from the data alone:
+  //  - codebooks live in INTEGER MICRO-UNITS (u6 = round(x·1e6), the
+  //    KL/surprisal partial-agg discipline); the real-valued centroid
+  //    u6/1e6 is exactly representable in double, so every downstream
+  //    cross-engine double op sees identical inputs;
+  //  - the assignment argmin compares BIGINT u6 distances (ties to the
+  //    lower cid), never raw doubles;
+  //  - the update step is an integer mean: ((Σ u6 + n·OFFSET) div n) −
+  //    OFFSET with OFFSET = 32e6 keeping the numerator nonnegative, so
+  //    floor- vs truncate-division semantics can never diverge between
+  //    engines (the summands are order-independent BIGINT adds; |x| of
+  //    this corpus is < 1, so the offset is 50× conservative).
+  // 100 TB shape: per round ONE map-side assignment pass (codebook
+  // literals folded into the projection — zero corpus exchanges) into a
+  // (subspace, cell, dim)-keyed partial-sum aggregation; the driver
+  // collects exactly 8×16×8 = 1024 rows per round, never corpus-sized
+  // state. The oracle unrolls the same two rounds in SQL
+  // (pqTrainedSqlPrefix below), so the gate proves the whole
+  // train→encode→search pipeline end-to-end.
+  private val PqMeanOffset = 32000000L
+
+  /** round(x·1e6) with HALF_UP — BigDecimal mirrors Spark's `round`
+    * and DuckDB's `round` (both half-away-from-zero on negatives,
+    * where math.rint would round half-to-even). */
+  private[queries] def pqU6(x: Double): Long =
+    BigDecimal(x * 1000000.0)
+      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** u6 books → (real centroids, per-centroid ‖c‖²) — c2 folded with
+    * the same left-to-right double sum DuckDB's list_aggregate runs. */
+  private def pqCents(books: Seq[Seq[Seq[Long]]])
+      : (Seq[Seq[Seq[Double]]], Seq[Seq[Double]]) = {
+    val cents = books.map(_.map(_.map(_ / 1000000.0)))
+    (cents, cents.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x))))
+  }
+
+  /** Integer ADC distance term in micro-units: round((‖c‖² − 2·sub·c)
+    * ·1e6) as BIGINT — the cross-engine-exact ranking unit. */
+  private def adcTermU6(sub: org.apache.spark.sql.Column,
+      cv: org.apache.spark.sql.Column, cc: org.apache.spark.sql.Column) =
+    round((cc - lit(2.0) * call_function("dot_f64", sub, cv)) * lit(1000000.0), 0)
+      .cast("long")
+
+  /** argmin-cid code assignment for subspace j against literal-folded
+    * centroids (ties to the lower cid — (d, cid) struct sort). */
+  private def pqCodeExpr(cents: Seq[Seq[Seq[Double]]], c2: Seq[Seq[Double]],
+      j: Int): org.apache.spark.sql.Column =
+    element_at(array_sort(array(cents(j).zipWithIndex.map { case (cv, ci) =>
+      struct(adcTermU6(slice(col("v"), j * PqSubDim + 1, PqSubDim),
+        array(cv.map(lit): _*), lit(c2(j)(ci))).as("d"), lit(ci).as("cid"))
+    }: _*)), 1).getField("cid")
+
+  private val pqBooksCache =
+    new graft.operators.SessionMemo[String, Seq[Seq[Seq[Long]]]]()
+
+  /** books(j)(cid) = 8 u6 components of subspace j's centroid cid after
+    * PqRounds integer-Lloyd rounds from the vec_id<16 seed slices.
+    * Memoized per (session, dir) — a deployment trains once at index
+    * build; warm serving folds the same literals. */
+  private[queries] def pqTrainedBooksU6(s: SparkSession, dir: String): Seq[Seq[Seq[Long]]] =
+    pqBooksCache.getOrElseUpdate(s, dir) {
+      val e = withNorm(s, dir)
+      val seed = e.filter(col("vec_id") < PqK)
+        .select(col("vec_id").cast("int").as("sid"), col("v"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1).map(_._2)
+      var books: Seq[Seq[Seq[Long]]] = (0 until PqSubspaces).map(j =>
+        seed.map(v => v.slice(j * PqSubDim, (j + 1) * PqSubDim).map(pqU6).toSeq).toSeq)
+      for (_ <- 1 to PqRounds) {
+        val (cents, c2) = pqCents(books)
+        val coded = e.select(col("v") +:
+          (0 until PqSubspaces).map(j => pqCodeExpr(cents, c2, j).as(s"c_$j")): _*)
+        // one partial-agg pass: (subspace, cell, dim) → (Σ u6, n)
+        val parts = coded.select(explode(array((for {
+            j <- 0 until PqSubspaces; d <- 0 until PqSubDim
+          } yield struct(lit(j).as("j"), col(s"c_$j").as("cid"), lit(d).as("d"),
+            round(col("v").getItem(j * PqSubDim + d) * lit(1000000.0), 0)
+              .cast("long").as("xu"))): _*)).as("t"))
+          .select(col("t.j"), col("t.cid"), col("t.d"), col("t.xu"))
+          .groupBy("j", "cid", "d")
+          .agg(sum("xu").as("su"), count(lit(1)).as("n"))
+          .collect()
+          .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+            (r.getLong(3), r.getLong(4))))
+          .toMap
+        books = books.zipWithIndex.map { case (cells, j) =>
+          cells.zipWithIndex.map { case (old, ci) =>
+            if (parts.contains((j, ci, 0)))
+              (0 until PqSubDim).map { d =>
+                val (su, n) = parts((j, ci, d))
+                (su + n * PqMeanOffset) / n - PqMeanOffset
+              }
+            else old // an emptied cell keeps its previous centroid
+          }
+        }
+      }
+      books
+    }
+
+  /** Oracle mirror of pqTrainedBooksU6 + the shared IVF prelude: ends
+    * at CTEs `cells`/`pcells` (coarse routing at the shipped nprobe=4)
+    * and `cc` (j, cid, cv DOUBLE[], c2) — the trained codebook the ADC
+    * tails consume. Each round: u6→double centroids, BIGINT-distance
+    * argmin assignment (ties to lower cid), offset integer mean, with
+    * emptied cells keeping their previous centroid via LEFT JOIN. */
+  private val pqTrainedSqlPrefix: String = {
+    def roundSql(r: Int) = s"""cc${r - 1} AS (
+       |  SELECT j, cid, cu, list_transform(cu, u -> u / 1000000.0) AS cv
+       |  FROM cb${r - 1}),
+       |cx${r - 1} AS (
+       |  SELECT j, cid, cv,
+       |         list_aggregate(list_transform(cv, x -> x * x), 'sum') AS c2
+       |  FROM cc${r - 1}),
+       |asg$r AS (
+       |  SELECT vec_id, j, cid FROM (
+       |    SELECT s.vec_id, c.j, c.cid,
+       |           row_number() OVER (PARTITION BY s.vec_id, c.j ORDER BY
+       |             CAST(round((c.c2 - 2.0::DOUBLE * list_aggregate(list_transform(range(1, 9),
+       |                 i -> s.v[c.j * 8 + i] * c.cv[i]), 'sum')) * 1000000.0::DOUBLE, 0) AS BIGINT),
+       |             c.cid) AS rn
+       |    FROM e s CROSS JOIN cx${r - 1} c) t WHERE rn = 1),
+       |m$r AS (
+       |  SELECT a.j, a.cid, d.d,
+       |         CAST((sum(CAST(round(s.v[a.j * 8 + d.d] * 1000000.0, 0) AS BIGINT))
+       |               + count(*) * 32000000) // count(*) - 32000000 AS BIGINT) AS mu
+       |  FROM asg$r a JOIN e s ON s.vec_id = a.vec_id CROSS JOIN range(1, 9) d(d)
+       |  GROUP BY a.j, a.cid, d.d),
+       |cb$r AS (
+       |  SELECT c0.j, c0.cid, coalesce(m.cu, c0.cu) AS cu
+       |  FROM cb${r - 1} c0 LEFT JOIN (
+       |    SELECT j, cid, list(mu ORDER BY d) AS cu FROM m$r GROUP BY j, cid) m
+       |    ON m.j = c0.j AND m.cid = c0.cid),
+       |""".stripMargin
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |d AS (
+      |  SELECT n.vec_id, s.vec_id AS sid,
+      |         list_aggregate(list_transform(range(1, len(n.v) + 1),
+      |             i -> n.v[i] * s.v[i]), 'sum') AS dp
+      |  FROM e n JOIN e s ON s.vec_id IN (5, 15, 25, 35, 45, 55, 65, 75)),
+      |r AS (
+      |  SELECT vec_id, sid,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, sid) AS srn
+      |  FROM d),
+      |cells AS (SELECT vec_id, sid AS cell FROM r WHERE srn = 1),
+      |pcells AS (
+      |  SELECT vec_id AS probe_id, sid AS pcell FROM r
+      |  WHERE srn <= 4 AND vec_id IN (7, 42, 99)),
+      |cb0 AS (
+      |  SELECT j.j AS j, CAST(c.vec_id AS INT) AS cid,
+      |         list_transform(list_slice(c.v, j.j * 8 + 1, j.j * 8 + 8),
+      |                        x -> CAST(round(x * 1000000.0, 0) AS BIGINT)) AS cu
+      |  FROM e c, range(0, 8) j(j) WHERE c.vec_id < 16),
+      |""".stripMargin +
+      (1 to PqRounds).map(roundSql).mkString +
+      s"""cc AS (
+       |  SELECT j, cid, list_transform(cu, u -> u / 1000000.0) AS cv,
+       |         list_aggregate(list_transform(list_transform(cu, u -> u / 1000000.0),
+       |                        x -> x * x), 'sum') AS c2
+       |  FROM cb$PqRounds),
+       |""".stripMargin
+  }
 
   // ---- Johnson–Lindenstrauss random-sign projection ----------------------
   // The dimensionality-reduction front end of every large-scale vector
@@ -992,38 +1171,16 @@ object EmbeddingQueries extends QuerySet {
   // reads 8 small literal lookups per pair, never the candidate's full
   // vector. PlanSpec locks no-cartesian + broadcast; EmbeddingSpec
   // gates ADC ranking quality against the exact in-cell ordering.
-  // Codebooks here are the PQ seed centroids (vec_id < 16 subvectors,
-  // pq_quantizer_trained's round-0 state) so both engines derive the
-  // identical quantizer from the data — the trained codebooks drop in
-  // via the same literal-folding path.
+  // Codebooks are the TRAINED integer-Lloyd books (pqTrainedBooksU6):
+  // both engines derive the identical quantizer from the data, the
+  // oracle by unrolling the same two rounds in SQL — at R=64 the
+  // trained books buy rerank recall@5 0.66 vs 0.44 for the seed
+  // slices (BENCH adc_recall_at5 curve).
   private val AdcTopK = 5
 
   private val ivfpqAdc = QueryDef(
     "ann_ivfpq_adc",
-    Some("""WITH e AS (
-           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-           |d AS (
-           |  SELECT n.vec_id, s.vec_id AS sid,
-           |         list_aggregate(list_transform(range(1, len(n.v) + 1),
-           |             i -> n.v[i] * s.v[i]), 'sum') AS dp
-           |  FROM e n JOIN e s ON s.vec_id IN (5, 15, 25, 35, 45, 55, 65, 75)),
-           |r AS (
-           |  SELECT vec_id, sid,
-           |         row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, sid) AS srn
-           |  FROM d),
-           |cells AS (SELECT vec_id, sid AS cell FROM r WHERE srn = 1),
-           |pcells AS (
-           |  SELECT vec_id AS probe_id, sid AS pcell FROM r
-           |  WHERE srn <= 2 AND vec_id IN (7, 42, 99)),
-           |cb AS (
-           |  SELECT j.j AS j, CAST(c.vec_id AS INT) AS cid,
-           |         list_slice(c.v, j.j * 8 + 1, j.j * 8 + 8) AS cv
-           |  FROM e c, range(0, 8) j(j) WHERE c.vec_id < 16),
-           |cc AS (
-           |  SELECT j, cid, cv,
-           |         list_aggregate(list_transform(cv, x -> x * x), 'sum') AS c2
-           |  FROM cb),
-           |codes AS (
+    Some(pqTrainedSqlPrefix + """codes AS (
            |  SELECT vec_id, j, cid AS code FROM (
            |    SELECT s.vec_id, c.j, c.cid,
            |           row_number() OVER (PARTITION BY s.vec_id, c.j ORDER BY
@@ -1076,27 +1233,11 @@ object EmbeddingQueries extends QuerySet {
       struct((-call_function("dot_f64", col("v"), array(sv.map(lit): _*))).as("nd"),
         lit(sid).as("sid"))
     }: _*))
-    // PQ codebooks: the 16 seed vectors' subspace slices, plus each
-    // centroid's ‖c‖² folded on the driver with the same sequential
+    // TRAINED PQ codebooks (integer-Lloyd, pqTrainedBooksU6): still a
+    // constant-sized side input folded as literals — u6/1e6 centroids
+    // plus each ‖c‖² folded on the driver with the same sequential
     // double sum DuckDB's list_aggregate performs.
-    val pqSeeds = e.filter(col("vec_id") < PqK)
-      .select(col("vec_id").cast("int").as("sid"), col("v"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
-      .sortBy(_._1).map(_._2)
-    val cents: Seq[Seq[Seq[Double]]] = (0 until PqSubspaces).map(j =>
-      pqSeeds.map(v => v.slice(j * PqSubDim, (j + 1) * PqSubDim).toSeq).toSeq)
-    val c2: Seq[Seq[Double]] =
-      cents.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
-    def termU6(j: Int, sub: org.apache.spark.sql.Column,
-        cv: org.apache.spark.sql.Column, cc: org.apache.spark.sql.Column) =
-      round((cc - lit(2.0) * call_function("dot_f64", sub, cv)) * lit(1000000.0), 0)
-        .cast("long")
-    def codeExpr(j: Int) = element_at(array_sort(array(
-      cents(j).zipWithIndex.map { case (cv, ci) =>
-        struct(termU6(j, slice(col("v"), j * PqSubDim + 1, PqSubDim),
-          array(cv.map(lit): _*), lit(c2(j)(ci))).as("d"), lit(ci).as("cid"))
-      }: _*)), 1).getField("cid")
+    val (cents, c2) = pqCents(pqTrainedBooksU6(s, dir))
     // (vec_id, cell, code_0..7) — the serialized IVF-PQ INDEX, the
     // artifact a deployment writes at ingest and every probe reads;
     // materialized once per (session, source) so the per-row
@@ -1105,7 +1246,7 @@ object EmbeddingQueries extends QuerySet {
     val coded = adcIndexCache.getOrElseUpdate(s, dir)(
       e.withColumn("cell", element_at(scoredSeeds, 1).getField("sid"))
         .select(col("vec_id") +: col("cell") +:
-          (0 until PqSubspaces).map(j => codeExpr(j).as(s"code_$j")): _*)
+          (0 until PqSubspaces).map(j => pqCodeExpr(cents, c2, j).as(s"code_$j")): _*)
         .localCheckpoint(true))
     val probes = broadcast(
       e.filter(col("vec_id").isin(IvfProbeIds: _*))
@@ -1118,7 +1259,7 @@ object EmbeddingQueries extends QuerySet {
     // probe-vs-codebook table — spelled as literal-array lookups so
     // the candidate's full vector is never read at scoring time
     val score = (0 until PqSubspaces).map { j =>
-      termU6(j, slice(col("pv"), j * PqSubDim + 1, PqSubDim),
+      adcTermU6(slice(col("pv"), j * PqSubDim + 1, PqSubDim),
         element_at(array(cents(j).map(cv => array(cv.map(lit): _*)): _*),
           col(s"code_$j") + 1),
         element_at(array(c2(j).map(lit): _*), col(s"code_$j") + 1))
@@ -1130,7 +1271,7 @@ object EmbeddingQueries extends QuerySet {
   // ---- two-stage ADC search: shortlist + exact re-rank -------------------
   // The deployment form of IVF-PQ: the asymmetric codes are a RANKING
   // device, not the final metric — the probe takes the ADC top-R
-  // shortlist (R = 20 here, reading 8 bytes per candidate), then
+  // shortlist (R = 64 here, reading 8 bytes per candidate), then
   // fetches only those R full vectors and re-ranks them by EXACT
   // squared L2. Recall@k of this two-stage form is ≥ the ADC-only
   // recall BY THEOREM: every true top-k member the ADC top-k finds is
@@ -1139,39 +1280,21 @@ object EmbeddingQueries extends QuerySet {
   // gates exactly that dominance on a driver replay. The exact
   // distance is spelled (p·p − 2·p·c) + c·c with fixed
   // parenthesization and rounded to 6 decimals in both engines.
+  // R=64 is the measured operating point (r9 verdict #1: R=20 left
+  // rerank recall@5 at 0.30; the BENCH recall-vs-shortlist curve
+  // measures 0.34/0.60/0.66/0.74 at R=20/50/64/100 with the trained
+  // books — 64 codes is one cache line and clears the ≥0.6 bar with
+  // margin while touching 64 of ~N·nprobe/K candidates per probe).
   //
   // 100 TB shape: identical to ann_ivfpq_adc until the shortlist
   // (codes only), then ONE equi join of the R·|probes|-row shortlist
   // back to the vector table — the full-vector fetch a real deployment
   // pays only for shortlist members.
-  private val AdcShortlist = 20
+  private val AdcShortlist = 64
 
   private val ivfpqRerank = QueryDef(
     "ann_ivfpq_rerank",
-    Some("""WITH e AS (
-           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-           |d AS (
-           |  SELECT n.vec_id, s.vec_id AS sid,
-           |         list_aggregate(list_transform(range(1, len(n.v) + 1),
-           |             i -> n.v[i] * s.v[i]), 'sum') AS dp
-           |  FROM e n JOIN e s ON s.vec_id IN (5, 15, 25, 35, 45, 55, 65, 75)),
-           |r AS (
-           |  SELECT vec_id, sid,
-           |         row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, sid) AS srn
-           |  FROM d),
-           |cells AS (SELECT vec_id, sid AS cell FROM r WHERE srn = 1),
-           |pcells AS (
-           |  SELECT vec_id AS probe_id, sid AS pcell FROM r
-           |  WHERE srn <= 2 AND vec_id IN (7, 42, 99)),
-           |cb AS (
-           |  SELECT j.j AS j, CAST(c.vec_id AS INT) AS cid,
-           |         list_slice(c.v, j.j * 8 + 1, j.j * 8 + 8) AS cv
-           |  FROM e c, range(0, 8) j(j) WHERE c.vec_id < 16),
-           |cc AS (
-           |  SELECT j, cid, cv,
-           |         list_aggregate(list_transform(cv, x -> x * x), 'sum') AS c2
-           |  FROM cb),
-           |codes AS (
+    Some(pqTrainedSqlPrefix + """codes AS (
            |  SELECT vec_id, j, cid AS code FROM (
            |    SELECT s.vec_id, c.j, c.cid,
            |           row_number() OVER (PARTITION BY s.vec_id, c.j ORDER BY
@@ -1197,7 +1320,7 @@ object EmbeddingQueries extends QuerySet {
            |  SELECT probe_id, neighbor_id FROM (
            |    SELECT *, row_number() OVER (PARTITION BY probe_id
            |              ORDER BY score_u6, neighbor_id) AS rn FROM sc) t
-           |  WHERE rn <= 20),
+           |  WHERE rn <= 64),
            |ex AS (
            |  SELECT sh.probe_id, sh.neighbor_id,
            |         round((list_aggregate(list_transform(range(1, 65),
@@ -1234,22 +1357,46 @@ object EmbeddingQueries extends QuerySet {
         .orderBy("probe_id", "rn")
     })
 
-  /** ADC quality artifact: mean overlap@5 between the ADC ranking and
-    * the exact in-cell L2 top-5, for the SEED codebooks (the gated
-    * query's quantizer) and the Lloyd-TRAINED ones — the honest "what
-    * does PQ training buy the search" numbers, deliberately ungated
-    * (quantization recall on a random corpus is not a theorem). The
-    * probe set is the recall-curve's 10 probes; the coarse quantizer
-    * is held fixed (seed cells) so the two numbers isolate the PQ
-    * codebook's contribution. Driver-side replay over the collected
-    * corpus — this is an AUDIT artifact (like the spec's exact replay),
-    * not a serving path; the corpus at bench scale is ~2k vectors. */
-  final case class AdcRecallReport(seed: Double, trained: Double, rerank: Double)
+  /** Deterministic audit sample of the corpus for the driver-side
+    * recall replays (r9 verdict #9: the old reports collected the FULL
+    * vector set — corpus-sized driver state). A vec_id stride keeps
+    * ~`cap` rows plus every id the replay must see (probes, seeds, PQ
+    * seed slices); at bench scale (≤ 2k vectors) the stride is 1 and
+    * the replay is exact, at 100 TB the diagnostic stays bounded. */
+  private val AdcAuditCap = 4096L
+
+  private def auditVectors(s: SparkSession, dir: String,
+      keep: Seq[Long]): Map[Long, Array[Double]] = {
+    val e = withNorm(s, dir)
+    val stride = math.max(1L, e.count() / AdcAuditCap)
+    val src = if (stride <= 1L) e
+      else e.filter(pmod(col("vec_id"), lit(stride)) === 0 ||
+        col("vec_id").isin(keep: _*))
+    src.select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+  }
+
+  /** ADC quality artifact: mean recall@5 vs the exact in-cell L2 top-5
+    * over the recall-curve's 10 probes at the SHIPPED configuration
+    * (trained u6 books, nprobe=4) — `seed`/`trained` compare the
+    * ADC-only ranking under the round-0 seed books vs the trained ones
+    * (what training buys), `rerank` is the shipped two-stage number
+    * (trained books, R = AdcShortlist), and `curve` sweeps the
+    * shortlist width R — the accuracy knob a deployment tunes.
+    * Deliberately ungated (quantization recall on a random corpus is
+    * not a theorem); the replay mirrors the gated integer-u6 ranking
+    * discipline exactly. Driver-side audit over auditVectors' bounded
+    * sample. */
+  final case class AdcRecallReport(seed: Double, trained: Double,
+      rerank: Double, curve: Seq[(Int, Double)])
+
+  private val AdcCurveR = Seq(5, 10, 20, 50, 64, 100)
 
   def adcRecallReport(s: SparkSession, dir: String): AdcRecallReport = {
-    val e = withNorm(s, dir)
-    val v = e.select(col("vec_id"), col("v")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val probeIds = (7 to 97 by 10).map(_.toLong)
+    val mustKeep = probeIds ++ IvfSeedIds.map(_.toLong) ++
+      (0 until PqK).map(_.toLong)
+    val v = auditVectors(s, dir, mustKeep)
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s0 = 0.0; var i = 0
       while (i < a.length) { s0 += a(i) * b(i); i += 1 }; s0
@@ -1259,26 +1406,30 @@ object EmbeddingQueries extends QuerySet {
       seeds.zipWithIndex.map { case (sv, i) => (-dot(x, sv), i) }.sorted
         .take(n).map(_._2)
     val cellOf = v.keys.map(id => id -> cellsOf(v(id), 1).head).toMap
-    val seedBooks: Seq[Seq[Seq[Double]]] = (0 until PqSubspaces).map(j =>
-      (0 until PqK).map(c => v(c.toLong).slice(j * PqSubDim, (j + 1) * PqSubDim).toSeq))
-    val trainedBooks = pqTrainedCodebooks(e)
-    def overlap(books: Seq[Seq[Seq[Double]]]): (Double, Double) = {
-      val cents = books.map(_.map(_.toArray))
+    // round-0 (seed) u6 books vs the trained ones — same integer
+    // discipline as the gated path, so `trained` IS the shipped ranking
+    val seedBooks: Seq[Seq[Seq[Long]]] = (0 until PqSubspaces).map(j =>
+      (0 until PqK).map(c =>
+        v(c.toLong).slice(j * PqSubDim, (j + 1) * PqSubDim).toSeq.map(pqU6)))
+    val trainedBooks = pqTrainedBooksU6(s, dir)
+    def termU6(sub: Array[Double], cv: Array[Double]): Long =
+      BigDecimal((dot(cv, cv) - 2.0 * dot(sub, cv)) * 1000000.0)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    /** per-probe (adcOnly@5, recall-by-shortlist) under `books` */
+    def replay(booksU6: Seq[Seq[Seq[Long]]]): (Double, Seq[(Int, Double)]) = {
+      val cents = booksU6.map(_.map(_.map(_ / 1000000.0).toArray))
       def codesOf(x: Array[Double]) = (0 until PqSubspaces).map { j =>
         val sub = x.slice(j * PqSubDim, (j + 1) * PqSubDim)
-        (0 until PqK).map(c =>
-          (dot(cents(j)(c), cents(j)(c)) - 2.0 * dot(sub, cents(j)(c)), c)).min._2
+        (0 until PqK).map(c => (termU6(sub, cents(j)(c)), c)).min._2
       }
-      val probes = (7 to 97 by 10).map(_.toLong).filter(v.contains)
+      val probes = probeIds.filter(v.contains)
       val hits = probes.map { p =>
         val pcells = cellsOf(v(p), IvfNProbe).toSet
         val cand = v.keys.filter(id => id != p && pcells.contains(cellOf(id))).toSeq
         val adcRanked = cand.map { id =>
           val cs = codesOf(v(id))
-          val sc = (0 until PqSubspaces).map { j =>
-            val cv = cents(j)(cs(j))
-            dot(cv, cv) - 2.0 * dot(v(p).slice(j * 8, j * 8 + 8), cv)
-          }.sum
+          val sc = (0 until PqSubspaces).map(j =>
+            termU6(v(p).slice(j * PqSubDim, (j + 1) * PqSubDim), cents(j)(cs(j)))).sum
           (id, sc)
         }.sortBy { case (id, sc) => (sc, id) }.map(_._1)
         def exactOrder(ids: Seq[Long]) = ids.map { id =>
@@ -1286,17 +1437,20 @@ object EmbeddingQueries extends QuerySet {
           (id, d)
         }.sortBy { case (id, d) => (d, id) }.map(_._1)
         val exact = exactOrder(cand).take(5).toSet
-        val adc5 = adcRanked.take(5).toSet
-        // two-stage: exact re-rank of the ADC top-20 shortlist
-        val rerank5 = exactOrder(adcRanked.take(20)).take(5).toSet
-        (exact.intersect(adc5).size.toDouble / exact.size,
-          exact.intersect(rerank5).size.toDouble / exact.size)
+        val adc5 = exact.intersect(adcRanked.take(5).toSet).size.toDouble / exact.size
+        val byR = AdcCurveR.map(r => r ->
+          exact.intersect(exactOrder(adcRanked.take(r)).take(5).toSet)
+            .size.toDouble / exact.size)
+        (adc5, byR)
       }
       def mean(xs: Seq[Double]) = math.rint(xs.sum / xs.size * 1000) / 1000
-      (mean(hits.map(_._1)), mean(hits.map(_._2)))
+      (mean(hits.map(_._1)),
+        AdcCurveR.map(r => r -> mean(hits.map(_._2.toMap.apply(r)))))
     }
-    val (seedAdc, seedRerank) = overlap(seedBooks)
-    AdcRecallReport(seedAdc, overlap(trainedBooks)._1, seedRerank)
+    val (seedAdc, _) = replay(seedBooks)
+    val (trainedAdc, curve) = replay(trainedBooks)
+    AdcRecallReport(seedAdc, trainedAdc,
+      curve.toMap.getOrElse(AdcShortlist, -1.0), curve)
   }
 
   // ---- hard-negative mining ----------------------------------------------
@@ -1400,7 +1554,7 @@ object EmbeddingQueries extends QuerySet {
   // deployment form of binary quantization (the sign codes are a
   // RANKING device like the PQ ADC scores, never the final metric).
   // The corpus scan against each broadcast probe costs ONE xor+popcount
-  // per 32 dims instead of 32 double multiplies; the per-probe top-20
+  // per 32 dims instead of 32 double multiplies; the per-probe top-R
   // shortlist collapses through the rank filter, and only shortlist
   // members' full vectors are fetched (one equi join) for the exact
   // cosine re-rank. Recall@5 of the two-stage form dominates
@@ -1408,8 +1562,13 @@ object EmbeddingQueries extends QuerySet {
   // among the exact top-5 of the whole candidate set, so at most 4
   // shortlist members beat it under the true metric) — EmbeddingSpec
   // gates that dominance per probe on a driver replay; Bench measures
-  // the actual recall numbers (binary_recall_at5).
-  private val BinShortlist = 20
+  // the actual recall numbers (binary_recall_at5). R=100 is the
+  // measured operating point (r9 verdict: R=20 left rerank recall@5 at
+  // 0.30; the BENCH curve measures 0.30/0.44/0.68 at R=20/50/100 —
+  // one-bit-per-dim codes rank coarsely on this corpus, so the
+  // shortlist must be wide; 100 full-vector fetches per probe is still
+  // a constant, corpus-size-independent cost).
+  private val BinShortlist = 100
 
   private val binaryRerank = QueryDef(
     "ann_binary_rerank",
@@ -1425,7 +1584,7 @@ object EmbeddingQueries extends QuerySet {
       |  SELECT probe_id, vec_id, hamming FROM (
       |    SELECT *, row_number() OVER (PARTITION BY probe_id
       |              ORDER BY hamming, vec_id) AS hrn FROM h) t
-      |  WHERE hrn <= 20),
+      |  WHERE hrn <= 100),
       |ex AS (
       |  SELECT sh.probe_id, sh.vec_id AS neighbor_id, sh.hamming,
       |         round(list_aggregate(list_transform(range(1, len(pv.v) + 1),
@@ -1458,7 +1617,7 @@ object EmbeddingQueries extends QuerySet {
       val nvecs = e.select(col("vec_id").as("neighbor_id"),
         col("v").as("cv"), col("nrm").as("cn"))
       val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
-      // the shortlist is |probes|·20 rows — broadcast it so the
+      // the shortlist is |probes|·R rows — broadcast it so the
       // full-vector fetch streams the corpus through a BroadcastHashJoin
       // instead of shuffling it on neighbor_id
       broadcast(short).join(pvecs, "probe_id").join(nvecs, "neighbor_id")
@@ -1478,20 +1637,25 @@ object EmbeddingQueries extends QuerySet {
     * EmbeddingSpec, the absolute numbers are measured (Bench) and
     * deliberately ungated — sign-bit recall on a random corpus is not
     * a theorem. */
-  final case class BinaryRecallReport(hamming: Double, rerank: Double)
+  final case class BinaryRecallReport(hamming: Double, rerank: Double,
+      curve: Seq[(Int, Double)])
+
+  private val BinCurveR = Seq(20, 50, 100)
 
   def binaryRecallReport(s: SparkSession, dir: String): BinaryRecallReport = {
-    val rows = perProbeBinaryRecall(s, dir)
     def mean(xs: Seq[Double]) = math.rint(xs.sum / xs.size * 1000) / 1000
-    BinaryRecallReport(mean(rows.map(_._2)), mean(rows.map(_._3)))
+    val shipped = perProbeBinaryRecall(s, dir)
+    BinaryRecallReport(mean(shipped.map(_._2)), mean(shipped.map(_._3)),
+      BinCurveR.map(r => r ->
+        mean(perProbeBinaryRecall(s, dir, r).map(_._3))))
   }
 
   /** (probe_id, hammingOnlyRecall@5, rerankRecall@5) per probe — the
-    * spec gates rerank >= hamming row by row (the shortlist theorem). */
-  def perProbeBinaryRecall(s: SparkSession, dir: String): Seq[(Long, Double, Double)] = {
-    val e = withNorm(s, dir)
-    val v = e.select(col("vec_id"), col("v")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    * spec gates rerank >= hamming row by row (the shortlist theorem).
+    * Driver-side audit over auditVectors' bounded sample. */
+  def perProbeBinaryRecall(s: SparkSession, dir: String,
+      shortlist: Int = BinShortlist): Seq[(Long, Double, Double)] = {
+    val v = auditVectors(s, dir, (7 to 97 by 10).map(_.toLong))
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s0 = 0.0; var i = 0
       while (i < a.length) { s0 += a(i) * b(i); i += 1 }; s0
@@ -1519,7 +1683,7 @@ object EmbeddingQueries extends QuerySet {
         (id, java.lang.Long.bitCount(lo ^ plo) + java.lang.Long.bitCount(hi ^ phi))
       }.sortBy { case (id, h) => (h, id) }.map(_._1)
       val ham5 = hamRanked.take(5).toSet
-      val rerank5 = cosOrder(hamRanked.take(BinShortlist)).take(5).toSet
+      val rerank5 = cosOrder(hamRanked.take(shortlist)).take(5).toSet
       (p, truth.intersect(ham5).size / 5.0, truth.intersect(rerank5).size / 5.0)
     }
   }

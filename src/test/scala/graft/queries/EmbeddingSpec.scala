@@ -98,14 +98,42 @@ class EmbeddingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // cells: argmax dot with the seed vectors, ties to the lower sid
     def cellsOf(x: Array[Double], n: Int): Seq[Long] =
       seedIds.map(s => (-dot(x, v(s)), s)).sorted.take(n).map(_._2)
-    // PQ codebooks: subspace slices of vec_id < 16
-    val cents = (0 until 8).map(j => (0 until 16).map(c =>
-      v(c.toLong).slice(j * 8, j * 8 + 8)))
     // HALF_UP (away from zero) matches Spark's round() and DuckDB's on
     // negatives, where math.round would round toward +inf
-    def termU6(sub: Array[Double], cv: Array[Double]): Long =
-      BigDecimal((dot(cv, cv) - 2.0 * dot(sub, cv)) * 1000000.0)
+    def u6(x: Double): Long =
+      BigDecimal(x * 1000000.0)
         .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    def termU6(sub: Array[Double], cv: Array[Double]): Long = {
+      val c2 = cv.foldLeft(0.0)((a, x) => a + x * x)
+      u6(c2 - 2.0 * dot(sub, cv))
+    }
+    // TRAINED codebooks, re-derived independently: two integer-Lloyd
+    // rounds from the vec_id<16 seed slices — u6 centroids, BIGINT
+    // distance argmin (ties to lower cid), offset integer mean,
+    // emptied cells keep their previous centroid. This is scalar
+    // driver code sharing nothing with the DataFrame training job.
+    var books: IndexedSeq[IndexedSeq[Array[Long]]] =
+      (0 until 8).map(j => (0 until 16).map(c =>
+        v(c.toLong).slice(j * 8, j * 8 + 8).map(u6)))
+    for (_ <- 1 to 2) {
+      books = (0 until 8).map { j =>
+        val cs = books(j).map(_.map(_ / 1000000.0))
+        val assign = v.toSeq.map { case (_, x) =>
+          val sub = x.slice(j * 8, j * 8 + 8)
+          ((0 until 16).map(c => (termU6(sub, cs(c)), c)).min._2, sub)
+        }
+        (0 until 16).map { c =>
+          val mem = assign.filter(_._1 == c).map(_._2)
+          if (mem.isEmpty) books(j)(c)
+          else (0 until 8).map { d =>
+            val su = mem.map(m => u6(m(d))).sum
+            val n = mem.size.toLong
+            (su + n * 32000000L) / n - 32000000L
+          }.toArray
+        }
+      }
+    }
+    val cents = books.map(_.map(_.map(_ / 1000000.0)))
     def codesOf(x: Array[Double]): Seq[Int] =
       (0 until 8).map { j =>
         val sub = x.slice(j * 8, j * 8 + 8)
@@ -113,7 +141,7 @@ class EmbeddingSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     val cellOf = v.keys.map(id => id -> cellsOf(v(id), 1).head).toMap
     val expect = probeIds.flatMap { p =>
-      val pcells = cellsOf(v(p), 2).toSet
+      val pcells = cellsOf(v(p), 4).toSet
       val cand = v.keys.filter(id => id != p && pcells.contains(cellOf(id)))
       val scored = cand.map { id =>
         val codes = codesOf(v(id))
@@ -133,7 +161,7 @@ class EmbeddingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // recover a reasonable share of the EXACT-distance top-5 (the
     // asymmetric approximation loses precision but not the plot)
     def exactTop5(p: Long): Set[Long] = {
-      val pcells = cellsOf(v(p), 2).toSet
+      val pcells = cellsOf(v(p), 4).toSet
       v.keys.filter(id => id != p && pcells.contains(cellOf(id)))
         .map { id =>
           val d = v(p).zip(v(id)).map { case (a, b) => (a - b) * (a - b) }.sum
@@ -159,7 +187,7 @@ class EmbeddingSpec extends AnyFunSuite with BeforeAndAfterAll {
       seedIds.map(s => (-dot(x, v(s)), s)).sorted.take(n).map(_._2)
     val cellOf = v.keys.map(id => id -> cellsOf(v(id), 1).head).toMap
     def exactTop5(p: Long): Set[Long] = {
-      val pcells = cellsOf(v(p), 2).toSet
+      val pcells = cellsOf(v(p), 4).toSet
       v.keys.filter(id => id != p && pcells.contains(cellOf(id)))
         .map { id =>
           val d = v(p).zip(v(id)).map { case (a, b) => (a - b) * (a - b) }.sum
@@ -223,7 +251,7 @@ class EmbeddingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val short = v.keys.filter(_ != p).map { id =>
         val (lo, hi) = codes(id)
         (id, java.lang.Long.bitCount(lo ^ plo) + java.lang.Long.bitCount(hi ^ phi))
-      }.toSeq.sortBy { case (id, h) => (h, id) }.take(20)
+      }.toSeq.sortBy { case (id, h) => (h, id) }.take(100)
       short.map { case (id, h) =>
         val c = math.rint(dot(v(p), v(id)) /
           (math.sqrt(dot(v(p), v(p))) * math.sqrt(dot(v(id), v(id)))) * 1e6) / 1e6

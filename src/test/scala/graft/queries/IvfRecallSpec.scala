@@ -18,10 +18,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *    IS brute force — recall 1.0 ≥ the 0.9 a user of an ANN index
   *    expects the knob to reach.
   *
-  * The shipped-nprobe numbers (sampled vs trained at nprobe=2) stay
+  * The shipped-nprobe numbers (sampled vs trained at nprobe=4) stay
   * ungated: recall at FIXED nprobe is legitimately non-monotone in
-  * Lloyd training. Bench emits the whole curve per round
-  * (BENCH.json `ivf_recall_curve`).
+  * Lloyd training. Bench emits both quantizers' whole curves per round
+  * (BENCH.json `ivf_recall_curve` / `ivf_recall_curve_sampled`).
   */
 class IvfRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -49,7 +49,14 @@ class IvfRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"recall must be monotone in nprobe: ${rep.curve}")
     assert(recalls.last >= 0.9,
       s"nprobe=8 probes every cell (brute-force equivalent): ${rep.curve}")
-    // the shipped operating point is on the same curve
-    assert(rep.trained == rep.curve.toMap.apply(2), (rep.trained, rep.curve))
+    // the shipped operating point (nprobe=4, r9 verdict #6) is on the
+    // same curve; the sampled-quantizer curve obeys the same theorems
+    assert(rep.trained == rep.curve.toMap.apply(4), (rep.trained, rep.curve))
+    val sampled = rep.sampledCurve.map(_._2)
+    assert(sampled.sliding(2).forall(p => p.head <= p.last),
+      s"sampled-quantizer recall must be monotone in nprobe: ${rep.sampledCurve}")
+    assert(sampled.last >= 0.9, rep.sampledCurve)
+    assert(rep.sampled == rep.sampledCurve.toMap.apply(4),
+      (rep.sampled, rep.sampledCurve))
   }
 }
