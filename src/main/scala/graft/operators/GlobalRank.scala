@@ -31,11 +31,25 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
+  /** Above this partition count the pid→offset fold switches from an
+    * inline CreateMap literal (2·numPartitions expression-tree nodes —
+    * fine at 32, a codegen-limit hazard at thousands) to a broadcast
+    * equi join on a numPartitions-row offsets frame. */
+  private val LiteralMapMaxPartitions = 64
+
   /** `df` plus a BIGINT column `rankCol` = 1-based global rank under
-    * `order` (which must be a total order — include a tie-break). The
-    * returned frame is localCheckpoint-materialized (the count pass
-    * already executed it; callers reuse the standing RDD — wrap in a
-    * SessionMemo for warm serving).
+    * `order` (which MUST be a total order — include a tie-break; a
+    * non-unique key makes ranks nondeterministic wherever the range
+    * sampler splits equal keys across partitions). Set the session
+    * conf `spark.graft.globalRank.selfCheck=true` to pay one
+    * distinct-count aggregation per build that fails loudly
+    * (IllegalArgumentException) on a duplicated key instead of
+    * returning silently corrupt ranks — off by default because the
+    * production callers construct provably-unique keys and the check
+    * is a full extra shuffle of the key columns. The returned frame is
+    * localCheckpoint-materialized (the count pass already executed it;
+    * callers reuse the standing RDD — wrap in a SessionMemo for warm
+    * serving).
     */
   def withRank(df: DataFrame, order: Seq[Column], rankCol: String,
                numPartitions: Int = 32): DataFrame = {
@@ -45,16 +59,59 @@ object GlobalRank {
       .withColumn("__gr_lrn",
         row_number().over(Window.partitionBy("__gr_pid").orderBy(order: _*)))
       .localCheckpoint(true)
+    if (df.sparkSession.conf.get("spark.graft.globalRank.selfCheck", "false")
+        .toBoolean) {
+      // sort modifiers (x.desc) are SortOrder column nodes — strip to
+      // the child so the tuple is projectable for the distinct count.
+      // SortOrder is private[sql]; one reflective child() call per
+      // BUILD (never per row) keeps the strip on the public Column
+      // constructor without a package-injection shim.
+      val keys = order.map { c =>
+        val n = c.node
+        if (n.getClass.getName == "org.apache.spark.sql.internal.SortOrder") {
+          val child = n.getClass.getMethod("child").invoke(n)
+          classOf[Column].getConstructors
+            .find(_.getParameterTypes.map(_.getName).toSeq ==
+              Seq("org.apache.spark.sql.internal.ColumnNode"))
+            .get.newInstance(child).asInstanceOf[Column]
+        } else c
+      }
+      val total = local.count()
+      val distinct = local.select(keys: _*).distinct().count()
+      require(distinct == total,
+        s"GlobalRank.withRank: order key is not unique ($distinct distinct " +
+          s"tuples over $total rows) — append a tie-break column; ranks " +
+          "would be nondeterministic at range-partition boundaries")
+    }
     val counts = local.groupBy("__gr_pid").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.map(_._1)
       .zip(counts.scanLeft(0L)(_ + _._2).init)
-    // literal pid -> offset map: folded into the projection, zero joins
-    val offMap = map(offsets.flatMap { case (p, o) =>
-      Seq(lit(p), lit(o)) }.toSeq: _*)
-    local
-      .withColumn(rankCol, element_at(offMap, col("__gr_pid")) + col("__gr_lrn"))
-      .drop("__gr_pid", "__gr_lrn")
+    if (numPartitions <= LiteralMapMaxPartitions) {
+      // literal pid -> offset map: folded into the projection, zero joins
+      val offMap = map(offsets.flatMap { case (p, o) =>
+        Seq(lit(p), lit(o)) }.toSeq: _*)
+      local
+        .withColumn(rankCol, element_at(offMap, col("__gr_pid")) + col("__gr_lrn"))
+        .drop("__gr_pid", "__gr_lrn")
+    } else {
+      // thousands of partitions: a 2·N-argument CreateMap bloats the
+      // expression tree past whole-stage-codegen limits — ship the
+      // offsets as a broadcast hash join on the pid instead (still one
+      // row per partition, still no extra exchange over the data)
+      val off = broadcast(df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(offsets.map { case (p, o) =>
+          org.apache.spark.sql.Row(p, o) }: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__gr_pid_o",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("__gr_off",
+            org.apache.spark.sql.types.LongType, nullable = false)))))
+      local
+        .join(off, col("__gr_pid") === col("__gr_pid_o"))
+        .withColumn(rankCol, col("__gr_off") + col("__gr_lrn"))
+        .drop("__gr_pid", "__gr_lrn", "__gr_pid_o", "__gr_off")
+    }
   }
 
   /** SQL-standard `ntile(k)` derived from a 1-based global rank by pure

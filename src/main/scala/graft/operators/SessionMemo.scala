@@ -30,7 +30,22 @@ import org.apache.spark.sql.SparkSession
   * context, `SessionMemo.invalidate(session)` drops a session's
   * entries eagerly. The weak keying is kept for what it IS good for:
   * lightweight values that don't reference the session (tokens,
-  * centroid seqs, path strings) still clear on their own. */
+  * centroid seqs, path strings) still clear on their own.
+  *
+  * Two caveats callers who memoize DataFrames keyed by (session, dir)
+  * accept (r9 ADVICE, documented deliberately rather than "fixed" —
+  * both are the right trade for this serving harness):
+  *  - STALENESS: the key carries no data-generation token, so a table
+  *    rewritten under the same dir mid-session keeps serving the old
+  *    checkpoint until `invalidate(session)` (the TemplatePipeline
+  *    cache-generation pattern is the cluster-grade fix: fold a
+  *    generation/snapshot id into the key);
+  *  - DURABILITY: `localCheckpoint` blocks live on executors — an
+  *    executor loss makes every downstream read of that frame fail for
+  *    the session's remainder. A cluster deployment should use
+  *    reliable `checkpoint()` (HDFS/object-store backed) or rebuild
+  *    via invalidate-on-failure; local[n] has no partial-executor
+  *    failure mode, so the cheap variant is correct here. */
 final class SessionMemo[K, V] {
   private val maps = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[K, V]]()

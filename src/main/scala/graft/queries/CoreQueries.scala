@@ -556,7 +556,7 @@ object CoreQueries extends QuerySet {
       |SELECT CAST(max(n) AS BIGINT) AS n_cust,
       |  CAST(sum((2 * i - n - 1) * x) AS BIGINT) AS gini_num,
       |  CAST(max(n) * max(tot) AS BIGINT) AS gini_den,
-      |  CAST(CAST(sum((2 * i - n - 1) * x) AS BIGINT) %DIV% (CAST(max(n) * max(tot) AS BIGINT) %DIV% 1000000) AS BIGINT) AS gini_ppm
+      |  CAST(CAST(sum((2 * i - n - 1) * x) AS BIGINT) %DIV% nullif(CAST(max(n) * max(tot) AS BIGINT) %DIV% 1000000, 0) AS BIGINT) AS gini_ppm
       |FROM rk""".stripMargin
 
   /** Ranked per-customer spend, once per (session, dir): the two-pass
@@ -593,8 +593,12 @@ object CoreQueries extends QuerySet {
           (lit(2L) * col("six") - (col("n") + lit(1L)) * col("tot"))
             .cast("long").as("gini_num"),
           (col("n") * col("tot")).cast("long").as("gini_den"))
+        // nullif guard (r9 ADVICE): when n·tot < 1e6 (toy inputs) the
+        // scaled denominator is 0 — DuckDB's // would error while
+        // Spark's div yields NULL; nullif makes BOTH engines return
+        // NULL so the paths degrade identically at any scale
         .withColumn("gini_ppm",
-          expr("CAST(gini_num div (gini_den div 1000000) AS BIGINT)"))
+          expr("CAST(gini_num div nullif(gini_den div 1000000, 0) AS BIGINT)"))
     })
 
   /** RFM segmentation — recency/frequency/monetary quartile labels per

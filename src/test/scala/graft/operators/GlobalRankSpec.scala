@@ -60,6 +60,43 @@ class GlobalRankSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("selfCheck fails loudly on a duplicated order key, passes on a unique one") {
+    val sess = spark; import sess.implicits._
+    sess.conf.set("spark.graft.globalRank.selfCheck", "true")
+    try {
+      // duplicate (v) with no tie-break: ranks would be boundary-split
+      val dup = (1 to 50).map(i => (i.toLong, (i % 3).toLong)).toDF("id", "v")
+      val err = intercept[IllegalArgumentException] {
+        GlobalRank.withRank(dup, Seq(col("v")), "i", numPartitions = 4)
+      }
+      assert(err.getMessage.contains("not unique"), err.getMessage)
+      // same data with the tie-break appended passes the check (and the
+      // desc modifier is stripped correctly before the distinct count)
+      val ok = GlobalRank.withRank(dup,
+        Seq(col("v").desc, col("id")), "i", numPartitions = 4)
+      assert(ok.select("i").as[Long].collect().sorted.toSeq == (1L to 50L))
+    } finally sess.conf.set("spark.graft.globalRank.selfCheck", "false")
+  }
+
+  test("broadcast-offset path (numPartitions above literal-map cap) ranks identically") {
+    val sess = spark; import sess.implicits._
+    val df = (1 to 500).map(i => (i.toLong, (i * 37 % 101).toLong)).toDF("id", "v")
+    val got = GlobalRank
+      .withRank(df, Seq(col("v"), col("id")), "i", numPartitions = 96)
+      .select("id", "i").as[(Long, Long)].collect().toMap
+    val want = df
+      .withColumn("i", row_number().over(Window.orderBy(col("v"), col("id"))))
+      .select("id", "i").collect().map(r => r.getLong(0) -> r.getInt(1).toLong)
+      .toMap
+    assert(got == want)
+    // and no single-reducer window in the served plan either
+    val p = GlobalRank.withRank(df, Seq(col("v"), col("id")), "i",
+      numPartitions = 96).queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"window leaked past the rank build:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"large-partition offset fold should broadcast-join:\n$p")
+  }
+
   test("plan carries no empty-partition window and folds offsets as literals") {
     val sess = spark; import sess.implicits._
     val df = (1 to 100).map(_.toLong).toDF("id")

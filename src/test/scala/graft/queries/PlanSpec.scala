@@ -486,13 +486,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     p.linesIterator.count(l =>
       l.contains("FileScan parquet") && l.contains(marker))
 
-  test("gini / RFM run NO single-reducer window (two-pass GlobalRank)") {
+  test("gini / RFM / deciles run NO single-reducer window (two-pass GlobalRank)") {
     // r8 verdict's "weak family": q21/q22 ran row_number()/ntile OVER
-    // (ORDER BY …) — a single-partition sort. Both now rank via
-    // GlobalRank (range partition → local rank → literal offset fold)
-    // inside a memoized build; the served plan must carry no Window
-    // operator at all and never re-scan orders past the checkpoint.
-    Seq("q21_gini_spend", "q22_rfm_segments").foreach { q =>
+    // (ORDER BY …) — a single-partition sort (w7 joined them in r10,
+    // the last member found by the r9 sweep). All rank via GlobalRank
+    // (range partition → local rank → literal offset fold) inside a
+    // memoized build; the served plan must carry no Window operator at
+    // all and never re-scan orders past the checkpoint.
+    Seq("q21_gini_spend", "q22_rfm_segments",
+        "w7_decile_concentration").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Window"),
         s"$q still runs a window (single-reducer rank came back):\n$p")
@@ -514,11 +516,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("bigram_surprisal", "text#", 0),
       // conditional-avg single pass: both wave centroids in one agg
       ("embedding_centroid_drift", "embedding#", 1),
-      ("kl_divergence_sources", "embedding#", 0))
+      // pure map-side projection: exactly one vectors scan (the r9
+      // CTE-reuse defect measured SIX embeddings scans in one query —
+      // this is the budget that would have caught it)
+      ("jl_projection", "embedding#", 1))
     budgets.foreach { case (q, marker, budget) =>
-      val n = corpusScans(plan(q), marker)
+      val p = plan(q)
+      val n = corpusScans(p, marker)
       assert(n <= budget,
-        s"$q scans $marker-table $n times (budget $budget):\n${plan(q)}")
+        s"$q scans $marker-table $n times (budget $budget):\n$p")
     }
   }
 
