@@ -1419,7 +1419,7 @@ object TextQueries extends QuerySet {
            |  FROM tok)
            |SELECT doc_id, count(*) AS n_terms,
            |       CAST(sum(u) AS BIGINT) AS score_m,
-           |       sum(u) >= 0 AS keep
+           |       CAST(sum(u) AS BIGINT) >= 0 AS keep
            |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     (s, dir) => Tables.sql(s, dir,
       """WITH tok AS (
@@ -1432,7 +1432,7 @@ object TextQueries extends QuerySet {
         |  FROM tok)
         |SELECT doc_id, count(*) AS n_terms,
         |       CAST(sum(u) AS BIGINT) AS score_m,
-        |       sum(u) >= 0 AS keep
+        |       CAST(sum(u) AS BIGINT) >= 0 AS keep
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   // ---- quality-aware canonical dedup --------------------------------------
