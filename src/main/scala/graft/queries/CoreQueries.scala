@@ -523,10 +523,17 @@ object CoreQueries extends QuerySet {
   // ---- retail analytics: basket pairs, Gini, RFM -------------------------
 
   /** Market-basket pair counts — the co-purchase signal association
-    * mining starts from. The self-join is keyed on l_orderkey, so the
-    * pair explode is bounded by per-order line counts (≤7 here, ~dozens
-    * in practice), never corpus-quadratic; the (pa, pb) partial agg
-    * collapses map-side and top-20 rides TakeOrderedAndProject. */
+    * mining starts from. The oracle keeps the declarative DISTINCT +
+    * self-join spelling; the Spark path takes the shuffle diet (r9
+    * verdict #4): ONE exchange on l_orderkey builds the per-order
+    * distinct part set (collect_set partials combine map-side and are
+    * bounded by per-order line counts — ≤7 here, ~dozens in practice),
+    * then pairs expand IN-ROW from the sorted set (two Generates, no
+    * join, never corpus-quadratic), then the (pa, pb) partial agg
+    * collapses map-side and top-20 rides TakeOrderedAndProject. vs the
+    * self-join form this drops the DISTINCT pre-shuffle and the join
+    * build entirely — at 100 TB the order-keyed exchange carries each
+    * order's part set once instead of twice plus a join probe. */
   private val q20Text =
     """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
@@ -537,7 +544,24 @@ object CoreQueries extends QuerySet {
 
   private val q20 = QueryDef(
     "q20_basket_pair_counts",
-    Some(q20Text), (s, dir) => Tables.sql(s, dir, q20Text))
+    Some(q20Text),
+    (s, dir) => {
+      val sets = Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy("l_orderkey")
+        .agg(array_sort(collect_set("l_partkey")).as("ps"))
+      sets
+        .select(posexplode(col("ps")).as(Seq("i", "pa")), col("ps"))
+        // parts after position i (0-based) — 1-based slice from i+2;
+        // the over-long length clamp is slice's documented behavior
+        .select(col("pa"),
+          explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("pb"))
+        .groupBy("pa", "pb")
+        .agg(count(lit(1)).as("n_orders"))
+        .select(col("pa"), col("pb"), col("n_orders").cast("long").as("n_orders"))
+        .orderBy(col("n_orders").desc, col("pa"), col("pb"))
+        .limit(20)
+    })
 
   /** Gini coefficient of customer spend — the inequality summary, by
     * the sorted-cumulative formula G = Σ(2i−n−1)·x_(i) / (n·Σx) on

@@ -800,9 +800,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("LeftAnti"), s"diff sides must be anti joins:\n$p")
   }
 
-  test("basket pairs self-join stays keyed on the order id, never a cartesian") {
+  test("basket pairs: in-row pair expand from one order-keyed set agg, no join") {
     val p = plan("q20_basket_pair_counts")
-    assert(!p.contains("CartesianProduct"), s"basket join degraded:\n$p")
+    assert(!p.contains("CartesianProduct"), s"basket expand degraded:\n$p")
+    // r9 shuffle diet: the old DISTINCT + self-join spelling paid two
+    // exchanges of the order/part rows plus a join build; the shipped
+    // plan aggregates distinct part sets once and expands pairs in-row
+    assert(!p.contains("Join"), s"self-join came back:\n$p")
+    assert(p.contains("partial_collect_set") || p.contains("collect_set"),
+      s"per-order sets lack a map-side partial:\n$p")
     assert(p.contains("partial_count"), s"pair counts lack a map-side combine:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-20 degraded to a full sort:\n$p")
   }
