@@ -176,6 +176,34 @@ final class CacheManager(spark: SparkSession, warehouseRoot: String) {
     endpoints.filter(e => e.cache.enabled && e.cache.table.nonEmpty)
       .foreach(e => refresh(e, templates(e)))
 
+  // ---- scheduled compaction (heartbeat_worker.cpp:121-158) --------------
+  /** Merge each cache-enabled endpoint's snapshot files — the
+    * reference's daily `ducklake_merge_adjacent_files` walk
+    * (performDuckLakeCompaction): per-table errors are recorded in the
+    * sync-event audit and swallowed so the walk continues; tables with
+    * no snapshot yet are skipped. The serve view swaps to the compacted
+    * snapshot and cached plans drop, in that order (the refresh()
+    * discipline). Returns the number of tables compacted. */
+  def compactAll(endpoints: Seq[EndpointConfig], targetFiles: Int = 1): Int = {
+    var done = 0
+    endpoints.filter(e => e.cache.enabled && e.cache.table.nonEmpty).foreach { e =>
+      val c = e.cache
+      try {
+        if (table(c).currentSnapshotId.isDefined) {
+          table(c).compact(targetFiles)
+          registerServeView(c)
+          graft.api.PlanCache.invalidateAll()
+          recordSyncEvent(e, c, "compaction", "success", "Merged adjacent files")
+          done += 1
+        }
+      } catch {
+        case ex: Exception =>
+          recordSyncEvent(e, c, "compaction", "error", String.valueOf(ex.getMessage))
+      }
+    }
+    done
+  }
+
   // ---- C8: sync-event audit table ---------------------------------------
   private def auditDir = s"$warehouseRoot/audit/sync_events"
 
@@ -217,8 +245,14 @@ final class RefreshScheduler(manager: CacheManager) {
   @volatile private var tasks: List[ScheduledFuture[_]] = Nil
 
   /** Schedule every endpoint with `cache.schedule`; malformed intervals
-    * are skipped (the reference logs and continues). */
-  def start(endpoints: Seq[EndpointConfig], templates: EndpointConfig => String): Int = {
+    * are skipped (the reference logs and continues). Also schedules the
+    * daily compaction walk (heartbeat_worker.cpp:121-123
+    * shouldRunCompaction: every 24h) — `compactionEvery` takes the same
+    * "1d"/"12h" interval grammar, None disables it. Returns the number
+    * of refresh tasks scheduled (compaction is infrastructure, not an
+    * endpoint task). */
+  def start(endpoints: Seq[EndpointConfig], templates: EndpointConfig => String,
+      compactionEvery: Option[String] = Some("1d")): Int = {
     val scheduled = for {
       e <- endpoints
       if e.cache.enabled && e.cache.table.nonEmpty
@@ -228,8 +262,15 @@ final class RefreshScheduler(manager: CacheManager) {
       () => try manager.refresh(e, templates(e))
             catch { case _: Exception => () }, // recorded by the audit table
       secs, secs, TimeUnit.SECONDS)
-    tasks = scheduled.toList
-    tasks.size
+    val compaction = for {
+      spec <- compactionEvery.toList
+      secs <- RefreshScheduler.parseIntervalSeconds(spec)
+    } yield exec.scheduleAtFixedRate(
+      () => try { manager.compactAll(endpoints); () }
+            catch { case _: Exception => () }, // per-table errors audited
+      secs, secs, TimeUnit.SECONDS)
+    tasks = (scheduled ++ compaction).toList
+    scheduled.size
   }
 
   def stop(): Unit = { tasks.foreach(_.cancel(false)); exec.shutdown() }

@@ -168,44 +168,64 @@ object ArrowWire {
   /** Stream rows as Arrow IPC record batches to `out`, one batch per
     * `batchRows` rows, optionally LZ4/ZSTD frame-compressed. Memory is
     * bounded by one batch: each batch's vectors are filled, written,
-    * and reset before the next is pulled from the iterator. */
+    * and reset before the next is pulled from the iterator. Every
+    * stream reports to [[ArrowMetrics]] (requests, batches, rows,
+    * vector vs wire bytes, duration, active/peak gauges — the
+    * reference's arrow_metrics.hpp counters). */
   def stream(schema: StructType, rows: Iterator[Row], out: OutputStream,
              batchRows: Int = DefaultBatchRows,
              codec: Option[CompressionUtil.CodecType] = None): Unit = {
-    val allocator = new RootAllocator()
+    val t0 = System.nanoTime()
+    ArrowMetrics.streamStarted(codec.isDefined)
+    var ok = false
+    val counted = new java.io.FilterOutputStream(out) {
+      var bytes = 0L
+      override def write(b: Int): Unit = { bytes += 1; out.write(b) }
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        bytes += len; out.write(b, off, len)
+      }
+    }
     try {
-      val root = VectorSchemaRoot.create(arrowSchema(schema), allocator)
+      val allocator = new RootAllocator()
       try {
-        val ch = Channels.newChannel(out)
-        val writer = codec match {
-          case Some(c) => new ArrowStreamWriter(root, null, ch,
-            IpcOption.DEFAULT, CommonsCompressionFactory.INSTANCE, c)
-          case None => new ArrowStreamWriter(root, null, ch)
-        }
-        writer.start()
-        val vecs = root.getFieldVectors.asScala
-        val grouped = rows.grouped(batchRows)
-        var wrote = false
-        grouped.foreach { batch =>
-          root.allocateNew()
-          var i = 0
-          batch.foreach { r =>
-            var c = 0
-            while (c < schema.length) {
-              setCell(vecs(c), i, schema(c).dataType, r.get(c))
-              c += 1
-            }
-            i += 1
+        val root = VectorSchemaRoot.create(arrowSchema(schema), allocator)
+        try {
+          val ch = Channels.newChannel(counted)
+          val writer = codec match {
+            case Some(c) => new ArrowStreamWriter(root, null, ch,
+              IpcOption.DEFAULT, CommonsCompressionFactory.INSTANCE, c)
+            case None => new ArrowStreamWriter(root, null, ch)
           }
-          root.setRowCount(i)
-          writer.writeBatch()
-          wrote = true
-        }
-        if (!wrote) { // empty result still carries the schema
-          root.allocateNew(); root.setRowCount(0); writer.writeBatch()
-        }
-        writer.end()
-      } finally root.close()
-    } finally allocator.close()
+          writer.start()
+          val vecs = root.getFieldVectors.asScala
+          val grouped = rows.grouped(batchRows)
+          var wrote = false
+          grouped.foreach { batch =>
+            root.allocateNew()
+            var i = 0
+            batch.foreach { r =>
+              var c = 0
+              while (c < schema.length) {
+                setCell(vecs(c), i, schema(c).dataType, r.get(c))
+                c += 1
+              }
+              i += 1
+            }
+            root.setRowCount(i)
+            ArrowMetrics.batchWritten(i.toLong,
+              vecs.map(_.getBufferSize.toLong).sum)
+            writer.writeBatch()
+            wrote = true
+          }
+          if (!wrote) { // empty result still carries the schema
+            root.allocateNew(); root.setRowCount(0); writer.writeBatch()
+            ArrowMetrics.batchWritten(0L, 0L)
+          }
+          writer.end()
+          ok = true
+        } finally root.close()
+      } finally allocator.close()
+    } finally ArrowMetrics.streamFinished(ok, counted.bytes,
+      (System.nanoTime() - t0) / 1000)
   }
 }

@@ -15,6 +15,13 @@ import graft.template.TemplateSource
   */
 object GraftBootstrap {
 
+  /** Shared remote-template TTL cache (caching_file_provider.cpp
+    * semantics): a bootstrap or reload that re-reads an s3://…
+    * template within the TTL serves the cached bytes; past it, the
+    * remote edit is picked up automatically. Local paths read through
+    * uncached. */
+  val templateCache = new graft.template.CachingTemplateSource()
+
   /** Parsed project file (reference flapi.yaml: project-name,
     * template.path + environment-whitelist, connections map). */
   final case class ProjectConfig(
@@ -83,7 +90,7 @@ object GraftBootstrap {
     val endpoints = YamlConfig.discoverEndpoints(templateDir, envAllow.isAllowed)
       .flatMap { ep =>
         try {
-          val template = TemplateSource.load(spark, ep.templateSource, Some(templateDir))
+          val template = templateCache.load(spark, ep.templateSource, Some(templateDir))
           // an endpoint's `connection:` list selects WHICH connections
           // feed its {{conn.*}} namespace — a project with several
           // path-bearing connections must not cross-wire datasets
@@ -95,7 +102,7 @@ object GraftBootstrap {
           // server can refresh-on-write without re-resolving the VFS
           val cacheTemplate =
             if (ep.cache.enabled) ep.cache.templateFile.map(f =>
-              TemplateSource.load(spark, f, Some(templateDir)))
+              templateCache.load(spark, f, Some(templateDir)))
             else None
           Some(ServedEndpoint(ep, template, connProps = connProps,
             // endpoint rate-limit block → serving token bucket

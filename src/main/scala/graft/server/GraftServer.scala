@@ -132,6 +132,14 @@ final class GraftServer(
           s""""sessions_active":${mcpSessions.size}}""",
         "application/json")
     })
+    // serving metrics (reference arrow_metrics.hpp counters/gauges
+    // surfaced per stream): read-only counts, no auth — same policy as
+    // the health probe above
+    server.createContext("/mcp/metrics", (ex: HttpExchange) => safely(ex) { e =>
+      respond(e, 200,
+        s"""{"arrow":${graft.serialize.ArrowMetrics.snapshot.toJson}}""",
+        "application/json")
+    })
     server.createContext("/openapi.json", (ex: HttpExchange) => safely(ex) { e =>
       respond(e, 200, OpenApi.generate(spark, eps), "application/json")
     })

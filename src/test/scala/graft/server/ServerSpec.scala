@@ -307,6 +307,15 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(j.get("mcp_available").asBoolean())
   }
 
+  test("metrics probe surfaces the Arrow stream counters") {
+    val r = get("/mcp/metrics")
+    assert(r.statusCode() == 200)
+    val j = mapper.readTree(r.body())
+    val arrow = j.get("arrow")
+    assert(arrow != null && arrow.has("total_requests"), r.body())
+    assert(arrow.get("active_streams").asInt() >= 0)
+  }
+
   test("refresh-on-write re-materializes the cache and its serve view after a POST") {
     val wh = java.nio.file.Files.createTempDirectory("graft_row_wh")
     val cm = new graft.cache.CacheManager(spark, wh.toString)
