@@ -158,6 +158,18 @@ object Bench {
         System.err.println(s"[bench] binary recall failed: ${e.getMessage}")
         graft.queries.EmbeddingQueries.BinaryRecallReport(-1.0, -1.0, Nil)
       }
+    // PCA power-iteration ascent: the per-step Rayleigh quotient in
+    // micro-units — monotone non-decreasing is the gated theorem
+    // (EmbeddingSpec); the measured trajectory is the accuracy artifact
+    // (on this near-isotropic corpus eigenvalue separation, not
+    // convergence to a specific eigenvector, is what the numbers show).
+    val pcaTraj =
+      try graft.queries.EmbeddingQueries.pcaRayleighTrajectory(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] pca trajectory failed: ${e.getMessage}")
+        Nil
+      }
+    val pcaJson = pcaTraj.mkString("[", ",", "]")
     val degradedJson = degraded.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contaminatedJson = contaminated
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -174,6 +186,7 @@ object Bench {
         s""""rerank":${adc.rerank},"curve_by_shortlist":${icurve(adc.curve)}},""" +
         s""""binary_recall_at5":{"hamming":${bin.hamming},"rerank":${bin.rerank},""" +
         s""""curve_by_shortlist":${icurve(bin.curve)}},""" +
+        s""""pca_rayleigh_u6":$pcaJson,""" +
         s""""failures":$failures,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")

@@ -109,7 +109,19 @@ object Slope {
     // ≤16 rows per doc before the exchange and the dense assembly
     // staying per-doc; a regression to a token-level shuffle or a
     // corpus-wide spine join would blow the ratio.
-    "feature_hash_vectorizer")
+    "feature_hash_vectorizer",
+    // r10 additions: the two-pass distributed prefix scan under the
+    // curriculum batcher (range exchange + per-partition cumsum — a
+    // regression to the single-reducer window would show as a
+    // constant-factor cliff, not a slope break, so the plan lock is
+    // the primary gate and this ratio guards the scan itself), the
+    // literal-vocabulary OOV scan (pure map-side membership + source
+    // partials), and the PCA power iteration (three map-side passes
+    // with 64-integer partials each — the per-iteration exchange
+    // carries 64 rows regardless of corpus size).
+    "curriculum_packing",
+    "oov_rate_by_source",
+    "embedding_pca_power")
 
   val MaxRatio = 15.0
   val OverheadFloorSec = 0.3

@@ -52,48 +52,53 @@ object GlobalRank {
     * serving).
     */
   def withRank(df: DataFrame, order: Seq[Column], rankCol: String,
-               numPartitions: Int = 32): DataFrame = {
-    val local = df
+               numPartitions: Int = 32): DataFrame =
+    twoPass(df, order, numPartitions,
+      local = w => row_number().over(w).cast("long"),
+      perPartition = count(lit(1)),
+      rankCol)
+
+  /** `df` plus a BIGINT column `outCol` = inclusive global running sum
+    * of `value` under `order` — the distributed PREFIX SCAN: same
+    * two-pass shape as [[withRank]] (range partition → per-partition
+    * local cumulative sum → fold each partition's TOTAL as the
+    * partition offset), replacing `sum(v) OVER (ORDER BY …)` whose
+    * empty partitioning is the same single-reducer hazard. Same
+    * unique-order-key precondition and selfCheck conf. */
+  def withPrefixSum(df: DataFrame, order: Seq[Column], value: Column,
+                    outCol: String, numPartitions: Int = 32): DataFrame =
+    twoPass(df, order, numPartitions,
+      local = w => sum(value).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+      perPartition = sum(value).cast("long"),
+      outCol)
+
+  /** Shared two-pass core: `local(window)` computes the per-partition
+    * running quantity, `perPartition` its partition total (the offset
+    * unit), and the result column is `offset(pid) + local`. */
+  private def twoPass(df: DataFrame, order: Seq[Column], numPartitions: Int,
+      local: org.apache.spark.sql.expressions.WindowSpec => Column,
+      perPartition: Column, outCol: String): DataFrame = {
+    val ranked = df
       .repartitionByRange(numPartitions, order: _*)
       .withColumn("__gr_pid", spark_partition_id())
-      .withColumn("__gr_lrn",
-        row_number().over(Window.partitionBy("__gr_pid").orderBy(order: _*)))
+      .withColumn("__gr_loc",
+        local(Window.partitionBy("__gr_pid").orderBy(order: _*)))
       .localCheckpoint(true)
     if (df.sparkSession.conf.get("spark.graft.globalRank.selfCheck", "false")
-        .toBoolean) {
-      // sort modifiers (x.desc) are SortOrder column nodes — strip to
-      // the child so the tuple is projectable for the distinct count.
-      // SortOrder is private[sql]; one reflective child() call per
-      // BUILD (never per row) keeps the strip on the public Column
-      // constructor without a package-injection shim.
-      val keys = order.map { c =>
-        val n = c.node
-        if (n.getClass.getName == "org.apache.spark.sql.internal.SortOrder") {
-          val child = n.getClass.getMethod("child").invoke(n)
-          classOf[Column].getConstructors
-            .find(_.getParameterTypes.map(_.getName).toSeq ==
-              Seq("org.apache.spark.sql.internal.ColumnNode"))
-            .get.newInstance(child).asInstanceOf[Column]
-        } else c
-      }
-      val total = local.count()
-      val distinct = local.select(keys: _*).distinct().count()
-      require(distinct == total,
-        s"GlobalRank.withRank: order key is not unique ($distinct distinct " +
-          s"tuples over $total rows) — append a tie-break column; ranks " +
-          "would be nondeterministic at range-partition boundaries")
-    }
-    val counts = local.groupBy("__gr_pid").agg(count(lit(1)).as("c"))
+        .toBoolean) selfCheckUnique(ranked, order)
+    val totals = ranked.groupBy("__gr_pid").agg(perPartition.as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = counts.map(_._1)
-      .zip(counts.scanLeft(0L)(_ + _._2).init)
+    val offsets = totals.map(_._1)
+      .zip(totals.scanLeft(0L)(_ + _._2).init)
     if (numPartitions <= LiteralMapMaxPartitions) {
       // literal pid -> offset map: folded into the projection, zero joins
       val offMap = map(offsets.flatMap { case (p, o) =>
         Seq(lit(p), lit(o)) }.toSeq: _*)
-      local
-        .withColumn(rankCol, element_at(offMap, col("__gr_pid")) + col("__gr_lrn"))
-        .drop("__gr_pid", "__gr_lrn")
+      ranked
+        .withColumn(outCol, element_at(offMap, col("__gr_pid")) + col("__gr_loc"))
+        .drop("__gr_pid", "__gr_loc")
     } else {
       // thousands of partitions: a 2·N-argument CreateMap bloats the
       // expression tree past whole-stage-codegen limits — ship the
@@ -107,11 +112,37 @@ object GlobalRank {
             org.apache.spark.sql.types.IntegerType, nullable = false),
           org.apache.spark.sql.types.StructField("__gr_off",
             org.apache.spark.sql.types.LongType, nullable = false)))))
-      local
+      ranked
         .join(off, col("__gr_pid") === col("__gr_pid_o"))
-        .withColumn(rankCol, col("__gr_off") + col("__gr_lrn"))
-        .drop("__gr_pid", "__gr_lrn", "__gr_pid_o", "__gr_off")
+        .withColumn(outCol, col("__gr_off") + col("__gr_loc"))
+        .drop("__gr_pid", "__gr_loc", "__gr_pid_o", "__gr_off")
     }
+  }
+
+  /** One distinct-count pass failing loudly on a duplicated order key
+    * (conf-gated — see [[withRank]]). */
+  private def selfCheckUnique(local: DataFrame, order: Seq[Column]): Unit = {
+    // sort modifiers (x.desc) are SortOrder column nodes — strip to
+    // the child so the tuple is projectable for the distinct count.
+    // SortOrder is private[sql]; one reflective child() call per
+    // BUILD (never per row) keeps the strip on the public Column
+    // constructor without a package-injection shim.
+    val keys = order.map { c =>
+      val n = c.node
+      if (n.getClass.getName == "org.apache.spark.sql.internal.SortOrder") {
+        val child = n.getClass.getMethod("child").invoke(n)
+        classOf[Column].getConstructors
+          .find(_.getParameterTypes.map(_.getName).toSeq ==
+            Seq("org.apache.spark.sql.internal.ColumnNode"))
+          .get.newInstance(child).asInstanceOf[Column]
+      } else c
+    }
+    val total = local.count()
+    val distinct = local.select(keys: _*).distinct().count()
+    require(distinct == total,
+      s"GlobalRank: order key is not unique ($distinct distinct " +
+        s"tuples over $total rows) — append a tie-break column; results " +
+        "would be nondeterministic at range-partition boundaries")
   }
 
   /** SQL-standard `ntile(k)` derived from a 1-based global rank by pure

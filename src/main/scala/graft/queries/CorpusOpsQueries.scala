@@ -911,8 +911,176 @@ object CorpusOpsQueries extends QuerySet {
         |  CAST((sum(CASE WHEN n > max_len THEN n - max_len ELSE 0 END) * 1000000) div sum(n) AS BIGINT) AS loss_ppm
         |FROM tok CROSS JOIN L GROUP BY max_len ORDER BY max_len""".stripMargin))
 
+  // ---- curriculum-ordered sequence packing -------------------------------
+  // Curriculum learning's data-side half: order the corpus by a quality
+  // signal (the classifier milli-score — same deterministic md5 term
+  // weights as quality_classifier_score) and assign documents to
+  // fixed-token-budget training batches in that order, so early batches
+  // carry the highest-quality text. Batch id = exclusive-prefix-sum of
+  // tokens div budget — greedy sequential filling, deterministic.
+  //
+  // 100 TB shape: the oracle's `sum(toks) OVER (ORDER BY …)` is the
+  // same single-reducer hazard as ntile — the Spark path runs the
+  // two-pass distributed PREFIX SCAN (operators/GlobalRank
+  // .withPrefixSum: range partition → per-partition local cumsum →
+  // partition totals folded as offsets), so the batch assignment is
+  // pure map-side arithmetic after one range exchange of the per-doc
+  // (score, tokens) rows. Memoized like q21/q22's ranked frames;
+  // PlanSpec locks the window-free served plan.
+  private val PackBudgetTokens = 2048
+
+  private val packCache =
+    new graft.operators.SessionMemo[String, org.apache.spark.sql.DataFrame]()
+
+  private val curriculumPacking = QueryDef(
+    "curriculum_packing",
+    Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+           |sc AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS toks,
+           |         CAST(sum((ascii(substr(md5(term), 1, 1)) * 31 +
+           |                   ascii(substr(md5(term), 2, 1))) % 2001 - 1000) AS BIGINT) AS score
+           |  FROM tok GROUP BY doc_id),
+           |rk AS (
+           |  SELECT doc_id, toks, score,
+           |         CAST(sum(toks) OVER (ORDER BY score DESC, doc_id
+           |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           |  FROM sc),
+           |b AS (SELECT *, CAST((cum - toks) // $PackBudgetTokens AS BIGINT) AS batch FROM rk)
+           |SELECT batch, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(toks) AS BIGINT) AS total_tokens,
+           |       CAST(min(score) AS BIGINT) AS min_score,
+           |       CAST(max(score) AS BIGINT) AS max_score
+           |FROM b GROUP BY batch ORDER BY batch""".stripMargin),
+    (s, dir) => {
+      val packed = packCache.getOrElseUpdate(s, dir) {
+        val sc = Tables.sql(s, dir,
+          """SELECT doc_id, CAST(count(*) AS BIGINT) AS toks,
+            |  CAST(sum((ascii(substring(md5(term), 1, 1)) * 31 +
+            |            ascii(substring(md5(term), 2, 1))) % 2001 - 1000) AS BIGINT) AS score
+            |FROM (SELECT doc_id, term FROM documents
+            |      LATERAL VIEW explode(split(text, ' ')) t AS term) tok
+            |GROUP BY doc_id""".stripMargin)
+        graft.operators.GlobalRank.withPrefixSum(
+          sc, Seq(col("score").desc, col("doc_id")), col("toks"), "cum")
+      }
+      packed
+        .withColumn("batch",
+          expr(s"CAST((cum - toks) div $PackBudgetTokens AS BIGINT)"))
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_tokens"),
+          min("score").as("min_score"), max("score").as("max_score"))
+        .select(col("batch"), col("n_docs").cast("long").as("n_docs"),
+          col("total_tokens").cast("long").as("total_tokens"),
+          col("min_score").cast("long").as("min_score"),
+          col("max_score").cast("long").as("max_score"))
+        .orderBy("batch")
+    })
+
+  // ---- vocabulary coverage / OOV rate ------------------------------------
+  // The tokenizer-fit readout: what share of each source's tokens falls
+  // outside the top-V vocabulary? High OOV flags sources the tokenizer
+  // will fragment (cost) or mangle (quality). The vocabulary is the
+  // top-V terms by global frequency (V=16 here — the gated slice of a
+  // 32k-vocab deployment), fully tie-broken (count DESC, term).
+  //
+  // 100 TB shape: the vocabulary is VOCABULARY-sized — derived by a
+  // TakeOrdered over the term-frequency partials and folded back as an
+  // `isin` LITERAL, so the per-token membership test is pure map-side
+  // codegen (no join at all; the oracle spells it as a LEFT JOIN, the
+  // plan-shape divergence is the point); the only corpus exchange
+  // carries (source) partial counts. PlanSpec locks the no-join shape.
+  private val OovVocabSize = 16
+
+  private val oovVocabCache =
+    new graft.operators.SessionMemo[String, Seq[String]]()
+
+  private val oovRate = QueryDef(
+    "oov_rate_by_source",
+    Some(s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+           |tf AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+           |vocab AS (SELECT term FROM tf ORDER BY c DESC, term LIMIT $OovVocabSize),
+           |j AS (SELECT t.source, (v.term IS NOT NULL) AS inv
+           |      FROM tok t LEFT JOIN vocab v ON v.term = t.term)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+           |       CAST(count(*) FILTER (WHERE NOT inv) AS BIGINT) AS oov_tokens,
+           |       CAST((count(*) FILTER (WHERE NOT inv)) * 1000000 // count(*) AS BIGINT) AS oov_ppm
+           |FROM j GROUP BY source ORDER BY source""".stripMargin),
+    (s, dir) => {
+      val vocab = oovVocabCache.getOrElseUpdate(s, dir) {
+        Tables.sql(s, dir,
+          s"""SELECT term FROM (
+             |  SELECT term, count(*) AS c FROM documents
+             |  LATERAL VIEW explode(split(text, ' ')) t AS term GROUP BY term)
+             |ORDER BY c DESC, term LIMIT $OovVocabSize""".stripMargin)
+          .collect().map(_.getString(0)).toSeq
+      }
+      Tables.table(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .withColumn("oov", !col("term").isin(vocab: _*))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("oov"), 1L).otherwise(0L)).as("oov_tokens"))
+        .select(col("source"), col("n_tokens").cast("long").as("n_tokens"),
+          col("oov_tokens").cast("long").as("oov_tokens"),
+          expr("CAST(oov_tokens * 1000000 div n_tokens AS BIGINT)").as("oov_ppm"))
+        .orderBy("source")
+    })
+
+  // ---- UniMax language-budget allocation ---------------------------------
+  // The multilingual mixing rule (Chung et al., "UniMax", ICLR 2023):
+  // walk languages from LOWEST-resource up; each gets
+  // min(cnt · maxEpochs, remaining_budget / remaining_languages) — so
+  // low-resource languages train their full epoch cap and the budget
+  // surplus flows to high-resource ones, which are uniformly truncated.
+  // Budget = 1.5× the corpus (scale-invariant), epoch cap 2: on this
+  // corpus de/fr/es/zh get exactly 2,000,000 epoch-ppm and en is cut to
+  // its budget share — the canonical UniMax shape. All-integer
+  // arithmetic; nonnegative operands so // and div agree.
+  //
+  // 100 TB shape: the corpus-scale work is ONE partial-agg token count
+  // per language; the allocation walk is |languages|-sized metadata
+  // folded on the driver (the codebook discipline). The oracle spells
+  // the same walk as a recursive CTE.
+  private val unimax = QueryDef(
+    "unimax_language_budget",
+    Some("""WITH RECURSIVE lc AS (
+           |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cnt
+           |  FROM documents GROUP BY lang),
+           |ord AS (SELECT lang, cnt, CAST(row_number() OVER (ORDER BY cnt, lang) AS BIGINT) AS rn FROM lc),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(cnt) AS BIGINT) AS total FROM lc),
+           |alloc AS (
+           |  SELECT CAST(0 AS BIGINT) AS rn, '' AS lang, CAST(1 AS BIGINT) AS cnt,
+           |         CAST(0 AS BIGINT) AS a, CAST((tot.total * 3) // 2 AS BIGINT) AS rem
+           |  FROM tot
+           |  UNION ALL
+           |  SELECT o.rn, o.lang, o.cnt,
+           |         least(o.cnt * 2, CAST(al.rem // (t.k - al.rn) AS BIGINT)),
+           |         al.rem - least(o.cnt * 2, CAST(al.rem // (t.k - al.rn) AS BIGINT))
+           |  FROM alloc al JOIN ord o ON o.rn = al.rn + 1 CROSS JOIN tot t)
+           |SELECT lang, cnt AS n_tokens, a AS allocation,
+           |       CAST(a * 1000000 // cnt AS BIGINT) AS epochs_ppm
+           |FROM alloc WHERE rn > 0 ORDER BY lang""".stripMargin),
+    (s, dir) => {
+      import s.implicits._
+      val counts = Tables.sql(s, dir,
+        """SELECT lang, CAST(sum(size(split(text, ' '))) AS BIGINT) AS cnt
+          |FROM documents GROUP BY lang""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy { case (l, c) => (c, l) }
+      var rem = counts.map(_._2).sum * 3 / 2
+      val out = counts.zipWithIndex.map { case ((lang, cnt), i) =>
+        val quota = rem / (counts.length - i)
+        val a = math.min(cnt * 2, quota)
+        rem -= a
+        (lang, cnt, a, a * 1000000L / cnt)
+      }
+      out.toSeq.sortBy(_._1)
+        .toDF("lang", "n_tokens", "allocation", "epochs_ppm")
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(incremental, surprisal, surprisalBuckets, chunks, sourceMix,
       leakageSafeSplit, temperatureMix, dsir, bigramSurprisal, cdcChunks,
-      segmentDedup, sourceCap, featureHash, truncationLoss)
+      segmentDedup, sourceCap, featureHash, truncationLoss,
+      curriculumPacking, oovRate, unimax)
 }

@@ -1453,6 +1453,134 @@ object EmbeddingQueries extends QuerySet {
       curve.toMap.getOrElse(AdcShortlist, -1.0), curve)
   }
 
+  // ---- PCA top component by power iteration (integer-exact) --------------
+  // The whitening / dimensionality front end an embedding pipeline
+  // trains before indexing: the corpus mean and the leading principal
+  // direction, by three power-iteration steps on the centered Gram
+  // action w ← Σᵢ x'ᵢ (x'ᵢ·v) — the covariance matrix itself is never
+  // materialized. Restated engine-exactly with the integer-Lloyd
+  // discipline: the mean is an integer micro-unit mean (offset
+  // floor-div), each iteration's accumulator sums BIGINT micro-units
+  // (order-independent), and the normalized iterate re-rounds to u6 —
+  // so Spark and the DuckDB oracle (which unrolls the three steps in
+  // SQL) derive bit-identical loadings. v₀ = (0.125,…) is exactly unit
+  // in 64 dims. The gated theorem for QUALITY is monotonicity: the
+  // Rayleigh quotient vᵀCv is non-decreasing per power step
+  // (EmbeddingSpec gates it with the pq objective slack; Bench emits
+  // the trajectory). On this near-isotropic synthetic corpus the top
+  // eigenvalue barely separates (gap ≈ 1.01), so closeness to "the"
+  // eigenvector is not a meaningful target — monotone ascent is.
+  //
+  // 100 TB shape: the mean and each iteration are ONE map-side pass —
+  // the iterate folds as a 64-literal array, rows contribute
+  // (dim, partial-u6) integer partials, and the driver state is 64
+  // numbers per round (the codebook discipline). Output is the
+  // 64-row component — metadata-sized, like pq_quantizer_trained.
+  private val PcaIterations = 3
+
+  /** (muU6, iterates v1..v3 as u6 vectors, rayleigh trajectory in
+    * micro-units) memoized per (session, dir). */
+  private val pcaCache = new graft.operators.SessionMemo[String,
+    (Seq[Long], Seq[Seq[Long]], Seq[Long])]()
+
+  private[queries] def pcaPowerState(s: SparkSession, dir: String)
+      : (Seq[Long], Seq[Seq[Long]], Seq[Long]) =
+    pcaCache.getOrElseUpdate(s, dir) {
+      val e = withNorm(s, dir)
+      val dims = 0 until JlInDims
+      // integer micro-unit mean per dim: one exploded partial-agg pass
+      val muParts = e.select(explode(array(dims.map(d =>
+          struct(lit(d).as("d"),
+            round(col("v").getItem(d) * lit(1000000.0), 0).cast("long").as("xu"))): _*)).as("t"))
+        .select(col("t.d"), col("t.xu"))
+        .groupBy("d").agg(sum("xu").as("su"), count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val muU6 = dims.map { d =>
+        val (su, n) = muParts(d)
+        (su + n * PqMeanOffset) / n - PqMeanOffset
+      }
+      val mu = muU6.map(_ / 1000000.0)
+      val xc = array(dims.map(d => col("v").getItem(d) - lit(mu(d))): _*)
+      var v: Seq[Long] = Seq.fill(JlInDims)(125000L) // 0.125² × 64 = exactly unit
+      val iterates = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      val rayleigh = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for (_ <- 1 to PcaIterations) {
+        val vr = v.map(_ / 1000000.0)
+        val sCol = call_function("dot_f64", col("xc"), array(vr.map(lit): _*))
+        val base = e.select(xc.as("xc")).select(col("xc"), sCol.as("s"))
+        val row = base.select(
+          sum(round(col("s") * col("s") * lit(1000000.0), 0).cast("long")).as("r") +:
+            dims.map(d => sum(round(col("s") * col("xc").getItem(d) * lit(1000000.0), 0)
+              .cast("long")).as(s"w_$d")): _*).collect()(0)
+        rayleigh += row.getLong(0)
+        val w = dims.map(d => row.getLong(d + 1))
+        val wr = w.map(_ / 1000000.0)
+        val nrm = math.sqrt(wr.foldLeft(0.0)((a, x) => a + x * x))
+        v = wr.map(x => BigDecimal(x / nrm * 1000000.0)
+          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong)
+        iterates += v
+      }
+      (muU6, iterates.toSeq, rayleigh.toSeq)
+    }
+
+  /** Per-iteration Rayleigh quotient Σᵢ(x'ᵢ·vₖ₋₁)² in micro-units —
+    * the monotone-ascent artifact (EmbeddingSpec gate; Bench emits). */
+  def pcaRayleighTrajectory(s: SparkSession, dir: String): Seq[Long] =
+    pcaPowerState(s, dir)._3
+
+  private def pcaIterationSql(k: Int): String = {
+    val prev = s"v${k - 1}"
+    s"""s$k AS (
+       |  SELECT c.vec_id, c.xc,
+       |         list_aggregate(list_transform(range(1, 65), i -> c.xc[i] * $prev.vr[i]), 'sum') AS s
+       |  FROM c CROSS JOIN $prev),
+       |w$k AS (
+       |  SELECT d.d AS d,
+       |         CAST(sum(CAST(round(s$k.s * s$k.xc[d.d] * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS w
+       |  FROM s$k CROSS JOIN range(1, 65) d(d) GROUP BY d.d),
+       |n$k AS (
+       |  SELECT sqrt(list_aggregate(list_transform(list(w / 1000000.0 ORDER BY d),
+       |              x -> x * x), 'sum')) AS nrm,
+       |         list(w / 1000000.0 ORDER BY d) AS wr
+       |  FROM w$k),
+       |v$k AS (
+       |  SELECT list_transform(wr, x -> CAST(round(x / nrm * 1000000.0, 0) AS BIGINT) / 1000000.0) AS vr
+       |  FROM n$k),
+       |""".stripMargin
+  }
+
+  private val pcaPower = QueryDef(
+    "embedding_pca_power",
+    Some("""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |mu6 AS (
+           |  SELECT d.d AS d,
+           |         CAST((sum(CAST(round(e.v[d.d] * 1000000.0, 0) AS BIGINT))
+           |               + count(*) * 32000000) // count(*) - 32000000 AS BIGINT) AS mu
+           |  FROM e CROSS JOIN range(1, 65) d(d) GROUP BY d.d),
+           |mur AS (SELECT list(mu / 1000000.0 ORDER BY d) AS m FROM mu6),
+           |c AS (
+           |  SELECT e.vec_id,
+           |         list_transform(range(1, 65), i -> e.v[i] - mur.m[i]) AS xc
+           |  FROM e CROSS JOIN mur),
+           |v0 AS (SELECT list_transform(range(1, 65), i -> 0.125::DOUBLE) AS vr),
+           |""".stripMargin +
+      (1 to PcaIterations).map(pcaIterationSql).mkString +
+      s"""fin AS (SELECT vr FROM v$PcaIterations)
+       |SELECT CAST(d.d - 1 AS BIGINT) AS d,
+       |       CAST(round(fin.vr[d.d] * 1000000.0, 0) AS BIGINT) AS loading_u6,
+       |       m.mu AS mu_u6
+       |FROM fin CROSS JOIN range(1, 65) d(d) JOIN mu6 m ON m.d = d.d
+       |ORDER BY d""".stripMargin),
+    (s, dir) => {
+      import s.implicits._
+      val (muU6, iterates, _) = pcaPowerState(s, dir)
+      val v = iterates.last
+      (0 until JlInDims).map(d => (d.toLong, v(d), muU6(d)))
+        .toDF("d", "loading_u6", "mu_u6")
+        .orderBy("d")
+    })
+
   // ---- hard-negative mining ----------------------------------------------
   // The contrastive-training data op: for each anchor vector, the most
   // similar vectors of a DIFFERENT label — the "hard negatives" that
@@ -1926,5 +2054,6 @@ object EmbeddingQueries extends QuerySet {
     Seq(bruteTopk, lshTopk, ivfTopk, ivfTrained, embDupPairs, embIncremental,
       embDupClusters, embDedupCorpus, semDedup, quantize, centroids, pqTrained,
       jlProjection, ivfpqAdc, ivfpqRerank, hardNegatives, binaryQuantize,
-      binaryRerank, matryoshka, separability, ivfBalance, centroidDrift)
+      binaryRerank, matryoshka, separability, ivfBalance, centroidDrift,
+      pcaPower)
 }

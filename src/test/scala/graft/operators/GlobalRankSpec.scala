@@ -97,6 +97,24 @@ class GlobalRankSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"large-partition offset fold should broadcast-join:\n$p")
   }
 
+  test("withPrefixSum equals the single-window running sum on a unique key") {
+    val sess = spark; import sess.implicits._
+    val df = (1 to 997).map(i => (i.toLong, (i % 13).toLong, (i % 7 + 1).toLong))
+      .toDF("id", "v", "w").repartition(7)
+    val got = GlobalRank
+      .withPrefixSum(df, Seq(col("v"), col("id")), col("w"), "cum", numPartitions = 5)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val want = df
+      .withColumn("cum", sum("w").over(Window.orderBy(col("v"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(got == want)
+    // the grand total lands on the last row — prefix scan sanity
+    val lastId = df.orderBy(col("v").desc, col("id").desc)
+      .select("id").as[Long].head()
+    assert(got(lastId) == df.agg(sum("w")).as[Long].head())
+  }
+
   test("plan carries no empty-partition window and folds offsets as literals") {
     val sess = spark; import sess.implicits._
     val df = (1 to 100).map(_.toLong).toDF("id")

@@ -272,6 +272,61 @@ class EmbeddingSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
   }
 
+  test("PCA power iteration replays exactly; Rayleigh quotient ascends; loadings unit-norm") {
+    val v = vectors()
+    val n = v.size.toLong
+    // Spark's round() goes through BigDecimal.valueOf (the SHORTEST
+    // decimal repr of the double), not the exact binary expansion —
+    // with ~300k roundings per iteration the two differ at enough
+    // representation boundaries to diverge the iterate, so the replay
+    // must mirror valueOf semantics exactly
+    def u6(x: Double): Long =
+      java.math.BigDecimal.valueOf(x * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    // independent scalar replay of the integer-exact power iteration
+    val mu = (0 until 64).map { d =>
+      val su = v.values.map(x => u6(x(d))).sum
+      ((su + n * 32000000L) / n - 32000000L) / 1000000.0
+    }
+    val xc = v.view.mapValues(x => (0 until 64).map(d => x(d) - mu(d)).toArray).toMap
+    var vec = Array.fill(64)(0.125)
+    val rayleighs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var lastU6: Seq[Long] = Nil
+    for (_ <- 1 to 3) {
+      val s = xc.view.mapValues { x =>
+        var acc = 0.0; var i = 0
+        while (i < 64) { acc += x(i) * vec(i); i += 1 }; acc
+      }.toMap
+      rayleighs += s.values.toSeq.map(si => u6(si * si)).sum
+      // toSeq: mapping over the KEY SET would collapse duplicate terms
+      val w = (0 until 64).map(d =>
+        s.keys.toSeq.map(id => u6(s(id) * xc(id)(d))).sum)
+      val wr = w.map(_ / 1000000.0)
+      val nrm = math.sqrt(wr.foldLeft(0.0)((a, x) => a + x * x))
+      // spell the normalization exactly as the engines do: (w/1e6)/nrm*1e6
+      lastU6 = wr.map(x => u6(x / nrm))
+      vec = lastU6.map(_ / 1000000.0).toArray
+    }
+    val got = run("embedding_pca_power").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0L until 64L))
+    assert(got.map(_._2).toSeq == lastU6,
+      s"loadings diverge from the scalar replay: got=${got.take(4).toSeq}")
+    assert(got.map(_._3 / 1000000.0).toSeq == mu.toSeq)
+    // unit norm within u6 rounding of 64 components
+    val norm2 = got.map(_._2 / 1000000.0).map(x => x * x).sum
+    assert(math.abs(norm2 - 1.0) < 1e-4, s"component not unit: $norm2")
+    // the power-iteration theorem: vᵀCv non-decreasing per step (u6
+    // rounding perturbs at ~1e-6 of the scale; same slack family as
+    // the pq objective gate)
+    val traj = graft.queries.EmbeddingQueries.pcaRayleighTrajectory(spark, sf)
+    assert(traj == rayleighs.toSeq, s"trajectory replay mismatch: $traj vs $rayleighs")
+    traj.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 100L, s"Rayleigh quotient descended: $traj")
+    }
+  }
+
   test("hard negatives: top-5 cross-label cosine, replayed from raw vectors") {
     val labels = Tables.table(spark, sf, "embeddings")
       .select("vec_id", "label").collect()

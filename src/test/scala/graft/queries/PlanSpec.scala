@@ -505,6 +505,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("curriculum packing serves the two-pass prefix scan: no window, no re-scan") {
+    // the oracle's sum(toks) OVER (ORDER BY …) is the single-reducer
+    // family; the served plan must read the memoized prefix-summed
+    // frame and do pure batch arithmetic + one partial agg
+    val p = plan("curriculum_packing")
+    assert(!p.contains("Window"),
+      s"curriculum packing runs a global-order window:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"does not read the materialized prefix-scan frame:\n$p")
+    assert(corpusScans(p, "text#") == 0,
+      s"re-scans documents downstream of the checkpoint:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"batch rollup lacks map-side combine:\n$p")
+  }
+
+  test("OOV rate folds the vocabulary as an isin literal: no join at all") {
+    val p = plan("oov_rate_by_source")
+    assert(!p.contains("Join"),
+      s"vocabulary membership degraded to a join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-source counts lack map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in oov:\n$p")
+  }
+
   test("corpus-pass operators hold their locked FileScan budgets") {
     // (query, marker, budget, justification-if-budget>0)
     val budgets = Seq(
