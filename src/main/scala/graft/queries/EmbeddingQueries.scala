@@ -1549,25 +1549,31 @@ object EmbeddingQueries extends QuerySet {
        |""".stripMargin
   }
 
+  /** Shared oracle prelude: centered vectors + three unrolled power
+    * steps, ending at `fin(vr)` (the trained component) with `mu6` and
+    * `c` (per-row centered lists) in scope. */
+  private lazy val pcaOraclePrefix: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |mu6 AS (
+      |  SELECT d.d AS d,
+      |         CAST((sum(CAST(round(e.v[d.d] * 1000000.0, 0) AS BIGINT))
+      |               + count(*) * 32000000) // count(*) - 32000000 AS BIGINT) AS mu
+      |  FROM e CROSS JOIN range(1, 65) d(d) GROUP BY d.d),
+      |mur AS (SELECT list(mu / 1000000.0 ORDER BY d) AS m FROM mu6),
+      |c AS (
+      |  SELECT e.vec_id,
+      |         list_transform(range(1, 65), i -> e.v[i] - mur.m[i]) AS xc
+      |  FROM e CROSS JOIN mur),
+      |v0 AS (SELECT list_transform(range(1, 65), i -> 0.125::DOUBLE) AS vr),
+      |""".stripMargin +
+      (1 to PcaIterations).map(pcaIterationSql).mkString +
+      s"fin AS (SELECT vr FROM v$PcaIterations)\n"
+
   private val pcaPower = QueryDef(
     "embedding_pca_power",
-    Some("""WITH e AS (
-           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-           |mu6 AS (
-           |  SELECT d.d AS d,
-           |         CAST((sum(CAST(round(e.v[d.d] * 1000000.0, 0) AS BIGINT))
-           |               + count(*) * 32000000) // count(*) - 32000000 AS BIGINT) AS mu
-           |  FROM e CROSS JOIN range(1, 65) d(d) GROUP BY d.d),
-           |mur AS (SELECT list(mu / 1000000.0 ORDER BY d) AS m FROM mu6),
-           |c AS (
-           |  SELECT e.vec_id,
-           |         list_transform(range(1, 65), i -> e.v[i] - mur.m[i]) AS xc
-           |  FROM e CROSS JOIN mur),
-           |v0 AS (SELECT list_transform(range(1, 65), i -> 0.125::DOUBLE) AS vr),
-           |""".stripMargin +
-      (1 to PcaIterations).map(pcaIterationSql).mkString +
-      s"""fin AS (SELECT vr FROM v$PcaIterations)
-       |SELECT CAST(d.d - 1 AS BIGINT) AS d,
+    Some(pcaOraclePrefix +
+      """SELECT CAST(d.d - 1 AS BIGINT) AS d,
        |       CAST(round(fin.vr[d.d] * 1000000.0, 0) AS BIGINT) AS loading_u6,
        |       m.mu AS mu_u6
        |FROM fin CROSS JOIN range(1, 65) d(d) JOIN mu6 m ON m.d = d.d
@@ -1579,6 +1585,51 @@ object EmbeddingQueries extends QuerySet {
       (0 until JlInDims).map(d => (d.toLong, v(d), muU6(d)))
         .toDF("d", "loading_u6", "mu_u6")
         .orderBy("d")
+    })
+
+  // ---- PCA projection apply (the corpus-scale half) ----------------------
+  // Where embedding_pca_power's output is 64 rows of metadata, THIS is
+  // the operator a pipeline actually runs over the corpus: every
+  // vector's coordinate along the trained component plus its residual
+  // energy — the inputs to whitening, top-component removal (the
+  // all-but-the-top postprocessing trick for anisotropic embedding
+  // spaces), and low-rank drift monitors. Coordinate and residual are
+  // stated in integer micro-units off the same exact centered doubles
+  // both engines derive, so the corpus-sized output hash-compares.
+  //
+  // 100 TB shape: PURE MAP-SIDE — mean and component fold as 64-double
+  // literals into the projection (memoized training state), no
+  // exchange of any kind touches the corpus (PlanSpec locks zero
+  // hashpartitioning + the single vectors scan), and the operator
+  // composes with a parquet write of the projected table exactly like
+  // jl_projection.
+  private val pcaProject = QueryDef(
+    "embedding_pca_project",
+    Some(pcaOraclePrefix +
+      """, p AS (
+       |  SELECT c.vec_id,
+       |         list_aggregate(list_transform(range(1, 65), i -> c.xc[i] * fin.vr[i]), 'sum') AS s,
+       |         list_aggregate(list_transform(c.xc, x -> x * x), 'sum') AS x2
+       |  FROM c CROSS JOIN fin)
+       |SELECT vec_id,
+       |       CAST(round(s * 1000000.0, 0) AS BIGINT) AS coord_u6,
+       |       CAST(round((x2 - s * s) * 1000000.0, 0) AS BIGINT) AS resid2_u6
+       |FROM p ORDER BY vec_id""".stripMargin),
+    (s, dir) => {
+      val (muU6, iterates, _) = pcaPowerState(s, dir)
+      val mu = muU6.map(_ / 1000000.0)
+      val vr = iterates.last.map(_ / 1000000.0)
+      val dims = 0 until JlInDims
+      val xc = array(dims.map(d => col("v").getItem(d) - lit(mu(d))): _*)
+      withNorm(s, dir)
+        .select(col("vec_id"), xc.as("xc"))
+        .withColumn("s", call_function("dot_f64", col("xc"), array(vr.map(lit): _*)))
+        .withColumn("x2", call_function("dot_f64", col("xc"), col("xc")))
+        .select(col("vec_id"),
+          round(col("s") * lit(1000000.0), 0).cast("long").as("coord_u6"),
+          round((col("x2") - col("s") * col("s")) * lit(1000000.0), 0)
+            .cast("long").as("resid2_u6"))
+        .orderBy("vec_id")
     })
 
   // ---- hard-negative mining ----------------------------------------------
@@ -2055,5 +2106,5 @@ object EmbeddingQueries extends QuerySet {
       embDupClusters, embDedupCorpus, semDedup, quantize, centroids, pqTrained,
       jlProjection, ivfpqAdc, ivfpqRerank, hardNegatives, binaryQuantize,
       binaryRerank, matryoshka, separability, ivfBalance, centroidDrift,
-      pcaPower)
+      pcaPower, pcaProject)
 }

@@ -520,6 +520,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"batch rollup lacks map-side combine:\n$p")
   }
 
+  test("PCA projection applies map-side: component folded as literals, no exchange") {
+    val p = plan("embedding_pca_project")
+    assert(p.contains("dot_f64"), s"native dot kernel missing:\n$p")
+    assert(!p.contains("hashpartitioning("),
+      s"projection apply should never shuffle the corpus:\n$p")
+    assert(!p.contains("Join"), s"component should fold as literals, not join:\n$p")
+  }
+
   test("OOV rate folds the vocabulary as an isin literal: no join at all") {
     val p = plan("oov_rate_by_source")
     assert(!p.contains("Join"),
