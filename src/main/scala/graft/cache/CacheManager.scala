@@ -189,7 +189,12 @@ final class CacheManager(spark: SparkSession, warehouseRoot: String) {
     endpoints.filter(e => e.cache.enabled && e.cache.table.nonEmpty).foreach { e =>
       val c = e.cache
       try {
-        if (table(c).currentSnapshotId.isDefined) {
+        // needs-compaction guard (r10 review): an already-merged table
+        // is a NO-OP — without it the daily walk pays a full rewrite
+        // per table per day, drops every endpoint's cached plans, and
+        // burns a keepLastSnapshots retention slot on an empty change
+        if (table(c).currentSnapshotId.isDefined &&
+            table(c).liveFileCount > targetFiles) {
           table(c).compact(targetFiles)
           registerServeView(c)
           graft.api.PlanCache.invalidateAll()

@@ -556,18 +556,39 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
   }
 
   /** Compaction: rewrite the live state into `targetFiles` files and
-    * publish it as a new snapshot (merge-adjacent-files analog). */
+    * publish it as a new snapshot (merge-adjacent-files analog). The
+    * read MUST union by name (mergeSchema): after an additive
+    * schema-evolution merge the live state is a widened rewrite NEXT TO
+    * narrow untouched dirs, and a footer-schema read would silently
+    * drop the widened columns from the compacted snapshot — permanent
+    * loss once retention expires the pre-compaction snapshot
+    * (r10 review finding; gated in SnapshotTableSpec). */
   def compact(targetFiles: Int = 1): Long = synchronized {
     withFreshId { (ms, id) =>
       val cur = currentSnapshotId.getOrElse(
         throw new IllegalStateException(s"table $name has no snapshots"))
       val dirs = parentManifest(ms, cur).dirs.map(dataPath)
-      val df = spark.read.parquet(dirs: _*).repartition(targetFiles)
+      val df = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+        .repartition(targetFiles)
       val dir = writeData(id, df)
       publish(id, "compact", writtenCount(dir), Seq(dir))
       id
     }
   }
+
+  /** Parquet file count across the live snapshot's data dirs — the
+    * needs-compaction readout the scheduled walk checks before paying a
+    * rewrite (a table already merged to `targetFiles` must be a no-op,
+    * not a daily full rewrite burning a retention slot). */
+  def liveFileCount: Int = currentDataDirs.map { d =>
+    val p = java.nio.file.Paths.get(d)
+    if (!Files.isDirectory(p)) 0
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+  }.sum
 
   private def rewriteMeta(retained: Seq[Manifest]): Unit = {
     val rows = retained.map(m => Row(m.id, m.committedAt, m.mode, m.rowCount, m.dirs,

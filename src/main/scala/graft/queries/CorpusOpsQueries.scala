@@ -908,7 +908,7 @@ object CorpusOpsQueries extends QuerySet {
         |  CAST(count(*) FILTER (WHERE n > max_len) AS BIGINT) AS docs_truncated,
         |  CAST(sum(CASE WHEN n > max_len THEN n - max_len ELSE 0 END) AS BIGINT) AS tokens_lost,
         |  CAST(sum(n) AS BIGINT) AS tokens_total,
-        |  CAST((sum(CASE WHEN n > max_len THEN n - max_len ELSE 0 END) * 1000000) div sum(n) AS BIGINT) AS loss_ppm
+        |  CAST(CAST(sum(CASE WHEN n > max_len THEN n - max_len ELSE 0 END) AS DECIMAL(38,0)) * 1000000 div sum(n) AS BIGINT) AS loss_ppm
         |FROM tok CROSS JOIN L GROUP BY max_len ORDER BY max_len""".stripMargin))
 
   // ---- curriculum-ordered sequence packing -------------------------------
@@ -1022,7 +1022,8 @@ object CorpusOpsQueries extends QuerySet {
           sum(when(col("oov"), 1L).otherwise(0L)).as("oov_tokens"))
         .select(col("source"), col("n_tokens").cast("long").as("n_tokens"),
           col("oov_tokens").cast("long").as("oov_tokens"),
-          expr("CAST(oov_tokens * 1000000 div n_tokens AS BIGINT)").as("oov_ppm"))
+          expr("CAST(CAST(oov_tokens AS DECIMAL(38,0)) * 1000000 div n_tokens AS BIGINT)")
+            .as("oov_ppm"))
         .orderBy("source")
     })
 
@@ -1072,7 +1073,9 @@ object CorpusOpsQueries extends QuerySet {
         val quota = rem / (counts.length - i)
         val a = math.min(cnt * 2, quota)
         rem -= a
-        (lang, cnt, a, a * 1000000L / cnt)
+        // BigInt: a·1e6 overflows Long once a language holds > 9.2e12
+        // tokens (the oracle's // runs on HUGEINT); quotient ≤ 2e6 fits
+        (lang, cnt, a, (BigInt(a) * 1000000 / cnt).toLong)
       }
       out.toSeq.sortBy(_._1)
         .toDF("lang", "n_tokens", "allocation", "epochs_ppm")

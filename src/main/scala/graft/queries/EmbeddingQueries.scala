@@ -165,7 +165,7 @@ object EmbeddingQueries extends QuerySet {
 
   private val ivfTopk = QueryDef(
     "ann_ivf_topk",
-    Some("""WITH e AS (
+    Some(s"""WITH e AS (
            |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
            |n AS (
            |  SELECT vec_id, v,
@@ -183,7 +183,7 @@ object EmbeddingQueries extends QuerySet {
            |cells AS (SELECT vec_id, sid AS cell FROM r WHERE srn = 1),
            |pcells AS (
            |  SELECT vec_id AS probe_id, sid AS pcell FROM r
-           |  WHERE srn <= 4 AND vec_id IN (7, 42, 99)),
+           |  WHERE srn <= $IvfNProbe AND vec_id IN (7, 42, 99)),
            |s AS (
            |  SELECT p.probe_id, c.cell, c.vec_id AS neighbor_id,
            |         round(list_aggregate(list_transform(range(1, len(pv.v) + 1),
@@ -340,7 +340,7 @@ object EmbeddingQueries extends QuerySet {
       sampledCurve: Seq[(Int, Double)] = Nil)
 
   /** Measured recall@3 (vs brute-force cosine ground truth) of the IVF
-    * search: at the shipped nprobe=2 for the sampled-seed quantizer
+    * search: at the shipped nprobe=4 for the sampled-seed quantizer
     * and the Lloyd-trained one (the honest "what does training buy"
     * numbers, deliberately ungated — recall at FIXED nprobe is not
     * monotone in training), and the full recall-vs-nprobe CURVE for
@@ -1043,7 +1043,7 @@ object EmbeddingQueries extends QuerySet {
        |m$r AS (
        |  SELECT a.j, a.cid, d.d,
        |         CAST((sum(CAST(round(s.v[a.j * 8 + d.d] * 1000000.0, 0) AS BIGINT))
-       |               + count(*) * 32000000) // count(*) - 32000000 AS BIGINT) AS mu
+       |               + count(*) * $PqMeanOffset) // count(*) - $PqMeanOffset AS BIGINT) AS mu
        |  FROM asg$r a JOIN e s ON s.vec_id = a.vec_id CROSS JOIN range(1, 9) d(d)
        |  GROUP BY a.j, a.cid, d.d),
        |cb$r AS (
@@ -1052,7 +1052,7 @@ object EmbeddingQueries extends QuerySet {
        |    SELECT j, cid, list(mu ORDER BY d) AS cu FROM m$r GROUP BY j, cid) m
        |    ON m.j = c0.j AND m.cid = c0.cid),
        |""".stripMargin
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
       |d AS (
       |  SELECT n.vec_id, s.vec_id AS sid,
@@ -1066,7 +1066,7 @@ object EmbeddingQueries extends QuerySet {
       |cells AS (SELECT vec_id, sid AS cell FROM r WHERE srn = 1),
       |pcells AS (
       |  SELECT vec_id AS probe_id, sid AS pcell FROM r
-      |  WHERE srn <= 4 AND vec_id IN (7, 42, 99)),
+      |  WHERE srn <= $IvfNProbe AND vec_id IN (7, 42, 99)),
       |cb0 AS (
       |  SELECT j.j AS j, CAST(c.vec_id AS INT) AS cid,
       |         list_transform(list_slice(c.v, j.j * 8 + 1, j.j * 8 + 8),
@@ -1294,7 +1294,7 @@ object EmbeddingQueries extends QuerySet {
 
   private val ivfpqRerank = QueryDef(
     "ann_ivfpq_rerank",
-    Some(pqTrainedSqlPrefix + """codes AS (
+    Some(pqTrainedSqlPrefix + s"""codes AS (
            |  SELECT vec_id, j, cid AS code FROM (
            |    SELECT s.vec_id, c.j, c.cid,
            |           row_number() OVER (PARTITION BY s.vec_id, c.j ORDER BY
@@ -1320,7 +1320,7 @@ object EmbeddingQueries extends QuerySet {
            |  SELECT probe_id, neighbor_id FROM (
            |    SELECT *, row_number() OVER (PARTITION BY probe_id
            |              ORDER BY score_u6, neighbor_id) AS rn FROM sc) t
-           |  WHERE rn <= 64),
+           |  WHERE rn <= $AdcShortlist),
            |ex AS (
            |  SELECT sh.probe_id, sh.neighbor_id,
            |         round((list_aggregate(list_transform(range(1, 65),
@@ -1553,12 +1553,12 @@ object EmbeddingQueries extends QuerySet {
     * steps, ending at `fin(vr)` (the trained component) with `mu6` and
     * `c` (per-row centered lists) in scope. */
   private lazy val pcaOraclePrefix: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
       |mu6 AS (
       |  SELECT d.d AS d,
       |         CAST((sum(CAST(round(e.v[d.d] * 1000000.0, 0) AS BIGINT))
-      |               + count(*) * 32000000) // count(*) - 32000000 AS BIGINT) AS mu
+      |               + count(*) * $PqMeanOffset) // count(*) - $PqMeanOffset AS BIGINT) AS mu
       |  FROM e CROSS JOIN range(1, 65) d(d) GROUP BY d.d),
       |mur AS (SELECT list(mu / 1000000.0 ORDER BY d) AS m FROM mu6),
       |c AS (
@@ -1751,7 +1751,7 @@ object EmbeddingQueries extends QuerySet {
 
   private val binaryRerank = QueryDef(
     "ann_binary_rerank",
-    Some(binCodesSql + """,
+    Some(binCodesSql + s""",
       |p AS (SELECT vec_id AS probe_id, lo AS plo, hi AS phi FROM b
       |      WHERE vec_id IN (0, 1, 2)),
       |h AS (
@@ -1763,7 +1763,7 @@ object EmbeddingQueries extends QuerySet {
       |  SELECT probe_id, vec_id, hamming FROM (
       |    SELECT *, row_number() OVER (PARTITION BY probe_id
       |              ORDER BY hamming, vec_id) AS hrn FROM h) t
-      |  WHERE hrn <= 100),
+      |  WHERE hrn <= $BinShortlist),
       |ex AS (
       |  SELECT sh.probe_id, sh.vec_id AS neighbor_id, sh.hamming,
       |         round(list_aggregate(list_transform(range(1, len(pv.v) + 1),
@@ -1823,17 +1823,27 @@ object EmbeddingQueries extends QuerySet {
 
   def binaryRecallReport(s: SparkSession, dir: String): BinaryRecallReport = {
     def mean(xs: Seq[Double]) = math.rint(xs.sum / xs.size * 1000) / 1000
-    val shipped = perProbeBinaryRecall(s, dir)
-    BinaryRecallReport(mean(shipped.map(_._2)), mean(shipped.map(_._3)),
-      BinCurveR.map(r => r ->
-        mean(perProbeBinaryRecall(s, dir, r).map(_._3))))
+    // ONE replay computes every curve point (the shipped R is a curve
+    // member) — the adcRecallReport byR discipline; the old per-R
+    // re-replay paid four corpus collects per bench run
+    val rows = binaryReplay(s, dir, BinCurveR)
+    BinaryRecallReport(mean(rows.map(_._2)),
+      mean(rows.map(_._3.apply(BinShortlist))),
+      BinCurveR.map(r => r -> mean(rows.map(_._3.apply(r)))))
   }
 
   /** (probe_id, hammingOnlyRecall@5, rerankRecall@5) per probe — the
     * spec gates rerank >= hamming row by row (the shortlist theorem).
     * Driver-side audit over auditVectors' bounded sample. */
   def perProbeBinaryRecall(s: SparkSession, dir: String,
-      shortlist: Int = BinShortlist): Seq[(Long, Double, Double)] = {
+      shortlist: Int = BinShortlist): Seq[(Long, Double, Double)] =
+    binaryReplay(s, dir, Seq(shortlist))
+      .map { case (p, ham, byR) => (p, ham, byR(shortlist)) }
+
+  /** Single-pass replay: per probe, Hamming-only recall@5 plus the
+    * reranked recall at EVERY shortlist width in `shortlists`. */
+  private def binaryReplay(s: SparkSession, dir: String,
+      shortlists: Seq[Int]): Seq[(Long, Double, Map[Int, Double])] = {
     val v = auditVectors(s, dir, (7 to 97 by 10).map(_.toLong))
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s0 = 0.0; var i = 0
@@ -1862,8 +1872,10 @@ object EmbeddingQueries extends QuerySet {
         (id, java.lang.Long.bitCount(lo ^ plo) + java.lang.Long.bitCount(hi ^ phi))
       }.sortBy { case (id, h) => (h, id) }.map(_._1)
       val ham5 = hamRanked.take(5).toSet
-      val rerank5 = cosOrder(hamRanked.take(shortlist)).take(5).toSet
-      (p, truth.intersect(ham5).size / 5.0, truth.intersect(rerank5).size / 5.0)
+      val byR = shortlists.map { r =>
+        r -> truth.intersect(cosOrder(hamRanked.take(r)).take(5).toSet).size / 5.0
+      }.toMap
+      (p, truth.intersect(ham5).size / 5.0, byR)
     }
   }
 
@@ -1913,8 +1925,8 @@ object EmbeddingQueries extends QuerySet {
       val tot = sz.agg(sum("n").as("t"), count(lit(1)).as("k"))
       sz.crossJoin(broadcast(tot))
         .select(col("cell"), col("n"),
-          expr("CAST((n * 1000000) div t AS BIGINT)").as("share_ppm"),
-          expr("CAST((n * k * 1000000) div t AS BIGINT)").as("load_factor_ppm"))
+          expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 div t AS BIGINT)").as("share_ppm"),
+          expr("CAST(CAST(n AS DECIMAL(38,0)) * k * 1000000 div t AS BIGINT)").as("load_factor_ppm"))
         .orderBy("cell")
     })
 

@@ -878,7 +878,7 @@ object EventQueries extends QuerySet {
         |ra AS (SELECT d1.d, hll_sketch_estimate(hll_union_agg(sk.s)) AS wau_approx
         |       FROM days d1 JOIN sk ON sk.d BETWEEN d1.d - 6 AND d1.d GROUP BY d1.d)
         |SELECT dau.d, CAST(dau.dau AS BIGINT) AS dau, CAST(roll.wau AS BIGINT) AS wau,
-        |       CAST((dau.dau * 1000000) div roll.wau AS BIGINT) AS stickiness_ppm,
+        |       CAST(CAST(dau.dau AS DECIMAL(38,0)) * 1000000 div roll.wau AS BIGINT) AS stickiness_ppm,
         |       abs(ra.wau_approx - roll.wau) <= CAST(ceil(0.1 * roll.wau) AS BIGINT) AS approx_ok
         |FROM dau JOIN roll ON dau.d = roll.d JOIN ra ON ra.d = dau.d
         |ORDER BY dau.d""".stripMargin))

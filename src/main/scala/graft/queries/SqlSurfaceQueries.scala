@@ -880,7 +880,10 @@ object SqlSurfaceQueries extends QuerySet {
         .agg(count(lit(1)).as("n_cust"), sum("spend").as("spend_cents"))
         .select(col("decile"), col("n_cust").cast("long").as("n_cust"),
           col("spend_cents").cast("long").as("spend_cents"),
-          expr(s"CAST((spend_cents * CAST(1000000 AS BIGINT)) div " +
+          // DECIMAL(38,0) hoist: a per-decile cent sum at corpus scale
+          // can exceed BIGINT/1e6 — the oracle's HUGEINT widening made
+          // the same product exact, so the engines stay identical
+          expr(s"CAST(CAST(spend_cents AS DECIMAL(38,0)) * 1000000 div " +
             s"CAST($tot AS BIGINT) AS BIGINT)").as("share_ppm"))
         .orderBy("decile")
     })

@@ -443,7 +443,7 @@ object TextQueries extends QuerySet {
         |SELECT source,
         |  CAST(count(*) AS BIGINT) AS n_types,
         |  CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
-        |  CAST((count(*) FILTER (WHERE c = 1)) * 1000000 div count(*) AS BIGINT) AS hapax_ppm,
+        |  CAST(CAST(count(*) FILTER (WHERE c = 1) AS DECIMAL(38,0)) * 1000000 div count(*) AS BIGINT) AS hapax_ppm,
         |  CAST(sum(c) AS BIGINT) AS n_tokens
         |FROM tf GROUP BY source ORDER BY source""".stripMargin))
 

@@ -15,8 +15,11 @@ import org.scalatest.funsuite.AnyFunSuite
   *     unsortable in the comparator (pandas cannot order nested
   *     cells). Convention: route nested values through to_json(...)
   *     or explode to scalar rows (the t1_types_roundtrip /
-  *     jl_projection precedent). Checked against the ANALYZED schema
-  *     of every registered query.
+  *     jl_projection precedent). Checked against the analyzed schema
+  *     of every registered query. (Building a frame is NOT free for
+  *     queries whose memoized builds run eager driver-side jobs —
+  *     codebook training, prefix scans — so this suite pays a short
+  *     execution pass; the ORACLE check below is genuinely static.)
   *
   *  2. HUGEINT WIDENING — DuckDB's sum() over any integer type (and
   *     list_aggregate(..., 'sum') over integer lists) returns

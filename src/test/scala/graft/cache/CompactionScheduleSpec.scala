@@ -40,12 +40,17 @@ class CompactionScheduleSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private val template = "SELECT id, name FROM compact_src ORDER BY id"
+  // REPARTITION hint: a tiny sorted result coalesces to one file,
+  // which the needs-compaction guard would rightly skip — force the
+  // fragmented layout the daily walk exists to merge
+  private val template =
+    "SELECT /*+ REPARTITION(4) */ id, name FROM compact_src"
 
   test("compactAll merges files, audits the event, and skips empty tables") {
     // a never-refreshed table is skipped, not an error
     assert(mgr.compactAll(Seq(ep)) == 0)
     mgr.refresh(ep, template)
+    assert(mgr.table(ep.cache).liveFileCount > 1, "fixture should fragment")
     val before = mgr.table(ep.cache).read().orderBy("id").collect().toSeq
     // 4 shuffle partitions -> multiple files; compaction rewrites to 1
     assert(mgr.compactAll(Seq(ep)) == 1)
@@ -57,9 +62,18 @@ class CompactionScheduleSpec extends AnyFunSuite with BeforeAndAfterAll {
       events.mkString(","))
     // the compacted snapshot is current and readable through the view
     assert(mgr.table(ep.cache).currentDataDirs.nonEmpty)
+    // needs-compaction guard: a second walk over the merged table is a
+    // NO-OP — no rewrite, no new snapshot, no burned retention slot
+    val snapBefore = mgr.table(ep.cache).currentSnapshotId
+    assert(mgr.compactAll(Seq(ep)) == 0)
+    assert(mgr.table(ep.cache).currentSnapshotId == snapBefore,
+      "no-op compaction must not publish a snapshot")
   }
 
   test("scheduler drives the compaction walk at the configured interval") {
+    // re-fragment the table (the previous test merged it to one file)
+    mgr.refresh(ep, template)
+    assert(mgr.table(ep.cache).liveFileCount > 1, "fixture should fragment")
     val scheduler = new RefreshScheduler(mgr)
     try {
       val countBefore = mgr.syncEvents()

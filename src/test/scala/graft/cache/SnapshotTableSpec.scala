@@ -194,6 +194,19 @@ class SnapshotTableSpec extends AnyFunSuite with BeforeAndAfterAll {
         else Some(r.getLong(r.fieldIndex("score"))))).toMap
     assert(out2(37L) == Some(9L), "widened value must survive a narrow delta")
     assert(out2(38L).isEmpty)
+    // compaction over the mixed-schema live state must union by NAME:
+    // a footer-schema read would silently drop `score` from the
+    // compacted snapshot — permanent loss once retention expires the
+    // pre-compaction snapshot (r10 review finding)
+    t.compact()
+    val out3 = t.read().collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(r.fieldIndex("score"))) None
+        else Some(r.getLong(r.fieldIndex("score"))))).toMap
+    assert(out3.size == 102)
+    assert(out3(37L) == Some(9L),
+      "compaction dropped the schema-widened column")
+    assert(out3(300L) == Some(5L))
+    assert(out3(1L).isEmpty)
   }
 
   test("merge row_count stays exact across carried dirs and expiry keeps shared buckets") {
