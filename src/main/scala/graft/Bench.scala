@@ -170,6 +170,14 @@ object Bench {
         Nil
       }
     val pcaJson = pcaTraj.mkString("[", ",", "]")
+    // second-component (deflated) ascent — same theorem on the
+    // v1-orthogonal complement; the pair documents the rank-2 basis
+    val pca2Json =
+      (try graft.queries.EmbeddingQueries.pcaDeflatedRayleighTrajectory(spark, sfDir)
+       catch { case e: Throwable =>
+         System.err.println(s"[bench] pca2 trajectory failed: ${e.getMessage}")
+         Nil
+       }).mkString("[", ",", "]")
     val degradedJson = degraded.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contaminatedJson = contaminated
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -186,7 +194,7 @@ object Bench {
         s""""rerank":${adc.rerank},"curve_by_shortlist":${icurve(adc.curve)}},""" +
         s""""binary_recall_at5":{"hamming":${bin.hamming},"rerank":${bin.rerank},""" +
         s""""curve_by_shortlist":${icurve(bin.curve)}},""" +
-        s""""pca_rayleigh_u6":$pcaJson,""" +
+        s""""pca_rayleigh_u6":$pcaJson,"pca2_rayleigh_u6":$pca2Json,""" +
         s""""failures":$failures,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")

@@ -1501,51 +1501,97 @@ object EmbeddingQueries extends QuerySet {
       }
       val mu = muU6.map(_ / 1000000.0)
       val xc = array(dims.map(d => col("v").getItem(d) - lit(mu(d))): _*)
-      var v: Seq[Long] = Seq.fill(JlInDims)(125000L) // 0.125² × 64 = exactly unit
-      val iterates = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
-      val rayleigh = scala.collection.mutable.ArrayBuffer.empty[Long]
-      for (_ <- 1 to PcaIterations) {
-        val vr = v.map(_ / 1000000.0)
-        val sCol = call_function("dot_f64", col("xc"), array(vr.map(lit): _*))
-        val base = e.select(xc.as("xc")).select(col("xc"), sCol.as("s"))
-        val row = base.select(
-          sum(round(col("s") * col("s") * lit(1000000.0), 0).cast("long")).as("r") +:
-            dims.map(d => sum(round(col("s") * col("xc").getItem(d) * lit(1000000.0), 0)
-              .cast("long")).as(s"w_$d")): _*).collect()(0)
-        rayleigh += row.getLong(0)
-        val w = dims.map(d => row.getLong(d + 1))
-        val wr = w.map(_ / 1000000.0)
-        val nrm = math.sqrt(wr.foldLeft(0.0)((a, x) => a + x * x))
-        v = wr.map(x => BigDecimal(x / nrm * 1000000.0)
-          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong)
-        iterates += v
-      }
-      (muU6, iterates.toSeq, rayleigh.toSeq)
+      val (iterates, rayleigh) = pcaIterate(e, xc)
+      (muU6, iterates, rayleigh)
     }
+
+  /** The power loop: PcaIterations steps over `src` with centered rows
+    * given by `xcCol`; returns (u6 iterates, Rayleigh trajectory).
+    * Each step is ONE Spark job collecting 64 integer partial sums. */
+  private def pcaIterate(src: DataFrame, xcCol: org.apache.spark.sql.Column)
+      : (Seq[Seq[Long]], Seq[Long]) = {
+    val dims = 0 until JlInDims
+    var v: Seq[Long] = Seq.fill(JlInDims)(125000L) // 0.125² × 64 = exactly unit
+    val iterates = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val rayleigh = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (_ <- 1 to PcaIterations) {
+      val vr = v.map(_ / 1000000.0)
+      val sCol = call_function("dot_f64", col("xc"), array(vr.map(lit): _*))
+      val base = src.select(xcCol.as("xc")).select(col("xc"), sCol.as("s"))
+      val row = base.select(
+        sum(round(col("s") * col("s") * lit(1000000.0), 0).cast("long")).as("r") +:
+          dims.map(d => sum(round(col("s") * col("xc").getItem(d) * lit(1000000.0), 0)
+            .cast("long")).as(s"w_$d")): _*).collect()(0)
+      rayleigh += row.getLong(0)
+      val w = dims.map(d => row.getLong(d + 1))
+      val wr = w.map(_ / 1000000.0)
+      val nrm = math.sqrt(wr.foldLeft(0.0)((a, x) => a + x * x))
+      v = wr.map(x => BigDecimal(x / nrm * 1000000.0)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong)
+      iterates += v
+    }
+    (iterates.toSeq, rayleigh.toSeq)
+  }
 
   /** Per-iteration Rayleigh quotient Σᵢ(x'ᵢ·vₖ₋₁)² in micro-units —
     * the monotone-ascent artifact (EmbeddingSpec gate; Bench emits). */
   def pcaRayleighTrajectory(s: SparkSession, dir: String): Seq[Long] =
     pcaPowerState(s, dir)._3
 
-  private def pcaIterationSql(k: Int): String = {
-    val prev = s"v${k - 1}"
-    s"""s$k AS (
-       |  SELECT c.vec_id, c.xc,
-       |         list_aggregate(list_transform(range(1, 65), i -> c.xc[i] * $prev.vr[i]), 'sum') AS s
-       |  FROM c CROSS JOIN $prev),
-       |w$k AS (
+  /** The deflated (second-component) ascent trajectory — Bench's
+    * pca2_rayleigh_u6 artifact. */
+  def pcaDeflatedRayleighTrajectory(s: SparkSession, dir: String): Seq[Long] =
+    pcaDeflateState(s, dir)._2
+
+  /** Second component by DEFLATION, memoized like the first: project
+    * the v₁ component out of every centered row (x'' = x' − v₁(v₁·x'),
+    * pure map-side with v₁/μ folded as literals) and run the same
+    * integer-exact power loop on the deflated rows. Orthogonality
+    * |v₁·v₂| is bounded by the u6 rounding of the deflation
+    * (measured ~4e-7; EmbeddingSpec gates < 1e-4) — the theorem the
+    * deflation construction guarantees. */
+  private val pcaDeflCache =
+    new graft.operators.SessionMemo[String, (Seq[Seq[Long]], Seq[Long])]()
+
+  private[queries] def pcaDeflateState(s: SparkSession, dir: String)
+      : (Seq[Seq[Long]], Seq[Long]) =
+    pcaDeflCache.getOrElseUpdate(s, dir) {
+      val (muU6, it1, _) = pcaPowerState(s, dir)
+      val mu = muU6.map(_ / 1000000.0)
+      val v1 = it1.last.map(_ / 1000000.0)
+      val dims = 0 until JlInDims
+      val xc = array(dims.map(d => col("v").getItem(d) - lit(mu(d))): _*)
+      val base = withNorm(s, dir)
+        .select(xc.as("xc0"))
+        .withColumn("p",
+          call_function("dot_f64", col("xc0"), array(v1.map(lit): _*)))
+      val xc2 = array(dims.map(d =>
+        col("xc0").getItem(d) - lit(v1(d)) * col("p")): _*)
+      pcaIterate(base, xc2)
+    }
+
+  /** One unrolled power step reading centered rows from CTE `src`
+    * (vec_id, xc) against iterate v{tag}{k-1} (v0 shared at k=1),
+    * producing v{tag}{k} — `tag` disambiguates the deflated second
+    * pass's CTE names. */
+  private def pcaIterationSql(k: Int, src: String = "c", tag: String = ""): String = {
+    val prev = if (k == 1) "v0" else s"v$tag${k - 1}"
+    s"""s$tag$k AS (
+       |  SELECT t.vec_id, t.xc,
+       |         list_aggregate(list_transform(range(1, 65), i -> t.xc[i] * pv.vr[i]), 'sum') AS s
+       |  FROM $src t CROSS JOIN $prev pv),
+       |w$tag$k AS (
        |  SELECT d.d AS d,
-       |         CAST(sum(CAST(round(s$k.s * s$k.xc[d.d] * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS w
-       |  FROM s$k CROSS JOIN range(1, 65) d(d) GROUP BY d.d),
-       |n$k AS (
+       |         CAST(sum(CAST(round(sq.s * sq.xc[d.d] * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS w
+       |  FROM s$tag$k sq CROSS JOIN range(1, 65) d(d) GROUP BY d.d),
+       |n$tag$k AS (
        |  SELECT sqrt(list_aggregate(list_transform(list(w / 1000000.0 ORDER BY d),
        |              x -> x * x), 'sum')) AS nrm,
        |         list(w / 1000000.0 ORDER BY d) AS wr
-       |  FROM w$k),
-       |v$k AS (
+       |  FROM w$tag$k),
+       |v$tag$k AS (
        |  SELECT list_transform(wr, x -> CAST(round(x / nrm * 1000000.0, 0) AS BIGINT) / 1000000.0) AS vr
-       |  FROM n$k),
+       |  FROM n$tag$k),
        |""".stripMargin
   }
 
@@ -1567,7 +1613,7 @@ object EmbeddingQueries extends QuerySet {
       |  FROM e CROSS JOIN mur),
       |v0 AS (SELECT list_transform(range(1, 65), i -> 0.125::DOUBLE) AS vr),
       |""".stripMargin +
-      (1 to PcaIterations).map(pcaIterationSql).mkString +
+      (1 to PcaIterations).map(k => pcaIterationSql(k)).mkString +
       s"fin AS (SELECT vr FROM v$PcaIterations)\n"
 
   private val pcaPower = QueryDef(
@@ -1630,6 +1676,42 @@ object EmbeddingQueries extends QuerySet {
           round((col("x2") - col("s") * col("s")) * lit(1000000.0), 0)
             .cast("long").as("resid2_u6"))
         .orderBy("vec_id")
+    })
+
+  // ---- PCA second component by deflation ---------------------------------
+  // The rank-2 completion of the PCA family: deflate the corpus by the
+  // trained first component and power-iterate again. The deflation is
+  // a pure map-side projection (x'' = x' − v₁(v₁·x'), with μ and v₁
+  // folded as 64-double literals), so the second component costs the
+  // same three one-job passes as the first and the pair (v₁, v₂) is
+  // the whitening/low-rank basis a deployment persists. Orthogonality
+  // is the construction's theorem (gated); both engines derive
+  // bit-identical loadings through the shared integer discipline —
+  // the oracle unrolls the deflation and the second power loop in SQL.
+  private val pcaDeflate = QueryDef(
+    "embedding_pca_deflate",
+    Some(pcaOraclePrefix +
+      """, c2 AS (
+       |  SELECT c.vec_id,
+       |         list_transform(range(1, 65), i -> c.xc[i] - fin.vr[i] *
+       |           list_aggregate(list_transform(range(1, 65), j -> c.xc[j] * fin.vr[j]), 'sum')) AS xc
+       |  FROM c CROSS JOIN fin),
+       |""".stripMargin +
+      (1 to PcaIterations).map(k => pcaIterationSql(k, src = "c2", tag = "b")).mkString +
+      s"""fin2 AS (SELECT vr FROM vb$PcaIterations)
+       |SELECT CAST(d.d - 1 AS BIGINT) AS d,
+       |       CAST(round(fin.vr[d.d] * 1000000.0, 0) AS BIGINT) AS loading1_u6,
+       |       CAST(round(fin2.vr[d.d] * 1000000.0, 0) AS BIGINT) AS loading2_u6
+       |FROM fin CROSS JOIN fin2 CROSS JOIN range(1, 65) d(d)
+       |ORDER BY d""".stripMargin),
+    (s, dir) => {
+      import s.implicits._
+      val (_, it1, _) = pcaPowerState(s, dir)
+      val (it2, _) = pcaDeflateState(s, dir)
+      val (v1, v2) = (it1.last, it2.last)
+      (0 until JlInDims).map(d => (d.toLong, v1(d), v2(d)))
+        .toDF("d", "loading1_u6", "loading2_u6")
+        .orderBy("d")
     })
 
   // ---- hard-negative mining ----------------------------------------------
@@ -2118,5 +2200,5 @@ object EmbeddingQueries extends QuerySet {
       embDupClusters, embDedupCorpus, semDedup, quantize, centroids, pqTrained,
       jlProjection, ivfpqAdc, ivfpqRerank, hardNegatives, binaryQuantize,
       binaryRerank, matryoshka, separability, ivfBalance, centroidDrift,
-      pcaPower, pcaProject)
+      pcaPower, pcaProject, pcaDeflate)
 }

@@ -327,6 +327,29 @@ class EmbeddingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("deflated second component is unit-norm and orthogonal to the first") {
+    val got = run("embedding_pca_deflate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0L until 64L))
+    val v1 = got.map(_._2 / 1000000.0)
+    val v2 = got.map(_._3 / 1000000.0)
+    val n2 = v2.map(x => x * x).sum
+    assert(math.abs(n2 - 1.0) < 1e-4, s"second component not unit: $n2")
+    // deflation theorem: v2 lives in v1's orthogonal complement up to
+    // the u6 rounding of the deflation (measured ~4e-7)
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 1e-4, s"components not orthogonal: $dot")
+    // the first-component loadings agree with the gated pca_power query
+    val l1 = run("embedding_pca_power").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).map(_._2)
+    assert(got.map(_._2).toSeq == l1.toSeq)
+    // Rayleigh ascent holds on the deflated data too (same theorem)
+    val traj2 = graft.queries.EmbeddingQueries.pcaDeflateState(spark, sf)._2
+    traj2.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 100L, s"deflated Rayleigh descended: $traj2")
+    }
+  }
+
   test("hard negatives: top-5 cross-label cosine, replayed from raw vectors") {
     val labels = Tables.table(spark, sf, "embeddings")
       .select("vec_id", "label").collect()
