@@ -121,7 +121,11 @@ object Slope {
     // carries 64 rows regardless of corpus size).
     "curriculum_packing",
     "oov_rate_by_source",
-    "embedding_pca_power")
+    "embedding_pca_power",
+    // the deflated second component doubles the map-side pass count
+    // (deflation projection + the second power loop) but adds no new
+    // exchange — the ratio guards that it stays pass-shaped
+    "embedding_pca_deflate")
 
   val MaxRatio = 15.0
   val OverheadFloorSec = 0.3
