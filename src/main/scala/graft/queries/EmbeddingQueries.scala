@@ -1222,32 +1222,47 @@ object EmbeddingQueries extends QuerySet {
   /** (probe_id, pv, vec_id, score_u6): every in-cell candidate with its
     * integer ADC score — the shared head of the top-k query and the
     * two-stage re-rank below. */
-  private def adcScoredCandidates(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(s, dir)
+  /** Sorted (-dot, sid) structs vs the RAW seed vectors collected as
+    * constant literals — the coarse-routing expression shared by the
+    * coded index build and the probe side. */
+  private def seedScoreCol(e: DataFrame): org.apache.spark.sql.Column = {
     val seeds = e.filter(col("vec_id").isin(IvfSeedIds: _*))
       .select(col("vec_id").cast("int").as("sid"), col("v"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1)
-    val scoredSeeds = array_sort(array(seeds.map { case (sid, sv) =>
+    array_sort(array(seeds.map { case (sid, sv) =>
       struct((-call_function("dot_f64", col("v"), array(sv.map(lit): _*))).as("nd"),
         lit(sid).as("sid"))
     }: _*))
+  }
+
+  /** (vec_id, cell, code_0..7) — the serialized IVF-PQ INDEX, the
+    * artifact a deployment writes at ingest and every probe reads;
+    * materialized once per (session, source) so the per-row
+    * 8×16-centroid assignment sort runs at index-build time, not per
+    * search (the pairsCache discipline). operators.AnnIndexStore
+    * persists exactly this frame partitionBy(cell) for the
+    * file-pruned serving layout. */
+  private[graft] def codedIndex(s: SparkSession, dir: String): DataFrame =
+    adcIndexCache.getOrElseUpdate(s, dir) {
+      val e = withNorm(s, dir)
+      val (cents, c2) = pqCents(pqTrainedBooksU6(s, dir))
+      e.withColumn("cell", element_at(seedScoreCol(e), 1).getField("sid"))
+        .select(col("vec_id") +: col("cell") +:
+          (0 until PqSubspaces).map(j => pqCodeExpr(cents, c2, j).as(s"code_$j")): _*)
+        .localCheckpoint(true)
+    }
+
+  private def adcScoredCandidates(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val scoredSeeds = seedScoreCol(e)
     // TRAINED PQ codebooks (integer-Lloyd, pqTrainedBooksU6): still a
     // constant-sized side input folded as literals — u6/1e6 centroids
     // plus each ‖c‖² folded on the driver with the same sequential
     // double sum DuckDB's list_aggregate performs.
     val (cents, c2) = pqCents(pqTrainedBooksU6(s, dir))
-    // (vec_id, cell, code_0..7) — the serialized IVF-PQ INDEX, the
-    // artifact a deployment writes at ingest and every probe reads;
-    // materialized once per (session, source) so the per-row
-    // 8×16-centroid assignment sort runs at index-build time, not per
-    // search (the pairsCache discipline).
-    val coded = adcIndexCache.getOrElseUpdate(s, dir)(
-      e.withColumn("cell", element_at(scoredSeeds, 1).getField("sid"))
-        .select(col("vec_id") +: col("cell") +:
-          (0 until PqSubspaces).map(j => pqCodeExpr(cents, c2, j).as(s"code_$j")): _*)
-        .localCheckpoint(true))
+    val coded = codedIndex(s, dir)
     val probes = broadcast(
       e.filter(col("vec_id").isin(IvfProbeIds: _*))
         .withColumn("pcell",
