@@ -1408,6 +1408,22 @@ object TextQueries extends QuerySet {
   // independent and the keep decision (mean weight ≥ 0 ⟺ sum ≥ 0)
   // exact in both engines — no sigmoid, whose libm exp would differ
   // bitwise between engines.
+  /** (doc_id, n_terms, score_m, keep) for ANY (doc_id, text) frame —
+    * the classifier scoring kernel the streaming quality router
+    * ([[graft.streaming.Streaming.qualityRouterStream]]) applies per
+    * micro-batch. Same deterministic md5 term weights and keep rule as
+    * the gated batch query below; the StreamingSpec parity lock keeps
+    * the two spellings equivalent. */
+  private[graft] def classifierScored(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .select(col("doc_id"),
+        ((ascii(substring(md5(col("term")), 1, 1)) * 31 +
+          ascii(substring(md5(col("term")), 2, 1))) % 2001 - 1000).as("u"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("u").cast("long").as("score_m"))
+      .withColumn("keep", col("score_m") >= 0)
+
   private val classifierScore = QueryDef(
     "quality_classifier_score",
     Some("""WITH tok AS (

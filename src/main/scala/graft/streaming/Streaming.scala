@@ -186,6 +186,39 @@ object Streaming {
       }
       .start()
 
+  /** Streaming quality gate — the classifier scoring stage run INSIDE
+    * the ingest loop: each micro-batch of (doc_id, text) scores with
+    * the same deterministic md5 term weights as the gated batch
+    * `quality_classifier_score` (keep ⟺ milli-score sum ≥ 0) and
+    * routes the scored docs to the accept/reject sinks — the
+    * quarantine split a production crawl applies before anything
+    * expensive (dedup state, embedding) touches a rejected document.
+    * The stage is STATELESS map-side work (per-doc score, no
+    * cross-batch memory), so routing parity with the batch decision
+    * holds over ANY micro-batch split (StreamingSpec locks it) and at
+    * 100 TB/day the stage adds zero streaming state — the stateful
+    * stages (dedup, sketches) stay the scale limiters, unchanged. */
+  def qualityRouterStream(
+      incoming: DataFrame,
+      checkpointDir: String,
+      thresholdMilli: Long = 0L)(
+      accept: DataFrame => Unit, reject: DataFrame => Unit): StreamingQuery =
+    incoming.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // threshold is the deployment's routing knob (tightened as
+          // capacity shrinks); thresholdMilli=0 is the batch query's
+          // keep rule exactly
+          val scored = graft.queries.TextQueries.classifierScored(batch)
+          accept(scored.filter(col("score_m") >= thresholdMilli))
+          reject(scored.filter(col("score_m") < thresholdMilli))
+        }
+      }
+      .start()
+
   /** Streaming Count-Min sketch build: each micro-batch of (…, text)
     * contributes a PARTIAL sketch — the exact (i, b) → count frame the
     * gated batch entry builds ([[graft.queries.TextQueries

@@ -501,6 +501,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming quality router: accept+reject partition the corpus and match the batch decision") {
+    val dir = "/root/testdata/sf0.001"
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val tmp = Files.createTempDirectory("quality_router_stream")
+    docs.repartition(3).write.parquet(s"$tmp/incoming")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/incoming")
+    // route at the batch scores' median so BOTH routes are exercised
+    // (this corpus's md5 term weights score every doc positive, so the
+    // batch keep rule's threshold 0 would accept everything)
+    val batch = graft.SparkEntry.queries("quality_classifier_score")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val threshold = batch.map(_._2).sorted.apply(batch.length / 2)
+    val accepted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val rejected = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    var batches = 0
+    val q = graft.streaming.Streaming.qualityRouterStream(
+      stream, s"$tmp/ck", thresholdMilli = threshold)(
+      accept = df => {
+        batches += 1
+        df.select("doc_id", "score_m").collect()
+          .foreach(r => accepted.add((r.getLong(0), r.getLong(1))))
+      },
+      reject = df => df.select("doc_id", "score_m").collect()
+        .foreach(r => rejected.add((r.getLong(0), r.getLong(1)))))
+    try {
+      assert(q.awaitTermination(180000), "AvailableNow did not finish")
+      assert(batches >= 3, s"expected >=3 micro-batches, got $batches")
+      val acc = accepted.toArray(Array.empty[(Long, Long)]).toMap
+      val rej = rejected.toArray(Array.empty[(Long, Long)]).toMap
+      // the two routes PARTITION the corpus, both non-trivially
+      assert(acc.keySet.intersect(rej.keySet).isEmpty)
+      assert(acc.size + rej.size == docs.count())
+      assert(acc.nonEmpty && rej.nonEmpty)
+      // parity with the gated batch classifier's SCORES over any
+      // micro-batch split, and the routing obeys the threshold
+      batch.foreach { case (id, score) =>
+        if (score >= threshold) assert(acc.get(id).contains(score), s"doc $id misrouted")
+        else assert(rej.get(id).contains(score), s"doc $id misrouted")
+      }
+    } finally if (q.isActive) q.stop()
+  }
+
   test("streaming cms partials sum to the batch sketch over any micro-batch split") {
     val dir = "/root/testdata/sf0.001"
     graft.functions.GraftFunctions.ensureRegistered(spark)
