@@ -3,23 +3,34 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Persisted IVF-PQ index layout — the filesystem half of the ANN
-  * serving story the in-session operators assume: the coded corpus
-  * (vec_id, cell, code_0..7 from EmbeddingQueries.codedIndex) written
-  * `partitionBy(cell)`, so a probe's candidate scan PRUNES to its
-  * nprobe cells' DIRECTORIES. At 100 TB this is the difference between
-  * "the probe joins a cell-filtered scan of everything" and "the probe
-  * opens nprobe/K of the index files": Spark's partition pruning turns
-  * the `cell IN (...)` predicate into PartitionFilters, and zero data
+/** Persisted IVF-flat+PQ index layout — the filesystem half of the ANN
+  * serving story: the coded corpus (vec_id, cell, v, nrm, code_0..7
+  * from EmbeddingQueries.codedIndex) written `partitionBy(cell)`, so a
+  * probe's candidate scan PRUNES to its nprobe cells' DIRECTORIES.
+  * At 100 TB this is the difference between "the probe joins a
+  * cell-filtered scan of everything" and "the probe opens nprobe/K of
+  * the index files": Spark's partition pruning turns the
+  * `cell IN (...)` predicate into PartitionFilters, and zero data
   * files outside the probed cells are touched (AnnIndexStoreSpec
-  * asserts this from `inputFiles`, not from plan text alone).
+  * asserts this from the executed scan's numFiles metric; PlanSpec
+  * locks it on the served ann_ivf_topk / ann_ivfpq_adc plans, which
+  * read this store since r11). Column pruning is the other half: the
+  * ADC stage selects only the code bytes, the flat/rerank stages the
+  * vector — the same files serve both without reading the other's
+  * columns.
   *
   * The layout lands under the session warehouse with the same per-JVM
   * nonce + shutdown-cleanup discipline as [[BucketedTables]] (shared
   * storage on a cluster; concurrent JVMs never clobber each other;
-  * this JVM's copies are removed on exit). One write-time shuffle-free
-  * pass amortized over every probe — the write IS map-side because the
-  * coded frame is already materialized.
+  * this JVM's copies are removed on exit), plus a SESSION token in the
+  * path: two sessions in one JVM over the same dir each build their
+  * own copy, so a second session's overwrite can never rewrite a
+  * directory the first is still probing (r10 ADVICE). One write-time
+  * pass amortized over every probe; the write clusters by cell
+  * (repartition on the partition key) so each cell directory holds a
+  * bounded file count rather than one file per input partition — at
+  * deployment scale the repartition key widens to (cell, fileBucket)
+  * to hold file sizes constant as the corpus grows.
   */
 object AnnIndexStore {
 
@@ -44,26 +55,40 @@ object AnnIndexStore {
   }
 
   /** Ensure the partitioned index exists for `dir`; returns its path.
-    * Written once per (session, source dir). */
+    * Written once per (session, source dir) — the path carries the
+    * session token, so concurrent sessions in one JVM never share (or
+    * clobber) a directory. */
   def ensure(spark: SparkSession, dir: String): String =
     built.getOrElseUpdate(spark, dir) {
       val tag = java.security.MessageDigest.getInstance("SHA-256")
         .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+      val sess = SessionMemo.sessionToken(spark).take(8)
       val warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", spark.sessionState.conf.warehousePath)
       val root = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(warehouse), s"graft_annindex/$jvmNonce/$tag")
+        new org.apache.hadoop.fs.Path(warehouse), s"graft_annindex/$jvmNonce/$sess/$tag")
       createdRoots.add((root, spark.sparkContext.hadoopConfiguration))
       graft.queries.EmbeddingQueries.codedIndex(spark, dir)
+        .repartition(col("cell")) // cluster by the partition key: bounded
+                                  // files per cell dir, not files × cells
         .write.mode("overwrite").partitionBy("cell")
         .parquet(root.toString)
       root.toString
     }
 
+  private val frames = new SessionMemo[(String, Seq[Int]), DataFrame]()
+
   /** Codes for the probed cells only — the pruned candidate scan a
     * serving probe runs. The `cell IN (...)` predicate resolves at
-    * PLANNING time against the partition directories. */
+    * PLANNING time against the partition directories. The analyzed
+    * frame is memoized per (session, dir, cells): file listing and
+    * footer schema inference run once per session, not once per query
+    * invocation — every execution still runs the real pruned
+    * FileSourceScan (nothing is persisted in memory; the plan locks
+    * see the scan). */
   def probeCodes(spark: SparkSession, dir: String, cells: Seq[Int]): DataFrame =
-    spark.read.parquet(ensure(spark, dir))
-      .filter(col("cell").isin(cells: _*))
+    frames.getOrElseUpdate(spark, (dir, cells.sorted)) {
+      spark.read.parquet(ensure(spark, dir))
+        .filter(col("cell").isin(cells: _*))
+    }
 }

@@ -145,13 +145,15 @@ object EmbeddingQueries extends QuerySet {
   // 5,15,...,75) rather than Lloyd-iterated means so both engines can
   // derive the identical quantizer; the assignment/search shape is the
   // same one a trained quantizer would use. Scale design: the seeds are
-  // a constant-size side input folded into a map-side projection
-  // (zero shuffles to assign 100 TB of vectors), cells are disjoint so
-  // candidate sets never duplicate, and on a real deployment the corpus
-  // would be written `bucketBy(cell)` so a probe prunes to nprobe
-  // cells' files. Mirrors FAISS IVF-flat structure; reference scope is
-  // flapi's query surface (/root/reference/README.md) — similarity
-  // search is part of graft's pipeline extension, not a port.
+  // a constant-size side input folded into a map-side projection at
+  // INDEX BUILD (zero shuffles to assign 100 TB of vectors), cells are
+  // disjoint so candidate sets never duplicate, and the corpus IS
+  // written `partitionBy(cell)` (operators.AnnIndexStore, since r11) so
+  // a probe's serving scan prunes to its nprobe cells' files — PlanSpec
+  // locks the PartitionFilters on the executed served plan. Mirrors
+  // FAISS IVF-flat structure; reference scope is flapi's query surface
+  // (/root/reference/README.md) — similarity search is part of graft's
+  // pipeline extension, not a port.
   private val IvfSeedIds = Seq(5, 15, 25, 35, 45, 55, 65, 75)
   private val IvfProbeIds = Seq(7, 42, 99)
   // Shipped operating point (r9 verdict #6): nprobe=2 measured
@@ -198,29 +200,15 @@ object EmbeddingQueries extends QuerySet {
            |SELECT probe_id, cell, neighbor_id, cos, rn FROM rr WHERE rn <= 3
            |ORDER BY probe_id, rn""".stripMargin),
     (s, dir) => {
-      val e = withNorm(s, dir)
-      val seeds = e.filter(col("vec_id").isin(IvfSeedIds: _*))
-        .select(col("vec_id").cast("int").as("sid"), col("v"))
-        .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
-        .sortBy(_._1)
-      // (-dot, sid) structs sorted ascending = max-dot first, ties to the
-      // smaller sid — identical ordering to the oracle's (dp DESC, sid).
-      // The fold over seed literals keeps assignment map-side: no
-      // exchange touches the corpus until the candidate join below.
-      val scoredSeeds = array_sort(array(seeds.map { case (sid, sv) =>
-        struct((-call_function("dot_f64", col("v"), array(sv.map(lit): _*))).as("nd"),
-          lit(sid).as("sid"))
-      }: _*))
-      val coded = e.withColumn("cell", element_at(scoredSeeds, 1).getField("sid"))
-      val probes = broadcast(
-        e.filter(col("vec_id").isin(IvfProbeIds: _*))
-          .withColumn("pcell",
-            explode(transform(slice(scoredSeeds, 1, IvfNProbe), x => x.getField("sid"))))
-          .select(col("vec_id").as("probe_id"), col("pcell"),
-            col("v").as("pv"), col("nrm").as("pn")))
-      val cand = coded
-        .join(probes, coded("cell") === probes("pcell") && col("vec_id") =!= col("probe_id"))
+      // The candidate side is the PERSISTED index (AnnIndexStore),
+      // pruned per probe to its nprobe cells' partition directories —
+      // the IVF-flat serving read. Cell assignment paid once at index
+      // build (map-side over seed literals: (-dot, sid) struct-sort,
+      // identical ordering to the oracle's (dp DESC, sid)); the probe
+      // vectors broadcast back as a collected LOCAL relation — the
+      // serving query never re-scans the corpus parquet at all.
+      val cand0 = prunedCandidates(s, dir, Seq("vec_id", "cell", "v", "nrm"))
+      val cand = cand0.join(probeVectors(s, dir), "probe_id")
         .withColumn("cos", round(expr(dotExpr) / (col("nrm") * col("pn")), 6))
       val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
       cand.withColumn("rn", row_number().over(w))
@@ -1163,14 +1151,17 @@ object EmbeddingQueries extends QuerySet {
   // integer-partials discipline). Code assignment is the same argmin,
   // also in integer micro-units, ties to the lower cell id.
   //
-  // 100 TB shape: cell + code assignment are PURE MAP-SIDE (seed and
-  // codebook literals folded into the projection — zero corpus
-  // exchanges before the candidate join; the codes table is what a
-  // real deployment would persist, bucketed by cell); the probe set
-  // broadcasts; the candidate join touches nprobe cells only; scoring
-  // reads 8 small literal lookups per pair, never the candidate's full
-  // vector. PlanSpec locks no-cartesian + broadcast; EmbeddingSpec
-  // gates ADC ranking quality against the exact in-cell ordering.
+  // 100 TB shape: cell + code assignment are PURE MAP-SIDE at index
+  // build (seed and codebook literals folded into the projection —
+  // zero corpus exchanges); the codes ARE persisted, partitioned by
+  // cell (operators.AnnIndexStore), and the served probe reads THAT
+  // store with partition pruning — opening nprobe/K of the index
+  // files, selecting only the 8 code bytes (column pruning keeps the
+  // candidate's full vector out of the scan). The probe set
+  // broadcasts; scoring reads 8 small literal lookups per pair.
+  // PlanSpec locks no-cartesian + broadcast + the cell-IN partition
+  // filter + the v-free ADC read schema; EmbeddingSpec gates ADC
+  // ranking quality against the exact in-cell ordering.
   // Codebooks are the TRAINED integer-Lloyd books (pqTrainedBooksU6):
   // both engines derive the identical quantizer from the data, the
   // oracle by unrolling the same two rounds in SQL — at R=64 the
@@ -1237,39 +1228,95 @@ object EmbeddingQueries extends QuerySet {
     }: _*))
   }
 
-  /** (vec_id, cell, code_0..7) — the serialized IVF-PQ INDEX, the
-    * artifact a deployment writes at ingest and every probe reads;
-    * materialized once per (session, source) so the per-row
+  /** (vec_id, cell, v, nrm, code_0..7) — the serialized IVF-flat+PQ
+    * INDEX, the artifact a deployment writes at ingest and every probe
+    * reads: the full vector rides along (IVF-flat layout, what the
+    * exact-cosine and rerank stages fetch) next to the 8 one-byte PQ
+    * codes (what the ADC stage reads — column pruning drops `v` from
+    * the ADC scan, so the candidate's full vector is never deserialized
+    * there). Materialized once per (session, source) so the per-row
     * 8×16-centroid assignment sort runs at index-build time, not per
     * search (the pairsCache discipline). operators.AnnIndexStore
-    * persists exactly this frame partitionBy(cell) for the
-    * file-pruned serving layout. */
+    * persists exactly this frame partitionBy(cell); the served ann_*
+    * probes below scan THAT layout with partition pruning. */
   private[graft] def codedIndex(s: SparkSession, dir: String): DataFrame =
     adcIndexCache.getOrElseUpdate(s, dir) {
       val e = withNorm(s, dir)
       val (cents, c2) = pqCents(pqTrainedBooksU6(s, dir))
       e.withColumn("cell", element_at(seedScoreCol(e), 1).getField("sid"))
-        .select(col("vec_id") +: col("cell") +:
+        .select(col("vec_id") +: col("cell") +: col("v") +: col("nrm") +:
           (0 until PqSubspaces).map(j => pqCodeExpr(cents, c2, j).as(s"code_$j")): _*)
         .localCheckpoint(true)
     }
 
+  /** Per-probe coarse routing AND probe vectors, collected ONCE per
+    * (session, dir) with the exact shipped assignment expression
+    * (seedScoreCol slice — NOT a driver-side re-derivation, so a tie
+    * can never route the Spark and pruning sides differently):
+    * probe_id → (its nprobe cells in rank order, v, nrm). Constant-
+    * sized driver state (|probes| × (nprobe + dims)); carrying the
+    * vectors here lets every served probe broadcast a LOCAL relation
+    * instead of re-scanning the corpus parquet to pick 3 rows. */
+  private val probeRouteCache = new graft.operators.SessionMemo[String,
+    Seq[(Long, Seq[Int], Seq[Double], Double)]]()
+
+  private def probeRouting(s: SparkSession, dir: String)
+      : Seq[(Long, Seq[Int], Seq[Double], Double)] =
+    probeRouteCache.getOrElseUpdate(s, dir) {
+      val e = withNorm(s, dir)
+      e.filter(col("vec_id").isin(IvfProbeIds: _*))
+        .select(col("vec_id"),
+          transform(slice(seedScoreCol(e), 1, IvfNProbe),
+            x => x.getField("sid")).as("cells"),
+          col("v"), col("nrm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq,
+          r.getSeq[Double](2).toSeq, r.getDouble(3)))
+        .toSeq.sortBy(_._1)
+    }
+
+  /** (probe_id, pv, pn) as a broadcast LOCAL relation — the collected
+    * probe vectors re-injected verbatim (same doubles the corpus scan
+    * carried, so downstream arithmetic is bit-identical). */
+  private def probeVectors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    broadcast(probeRouting(s, dir)
+      .map { case (p, _, pv, pn) => (p, pv, pn) }
+      .toDF("probe_id", "pv", "pn"))
+  }
+
+  /** The served candidate scan: for each probe, a PARTITION-PRUNED
+    * read of the persisted index restricted to that probe's nprobe
+    * cells (`cell IN (…)` resolves against the partition directories —
+    * AnnIndexStoreSpec witnesses file-level pruning, PlanSpec locks the
+    * served plans), branches unioned, probe vectors broadcast back on
+    * probe_id. This is the 100 TB serving shape: a probe opens
+    * nprobe/K of the index FILES, not a filtered scan of everything —
+    * per-probe branches rather than one `cell IN (union)` scan because
+    * the union of several probes' cells approaches K at toy K=8 while
+    * each probe's own list stays nprobe/K at any K. */
+  private def prunedCandidates(s: SparkSession, dir: String,
+      cols: Seq[String]): DataFrame = {
+    val branches = probeRouting(s, dir).map { case (p, cells, _, _) =>
+      graft.operators.AnnIndexStore.probeCodes(s, dir, cells)
+        .select(lit(p).as("probe_id") +: cols.map(col): _*)
+    }
+    branches.reduce(_ unionByName _).filter(col("vec_id") =!= col("probe_id"))
+  }
+
   private def adcScoredCandidates(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(s, dir)
-    val scoredSeeds = seedScoreCol(e)
     // TRAINED PQ codebooks (integer-Lloyd, pqTrainedBooksU6): still a
     // constant-sized side input folded as literals — u6/1e6 centroids
     // plus each ‖c‖² folded on the driver with the same sequential
     // double sum DuckDB's list_aggregate performs.
     val (cents, c2) = pqCents(pqTrainedBooksU6(s, dir))
-    val coded = codedIndex(s, dir)
-    val probes = broadcast(
-      e.filter(col("vec_id").isin(IvfProbeIds: _*))
-        .withColumn("pcell",
-          explode(transform(slice(scoredSeeds, 1, IvfNProbe), x => x.getField("sid"))))
-        .select(col("vec_id").as("probe_id"), col("pcell"), col("v").as("pv")))
-    val cand = coded
-      .join(probes, coded("cell") === probes("pcell") && col("vec_id") =!= col("probe_id"))
+    // Candidates come from the PERSISTED index, partition-pruned per
+    // probe; only the 8 code bytes are selected, so column pruning
+    // keeps the candidate's full vector out of the ADC scan entirely.
+    // The probe vectors join in as a broadcast local relation.
+    val cand = prunedCandidates(s, dir,
+        "vec_id" +: (0 until PqSubspaces).map(j => s"code_$j"))
+      .join(probeVectors(s, dir).select(col("probe_id"), col("pv")), "probe_id")
     // ADC: per-subspace lookup of the candidate's code into the
     // probe-vs-codebook table — spelled as literal-array lookups so
     // the candidate's full vector is never read at scoring time
@@ -1353,18 +1400,23 @@ object EmbeddingQueries extends QuerySet {
            |SELECT probe_id, neighbor_id, d2, rn FROM rr WHERE rn <= 5
            |ORDER BY probe_id, rn""".stripMargin),
     (s, dir) => {
-      val e = withNorm(s, dir)
       val wAdc = Window.partitionBy("probe_id").orderBy(col("score_u6"), col("vec_id"))
       val short = adcScoredCandidates(s, dir)
         .withColumn("rn_adc", row_number().over(wAdc))
         .filter(col("rn_adc") <= AdcShortlist)
         .select(col("probe_id"), col("pv"), col("vec_id").as("neighbor_id"))
-      val vecs = e.select(col("vec_id").as("neighbor_id"), col("v"))
+      // full-vector fetch for shortlist members from the SAME pruned
+      // index layout (every shortlist member lives in its probe's
+      // cells, so the per-probe pruned scan covers the fetch; the
+      // (probe_id, vec_id) equi-join keeps it exact) — the rerank
+      // never touches the corpus parquet either
+      val vecs = prunedCandidates(s, dir, Seq("vec_id", "v"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("v"))
       val d2 = round((call_function("dot_f64", col("pv"), col("pv")) -
         lit(2.0) * call_function("dot_f64", col("pv"), col("v"))) +
         call_function("dot_f64", col("v"), col("v")), 6)
       val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("neighbor_id"))
-      short.join(vecs, "neighbor_id")
+      short.join(vecs, Seq("probe_id", "neighbor_id"))
         .withColumn("d2", d2)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= AdcTopK)

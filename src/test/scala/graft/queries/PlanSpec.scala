@@ -691,6 +691,51 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ADC search degraded to an all-pairs product:\n$p")
   }
 
+  test("served ANN probes scan the persisted index with per-probe partition pruning") {
+    // r10 verdict #1: the candidate side of the served ivf/adc/rerank
+    // probes must be the AnnIndexStore layout, pruned at PLANNING time
+    // to each probe's nprobe cells — asserted on the EXECUTED plan's
+    // scan nodes and their numFiles metric, not plan text alone.
+    // Materialized AQE stages (QueryStageExec) are LEAF nodes — a plain
+    // collect never descends into them, so walk stages/reused exchanges
+    // explicitly to reach the scans the executed plan actually ran.
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansIn(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scansIn(r.child)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansIn(a.executedPlan)
+      }.flatten
+    def indexScans(name: String) = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect() // drive THIS queryExecution so scan metrics populate
+      scansIn(df.queryExecution.executedPlan).filter(
+        _.relation.location.rootPaths.exists(_.toString.contains("graft_annindex")))
+    }
+    val allFiles = spark.read.parquet(
+      graft.operators.AnnIndexStore.ensure(spark, sf)).inputFiles.length.toLong
+    assert(allFiles >= 4, s"index store unexpectedly small: $allFiles files")
+    Seq("ann_ivf_topk", "ann_ivfpq_adc", "ann_ivfpq_rerank").foreach { q =>
+      val scans = indexScans(q)
+      assert(scans.nonEmpty, s"$q does not read the persisted ANN index")
+      scans.foreach { f =>
+        assert(f.partitionFilters.exists(_.references.exists(_.name == "cell")),
+          s"$q index scan has no cell partition filter:\n$f")
+        val scanned = f.metrics("numFiles").value
+        assert(scanned > 0 && scanned < allFiles,
+          s"$q index scan opened $scanned of $allFiles files — no file-level pruning")
+      }
+    }
+    // the ADC scan reads codes only — the candidate's full vector
+    // column never enters the scan (the 8-bytes-per-candidate story)
+    indexScans("ann_ivfpq_adc").foreach { f =>
+      assert(!f.output.exists(_.name == "v"),
+        s"ADC index scan reads the full vector column:\n$f")
+    }
+  }
+
   test("segment dedup counts digests with map-side combine and broadcasts the boilerplate set") {
     val p = plan("segment_dedup_clean")
     assert(p.contains("partial_count"),
