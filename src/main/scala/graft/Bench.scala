@@ -185,9 +185,17 @@ object Bench {
       s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${jmap(_._3)},""" +
         s""""cold_queries":${jmap(_._2)},"cold_total":$coldTotal,""" +
         s""""degraded":$degradedJson,"cold_contaminated":$contaminatedJson,""" +
-        s""""ivf_recall_at3":{"sampled":${rec.sampled},"trained":${rec.trained}},""" +
-        s""""ivf_recall_curve":$curveJson,""" +
-        s""""ivf_recall_curve_sampled":${icurve(rec.sampledCurve)},""" +
+        // labels carry the operating point (r10 verdict #3): the only
+        // row a user should read as "the shipped config" is
+        // shipped_topk (ann_ivf_topk as gated, seed quantizer at its
+        // own wider nprobe); the nprobe-4 rows are diagnostics for the
+        // ADC family's narrow routing width, whose shipped quality is
+        // adc_recall_at5.rerank below.
+        s""""ivf_recall_at3":{"shipped_topk":{"nprobe":${graft.queries.EmbeddingQueries.shippedTopkNProbe},"recall":${rec.shippedTopk}},""" +
+        s""""diagnostic_seed_nprobe${graft.queries.EmbeddingQueries.adcRoutingNProbe}":${rec.sampled},""" +
+        s""""diagnostic_trained_nprobe${graft.queries.EmbeddingQueries.adcRoutingNProbe}":${rec.trained}},""" +
+        s""""ivf_recall_curve_trained":$curveJson,""" +
+        s""""ivf_recall_curve_seed":${icurve(rec.sampledCurve)},""" +
         s""""lsh_recall_at_j07":{"recall":$lshRec,"exact_pairs":$nExact,""" +
         s""""lsh_pairs":$nLsh,"found":$nBoth},""" +
         s""""adc_recall_at5":{"seed":${adc.seed},"trained":${adc.trained},""" +

@@ -156,14 +156,21 @@ object EmbeddingQueries extends QuerySet {
   // pipeline extension, not a port.
   private val IvfSeedIds = Seq(5, 15, 25, 35, 45, 55, 65, 75)
   private val IvfProbeIds = Seq(7, 42, 99)
-  // Shipped operating point (r9 verdict #6): nprobe=2 measured
-  // recall@3 of 0.467/0.5 (sampled/trained) — below useful; the
-  // recall-vs-nprobe curve says nprobe=4 buys 0.667/0.867 for 2× the
-  // candidate work, and the cell-balance readout (ann_ivf_cell_balance)
-  // shows no hot cell making that 2× regressive. At deployment scale
-  // the knob is nprobe/K with K in the thousands; 4-of-8 here keeps the
-  // same prune-half shape the curve artifact (BENCH) documents.
+  // ADC/rerank coarse-routing operating point (r9 verdict #6):
+  // nprobe=4 of 8 — the prune-half shape; within the probed cells the
+  // PQ rerank restores quality (adc_recall_at5.rerank 0.66 at R=64),
+  // so the router can stay narrow. At deployment scale the knob is
+  // nprobe/K with K in the thousands.
   private val IvfNProbe = 4
+  // ann_ivf_topk (seed-quantizer IVF-flat search, no rerank stage)
+  // ships WIDER: with no recovery stage after the candidate scan, the
+  // coarse router alone must clear the ≥0.7 recall bar, and the seed
+  // quantizer's measured recall@3 at nprobe=4 is 0.667 (sf0.1) /
+  // 0.567 (sf0.01) — below it (r10 verdict #3). The measured curve
+  // reaches 0.7 at nprobe=6 on BOTH gate scales (0.967 at sf0.1,
+  // 0.700 at sf0.01), so 6-of-8 is the shipped flat-search point;
+  // BENCH's ivf_recall_at3.shipped_topk row reads at THIS nprobe.
+  private val IvfTopkNProbe = 6
 
   private val ivfTopk = QueryDef(
     "ann_ivf_topk",
@@ -185,7 +192,7 @@ object EmbeddingQueries extends QuerySet {
            |cells AS (SELECT vec_id, sid AS cell FROM r WHERE srn = 1),
            |pcells AS (
            |  SELECT vec_id AS probe_id, sid AS pcell FROM r
-           |  WHERE srn <= $IvfNProbe AND vec_id IN (7, 42, 99)),
+           |  WHERE srn <= $IvfTopkNProbe AND vec_id IN (7, 42, 99)),
            |s AS (
            |  SELECT p.probe_id, c.cell, c.vec_id AS neighbor_id,
            |         round(list_aggregate(list_transform(range(1, len(pv.v) + 1),
@@ -207,7 +214,7 @@ object EmbeddingQueries extends QuerySet {
       // identical ordering to the oracle's (dp DESC, sid)); the probe
       // vectors broadcast back as a collected LOCAL relation — the
       // serving query never re-scans the corpus parquet at all.
-      val cand0 = prunedCandidates(s, dir, Seq("vec_id", "cell", "v", "nrm"))
+      val cand0 = prunedCandidates(s, dir, IvfTopkNProbe, Seq("vec_id", "cell", "v", "nrm"))
       val cand = cand0.join(probeVectors(s, dir), "probe_id")
         .withColumn("cos", round(expr(dotExpr) / (col("nrm") * col("pn")), 6))
       val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
@@ -321,17 +328,31 @@ object EmbeddingQueries extends QuerySet {
 
   // ---- IVF recall artifact ----------------------------------------------
 
-  /** Recall artifact: shipped-nprobe recall@3 for both quantizers plus
-    * the trained quantizer's recall-vs-nprobe curve. */
+  /** Recall artifact. `shippedTopk` is THE number for the gated
+    * ann_ivf_topk search as shipped (seed quantizer at IvfTopkNProbe);
+    * `sampled`/`trained` are the nprobe=4 DIAGNOSTIC baselines (what
+    * Lloyd training buys the router at the ADC family's narrow routing
+    * width — the ADC family's own shipped quality is the gated
+    * adc_recall_at5.rerank, not these); the curves sweep nprobe for
+    * both quantizers. */
   final case class IvfRecallReport(
       sampled: Double, trained: Double, curve: Seq[(Int, Double)],
-      sampledCurve: Seq[(Int, Double)] = Nil)
+      sampledCurve: Seq[(Int, Double)] = Nil, shippedTopk: Double = -1.0)
+
+  /** The shipped flat-search nprobe (ann_ivf_topk) — exposed so BENCH
+    * labels the recall rows with the operating point they measure. */
+  def shippedTopkNProbe: Int = IvfTopkNProbe
+
+  /** The ADC/rerank coarse-routing nprobe. */
+  def adcRoutingNProbe: Int = IvfNProbe
 
   /** Measured recall@3 (vs brute-force cosine ground truth) of the IVF
-    * search: at the shipped nprobe=4 for the sampled-seed quantizer
-    * and the Lloyd-trained one (the honest "what does training buy"
-    * numbers, deliberately ungated — recall at FIXED nprobe is not
-    * monotone in training), and the full recall-vs-nprobe CURVE for
+    * search: at the SHIPPED ann_ivf_topk operating point (seed
+    * quantizer, IvfTopkNProbe=6 — `shippedTopk`), at the nprobe=4
+    * routing width for the sampled-seed and Lloyd-trained quantizers
+    * (the honest "what does training buy" diagnostics, deliberately
+    * ungated — recall at FIXED nprobe is not monotone in training),
+    * and the full recall-vs-nprobe CURVE for
     * the trained quantizer — the user-facing accuracy knob. The curve
     * IS gateable, by construction: probe cells at nprobe=n are a
     * prefix of those at n+1, so the candidate set only grows, and any
@@ -343,7 +364,7 @@ object EmbeddingQueries extends QuerySet {
     * every SF) for a granularity of 1/30 rather than the 3-probe gate
     * set's 1/9. */
   def ivfRecallReport(s: SparkSession, dir: String,
-      nprobes: Seq[Int] = Seq(1, 2, 4, 8)): IvfRecallReport = {
+      nprobes: Seq[Int] = Seq(1, 2, 4, 6, 8)): IvfRecallReport = {
     val e = withNorm(s, dir).cache()
     try {
       val probeIds = (7 to 97 by 10).toSeq
@@ -394,7 +415,8 @@ object EmbeddingQueries extends QuerySet {
       IvfRecallReport(
         recall(seeds, IvfNProbe), recall(trained, IvfNProbe),
         nprobes.map(n => n -> recall(trained, n)),
-        nprobes.map(n => n -> recall(seeds, n)))
+        nprobes.map(n => n -> recall(seeds, n)),
+        recall(seeds, IvfTopkNProbe))
     } finally e.unpersist()
   }
 
@@ -1257,16 +1279,16 @@ object EmbeddingQueries extends QuerySet {
     * sized driver state (|probes| × (nprobe + dims)); carrying the
     * vectors here lets every served probe broadcast a LOCAL relation
     * instead of re-scanning the corpus parquet to pick 3 rows. */
-  private val probeRouteCache = new graft.operators.SessionMemo[String,
+  private val probeRouteCache = new graft.operators.SessionMemo[(String, Int),
     Seq[(Long, Seq[Int], Seq[Double], Double)]]()
 
-  private def probeRouting(s: SparkSession, dir: String)
+  private def probeRouting(s: SparkSession, dir: String, nprobe: Int)
       : Seq[(Long, Seq[Int], Seq[Double], Double)] =
-    probeRouteCache.getOrElseUpdate(s, dir) {
+    probeRouteCache.getOrElseUpdate(s, (dir, nprobe)) {
       val e = withNorm(s, dir)
       e.filter(col("vec_id").isin(IvfProbeIds: _*))
         .select(col("vec_id"),
-          transform(slice(seedScoreCol(e), 1, IvfNProbe),
+          transform(slice(seedScoreCol(e), 1, nprobe),
             x => x.getField("sid")).as("cells"),
           col("v"), col("nrm"))
         .collect()
@@ -1280,7 +1302,7 @@ object EmbeddingQueries extends QuerySet {
     * carried, so downstream arithmetic is bit-identical). */
   private def probeVectors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    broadcast(probeRouting(s, dir)
+    broadcast(probeRouting(s, dir, IvfNProbe)
       .map { case (p, _, pv, pn) => (p, pv, pn) }
       .toDF("probe_id", "pv", "pn"))
   }
@@ -1295,9 +1317,9 @@ object EmbeddingQueries extends QuerySet {
     * per-probe branches rather than one `cell IN (union)` scan because
     * the union of several probes' cells approaches K at toy K=8 while
     * each probe's own list stays nprobe/K at any K. */
-  private def prunedCandidates(s: SparkSession, dir: String,
+  private def prunedCandidates(s: SparkSession, dir: String, nprobe: Int,
       cols: Seq[String]): DataFrame = {
-    val branches = probeRouting(s, dir).map { case (p, cells, _, _) =>
+    val branches = probeRouting(s, dir, nprobe).map { case (p, cells, _, _) =>
       graft.operators.AnnIndexStore.probeCodes(s, dir, cells)
         .select(lit(p).as("probe_id") +: cols.map(col): _*)
     }
@@ -1314,7 +1336,7 @@ object EmbeddingQueries extends QuerySet {
     // probe; only the 8 code bytes are selected, so column pruning
     // keeps the candidate's full vector out of the ADC scan entirely.
     // The probe vectors join in as a broadcast local relation.
-    val cand = prunedCandidates(s, dir,
+    val cand = prunedCandidates(s, dir, IvfNProbe,
         "vec_id" +: (0 until PqSubspaces).map(j => s"code_$j"))
       .join(probeVectors(s, dir).select(col("probe_id"), col("pv")), "probe_id")
     // ADC: per-subspace lookup of the candidate's code into the
@@ -1410,7 +1432,7 @@ object EmbeddingQueries extends QuerySet {
       // cells, so the per-probe pruned scan covers the fetch; the
       // (probe_id, vec_id) equi-join keeps it exact) — the rerank
       // never touches the corpus parquet either
-      val vecs = prunedCandidates(s, dir, Seq("vec_id", "v"))
+      val vecs = prunedCandidates(s, dir, IvfNProbe, Seq("vec_id", "v"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("v"))
       val d2 = round((call_function("dot_f64", col("pv"), col("pv")) -
         lit(2.0) * call_function("dot_f64", col("pv"), col("v"))) +

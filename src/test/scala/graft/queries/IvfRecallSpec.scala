@@ -42,15 +42,17 @@ class IvfRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("trained-IVF recall@3 is non-decreasing in nprobe and reaches >= 0.9 at nprobe=8") {
     val rep = EmbeddingQueries.ivfRecallReport(spark, sf)
-    assert(rep.curve.map(_._1) == Seq(1, 2, 4, 8), rep.curve)
+    assert(rep.curve.map(_._1) == Seq(1, 2, 4, 6, 8), rep.curve)
     val recalls = rep.curve.map(_._2)
     recalls.foreach(r => assert(r >= 0.0 && r <= 1.0, rep.curve))
     assert(recalls.sliding(2).forall(p => p.head <= p.last),
       s"recall must be monotone in nprobe: ${rep.curve}")
     assert(recalls.last >= 0.9,
       s"nprobe=8 probes every cell (brute-force equivalent): ${rep.curve}")
-    // the shipped operating point (nprobe=4, r9 verdict #6) is on the
-    // same curve; the sampled-quantizer curve obeys the same theorems
+    // the diagnostic nprobe-4 points sit on their curves; the shipped
+    // flat-search number is the seed curve at IvfTopkNProbe (r10
+    // verdict #3 — its >= 0.7 property is measured at the bench SFs,
+    // not gated at this tiny fixture scale)
     assert(rep.trained == rep.curve.toMap.apply(4), (rep.trained, rep.curve))
     val sampled = rep.sampledCurve.map(_._2)
     assert(sampled.sliding(2).forall(p => p.head <= p.last),
@@ -58,5 +60,8 @@ class IvfRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sampled.last >= 0.9, rep.sampledCurve)
     assert(rep.sampled == rep.sampledCurve.toMap.apply(4),
       (rep.sampled, rep.sampledCurve))
+    assert(rep.shippedTopk ==
+      rep.sampledCurve.toMap.apply(EmbeddingQueries.shippedTopkNProbe),
+      (rep.shippedTopk, rep.sampledCurve))
   }
 }
