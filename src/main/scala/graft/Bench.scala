@@ -45,6 +45,19 @@ object Bench {
     // one session-level warmup so the first cold number isn't paying
     // SparkSession/teststand startup on top of its own codegen
     names.headOption.foreach(force)
+    // one-time model fitting (Lloyd codebooks, persisted ANN index,
+    // PCA state) runs HERE, reported as its own line — a deployment
+    // pays it at ingest; without this the first cold ann_*/pq_* number
+    // measures training + query (r10 verdict #8: driver refresh posted
+    // cold_contaminated entries that were exactly this)
+    val pretrainSec = {
+      val t0 = System.nanoTime()
+      try graft.queries.EmbeddingQueries.pretrain(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] pretrain failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
     val degraded = scala.collection.mutable.ListBuffer.empty[String]
     val contaminated = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = names.map { n =>
@@ -185,6 +198,7 @@ object Bench {
       s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${jmap(_._3)},""" +
         s""""cold_queries":${jmap(_._2)},"cold_total":$coldTotal,""" +
         s""""degraded":$degradedJson,"cold_contaminated":$contaminatedJson,""" +
+        s""""pretrain_sec":$pretrainSec,""" +
         // labels carry the operating point (r10 verdict #3): the only
         // row a user should read as "the shipped config" is
         // shipped_topk (ann_ivf_topk as gated, seed quantizer at its

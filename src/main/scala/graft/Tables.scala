@@ -33,10 +33,16 @@ object Tables {
   private val registered = new graft.operators.SessionMemo[String, String]()
 
   /** Idempotently create one temp view per table over `dir`; re-register if
-    * the session previously pointed at a different dir. */
+    * the session previously pointed at a different dir OR the data under
+    * the same dir was rewritten (the registered key carries the dir's
+    * generation token — a temp view snapshots its parquet file listing at
+    * creation, so without this a mid-session rewrite would serve the dead
+    * listing; r10 verdict #5 / DirMemoSpec). */
   def register(spark: SparkSession, dir: String): Unit = {
+    val genKey =
+      s"$dir@${graft.operators.SessionMemo.generationOf(spark, dir)}"
     registered.compute(spark, "dir") { prev =>
-      if (!prev.contains(dir)) {
+      if (!prev.contains(genKey)) {
         // The driver may hand us a session it built itself (entry()); make
         // sure nanos-timestamp parquet (events.ts) is readable in it too.
         try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -72,7 +78,7 @@ object Tables {
           }
         }
       }
-      dir
+      genKey
     }
   }
 

@@ -197,7 +197,6 @@ final class CacheManager(spark: SparkSession, warehouseRoot: String) {
             table(c).liveFileCount > targetFiles) {
           table(c).compact(targetFiles)
           registerServeView(c)
-          graft.api.PlanCache.invalidateAll()
           recordSyncEvent(e, c, "compaction", "success", "Merged adjacent files")
           done += 1
         }
@@ -206,6 +205,12 @@ final class CacheManager(spark: SparkSession, warehouseRoot: String) {
           recordSyncEvent(e, c, "compaction", "error", String.valueOf(ex.getMessage))
       }
     }
+    // one plan-cache drop for the whole maintenance pass (r10 ADVICE:
+    // the per-table invalidateAll inside the walk dropped every
+    // endpoint's cached plans N times for one pass); the per-table
+    // serve-view swap above already re-points reads at the compacted
+    // snapshot before any plan could recompile against it
+    if (done > 0) graft.api.PlanCache.invalidateAll()
     done
   }
 

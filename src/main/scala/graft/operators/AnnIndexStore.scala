@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndexStore {
 
-  private val built = new SessionMemo[String, String]()
+  private val built = new DirMemo[String]()
 
   private lazy val jvmNonce = {
     val user = String.valueOf(System.getProperty("user.name", "u"))
@@ -60,8 +60,12 @@ object AnnIndexStore {
     * clobber) a directory. */
   def ensure(spark: SparkSession, dir: String): String =
     built.getOrElseUpdate(spark, dir) {
+      // generation in the tag: a mid-session rewrite of `dir` lands a
+      // FRESH index directory (the DirMemo key already misses), so a
+      // probe holding the old frame never races the rebuild
       val tag = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+        .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString +
+        "_" + SessionMemo.generationOf(spark, dir)
       val sess = SessionMemo.sessionToken(spark).take(8)
       val warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", spark.sessionState.conf.warehousePath)
@@ -76,7 +80,7 @@ object AnnIndexStore {
       root.toString
     }
 
-  private val frames = new SessionMemo[(String, Seq[Int]), DataFrame]()
+  private val frames = new DirMemo[DataFrame]()
 
   /** Codes for the probed cells only — the pruned candidate scan a
     * serving probe runs. The `cell IN (...)` predicate resolves at
@@ -87,7 +91,7 @@ object AnnIndexStore {
     * FileSourceScan (nothing is persisted in memory; the plan locks
     * see the scan). */
   def probeCodes(spark: SparkSession, dir: String, cells: Seq[Int]): DataFrame =
-    frames.getOrElseUpdate(spark, (dir, cells.sorted)) {
+    frames.getOrElseUpdate(spark, dir, cells.sorted.mkString(",")) {
       spark.read.parquet(ensure(spark, dir))
         .filter(col("cell").isin(cells: _*))
     }

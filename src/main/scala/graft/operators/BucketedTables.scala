@@ -33,7 +33,7 @@ object BucketedTables {
 
   val NumBuckets = 8
 
-  private val built = new SessionMemo[String, (String, String)]()
+  private val built = new DirMemo[(String, String)]()
 
   private lazy val jvmNonce = {
     val user = String.valueOf(System.getProperty("user.name", "u"))
@@ -68,7 +68,8 @@ object BucketedTables {
       // collision-prone, and a collision here silently points two
       // source dirs at the same table files
       val tag = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+        .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString +
+        "_" + SessionMemo.generationOf(spark, dir)
       val ordersT = s"graft_b_orders_$tag"
       val custT = s"graft_b_customer_$tag"
       // Hadoop Path, not java.nio: the warehouse dir is a URI and may

@@ -130,11 +130,26 @@ object GlobalRank {
     val keys = order.map { c =>
       val n = c.node
       if (n.getClass.getName == "org.apache.spark.sql.internal.SortOrder") {
-        val child = n.getClass.getMethod("child").invoke(n)
-        classOf[Column].getConstructors
-          .find(_.getParameterTypes.map(_.getName).toSeq ==
-            Seq("org.apache.spark.sql.internal.ColumnNode"))
-          .get.newInstance(child).asInstanceOf[Column]
+        // a Spark upgrade that moves SortOrder or the Column(ColumnNode)
+        // constructor must degrade to a DIAGNOSABLE error naming the
+        // conf, not a bare reflective NoSuchElementException (r10
+        // ADVICE) — the check is opt-in, so the remedy is in its name
+        try {
+          val child = n.getClass.getMethod("child").invoke(n)
+          classOf[Column].getConstructors
+            .find(_.getParameterTypes.map(_.getName).toSeq ==
+              Seq("org.apache.spark.sql.internal.ColumnNode"))
+            .getOrElse(throw new NoSuchMethodException(
+              "Column(ColumnNode) constructor not found"))
+            .newInstance(child).asInstanceOf[Column]
+        } catch {
+          case e: ReflectiveOperationException =>
+            throw new IllegalStateException(
+              "GlobalRank selfCheck (spark.graft.globalRank.selfCheck) " +
+                "could not strip a sort modifier via reflection on this " +
+                "Spark version — pass bare columns to the order, or " +
+                "disable the conf", e)
+        }
       } else c
     }
     val total = local.count()

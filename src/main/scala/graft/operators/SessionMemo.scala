@@ -135,4 +135,53 @@ object SessionMemo {
   def sessionToken(s: SparkSession): String =
     ids.synchronized(
       ids.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString))
+
+  /** Generation token for a data directory: a digest of its recursive
+    * (path, length, modificationTime) listing — the
+    * data-generation-in-the-key pattern (TemplatePipeline's cache
+    * generation) that closes the STALENESS caveat above: a table
+    * rewritten under the same dir mid-session produces a NEW token, so
+    * dir-keyed memos miss and rebuild instead of serving the dead
+    * checkpoint (DirMemoSpec proves both directions). One filesystem
+    * LIST per call — cheap on a local/HDFS namenode; an object-store
+    * deployment that can't afford per-query LISTs should thread an
+    * explicit snapshot id instead (SnapshotTable's pointer IS that id
+    * for managed tables). A missing dir digests to a constant — the
+    * (dir-appears-later) transition still changes the token. */
+  def generationOf(s: SparkSession, dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def walk(path: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(path).sortBy(_.getPath.toString).foreach { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else md.update(
+            s"${st.getPath}|${st.getLen}|${st.getModificationTime}\n"
+              .getBytes("UTF-8"))
+        }
+      if (fs.exists(p)) walk(p)
+    } catch { case _: java.io.IOException => md.update("unlistable".getBytes) }
+    md.digest().take(8).map(b => f"$b%02x").mkString
+  }
+}
+
+/** A [[SessionMemo]] keyed by a DATA DIRECTORY with the directory's
+  * generation folded into the key — the staleness fix the plain
+  * dir-string keying documented as a caveat: rewriting the data under
+  * the same path mid-session changes [[SessionMemo.generationOf]], so
+  * the next read misses and rebuilds rather than serving a checkpoint
+  * of the dead data. Entries for superseded generations linger until
+  * session end (bounded by the number of rewrites — rewrite-heavy
+  * deployments should also call `SessionMemo.invalidate`). */
+final class DirMemo[V] {
+  private val inner = new SessionMemo[(String, String, String), V]()
+
+  def getOrElseUpdate(s: SparkSession, dir: String)(build: => V): V =
+    getOrElseUpdate(s, dir, "")(build)
+
+  /** Variant with an extra key component (e.g. an operating point). */
+  def getOrElseUpdate(s: SparkSession, dir: String, extra: String)(build: => V): V =
+    inner.getOrElseUpdate(s,
+      (dir, SessionMemo.generationOf(s, dir), extra))(build)
 }

@@ -591,7 +591,7 @@ object CoreQueries extends QuerySet {
     * local rank → literal offset fold; memoized so warm serving reuses
     * the standing RDD. */
   private val giniRankCache =
-    new graft.operators.SessionMemo[String, DataFrame]()
+    new graft.operators.DirMemo[DataFrame]()
 
   private def rankedSpend(s: SparkSession, dir: String): DataFrame =
     giniRankCache.getOrElseUpdate(s, dir) {
@@ -649,7 +649,7 @@ object CoreQueries extends QuerySet {
     * `ntile` restated as rank arithmetic — hash-identical to the
     * oracle's three ntile(4) windows. */
   private val rfmCache =
-    new graft.operators.SessionMemo[String, DataFrame]()
+    new graft.operators.DirMemo[DataFrame]()
 
   private def rfmQuartiles(s: SparkSession, dir: String): DataFrame =
     rfmCache.getOrElseUpdate(s, dir) {

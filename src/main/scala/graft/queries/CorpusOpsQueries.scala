@@ -98,7 +98,7 @@ object CorpusOpsQueries extends QuerySet {
     * it is persisted for the build and released once the (tiny) match
     * set is checkpointed — the [[TextQueries.neardupPairs]] discipline. */
   private val incCache =
-    new graft.operators.SessionMemo[String, org.apache.spark.sql.DataFrame]()
+    new graft.operators.DirMemo[org.apache.spark.sql.DataFrame]()
 
   private def incrementalMatches(s: org.apache.spark.sql.SparkSession, dir: String) =
     incCache.getOrElseUpdate(s, dir) {
@@ -230,7 +230,7 @@ object CorpusOpsQueries extends QuerySet {
     * would target reliable storage (the [[TextQueries.neardupPairs]]
     * note) — the dataflow is the same. */
   private val tfCache =
-    new graft.operators.SessionMemo[String, org.apache.spark.sql.DataFrame]()
+    new graft.operators.DirMemo[org.apache.spark.sql.DataFrame]()
 
   private[queries] def docTermTf(s: org.apache.spark.sql.SparkSession,
                                  dir: String) =
@@ -497,7 +497,7 @@ object CorpusOpsQueries extends QuerySet {
     * and the per-doc scoring join (the old CTE spelling re-ran the
     * word_shingles explode per consumer). */
   private val btfCache =
-    new graft.operators.SessionMemo[String, org.apache.spark.sql.DataFrame]()
+    new graft.operators.DirMemo[org.apache.spark.sql.DataFrame]()
 
   private[queries] def docBigramTf(s: org.apache.spark.sql.SparkSession,
                                    dir: String) =
@@ -930,7 +930,7 @@ object CorpusOpsQueries extends QuerySet {
   private val PackBudgetTokens = 2048
 
   private val packCache =
-    new graft.operators.SessionMemo[String, org.apache.spark.sql.DataFrame]()
+    new graft.operators.DirMemo[org.apache.spark.sql.DataFrame]()
 
   private val curriculumPacking = QueryDef(
     "curriculum_packing",
@@ -992,7 +992,7 @@ object CorpusOpsQueries extends QuerySet {
   private val OovVocabSize = 16
 
   private val oovVocabCache =
-    new graft.operators.SessionMemo[String, Seq[String]]()
+    new graft.operators.DirMemo[Seq[String]]()
 
   private val oovRate = QueryDef(
     "oov_rate_by_source",

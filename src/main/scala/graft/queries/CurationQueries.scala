@@ -143,7 +143,7 @@ object CurationQueries extends QuerySet {
     * per-call localCheckpoint) so warm serving reuses the standing RDD
     * while fresh-session cold runs stay honest. */
   private val stCache =
-    new graft.operators.SessionMemo[String, org.apache.spark.sql.DataFrame]()
+    new graft.operators.DirMemo[org.apache.spark.sql.DataFrame]()
 
   private def klStFrame(s: SparkSession, dir: String) =
     stCache.getOrElseUpdate(s, dir) {

@@ -856,7 +856,7 @@ object SqlSurfaceQueries extends QuerySet {
     * warm serving reuses the standing checkpointed rank like q21/q22's
     * memoized builds; Slope's fresh-session cold runs stay honest. */
   private val w7Cache =
-    new graft.operators.SessionMemo[String, (org.apache.spark.sql.DataFrame, Long, Long)]()
+    new graft.operators.DirMemo[(org.apache.spark.sql.DataFrame, Long, Long)]()
 
   private val w7 = QueryDef(
     "w7_decile_concentration",

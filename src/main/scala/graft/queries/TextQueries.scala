@@ -159,7 +159,7 @@ object TextQueries extends QuerySet {
     * set, drop shingles) is the same.
     */
   private val pairsCache =
-    new graft.operators.SessionMemo[String, org.apache.spark.sql.DataFrame]()
+    new graft.operators.DirMemo[org.apache.spark.sql.DataFrame]()
 
   // shared with CorpusOpsQueries.leakage-safe split (same memoized build)
   private[queries] def neardupPairs(s: org.apache.spark.sql.SparkSession, dir: String) =
@@ -609,7 +609,7 @@ object TextQueries extends QuerySet {
     * serving reuse the standing RDD while Slope's fresh-session cold
     * discipline still measures the true build. */
   private val simhashPairsCache =
-    new graft.operators.SessionMemo[String, org.apache.spark.sql.DataFrame]()
+    new graft.operators.DirMemo[org.apache.spark.sql.DataFrame]()
 
   private[graft] def simhashPairsMaterialized(
       s: org.apache.spark.sql.SparkSession,
@@ -1228,7 +1228,7 @@ object TextQueries extends QuerySet {
     })
 
   private val bloomRefCache =
-    new graft.operators.SessionMemo[String, (Array[Long], Seq[String])]()
+    new graft.operators.DirMemo[(Array[Long], Seq[String])]()
 
   private def bloomHashExpr(off: Int) =
     s"CAST(conv(substr(md5(gram), $off, 8), 16, 10) AS BIGINT) % 65536"

@@ -546,6 +546,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally if (q.isActive) q.stop()
   }
 
+  test("quality-router calibration hits a non-degenerate rejection rate") {
+    // r10 verdict #7: the default threshold 0 rejects nothing on this
+    // all-positive-score corpus — the calibration helper must produce
+    // an operating point that actually rejects ~the requested budget
+    val dir = "/root/testdata/sf0.001"
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val target = 0.25
+    val threshold = graft.streaming.Streaming
+      .calibrateQualityThreshold(docs, target)
+    val tmp = Files.createTempDirectory("quality_router_calib")
+    docs.repartition(2).write.parquet(s"$tmp/incoming")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/incoming")
+    val accepted = new java.util.concurrent.atomic.AtomicLong()
+    val rejected = new java.util.concurrent.atomic.AtomicLong()
+    val q = graft.streaming.Streaming.qualityRouterStream(
+      stream, s"$tmp/ck", thresholdMilli = threshold)(
+      accept = df => { accepted.addAndGet(df.count()); () },
+      reject = df => { rejected.addAndGet(df.count()); () })
+    try {
+      assert(q.awaitTermination(180000), "AvailableNow did not finish")
+      val n = docs.count()
+      assert(accepted.get() + rejected.get() == n)
+      val measured = rejected.get().toDouble / n
+      // ≈ the requested budget: at most `target` by construction
+      // (quantile ties route to accept), and well away from the
+      // degenerate 0 the uncalibrated threshold produced
+      assert(measured > 0.05 && measured <= target + 0.02,
+        s"calibrated rejection rate $measured not near target $target " +
+          s"(threshold $threshold)")
+    } finally if (q.isActive) q.stop()
+  }
+
   test("streaming cms partials sum to the batch sketch over any micro-batch split") {
     val dir = "/root/testdata/sf0.001"
     graft.functions.GraftFunctions.ensureRegistered(spark)
