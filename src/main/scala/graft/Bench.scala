@@ -159,6 +159,15 @@ object Bench {
         System.err.println(s"[bench] adc recall failed: ${e.getMessage}")
         graft.queries.EmbeddingQueries.AdcRecallReport(-1.0, -1.0, -1.0, Nil)
       }
+    // PQ8 (K=256, shipped shortlist R=20) — the r10→r11 forensic's
+    // measured fix for 4-bit ADC saturation; `rerank` here is the
+    // ann_ivfpq8_rerank shipped operating point.
+    val adc8 =
+      try graft.queries.EmbeddingQueries.adc8RecallReport(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] adc8 recall failed: ${e.getMessage}")
+        graft.queries.EmbeddingQueries.AdcRecallReport(-1.0, -1.0, -1.0, Nil)
+      }
     // Binary-quantization quality artifact: recall@5 of the Hamming-only
     // top-5 and the exact-reranked top-R shortlist (shipped R=100) vs
     // the true cosine top-5, plus the recall-vs-shortlist curve (the
@@ -214,6 +223,8 @@ object Bench {
         s""""lsh_pairs":$nLsh,"found":$nBoth},""" +
         s""""adc_recall_at5":{"seed":${adc.seed},"trained":${adc.trained},""" +
         s""""rerank":${adc.rerank},"curve_by_shortlist":${icurve(adc.curve)}},""" +
+        s""""adc8_recall_at5":{"seed":${adc8.seed},"trained":${adc8.trained},""" +
+        s""""rerank_r20":${adc8.rerank},"curve_by_shortlist":${icurve(adc8.curve)}},""" +
         s""""binary_recall_at5":{"hamming":${bin.hamming},"rerank":${bin.rerank},""" +
         s""""curve_by_shortlist":${icurve(bin.curve)}},""" +
         s""""pca_rayleigh_u6":$pcaJson,"pca2_rayleigh_u6":$pca2Json,""" +

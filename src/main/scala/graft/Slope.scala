@@ -86,6 +86,7 @@ object Slope {
     "ev8_scd2_intervals",
     "jl_projection",
     "ann_ivfpq_adc",
+    "ann_ivfpq8_rerank",
     // batch-2/3 additions: per-doc keywords (tf partial agg + the
     // WindowGroupLimit top-3) and the per-source cap (corpus-wide
     // window with group-limit pruning) — both window-over-corpus

@@ -144,6 +144,28 @@ object GraftFunctions {
             java.lang.Double.valueOf(acc)
           }
         })
+      spark.udf.register("pq_code_u6",
+        (sub: Seq[java.lang.Double], books: Seq[Seq[java.lang.Double]],
+            c2: Seq[java.lang.Double]) => {
+          // same exact-rounded argmin as the native expression
+          if (sub == null || books == null || c2 == null ||
+              sub.exists(_ == null)) null
+          else {
+            val xs = sub.map(_.doubleValue()).toArray
+            val scaled = books.indices.map { ci =>
+              var dot = 0.0; var d = 0
+              val cv = books(ci)
+              while (d < xs.length) { dot += xs(d) * cv(d); d += 1 }
+              (c2(ci) - 2.0 * dot) * 1000000.0
+            }
+            val minRaw = scaled.min
+            java.lang.Integer.valueOf(
+              scaled.indices.filter(scaled(_) <= minRaw + 1.0)
+                .map(ci => (java.math.BigDecimal.valueOf(scaled(ci))
+                  .setScale(0, java.math.RoundingMode.HALF_UP)
+                  .doubleValue().toLong, ci)).min._2)
+          }
+        })
       spark.udf.register("tokens_in_set",
         // Option return: NULL tokens array must yield NULL like the
         // native expression (a bare Seq param NPEs on null input)
@@ -263,6 +285,10 @@ object GraftFunctions {
       new FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
       (exprs: Seq[Expression]) => DotF64(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_code_u6"),
+      new ExpressionInfo(classOf[PqCodeU6].getName, "pq_code_u6"),
+      (exprs: Seq[Expression]) => PqCodeU6(exprs(0), exprs(1), exprs(2))))
     ext.injectFunction((
       new FunctionIdentifier("tokens_in_set"),
       new ExpressionInfo(classOf[TokensInSet].getName, "tokens_in_set"),

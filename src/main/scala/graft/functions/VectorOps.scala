@@ -149,3 +149,112 @@ case class QuantizeU8(child: Expression)
     copy(child = newChild)
   override def prettyName: String = "quantize_u8"
 }
+
+/** `pq_code_u6(sub, books, c2)` → INT: product-quantization code
+  * assignment — the argmin over codebook cells of the integer
+  * micro-unit ADC distance `round((‖c‖² − 2·sub·c)·1e6)` (ties to the
+  * lower cell id), as ONE native expression instead of a K-branch
+  * struct-sort expression tree.
+  *
+  * Why it exists: the literal-folded `array_sort(array(struct(…)×K))`
+  * spelling the K=16 path uses grows its expression tree LINEARLY in
+  * K — at K=256 (standard 8-bit PQ codes) that is ~2048 dot/round
+  * branches per row, past whole-stage-codegen method limits and into
+  * per-branch interpreted dispatch. Here `books`/`c2` are foldable
+  * literals materialized ONCE into primitive arrays, and assignment is
+  * a tight compiled loop (CodegenFallback: the surrounding projection
+  * stays codegen'd and calls eval; the loop itself is JVM-compiled —
+  * the dot_f64 story).
+  *
+  * Exactness: the returned code must be BIT-IDENTICAL to the SQL
+  * oracle's `row_number() ORDER BY CAST(round((c2 − 2·dot)·1e6) AS
+  * BIGINT), cid` — so near-ties are resolved by the EXACT half-up
+  * rounding (BigDecimal.valueOf, the shortest-decimal semantics Spark's
+  * `round` and DuckDB's `round` share), applied only to the cells whose
+  * raw scaled distance is within 1.0 of the raw minimum (rounding moves
+  * a value by ≤ 0.5, so no cell outside that window can win after
+  * rounding — the window keeps the exact-decimal work at O(ties), not
+  * O(K)).
+  */
+case class PqCodeU6(sub: Expression, books: Expression, c2: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+
+  override def first: Expression = sub
+  override def second: Expression = books
+  override def third: Expression = c2
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (sub.dataType, books.dataType, c2.dataType) match {
+      case (ArrayType(DoubleType, _),
+            ArrayType(ArrayType(DoubleType, _), _),
+            ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"pq_code_u6 expects (ARRAY<DOUBLE>, ARRAY<ARRAY<DOUBLE>>, ARRAY<DOUBLE>), got ($a, $b, $c)")
+    }
+
+  // books/c2 are foldable codebook literals: materialize to primitive
+  // arrays once per expression instance (lazy val is synchronized)
+  private lazy val booksArr: Array[Array[Double]] = {
+    val a = books.eval(InternalRow.empty).asInstanceOf[ArrayData]
+    Array.tabulate(a.numElements()) { c =>
+      val cv = a.getArray(c)
+      Array.tabulate(cv.numElements())(cv.getDouble)
+    }
+  }
+  private lazy val c2Arr: Array[Double] = {
+    val a = c2.eval(InternalRow.empty).asInstanceOf[ArrayData]
+    Array.tabulate(a.numElements())(a.getDouble)
+  }
+
+  private def u6(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  override protected def nullSafeEval(s: Any, b: Any, c: Any): Any = {
+    val x = s.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val xs = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      xs(i) = x.getDouble(i)
+      i += 1
+    }
+    val k = booksArr.length
+    // pass 1: raw scaled distances + raw minimum
+    val scaled = new Array[Double](k)
+    var minRaw = Double.MaxValue
+    var ci = 0
+    while (ci < k) {
+      val cv = booksArr(ci)
+      var dot = 0.0
+      var d = 0
+      while (d < n) { dot += xs(d) * cv(d); d += 1 }
+      val v = (c2Arr(ci) - 2.0 * dot) * 1000000.0
+      scaled(ci) = v
+      if (v < minRaw) minRaw = v
+      ci += 1
+    }
+    // pass 2: exact half-up rounding on the tie window only
+    var bestU6 = Long.MaxValue
+    var bestCid = -1
+    ci = 0
+    while (ci < k) {
+      if (scaled(ci) <= minRaw + 1.0) {
+        val u = u6(scaled(ci))
+        if (u < bestU6) { bestU6 = u; bestCid = ci }
+      }
+      ci += 1
+    }
+    bestCid
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): PqCodeU6 =
+    copy(sub = newFirst, books = newSecond, c2 = newThird)
+  override def prettyName: String = "pq_code_u6"
+}

@@ -360,6 +360,7 @@ object EmbeddingQueries extends QuerySet {
     * reported as its own BENCH line (`pretrain_sec`). */
   def pretrain(s: SparkSession, dir: String): Unit = {
     pqTrainedBooksU6(s, dir)
+    pq8TrainedBooksU6(s, dir)
     pqCache.getOrElseUpdate(s, dir)(pqObjectives(withNorm(s, dir)))
     lloydObjectives(s, dir)
     codedIndex(s, dir)
@@ -1012,45 +1013,102 @@ object EmbeddingQueries extends QuerySet {
     * PqRounds integer-Lloyd rounds from the vec_id<16 seed slices.
     * Memoized per (session, dir) — a deployment trains once at index
     * build; warm serving folds the same literals. */
+  /** The shared integer-Lloyd loop: PqRounds rounds of (map-side code
+    * assignment via `codeCol`, one (subspace, cell, dim)-keyed
+    * partial-sum job, offset-floor-div integer mean). Both the 4-bit
+    * (K=16, struct-sort assignment) and 8-bit (K=256, native
+    * pq_code_u6 kernel) codebooks train through this body. */
+  private def integerLloyd(e: DataFrame, init: Seq[Seq[Seq[Long]]],
+      codeCol: (Seq[Seq[Seq[Double]]], Seq[Seq[Double]], Int) => org.apache.spark.sql.Column)
+      : Seq[Seq[Seq[Long]]] = {
+    var books = init
+    for (_ <- 1 to PqRounds) {
+      val (cents, c2) = pqCents(books)
+      val coded = e.select(col("v") +:
+        (0 until PqSubspaces).map(j => codeCol(cents, c2, j).as(s"c_$j")): _*)
+      // one partial-agg pass: (subspace, cell, dim) → (Σ u6, n)
+      val parts = coded.select(explode(array((for {
+          j <- 0 until PqSubspaces; d <- 0 until PqSubDim
+        } yield struct(lit(j).as("j"), col(s"c_$j").as("cid"), lit(d).as("d"),
+          round(col("v").getItem(j * PqSubDim + d) * lit(1000000.0), 0)
+            .cast("long").as("xu"))): _*)).as("t"))
+        .select(col("t.j"), col("t.cid"), col("t.d"), col("t.xu"))
+        .groupBy("j", "cid", "d")
+        .agg(sum("xu").as("su"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+          (r.getLong(3), r.getLong(4))))
+        .toMap
+      books = books.zipWithIndex.map { case (cells, j) =>
+        cells.zipWithIndex.map { case (old, ci) =>
+          if (parts.contains((j, ci, 0)))
+            (0 until PqSubDim).map { d =>
+              val (su, n) = parts((j, ci, d))
+              (su + n * PqMeanOffset) / n - PqMeanOffset
+            }
+          else old // an emptied cell keeps its previous centroid
+        }
+      }
+    }
+    books
+  }
+
+  /** Seed books: u6 slices of the first `k` corpus vectors. */
+  private def pqSeedBooks(e: DataFrame, k: Int): Seq[Seq[Seq[Long]]] = {
+    val seed = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("sid"), col("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1).map(_._2)
+    (0 until PqSubspaces).map(j =>
+      seed.map(v => v.slice(j * PqSubDim, (j + 1) * PqSubDim).map(pqU6).toSeq).toSeq)
+  }
+
   private[queries] def pqTrainedBooksU6(s: SparkSession, dir: String): Seq[Seq[Seq[Long]]] =
     pqBooksCache.getOrElseUpdate(s, dir) {
       val e = withNorm(s, dir)
-      val seed = e.filter(col("vec_id") < PqK)
-        .select(col("vec_id").cast("int").as("sid"), col("v"))
-        .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
-        .sortBy(_._1).map(_._2)
-      var books: Seq[Seq[Seq[Long]]] = (0 until PqSubspaces).map(j =>
-        seed.map(v => v.slice(j * PqSubDim, (j + 1) * PqSubDim).map(pqU6).toSeq).toSeq)
-      for (_ <- 1 to PqRounds) {
-        val (cents, c2) = pqCents(books)
-        val coded = e.select(col("v") +:
-          (0 until PqSubspaces).map(j => pqCodeExpr(cents, c2, j).as(s"c_$j")): _*)
-        // one partial-agg pass: (subspace, cell, dim) → (Σ u6, n)
-        val parts = coded.select(explode(array((for {
-            j <- 0 until PqSubspaces; d <- 0 until PqSubDim
-          } yield struct(lit(j).as("j"), col(s"c_$j").as("cid"), lit(d).as("d"),
-            round(col("v").getItem(j * PqSubDim + d) * lit(1000000.0), 0)
-              .cast("long").as("xu"))): _*)).as("t"))
-          .select(col("t.j"), col("t.cid"), col("t.d"), col("t.xu"))
-          .groupBy("j", "cid", "d")
-          .agg(sum("xu").as("su"), count(lit(1)).as("n"))
-          .collect()
-          .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
-            (r.getLong(3), r.getLong(4))))
-          .toMap
-        books = books.zipWithIndex.map { case (cells, j) =>
-          cells.zipWithIndex.map { case (old, ci) =>
-            if (parts.contains((j, ci, 0)))
-              (0 until PqSubDim).map { d =>
-                val (su, n) = parts((j, ci, d))
-                (su + n * PqMeanOffset) / n - PqMeanOffset
-              }
-            else old // an emptied cell keeps its previous centroid
-          }
-        }
-      }
-      books
+      integerLloyd(e, pqSeedBooks(e, PqK), pqCodeExpr)
+    }
+
+  // ---- PQ8: standard 8-bit codebooks (K=256) -----------------------------
+  // The r10→r11 ADC forensic (COVERAGE.md) measured that the 4-bit
+  // books SATURATE: ADC-only recall@5 sits at 0.12 for seed books and
+  // only reaches 0.12–0.18 after 0–8 Lloyd rounds — codebook SIZE, not
+  // training, is the binding constraint at this dimensionality — while
+  // K=256 books measure 0.34 ADC-only and clear the 0.66 rerank bar at
+  // shortlist R=20 instead of the 4-bit path's R=64: 3× fewer exact
+  // distance evaluations per probe for the same quality. (Residual
+  // encoding against the unnormalized seed coarse quantizer measured
+  // WORSE — 0.04 — and is documented, not shipped.) Same integer-Lloyd
+  // discipline and oracle unroll as the 4-bit family; assignment runs
+  // through the native `pq_code_u6` kernel because a K-branch
+  // struct-sort expression tree falls out of whole-stage codegen at
+  // K=256 (functions/VectorOps.scala).
+  //
+  // 100 TB shape: identical to the 4-bit family — training is per
+  // round ONE map-side assignment pass (the codebook literal is 16 KiB
+  // broadcast inside the expression) + one (j, cid, d)-keyed
+  // partial-sum job collecting 8×256×8 rows; the 8 code bytes per
+  // vector live in the SAME persisted cell-partitioned index
+  // (AnnIndexStore), so the serving scan is the same pruned read with
+  // a different projected column set.
+  private val Pq8K = 256
+  private val Pq8Shortlist = 20
+
+  /** Native-kernel code assignment for subspace j (argmin of the u6
+    * ADC distance, ties to lower cid — bit-identical contract to
+    * pqCodeExpr's struct sort, compiled as one tight loop). */
+  private def pq8CodeCol(cents: Seq[Seq[Seq[Double]]], c2: Seq[Seq[Double]],
+      j: Int): org.apache.spark.sql.Column =
+    call_function("pq_code_u6", slice(col("v"), j * PqSubDim + 1, PqSubDim),
+      typedlit(cents(j)), typedlit(c2(j)))
+
+  private val pq8BooksCache = new graft.operators.DirMemo[Seq[Seq[Seq[Long]]]]()
+
+  private[queries] def pq8TrainedBooksU6(s: SparkSession, dir: String): Seq[Seq[Seq[Long]]] =
+    pq8BooksCache.getOrElseUpdate(s, dir) {
+      val e = withNorm(s, dir)
+      integerLloyd(e, pqSeedBooks(e, Pq8K), pq8CodeCol)
     }
 
   /** Oracle mirror of pqTrainedBooksU6 + the shared IVF prelude: ends
@@ -1059,7 +1117,7 @@ object EmbeddingQueries extends QuerySet {
     * tails consume. Each round: u6→double centroids, BIGINT-distance
     * argmin assignment (ties to lower cid), offset integer mean, with
     * emptied cells keeping their previous centroid via LEFT JOIN. */
-  private val pqTrainedSqlPrefix: String = {
+  private def pqSqlPrefixK(k: Int): String = {
     def roundSql(r: Int) = s"""cc${r - 1} AS (
        |  SELECT j, cid, cu, list_transform(cu, u -> u / 1000000.0) AS cv
        |  FROM cb${r - 1}),
@@ -1106,7 +1164,7 @@ object EmbeddingQueries extends QuerySet {
       |  SELECT j.j AS j, CAST(c.vec_id AS INT) AS cid,
       |         list_transform(list_slice(c.v, j.j * 8 + 1, j.j * 8 + 8),
       |                        x -> CAST(round(x * 1000000.0, 0) AS BIGINT)) AS cu
-      |  FROM e c, range(0, 8) j(j) WHERE c.vec_id < 16),
+      |  FROM e c, range(0, 8) j(j) WHERE c.vec_id < $k),
       |""".stripMargin +
       (1 to PqRounds).map(roundSql).mkString +
       s"""cc AS (
@@ -1116,6 +1174,8 @@ object EmbeddingQueries extends QuerySet {
        |  FROM cb$PqRounds),
        |""".stripMargin
   }
+
+  private lazy val pqTrainedSqlPrefix: String = pqSqlPrefixK(PqK)
 
   // ---- Johnson–Lindenstrauss random-sign projection ----------------------
   // The dimensionality-reduction front end of every large-scale vector
@@ -1290,9 +1350,11 @@ object EmbeddingQueries extends QuerySet {
     adcIndexCache.getOrElseUpdate(s, dir) {
       val e = withNorm(s, dir)
       val (cents, c2) = pqCents(pqTrainedBooksU6(s, dir))
+      val (cents8, c28) = pqCents(pq8TrainedBooksU6(s, dir))
       e.withColumn("cell", element_at(seedScoreCol(e), 1).getField("sid"))
         .select(col("vec_id") +: col("cell") +: col("v") +: col("nrm") +:
-          (0 until PqSubspaces).map(j => pqCodeExpr(cents, c2, j).as(s"code_$j")): _*)
+          ((0 until PqSubspaces).map(j => pqCodeExpr(cents, c2, j).as(s"code_$j")) ++
+           (0 until PqSubspaces).map(j => pq8CodeCol(cents8, c28, j).as(s"code8_$j"))): _*)
         .localCheckpoint(true)
     }
 
@@ -1471,6 +1533,144 @@ object EmbeddingQueries extends QuerySet {
         .orderBy("probe_id", "rn")
     })
 
+  // ---- PQ8 gated queries -------------------------------------------------
+
+  /** In-cell candidates scored by the 8-bit ADC distance — the PQ8
+    * mate of adcScoredCandidates: same pruned index scan, projecting
+    * the code8 bytes instead, scores via 8 lookups into the 256-entry
+    * codebook literals. */
+  private def adc8ScoredCandidates(s: SparkSession, dir: String): DataFrame = {
+    val (cents, c2) = pqCents(pq8TrainedBooksU6(s, dir))
+    val cand = prunedCandidates(s, dir, IvfNProbe,
+        "vec_id" +: (0 until PqSubspaces).map(j => s"code8_$j"))
+      .join(probeVectors(s, dir).select(col("probe_id"), col("pv")), "probe_id")
+    val score = (0 until PqSubspaces).map { j =>
+      adcTermU6(slice(col("pv"), j * PqSubDim + 1, PqSubDim),
+        element_at(typedlit(cents(j)), col(s"code8_$j") + 1),
+        element_at(typedlit(c2(j)), col(s"code8_$j") + 1))
+    }.reduce(_ + _)
+    cand.withColumn("score_u6", score)
+      .select(col("probe_id"), col("pv"), col("vec_id"), col("score_u6"))
+  }
+
+  /** Candidate-restricted 8-bit code assignment + ADC terms — the
+    * shared oracle tail head for the two PQ8 search queries (codes are
+    * assigned only for in-cell candidates; at corpus scale the index
+    * stores them, so the oracle mirrors "read codes for the probed
+    * cells" rather than "code the world"). */
+  private def pq8AdcSqlHead: String =
+    s"""p AS (
+       |  SELECT pc.probe_id, cl.vec_id AS neighbor_id
+       |  FROM pcells pc JOIN cells cl ON cl.cell = pc.pcell AND cl.vec_id <> pc.probe_id),
+       |codes AS (
+       |  SELECT vec_id, j, cid AS code FROM (
+       |    SELECT s.vec_id, c.j, c.cid,
+       |           row_number() OVER (PARTITION BY s.vec_id, c.j ORDER BY
+       |             CAST(round((c.c2 - 2.0::DOUBLE * list_aggregate(list_transform(range(1, 9),
+       |                 i -> s.v[c.j * 8 + i] * c.cv[i]), 'sum')) * 1000000.0::DOUBLE, 0) AS BIGINT),
+       |             c.cid) AS rn
+       |    FROM e s CROSS JOIN cc c
+       |    WHERE s.vec_id IN (SELECT DISTINCT neighbor_id FROM p)) t WHERE rn = 1),
+       |terms AS (
+       |  SELECT p.probe_id, p.neighbor_id,
+       |         CAST(round((cc.c2 - 2.0::DOUBLE * list_aggregate(list_transform(range(1, 9),
+       |             i -> pv.v[cc.j * 8 + i] * cc.cv[i]), 'sum')) * 1000000.0::DOUBLE, 0) AS BIGINT) AS u6
+       |  FROM p
+       |  JOIN codes cd ON cd.vec_id = p.neighbor_id
+       |  JOIN cc ON cc.j = cd.j AND cc.cid = cd.code
+       |  JOIN e pv ON pv.vec_id = p.probe_id),
+       |sc AS (
+       |  SELECT probe_id, neighbor_id, CAST(sum(u6) AS BIGINT) AS score_u6
+       |  FROM terms GROUP BY probe_id, neighbor_id),
+       |""".stripMargin
+
+  /** The trained 8-bit codebooks themselves, hash-gated end-to-end:
+    * the oracle unrolls the SAME two integer-Lloyd rounds at K=256 in
+    * SQL, so every (subspace, cell, dim) micro-unit component must
+    * match bit-for-bit — the train→encode pipeline proof at the
+    * deployment codebook size. Output is metadata-sized (8×256×8). */
+  private val pq8Codebooks = QueryDef(
+    "pq8_codebooks",
+    Some(pqSqlPrefixK(Pq8K) + s"""out AS (
+           |  SELECT j, cid, d.d AS dim, cu[d.d] AS mu
+           |  FROM cb$PqRounds, range(1, ${PqSubDim + 1}) d(d))
+           |SELECT CAST(j AS BIGINT) AS j, CAST(cid AS BIGINT) AS cid,
+           |       CAST(dim AS BIGINT) AS dim, CAST(mu AS BIGINT) AS mu
+           |FROM out ORDER BY j, cid, dim""".stripMargin),
+    (s, dir) => {
+      import s.implicits._
+      val books = pq8TrainedBooksU6(s, dir)
+      (for {
+        j <- books.indices; (cu, cid) <- books(j).zipWithIndex; d <- cu.indices
+      } yield (j.toLong, cid.toLong, (d + 1).toLong, cu(d)))
+        .toDF("j", "cid", "dim", "mu")
+        .orderBy("j", "cid", "dim")
+    })
+
+  private val ivfpq8Adc = QueryDef(
+    "ann_ivfpq8_adc",
+    Some(pqSqlPrefixK(Pq8K) + pq8AdcSqlHead + """rr AS (
+           |  SELECT *, row_number() OVER (PARTITION BY probe_id
+           |            ORDER BY score_u6, neighbor_id) AS rn FROM sc)
+           |SELECT probe_id, neighbor_id, score_u6, rn FROM rr WHERE rn <= 5
+           |ORDER BY probe_id, rn""".stripMargin),
+    (s, dir) => {
+      val w = Window.partitionBy("probe_id").orderBy(col("score_u6"), col("vec_id"))
+      adc8ScoredCandidates(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= AdcTopK)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          col("score_u6"), col("rn"))
+        .orderBy("probe_id", "rn")
+    })
+
+  /** The SHIPPED cheap-probe two-stage search: 8-bit ADC shortlist at
+    * R=20 (the measured curve's smallest R clearing the 0.66 bar —
+    * 3× fewer exact distance evaluations than the 4-bit path's R=64),
+    * then exact squared-L2 rerank of the top-5. */
+  private val ivfpq8Rerank = QueryDef(
+    "ann_ivfpq8_rerank",
+    Some(pqSqlPrefixK(Pq8K) + pq8AdcSqlHead + s"""short AS (
+           |  SELECT probe_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY probe_id
+           |              ORDER BY score_u6, neighbor_id) AS rn FROM sc) t
+           |  WHERE rn <= $Pq8Shortlist),
+           |ex AS (
+           |  SELECT sh.probe_id, sh.neighbor_id,
+           |         round((list_aggregate(list_transform(range(1, 65),
+           |                  i -> pv.v[i] * pv.v[i]), 'sum') -
+           |                2.0::DOUBLE * list_aggregate(list_transform(range(1, 65),
+           |                  i -> pv.v[i] * cv.v[i]), 'sum')) +
+           |               list_aggregate(list_transform(range(1, 65),
+           |                  i -> cv.v[i] * cv.v[i]), 'sum'), 6) AS d2
+           |  FROM short sh
+           |  JOIN e pv ON pv.vec_id = sh.probe_id
+           |  JOIN e cv ON cv.vec_id = sh.neighbor_id),
+           |rr AS (
+           |  SELECT *, row_number() OVER (PARTITION BY probe_id
+           |            ORDER BY d2, neighbor_id) AS rn FROM ex)
+           |SELECT probe_id, neighbor_id, d2, rn FROM rr WHERE rn <= 5
+           |ORDER BY probe_id, rn""".stripMargin),
+    (s, dir) => {
+      val wAdc = Window.partitionBy("probe_id").orderBy(col("score_u6"), col("vec_id"))
+      val short = adc8ScoredCandidates(s, dir)
+        .withColumn("rn_adc", row_number().over(wAdc))
+        .filter(col("rn_adc") <= Pq8Shortlist)
+        .select(col("probe_id"), col("pv"), col("vec_id").as("neighbor_id"))
+      val vecs = prunedCandidates(s, dir, IvfNProbe, Seq("vec_id", "v"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("v"))
+      val d2 = round((call_function("dot_f64", col("pv"), col("pv")) -
+        lit(2.0) * call_function("dot_f64", col("pv"), col("v"))) +
+        call_function("dot_f64", col("v"), col("v")), 6)
+      val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("neighbor_id"))
+      short.join(vecs, Seq("probe_id", "neighbor_id"))
+        .withColumn("d2", d2)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= AdcTopK)
+        .select(col("probe_id"), col("neighbor_id"), col("d2"), col("rn"))
+        .orderBy("probe_id", "rn")
+    })
+
   /** Deterministic audit sample of the corpus for the driver-side
     * recall replays (r9 verdict #9: the old reports collected the FULL
     * vector set — corpus-sized driver state). A vec_id stride keeps
@@ -1506,10 +1706,19 @@ object EmbeddingQueries extends QuerySet {
 
   private val AdcCurveR = Seq(5, 10, 20, 50, 64, 100)
 
-  def adcRecallReport(s: SparkSession, dir: String): AdcRecallReport = {
+  def adcRecallReport(s: SparkSession, dir: String): AdcRecallReport =
+    adcReplayReport(s, dir, PqK, pqTrainedBooksU6(s, dir), AdcShortlist)
+
+  /** The 8-bit mate — seed/trained/rerank@Pq8Shortlist + curve for the
+    * K=256 books (BENCH `adc8_recall_at5`). */
+  def adc8RecallReport(s: SparkSession, dir: String): AdcRecallReport =
+    adcReplayReport(s, dir, Pq8K, pq8TrainedBooksU6(s, dir), Pq8Shortlist)
+
+  private def adcReplayReport(s: SparkSession, dir: String, k: Int,
+      trainedBooks: Seq[Seq[Seq[Long]]], shortlist: Int): AdcRecallReport = {
     val probeIds = (7 to 97 by 10).map(_.toLong)
     val mustKeep = probeIds ++ IvfSeedIds.map(_.toLong) ++
-      (0 until PqK).map(_.toLong)
+      (0 until k).map(_.toLong)
     val v = auditVectors(s, dir, mustKeep)
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s0 = 0.0; var i = 0
@@ -1522,26 +1731,33 @@ object EmbeddingQueries extends QuerySet {
     val cellOf = v.keys.map(id => id -> cellsOf(v(id), 1).head).toMap
     // round-0 (seed) u6 books vs the trained ones — same integer
     // discipline as the gated path, so `trained` IS the shipped ranking
+    // seed ids present in the corpus (k can exceed a tiny fixture)
+    val seedIds = (0 until k).map(_.toLong).filter(v.contains)
     val seedBooks: Seq[Seq[Seq[Long]]] = (0 until PqSubspaces).map(j =>
-      (0 until PqK).map(c =>
-        v(c.toLong).slice(j * PqSubDim, (j + 1) * PqSubDim).toSeq.map(pqU6)))
-    val trainedBooks = pqTrainedBooksU6(s, dir)
+      seedIds.map(c =>
+        v(c).slice(j * PqSubDim, (j + 1) * PqSubDim).toSeq.map(pqU6)))
     def termU6(sub: Array[Double], cv: Array[Double]): Long =
       BigDecimal((dot(cv, cv) - 2.0 * dot(sub, cv)) * 1000000.0)
         .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
     /** per-probe (adcOnly@5, recall-by-shortlist) under `books` */
     def replay(booksU6: Seq[Seq[Seq[Long]]]): (Double, Seq[(Int, Double)]) = {
       val cents = booksU6.map(_.map(_.map(_ / 1000000.0).toArray))
-      def codesOf(x: Array[Double]) = (0 until PqSubspaces).map { j =>
+      val nCells = cents.head.length
+      def codesOfRaw(x: Array[Double]) = (0 until PqSubspaces).map { j =>
         val sub = x.slice(j * PqSubDim, (j + 1) * PqSubDim)
-        (0 until PqK).map(c => (termU6(sub, cents(j)(c)), c)).min._2
+        (0 until nCells).map(c => (termU6(sub, cents(j)(c)), c)).min._2
       }
+      // memoized per id: candidates recur across probes, and at K=256
+      // re-coding per (probe, candidate) would be 8×256 exact-rounded
+      // terms each time
+      val codeMemo = scala.collection.mutable.HashMap.empty[Long, Seq[Int]]
+      def codesOf(id: Long) = codeMemo.getOrElseUpdate(id, codesOfRaw(v(id)))
       val probes = probeIds.filter(v.contains)
       val hits = probes.map { p =>
         val pcells = cellsOf(v(p), IvfNProbe).toSet
         val cand = v.keys.filter(id => id != p && pcells.contains(cellOf(id))).toSeq
         val adcRanked = cand.map { id =>
-          val cs = codesOf(v(id))
+          val cs = codesOf(id)
           val sc = (0 until PqSubspaces).map(j =>
             termU6(v(p).slice(j * PqSubDim, (j + 1) * PqSubDim), cents(j)(cs(j)))).sum
           (id, sc)
@@ -1564,7 +1780,7 @@ object EmbeddingQueries extends QuerySet {
     val (seedAdc, _) = replay(seedBooks)
     val (trainedAdc, curve) = replay(trainedBooks)
     AdcRecallReport(seedAdc, trainedAdc,
-      curve.toMap.getOrElse(AdcShortlist, -1.0), curve)
+      curve.toMap.getOrElse(shortlist, -1.0), curve)
   }
 
   // ---- PCA top component by power iteration (integer-exact) --------------
@@ -2311,7 +2527,8 @@ object EmbeddingQueries extends QuerySet {
   override val defs: Seq[QueryDef] =
     Seq(bruteTopk, lshTopk, ivfTopk, ivfTrained, embDupPairs, embIncremental,
       embDupClusters, embDedupCorpus, semDedup, quantize, centroids, pqTrained,
-      jlProjection, ivfpqAdc, ivfpqRerank, hardNegatives, binaryQuantize,
+      jlProjection, ivfpqAdc, ivfpqRerank, pq8Codebooks, ivfpq8Adc,
+      ivfpq8Rerank, hardNegatives, binaryQuantize,
       binaryRerank, matryoshka, separability, ivfBalance, centroidDrift,
       pcaPower, pcaProject, pcaDeflate)
 }

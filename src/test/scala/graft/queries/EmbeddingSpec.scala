@@ -213,6 +213,45 @@ class EmbeddingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("PQ8 rerank dominates its ADC-only recall; codebooks have 256 cells") {
+    // same shortlist theorem at the 8-bit operating point (K=256,
+    // R=20): every truth member the ADC top-5 finds is in the top-20
+    // shortlist, and the exact rerank can only promote truth members
+    val v = vectors()
+    val seedIds = Seq(5L, 15L, 25L, 35L, 45L, 55L, 65L, 75L)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < a.length) { s0 += a(i) * b(i); i += 1 }; s0
+    }
+    def cellsOf(x: Array[Double], n: Int): Seq[Long] =
+      seedIds.map(s => (-dot(x, v(s)), s)).sorted.take(n).map(_._2)
+    val cellOf = v.keys.map(id => id -> cellsOf(v(id), 1).head).toMap
+    def exactTop5(p: Long): Set[Long] = {
+      val pcells = cellsOf(v(p), 4).toSet
+      v.keys.filter(id => id != p && pcells.contains(cellOf(id)))
+        .map { id =>
+          val d = v(p).zip(v(id)).map { case (a, b) => (a - b) * (a - b) }.sum
+          (id, d)
+        }.toSeq.sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+    }
+    val adc = run("ann_ivfpq8_adc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (p, rs) => p -> rs.map(_._2).toSet }
+    val rr = run("ann_ivfpq8_rerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (p, rs) => p -> rs.map(_._2).toSet }
+    assert(adc.keySet == rr.keySet && adc.nonEmpty)
+    adc.keys.foreach { p =>
+      val truth = exactTop5(p)
+      assert(truth.intersect(rr(p)).size >= truth.intersect(adc(p)).size,
+        s"probe $p: PQ8 rerank recall below its ADC recall")
+    }
+    // the codebook gate really trains at the 8-bit size (256 cells per
+    // subspace when the corpus has >= 256 seed vectors)
+    val books = run("pq8_codebooks").collect()
+    assert(books.length == 8 * 256 * 8, s"unexpected book size ${books.length}")
+  }
+
   test("binary codes replay bit-by-bit from raw vectors") {
     val v = vectors()
     def code(x: Array[Double]): (Long, Long) = {

@@ -717,7 +717,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val allFiles = spark.read.parquet(
       graft.operators.AnnIndexStore.ensure(spark, sf)).inputFiles.length.toLong
     assert(allFiles >= 4, s"index store unexpectedly small: $allFiles files")
-    Seq("ann_ivf_topk", "ann_ivfpq_adc", "ann_ivfpq_rerank").foreach { q =>
+    Seq("ann_ivf_topk", "ann_ivfpq_adc", "ann_ivfpq_rerank",
+        "ann_ivfpq8_adc", "ann_ivfpq8_rerank").foreach { q =>
       val scans = indexScans(q)
       assert(scans.nonEmpty, s"$q does not read the persisted ANN index")
       scans.foreach { f =>
@@ -728,11 +729,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"$q index scan opened $scanned of $allFiles files — no file-level pruning")
       }
     }
-    // the ADC scan reads codes only — the candidate's full vector
-    // column never enters the scan (the 8-bytes-per-candidate story)
-    indexScans("ann_ivfpq_adc").foreach { f =>
-      assert(!f.output.exists(_.name == "v"),
-        s"ADC index scan reads the full vector column:\n$f")
+    // the ADC scans read codes only — the candidate's full vector
+    // column never enters the scan (the bytes-per-candidate story)
+    Seq("ann_ivfpq_adc", "ann_ivfpq8_adc").foreach { q =>
+      indexScans(q).foreach { f =>
+        assert(!f.output.exists(_.name == "v"),
+          s"$q index scan reads the full vector column:\n$f")
+      }
     }
   }
 
