@@ -208,15 +208,16 @@ object Bench {
         s""""cold_queries":${jmap(_._2)},"cold_total":$coldTotal,""" +
         s""""degraded":$degradedJson,"cold_contaminated":$contaminatedJson,""" +
         s""""pretrain_sec":$pretrainSec,""" +
-        // labels carry the operating point (r10 verdict #3): the only
-        // row a user should read as "the shipped config" is
-        // shipped_topk (ann_ivf_topk as gated, seed quantizer at its
-        // own wider nprobe); the nprobe-4 rows are diagnostics for the
-        // ADC family's narrow routing width, whose shipped quality is
-        // adc_recall_at5.rerank below.
+        // labels carry the operating point (r10 verdict #3): the rows
+        // a user can read as "a shipped config" are shipped_topk
+        // (ann_ivf_topk, seed quantizer at its own wider nprobe) and
+        // served_trained_nprobe4 (ann_ivf_trained_topk's u6
+        // integer-trained quantizer); seed_nprobe4 is the diagnostic
+        // baseline for the ADC family's narrow routing width, whose
+        // shipped quality is adc{,8}_recall_at5.rerank below.
         s""""ivf_recall_at3":{"shipped_topk":{"nprobe":${graft.queries.EmbeddingQueries.shippedTopkNProbe},"recall":${rec.shippedTopk}},""" +
         s""""diagnostic_seed_nprobe${graft.queries.EmbeddingQueries.adcRoutingNProbe}":${rec.sampled},""" +
-        s""""diagnostic_trained_nprobe${graft.queries.EmbeddingQueries.adcRoutingNProbe}":${rec.trained}},""" +
+        s""""served_trained_nprobe${graft.queries.EmbeddingQueries.adcRoutingNProbe}":${rec.trained}},""" +
         s""""ivf_recall_curve_trained":$curveJson,""" +
         s""""ivf_recall_curve_seed":${icurve(rec.sampledCurve)},""" +
         s""""lsh_recall_at_j07":{"recall":$lshRec,"exact_pairs":$nExact,""" +

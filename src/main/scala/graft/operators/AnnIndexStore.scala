@@ -95,4 +95,31 @@ object AnnIndexStore {
       spark.read.parquet(ensure(spark, dir))
         .filter(col("cell").isin(cells: _*))
     }
+
+  /** Append a CODED batch (vec_id, cell, label, v, nrm, code_*,
+    * code8_* — EmbeddingQueries.codeBatch output) to `dir`'s standing
+    * index: new files land inside the existing cell partition
+    * directories, so every later pruned probe covers the ingested
+    * vectors with the same `cell IN (…)` partition filter. This is the
+    * continuous-ingest half of the index lifecycle ("search now,
+    * compact later"): batches are coded with the index's FROZEN
+    * quantizers; re-training and file merge are compaction-time
+    * events.
+    *
+    * Delivery is AT-LEAST-ONCE under streaming replay (a re-delivered
+    * batch appends its rows again — parquet appends are not
+    * idempotent); the ingest contract is the snapshot-append stream's:
+    * dedup at read (keep-latest on vec_id) or at compaction. Readers
+    * that memoized a pruned frame BEFORE the append keep their
+    * snapshot (Spark relations pin their file listing); a serving
+    * session sees ingested rows on its next fresh read — the spec
+    * drives one explicitly.
+    *
+    * Takes the resolved index PATH, not the source dir: streaming
+    * micro-batches execute on a CLONED session whose memos are empty —
+    * resolving `ensure` there would build (and append into) a second
+    * index under the clone's session token. The caller resolves the
+    * path once on the driver session at stream construction. */
+  def appendBatch(path: String, coded: DataFrame): Unit =
+    coded.write.mode("append").partitionBy("cell").parquet(path)
 }

@@ -329,6 +329,179 @@ object EmbeddingQueries extends QuerySet {
         .orderBy("round")
     })
 
+  // ---- integer-exact trained-IVF search (gated) --------------------------
+  // ann_ivf_trained gates only the Lloyd OBJECTIVE (its double-mean
+  // update is summation-order-sensitive, so those centroids cannot be
+  // hash-compared), which left the trained quantizer serving nothing a
+  // user could run. This restates spherical k-means in the
+  // integer-Lloyd discipline (the pqTrainedBooksU6 playbook) so both
+  // engines derive BIT-IDENTICAL trained centroids and the SEARCH over
+  // them is hash-gated end-to-end:
+  //  - centroids live as UNIT vectors in u6 micro-units
+  //    (round(x/‖x‖·1e6), HALF_UP both engines);
+  //  - assignment ranks candidates by BIGINT round(dot·1e6) DESC with
+  //    ties to the lower cell id — u6 comparison, never raw doubles;
+  //  - the mean update is the offset floor-div integer mean of the
+  //    UNIT rows (round(x_d/‖x‖·1e6) summands, order-independent
+  //    BIGINT adds), re-normalized to u6 on the driver with the same
+  //    sequential norm the oracle's list_aggregate computes;
+  //  - training touches only the vec_id ≡ 0 (mod 5) sample (20%).
+  // 100 TB shape: per round ONE map-side assignment pass over the
+  // sample (centroid literals in the projection) + one (cell, dim)
+  // partial-sum job (8×64 driver rows); the search is the ivf_topk
+  // shape with trained-centroid literals — map-side assignment,
+  // broadcast probes, candidates only from probed cells. Measured
+  // value (BENCH ivf_recall_curve_trained): recall@3 0.867 at nprobe=4
+  // vs the seed router's 0.667.
+  private val ivfTrainedCentCache = new graft.operators.DirMemo[Seq[Seq[Long]]]()
+
+  /** Unit-u6 spherical centroids after IvfTrainedRounds integer-Lloyd
+    * rounds; cid = rank of the seed id (0..7). */
+  private[queries] def ivfTrainedCentroidsU6(s: SparkSession, dir: String): Seq[Seq[Long]] =
+    ivfTrainedCentCache.getOrElseUpdate(s, dir) {
+      val e = withNorm(s, dir)
+      val train = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+      def unitU6(v: Seq[Double]): Seq[Long] = {
+        val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+        v.map(x => pqU6(x / nrm))
+      }
+      var cents: Seq[Seq[Long]] = e.filter(col("vec_id").isin(IvfSeedIds: _*))
+        .select(col("vec_id").cast("int").as("sid"), col("v"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).map(p => unitU6(p._2))
+      for (_ <- 1 to IvfTrainedRounds) {
+        val assign = trainedCellExpr(cents)
+        // one partial-sum job: (cell, dim) → (Σ round(x_d/‖x‖·1e6), n)
+        val parts = train
+          .withColumn("cell", element_at(assign, 1).getField("cid"))
+          .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")),
+            col("nrm"))
+          .groupBy("cell", "d")
+          .agg(sum(round(col("x") / col("nrm") * lit(1000000.0), 0)
+            .cast("long")).as("su"), count(lit(1)).as("n"))
+          .collect()
+          .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+          .toMap
+        cents = cents.zipWithIndex.map { case (old, ci) =>
+          if (parts.contains((ci, 0))) {
+            val m = old.indices.map { d =>
+              val (su, n) = parts((ci, d))
+              ((su + n * PqMeanOffset) / n - PqMeanOffset) / 1000000.0
+            }
+            val nm = math.sqrt(m.foldLeft(0.0)((a, x) => a + x * x))
+            m.map(x => pqU6(x / nm))
+          } else old // an emptied cell keeps its previous centroid
+        }
+      }
+      cents
+    }
+
+  /** Sorted (−u6(dot), cid) structs vs unit-u6 centroid literals —
+    * assignment ranked by the INTEGER dot, ties to lower cid. */
+  private def trainedCellExpr(cents: Seq[Seq[Long]]) =
+    array_sort(array(cents.zipWithIndex.map { case (cu, ci) =>
+      struct((-round(call_function("dot_f64", col("v"),
+          array(cu.map(u => lit(u / 1000000.0)): _*)) * lit(1000000.0), 0)
+        .cast("long")).as("nd"), lit(ci).as("cid"))
+    }: _*))
+
+  /** The trained-quantizer SQL: 2-round integer spherical k-means
+    * unrolled, ending in CTE `fc (cid, cv)` — the centroid list the
+    * search tail consumes. */
+  private def ivfTrainedSqlPrefix: String = {
+    def roundSql(r: Int) = s"""cc$r AS (
+       |  SELECT cid, cu, list_transform(cu, u -> u / 1000000.0) AS cv FROM cb${r - 1}),
+       |asg$r AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT t.vec_id, c.cid, row_number() OVER (PARTITION BY t.vec_id ORDER BY
+       |      CAST(round(list_aggregate(list_transform(range(1, 65),
+       |          i -> t.v[i] * c.cv[i]), 'sum') * 1000000.0, 0) AS BIGINT) DESC,
+       |      c.cid) AS rn
+       |    FROM t CROSS JOIN cc$r c) x WHERE rn = 1),
+       |m$r AS (
+       |  SELECT a.cid, d.d,
+       |         CAST((sum(CAST(round(t.v[d.d] / t.nrm * 1000000.0, 0) AS BIGINT))
+       |               + count(*) * $PqMeanOffset) // count(*) - $PqMeanOffset AS BIGINT) AS mu
+       |  FROM asg$r a JOIN t ON t.vec_id = a.vec_id CROSS JOIN range(1, 65) d(d)
+       |  GROUP BY a.cid, d.d),
+       |mb$r AS (SELECT cid, list(mu ORDER BY d) AS ml FROM m$r GROUP BY cid),
+       |cb$r AS (
+       |  SELECT c0.cid,
+       |         CASE WHEN mb.cid IS NULL THEN c0.cu
+       |              ELSE list_transform(mb.ml, u -> CAST(round(
+       |                u / 1000000.0 / sqrt(list_aggregate(list_transform(mb.ml,
+       |                    w -> (w / 1000000.0) * (w / 1000000.0)), 'sum'))
+       |                * 1000000.0, 0) AS BIGINT)) END AS cu
+       |  FROM cb${r - 1} c0 LEFT JOIN mb$r mb ON mb.cid = c0.cid),
+       |""".stripMargin
+    s"""WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v,
+      |         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+      |  FROM e),
+      |t AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 5 = 0),
+      |sv AS (
+      |  SELECT vec_id, v, nrm, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      |  FROM n WHERE vec_id IN (5, 15, 25, 35, 45, 55, 65, 75)),
+      |cb0 AS (
+      |  SELECT cid, list_transform(v, x -> CAST(round(x / nrm * 1000000.0, 0) AS BIGINT)) AS cu
+      |  FROM sv),
+      |""".stripMargin +
+      (1 to IvfTrainedRounds).map(roundSql).mkString +
+      s"""fc AS (
+       |  SELECT cid, list_transform(cu, u -> u / 1000000.0) AS cv FROM cb$IvfTrainedRounds),
+       |""".stripMargin
+  }
+
+  private val ivfTrainedTopk = QueryDef(
+    "ann_ivf_trained_topk",
+    Some(ivfTrainedSqlPrefix + s"""r2 AS (
+           |  SELECT n.vec_id, c.cid,
+           |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+           |           CAST(round(list_aggregate(list_transform(range(1, 65),
+           |               i -> n.v[i] * c.cv[i]), 'sum') * 1000000.0, 0) AS BIGINT) DESC,
+           |           c.cid) AS srn
+           |  FROM n CROSS JOIN fc c),
+           |cells2 AS (SELECT vec_id, cid AS cell FROM r2 WHERE srn = 1),
+           |pc2 AS (
+           |  SELECT vec_id AS probe_id, cid AS pcell FROM r2
+           |  WHERE srn <= $IvfNProbe AND vec_id IN (7, 42, 99)),
+           |s AS (
+           |  SELECT p.probe_id, c.cell, c.vec_id AS neighbor_id,
+           |         round(list_aggregate(list_transform(range(1, 65),
+           |             i -> pv.v[i] * cv.v[i]), 'sum') / (pv.nrm * cv.nrm), 6) AS cos
+           |  FROM pc2 p
+           |  JOIN cells2 c ON c.cell = p.pcell AND c.vec_id <> p.probe_id
+           |  JOIN n pv ON pv.vec_id = p.probe_id
+           |  JOIN n cv ON cv.vec_id = c.vec_id),
+           |rr AS (
+           |  SELECT *, row_number() OVER (PARTITION BY probe_id
+           |            ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+           |SELECT probe_id, cell, neighbor_id, cos, rn FROM rr WHERE rn <= 3
+           |ORDER BY probe_id, rn""".stripMargin),
+    (s, dir) => {
+      val e = withNorm(s, dir)
+      val assign = trainedCellExpr(ivfTrainedCentroidsU6(s, dir))
+      val coded = e.withColumn("cell", element_at(assign, 1).getField("cid"))
+      val probes = broadcast(
+        e.filter(col("vec_id").isin(IvfProbeIds: _*))
+          .withColumn("pcell",
+            explode(transform(slice(assign, 1, IvfNProbe), x => x.getField("cid"))))
+          .select(col("vec_id").as("probe_id"), col("pcell"),
+            col("v").as("pv"), col("nrm").as("pn")))
+      val cand = coded
+        .join(probes, coded("cell") === probes("pcell") && col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", round(expr(dotExpr) / (col("nrm") * col("pn")), 6))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("probe_id"), col("cell").cast("long").as("cell"),
+          col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
+        .orderBy("probe_id", "rn")
+    })
+
   // ---- IVF recall artifact ----------------------------------------------
 
   /** Recall artifact. `shippedTopk` is THE number for the gated
@@ -361,6 +534,7 @@ object EmbeddingQueries extends QuerySet {
   def pretrain(s: SparkSession, dir: String): Unit = {
     pqTrainedBooksU6(s, dir)
     pq8TrainedBooksU6(s, dir)
+    ivfTrainedCentroidsU6(s, dir)
     pqCache.getOrElseUpdate(s, dir)(pqObjectives(withNorm(s, dir)))
     lloydObjectives(s, dir)
     codedIndex(s, dir)
@@ -399,7 +573,10 @@ object EmbeddingQueries extends QuerySet {
         .collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
         .sortBy(_._1).map(_._2).toSeq
-      val trained = sphericalRounds(e, seeds, IvfTrainedRounds).last._1
+      // the SERVED trained quantizer (ann_ivf_trained_topk's u6
+      // integer-spherical centroids), not the double-Lloyd diagnostic —
+      // so the reported trained recall is the gated search's quantizer
+      val trained = ivfTrainedCentroidsU6(s, dir).map(_.map(_ / 1000000.0))
 
       val probes = broadcast(e.filter(col("vec_id").isin(probeIds: _*))
         .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn")))
@@ -1348,15 +1525,34 @@ object EmbeddingQueries extends QuerySet {
     * probes below scan THAT layout with partition pruning. */
   private[graft] def codedIndex(s: SparkSession, dir: String): DataFrame =
     adcIndexCache.getOrElseUpdate(s, dir) {
-      val e = withNorm(s, dir)
-      val (cents, c2) = pqCents(pqTrainedBooksU6(s, dir))
-      val (cents8, c28) = pqCents(pq8TrainedBooksU6(s, dir))
-      e.withColumn("cell", element_at(seedScoreCol(e), 1).getField("sid"))
-        .select(col("vec_id") +: col("cell") +: col("v") +: col("nrm") +:
-          ((0 until PqSubspaces).map(j => pqCodeExpr(cents, c2, j).as(s"code_$j")) ++
-           (0 until PqSubspaces).map(j => pq8CodeCol(cents8, c28, j).as(s"code8_$j"))): _*)
-        .localCheckpoint(true)
+      codeBatch(s, dir, withNorm(s, dir)).localCheckpoint(true)
     }
+
+  /** Apply `dir`'s FROZEN quantizers (seed cells + trained 4/8-bit
+    * books) to ANY (vec_id, label, v, nrm) frame — the coder shared by
+    * the batch index build above and the streaming ingest
+    * ([[graft.streaming.Streaming.annIndexIngestStream]]): incremental
+    * batches are coded with the quantizers the index was built with
+    * (re-training per batch would silently shift cell geometry under
+    * the standing layout; re-training is a compaction-time event). The
+    * batch needs the same prep as withNorm (v as array<double>, nrm);
+    * use [[prepBatch]] for a raw (vec_id, label, embedding) frame. */
+  private[graft] def codeBatch(s: SparkSession, dir: String,
+      batch: DataFrame): DataFrame = {
+    val e = withNorm(s, dir)
+    val (cents, c2) = pqCents(pqTrainedBooksU6(s, dir))
+    val (cents8, c28) = pqCents(pq8TrainedBooksU6(s, dir))
+    batch.withColumn("cell", element_at(seedScoreCol(e), 1).getField("sid"))
+      .select(col("vec_id") +: col("cell") +: col("label") +: col("v") +: col("nrm") +:
+        ((0 until PqSubspaces).map(j => pqCodeExpr(cents, c2, j).as(s"code_$j")) ++
+         (0 until PqSubspaces).map(j => pq8CodeCol(cents8, c28, j).as(s"code8_$j"))): _*)
+  }
+
+  /** Raw (vec_id, label, embedding float[]) → the coder's input shape. */
+  private[graft] def prepBatch(batch: DataFrame): DataFrame =
+    batch.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(dot_f64(v, v))"))
 
   /** Per-probe coarse routing AND probe vectors, collected ONCE per
     * (session, dir) with the exact shipped assignment expression
@@ -1668,6 +1864,129 @@ object EmbeddingQueries extends QuerySet {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= AdcTopK)
         .select(col("probe_id"), col("neighbor_id"), col("d2"), col("rn"))
+        .orderBy("probe_id", "rn")
+    })
+
+  // ---- filtered + tombstone-aware ANN serving ----------------------------
+  // The two predicates every production vector store answers WITH the
+  // similarity search, not after it:
+  //  * metadata filter ("top-k among label ∈ {…}") — the filter rides
+  //    the SAME pruned index scan as a pushed parquet data filter
+  //    (PushedFilters on label, PartitionFilters on cell — both locked
+  //    in PlanSpec), so selectivity multiplies with partition pruning
+  //    instead of post-filtering a materialized top-k (which under-
+  //    fills k when the filter is selective);
+  //  * tombstones (RTBF/deletes) — deleted ids are a SET anti-joined
+  //    (broadcast) against the candidates at probe time, the standard
+  //    "search now, compact later" deletion story: the index files are
+  //    immutable, deletes apply logically until the next compaction
+  //    rewrite. The tombstone set here is the deterministic
+  //    vec_id ≡ 0 (mod 97) so both engines derive it; a deployment
+  //    broadcasts its delete log instead (SnapshotTable.deleteByKeys
+  //    is the managed-table mate).
+  private val AnnFilterLabels = Seq(3, 7)
+  private val TombstoneStep = 97L
+
+  private val annFilteredTopk = QueryDef(
+    "ann_filtered_topk",
+    Some(s"""WITH e AS (
+           |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |n AS (
+           |  SELECT vec_id, label, v,
+           |         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+           |  FROM e),
+           |d AS (
+           |  SELECT n.vec_id, s.vec_id AS sid,
+           |         list_aggregate(list_transform(range(1, len(n.v) + 1),
+           |             i -> n.v[i] * s.v[i]), 'sum') AS dp
+           |  FROM n JOIN n s ON s.vec_id IN (5, 15, 25, 35, 45, 55, 65, 75)),
+           |r AS (
+           |  SELECT vec_id, sid,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, sid) AS srn
+           |  FROM d),
+           |cells AS (SELECT vec_id, sid AS cell FROM r WHERE srn = 1),
+           |pcells AS (
+           |  SELECT vec_id AS probe_id, sid AS pcell FROM r
+           |  WHERE srn <= $IvfTopkNProbe AND vec_id IN (7, 42, 99)),
+           |s AS (
+           |  SELECT p.probe_id, c.vec_id AS neighbor_id, cv.label,
+           |         round(list_aggregate(list_transform(range(1, len(pv.v) + 1),
+           |             i -> pv.v[i] * cv.v[i]), 'sum') / (pv.nrm * cv.nrm), 6) AS cos
+           |  FROM pcells p
+           |  JOIN cells c ON c.cell = p.pcell AND c.vec_id <> p.probe_id
+           |  JOIN n pv ON pv.vec_id = p.probe_id
+           |  JOIN n cv ON cv.vec_id = c.vec_id
+           |  WHERE cv.label IN (${AnnFilterLabels.mkString(", ")})),
+           |rr AS (
+           |  SELECT *, row_number() OVER (PARTITION BY probe_id
+           |            ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+           |SELECT probe_id, neighbor_id, label, cos, rn FROM rr WHERE rn <= 3
+           |ORDER BY probe_id, rn""".stripMargin),
+    (s, dir) => {
+      val cand = prunedCandidates(s, dir, IvfTopkNProbe,
+          Seq("vec_id", "label", "v", "nrm"))
+        .filter(col("label").isin(AnnFilterLabels: _*))
+        .join(probeVectors(s, dir), "probe_id")
+        .withColumn("cos", round(expr(dotExpr) / (col("nrm") * col("pn")), 6))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          col("label"), col("cos"), col("rn"))
+        .orderBy("probe_id", "rn")
+    })
+
+  private val annTopkWithDeletes = QueryDef(
+    "ann_topk_with_deletes",
+    Some(s"""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |n AS (
+           |  SELECT vec_id, v,
+           |         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+           |  FROM e),
+           |d AS (
+           |  SELECT n.vec_id, s.vec_id AS sid,
+           |         list_aggregate(list_transform(range(1, len(n.v) + 1),
+           |             i -> n.v[i] * s.v[i]), 'sum') AS dp
+           |  FROM n JOIN n s ON s.vec_id IN (5, 15, 25, 35, 45, 55, 65, 75)),
+           |r AS (
+           |  SELECT vec_id, sid,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, sid) AS srn
+           |  FROM d),
+           |cells AS (SELECT vec_id, sid AS cell FROM r WHERE srn = 1),
+           |pcells AS (
+           |  SELECT vec_id AS probe_id, sid AS pcell FROM r
+           |  WHERE srn <= $IvfTopkNProbe AND vec_id IN (7, 42, 99)),
+           |s AS (
+           |  SELECT p.probe_id, c.vec_id AS neighbor_id,
+           |         round(list_aggregate(list_transform(range(1, len(pv.v) + 1),
+           |             i -> pv.v[i] * cv.v[i]), 'sum') / (pv.nrm * cv.nrm), 6) AS cos
+           |  FROM pcells p
+           |  JOIN cells c ON c.cell = p.pcell AND c.vec_id <> p.probe_id
+           |  JOIN n pv ON pv.vec_id = p.probe_id
+           |  JOIN n cv ON cv.vec_id = c.vec_id
+           |  WHERE c.vec_id % $TombstoneStep <> 0),
+           |rr AS (
+           |  SELECT *, row_number() OVER (PARTITION BY probe_id
+           |            ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+           |SELECT probe_id, neighbor_id, cos, rn FROM rr WHERE rn <= 3
+           |ORDER BY probe_id, rn""".stripMargin),
+    (s, dir) => {
+      // the delete log as a SET (broadcast anti-join) — ids that don't
+      // exist in the corpus are harmless on the anti side, so the set
+      // is a constant-size id lattice, never a corpus scan
+      val tombstones = broadcast(
+        s.range(0L, 1000000L, TombstoneStep).toDF("vec_id"))
+      val cand = prunedCandidates(s, dir, IvfTopkNProbe,
+          Seq("vec_id", "v", "nrm"))
+        .join(tombstones, Seq("vec_id"), "left_anti")
+        .join(probeVectors(s, dir), "probe_id")
+        .withColumn("cos", round(expr(dotExpr) / (col("nrm") * col("pn")), 6))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          col("cos"), col("rn"))
         .orderBy("probe_id", "rn")
     })
 
@@ -2525,10 +2844,12 @@ object EmbeddingQueries extends QuerySet {
     })
 
   override val defs: Seq[QueryDef] =
-    Seq(bruteTopk, lshTopk, ivfTopk, ivfTrained, embDupPairs, embIncremental,
+    Seq(bruteTopk, lshTopk, ivfTopk, ivfTrained, ivfTrainedTopk,
+      embDupPairs, embIncremental,
       embDupClusters, embDedupCorpus, semDedup, quantize, centroids, pqTrained,
       jlProjection, ivfpqAdc, ivfpqRerank, pq8Codebooks, ivfpq8Adc,
-      ivfpq8Rerank, hardNegatives, binaryQuantize,
+      ivfpq8Rerank, annFilteredTopk, annTopkWithDeletes,
+      hardNegatives, binaryQuantize,
       binaryRerank, matryoshka, separability, ivfBalance, centroidDrift,
       pcaPower, pcaProject, pcaDeflate)
 }

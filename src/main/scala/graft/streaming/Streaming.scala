@@ -252,6 +252,48 @@ object Streaming {
       .collect()(0).getLong(0)
   }
 
+  /** Streaming ANN-index ingest: each micro-batch of raw vectors
+    * (vec_id, label, embedding FLOAT[]) is coded with `baseDir`'s
+    * FROZEN quantizers (seed cells + trained 4/8-bit PQ books — the
+    * coder the batch index build uses) and APPENDED into the standing
+    * cell-partitioned index, so a probe's pruned `cell IN (…)` scan
+    * covers new vectors as soon as their files land. This is how a
+    * continuous 100 TB/day embedding ingest keeps the served index
+    * current without rebuilds: coding is pure map-side (quantizer
+    * literals folded into the projection — zero shuffles per batch,
+    * zero streaming state), the write is an append into existing
+    * partition directories, and re-training/compaction stay scheduled
+    * maintenance (CacheManager.compactAll's discipline), not ingest
+    * work. Delivery is at-least-once (AnnIndexStore.appendBatch's
+    * contract): replayed batches re-append, dedup is keep-latest on
+    * vec_id at read or compaction. */
+  def annIndexIngestStream(
+      incoming: DataFrame,
+      checkpointDir: String,
+      baseDir: String)(onBatch: Long => Unit = _ => ()): StreamingQuery = {
+    // resolve the standing index + quantizers ON THE DRIVER SESSION at
+    // stream construction: micro-batches run on a cloned session whose
+    // memos are empty — resolving there would train a second set of
+    // quantizers and append into a second index under the clone's
+    // session token
+    val outer = incoming.sparkSession
+    val path = graft.operators.AnnIndexStore.ensure(outer, baseDir)
+    incoming.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
+          graft.operators.AnnIndexStore.appendBatch(path,
+            graft.queries.EmbeddingQueries.codeBatch(outer, baseDir,
+              graft.queries.EmbeddingQueries.prepBatch(batch)))
+          onBatch(batchId)
+        }
+      }
+      .start()
+  }
+
   /** Streaming Count-Min sketch build: each micro-batch of (…, text)
     * contributes a PARTIAL sketch — the exact (i, b) → count frame the
     * gated batch entry builds ([[graft.queries.TextQueries

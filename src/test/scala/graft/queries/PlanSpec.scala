@@ -737,6 +737,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"$q index scan reads the full vector column:\n$f")
       }
     }
+    // filtered ANN: the metadata predicate rides the SAME pruned scan
+    // as a pushed parquet data filter — selectivity multiplies with
+    // partition pruning instead of post-filtering a materialized top-k
+    indexScans("ann_filtered_topk").foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"filtered ANN lost partition pruning:\n$f")
+      assert(f.dataFilters.exists(_.references.exists(_.name == "label")),
+        s"label filter not pushed into the index scan:\n$f")
+    }
+    // tombstoned ANN: deletes apply as a broadcast ANTI join on the
+    // candidates, never a corpus rewrite or post-window filter
+    val delPlan = {
+      val df = SparkEntry.queries("ann_topk_with_deletes")(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    assert(delPlan.contains("LeftAnti"),
+      s"tombstones not applied as an anti join:\n$delPlan")
+    assert(delPlan.contains("BroadcastHashJoin") ||
+           delPlan.contains("BroadcastExchange"),
+      s"tombstone set not broadcast:\n$delPlan")
   }
 
   test("segment dedup counts digests with map-side combine and broadcasts the boilerplate set") {

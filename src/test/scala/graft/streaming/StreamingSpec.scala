@@ -581,6 +581,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally if (q.isActive) q.stop()
   }
 
+  test("ANN index ingest stream: streamed vectors land in the pruned cell layout with frozen-quantizer codes") {
+    val s2 = spark
+    import s2.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    def mkVecs(ids: Range): Seq[(Long, Int, Array[Float])] =
+      ids.map(i => (i.toLong, i % 5,
+        Array.tabulate(64)(d => ((i * 13 + d * 7) % 19 - 9).toFloat / 9f)))
+    val base = Files.createTempDirectory("ann_ingest_base").toString
+    mkVecs(0 until 300).toDF("vec_id", "label", "embedding")
+      .write.parquet(s"$base/embeddings.parquet")
+
+    // standing index over the base corpus (quantizers train here, once)
+    val path = graft.operators.AnnIndexStore.ensure(spark, base)
+    val baseRows = spark.read.parquet(path).count()
+    assert(baseRows == 300)
+
+    // stream three micro-batches of NEW vectors into the same index
+    val tmp = Files.createTempDirectory("ann_ingest_stream")
+    val fresh = mkVecs(10000 until 10090)
+    fresh.toDF("vec_id", "label", "embedding")
+      .repartition(3).write.parquet(s"$tmp/incoming")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/incoming").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/incoming")
+    var batches = 0
+    val q = graft.streaming.Streaming.annIndexIngestStream(
+      stream, s"$tmp/ck", base)(_ => batches += 1)
+    try assert(q.awaitTermination(180000), "AvailableNow did not finish")
+    finally if (q.isActive) q.stop()
+    assert(batches >= 3, s"expected >=3 micro-batches, got $batches")
+
+    // a FRESH read of the standing layout covers base + streamed rows,
+    // and the streamed codes equal the frozen-quantizer batch coder's
+    val after = spark.read.parquet(path)
+    assert(after.count() == 300 + 90)
+    val streamed = after.filter(col("vec_id") >= 10000L)
+      .select("vec_id", "cell", "code_0", "code8_0").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    val expect = graft.queries.EmbeddingQueries.codeBatch(spark, base,
+        graft.queries.EmbeddingQueries.prepBatch(
+          fresh.toDF("vec_id", "label", "embedding")))
+      .select("vec_id", "cell", "code_0", "code8_0").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(streamed == expect, "streamed codes diverge from the batch coder")
+
+    // the pruned serving read reaches a streamed vector through the
+    // same cell partition filter a probe uses
+    val (sid, scell) = { val h = streamed.head; (h._1, h._2) }
+    val pruned = spark.read.parquet(path).filter(col("cell") === scell)
+    assert(pruned.filter(col("vec_id") === sid).count() == 1)
+  }
+
   test("streaming cms partials sum to the batch sketch over any micro-batch split") {
     val dir = "/root/testdata/sf0.001"
     graft.functions.GraftFunctions.ensureRegistered(spark)
