@@ -122,4 +122,32 @@ object AnnIndexStore {
     * path once on the driver session at stream construction. */
   def appendBatch(path: String, coded: DataFrame): Unit =
     coded.write.mode("append").partitionBy("cell").parquet(path)
+
+  /** Compact an ingested index: merge each cell's accumulated append
+    * files and resolve the at-least-once duplicates — KEEP-LATEST per
+    * vec_id by the file modification time each row arrived in (the
+    * `_metadata` file source column; a replayed batch's rows are
+    * bit-identical so any survivor is correct, a re-embedded vector's
+    * newer row wins). Writes a NEW root (cell-clustered, one file per
+    * cell directory) and returns its path — compaction never rewrites
+    * files a concurrent probe may hold open; a deployment swaps its
+    * serving pointer to the returned path the way SnapshotTable swaps
+    * snapshots (pointer update, old files expire later). The window
+    * sort runs per cell partition at maintenance time, off the serving
+    * path — at 100 TB this is the scheduled CacheManager.compactAll
+    * discipline applied to the vector index. */
+  def compact(spark: SparkSession, path: String): String = {
+    val df = spark.read.parquet(path)
+      .withColumn("__mt", col("_metadata.file_modification_time"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("__mt").desc)
+    val out = new org.apache.hadoop.fs.Path(
+      path + "_compact_" + java.util.UUID.randomUUID().toString.take(8))
+    createdRoots.add((out, spark.sparkContext.hadoopConfiguration))
+    df.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1).drop("__mt", "__rn")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(out.toString)
+    out.toString
+  }
 }

@@ -648,6 +648,47 @@ object TextQueries extends QuerySet {
       "\nSELECT id_a, id_b, hamming FROM pairs ORDER BY id_a, id_b"),
     (s, dir) => simhashPairsFrame(s, dir).orderBy("id_a", "id_b"))
 
+  // ---- edit-distance verification of near-dup candidates -----------------
+  // The character-level refinement stage after sketch-based candidate
+  // generation: simhash banding (recall-oriented, token-level) feeds
+  // pairs into an EXACT Levenshtein verify, and normalized edit
+  // similarity 1 − lev/max(|a|,|b|) ≥ 0.8 is the precision gate — the
+  // standard two-tier dedup shape (cheap sketch recall → exact verify
+  // precision) at the finest granularity the text offers. Both engines
+  // implement classic unit-cost Levenshtein, so the compare is
+  // hash-exact with no determinism shims.
+  //
+  // 100 TB shape: the O(|a|·|b|) DP runs ONLY on candidate pairs (the
+  // banding cap bounds per-bucket fan-out), texts join in by id —
+  // two equi-joins of the pair set against the corpus, never an
+  // all-pairs product; the verify is embarrassingly parallel per pair.
+  private val editVerify = QueryDef(
+    "neardup_edit_verify",
+    Some(simhashPairsCoreSql + """,
+      |v AS (
+      |  SELECT p.id_a, p.id_b, p.hamming,
+      |         CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+      |         round(1.0 - levenshtein(da.text, db.text)::DOUBLE /
+      |               greatest(length(da.text), length(db.text)), 6) AS edit_sim
+      |  FROM pairs p
+      |  JOIN documents da ON da.doc_id = p.id_a
+      |  JOIN documents db ON db.doc_id = p.id_b)
+      |SELECT id_a, id_b, hamming, lev, edit_sim, edit_sim >= 0.8 AS verified
+      |FROM v ORDER BY id_a, id_b""".stripMargin),
+    (s, dir) => {
+      val docs = Tables.table(s, dir, "documents").select("doc_id", "text")
+      val pairs = simhashPairsFrame(s, dir)
+      pairs
+        .join(docs.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+        .join(docs.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+        .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+        .withColumn("edit_sim", round(lit(1.0) - col("lev").cast("double") /
+          greatest(length(col("ta")), length(col("tb"))), 6))
+        .select(col("id_a"), col("id_b"), col("hamming"), col("lev"),
+          col("edit_sim"), (col("edit_sim") >= 0.8).as("verified"))
+        .orderBy("id_a", "id_b")
+    })
+
   // ---- triangle count on the near-dup graph ------------------------------
   // The graph-analytics classic over the pair set: triangles measure
   // how CLIQUE-LIKE near-dup neighborhoods are — a high
@@ -1852,5 +1893,6 @@ object TextQueries extends QuerySet {
     ngramTopk, langId, quality, tokenStats, winnow, stratified, gopher, tfidf,
     piiRedact, corpusPrep, contamination, bloomContamination, cmsHeavyHitters,
     seqPacking, classifierScore, dupSpans, repetition, neardupCanonical,
-    sourceOverlap, freqSpectrum, bpePairs, bpeApply, triangles, pagerank)
+    sourceOverlap, freqSpectrum, bpePairs, bpeApply, triangles, pagerank,
+    editVerify)
 }

@@ -83,4 +83,42 @@ class AnnIndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p2 = AnnIndexStore.ensure(spark, sf)
     assert(p1 == p2)
   }
+
+  test("compact resolves at-least-once duplicates keep-latest and re-clusters cells") {
+    val s2 = spark
+    import s2.implicits._
+    // an isolated corpus dir so the shared-session index for `sf` is untouched
+    val dir = java.nio.file.Files.createTempDirectory("ann_compact").toString
+    (0 until 200).map(i => (i.toLong, i % 4,
+        Array.tabulate(64)(d => ((i * 17 + d * 3) % 23 - 11).toFloat / 11f)))
+      .toDF("vec_id", "label", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val path = AnnIndexStore.ensure(spark, dir)
+    val base = spark.read.parquet(path)
+
+    // a replayed append (bit-identical rows for ids 0-9) plus a
+    // RE-EMBEDDED vector: id 5 arrives again with different codes
+    val replay = base.filter(col("vec_id") < 10)
+    Thread.sleep(1100) // distinct file mtime even on coarse filesystems
+    AnnIndexStore.appendBatch(path, replay)
+    val updated5 = base.filter(col("vec_id") === 5)
+      .withColumn("code_0", lit(99))
+    Thread.sleep(1100)
+    AnnIndexStore.appendBatch(path, updated5)
+
+    assert(spark.read.parquet(path).count() == 200 + 10 + 1)
+    val compacted = AnnIndexStore.compact(spark, path)
+    val c = spark.read.parquet(compacted)
+    assert(c.count() == 200, "compaction must keep one row per vec_id")
+    // keep-LATEST: the re-embedded row wins
+    assert(c.filter(col("vec_id") === 5).select("code_0")
+      .collect().head.getInt(0) == 99)
+    // re-clustered: one file per live cell directory, pruning intact
+    val cells = c.select("cell").distinct().count()
+    assert(c.inputFiles.length == cells,
+      s"${c.inputFiles.length} files for $cells cells after compaction")
+    val pruned = spark.read.parquet(compacted).filter(col("cell") === c
+      .select("cell").head().getInt(0))
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
 }

@@ -54,8 +54,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("similarity operators never produce a cartesian product") {
     Seq("neardup_minhash_lsh", "ann_brute_topk", "ann_lsh_topk",
-      "ann_ivf_topk", "embdup_cosine_pairs", "incremental_embdup",
-      "simhash_neardup_pairs").foreach { q =>
+      "ann_ivf_topk", "ann_ivf_trained_topk", "ann_filtered_topk",
+      "ann_topk_with_deletes", "ann_ivfpq8_adc", "ann_ivfpq8_rerank",
+      "embdup_cosine_pairs", "incremental_embdup",
+      "simhash_neardup_pairs", "neardup_edit_verify").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
     }
