@@ -87,6 +87,9 @@ object Slope {
     "jl_projection",
     "ann_ivfpq_adc",
     "ann_ivfpq8_rerank",
+    // r11: the hashed-token edit-verify tier — per-pair constant DP
+    // over the ~linear hamming<=1 pair set (the banding-cap bound)
+    "neardup_edit_verify",
     // batch-2/3 additions: per-doc keywords (tf partial agg + the
     // WindowGroupLimit top-3) and the per-source cap (corpus-wide
     // window with group-limit pruning) — both window-over-corpus
