@@ -90,6 +90,9 @@ object Slope {
     // r11: the hashed-token edit-verify tier — per-pair constant DP
     // over the ~linear hamming<=1 pair set (the banding-cap bound)
     "neardup_edit_verify",
+    // r11: the gram-digest novelty rollup (distinct + min + doc
+    // aggregates — the dup_span_stats shuffle family)
+    "novelty_profile",
     // batch-2/3 additions: per-doc keywords (tf partial agg + the
     // WindowGroupLimit top-3) and the per-source cap (corpus-wide
     // window with group-limit pruning) — both window-over-corpus

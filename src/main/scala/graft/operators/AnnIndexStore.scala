@@ -96,6 +96,14 @@ object AnnIndexStore {
         .filter(col("cell").isin(cells: _*))
     }
 
+  /** The standing index, unfiltered — for consumers that need a
+    * non-probe view (e.g. the doc → cell map for cluster labeling);
+    * memoized like the pruned frames so listing/schema resolve once. */
+  def fullIndex(spark: SparkSession, dir: String): DataFrame =
+    frames.getOrElseUpdate(spark, dir, "*") {
+      spark.read.parquet(ensure(spark, dir))
+    }
+
   /** Append a CODED batch (vec_id, cell, label, v, nrm, code_*,
     * code8_* — EmbeddingQueries.codeBatch output) to `dir`'s standing
     * index: new files land inside the existing cell partition

@@ -951,6 +951,293 @@ object EmbeddingQueries extends QuerySet {
           col("min_id"), col("max_id"))
     })
 
+  // ---- cluster topic labeling (corpus cartography) -----------------------
+  // The inspection step every cluster-based curation pipeline runs
+  // after partitioning the embedding space (SemDeDup/DataComp
+  // practice): WHAT is in each cell? Each Voronoi cell of the shared
+  // seed quantizer is labeled by its most DISTINCTIVE terms: the
+  // integer LIFT in ppm — the term's in-cell token share over its
+  // corpus share, cross-multiplied in DECIMAL(38,0) (the ppm-hoist
+  // discipline: no overflow at corpus-count scale, and no c-TF-IDF
+  // ln() to hash-diverge across engines' libm) — ranked
+  // (lift_ppm DESC, tf DESC, term). A frequency floor (tf ≥ 5) keeps
+  // one-off tokens from topping the lift ranking, the standard
+  // labeling guard.
+  //
+  // 100 TB shape: cell assignment is the map-side seed fold; tokens
+  // collapse to (cell, term) partial-agg rows (vocabulary × K, never
+  // corpus-sized); the cell-df screen is a vocabulary-scale aggregate
+  // broadcast back; the final top-3 window partitions by cell with
+  // WindowGroupLimit pruning before the exchange.
+  private val clusterTopics = QueryDef(
+    "cluster_topic_terms",
+    Some("""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |d AS (
+           |  SELECT n.vec_id, s.vec_id AS sid,
+           |         list_aggregate(list_transform(range(1, len(n.v) + 1),
+           |             i -> n.v[i] * s.v[i]), 'sum') AS dp
+           |  FROM e n JOIN e s ON s.vec_id IN (5, 15, 25, 35, 45, 55, 65, 75)),
+           |r AS (
+           |  SELECT vec_id, sid,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, sid) AS srn
+           |  FROM d),
+           |cells AS (SELECT vec_id, sid AS cell FROM r WHERE srn = 1),
+           |tok AS (
+           |  SELECT c.cell, t.term, count(*) AS tf
+           |  FROM cells c JOIN (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+           |    ON t.doc_id = c.vec_id
+           |  GROUP BY c.cell, t.term),
+           |ct AS (SELECT term, sum(tf) AS ctf FROM tok GROUP BY term),
+           |cellt AS (SELECT cell, sum(tf) AS cell_tot FROM tok GROUP BY cell),
+           |tot AS (SELECT sum(tf) AS corpus_tot FROM tok),
+           |ranked AS (
+           |  SELECT tok.cell, tok.term, tok.tf,
+           |         CAST(CAST(tok.tf AS HUGEINT) * tot.corpus_tot * 1000000
+           |              // (CAST(cellt.cell_tot AS HUGEINT) * ct.ctf) AS BIGINT) AS lift_ppm,
+           |         row_number() OVER (PARTITION BY tok.cell
+           |           ORDER BY CAST(CAST(tok.tf AS HUGEINT) * tot.corpus_tot * 1000000
+           |              // (CAST(cellt.cell_tot AS HUGEINT) * ct.ctf) AS BIGINT) DESC,
+           |           tok.tf DESC, tok.term) AS rn
+           |  FROM tok JOIN ct USING (term) JOIN cellt USING (cell) CROSS JOIN tot
+           |  WHERE tok.tf >= 5)
+           |SELECT CAST(cell AS BIGINT) AS cell, rn, term,
+           |       CAST(tf AS BIGINT) AS tf, lift_ppm
+           |FROM ranked WHERE rn <= 3 ORDER BY cell, rn""".stripMargin),
+    (s, dir) => {
+      // the doc → cell map comes from the PERSISTED index (a 2-column
+      // pruned read of the layout ingest already wrote), not a fresh
+      // assignment pass over the vectors
+      val coded = graft.operators.AnnIndexStore.fullIndex(s, dir)
+        .select(col("vec_id"), col("cell"))
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"),
+          explode(split(col("text"), " ")).as("term"))
+      // the doc → cell map broadcasts onto the token stream (at
+      // deployment the cell is a document column written at ingest —
+      // the coded index stores exactly that — so no join exists at
+      // all; here the broadcast keeps the exploded tokens from
+      // shuffling on vec_id)
+      val tok = broadcast(coded).join(docs, "vec_id")
+        .groupBy("cell", "term").agg(count(lit(1)).as("tf"))
+      // shares computed over the FULL frequency table; the floor
+      // applies only to which terms may label a cell (oracle parity)
+      val ct = tok.groupBy("term").agg(sum("tf").as("ctf"))
+      val cellt = tok.groupBy("cell").agg(sum("tf").as("cell_tot"))
+      val tot = tok.agg(sum("tf").as("corpus_tot"))
+      val lift = expr("""CAST(CAST(tf AS DECIMAL(38,0)) * corpus_tot * 1000000
+        div (CAST(cell_tot AS DECIMAL(38,0)) * ctf) AS BIGINT)""")
+      val w = Window.partitionBy("cell")
+        .orderBy(col("lift_ppm").desc, col("tf").desc, col("term"))
+      tok.filter(col("tf") >= 5)
+        .join(broadcast(ct), "term").join(broadcast(cellt), "cell")
+        .crossJoin(broadcast(tot))
+        .withColumn("lift_ppm", lift)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("cell").cast("long").as("cell"), col("rn"), col("term"),
+          col("tf"), col("lift_ppm"))
+        .orderBy("cell", "rn")
+    })
+
+  // ---- MMR diversified top-k (rerank tier) -------------------------------
+  // Maximal Marginal Relevance (Carbonell & Goldstein '98) — the
+  // diversity rerank every retrieval-for-training pipeline bolts onto
+  // ANN: greedily pick k=5 of the top-R=10 shortlist maximizing
+  // λ·rel − (1−λ)·max-sim-to-selected (λ=0.7). Ties (score DESC, nid).
+  //
+  // 100 TB shape: the shortlist is the DISTRIBUTED TakeOrdered top-R
+  // (probe broadcast, corpus scan embarrassingly parallel); the greedy
+  // itself is O(kR²) over R=10 rows — bounded driver work, the
+  // standard serving shape for a rerank tier (same tier as the exact
+  // rerank in ann_ivfpq_rerank, which is also shortlist-bounded).
+  // Driver doubles replay the engines' element-sequential folds and
+  // BigDecimal.valueOf HALF_UP rounding, so the hash gate holds.
+  private val mmrTopk = QueryDef(
+    "mmr_diversified_topk",
+    Some {
+      val sel = (ps: Seq[String]) =>
+        ps.map(p => s"SELECT nid FROM $p").mkString(" UNION ALL ")
+      var q = """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm FROM e),
+        |p AS (SELECT v, nrm FROM n WHERE vec_id = 0),
+        |rel0 AS (
+        |  SELECT c.vec_id AS nid,
+        |         round(list_aggregate(list_transform(range(1, len(c.v)+1), i -> p.v[i]*c.v[i]), 'sum') / (p.nrm*c.nrm), 6) AS rel,
+        |         c.v, c.nrm
+        |  FROM n c, p WHERE c.vec_id <> 0),
+        |cand AS (SELECT * FROM rel0 ORDER BY rel DESC, nid LIMIT 10),
+        |sim AS (
+        |  SELECT a.nid AS i, b.nid AS j,
+        |         round(list_aggregate(list_transform(range(1, len(a.v)+1), k -> a.v[k]*b.v[k]), 'sum') / (a.nrm*b.nrm), 6) AS s
+        |  FROM cand a JOIN cand b ON a.nid <> b.nid),
+        |p1 AS (SELECT nid, rel, round(0.7*rel, 6) AS score FROM cand ORDER BY rel DESC, nid LIMIT 1)""".stripMargin
+      var prev = Seq("p1")
+      for (step <- 2 to 5) {
+        q += s""",
+          |r$step AS (SELECT c.nid, c.rel, round(0.7*c.rel - 0.3*max(s.s), 6) AS score
+          |  FROM cand c JOIN sim s ON s.i = c.nid AND s.j IN (${sel(prev)})
+          |  WHERE c.nid NOT IN (${sel(prev)})
+          |  GROUP BY c.nid, c.rel),
+          |p$step AS (SELECT nid, rel, score FROM r$step ORDER BY score DESC, nid LIMIT 1)""".stripMargin
+        prev = prev :+ s"p$step"
+      }
+      q + "\nSELECT * FROM (" +
+        (1 to 5).map(i => s"SELECT $i AS rn, nid, rel, score FROM p$i")
+          .mkString(" UNION ALL ") + ") ORDER BY rn"
+    },
+    (s, dir) => {
+      import s.implicits._
+      val e = withNorm(s, dir)
+      val probe = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("v").as("pv"), col("nrm").as("pn")))
+      val cand = e.filter(col("vec_id") =!= 0).crossJoin(probe)
+        .withColumn("rel", round(expr(dotExpr) / (col("nrm") * col("pn")), 6))
+        .select(col("vec_id").as("nid"), col("rel"), col("v"), col("nrm"))
+        .orderBy(col("rel").desc, col("nid")).limit(10)
+        .collect()
+      def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      def dotL(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+      }
+      val ids = cand.map(_.getLong(0)); val rel = cand.map(_.getDouble(1))
+      val vs = cand.map(_.getSeq[Double](2).toIndexedSeq)
+      val ns = cand.map(_.getDouble(3))
+      val simm = Array.tabulate(ids.length, ids.length)((i, j) =>
+        if (i == j) 0.0 else r6(dotL(vs(i), vs(j)) / (ns(i) * ns(j))))
+      val picked = scala.collection.mutable.ArrayBuffer(
+        (1, ids(0), rel(0), r6(0.7 * rel(0))))
+      val chosen = scala.collection.mutable.ArrayBuffer(0)
+      for (step <- 2 to 5) {
+        val best = ids.indices.filterNot(chosen.contains)
+          .map { i =>
+            val maxSim = chosen.map(p => simm(i)(p)).max
+            (i, r6(0.7 * rel(i) - 0.3 * maxSim))
+          }
+          .minBy { case (i, sc) => (-sc, ids(i)) }
+        picked += ((step, ids(best._1), rel(best._1), best._2))
+        chosen += best._1
+      }
+      picked.toSeq.toDF("rn", "nid", "rel", "score").orderBy("rn")
+    })
+
+  // ---- greedy k-center coreset (farthest-point diversity selection) ------
+  // The classic coreset / diversity-selection pass (Gonzalez '85,
+  // 2-approx to the k-center objective) data-curation pipelines use to
+  // pick maximally-spread exemplars: seed at vec 0, then k−1 rounds of
+  // "add the point farthest from everything selected". The emitted
+  // radius sequence is the coverage-radius trace (monotone ↓).
+  //
+  // 100 TB shape: each round is ONE embarrassingly-parallel corpus
+  // pass — d²(x,c) = ⟨x,x⟩ − 2⟨x,c⟩ + ⟨c,c⟩ with the selected centers
+  // as constant-folded literals (the codebook discipline) — reduced by
+  // TakeOrdered(1); k rounds total, no shuffle wider than one row.
+  // Both engines compute the same three element-sequential dots and
+  // combine them in the same expression order, so d² is bit-identical
+  // before the 6-decimal round.
+  private val kcenter = QueryDef(
+    "kcenter_coreset",
+    Some {
+      def dsub(x: String, c: String) =
+        s"round($x.vv - 2 * list_aggregate(list_transform(range(1, len($x.v)+1), i -> $x.v[i]*$c.v[i]), 'sum') + $c.cc, 6)"
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |vv AS (SELECT vec_id, v, list_aggregate(list_transform(v, x -> x*x), 'sum') AS vv FROM e),
+         |c1 AS (SELECT v, vv AS cc FROM vv WHERE vec_id = 0),
+         |m1 AS (SELECT x.vec_id, x.v, x.vv, ${dsub("x", "c1")} AS d FROM vv x, c1 WHERE x.vec_id <> 0),
+         |p2 AS (SELECT vec_id, d FROM m1 ORDER BY d DESC, vec_id LIMIT 1),
+         |c2 AS (SELECT v, vv AS cc FROM vv WHERE vec_id = (SELECT vec_id FROM p2)),
+         |m2 AS (SELECT x.vec_id, x.v, x.vv, least(x.d, ${dsub("x", "c2")}) AS d
+         |       FROM m1 x, c2 WHERE x.vec_id <> (SELECT vec_id FROM p2)),
+         |p3 AS (SELECT vec_id, d FROM m2 ORDER BY d DESC, vec_id LIMIT 1),
+         |c3 AS (SELECT v, vv AS cc FROM vv WHERE vec_id = (SELECT vec_id FROM p3)),
+         |m3 AS (SELECT x.vec_id, least(x.d, ${dsub("x", "c3")}) AS d
+         |       FROM m2 x, c3 WHERE x.vec_id <> (SELECT vec_id FROM p3)),
+         |p4 AS (SELECT vec_id, d FROM m3 ORDER BY d DESC, vec_id LIMIT 1)
+         |SELECT CAST(step AS INT) AS step, CAST(vec_id AS BIGINT) AS vec_id, radius FROM (
+         |  SELECT 1 AS step, 0 AS vec_id, 0.0 AS radius
+         |  UNION ALL SELECT 2, vec_id, d FROM p2
+         |  UNION ALL SELECT 3, vec_id, d FROM p3
+         |  UNION ALL SELECT 4, vec_id, d FROM p4) ORDER BY step""".stripMargin
+    },
+    (s, dir) => {
+      import s.implicits._
+      val e = withNorm(s, dir).select(col("vec_id"), col("v"),
+        expr("dot_f64(v, v)").as("vv"))
+      def dotL(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+      }
+      val first = e.filter(col("vec_id") === 0)
+        .select(col("v")).head.getSeq[Double](0).toIndexedSeq
+      // (id, vector, ⟨c,c⟩) of everything selected so far — k vectors
+      // of driver state, folded into the next pass as literals
+      var centers = List((0L, first, dotL(first, first)))
+      val out = scala.collection.mutable.ArrayBuffer((1, 0L, 0.0))
+      for (step <- 2 to 4) {
+        val dists = centers.map { case (_, cv, cc) =>
+          round(col("vv") - lit(2.0) *
+            call_function("dot_f64", col("v"), array(cv.map(lit): _*)) +
+            lit(cc), 6)
+        }
+        val minD = if (dists.size == 1) dists.head else least(dists: _*)
+        val pick = e.filter(!col("vec_id").isin(centers.map(_._1): _*))
+          .select(col("vec_id"), col("v"), minD.as("d"))
+          .orderBy(col("d").desc, col("vec_id")).limit(1).head
+        val (id, cv, d) =
+          (pick.getLong(0), pick.getSeq[Double](1).toIndexedSeq, pick.getDouble(2))
+        out += ((step, id, d))
+        centers = (id, cv, dotL(cv, cv)) :: centers
+      }
+      out.toSeq.toDF("step", "vec_id", "radius").orderBy("step")
+    })
+
+  // ---- cluster-balanced sampling -----------------------------------------
+  // The anti-skew sampler cluster-curation pipelines run after
+  // cartography: cap every embedding cell at the same budget so
+  // over-crawled modes can't dominate the training mix (the
+  // cluster-level cousin of source_cap_sample). Selection within a
+  // cell is md5-deterministic, so the sample is reproducible and
+  // engine-portable.
+  //
+  // 100 TB shape: the cell map is the 2-column pruned read of the
+  // PERSISTED index; per-cell pick rides the cell hash exchange with
+  // WindowGroupLimit pruning (only ≤cap+ε rows per cell reach the
+  // exchange); cell sizes are a K-row aggregate broadcast back.
+  private val clusterBalancedSample = QueryDef(
+    "cluster_balanced_sample",
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |d AS (
+           |  SELECT n.vec_id, s.vec_id AS sid,
+           |         list_aggregate(list_transform(range(1, len(n.v)+1), i -> n.v[i]*s.v[i]), 'sum') AS dp
+           |  FROM e n JOIN e s ON s.vec_id IN (5, 15, 25, 35, 45, 55, 65, 75)),
+           |r AS (SELECT vec_id, sid, row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, sid) AS srn FROM d),
+           |cells AS (SELECT vec_id, sid AS cell FROM r WHERE srn = 1),
+           |nc AS (SELECT cell, count(*) AS n_cell FROM cells GROUP BY cell),
+           |ranked AS (
+           |  SELECT c.cell, c.vec_id,
+           |         row_number() OVER (PARTITION BY c.cell ORDER BY md5(CAST(c.vec_id AS VARCHAR)), c.vec_id) AS rn
+           |  FROM cells c)
+           |SELECT CAST(r.cell AS BIGINT) AS cell, CAST(nc.n_cell AS BIGINT) AS n_cell,
+           |       r.vec_id, CAST(r.rn AS INT) AS rn
+           |FROM ranked r JOIN nc USING (cell) WHERE r.rn <= 30 ORDER BY cell, rn""".stripMargin),
+    (s, dir) => {
+      val cells = graft.operators.AnnIndexStore.fullIndex(s, dir)
+        .select(col("vec_id"), col("cell"))
+      val nc = cells.groupBy("cell").agg(count(lit(1)).as("n_cell"))
+      val w = Window.partitionBy("cell")
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      cells.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 30)
+        .join(broadcast(nc), "cell")
+        .select(col("cell").cast("long").as("cell"), col("n_cell"),
+          col("vec_id"), col("rn"))
+        .orderBy("cell", "rn")
+    })
+
   // ---- int8 scalar quantization -----------------------------------------
   // The 4×-storage-cut technique a 100 TB vector store applies before
   // anything else: per-vector min/max scale, 8-bit codes, keep the
@@ -2846,7 +3133,8 @@ object EmbeddingQueries extends QuerySet {
   override val defs: Seq[QueryDef] =
     Seq(bruteTopk, lshTopk, ivfTopk, ivfTrained, ivfTrainedTopk,
       embDupPairs, embIncremental,
-      embDupClusters, embDedupCorpus, semDedup, quantize, centroids, pqTrained,
+      embDupClusters, embDedupCorpus, semDedup, clusterTopics,
+      mmrTopk, kcenter, clusterBalancedSample, quantize, centroids, pqTrained,
       jlProjection, ivfpqAdc, ivfpqRerank, pq8Codebooks, ivfpq8Adc,
       ivfpq8Rerank, annFilteredTopk, annTopkWithDeletes,
       hardNegatives, binaryQuantize,

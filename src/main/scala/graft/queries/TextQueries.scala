@@ -898,6 +898,39 @@ object TextQueries extends QuerySet {
         |  length(text) AS n_chars_measured, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin))
 
+  // ---- tokenizer fertility by source -------------------------------------
+  // The tokenizer-eval rollup run before committing a vocabulary:
+  // per source, bytes-per-token and FERTILITY (subwords emitted per
+  // whitespace word — here the 4-chars-per-subword BPE proxy
+  // ceil(len/4), deterministic in both engines). Sources whose
+  // fertility is high are expensive to train on at a fixed token
+  // budget; the milli-ratios are integer-exact cross-engine.
+  //
+  // 100 TB shape: pure map-side per-doc arithmetic collapsing into a
+  // source-keyed partial agg — only (source, partials) rows shuffle;
+  // DECIMAL(38,0) hoists keep the ratios exact at corpus byte counts.
+  private val tokenizerFertility = QueryDef(
+    "tokenizer_fertility",
+    Some("""SELECT source,
+           |  count(*) AS n_docs,
+           |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           |  CAST(sum(list_aggregate(list_transform(string_split(text, ' '), w -> (len(w) + 3) // 4), 'sum')) AS BIGINT) AS subword_est,
+           |  CAST(CAST(sum(strlen(text)) AS HUGEINT) * 1000 // sum(len(string_split(text, ' '))) AS BIGINT) AS bytes_per_token_milli,
+           |  CAST(CAST(sum(list_aggregate(list_transform(string_split(text, ' '), w -> (len(w) + 3) // 4), 'sum')) AS HUGEINT) * 1000
+           |       // sum(len(string_split(text, ' '))) AS BIGINT) AS fertility_milli
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      """SELECT source,
+        |  count(*) AS n_docs,
+        |  sum(octet_length(text)) AS n_bytes,
+        |  sum(size(split(text, ' '))) AS ws_tokens,
+        |  sum(aggregate(transform(split(text, ' '), w -> (length(w) + 3) div 4), 0L, (a, x) -> a + x)) AS subword_est,
+        |  CAST(CAST(sum(octet_length(text)) AS DECIMAL(38,0)) * 1000 div sum(size(split(text, ' '))) AS BIGINT) AS bytes_per_token_milli,
+        |  CAST(CAST(sum(aggregate(transform(split(text, ' '), w -> (length(w) + 3) div 4), 0L, (a, x) -> a + x)) AS DECIMAL(38,0)) * 1000
+        |       div sum(size(split(text, ' '))) AS BIGINT) AS fertility_milli
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+
   // ---- winnowing fingerprints --------------------------------------------
   // Rolling 5-char-gram hashes, window-min (w=4) per position, distinct
   // mins = the document fingerprint set (Schleimer et al. winnowing).
@@ -1233,6 +1266,64 @@ object TextQueries extends QuerySet {
         .join(bench, "gram")
         .groupBy("doc_id")
         .agg(countDistinct(col("gram")).as("n_hits"))
+        .orderBy("doc_id")
+    })
+
+  // ---- n-gram novelty profile (memorization-risk curve) ------------------
+  // The per-document novelty signal a dedup-aware curation pipeline
+  // tracks: in ingestion order (doc_id), what fraction of a document's
+  // 5-gram vocabulary has never been seen before? Low-novelty tails
+  // are re-crawls/boilerplate the dedup tier missed; the corpus-level
+  // trajectory is the standard memorization-risk readout. "First seen"
+  // is exact: each distinct gram's minimum doc_id, computed as a
+  // partial-agg min over 60-bit md5-prefix gram HASHES — the shuffle
+  // ships (ghash, doc_id) pairs, never gram text (the dup_span_stats
+  // digest discipline; a 60-bit space makes collisions negligible and
+  // both engines derive identical keys from md5). novelty_ppm is
+  // integer BIGINT division — exact in both engines.
+  //
+  // 100 TB shape: one explode → distinct (doc, ghash) partial agg, one
+  // ghash-keyed min, one co-partitioned join back (same key, AQE
+  // reuses the exchange), one doc-keyed rollup — all combiner-friendly
+  // aggregations; nothing corpus-quadratic, no window.
+  private val noveltyProfile = QueryDef(
+    "novelty_profile",
+    Some("""WITH w AS (
+           |  SELECT doc_id,
+           |         list_transform(range(1, len(string_split(text, ' ')) - 3),
+           |           i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')) AS grams
+           |  FROM documents),
+           |h AS (
+           |  SELECT DISTINCT doc_id,
+           |         ('0x' || substr(md5(g.gram), 1, 15))::BIGINT AS ghash
+           |  FROM w, unnest(w.grams) AS g(gram)),
+           |ng AS (SELECT doc_id, count(*) AS n_grams FROM h GROUP BY doc_id),
+           |nv AS (
+           |  SELECT first_doc AS doc_id, count(*) AS n_novel
+           |  FROM (SELECT ghash, min(doc_id) AS first_doc FROM h GROUP BY ghash)
+           |  GROUP BY first_doc)
+           |SELECT ng.doc_id, CAST(ng.n_grams AS BIGINT) AS n_grams,
+           |       CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+           |       CAST(coalesce(nv.n_novel, 0) * 1000000 // ng.n_grams AS BIGINT) AS novelty_ppm
+           |FROM ng LEFT JOIN nv USING (doc_id) ORDER BY ng.doc_id""".stripMargin),
+    (s, dir) => {
+      val h = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), explode(expr("word_shingles(text, 5)")).as("gram"))
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT)").as("ghash"))
+        .distinct()
+      // n_novel per doc == the count of grams whose min(doc_id) IS this
+      // doc — so both sides collapse to DOC-granularity aggregates and
+      // the corpus-sized (ghash → doc) join disappears: one distinct,
+      // one min, two doc-keyed rollups, one broadcast join of two
+      // doc-sized frames
+      val ng = h.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val nv = h.groupBy("ghash").agg(min("doc_id").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+      ng.join(broadcast(nv), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          expr("coalesce(n_novel, 0L) * 1000000 div n_grams").as("novelty_ppm"))
         .orderBy("doc_id")
     })
 
@@ -1937,5 +2028,5 @@ object TextQueries extends QuerySet {
     piiRedact, corpusPrep, contamination, bloomContamination, cmsHeavyHitters,
     seqPacking, classifierScore, dupSpans, repetition, neardupCanonical,
     sourceOverlap, freqSpectrum, bpePairs, bpeApply, triangles, pagerank,
-    editVerify)
+    editVerify, noveltyProfile, tokenizerFertility)
 }

@@ -947,4 +947,64 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
       s"moment frame is not the materialized checkpoint:\n$p")
   }
+
+  test("cluster topics read the persisted doc→cell map 2-column-pruned; stats broadcast") {
+    // the doc → cell map must come from the AnnIndexStore layout (the
+    // layout ingest already wrote it — no fresh assignment pass), read
+    // with ONLY (vec_id, cell): the coded columns and the full vector
+    // never enter the scan. Frequency screens (ctf / cell_tot / total)
+    // are vocabulary- or K-sized and broadcast back; the top-3 pick
+    // rides WindowGroupLimit so only candidate rows reach the exchange.
+    val df = SparkEntry.queries("cluster_topic_terms")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_annindex"),
+      s"cell map not read from the persisted index:\n$p")
+    val idxLine = p.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("graft_annindex")).getOrElse("")
+    assert(!idxLine.contains("code_") && !idxLine.contains("v#") &&
+           !idxLine.contains("nrm"),
+      s"index scan reads more than (vec_id, cell): $idxLine")
+    assert(p.contains("BroadcastHashJoin"), s"stats not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-3 lost group-limit pruning:\n$p")
+    assert(p.contains("partial_count"), s"tf shuffles raw token rows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan degraded:\n$p")
+  }
+
+  test("novelty profile shuffles gram digests only and collapses to doc aggregates") {
+    // first-seen is a ghash-keyed partial min over 60-bit digest keys —
+    // gram text never crosses the wire — and BOTH sides collapse to
+    // doc-granularity before the final join, which therefore broadcasts
+    // (two doc-sized frames; the corpus-sized gram join must not exist)
+    val p = plan("novelty_profile")
+    assert(p.contains("md5"), s"gram digest key missing — raw 5-grams would shuffle:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"first-seen min shuffles raw gram rows instead of partials:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"doc-sized novelty frame not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"novelty plan degraded:\n$p")
+  }
+
+  test("cluster-balanced sample prunes per-cell picks and broadcasts cell sizes") {
+    // within-cell pick must ride WindowGroupLimit (only ≤cap+ε rows per
+    // cell reach the exchange); the K-row cell-size frame broadcasts;
+    // the cell map comes from the persisted index, not a fresh
+    // assignment pass over the vectors
+    val p = plan("cluster_balanced_sample")
+    assert(p.contains("graft_annindex"),
+      s"cell map not read from the persisted index:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-cell cap lost group-limit pruning:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"cell sizes not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan degraded:\n$p")
+  }
+
+  test("tokenizer fertility collapses map-side to source-keyed partials") {
+    val p = plan("tokenizer_fertility")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"fertility shuffles raw doc rows:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window") &&
+           !p.contains("SortMergeJoin"),
+      s"fertility plan degraded:\n$p")
+  }
 }
