@@ -132,7 +132,16 @@ object Slope {
     // the deflated second component doubles the map-side pass count
     // (deflation projection + the second power loop) but adds no new
     // exchange — the ratio guards that it stays pass-shaped
-    "embedding_pca_deflate")
+    "embedding_pca_deflate",
+    // r11 eval/audit batch: the calibration join (two corpus passes
+    // meeting in one doc_id hash join + a checkpointed two-column
+    // frame — a regression that re-inlines the CTE would double the
+    // corpus passes per downstream aggregate and show as a slope
+    // break), and the retrieval eval (bm25's map-side-filtered scoring
+    // plus the WindowGroupLimit per-term top-10 — the candidate set
+    // must stay query-term-bound, never corpus-wide).
+    "classifier_calibration",
+    "retrieval_eval_mrr")
 
   val MaxRatio = 15.0
   val OverheadFloorSec = 0.3

@@ -213,6 +213,50 @@ object CurationQueries extends QuerySet {
       "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)",
       "D")))
 
+  // ---- k-anonymity / l-diversity privacy audit --------------------------
+  // The release-readiness check a curation pipeline runs before a
+  // dataset (or its metadata) leaves the boundary: group records by
+  // their quasi-identifier tuple — here (market segment, account-
+  // balance 500-unit bucket), the classic "demographics + coarse
+  // numeric" QI — and measure k-anonymity (class size) plus
+  // l-diversity of the sensitive attribute (nation) within each class.
+  // Classes with k < 10 re-identify individuals; classes with l < 5
+  // leak the sensitive value even at large k (the homogeneity attack).
+  // The balance bucket is derived in exact integer cents with a
+  // positivity offset so both engines' integer division agrees
+  // (trunc == floor on non-negatives — the dup_span ppm discipline).
+  //
+  // 100 TB shape: ONE partial-combining aggregate keyed on the QI
+  // tuple — count partials and distinct-nation partials both combine
+  // map-side (distinct over a 25-value attribute collapses per
+  // partition), so the only shuffle carries class-cardinality rows,
+  // never records. No joins; the audit output is classes + flags, so
+  // no sensitive value ever appears in the result (suppression by
+  // construction).
+  private def kanonSql(idiv: String) =
+    s"""WITH s AS (
+       |  SELECT c_mktsegment,
+       |         (CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) $idiv 50000
+       |           AS bal_bucket,
+       |         c_nationkey
+       |  FROM customer),
+       |cls AS (
+       |  SELECT c_mktsegment, CAST(bal_bucket AS BIGINT) AS bal_bucket,
+       |         count(*) AS k_size,
+       |         count(DISTINCT c_nationkey) AS l_distinct
+       |  FROM s GROUP BY 1, 2)
+       |SELECT c_mktsegment, bal_bucket,
+       |       CAST(k_size AS BIGINT) AS k_size,
+       |       CAST(l_distinct AS BIGINT) AS l_distinct,
+       |       k_size < 10 AS k_violation,
+       |       l_distinct < 5 AS l_violation
+       |FROM cls ORDER BY c_mktsegment, bal_bucket""".stripMargin
+
+  private val kanonAudit = QueryDef(
+    "kanon_privacy_audit",
+    Some(kanonSql("//")),
+    (s, dir) => Tables.sql(s, dir, kanonSql("div")))
+
   override val defs: Seq[QueryDef] =
-    Seq(fuzzyLinkage, klDivergence, weightedSample)
+    Seq(fuzzyLinkage, klDivergence, weightedSample, kanonAudit)
 }

@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.{QueryDef, QuerySet, Tables}
 
 /** Batch analytics over the `events` stream table: time-bucket rollups
@@ -996,9 +998,134 @@ object EventQueries extends QuerySet {
     Some(madSql((x, q) => s"quantile_cont($x, $q)")),
     (s, dir) => Tables.sql(s, dir, madSql((x, q) => s"percentile($x, ${q}D)")))
 
+  // ---- ev22: join-key skew profile ---------------------------------------
+  // The diagnostic that decides whether a join needs the salted path
+  // ([[graft.operators.SkewJoin]]): per-key cardinality of the join
+  // key, the heavy-hitter head, each key's corpus share, and its ratio
+  // to the mean — all exact integers. `hot_key` is the salting trigger
+  // (≥ 4× the mean, cross-multiplied so no division ever rounds);
+  // a pipeline reads this BEFORE planning the big join and routes hot
+  // keys through the salt/broadcast split.
+  //
+  // 100 TB shape: one partial-combining count keyed on user_id (the
+  // only corpus-sized shuffle — identical to what the join itself
+  // would pay), materialized ONCE per (session, dir) — Spark inlines
+  // CTEs, so the naive spelling re-scans events for the totals row
+  // (the kl_divergence one-pass discipline; the key-cardinality frame
+  // is two longs per key, cheap to checkpoint). The (total, n_keys)
+  // rollup and the TakeOrdered top-10 head both derive from that
+  // frame; the 1-row totals broadcast back (nested-loop, never a
+  // corpus cartesian).
+  private val skewCache =
+    new graft.operators.DirMemo[org.apache.spark.sql.DataFrame]()
+
+  private val skewProfile = QueryDef(
+    "ev22_key_skew_profile",
+    Some("""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+           |g AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+           |             CAST(count(*) AS BIGINT) AS n_keys FROM c),
+           |top AS (SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT 10)
+           |SELECT t.user_id, CAST(t.cnt AS BIGINT) AS cnt,
+           |       CAST(t.cnt * 1000000 // g.total AS BIGINT) AS share_ppm,
+           |       CAST(t.cnt * g.n_keys * 1000000 // g.total AS BIGINT) AS x_mean_ppm,
+           |       t.cnt * g.n_keys >= 4 * g.total AS hot_key
+           |FROM top t CROSS JOIN g ORDER BY cnt DESC, user_id""".stripMargin),
+    (s, dir) => {
+      val c = skewCache.getOrElseUpdate(s, dir) {
+        Tables.table(s, dir, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
+      }
+      val g = c.agg(sum("cnt").cast("long").as("total"),
+        count(lit(1)).cast("long").as("n_keys"))
+      c.orderBy(col("cnt").desc, col("user_id")).limit(10)
+        .crossJoin(broadcast(g))
+        .select(col("user_id"), col("cnt"),
+          expr("(cnt * 1000000) div total").as("share_ppm"),
+          expr("(cnt * n_keys * 1000000) div total").as("x_mean_ppm"),
+          expr("cnt * n_keys >= 4 * total").as("hot_key"))
+        .orderBy(col("cnt").desc, col("user_id"))
+    })
+
+  // ---- ev23: PSI drift between time windows ------------------------------
+  // Population Stability Index over the event-type mix, first half of
+  // the month vs second — the standard "did the traffic distribution
+  // shift" monitor (PSI_i = (p2-p1)·ln(p2/p1), Σ < 0.1 stable). Shares
+  // [[CurationQueries]]' KL float discipline: proportions are exact
+  // integer ppm; the single ln per EVENT-TYPE row (5 rows, not corpus
+  // rows) rounds to integer micro-units with identical
+  // parenthesization in both engines. Types absent from either window
+  // are excluded (PSI is undefined at p=0; the inner-join semantics of
+  // the proportion CTE state that).
+  //
+  // 100 TB shape: the window split is a map-side boolean on the
+  // timestamp; ONE partial-combining aggregate keyed on event_type
+  // carries conditional-count partials for both windows in the same
+  // pass (no second scan, no join of two filtered aggregates); the
+  // totals are window sums OVER the aggregated type frame — a Window
+  // over ≤|event types| rows (type-cardinality, not corpus), which
+  // keeps the whole query one events pass even with CTE inlining.
+  private def psiSql(idiv: String) =
+    s"""WITH e AS (SELECT event_type,
+       |             ts < TIMESTAMP '2024-01-16 00:00:00' AS w1 FROM events),
+       |c AS (SELECT event_type,
+       |        count(*) FILTER (WHERE w1) AS n1,
+       |        count(*) FILTER (WHERE NOT w1) AS n2
+       |      FROM e GROUP BY event_type),
+       |p AS (SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       |        CAST((n1 * 1000000) $idiv (sum(n1) OVER ()) AS BIGINT) AS p1_ppm,
+       |        CAST((n2 * 1000000) $idiv (sum(n2) OVER ()) AS BIGINT) AS p2_ppm
+       |      FROM c)
+       |SELECT event_type, n1, n2, p1_ppm, p2_ppm,
+       |  CAST(round((p2_ppm - p1_ppm) / 1000000.0 *
+       |             ln(CAST(p2_ppm AS DOUBLE) / p1_ppm) * 1000000.0) AS BIGINT)
+       |    AS psi_micro
+       |FROM p WHERE n1 > 0 AND n2 > 0 ORDER BY event_type""".stripMargin
+
+  private val psiDrift = QueryDef(
+    "ev23_psi_drift_windows",
+    Some(psiSql("//")),
+    (s, dir) => Tables.sql(s, dir, psiSql("div")))
+
+  // ---- ev24: sample-ratio-mismatch check ---------------------------------
+  // The guardrail that must pass before ev16's A/B readout is
+  // trustworthy: under a 50/50 split, the assignment counts follow a
+  // 1-df chi-square with the closed form χ² = (c−t)²/(c+t) — EXACT as
+  // a rational, so the micro-unit statistic and the 0.05-level verdict
+  // (χ² > 3.841459) are pure integer arithmetic cross-multiplied
+  // against the threshold: no double ever enters. The squared
+  // difference is hoisted to DECIMAL(38,0)/HUGEINT per the ppm
+  // overflow discipline — at 100 TB (c−t)²·10⁶ clears BIGINT.
+  //
+  // 100 TB shape: assignment is the same map-side md5 arithmetic as
+  // ev16; the distinct-user collapse is one partial agg; the verdict
+  // is a 1-row rollup. Nothing corpus-sized survives the first
+  // exchange.
+  private def srmSql(big: String, idiv: String, str: String) =
+    s"""WITH assign AS (
+       |  SELECT DISTINCT user_id,
+       |         CASE WHEN substr(md5(CAST(user_id AS $str)), 1, 8) < '80000000'
+       |              THEN 'control' ELSE 'treatment' END AS variant
+       |  FROM events),
+       |n AS (SELECT
+       |        count(*) FILTER (WHERE variant = 'control') AS c,
+       |        count(*) FILTER (WHERE variant = 'treatment') AS t
+       |      FROM assign)
+       |SELECT CAST(c AS BIGINT) AS n_control, CAST(t AS BIGINT) AS n_treatment,
+       |       CAST(CAST((c - t) AS $big) * (c - t) * 1000000 $idiv (c + t) AS BIGINT)
+       |         AS chi2_micro,
+       |       CAST((c - t) AS $big) * (c - t) * 1000000 >
+       |         CAST(3841459 AS $big) * (c + t) AS srm_detected
+       |FROM n""".stripMargin
+
+  private val srmCheck = QueryDef(
+    "ev24_ab_srm_check",
+    Some(srmSql("HUGEINT", "//", "VARCHAR")),
+    (s, dir) => Tables.sql(s, dir, srmSql("DECIMAL(38,0)", "div", "STRING")))
+
   override val defs: Seq[QueryDef] =
     Seq(hourly, sessions, funnel, salted, keepLatest, asof, rangeJoin, conversion,
       retention, anomaly, winsorized, scd2, markov, funnelSteps, hopping, gapfill,
       twa, sessionPaths, pointInTime, abAssign, stickiness, cohortLtv,
-      timeToConvert, userEntropy, madOutliers)
+      timeToConvert, userEntropy, madOutliers, skewProfile, psiDrift, srmCheck)
 }

@@ -379,6 +379,104 @@ object SearchQueries extends QuerySet {
          |       doc_id, score_micro
          |FROM sc ORDER BY rank LIMIT 10""".stripMargin))
 
+  // ---- retrieval evaluation: MRR / P@5 / hits@10 -------------------------
+  // The eval harness that closes the retrieval loop: for each query
+  // term, rank ALL matching documents by single-term BM25 and score
+  // the ranking against a graded-relevance oracle (tf ≥ 5 — "the doc
+  // is substantially about the term", strict enough that the ranker
+  // can and does miss). Reported per query: corpus-wide relevant
+  // count, first relevant rank in the top-10, the reciprocal rank as
+  // an EXACT integer (×2520 = lcm(1..10), so 1/rank never rounds),
+  // relevant@5 and relevant@10. Per-(doc,term) scores reuse bm25's
+  // micro-unit float discipline (identical parenthesization, one
+  // round per row).
+  //
+  // 100 TB shape: scoring inherits bm25's map-side term filter (only
+  // matching docs shuffle); the per-term top-10 window triggers
+  // Catalyst's WindowGroupLimit partial (map-side per-partition
+  // top-10 BEFORE the exchange — the inverted_index_postings lock);
+  // the relevance rollup aggregates the same tf frame (query-term
+  // rows only); the final join is 3 rows against 3 rows.
+  private val retrievalEval = QueryDef(
+    "retrieval_eval_mrr",
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
+            |n AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+            |tf AS (
+            |  SELECT doc_id, term, count(*) AS tf
+            |  FROM (SELECT doc_id, unnest(w) AS term FROM t)
+            |  WHERE term IN ($TermsSql)
+            |  GROUP BY doc_id, term),
+            |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            |s AS (
+            |  SELECT tf.term, tf.doc_id, tf.tf,
+            |         CAST(round(ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5)) *
+            |                    (tf.tf * 2.2) /
+            |                    (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl /
+            |                                    (CAST(n.tot AS DOUBLE) / n.n))) *
+            |                    1000000.0) AS BIGINT) AS m
+            |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n),
+            |r AS (
+            |  SELECT term, doc_id, tf, m,
+            |         row_number() OVER (PARTITION BY term
+            |                            ORDER BY m DESC, doc_id) AS rn
+            |  FROM s),
+            |top AS (SELECT * FROM r WHERE rn <= 10),
+            |rel AS (SELECT term, count(*) AS n_relevant FROM tf
+            |        WHERE tf >= 5 GROUP BY term),
+            |ev AS (
+            |  SELECT term,
+            |         min(CASE WHEN tf >= 5 THEN rn END) AS frr,
+            |         count(*) FILTER (WHERE tf >= 5 AND rn <= 5) AS rel_at_5,
+            |         count(*) FILTER (WHERE tf >= 5) AS rel_at_10
+            |  FROM top GROUP BY term)
+            |SELECT ev.term, CAST(rel.n_relevant AS BIGINT) AS n_relevant,
+            |       CAST(coalesce(ev.frr, 0) AS BIGINT) AS first_rel_rank,
+            |       CAST(CASE WHEN ev.frr IS NULL THEN 0
+            |                 ELSE 2520 // ev.frr END AS BIGINT) AS rr_x2520,
+            |       CAST(ev.rel_at_5 AS BIGINT) AS rel_at_5,
+            |       CAST(ev.rel_at_10 AS BIGINT) AS rel_at_10
+            |FROM ev JOIN rel USING (term) ORDER BY ev.term""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      s"""WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+         |dl AS (SELECT doc_id, CAST(size(w) AS BIGINT) AS dl FROM t),
+         |n AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, term FROM t LATERAL VIEW explode(w) x AS term)
+         |  WHERE term IN ($TermsSql)
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |s AS (
+         |  SELECT tf.term, tf.doc_id, tf.tf,
+         |         CAST(round(ln(1.0D + (n.n - df.df + 0.5D) / (df.df + 0.5D)) *
+         |                    (tf.tf * 2.2D) /
+         |                    (tf.tf + 1.2D * (0.25D + 0.75D * dl.dl /
+         |                                     (CAST(n.tot AS DOUBLE) / n.n))) *
+         |                    1000000.0D, 0) AS BIGINT) AS m
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n),
+         |r AS (
+         |  SELECT term, doc_id, tf, m,
+         |         row_number() OVER (PARTITION BY term
+         |                            ORDER BY m DESC, doc_id) AS rn
+         |  FROM s),
+         |top AS (SELECT * FROM r WHERE rn <= 10),
+         |rel AS (SELECT term, count(*) AS n_relevant FROM tf
+         |        WHERE tf >= 5 GROUP BY term),
+         |ev AS (
+         |  SELECT term,
+         |         min(CASE WHEN tf >= 5 THEN rn END) AS frr,
+         |         count(*) FILTER (WHERE tf >= 5 AND rn <= 5) AS rel_at_5,
+         |         count(*) FILTER (WHERE tf >= 5) AS rel_at_10
+         |  FROM top GROUP BY term)
+         |SELECT ev.term, CAST(rel.n_relevant AS BIGINT) AS n_relevant,
+         |       CAST(coalesce(ev.frr, 0) AS BIGINT) AS first_rel_rank,
+         |       CAST(CASE WHEN ev.frr IS NULL THEN 0
+         |                 ELSE 2520 div ev.frr END AS BIGINT) AS rr_x2520,
+         |       CAST(ev.rel_at_5 AS BIGINT) AS rel_at_5,
+         |       CAST(ev.rel_at_10 AS BIGINT) AS rel_at_10
+         |FROM ev JOIN rel USING (term) ORDER BY ev.term""".stripMargin))
+
   override val defs: Seq[QueryDef] =
-    Seq(bm25, postings, hybrid, phrase, docTopTerms, qlDirichlet)
+    Seq(bm25, postings, hybrid, phrase, docTopTerms, qlDirichlet, retrievalEval)
 }

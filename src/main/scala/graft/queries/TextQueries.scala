@@ -2021,6 +2021,123 @@ object TextQueries extends QuerySet {
         .orderBy(col("p_u6").desc, col("id")).limit(20)
     })
 
+  // ---- classifier calibration (reliability table) -------------------------
+  // The eval that decides whether quality_classifier_score's threshold
+  // is trustworthy: bucket the corpus into 10 FIXED-WIDTH score bins
+  // between the global min and max, and measure the empirical pass
+  // rate of the rule-based Gopher gate inside each bin. A calibrated
+  // classifier shows pass_ppm monotone in bin; a flat table means the
+  // score carries no signal at that operating range. Fixed-width bins
+  // instead of ntile deciles ON PURPOSE: ntile is a single-reducer
+  // global sort (the w7 lesson), while (score−min)·10/(max−min+1) is
+  // map-side arithmetic off a two-scalar broadcast. The per-bin mean
+  // score applies a positivity offset before the integer division so
+  // both engines' trunc/floor semantics coincide on negative sums.
+  //
+  // 100 TB shape: two independent corpus passes (classifier partials
+  // keyed on doc_id; gopher labels map-side) meet in ONE doc_id hash
+  // join; the min/max rollup is a 1-row broadcast; the final table is
+  // a 10-row partial-combining aggregate. No sort, no window.
+  /** (score_m, label) per doc, materialized once per (session, dir):
+    * the classifier pass and the gopher-label pass each scan the
+    * corpus once, meet in ONE doc_id hash join, and everything
+    * downstream (the min/max range row, the bin table) derives from
+    * the checkpointed two-column frame — Spark inlines CTEs, so the
+    * SQL spelling would re-run both corpus passes for the range
+    * aggregate AND the bin aggregate (the kl_divergence one-pass
+    * discipline). */
+  private val calibCache =
+    new graft.operators.DirMemo[org.apache.spark.sql.DataFrame]()
+
+  private def calibFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
+    calibCache.getOrElseUpdate(s, dir) {
+      Tables.sql(s, dir,
+        s"""WITH wt AS (
+           |  SELECT doc_id,
+           |         (ascii(substr(md5(term), 1, 1)) * 31 +
+           |          ascii(substr(md5(term), 2, 1))) % 2001 - 1000 AS u
+           |  FROM (SELECT doc_id, term FROM documents
+           |        LATERAL VIEW explode(split(text, ' ')) t AS term)),
+           |sc AS (SELECT doc_id, CAST(sum(u) AS BIGINT) AS score_m
+           |       FROM wt GROUP BY doc_id),
+           |m AS (
+           |  SELECT doc_id, size(w) AS n_words,
+           |    (length(text) - (size(w_raw) - 1)) * 1.0D / size(w) AS mwl,
+           |    1.0D - size(array_distinct(w)) * 1.0D / size(w) AS dup_frac,
+           |    tokens_in_set(w, array($gopherStops)) AS stopwords,
+           |    regexp_count(text, '[#@%^*]') AS symbols
+           |  FROM (SELECT doc_id, text, split(text, ' ') AS w_raw,
+           |               array_remove(split(text, ' '), '') AS w
+           |        FROM documents) c
+           |  WHERE size(w) > 0),
+           |lab AS (
+           |  SELECT doc_id,
+           |    (n_words BETWEEN 5 AND 10000 AND mwl >= 2 AND mwl <= 12
+           |     AND dup_frac <= 0.6 AND stopwords >= 2
+           |     AND symbols * 1.0D / n_words <= 0.1) AS label
+           |  FROM m)
+           |SELECT sc.score_m, lab.label FROM sc JOIN lab USING (doc_id)""".stripMargin)
+        .localCheckpoint(true)
+    }
+
+  private val calibration = QueryDef(
+    "classifier_calibration",
+    Some(s"""WITH wt AS (
+            |  SELECT doc_id,
+            |         (ascii(substr(md5(term), 1, 1)) * 31 +
+            |          ascii(substr(md5(term), 2, 1))) % 2001 - 1000 AS u
+            |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            |        FROM documents)),
+            |sc AS (SELECT doc_id, CAST(sum(u) AS BIGINT) AS score_m
+            |       FROM wt GROUP BY doc_id),
+            |m AS (
+            |  SELECT doc_id, len(w) AS n_words,
+            |    (length(text) - (len(w_raw) - 1)) * 1.0::DOUBLE / len(w) AS mwl,
+            |    1.0::DOUBLE - len(list_distinct(w)) * 1.0::DOUBLE / len(w) AS dup_frac,
+            |    len(list_filter(w, x -> x IN ($gopherStops))) AS stopwords,
+            |    len(regexp_extract_all(text, '[#@%^*]')) AS symbols
+            |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w_raw,
+            |               list_filter(string_split(text, ' '), x -> x <> '') AS w
+            |        FROM documents) c
+            |  WHERE len(w) > 0),
+            |lab AS (
+            |  SELECT doc_id,
+            |    (n_words BETWEEN 5 AND 10000 AND mwl >= 2 AND mwl <= 12
+            |     AND dup_frac <= 0.6 AND stopwords >= 2
+            |     AND symbols * 1.0::DOUBLE / n_words <= 0.1) AS label
+            |  FROM m),
+            |j AS (SELECT sc.score_m, lab.label FROM sc JOIN lab USING (doc_id)),
+            |rng AS (SELECT min(score_m) AS lo, max(score_m) AS hi FROM j),
+            |b AS (
+            |  SELECT least(9, (j.score_m - rng.lo) * 10 // (rng.hi - rng.lo + 1)) AS bin,
+            |         j.score_m, j.label
+            |  FROM j CROSS JOIN rng)
+            |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+            |       CAST(count(*) FILTER (WHERE label) AS BIGINT) AS n_pass,
+            |       CAST(count(*) FILTER (WHERE label) * 1000000 // count(*) AS BIGINT)
+            |         AS pass_ppm,
+            |       CAST((sum(score_m) + count(*) * 10000000) // count(*) - 10000000
+            |            AS BIGINT) AS mean_score_m
+            |FROM b GROUP BY bin ORDER BY bin""".stripMargin),
+    (s, dir) => {
+      val j = calibFrame(s, dir)
+      val rng = j.agg(min("score_m").as("lo"), max("score_m").as("hi"))
+      j.crossJoin(broadcast(rng))
+        .select(
+          least(lit(9L), expr("((score_m - lo) * 10) div (hi - lo + 1)"))
+            .as("bin"),
+          col("score_m"), col("label"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("label"), 1L).otherwise(0L)).cast("long").as("n_pass"),
+          sum("score_m").cast("long").as("sum_m"))
+        .select(col("bin"), col("n_docs"), col("n_pass"),
+          expr("(n_pass * 1000000) div n_docs").as("pass_ppm"),
+          expr("(sum_m + n_docs * 10000000) div n_docs - 10000000")
+            .as("mean_score_m"))
+        .orderBy("bin")
+    })
+
   override val defs: Seq[QueryDef] = Seq(
     dedupExact, neardup, neardupClusters, clusterSizeHist, neardupCorpus, simhash, simhashPairs,
     pmiCollocations, langConfusion, flesch, thresholdSweep, hapaxRate,
@@ -2028,5 +2145,5 @@ object TextQueries extends QuerySet {
     piiRedact, corpusPrep, contamination, bloomContamination, cmsHeavyHitters,
     seqPacking, classifierScore, dupSpans, repetition, neardupCanonical,
     sourceOverlap, freqSpectrum, bpePairs, bpeApply, triangles, pagerank,
-    editVerify, noveltyProfile, tokenizerFertility)
+    editVerify, noveltyProfile, tokenizerFertility, calibration)
 }

@@ -1007,4 +1007,60 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
            !p.contains("SortMergeJoin"),
       s"fertility plan degraded:\n$p")
   }
+
+  test("privacy audit is one QI-keyed aggregate — no join, no window, no sort") {
+    val p = plan("kanon_privacy_audit")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"kanon audit should be a pure aggregate:\n$p")
+    // distinct-nation partials must combine map-side like the count
+    assert(p.contains("partial"), s"no partial aggregation:\n$p")
+  }
+
+  test("skew profile's heavy-hitter head is TakeOrdered over key partials") {
+    val p = plan("ev22_key_skew_profile")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 head degraded to a full sort:\n$p")
+    // ONE corpus-sized shuffle: the user_id count; the totals row
+    // broadcasts back, never a shuffled join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"1-row totals not broadcast:\n$p")
+    assert(corpusScans(p, "user_id#") <= 2, s"events scanned >2x:\n$p")
+  }
+
+  test("PSI drift computes both windows in ONE pass over events") {
+    val p = plan("ev23_psi_drift_windows")
+    // the conditional-count agg carries n1 and n2 partials together:
+    // one events scan, not one per window (the totals are window sums
+    // over the ≤|event types|-row aggregated frame, not a second pass)
+    assert(corpusScans(p, "event_type#") == 1,
+      s"events scanned once per window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"PSI plan degraded:\n$p")
+  }
+
+  test("SRM check collapses to scalar rollups — nothing corpus-sized survives") {
+    val p = plan("ev24_ab_srm_check")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window") &&
+           !p.contains("CartesianProduct"),
+      s"SRM plan degraded:\n$p")
+    assert(corpusScans(p, "user_id#") == 1, s"events scanned twice:\n$p")
+  }
+
+  test("retrieval eval's per-term top-10 prunes map-side (WindowGroupLimit)") {
+    val p = plan("retrieval_eval_mrr")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"per-term top-10 lost group-limit pruning:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan degraded:\n$p")
+  }
+
+  test("calibration bins map-side off a broadcast range — no ntile, no sort") {
+    val p = plan("classifier_calibration")
+    assert(!p.contains("Window"), s"calibration fell back to ntile:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"min/max range row not broadcast:\n$p")
+    // the (score, label) frame is checkpointed: the served plan reads
+    // the standing RDD — ZERO corpus FileScans downstream (the two
+    // corpus passes run once, inside the memoized build)
+    assert(corpusScans(p, "text#") == 0, s"documents re-scanned:\n$p")
+  }
 }
