@@ -1123,9 +1123,163 @@ object EventQueries extends QuerySet {
     Some(srmSql("HUGEINT", "//", "VARCHAR")),
     (s, dir) => Tables.sql(s, dir, srmSql("DECIMAL(38,0)", "div", "STRING")))
 
+  // ---- ev25: Poisson-bootstrap lift confidence interval ------------------
+  // The uncertainty readout ev16's point lift needs: 100 bootstrap
+  // replicates of the revenue-per-user lift, resampled at the USER
+  // level (the exchangeable unit) with deterministic Poisson(1)
+  // weights — weight w(user, r) comes from md5(user:r) against the
+  // exact Poisson CDF literals (the division by 2³² is exact in
+  // doubles and the thresholds are decimal literals, so the draw is
+  // bit-identical across engines; the classic distributed-bootstrap
+  // trick, since multinomial resampling needs global coordination but
+  // Poisson(1) factorizes per row). The CI bounds are ORDER STATISTICS
+  // (3rd/50th/98th of 100), not a percentile interpolation — integer-
+  // exact selection, no float quantile math.
+  //
+  // 100 TB shape: the per-user collapse is one corpus-keyed partial
+  // agg; the ×100 replicate expansion runs over the USER-cardinality
+  // frame, not raw events, and collapses to 100 replicate rows in one
+  // (r)-keyed partial agg (both variants' sums carried as conditional
+  // partials — no self-join); everything after is a 100-row frame.
+  // The CTE chain is strictly linear (each referenced once), so
+  // Spark's CTE inlining cannot duplicate a corpus pass.
+  private def bootSql(str: String, idiv: String, dlit: String,
+      h32: String) =
+    s"""WITH peruser AS (
+       |  SELECT user_id,
+       |         CASE WHEN substr(md5(CAST(user_id AS $str)), 1, 8) < '80000000'
+       |              THEN 'control' ELSE 'treatment' END AS variant,
+       |         CAST(sum(CASE WHEN event_type = 'purchase'
+       |              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+       |              AS BIGINT) AS rev_cents
+       |  FROM events GROUP BY user_id),
+       |u AS (
+       |  SELECT variant, rev_cents, r,
+       |         $h32 / 4294967296.0$dlit AS du
+       |  FROM peruser CROSS JOIN reps),
+       |w AS (
+       |  SELECT variant, rev_cents, r,
+       |         CASE
+       |           WHEN du < 0.36787944117144233 THEN 0
+       |           WHEN du < 0.7357588823428846 THEN 1
+       |           WHEN du < 0.9196986029286058 THEN 2
+       |           WHEN du < 0.9810118431238462 THEN 3
+       |           WHEN du < 0.9963401531726563 THEN 4
+       |           ELSE 5 END AS wt
+       |  FROM u),
+       |rep AS (
+       |  SELECT r,
+       |    CAST(sum(wt) FILTER (WHERE variant = 'control') AS BIGINT) AS c_users,
+       |    CAST(sum(wt * rev_cents) FILTER (WHERE variant = 'control') AS BIGINT) AS c_rev,
+       |    CAST(sum(wt) FILTER (WHERE variant = 'treatment') AS BIGINT) AS t_users,
+       |    CAST(sum(wt * rev_cents) FILTER (WHERE variant = 'treatment') AS BIGINT) AS t_rev
+       |  FROM w GROUP BY r),
+       |lift AS (
+       |  SELECT r, CAST((t_rev * 1000) $idiv t_users -
+       |                 (c_rev * 1000) $idiv c_users AS BIGINT) AS lift_mc
+       |  FROM rep WHERE c_users > 0 AND t_users > 0),
+       |ord AS (SELECT r, lift_mc,
+       |               row_number() OVER (ORDER BY lift_mc, r) AS rn FROM lift),
+       |agg AS (SELECT count(*) AS n_reps,
+       |  CAST(min(CASE WHEN rn = 3 THEN lift_mc END) AS BIGINT) AS lo95_mc,
+       |  CAST(min(CASE WHEN rn = 50 THEN lift_mc END) AS BIGINT) AS med_mc,
+       |  CAST(min(CASE WHEN rn = 98 THEN lift_mc END) AS BIGINT) AS hi95_mc
+       |  FROM ord)
+       |SELECT n_reps, lo95_mc, med_mc, hi95_mc,
+       |       lo95_mc <= 0 AND 0 <= hi95_mc AS ci_covers_zero
+       |FROM agg""".stripMargin
+
+  private val liftBootstrap = QueryDef(
+    "ev25_ab_lift_bootstrap",
+    Some("WITH reps AS (SELECT unnest(range(0, 100)) AS r),\n" +
+      bootSql("VARCHAR", "//", "::DOUBLE",
+        "('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || " +
+          "CAST(r AS VARCHAR)), 1, 8))::BIGINT").substring(5)),
+    (s, dir) => Tables.sql(s, dir,
+      "WITH reps AS (SELECT explode(sequence(0, 99)) AS r),\n" +
+        bootSql("STRING", "div", "D",
+          "CAST(conv(substring(md5(CAST(user_id AS STRING) || ':' || " +
+            "CAST(r AS STRING)), 1, 8), 16, 10) AS BIGINT)").substring(5)))
+
+  // ---- ev26: two-sample Kolmogorov–Smirnov test --------------------------
+  // "Did treatment change the purchase-value DISTRIBUTION" — the
+  // nonparametric cousin of ev25's mean lift. D = sup|F₁−F₂| is exact
+  // integer arithmetic once scaled by n₁·n₂: group by value (ties jump
+  // together), run ONE distributed prefix scan for both samples'
+  // cumulative counts (k₁ and k₂ ride a single pass encoded as
+  // k₁·2³² + k₂ — exact while each sample holds < 2³¹ purchase rows,
+  // the documented bound; beyond it, run the scan twice), and take the
+  // max of |cum₁·n₂ − cum₂·n₁| over the jump points. The α=0.05
+  // verdict cross-multiplies the squared statistic against
+  // 1.358² = 1.844164 exactly — D_num²·10⁶ > 1844164·(n₁+n₂)·n₁·n₂ —
+  // hoisted to DECIMAL(38,0)/HUGEINT, so no double enters anywhere.
+  //
+  // 100 TB shape: the value collapse is one corpus-keyed partial agg;
+  // the ECDF is GlobalRank.withPrefixSum's two-pass distributed scan
+  // (range exchange → per-partition cumsum → literal offsets — NO
+  // single-reducer window, unlike the oracle's spelling); totals
+  // derive from the scan's checkpointed frame (zero corpus re-scans);
+  // the verdict is a 1-row rollup.
+  private val ksTwoSample = QueryDef(
+    "ev26_ks_two_sample",
+    Some("""WITH p AS (
+           |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+           |                   < '80000000'
+           |              THEN 0 ELSE 1 END AS grp, value
+           |  FROM events WHERE event_type = 'purchase'),
+           |g AS (SELECT value,
+           |        count(*) FILTER (WHERE grp = 0) AS k1,
+           |        count(*) FILTER (WHERE grp = 1) AS k2
+           |      FROM p GROUP BY value),
+           |c AS (SELECT value,
+           |        sum(k1) OVER (ORDER BY value) AS cum1,
+           |        sum(k2) OVER (ORDER BY value) AS cum2
+           |      FROM g),
+           |n AS (SELECT CAST(sum(k1) AS BIGINT) AS n1,
+           |             CAST(sum(k2) AS BIGINT) AS n2 FROM g),
+           |d AS (SELECT CAST(max(abs(cum1 * n.n2 - cum2 * n.n1)) AS BIGINT)
+           |               AS d_num
+           |      FROM c CROSS JOIN n)
+           |SELECT n.n1, n.n2, d.d_num,
+           |  CAST(CAST(d.d_num AS HUGEINT) * 1000000 // (n.n1 * n.n2) AS BIGINT)
+           |    AS d_ppm,
+           |  CAST(d.d_num AS HUGEINT) * d.d_num * 1000000 >
+           |    CAST(1844164 AS HUGEINT) * (n.n1 + n.n2) * n.n1 * n.n2 AS reject_05
+           |FROM d CROSS JOIN n""".stripMargin),
+    (s, dir) => {
+      val g = Tables.table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(
+          when(substring(md5(col("user_id").cast("string")), 1, 8) < "80000000",
+            0L).otherwise(1L).as("grp"),
+          col("value"))
+        .groupBy("value")
+        .agg(sum(when(col("grp") === 0L, 1L).otherwise(0L)).as("k1"),
+          sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("k2"))
+        .withColumn("enc", col("k1") * lit(4294967296L) + col("k2"))
+      val pref = graft.operators.GlobalRank.withPrefixSum(
+        g, Seq(col("value")), col("enc"), "cum")
+      val n = pref.agg(sum("k1").cast("long").as("n1"),
+        sum("k2").cast("long").as("n2"))
+      pref
+        .select(expr("cum div 4294967296").as("cum1"),
+          (col("cum") % lit(4294967296L)).as("cum2"))
+        .crossJoin(broadcast(n))
+        .agg(max("n1").as("n1"), max("n2").as("n2"),
+          max(abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+            .cast("long").as("d_num"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          expr("CAST(CAST(d_num AS DECIMAL(38,0)) * 1000000 div (n1 * n2) AS BIGINT)")
+            .as("d_ppm"),
+          expr("CAST(d_num AS DECIMAL(38,0)) * d_num * 1000000 > " +
+            "CAST(1844164 AS DECIMAL(38,0)) * (n1 + n2) * n1 * n2")
+            .as("reject_05"))
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(hourly, sessions, funnel, salted, keepLatest, asof, rangeJoin, conversion,
       retention, anomaly, winsorized, scd2, markov, funnelSteps, hopping, gapfill,
       twa, sessionPaths, pointInTime, abAssign, stickiness, cohortLtv,
-      timeToConvert, userEntropy, madOutliers, skewProfile, psiDrift, srmCheck)
+      timeToConvert, userEntropy, madOutliers, skewProfile, psiDrift, srmCheck,
+      liftBootstrap, ksTwoSample)
 }

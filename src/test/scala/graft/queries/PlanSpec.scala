@@ -1053,6 +1053,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), s"plan degraded:\n$p")
   }
 
+  test("bootstrap CI expands replicates over the user frame — one events scan") {
+    val p = plan("ev25_ab_lift_bootstrap")
+    // the ×100 replicate cross join runs AFTER the per-user collapse
+    // (user-cardinality × 100, never raw events × 100), and the CTE
+    // chain is linear so inlining cannot duplicate the corpus pass
+    assert(corpusScans(p, "user_id#") == 1, s"events scanned more than once:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"bootstrap plan degraded:\n$p")
+  }
+
+  test("KS test's ECDF rides the distributed prefix scan, not a global window") {
+    val p = plan("ev26_ks_two_sample")
+    // the cumulative counts come from GlobalRank.withPrefixSum's
+    // checkpointed two-pass scan: the served plan re-reads the standing
+    // RDD — no corpus FileScan, no single-reducer Window downstream
+    assert(corpusScans(p, "value#") == 0, s"events re-scanned:\n$p")
+    assert(!p.contains("Window"), s"ECDF degraded to a global window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"totals row not broadcast:\n$p")
+  }
+
   test("calibration bins map-side off a broadcast range — no ntile, no sort") {
     val p = plan("classifier_calibration")
     assert(!p.contains("Window"), s"calibration fell back to ntile:\n$p")
