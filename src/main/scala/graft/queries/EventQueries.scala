@@ -1276,10 +1276,95 @@ object EventQueries extends QuerySet {
             .as("reject_05"))
     })
 
+  // ---- ev27/ev28: exact global order statistics ---------------------------
+  // Exact corpus-scale quantiles are the one statistic everyone
+  // approximates because the naive form is a single-reducer sort; the
+  // two-pass GlobalRank makes them exact AND distributed. The ranked
+  // (value, rk) frame materializes once per (session, dir) — range
+  // exchange → per-partition row_number → literal offsets — and both
+  // order-statistic queries below derive from the checkpointed frame
+  // with zero corpus re-scans.
+  private val rankedValueCache =
+    new graft.operators.DirMemo[org.apache.spark.sql.DataFrame]()
+
+  private def rankedValues(s: org.apache.spark.sql.SparkSession, dir: String) =
+    rankedValueCache.getOrElseUpdate(s, dir) {
+      graft.operators.GlobalRank.withRank(
+        Tables.table(s, dir, "events").select(col("value")),
+        Seq(col("value")), "rk")
+    }
+
+  // ev27: exact p50/p90/p99 as order statistics (rank = ceil(p·n), the
+  // discrete quantile — no interpolation, so the selected DOUBLE is an
+  // input value both engines hold bit-identically), plus the accuracy
+  // gate on Spark's t-digest percentile_approx against the exact
+  // values (≤1% relative — the a7b/ev17 approx-rides-alongside
+  // discipline; the oracle states literal true).
+  private val exactQuantiles = QueryDef(
+    "ev27_exact_quantiles",
+    Some("""WITH o AS (SELECT value,
+           |             row_number() OVER (ORDER BY value) AS rk FROM events),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events)
+           |SELECT n.n_rows,
+           |  max(CASE WHEN o.rk = (n.n_rows * 50 + 99) // 100 THEN o.value END) AS p50,
+           |  max(CASE WHEN o.rk = (n.n_rows * 90 + 99) // 100 THEN o.value END) AS p90,
+           |  max(CASE WHEN o.rk = (n.n_rows * 99 + 99) // 100 THEN o.value END) AS p99,
+           |  true AS approx_ok
+           |FROM o CROSS JOIN n GROUP BY n.n_rows""".stripMargin),
+    (s, dir) => {
+      val ranked = rankedValues(s, dir)
+      val n = ranked.agg(count(lit(1)).cast("long").as("n_rows"))
+      val ap = ranked.agg(percentile_approx(col("value"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ap"))
+      ranked.crossJoin(broadcast(n)).crossJoin(broadcast(ap))
+        .groupBy("n_rows")
+        .agg(
+          max(when(col("rk") === expr("(n_rows * 50 + 99) div 100"),
+            col("value"))).as("p50"),
+          max(when(col("rk") === expr("(n_rows * 90 + 99) div 100"),
+            col("value"))).as("p90"),
+          max(when(col("rk") === expr("(n_rows * 99 + 99) div 100"),
+            col("value"))).as("p99"),
+          max(col("ap")).as("apv"))
+        .select(col("n_rows"), col("p50"), col("p90"), col("p99"),
+          expr("""abs(apv[0] - p50) <= 0.01 * abs(p50) AND
+                 |abs(apv[1] - p90) <= 0.01 * abs(p90) AND
+                 |abs(apv[2] - p99) <= 0.01 * abs(p99)""".stripMargin)
+            .as("approx_ok"))
+    })
+
+  // ev28: equi-depth histogram — the 8 range-bucket boundaries a
+  // repartitionByRange / zone-map layout would use, with per-bucket
+  // exact counts proving balance (±1 row by construction). bucket =
+  // (rk−1)·8 div n is pure integer arithmetic off the same ranked
+  // frame; ties straddling a boundary land deterministically because
+  // counts depend only on ranks and bucket min/max only on the value
+  // multiset.
+  private val equidepth = QueryDef(
+    "ev28_equidepth_histogram",
+    Some("""WITH o AS (SELECT value,
+           |             row_number() OVER (ORDER BY value) AS rk FROM events),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events)
+           |SELECT CAST((o.rk - 1) * 8 // n.n_rows AS BIGINT) AS bucket,
+           |       CAST(count(*) AS BIGINT) AS n_values,
+           |       min(o.value) AS lo, max(o.value) AS hi
+           |FROM o CROSS JOIN n
+           |GROUP BY 1 ORDER BY bucket""".stripMargin),
+    (s, dir) => {
+      val ranked = rankedValues(s, dir)
+      val n = ranked.agg(count(lit(1)).cast("long").as("n_rows"))
+      ranked.crossJoin(broadcast(n))
+        .select(expr("((rk - 1) * 8) div n_rows").as("bucket"), col("value"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_values"),
+          min("value").as("lo"), max("value").as("hi"))
+        .orderBy("bucket")
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(hourly, sessions, funnel, salted, keepLatest, asof, rangeJoin, conversion,
       retention, anomaly, winsorized, scd2, markov, funnelSteps, hopping, gapfill,
       twa, sessionPaths, pointInTime, abAssign, stickiness, cohortLtv,
       timeToConvert, userEntropy, madOutliers, skewProfile, psiDrift, srmCheck,
-      liftBootstrap, ksTwoSample)
+      liftBootstrap, ksTwoSample, exactQuantiles, equidepth)
 }

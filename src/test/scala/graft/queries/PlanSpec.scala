@@ -1074,6 +1074,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"totals row not broadcast:\n$p")
   }
 
+  test("exact quantiles / equi-depth buckets ride the two-pass rank, no global window") {
+    Seq("ev27_exact_quantiles", "ev28_equidepth_histogram").foreach { q =>
+      val p = plan(q)
+      // the (value, rk) frame is GlobalRank's checkpointed two-pass
+      // scan, shared via DirMemo: the served plans read the standing
+      // RDD — no corpus FileScan and no single-reducer Window
+      assert(corpusScans(p, "value#") == 0, s"$q re-scans events:\n$p")
+      assert(!p.contains("Window"), s"$q degraded to a global window:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$q count row not broadcast:\n$p")
+    }
+  }
+
   test("calibration bins map-side off a broadcast range — no ntile, no sort") {
     val p = plan("classifier_calibration")
     assert(!p.contains("Window"), s"calibration fell back to ntile:\n$p")
