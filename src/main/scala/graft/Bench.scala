@@ -200,6 +200,15 @@ object Bench {
          System.err.println(s"[bench] pca2 trajectory failed: ${e.getMessage}")
          Nil
        }).mkString("[", ",", "]")
+    // quantile-sketch error curve: the recall-curve discipline applied
+    // to percentile_approx — max relative error (ppm, over p50/p90/p99)
+    // per sketch accuracy, against the exact two-pass order statistics
+    val qerrJson =
+      (try graft.queries.EventQueries.quantileErrReport(spark, sfDir)
+       catch { case e: Throwable =>
+         System.err.println(s"[bench] quantile err report failed: ${e.getMessage}")
+         Nil
+       }).map { case (acc, err) => s""""$acc":$err""" }.mkString("{", ",", "}")
     val degradedJson = degraded.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contaminatedJson = contaminated
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -229,6 +238,7 @@ object Bench {
         s""""binary_recall_at5":{"hamming":${bin.hamming},"rerank":${bin.rerank},""" +
         s""""curve_by_shortlist":${icurve(bin.curve)}},""" +
         s""""pca_rayleigh_u6":$pcaJson,"pca2_rayleigh_u6":$pca2Json,""" +
+        s""""quantile_err_ppm":$qerrJson,""" +
         s""""failures":$failures,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")

@@ -1333,6 +1333,32 @@ object EventQueries extends QuerySet {
             .as("approx_ok"))
     })
 
+  /** Accuracy artifact for Bench (the recall-curve discipline applied
+    * to quantile sketches): max relative error in ppm of Spark's
+    * t-digest `percentile_approx` at each sketch accuracy, measured
+    * against the EXACT order statistics off the memoized ranked frame.
+    * The curve documents what the 10000-accuracy default buys and what
+    * a cheaper sketch would cost. */
+  def quantileErrReport(s: org.apache.spark.sql.SparkSession, dir: String)
+      : Seq[(Int, Long)] = {
+    val ranked = rankedValues(s, dir)
+    val n = ranked.count()
+    val ps = Seq(50, 90, 99)
+    val ks = ps.map(p => (p * n + 99) / 100)
+    val byRank = ranked.filter(col("rk").isin(ks: _*))
+      .select("rk", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = ks.map(byRank)
+    Seq(100, 1000, 10000).map { acc =>
+      val ap = ranked.agg(percentile_approx(col("value"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(acc)).as("ap"))
+        .collect()(0).getSeq[Double](0)
+      val errs = exact.zip(ap).map { case (e, a) =>
+        if (e == 0.0) 0L else math.round(math.abs(a - e) / math.abs(e) * 1e6) }
+      acc -> errs.max
+    }
+  }
+
   // ev28: equi-depth histogram — the 8 range-bucket boundaries a
   // repartitionByRange / zone-map layout would use, with per-bucket
   // exact counts proving balance (±1 row by construction). bucket =
