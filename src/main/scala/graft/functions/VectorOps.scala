@@ -191,7 +191,15 @@ case class PqCodeU6(sub: Expression, books: Expression, c2: Expression)
     (sub.dataType, books.dataType, c2.dataType) match {
       case (ArrayType(DoubleType, _),
             ArrayType(ArrayType(DoubleType, _), _),
-            ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+            ArrayType(DoubleType, _)) =>
+        // the codebook operands bind once against an empty row (lazy
+        // val below) — a per-row column there would silently freeze
+        // its first evaluation for ALL rows; reject it at analysis
+        if (!books.foldable || !c2.foldable)
+          TypeCheckResult.TypeCheckFailure(
+            "pq_code_u6 expects literal (foldable) codebooks for its " +
+              "2nd and 3rd arguments — per-row columns are not supported")
+        else TypeCheckResult.TypeCheckSuccess
       case (a, b, c) => TypeCheckResult.TypeCheckFailure(
         s"pq_code_u6 expects (ARRAY<DOUBLE>, ARRAY<ARRAY<DOUBLE>>, ARRAY<DOUBLE>), got ($a, $b, $c)")
     }

@@ -90,19 +90,29 @@ object AnnIndexStore {
     * invocation — every execution still runs the real pruned
     * FileSourceScan (nothing is persisted in memory; the plan locks
     * see the scan). */
-  def probeCodes(spark: SparkSession, dir: String, cells: Seq[Int]): DataFrame =
-    frames.getOrElseUpdate(spark, dir, cells.sorted.mkString(",")) {
-      spark.read.parquet(ensure(spark, dir))
-        .filter(col("cell").isin(cells: _*))
+  def probeCodes(spark: SparkSession, dir: String, cells: Seq[Int]): DataFrame = {
+    // the INDEX root's own generation joins the key (on top of the
+    // source-dir generation DirMemo already folds in): streaming
+    // appendBatch writes land under the index root, not the source
+    // dir, so without it a session that had already probed would pin
+    // the pre-ingest file listing and silently skip streamed vectors
+    val root = ensure(spark, dir)
+    frames.getOrElseUpdate(spark, dir,
+      SessionMemo.generationOf(spark, root) + "|" + cells.sorted.mkString(",")) {
+      spark.read.parquet(root).filter(col("cell").isin(cells: _*))
     }
+  }
 
   /** The standing index, unfiltered — for consumers that need a
     * non-probe view (e.g. the doc → cell map for cluster labeling);
     * memoized like the pruned frames so listing/schema resolve once. */
-  def fullIndex(spark: SparkSession, dir: String): DataFrame =
-    frames.getOrElseUpdate(spark, dir, "*") {
-      spark.read.parquet(ensure(spark, dir))
+  def fullIndex(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensure(spark, dir)
+    frames.getOrElseUpdate(spark, dir,
+      SessionMemo.generationOf(spark, root) + "|*") {
+      spark.read.parquet(root)
     }
+  }
 
   /** Append a CODED batch (vec_id, cell, label, v, nrm, code_*,
     * code8_* — EmbeddingQueries.codeBatch output) to `dir`'s standing
@@ -147,13 +157,20 @@ object AnnIndexStore {
   def compact(spark: SparkSession, path: String): String = {
     val df = spark.read.parquet(path)
       .withColumn("__mt", col("_metadata.file_modification_time"))
+      .withColumn("__fp", col("_metadata.file_path"))
+    // file_path breaks mtime ties (filesystems with 1 s mtime
+    // granularity make same-tick appends common): the pick among tied
+    // files is then DETERMINISTIC across compaction runs — replayed
+    // duplicates are bit-identical so any survivor is correct, and a
+    // re-embedded vector landing in the same tick keeps a stable
+    // winner instead of a run-dependent one
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("__mt").desc)
+      .partitionBy("vec_id").orderBy(col("__mt").desc, col("__fp").desc)
     val out = new org.apache.hadoop.fs.Path(
       path + "_compact_" + java.util.UUID.randomUUID().toString.take(8))
     createdRoots.add((out, spark.sparkContext.hadoopConfiguration))
     df.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
-      .filter(col("__rn") === 1).drop("__mt", "__rn")
+      .filter(col("__rn") === 1).drop("__mt", "__fp", "__rn")
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(out.toString)
     out.toString

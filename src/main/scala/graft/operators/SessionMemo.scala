@@ -146,9 +146,39 @@ object SessionMemo {
     * LIST per call — cheap on a local/HDFS namenode; an object-store
     * deployment that can't afford per-query LISTs should thread an
     * explicit snapshot id instead (SnapshotTable's pointer IS that id
-    * for managed tables). A missing dir digests to a constant — the
-    * (dir-appears-later) transition still changes the token. */
+    * for managed tables), or bound the walk rate with
+    * `spark.graft.generation.ttlMs`: a token computed within the TTL
+    * is reused, trading at most that much staleness for one LIST per
+    * dir per TTL window instead of several per query (a served ANN
+    * probe consults ~6 dir-keyed memos). Default 0 = always fresh —
+    * the DirMemoSpec freshness contract unchanged. A missing dir
+    * digests to a constant — the (dir-appears-later) transition still
+    * changes the token. */
+  // keyed by the session TOKEN (a string), not the session object, so
+  // this strong map never pins a stopped SparkSession; dead-session
+  // entries are bounded by sessions × dirs, both small
+  private val genCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, Long)]()
+
   def generationOf(s: SparkSession, dir: String): String = {
+    val ttlMs =
+      try s.conf.get("spark.graft.generation.ttlMs", "0").toLong
+      catch { case _: NumberFormatException => 0L }
+    if (ttlMs <= 0) computeGeneration(s, dir)
+    else {
+      val key = (sessionToken(s), dir)
+      val now = System.nanoTime()
+      val cached = genCache.get(key)
+      if (cached != null && (now - cached._2) < ttlMs * 1000000L) cached._1
+      else {
+        val g = computeGeneration(s, dir)
+        genCache.put(key, (g, now))
+        g
+      }
+    }
+  }
+
+  private def computeGeneration(s: SparkSession, dir: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     try {
       val p = new org.apache.hadoop.fs.Path(dir)

@@ -1011,15 +1011,18 @@ object EmbeddingQueries extends QuerySet {
       // assignment pass over the vectors
       val coded = graft.operators.AnnIndexStore.fullIndex(s, dir)
         .select(col("vec_id"), col("cell"))
+      // join the cell map at DOC granularity and explode AFTER: the
+      // join moves one row per document (AQE picks broadcast at small
+      // scale, plain hash join when the corpus-row-sized map outgrows
+      // it — forcing broadcast() here would pin corpus-sized driver
+      // state, the class the r9 verdict banned), and the token explode
+      // stays map-side so no token-level row ever shuffles on vec_id.
+      // At deployment the cell is a document column written at ingest
+      // (the coded index stores exactly that), so no join exists at all.
       val docs = Tables.table(s, dir, "documents")
-        .select(col("doc_id").as("vec_id"),
-          explode(split(col("text"), " ")).as("term"))
-      // the doc → cell map broadcasts onto the token stream (at
-      // deployment the cell is a document column written at ingest —
-      // the coded index stores exactly that — so no join exists at
-      // all; here the broadcast keeps the exploded tokens from
-      // shuffling on vec_id)
-      val tok = broadcast(coded).join(docs, "vec_id")
+        .select(col("doc_id").as("vec_id"), col("text"))
+      val tok = docs.join(coded, "vec_id")
+        .select(col("cell"), explode(split(col("text"), " ")).as("term"))
         .groupBy("cell", "term").agg(count(lit(1)).as("tf"))
       // shares computed over the FULL frequency table; the floor
       // applies only to which terms may label a cell (oracle parity)
@@ -1893,7 +1896,15 @@ object EmbeddingQueries extends QuerySet {
       graft.operators.AnnIndexStore.probeCodes(s, dir, cells)
         .select(lit(p).as("probe_id") +: cols.map(col): _*)
     }
-    branches.reduce(_ unionByName _).filter(col("vec_id") =!= col("probe_id"))
+    if (branches.isEmpty)
+      // none of the probe ids exist in this corpus (e.g. an ingest-only
+      // index whose ids start elsewhere): zero candidates, same schema —
+      // the old broadcast-join spelling's behavior, not empty.reduce
+      graft.operators.AnnIndexStore.probeCodes(s, dir, Seq.empty)
+        .select(lit(-1L).as("probe_id") +: cols.map(col): _*)
+        .filter(lit(false))
+    else
+      branches.reduce(_ unionByName _).filter(col("vec_id") =!= col("probe_id"))
   }
 
   private def adcScoredCandidates(s: SparkSession, dir: String): DataFrame = {

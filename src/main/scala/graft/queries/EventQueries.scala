@@ -1026,9 +1026,12 @@ object EventQueries extends QuerySet {
            |             CAST(count(*) AS BIGINT) AS n_keys FROM c),
            |top AS (SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT 10)
            |SELECT t.user_id, CAST(t.cnt AS BIGINT) AS cnt,
-           |       CAST(t.cnt * 1000000 // g.total AS BIGINT) AS share_ppm,
-           |       CAST(t.cnt * g.n_keys * 1000000 // g.total AS BIGINT) AS x_mean_ppm,
-           |       t.cnt * g.n_keys >= 4 * g.total AS hot_key
+           |       CAST(CAST(t.cnt AS HUGEINT) * 1000000 // g.total AS BIGINT)
+           |         AS share_ppm,
+           |       CAST(CAST(t.cnt AS HUGEINT) * g.n_keys * 1000000 // g.total
+           |            AS BIGINT) AS x_mean_ppm,
+           |       CAST(t.cnt AS HUGEINT) * g.n_keys >= CAST(4 AS HUGEINT) * g.total
+           |         AS hot_key
            |FROM top t CROSS JOIN g ORDER BY cnt DESC, user_id""".stripMargin),
     (s, dir) => {
       val c = skewCache.getOrElseUpdate(s, dir) {
@@ -1038,12 +1041,19 @@ object EventQueries extends QuerySet {
       }
       val g = c.agg(sum("cnt").cast("long").as("total"),
         count(lit(1)).cast("long").as("n_keys"))
+      // DECIMAL(38,0) hoists (the ppm overflow class): cnt·n_keys·10⁶
+      // clears BIGINT once cnt·n_keys > 9.2e12 — e.g. a 1e7-row hot
+      // key over 1e6 distinct keys, exactly the regime this profile
+      // exists to catch
       c.orderBy(col("cnt").desc, col("user_id")).limit(10)
         .crossJoin(broadcast(g))
         .select(col("user_id"), col("cnt"),
-          expr("(cnt * 1000000) div total").as("share_ppm"),
-          expr("(cnt * n_keys * 1000000) div total").as("x_mean_ppm"),
-          expr("cnt * n_keys >= 4 * total").as("hot_key"))
+          expr("CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)")
+            .as("share_ppm"),
+          expr("CAST(CAST(cnt AS DECIMAL(38,0)) * n_keys * 1000000 div total " +
+            "AS BIGINT)").as("x_mean_ppm"),
+          expr("CAST(cnt AS DECIMAL(38,0)) * n_keys >= " +
+            "CAST(4 AS DECIMAL(38,0)) * total").as("hot_key"))
         .orderBy(col("cnt").desc, col("user_id"))
     })
 
@@ -1210,9 +1220,15 @@ object EventQueries extends QuerySet {
   // k₁·2³² + k₂ — exact while each sample holds < 2³¹ purchase rows,
   // the documented bound; beyond it, run the scan twice), and take the
   // max of |cum₁·n₂ − cum₂·n₁| over the jump points. The α=0.05
-  // verdict cross-multiplies the squared statistic against
-  // 1.358² = 1.844164 exactly — D_num²·10⁶ > 1844164·(n₁+n₂)·n₁·n₂ —
-  // hoisted to DECIMAL(38,0)/HUGEINT, so no double enters anywhere.
+  // verdict compares the PPM-QUANTIZED statistic (d_ppm, itself an
+  // exact floor) against 1.358² = 1.844164 cross-multiplied —
+  // d_ppm²·n₁·n₂ > 1844164·(n₁+n₂)·10⁶ — hoisted to DECIMAL(38,0)/
+  // HUGEINT, so no double enters anywhere AND nothing overflows at any
+  // sample size (d_ppm ≤ 10⁶, so the left side tops out near 10³¹;
+  // squaring the raw D_num instead clears 10³⁸ — DECIMAL's ceiling —
+  // at only ~6·10⁷ rows per arm). The quantization can flip the
+  // verdict only when D sits within 10⁻⁶ of the critical value — far
+  // inside the statistic's own sampling noise.
   //
   // 100 TB shape: the value collapse is one corpus-keyed partial agg;
   // the ECDF is GlobalRank.withPrefixSum's two-pass distributed scan
@@ -1240,12 +1256,14 @@ object EventQueries extends QuerySet {
            |d AS (SELECT CAST(max(abs(cum1 * n.n2 - cum2 * n.n1)) AS BIGINT)
            |               AS d_num
            |      FROM c CROSS JOIN n)
-           |SELECT n.n1, n.n2, d.d_num,
-           |  CAST(CAST(d.d_num AS HUGEINT) * 1000000 // (n.n1 * n.n2) AS BIGINT)
-           |    AS d_ppm,
-           |  CAST(d.d_num AS HUGEINT) * d.d_num * 1000000 >
-           |    CAST(1844164 AS HUGEINT) * (n.n1 + n.n2) * n.n1 * n.n2 AS reject_05
-           |FROM d CROSS JOIN n""".stripMargin),
+           |SELECT n1, n2, d_num, d_ppm,
+           |  CAST(d_ppm AS HUGEINT) * d_ppm * n1 * n2 >
+           |    CAST(1844164 AS HUGEINT) * (n1 + n2) * 1000000 AS reject_05
+           |FROM (
+           |  SELECT n.n1, n.n2, d.d_num,
+           |    CAST(CAST(d.d_num AS HUGEINT) * 1000000 // (n.n1 * n.n2) AS BIGINT)
+           |      AS d_ppm
+           |  FROM d CROSS JOIN n) t""".stripMargin),
     (s, dir) => {
       val g = Tables.table(s, dir, "events")
         .filter(col("event_type") === "purchase")
@@ -1270,10 +1288,10 @@ object EventQueries extends QuerySet {
             .cast("long").as("d_num"))
         .select(col("n1"), col("n2"), col("d_num"),
           expr("CAST(CAST(d_num AS DECIMAL(38,0)) * 1000000 div (n1 * n2) AS BIGINT)")
-            .as("d_ppm"),
-          expr("CAST(d_num AS DECIMAL(38,0)) * d_num * 1000000 > " +
-            "CAST(1844164 AS DECIMAL(38,0)) * (n1 + n2) * n1 * n2")
-            .as("reject_05"))
+            .as("d_ppm"))
+        .withColumn("reject_05",
+          expr("CAST(d_ppm AS DECIMAL(38,0)) * d_ppm * n1 * n2 > " +
+            "CAST(1844164 AS DECIMAL(38,0)) * (n1 + n2) * 1000000"))
     })
 
   // ---- ev27/ev28: exact global order statistics ---------------------------

@@ -246,10 +246,16 @@ object Streaming {
       rejectFraction: Double): Long = {
     require(rejectFraction > 0.0 && rejectFraction < 1.0,
       s"rejectFraction must be in (0, 1): $rejectFraction")
-    graft.queries.TextQueries.classifierScored(calibration)
+    val row = graft.queries.TextQueries.classifierScored(calibration)
       .agg(org.apache.spark.sql.functions
         .percentile_approx(col("score_m"), lit(rejectFraction), lit(10000)))
-      .collect()(0).getLong(0)
+      .collect()(0)
+    // percentile over zero rows is NULL — name the real problem instead
+    // of the bare NPE getLong would raise
+    require(!row.isNullAt(0),
+      "calibrateQualityThreshold: calibration batch scored no documents " +
+        "(empty or all-empty-text input)")
+    row.getLong(0)
   }
 
   /** Streaming ANN-index ingest: each micro-batch of raw vectors
@@ -257,7 +263,11 @@ object Streaming {
     * FROZEN quantizers (seed cells + trained 4/8-bit PQ books — the
     * coder the batch index build uses) and APPENDED into the standing
     * cell-partitioned index, so a probe's pruned `cell IN (…)` scan
-    * covers new vectors as soon as their files land. This is how a
+    * covers new vectors on its next build — the served frames memoize
+    * per index-root GENERATION (AnnIndexStore.probeCodes folds the
+    * root's listing digest into the key), so an append invalidates a
+    * warm session's standing frame instead of being silently pinned
+    * out by it. This is how a
     * continuous 100 TB/day embedding ingest keeps the served index
     * current without rebuilds: coding is pure map-side (quantizer
     * literals folded into the projection — zero shuffles per batch,

@@ -50,6 +50,23 @@ class DirMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get() == 3 && builds == 3)
   }
 
+  test("generation TTL bounds the walk rate; default 0 stays always-fresh") {
+    val dir = Files.createTempDirectory("genttl").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "a.txt"), "one")
+    val g1 = SessionMemo.generationOf(spark, dir)
+    spark.conf.set("spark.graft.generation.ttlMs", "60000")
+    try {
+      val g2 = SessionMemo.generationOf(spark, dir) // computes + caches
+      assert(g2 == g1)
+      Files.writeString(java.nio.file.Paths.get(dir, "a.txt"), "two-longer")
+      val g3 = SessionMemo.generationOf(spark, dir)
+      assert(g3 == g2,
+        "within the TTL the cached token is reused — the documented trade")
+    } finally spark.conf.set("spark.graft.generation.ttlMs", "0")
+    val g4 = SessionMemo.generationOf(spark, dir)
+    assert(g4 != g1, "with the TTL off the rewrite is visible immediately")
+  }
+
   test("AnnIndexStore rebuilds a FRESH index path when the source dir is rewritten") {
     val s2 = spark
     import s2.implicits._

@@ -596,6 +596,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val path = graft.operators.AnnIndexStore.ensure(spark, base)
     val baseRows = spark.read.parquet(path).count()
     assert(baseRows == 300)
+    // pin the SERVED frame memo for every cell BEFORE ingest — the
+    // staleness this guards: a warm session's memoized pruned frame
+    // must not mask streamed appends (probeCodes keys by the index
+    // root's generation, so the append below invalidates these)
+    val allCells = spark.read.parquet(path)
+      .select("cell").distinct().collect().map(_.getInt(0)).sorted.toSeq
+    val preIngestServed = allCells.map(c =>
+      graft.operators.AnnIndexStore.probeCodes(spark, base, Seq(c)).count()).sum
+    assert(preIngestServed == 300)
 
     // stream three micro-batches of NEW vectors into the same index
     val tmp = Files.createTempDirectory("ann_ingest_stream")
@@ -626,11 +635,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
     assert(streamed == expect, "streamed codes diverge from the batch coder")
 
-    // the pruned serving read reaches a streamed vector through the
-    // same cell partition filter a probe uses
+    // the SERVED path (the generation-keyed memo a warm session holds,
+    // pinned above pre-ingest) reaches a streamed vector through the
+    // same cell partition filter a probe uses — not just a fresh read
     val (sid, scell) = { val h = streamed.head; (h._1, h._2) }
-    val pruned = spark.read.parquet(path).filter(col("cell") === scell)
-    assert(pruned.filter(col("vec_id") === sid).count() == 1)
+    val served = graft.operators.AnnIndexStore.probeCodes(spark, base, Seq(scell))
+    assert(served.filter(col("vec_id") === sid).count() == 1,
+      "warm served frame does not cover the streamed vector")
   }
 
   test("streaming cms partials sum to the batch sketch over any micro-batch split") {
