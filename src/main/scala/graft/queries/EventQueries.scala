@@ -1143,8 +1143,10 @@ object EventQueries extends QuerySet {
   // bit-identical across engines; the classic distributed-bootstrap
   // trick, since multinomial resampling needs global coordination but
   // Poisson(1) factorizes per row). The CI bounds are ORDER STATISTICS
-  // (3rd/50th/98th of 100), not a percentile interpolation — integer-
-  // exact selection, no float quantile math.
+  // (ceil(2.5%)/ceil(50%)/ceil(97.5%) of the VALID replicates — a
+  // replicate whose resample empties an arm is dropped, common only on
+  // tiny fixtures), not a percentile interpolation — integer-exact
+  // selection, no float quantile math.
   //
   // 100 TB shape: the per-user collapse is one corpus-keyed partial
   // agg; the ×100 replicate expansion runs over the USER-cardinality
@@ -1189,11 +1191,15 @@ object EventQueries extends QuerySet {
        |                 (c_rev * 1000) $idiv c_users AS BIGINT) AS lift_mc
        |  FROM rep WHERE c_users > 0 AND t_users > 0),
        |ord AS (SELECT r, lift_mc,
-       |               row_number() OVER (ORDER BY lift_mc, r) AS rn FROM lift),
+       |               row_number() OVER (ORDER BY lift_mc, r) AS rn,
+       |               count(*) OVER () AS nv FROM lift),
        |agg AS (SELECT count(*) AS n_reps,
-       |  CAST(min(CASE WHEN rn = 3 THEN lift_mc END) AS BIGINT) AS lo95_mc,
-       |  CAST(min(CASE WHEN rn = 50 THEN lift_mc END) AS BIGINT) AS med_mc,
-       |  CAST(min(CASE WHEN rn = 98 THEN lift_mc END) AS BIGINT) AS hi95_mc
+       |  CAST(min(CASE WHEN rn = greatest(1, (nv * 25 + 999) $idiv 1000)
+       |           THEN lift_mc END) AS BIGINT) AS lo95_mc,
+       |  CAST(min(CASE WHEN rn = (nv * 500 + 999) $idiv 1000
+       |           THEN lift_mc END) AS BIGINT) AS med_mc,
+       |  CAST(min(CASE WHEN rn = (nv * 975 + 999) $idiv 1000
+       |           THEN lift_mc END) AS BIGINT) AS hi95_mc
        |  FROM ord)
        |SELECT n_reps, lo95_mc, med_mc, hi95_mc,
        |       lo95_mc <= 0 AND 0 <= hi95_mc AS ci_covers_zero
