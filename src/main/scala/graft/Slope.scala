@@ -141,7 +141,14 @@ object Slope {
     // plus the WindowGroupLimit per-term top-10 — the candidate set
     // must stay query-term-bound, never corpus-wide).
     "classifier_calibration",
-    "retrieval_eval_mrr")
+    "retrieval_eval_mrr",
+    // the two-pass order-statistics family: the KS ECDF (value
+    // collapse + encoded prefix scan) and the exact-quantile rank
+    // build — both are range-exchange + per-partition scan shapes
+    // whose linearity would silently regress if the two-pass core
+    // ever fell back to a single-reducer window
+    "ev26_ks_two_sample",
+    "ev27_exact_quantiles")
 
   val MaxRatio = 15.0
   val OverheadFloorSec = 0.3

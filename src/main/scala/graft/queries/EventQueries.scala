@@ -1300,6 +1300,51 @@ object EventQueries extends QuerySet {
             "CAST(1844164 AS DECIMAL(38,0)) * (n1 + n2) * 1000000"))
     })
 
+  // ---- ev29: join-size estimate -------------------------------------------
+  // The planner diagnostic that complements ev22's per-key head: the
+  // EXACT output cardinality of a self-equi-join on user_id is
+  // Σ cnt(k)² — the quadratic-blowup check run before submitting a
+  // pairs-style job (sessions × sessions, co-visitation, PYMK). Output:
+  // input rows, distinct keys, exact join rows, the blowup factor in
+  // milli-units, and the share of join output the top-5 keys alone
+  // would produce (the salting target). Σcnt² is hoisted to
+  // DECIMAL(38,0)/HUGEINT — a single 1e9-row key alone contributes
+  // 1e18, at BIGINT's edge.
+  //
+  // 100 TB shape: derives entirely from ev22's memoized, checkpointed
+  // key-count frame — the corpus is not re-scanned, the totals and the
+  // TakeOrdered top-5 rollup are key-cardinality aggregates, and no
+  // window (a rank over the key frame would be a single-reducer sort).
+  private val joinSizeEstimate = QueryDef(
+    "ev29_join_size_estimate",
+    Some("""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+           |g AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+           |             CAST(count(*) AS BIGINT) AS n_keys,
+           |             sum(CAST(cnt AS HUGEINT) * cnt) AS join_rows FROM c),
+           |top AS (SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT 5),
+           |t5 AS (SELECT sum(CAST(cnt AS HUGEINT) * cnt) AS top5 FROM top)
+           |SELECT g.n_rows, g.n_keys, CAST(g.join_rows AS BIGINT) AS join_rows,
+           |  CAST(g.join_rows * 1000 // g.n_rows AS BIGINT) AS blowup_milli,
+           |  CAST(t5.top5 * 1000000 // g.join_rows AS BIGINT) AS top5_share_ppm
+           |FROM g CROSS JOIN t5""".stripMargin),
+    (s, dir) => {
+      val c = skewCache.getOrElseUpdate(s, dir) {
+        Tables.table(s, dir, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
+      }
+      val g = c.agg(sum("cnt").cast("long").as("n_rows"),
+        count(lit(1)).cast("long").as("n_keys"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).as("join_rows_d"))
+      val t5 = c.orderBy(col("cnt").desc, col("user_id")).limit(5)
+        .agg(sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).as("top5"))
+      g.crossJoin(broadcast(t5))
+        .select(col("n_rows"), col("n_keys"),
+          col("join_rows_d").cast("long").as("join_rows"),
+          expr("CAST(join_rows_d * 1000 div n_rows AS BIGINT)").as("blowup_milli"),
+          expr("CAST(top5 * 1000000 div join_rows_d AS BIGINT)").as("top5_share_ppm"))
+    })
+
   // ---- ev27/ev28: exact global order statistics ---------------------------
   // Exact corpus-scale quantiles are the one statistic everyone
   // approximates because the naive form is a single-reducer sort; the
@@ -1416,5 +1461,5 @@ object EventQueries extends QuerySet {
       retention, anomaly, winsorized, scd2, markov, funnelSteps, hopping, gapfill,
       twa, sessionPaths, pointInTime, abAssign, stickiness, cohortLtv,
       timeToConvert, userEntropy, madOutliers, skewProfile, psiDrift, srmCheck,
-      liftBootstrap, ksTwoSample, exactQuantiles, equidepth)
+      liftBootstrap, ksTwoSample, exactQuantiles, equidepth, joinSizeEstimate)
 }

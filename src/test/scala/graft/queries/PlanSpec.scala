@@ -1074,6 +1074,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"totals row not broadcast:\n$p")
   }
 
+  test("join-size estimate derives from the checkpointed key counts — no re-scan, no window") {
+    val p = plan("ev29_join_size_estimate")
+    assert(corpusScans(p, "user_id#") == 0, s"events re-scanned:\n$p")
+    assert(!p.contains("Window"), s"estimate degraded to a window rank:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-5 head degraded to a full sort:\n$p")
+  }
+
   test("exact quantiles / equi-depth buckets ride the two-pass rank, no global window") {
     Seq("ev27_exact_quantiles", "ev28_equidepth_histogram").foreach { q =>
       val p = plan(q)
