@@ -477,6 +477,102 @@ object SearchQueries extends QuerySet {
          |       CAST(ev.rel_at_10 AS BIGINT) AS rel_at_10
          |FROM ev JOIN rel USING (term) ORDER BY ev.term""".stripMargin))
 
+  // ---- nDCG@10 -------------------------------------------------------------
+  // The graded companion of retrieval_eval_mrr: gain = 2^min(tf,4) − 1
+  // (the standard exponential gain, capped), discount weights are the
+  // TEN PRECOMPUTED integers round(10⁶/log2(i+1)) — log2 never runs
+  // inside either engine, so DCG, the corpus-wide ideal IDCG (gains
+  // re-ranked descending), and ndcg_ppm are pure integer arithmetic,
+  // exact on both sides. Both top-10s keep their `rn <= 10` filters so
+  // Catalyst's WindowGroupLimit prunes map-side before the exchange;
+  // candidates stay query-term-bound (bm25's map-side term filter).
+  private val ndcgWeights =
+    "(1,1000000),(2,630930),(3,500000),(4,430677),(5,386853)," +
+      "(6,356207),(7,333333),(8,315465),(9,301030),(10,289065)"
+
+  private val retrievalNdcg = QueryDef(
+    "retrieval_eval_ndcg",
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
+            |n AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+            |tf AS (
+            |  SELECT doc_id, term, count(*) AS tf
+            |  FROM (SELECT doc_id, unnest(w) AS term FROM t)
+            |  WHERE term IN ($TermsSql)
+            |  GROUP BY doc_id, term),
+            |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            |s AS (
+            |  SELECT tf.term, tf.doc_id,
+            |         CASE least(tf.tf, 4) WHEN 0 THEN 0 WHEN 1 THEN 1
+            |              WHEN 2 THEN 3 WHEN 3 THEN 7 ELSE 15 END AS gain,
+            |         CAST(round(ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5)) *
+            |                    (tf.tf * 2.2) /
+            |                    (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl /
+            |                                    (CAST(n.tot AS DOUBLE) / n.n))) *
+            |                    1000000.0) AS BIGINT) AS m
+            |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n),
+            |r AS (SELECT term, gain,
+            |             row_number() OVER (PARTITION BY term
+            |                                ORDER BY m DESC, doc_id) AS rn
+            |      FROM s),
+            |ir AS (SELECT term, gain,
+            |              row_number() OVER (PARTITION BY term
+            |                                 ORDER BY gain DESC, doc_id) AS rn
+            |       FROM s),
+            |wgt AS (SELECT * FROM (VALUES $ndcgWeights) AS v(rn, w)),
+            |dcg AS (SELECT r.term, CAST(sum(r.gain * wgt.w) AS BIGINT) AS dcg_x1e6
+            |        FROM (SELECT * FROM r WHERE rn <= 10) r
+            |        JOIN wgt USING (rn) GROUP BY r.term),
+            |idcg AS (SELECT ir.term,
+            |                CAST(sum(ir.gain * wgt.w) AS BIGINT) AS idcg_x1e6
+            |         FROM (SELECT * FROM ir WHERE rn <= 10) ir
+            |         JOIN wgt USING (rn) GROUP BY ir.term)
+            |SELECT dcg.term, dcg.dcg_x1e6, idcg.idcg_x1e6,
+            |       CAST(dcg.dcg_x1e6 * 1000000 // idcg.idcg_x1e6 AS BIGINT)
+            |         AS ndcg_ppm
+            |FROM dcg JOIN idcg USING (term) ORDER BY dcg.term""".stripMargin),
+    (s, dir) => Tables.sql(s, dir,
+      s"""WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+         |dl AS (SELECT doc_id, CAST(size(w) AS BIGINT) AS dl FROM t),
+         |n AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, term FROM t LATERAL VIEW explode(w) x AS term)
+         |  WHERE term IN ($TermsSql)
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |s AS (
+         |  SELECT tf.term, tf.doc_id,
+         |         CASE least(tf.tf, 4) WHEN 0 THEN 0 WHEN 1 THEN 1
+         |              WHEN 2 THEN 3 WHEN 3 THEN 7 ELSE 15 END AS gain,
+         |         CAST(round(ln(1.0D + (n.n - df.df + 0.5D) / (df.df + 0.5D)) *
+         |                    (tf.tf * 2.2D) /
+         |                    (tf.tf + 1.2D * (0.25D + 0.75D * dl.dl /
+         |                                     (CAST(n.tot AS DOUBLE) / n.n))) *
+         |                    1000000.0D, 0) AS BIGINT) AS m
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n),
+         |r AS (SELECT term, gain,
+         |             row_number() OVER (PARTITION BY term
+         |                                ORDER BY m DESC, doc_id) AS rn
+         |      FROM s),
+         |ir AS (SELECT term, gain,
+         |              row_number() OVER (PARTITION BY term
+         |                                 ORDER BY gain DESC, doc_id) AS rn
+         |       FROM s),
+         |wgt AS (SELECT * FROM (VALUES $ndcgWeights) AS v(rn, w)),
+         |dcg AS (SELECT r.term, CAST(sum(r.gain * wgt.w) AS BIGINT) AS dcg_x1e6
+         |        FROM (SELECT * FROM r WHERE rn <= 10) r
+         |        JOIN wgt USING (rn) GROUP BY r.term),
+         |idcg AS (SELECT ir.term,
+         |                CAST(sum(ir.gain * wgt.w) AS BIGINT) AS idcg_x1e6
+         |         FROM (SELECT * FROM ir WHERE rn <= 10) ir
+         |         JOIN wgt USING (rn) GROUP BY ir.term)
+         |SELECT dcg.term, dcg.dcg_x1e6, idcg.idcg_x1e6,
+         |       CAST(dcg.dcg_x1e6 * 1000000 div idcg.idcg_x1e6 AS BIGINT)
+         |         AS ndcg_ppm
+         |FROM dcg JOIN idcg USING (term) ORDER BY dcg.term""".stripMargin))
+
   override val defs: Seq[QueryDef] =
-    Seq(bm25, postings, hybrid, phrase, docTopTerms, qlDirichlet, retrievalEval)
+    Seq(bm25, postings, hybrid, phrase, docTopTerms, qlDirichlet, retrievalEval,
+      retrievalNdcg)
 }

@@ -102,6 +102,18 @@ class InferenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(los.zip(los.tail).forall { case (x, y) => x <= y })
   }
 
+  test("nDCG is bounded by 1 and the ideal ranking dominates the served one") {
+    val rows = SparkEntry.queries("retrieval_eval_ndcg")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dcg, idcg, ndcg) = (r.getAs[Long]("dcg_x1e6"),
+        r.getAs[Long]("idcg_x1e6"), r.getAs[Long]("ndcg_ppm"))
+      assert(dcg <= idcg, s"${r.getAs[String]("term")}: DCG exceeds the ideal")
+      assert(ndcg >= 0 && ndcg <= 1000000L)
+      assert(ndcg == dcg * 1000000L / idcg)
+    }
+  }
+
   test("privacy audit output carries no sensitive value and partitions the table") {
     val out = SparkEntry.queries("kanon_privacy_audit")(spark, sf)
     // suppression by construction: classes + sizes + flags only

@@ -1047,10 +1047,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("retrieval eval's per-term top-10 prunes map-side (WindowGroupLimit)") {
-    val p = plan("retrieval_eval_mrr")
-    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
-      s"per-term top-10 lost group-limit pruning:\n$p")
-    assert(!p.contains("CartesianProduct"), s"plan degraded:\n$p")
+    Seq("retrieval_eval_mrr", "retrieval_eval_ndcg").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+        s"$q per-term top-10 lost group-limit pruning:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q plan degraded:\n$p")
+    }
   }
 
   test("bootstrap CI expands replicates over the user frame — one events scan") {
