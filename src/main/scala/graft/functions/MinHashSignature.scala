@@ -329,5 +329,21 @@ object GraftFunctions {
         }
         WordShingles(exprs.head, n)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("mg_topk"),
+      new ExpressionInfo(classOf[MisraGriesTopK].getName, "mg_topk"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "mg_topk(term, k) takes exactly 2 arguments")
+        val k = exprs(1) match {
+          case e if e.foldable => e.eval() match {
+            case num: Number => num.intValue()
+            case other => throw new IllegalArgumentException(
+              s"mg_topk: k must be an integer literal, got $other")
+          }
+          case other => throw new IllegalArgumentException(
+            s"mg_topk: k must be an integer literal, got ${other.sql}")
+        }
+        MisraGriesTopK(exprs.head, k).toAggregateExpression()
+      }))
   }
 }

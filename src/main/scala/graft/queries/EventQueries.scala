@@ -1345,6 +1345,48 @@ object EventQueries extends QuerySet {
           expr("CAST(top5 * 1000000 div join_rows_d AS BIGINT)").as("top5_share_ppm"))
     })
 
+  // ---- ev30: Misra–Gries heavy hitters (verified two-pass) ---------------
+  // The deterministic-guarantee heavy-hitters protocol on the native
+  // [[graft.functions.MisraGriesTopK]] aggregate: pass 1 builds
+  // mergeable k=16 summaries map-side (O(k·partitions) shuffle payload
+  // at any corpus size — the candidate set provably contains EVERY
+  // item with frequency > n/17, no false negatives); pass 2 folds the
+  // ≤16 candidates back as an `isin` LITERAL (pushed into the parquet
+  // scan) and verifies exact counts against the n/8 threshold. The
+  // verified output is exact and order-independent even though the raw
+  // summary is not — which is why the oracle is the plain exact
+  // aggregate and the gate stays hash-tight. Complements
+  // cms_heavy_hitters (CMS gives overcount bounds, MG gives
+  // no-false-negative candidate narrowing).
+  private val mgHeavyHitters = QueryDef(
+    "ev30_mg_heavy_hitters",
+    Some("""WITH c AS (SELECT event_type, count(*) AS cnt
+           |           FROM events GROUP BY event_type),
+           |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+           |SELECT c.event_type, CAST(c.cnt AS BIGINT) AS cnt,
+           |       CAST(CAST(c.cnt AS HUGEINT) * 1000000 // n.n AS BIGINT)
+           |         AS freq_ppm
+           |FROM c CROSS JOIN n
+           |WHERE CAST(c.cnt AS HUGEINT) * 8 > n.n
+           |ORDER BY cnt DESC, event_type""".stripMargin),
+    (s, dir) => {
+      // pass 1: candidates + total in ONE corpus scan
+      val first = Tables.table(s, dir, "events")
+        .agg(expr("mg_topk(event_type, 16)").as("mg"),
+          count(lit(1)).cast("long").as("n")).collect()(0)
+      val cands = first.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+      val total = first.getLong(1)
+      // pass 2: exact verify over the candidate literal only
+      Tables.table(s, dir, "events")
+        .filter(col("event_type").isin(cands: _*))
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .filter(expr(s"CAST(cnt AS DECIMAL(38,0)) * 8 > ${total}L"))
+        .select(col("event_type"), col("cnt"),
+          expr(s"CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 div ${total}L AS BIGINT)")
+            .as("freq_ppm"))
+        .orderBy(col("cnt").desc, col("event_type"))
+    })
+
   // ---- ev27/ev28: exact global order statistics ---------------------------
   // Exact corpus-scale quantiles are the one statistic everyone
   // approximates because the naive form is a single-reducer sort; the
@@ -1461,5 +1503,6 @@ object EventQueries extends QuerySet {
       retention, anomaly, winsorized, scd2, markov, funnelSteps, hopping, gapfill,
       twa, sessionPaths, pointInTime, abAssign, stickiness, cohortLtv,
       timeToConvert, userEntropy, madOutliers, skewProfile, psiDrift, srmCheck,
-      liftBootstrap, ksTwoSample, exactQuantiles, equidepth, joinSizeEstimate)
+      liftBootstrap, ksTwoSample, exactQuantiles, equidepth, joinSizeEstimate,
+      mgHeavyHitters)
 }

@@ -1084,6 +1084,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"top-5 head degraded to a full sort:\n$p")
   }
 
+  test("MG heavy hitters' verify pass pushes the candidate literal into the scan") {
+    val p = plan("ev30_mg_heavy_hitters")
+    // pass 2 filters event_type IN (<=16 literals) — it must reach the
+    // parquet scan as a pushed filter, and no join/window may appear
+    assert(p.contains("PushedFilters: [In(event_type"),
+      s"candidate literal not pushed into the scan:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"verify pass degraded:\n$p")
+  }
+
   test("exact quantiles / equi-depth buckets ride the two-pass rank, no global window") {
     Seq("ev27_exact_quantiles", "ev28_equidepth_histogram").foreach { q =>
       val p = plan(q)
