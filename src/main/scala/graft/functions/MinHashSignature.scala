@@ -329,21 +329,37 @@ object GraftFunctions {
         }
         WordShingles(exprs.head, n)
       }))
-    ext.injectFunction((
-      new FunctionIdentifier("mg_topk"),
-      new ExpressionInfo(classOf[MisraGriesTopK].getName, "mg_topk"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.size == 2, "mg_topk(term, k) takes exactly 2 arguments")
-        val k = exprs(1) match {
-          case e if e.foldable => e.eval() match {
-            case num: Number => num.intValue()
-            case other => throw new IllegalArgumentException(
-              s"mg_topk: k must be an integer literal, got $other")
-          }
+    ext.injectFunction(mgTopkRegistration)
+  }
+
+  private val mgTopkBuilder: Seq[Expression] => Expression =
+    (exprs: Seq[Expression]) => {
+      require(exprs.size == 2, "mg_topk(term, k) takes exactly 2 arguments")
+      val k = exprs(1) match {
+        case e if e.foldable => e.eval() match {
+          case num: Number => num.intValue()
           case other => throw new IllegalArgumentException(
-            s"mg_topk: k must be an integer literal, got ${other.sql}")
+            s"mg_topk: k must be an integer literal, got $other")
         }
-        MisraGriesTopK(exprs.head, k).toAggregateExpression()
-      }))
+        case other => throw new IllegalArgumentException(
+          s"mg_topk: k must be an integer literal, got ${other.sql}")
+      }
+      MisraGriesTopK(exprs.head, k).toAggregateExpression()
+    }
+
+  private def mgTopkRegistration = (
+    new FunctionIdentifier("mg_topk"),
+    new ExpressionInfo(classOf[MisraGriesTopK].getName, "mg_topk"),
+    mgTopkBuilder)
+
+  /** Register mg_topk directly into a session's function registry —
+    * the foreachBatch path: micro-batch CLONE sessions do not carry
+    * extension-injected functions (unlike UDF registrations), so the
+    * streaming MG summary registers the aggregate explicitly on the
+    * batch session before aggregating. Idempotent. */
+  def ensureMgTopk(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (id, info, builder) = mgTopkRegistration
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
   }
 }

@@ -84,20 +84,8 @@ case class MisraGriesTopK(
   }
 
   override def merge(buf: mutable.HashMap[String, Long],
-      other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    other.foreach { case (t, c) =>
-      buf.update(t, buf.getOrElse(t, 0L) + c) }
-    if (buf.size > k) {
-      // subtract the (k+1)-th largest count from everything; ≤0 evicts —
-      // keeps exactly ≤ k entries and the summed error bound
-      val cut = buf.values.toArray.sorted(Ordering[Long].reverse).apply(k)
-      val dead = mutable.ArrayBuffer.empty[String]
-      buf.foreach { case (t, c) =>
-        if (c - cut <= 0L) dead += t else buf.update(t, c - cut) }
-      dead.foreach(buf.remove)
-    }
-    buf
-  }
+      other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] =
+    MisraGriesTopK.mergeInto(buf, other, k)
 
   override def eval(buf: mutable.HashMap[String, Long]): Any = {
     val rows = buf.toSeq.sortBy { case (t, c) => (-c, t) }.map { case (t, c) =>
@@ -131,4 +119,27 @@ case class MisraGriesTopK(
     copy(child = newChildren.head)
 
   override def prettyName: String = "mg_topk"
+}
+
+object MisraGriesTopK {
+  /** The exact mergeable-summaries combine (Agarwal et al. 2013):
+    * counts add, the (k+1)-th largest subtracts from all, non-positive
+    * entries evict — ≤ k survivors and the error bounds SUM across
+    * merges. Shared by the aggregate's shuffle merge and the streaming
+    * standing-summary maintenance
+    * ([[graft.streaming.Streaming.mgSummaryStream]]'s driver-side
+    * absorb), so the two paths cannot drift. */
+  def mergeInto(buf: mutable.HashMap[String, Long],
+      other: collection.Map[String, Long], k: Int): mutable.HashMap[String, Long] = {
+    other.foreach { case (t, c) =>
+      buf.update(t, buf.getOrElse(t, 0L) + c) }
+    if (buf.size > k) {
+      val cut = buf.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      val dead = mutable.ArrayBuffer.empty[String]
+      buf.foreach { case (t, c) =>
+        if (c - cut <= 0L) dead += t else buf.update(t, c - cut) }
+      dead.foreach(buf.remove)
+    }
+    buf
+  }
 }

@@ -2021,6 +2021,48 @@ object TextQueries extends QuerySet {
         .orderBy(col("p_u6").desc, col("id")).limit(20)
     })
 
+  // ---- Misra–Gries heavy terms (verified two-pass, corpus tokens) --------
+  // The token-level consumer of the native mg_topk aggregate (ev30
+  // profiles the 5-value event stream; this is the VOCABULARY-scale
+  // case the summary exists for): pass 1 carries only k=64-entry
+  // mergeable buffers through the exchange — the full (term, count)
+  // table, vocabulary-sized and the dominant shuffle of every other
+  // corpus-stats op here, never materializes — and provably contains
+  // every term over n/65 of the corpus; pass 2 re-tokenizes map-side,
+  // keeps only the ≤ 64 candidate literals (an `isin` before any
+  // shuffle, so candidate tokens alone reach the exact count), and
+  // verifies the n/32 threshold. Output exact; the oracle is the plain
+  // aggregate.
+  private val mgHeavyTerms = QueryDef(
+    "mg_heavy_terms",
+    Some("""WITH tok AS (
+           |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+           |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+           |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+           |SELECT c.term, CAST(c.cnt AS BIGINT) AS cnt,
+           |       CAST(CAST(c.cnt AS HUGEINT) * 1000000 // n.n AS BIGINT)
+           |         AS freq_ppm
+           |FROM c CROSS JOIN n
+           |WHERE CAST(c.cnt AS HUGEINT) * 32 > n.n
+           |ORDER BY cnt DESC, term""".stripMargin),
+    (s, dir) => {
+      val first = Tables.table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .agg(expr("mg_topk(term, 64)").as("mg"),
+          count(lit(1)).cast("long").as("n")).collect()(0)
+      val cands = first.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+      val total = first.getLong(1)
+      Tables.table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(col("term").isin(cands: _*))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .filter(expr(s"CAST(cnt AS DECIMAL(38,0)) * 32 > ${total}L"))
+        .select(col("term"), col("cnt"),
+          expr(s"CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 div ${total}L AS BIGINT)")
+            .as("freq_ppm"))
+        .orderBy(col("cnt").desc, col("term"))
+    })
+
   // ---- classifier calibration (reliability table) -------------------------
   // The eval that decides whether quality_classifier_score's threshold
   // is trustworthy: bucket the corpus into 10 FIXED-WIDTH score bins
@@ -2145,5 +2187,5 @@ object TextQueries extends QuerySet {
     piiRedact, corpusPrep, contamination, bloomContamination, cmsHeavyHitters,
     seqPacking, classifierScore, dupSpans, repetition, neardupCanonical,
     sourceOverlap, freqSpectrum, bpePairs, bpeApply, triangles, pagerank,
-    editVerify, noveltyProfile, tokenizerFertility, calibration)
+    editVerify, noveltyProfile, tokenizerFertility, calibration, mgHeavyTerms)
 }

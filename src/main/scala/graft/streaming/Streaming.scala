@@ -332,6 +332,39 @@ object Streaming {
       }
       .start()
 
+  /** Streaming Misra–Gries maintenance — the fourth sketch-merge
+    * family (CMS cells ADD, Bloom bits OR, HLL registers MAX, MG
+    * summaries MERGE): each micro-batch's k-entry token summary (the
+    * native mg_topk [[graft.functions.MisraGriesTopK]] aggregate,
+    * inherited by the micro-batch clone session from the extension
+    * registry) is handed to the caller, who absorbs it into a standing
+    * summary with [[graft.functions.MisraGriesTopK.mergeInto]] — the
+    * EXACT mergeable rule, so the no-false-negative guarantee (every
+    * token over n/(k+1) of the WHOLE stream survives) holds at any
+    * stream length while the artifact stays ≤ k entries. Unlike the
+    * idempotent OR/MAX merges, MG's merge is additive in its error
+    * bound — replay safety comes from the checkpoint (the CMS additive
+    * discipline, not the Bloom one). */
+  def mgSummaryStream(
+      incoming: DataFrame,
+      checkpointDir: String,
+      k: Int)(mergePartial: Map[String, Long] => Unit): StreamingQuery =
+    incoming.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.GraftFunctions.ensureMgTopk(batch.sparkSession)
+          val row = batch
+            .select(explode(split(col("text"), " ")).as("term"))
+            .agg(expr(s"mg_topk(term, $k)")).collect()(0)
+          mergePartial(row.getSeq[org.apache.spark.sql.Row](0)
+            .map(r => r.getString(0) -> r.getLong(1)).toMap)
+        }
+      }
+      .start()
+
   /** Streaming Bloom-bitmap maintenance — the decontamination mate of
     * [[cmsSketchStream]]: as new benchmark/eval documents arrive, each
     * micro-batch contributes its distinct bit positions

@@ -1094,6 +1094,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"verify pass degraded:\n$p")
   }
 
+  test("MG heavy terms filter candidates map-side before the count shuffle") {
+    val p = plan("mg_heavy_terms")
+    // pass 2's isin literal sits between the explode and the partial
+    // aggregate: only candidate tokens reach the exchange
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"no partial aggregation:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"verify pass degraded:\n$p")
+  }
+
   test("exact quantiles / equi-depth buckets ride the two-pass rank, no global window") {
     Seq("ev27_exact_quantiles", "ev28_equidepth_histogram").foreach { q =>
       val p = plan(q)

@@ -644,6 +644,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "warm served frame does not cover the streamed vector")
   }
 
+  test("streaming MG summaries merge to a no-false-negative standing summary") {
+    val dir = "/root/testdata/sf0.001"
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val tmp = Files.createTempDirectory("mg_stream")
+    docs.repartition(4).write.parquet(s"$tmp/incoming")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/incoming")
+    val K = 64
+    val standing = scala.collection.mutable.HashMap.empty[String, Long]
+    var batches = 0
+    val q = graft.streaming.Streaming.mgSummaryStream(stream, s"$tmp/ck", K) { part =>
+      batches += 1
+      graft.functions.MisraGriesTopK.mergeInto(standing, part, K); ()
+    }
+    try assert(q.awaitTermination(180000), "AvailableNow did not finish")
+    finally if (q.isActive) q.stop()
+    assert(batches >= 4, s"expected >=4 micro-batches, got $batches")
+    assert(standing.size <= K)
+
+    // the stream-long guarantee: every token over n/(K+1) of the WHOLE
+    // corpus survives the merged summary, with the summed error bound
+    val exact = docs.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val mustSurvive = exact.filter { case (_, c) => c > n / (K + 1) }.keySet
+    assert(mustSurvive.subsetOf(standing.keySet.toSet),
+      s"stream summary lost heavies: ${mustSurvive -- standing.keySet}")
+    standing.foreach { case (t, c) =>
+      assert(c <= exact(t), s"$t overcounted")
+      assert(exact(t) - c <= n / (K + 1), s"$t undercount breaks the bound")
+    }
+  }
+
   test("streaming cms partials sum to the batch sketch over any micro-batch split") {
     val dir = "/root/testdata/sf0.001"
     graft.functions.GraftFunctions.ensureRegistered(spark)
