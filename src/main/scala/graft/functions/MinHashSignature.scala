@@ -330,6 +330,10 @@ object GraftFunctions {
         WordShingles(exprs.head, n)
       }))
     ext.injectFunction(mgTopkRegistration)
+    // the duplicated-scan guard (conf-gated, default off) — see
+    // graft.plans.ScanBudgetRule; user-provided rules run after the
+    // built-in optimizer batches, i.e. after CTE inlining
+    ext.injectOptimizerRule(_ => graft.plans.ScanBudgetRule)
   }
 
   private val mgTopkBuilder: Seq[Expression] => Expression =
