@@ -148,7 +148,12 @@ object Slope {
     // whose linearity would silently regress if the two-pass core
     // ever fell back to a single-reducer window
     "ev26_ks_two_sample",
-    "ev27_exact_quantiles")
+    "ev27_exact_quantiles",
+    // the MG two-pass: pass 1's shuffle is O(k·partitions) summaries
+    // (the whole point — the vocabulary table never materializes), and
+    // pass 2's exact count only sees candidate tokens; a regression to
+    // a full (term, count) shuffle would show in the ratio
+    "mg_heavy_terms")
 
   val MaxRatio = 15.0
   val OverheadFloorSec = 0.3
