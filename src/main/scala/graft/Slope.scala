@@ -142,6 +142,7 @@ object Slope {
     // must stay query-term-bound, never corpus-wide).
     "classifier_calibration",
     "retrieval_eval_mrr",
+    "retrieval_eval_ndcg",
     // the two-pass order-statistics family: the KS ECDF (value
     // collapse + encoded prefix scan) and the exact-quantile rank
     // build — both are range-exchange + per-partition scan shapes

@@ -97,7 +97,13 @@ case class MisraGriesTopK(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    // length-prefixed raw UTF-8, NOT writeUTF: writeUTF caps a string
+    // at 65535 encoded bytes and raw corpus tokens (base64 blobs,
+    // minified JS) can exceed it — a shuffle-time serialize crash
+    buf.foreach { case (t, c) =>
+      val b = t.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -106,7 +112,13 @@ case class MisraGriesTopK(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { val t = in.readUTF(); val c = in.readLong(); buf.update(t, c); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(new String(b, "UTF-8"), in.readLong())
+      i += 1
+    }
     buf
   }
 

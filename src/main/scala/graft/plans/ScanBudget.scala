@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -21,11 +22,15 @@ import org.apache.spark.sql.internal.SQLConf
   * times fails with a directed error naming the relation, the count,
   * and the two sanctioned fixes (checkpoint the shared frame / raise
   * the budget). Default 0 = off: the rule inspects nothing and
-  * transforms nothing. Registered last in the optimizer (Spark runs
-  * user-provided rules after the built-in batches), so CTE inlining
-  * and plan reuse have already happened — the count is the TRUE
-  * execution multiplicity, not the textual reference count, which is
-  * exactly what the analyzed plan cannot show.
+  * transforms nothing. User-provided rules run inside the
+  * operator-optimization batch — AFTER the Inline-CTE batch, so the
+  * count reflects post-inline reference multiplicity, not the SQL
+  * text's — and the walk descends into SUBQUERY EXPRESSION plans too
+  * (EXISTS / IN / scalar subqueries are where endpoint SQL usually
+  * hides its re-scans). The count is an UPPER bound on execution: the
+  * physical planner's exchange reuse can dedupe identical subtrees
+  * later, so the guard is a conservative lint, which is the right
+  * polarity for an opt-in budget.
   *
   * The rule never rewrites — it is a guard, so it is trivially
   * idempotent under the optimizer's fixed-point driver.
@@ -41,10 +46,7 @@ object ScanBudgetRule extends Rule[LogicalPlan] {
       try SQLConf.get.getConfString(ConfKey, "0").toInt
       catch { case _: NumberFormatException => 0 }
     if (max > 0) {
-      val scans = plan.collect {
-        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-          fs.location.rootPaths.map(_.toString).sorted.mkString(",")
-      }
+      val scans = collectScans(plan)
       scans.groupBy(identity).foreach { case (path, hits) =>
         if (hits.size > max)
           throw new ScanBudgetExceeded(
@@ -56,5 +58,20 @@ object ScanBudgetRule extends Rule[LogicalPlan] {
       }
     }
     plan
+  }
+
+  /** File-source scans of `plan` INCLUDING those inside subquery
+    * expressions (plan.collect walks operator children only — an
+    * EXISTS/IN/scalar subquery's plan hangs off an expression and
+    * would otherwise count its scans against nothing). */
+  private def collectScans(plan: LogicalPlan): Seq[String] = {
+    val here = plan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString).sorted.mkString(",")
+    }
+    val nested = plan.flatMap(_.expressions.flatMap(_.collect {
+      case s: SubqueryExpression => collectScans(s.plan)
+    }.flatten))
+    here ++ nested
   }
 }

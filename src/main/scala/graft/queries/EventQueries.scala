@@ -1323,7 +1323,8 @@ object EventQueries extends QuerySet {
            |             sum(CAST(cnt AS HUGEINT) * cnt) AS join_rows FROM c),
            |top AS (SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT 5),
            |t5 AS (SELECT sum(CAST(cnt AS HUGEINT) * cnt) AS top5 FROM top)
-           |SELECT g.n_rows, g.n_keys, CAST(g.join_rows AS BIGINT) AS join_rows,
+           |SELECT g.n_rows, g.n_keys,
+           |  CAST(least(g.join_rows, 9223372036854775807) AS BIGINT) AS join_rows,
            |  CAST(g.join_rows * 1000 // g.n_rows AS BIGINT) AS blowup_milli,
            |  CAST(t5.top5 * 1000000 // g.join_rows AS BIGINT) AS top5_share_ppm
            |FROM g CROSS JOIN t5""".stripMargin),
@@ -1340,7 +1341,13 @@ object EventQueries extends QuerySet {
         .agg(sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).as("top5"))
       g.crossJoin(broadcast(t5))
         .select(col("n_rows"), col("n_keys"),
-          col("join_rows_d").cast("long").as("join_rows"),
+          // Σcnt² itself can clear BIGINT precisely in the blowup
+          // regime the diagnostic detects — saturate the raw column
+          // (identically in both engines) instead of overflowing; the
+          // ratio columns divide BEFORE narrowing and stay exact
+          expr("CAST(least(join_rows_d, " +
+            "CAST(9223372036854775807 AS DECIMAL(38,0))) AS BIGINT)")
+            .as("join_rows"),
           expr("CAST(join_rows_d * 1000 div n_rows AS BIGINT)").as("blowup_milli"),
           expr("CAST(top5 * 1000000 div join_rows_d AS BIGINT)").as("top5_share_ppm"))
     })
@@ -1361,7 +1368,8 @@ object EventQueries extends QuerySet {
   private val mgHeavyHitters = QueryDef(
     "ev30_mg_heavy_hitters",
     Some("""WITH c AS (SELECT event_type, count(*) AS cnt
-           |           FROM events GROUP BY event_type),
+           |           FROM events WHERE event_type IS NOT NULL
+           |           GROUP BY event_type),
            |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
            |SELECT c.event_type, CAST(c.cnt AS BIGINT) AS cnt,
            |       CAST(CAST(c.cnt AS HUGEINT) * 1000000 // n.n AS BIGINT)
@@ -1370,8 +1378,12 @@ object EventQueries extends QuerySet {
            |WHERE CAST(c.cnt AS HUGEINT) * 8 > n.n
            |ORDER BY cnt DESC, event_type""".stripMargin),
     (s, dir) => {
-      // pass 1: candidates + total in ONE corpus scan
+      // pass 1: candidates + total in ONE corpus scan. NULL keys are
+      // excluded EXPLICITLY on both sides — the MG update skips null
+      // and `isin` never matches it, so without the filter a heavy
+      // NULL group would appear in the oracle but never here
       val first = Tables.table(s, dir, "events")
+        .filter(col("event_type").isNotNull)
         .agg(expr("mg_topk(event_type, 16)").as("mg"),
           count(lit(1)).cast("long").as("n")).collect()(0)
       val cands = first.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))

@@ -342,24 +342,29 @@ object Streaming {
     * EXACT mergeable rule, so the no-false-negative guarantee (every
     * token over n/(k+1) of the WHOLE stream survives) holds at any
     * stream length while the artifact stays ≤ k entries. Unlike the
-    * idempotent OR/MAX merges, MG's merge is additive in its error
-    * bound — replay safety comes from the checkpoint (the CMS additive
-    * discipline, not the Bloom one). */
+    * idempotent OR/MAX merges, MG's merge is NOT replay-idempotent —
+    * re-merging a batch ADDS its counts again, pushing standing counts
+    * ABOVE true frequencies (the overcount direction the algorithm
+    * never produces). foreachBatch is at-least-once, so the callback
+    * receives the BATCH ID and the caller must skip already-absorbed
+    * ids (the `batchId > lastCommitted()` discipline
+    * [[corpusIngestStream]] documents); the checkpoint only
+    * deduplicates batches whose epoch committed. */
   def mgSummaryStream(
       incoming: DataFrame,
       checkpointDir: String,
-      k: Int)(mergePartial: Map[String, Long] => Unit): StreamingQuery =
+      k: Int)(mergePartial: (Long, Map[String, Long]) => Unit): StreamingQuery =
     incoming.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           graft.functions.GraftFunctions.ensureMgTopk(batch.sparkSession)
           val row = batch
             .select(explode(split(col("text"), " ")).as("term"))
             .agg(expr(s"mg_topk(term, $k)")).collect()(0)
-          mergePartial(row.getSeq[org.apache.spark.sql.Row](0)
+          mergePartial(batchId, row.getSeq[org.apache.spark.sql.Row](0)
             .map(r => r.getString(0) -> r.getLong(1)).toMap)
         }
       }

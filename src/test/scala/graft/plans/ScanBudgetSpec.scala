@@ -59,6 +59,24 @@ class ScanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set(ScanBudgetRule.ConfKey, "0")
   }
 
+  test("re-scans hiding inside subquery expressions count against the budget") {
+    // the endpoint-SQL shape: the corpus appears once in the FROM and
+    // twice more inside EXISTS / NOT EXISTS — three scans, budget two
+    val sql =
+      """SELECT d.doc_id FROM documents d
+        |WHERE EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = d.doc_id + 1)
+        |  AND NOT EXISTS (SELECT 1 FROM documents y WHERE y.doc_id = d.doc_id + 2)
+        |LIMIT 3""".stripMargin
+    spark.conf.set(ScanBudgetRule.ConfKey, "2")
+    try {
+      val e = intercept[Throwable] { graft.Tables.sql(spark, sf, sql).collect() }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("scan budget exceeded"), s"wrong error: $e")
+    } finally spark.conf.set(ScanBudgetRule.ConfKey, "0")
+    assert(graft.Tables.sql(spark, sf, sql).collect().nonEmpty)
+  }
+
   test("the same query passes with the guard off (default)") {
     assert(graft.Tables.sql(spark, sf, inliningSql).collect().length == 5)
   }

@@ -1096,10 +1096,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("MG heavy terms filter candidates map-side before the count shuffle") {
     val p = plan("mg_heavy_terms")
-    // pass 2's isin literal sits between the explode and the partial
-    // aggregate: only candidate tokens reach the exchange
-    assert(p.contains("partial_count") || p.contains("partial"),
-      s"no partial aggregation:\n$p")
+    // pass 2's isin literal must sit BETWEEN the explode and the
+    // partial aggregate: only candidate tokens reach the exchange.
+    // Executed plans print root-first, so deeper = later line — the
+    // candidate Filter's line must come after the count Exchange's.
+    val lines = p.linesIterator.toSeq
+    val exchangeAt = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    // 64 candidates exceed the IN→InSet conversion threshold, so the
+    // literal membership prints as INSET
+    val filterAt = lines.indexWhere(l => l.contains("Filter") &&
+      (l.contains(" IN (") || l.contains("INSET")))
+    assert(exchangeAt >= 0 && filterAt >= 0,
+      s"expected a hash exchange and a candidate IN filter:\n$p")
+    assert(filterAt > exchangeAt,
+      s"candidate filter sits ABOVE the exchange — the full vocabulary shuffles:\n$p")
     assert(!p.contains("Join") && !p.contains("Window"),
       s"verify pass degraded:\n$p")
   }

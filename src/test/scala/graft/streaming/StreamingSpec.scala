@@ -656,9 +656,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val K = 64
     val standing = scala.collection.mutable.HashMap.empty[String, Long]
     var batches = 0
-    val q = graft.streaming.Streaming.mgSummaryStream(stream, s"$tmp/ck", K) { part =>
-      batches += 1
-      graft.functions.MisraGriesTopK.mergeInto(standing, part, K); ()
+    var lastCommitted = -1L
+    val q = graft.streaming.Streaming.mgSummaryStream(stream, s"$tmp/ck", K) {
+      (batchId, part) =>
+        // the at-least-once discipline the signature exists for: a
+        // replayed id must NOT re-add its counts (MG merge is additive)
+        if (batchId > lastCommitted) {
+          batches += 1
+          graft.functions.MisraGriesTopK.mergeInto(standing, part, K)
+          lastCommitted = batchId
+        }
     }
     try assert(q.awaitTermination(180000), "AvailableNow did not finish")
     finally if (q.isActive) q.stop()
