@@ -572,7 +572,136 @@ object SearchQueries extends QuerySet {
          |         AS ndcg_ppm
          |FROM dcg JOIN idcg USING (term) ORDER BY dcg.term""".stripMargin))
 
+  /** Vocabulary-sized (term, ctf) corpus counts, checkpointed once per
+    * (session, dir): referenced twice below (grand total + the lift
+    * join), and Spark's CTE/plan inlining would re-scan the corpus per
+    * reference (the kl_divergence one-pass discipline). */
+  private val ctfCache =
+    new graft.operators.DirMemo[org.apache.spark.sql.DataFrame]()
+
+  private def ctfFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
+    ctfCache.getOrElseUpdate(s, dir) {
+      Tables.table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("ctf"))
+        .localCheckpoint(true)
+    }
+
+  // ---- RM1 pseudo-relevance feedback ---------------------------------------
+  // Query expansion closes the retrieval loop's third side (rank →
+  // evaluate → EXPAND): the top-10 BM25 documents per query term form
+  // the pseudo-relevant feedback set, and its most DISTINCTIVE terms —
+  // feedback-set share over corpus share, the integer-ppm lift of
+  // cluster_topic_terms, tf ≥ 5 floor, the query term itself excluded —
+  // become the expansion candidates (RM1/Lavrenko-Croft relevance
+  // model, reduced to its lift-ranked core so both engines stay
+  // integer-exact).
+  //
+  // 100 TB shape: the feedback sets are 10 doc ids per query — a
+  // driver-side side-input (the ANN probe-routing discipline) folded
+  // back as an `isin` literal, so pass 2 tokenizes ONLY feedback docs
+  // map-side; corpus term totals come from the checkpointed
+  // vocabulary frame (one corpus pass per session, shared); the lift
+  // join is feedback-vocabulary-sized against vocabulary-sized, never
+  // corpus-sized; the per-query top-3 windows over a tiny frame.
+  private val rm1Expansion = QueryDef(
+    "rm1_expansion_terms",
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
+            |n AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+            |tf AS (
+            |  SELECT doc_id, term, count(*) AS tf
+            |  FROM (SELECT doc_id, unnest(w) AS term FROM t)
+            |  WHERE term IN ($TermsSql)
+            |  GROUP BY doc_id, term),
+            |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            |s AS (
+            |  SELECT tf.term, tf.doc_id,
+            |         CAST(round(ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5)) *
+            |                    (tf.tf * 2.2) /
+            |                    (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl /
+            |                                    (CAST(n.tot AS DOUBLE) / n.n))) *
+            |                    1000000.0) AS BIGINT) AS m
+            |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n),
+            |fb AS (SELECT term AS q, doc_id FROM (
+            |         SELECT term, doc_id,
+            |                row_number() OVER (PARTITION BY term
+            |                                   ORDER BY m DESC, doc_id) AS rn
+            |         FROM s) x WHERE rn <= 10),
+            |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            |        FROM documents),
+            |ct  AS (SELECT term, count(*) AS ctf FROM tok GROUP BY term),
+            |gtot AS (SELECT CAST(count(*) AS BIGINT) AS corpus_tot FROM tok),
+            |ftok AS (SELECT fb.q, tok.term, count(*) AS ftf
+            |         FROM tok JOIN fb USING (doc_id) GROUP BY fb.q, tok.term),
+            |ftot AS (SELECT q, CAST(sum(ftf) AS BIGINT) AS fb_tot
+            |         FROM ftok GROUP BY q),
+            |lift AS (
+            |  SELECT ftok.q, ftok.term, CAST(ftok.ftf AS BIGINT) AS ftf,
+            |    CAST(CAST(ftok.ftf AS HUGEINT) * gtot.corpus_tot * 1000000
+            |         // (CAST(ftot.fb_tot AS HUGEINT) * ct.ctf) AS BIGINT)
+            |      AS lift_ppm
+            |  FROM ftok JOIN ftot USING (q) JOIN ct USING (term) CROSS JOIN gtot
+            |  WHERE ftok.ftf >= 5 AND ftok.term <> ftok.q),
+            |r AS (SELECT q, term, ftf, lift_ppm,
+            |        row_number() OVER (PARTITION BY q
+            |          ORDER BY lift_ppm DESC, ftf DESC, term) AS rn FROM lift)
+            |SELECT q, rn, term, ftf, lift_ppm FROM r WHERE rn <= 3
+            |ORDER BY q, rn""".stripMargin),
+    (s, dir) => {
+      // pass 1: the per-term top-10 feedback doc ids — a 30-row
+      // side-input collected once (the probe-routing discipline)
+      val fbPairs = Tables.sql(s, dir,
+        s"""WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+           |dl AS (SELECT doc_id, CAST(size(w) AS BIGINT) AS dl FROM t),
+           |n AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+           |tf AS (
+           |  SELECT doc_id, term, count(*) AS tf
+           |  FROM (SELECT doc_id, term FROM t LATERAL VIEW explode(w) x AS term)
+           |  WHERE term IN ($TermsSql)
+           |  GROUP BY doc_id, term),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           |s AS (
+           |  SELECT tf.term, tf.doc_id,
+           |         CAST(round(ln(1.0D + (n.n - df.df + 0.5D) / (df.df + 0.5D)) *
+           |                    (tf.tf * 2.2D) /
+           |                    (tf.tf + 1.2D * (0.25D + 0.75D * dl.dl /
+           |                                     (CAST(n.tot AS DOUBLE) / n.n))) *
+           |                    1000000.0D, 0) AS BIGINT) AS m
+           |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n)
+           |SELECT term AS q, doc_id FROM (
+           |  SELECT term, doc_id,
+           |         row_number() OVER (PARTITION BY term
+           |                            ORDER BY m DESC, doc_id) AS rn
+           |  FROM s) x WHERE rn <= 10""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      import s.implicits._
+      val fb = broadcast(fbPairs.toSeq.toDF("q", "doc_id"))
+      val fbIds = fbPairs.map(_._2).distinct.toSeq
+      // pass 2: corpus vocabulary from the checkpointed frame; feedback
+      // tokens from an isin-literal-filtered map-side tokenize
+      val ct = ctfFrame(s, dir)
+      val gtot = ct.agg(sum("ctf").cast("long").as("corpus_tot"))
+      val ftok = Tables.table(s, dir, "documents")
+        .filter(col("doc_id").isin(fbIds: _*))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .join(fb, "doc_id")
+        .groupBy("q", "term").agg(count(lit(1)).as("ftf"))
+      val ftot = ftok.groupBy("q").agg(sum("ftf").cast("long").as("fb_tot"))
+      val w = Window.partitionBy("q")
+        .orderBy(col("lift_ppm").desc, col("ftf").desc, col("term"))
+      ftok.filter(col("ftf") >= 5).filter(col("term") =!= col("q"))
+        .join(broadcast(ftot), "q").join(ct, "term").crossJoin(broadcast(gtot))
+        .withColumn("lift_ppm",
+          expr("CAST(CAST(ftf AS DECIMAL(38,0)) * corpus_tot * 1000000 div " +
+            "(CAST(fb_tot AS DECIMAL(38,0)) * ctf) AS BIGINT)"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q"), col("rn"), col("term"), col("ftf"), col("lift_ppm"))
+        .orderBy("q", "rn")
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(bm25, postings, hybrid, phrase, docTopTerms, qlDirichlet, retrievalEval,
-      retrievalNdcg)
+      retrievalNdcg, rm1Expansion)
 }

@@ -1127,6 +1127,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("RM1 expansion's served pass reads only feedback docs plus the standing vocab") {
+    val p = plan("rm1_expansion_terms")
+    // the feedback doc_id literal must reach the parquet scan; the
+    // corpus vocabulary comes from the checkpointed frame (no second
+    // full tokenize in the served plan)
+    val docScans = p.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("text#")).toSeq
+    assert(docScans.nonEmpty, s"no documents scan found:\n$p")
+    // the feedback-token subtree is referenced twice (totals + lift),
+    // so two scans are expected — but EVERY one must carry the pushed
+    // 30-id literal; an unpruned full tokenize is the regression
+    docScans.foreach { l =>
+      assert(l.contains("In(doc_id"),
+        s"a documents scan is not feedback-pruned:\n$l\n$p")
+    }
+    assert(!p.contains("CartesianProduct"), s"plan degraded:\n$p")
+  }
+
   test("calibration bins map-side off a broadcast range — no ntile, no sort") {
     val p = plan("classifier_calibration")
     assert(!p.contains("Window"), s"calibration fell back to ntile:\n$p")
