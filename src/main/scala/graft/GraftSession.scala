@@ -32,6 +32,14 @@ object GraftSession {
       .config("spark.sql.adaptive.localShuffleReader.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // duplicated-scan budget DEFAULT-ON (r11 verdict #1: the guard
+      // shipped dark at max=0). Spark inlines CTEs, so one relation
+      // referenced N times re-executes N× — every gated query passes
+      // under this budget because shared frames are memoized or
+      // checkpointed; that discipline is what the default enforces on
+      // user-authored SQL too. Override per deployment (0 = off).
+      .config(graft.plans.ScanBudgetRule.ConfKey,
+        graft.plans.ScanBudgetRule.DefaultBudget.toString)
       // driver testdata ships TIMESTAMP(NANOS) parquet (events.ts); read as
       // long and convert in Tables.register (µs-precision data, lossless).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -52,6 +52,64 @@ object SkewJoin {
   def keyHistogram(df: DataFrame, key: String, topN: Int = 20): DataFrame =
     df.groupBy(col(key)).count().orderBy(col("count").desc, col(key)).limit(topN)
 
+  /** The advisor's verdict plus the numbers it was based on —
+    * max-key count, total rows, distinct keys, and the hot-key ratio
+    * in milli-units (maxCnt·nKeys/total, exact integer floor). */
+  final case class SkewAdvice(
+      salt: Boolean, maxCnt: Long, total: Long, nKeys: Long) {
+    def xMeanMilli: Long =
+      if (total == 0L) 0L
+      else (BigInt(maxCnt) * nKeys * 1000 / total).toLong
+  }
+
+  /** Decide salted-vs-plain from a KEY-COUNT frame — the diagnostics
+    * ev22/ev29 compute, turned into an action (r11 verdict #2: nothing
+    * consumed them). `keyCounts` is one (key, cnt) row per key, the
+    * frame a pipeline has already memoized/checkpointed for its skew
+    * profile; this rollup reads THREE longs off it — never the corpus.
+    * The trigger is ev22's exactly: the hottest key at ≥
+    * `thresholdXMean`× the mean count, cross-multiplied in BigInt so
+    * no division rounds and no product overflows (a 1e9-row key over
+    * 1e10 keys clears Long). */
+  def advise(keyCounts: DataFrame, cntCol: String = "cnt",
+      thresholdXMean: Int = 4): SkewAdvice = {
+    require(thresholdXMean > 0, "thresholdXMean must be positive")
+    val r = keyCounts.agg(
+      max(col(cntCol)).cast("long"),
+      sum(col(cntCol)).cast("long"),
+      count(lit(1)).cast("long")).head
+    if (r.isNullAt(0)) SkewAdvice(salt = false, 0L, 0L, 0L)
+    else {
+      val (mx, tot, nk) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      SkewAdvice(
+        salt = BigInt(mx) * nk >= BigInt(thresholdXMean) * tot,
+        maxCnt = mx, total = tot, nKeys = nk)
+    }
+  }
+
+  /** Equi-join routed by [[advise]]: the salted path only when the
+    * key-count frame says the hottest key would melt a reducer,
+    * the plain join (AQE's skew handling still armed) otherwise —
+    * so a uniform corpus never pays the compact side's `factor`×
+    * replication. Result is identical either way (saltedJoin ≡ plain
+    * equi-join; the adaptive_join_agg gate entry is hash-green on
+    * whichever path fires, SkewJoinSpec flips the trigger both ways
+    * and checks the physical plan). */
+  def adaptiveJoin(
+      skewed: DataFrame,
+      compact: DataFrame,
+      skewedKey: String,
+      compactKey: String,
+      keyCounts: DataFrame,
+      cntCol: String = "cnt",
+      thresholdXMean: Int = 4,
+      factor: Int = 8,
+      joinType: String = "inner"): DataFrame =
+    if (advise(keyCounts, cntCol, thresholdXMean).salt)
+      saltedJoin(skewed, compact, skewedKey, compactKey, factor, joinType)
+    else
+      skewed.join(compact, skewed(skewedKey) === compact(compactKey), joinType)
+
   /** Null-safe join condition helper used by callers that need
     * SQL-`<=>` semantics on the salted key. */
   def nullSafeEq(l: Column, r: Column): Column = l <=> r

@@ -1,7 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.expressions.{Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.internal.SQLConf
@@ -39,6 +39,16 @@ object ScanBudgetRule extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.graft.scanBudget.max"
 
+  /** The shipped default (r11 verdict #1: the rule existed but shipped
+    * dark at 0=off). 4 clears every sanctioned multi-reference shape in
+    * the gate — self-joins (2), per-probe pruned ANN branches (3), the
+    * dedup verify rejoin (3) — while catching the failure class it was
+    * built for (the r8 KL CTE shape measured SIX scans of one
+    * relation). [[graft.GraftSession]] sets it on every session it
+    * builds; [[graft.server.GraftBootstrap]] sets it on a serving
+    * session that arrives without one. */
+  val DefaultBudget = 4
+
   final class ScanBudgetExceeded(msg: String) extends RuntimeException(msg)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -63,15 +73,53 @@ object ScanBudgetRule extends Rule[LogicalPlan] {
   /** File-source scans of `plan` INCLUDING those inside subquery
     * expressions (plan.collect walks operator children only — an
     * EXISTS/IN/scalar subquery's plan hangs off an expression and
-    * would otherwise count its scans against nothing). */
+    * would otherwise count its scans against nothing).
+    *
+    * Partition-slice exemption: a scan whose directly-enclosing
+    * Filter/Project chain constrains a PARTITION column of the
+    * relation reads a partition SLICE, not the relation — the
+    * sanctioned multi-branch shape (a served ANN probe unions
+    * per-probe `cell IN (…)` branches of one partitioned index: six
+    * pruned slices, not six index scans). Such scans key on
+    * (path, canonicalized partition predicate) so DISTINCT slices
+    * count separately while IDENTICAL slices still accumulate toward
+    * the budget. Unconstrained scans key on the path alone — the
+    * CTE-inline failure class this rule exists for always re-scans
+    * the same unsliced subtree. */
   private def collectScans(plan: LogicalPlan): Seq[String] = {
-    val here = plan.collect {
-      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-        fs.location.rootPaths.map(_.toString).sorted.mkString(",")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def leafKey(fs: HadoopFsRelation, conds: Seq[Expression]): String = {
+      val path = fs.location.rootPaths.map(_.toString).sorted.mkString(",")
+      val partCols = fs.partitionSchema.fieldNames
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      val partConds = conds.filter(_.references.exists(a =>
+        partCols.contains(a.name.toLowerCase(java.util.Locale.ROOT))))
+      if (partConds.isEmpty) path
+      else {
+        // strip expression ids: every spark.read of the same path mints
+        // fresh attribute ids, so two scans of the SAME slice would
+        // otherwise never collide (and the budget would never fire on
+        // a partitioned relation at all)
+        val slices = partConds
+          .map(_.canonicalized.toString.replaceAll("#\\d+", ""))
+          .sorted.mkString("&")
+        path + "#" + slices
+      }
     }
+    // walk linear Filter/Project chains carrying the filter context;
+    // any other node resets it (a filter above a join/aggregate does
+    // not slice the scans underneath)
+    def walk(node: LogicalPlan, conds: Seq[Expression]): Unit = node match {
+      case f: Filter => walk(f.child, conds :+ f.condition)
+      case p: Project => walk(p.child, conds)
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        out += leafKey(fs, conds); ()
+      case other => other.children.foreach(walk(_, Nil))
+    }
+    walk(plan, Nil)
     val nested = plan.flatMap(_.expressions.flatMap(_.collect {
       case s: SubqueryExpression => collectScans(s.plan)
     }.flatten))
-    here ++ nested
+    out.toSeq ++ nested
   }
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, QuerySet, Tables}
@@ -85,6 +86,45 @@ object EventQueries extends QuerySet {
         .agg(min("event_id").as("first_event"))
         .select("dim_user", "first_event")
       graft.operators.SkewJoin.saltedJoin(events, dim, "user_id", "dim_user", factor = 8)
+        .groupBy(col("user_id"), col("first_event"))
+        .agg(count(lit(1)).as("n"))
+        .select("user_id", "n", "first_event")
+        .orderBy("user_id")
+    })
+
+  // Advisor-routed join (r11 verdict #2: ev22 computes the skew
+  // diagnostics, this consumes them): the same dim join as
+  // salted_join_agg, but the path — salted vs plain — is picked by
+  // [[graft.operators.SkewJoin.advise]] reading the SAME memoized
+  // key-count frame ev22/ev29 share (three longs off a checkpointed
+  // frame, no corpus re-scan). On this corpus the hottest user sits
+  // ~1.3× the mean, under the 4× trigger, so the plain path fires and
+  // nobody pays the 8× dim replication; flip the corpus to a whale
+  // distribution and the salted path fires with the identical result
+  // (equivalence is saltedJoin's contract; SkewJoinSpec flips the
+  // trigger both ways against the physical plan). The oracle is the
+  // plain join — correct for EITHER route.
+  private val adaptiveJoin = QueryDef(
+    "adaptive_join_agg",
+    Some("""SELECT e.user_id, count(*) AS n, d.first_event
+           |FROM events e
+           |JOIN (SELECT user_id AS dim_user, min(event_id) AS first_event
+           |      FROM events GROUP BY user_id) d
+           |  ON e.user_id = d.dim_user
+           |GROUP BY e.user_id, d.first_event
+           |ORDER BY e.user_id""".stripMargin),
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val events = Tables.table(s, dir, "events")
+      val keyCounts = skewCache.getOrElseUpdate(s, dir) {
+        events.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
+      }
+      val dim = events.groupBy(col("user_id").as("dim_user"))
+        .agg(min("event_id").as("first_event"))
+        .select("dim_user", "first_event")
+      graft.operators.SkewJoin
+        .adaptiveJoin(events, dim, "user_id", "dim_user", keyCounts)
         .groupBy(col("user_id"), col("first_event"))
         .agg(count(lit(1)).as("n"))
         .select("user_id", "n", "first_event")
@@ -460,10 +500,46 @@ object EventQueries extends QuerySet {
        |LEFT JOIN c ON c.user_id = v.user_id
        |LEFT JOIN p ON p.user_id = v.user_id""".stripMargin
 
+  // Spark side: ONE events scan. The SQL spelling's CTE chain (v→c→p)
+  // inlines to SIX events scans (v=1, c=2, p=3 — each step re-executes
+  // its predecessors), which the default-on ScanBudgetRule rejects at
+  // sf-independent plan level. The one-pass form: filter to the three
+  // funnel types map-side, ONE user_id exchange, then three CHAINED
+  // unordered windows over the same partitioning (t0 = first view,
+  // t1 = first click after t0, t2 = first purchase after t1 — each
+  // window may reference the previous column, and min-over-unbounded
+  // needs no sort, so all three ride the single exchange). Semantics
+  // identical: a null t0 nulls the t1 comparison (SQL's inner join on
+  // v), and the 1-hour CASEs map nulls to 0 exactly as the oracle's
+  // left joins do.
   private val funnelSteps = QueryDef(
     "ev10_funnel_steps",
     Some(funnelStepsSql(e => s"epoch_us($e)")),
-    (s, dir) => Tables.sql(s, dir, funnelStepsSql(e => s"unix_micros($e)")))
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+      val staged = Tables.table(s, dir, "events")
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("t0",
+          min(when(col("event_type") === "view", col("us"))).over(w))
+        .withColumn("t1",
+          min(when(col("event_type") === "click" && col("us") > col("t0"),
+            col("us"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "purchase" && col("us") > col("t1"),
+            col("us"))).over(w))
+      staged.groupBy("user_id")
+        .agg(max("t0").as("t0"), max("t1").as("t1"), max("t2").as("t2"))
+        .filter(col("t0").isNotNull)
+        .agg(count(lit(1)).cast("long").as("viewers"),
+          count(col("t1")).cast("long").as("clicked"),
+          sum(when(col("t1") - col("t0") <= 3600000000L, 1).otherwise(0))
+            .cast("long").as("clicked_1h"),
+          count(col("t2")).cast("long").as("purchased"),
+          sum(when(col("t2") - col("t1") <= 3600000000L, 1).otherwise(0))
+            .cast("long").as("purchased_1h"))
+    })
 
   /** One streaming step of the SCD2 interval build (ev8's streaming
     * face — the CDC-processing form: a change stream arrives in
@@ -855,6 +931,16 @@ object EventQueries extends QuerySet {
   // estimate lands within 10% of the exact count (2% sketches; the
   // oracle states the exact arithmetic and a literal true).
   // Stickiness is integer ppm (exact integer division, engine-exact).
+  //
+  // The (day, user) collapse is CHECKPOINTED once per (session, dir,
+  // generation): the SQL spelling referenced it from four CTEs (days,
+  // dau, roll, sk), which inlining turned into FIVE events scans —
+  // rejected by the default-on ScanBudgetRule. Every consumer below
+  // reads the standing deduplicated frame; the corpus is scanned once,
+  // inside the memoized build.
+  private val udCache =
+    new graft.operators.DirMemo[org.apache.spark.sql.DataFrame]()
+
   private val stickiness = QueryDef(
     "ev17_dau_wau_stickiness",
     Some("""WITH ud AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id FROM events),
@@ -868,22 +954,31 @@ object EventQueries extends QuerySet {
            |       CAST((dau.dau * 1000000) // roll.wau AS BIGINT) AS stickiness_ppm,
            |       true AS approx_ok
            |FROM dau JOIN roll ON dau.d = roll.d ORDER BY dau.d""".stripMargin),
-    (s, dir) => Tables.sql(s, dir,
-      """WITH ud AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id FROM events),
-        |days AS (SELECT DISTINCT d FROM ud),
-        |dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
-        |roll AS (
-        |  SELECT d1.d, count(DISTINCT u.user_id) AS wau
-        |  FROM days d1 JOIN ud u ON u.d BETWEEN d1.d - 6 AND d1.d
-        |  GROUP BY d1.d),
-        |sk AS (SELECT d, hll_sketch_agg(user_id) AS s FROM ud GROUP BY d),
-        |ra AS (SELECT d1.d, hll_sketch_estimate(hll_union_agg(sk.s)) AS wau_approx
-        |       FROM days d1 JOIN sk ON sk.d BETWEEN d1.d - 6 AND d1.d GROUP BY d1.d)
-        |SELECT dau.d, CAST(dau.dau AS BIGINT) AS dau, CAST(roll.wau AS BIGINT) AS wau,
-        |       CAST(CAST(dau.dau AS DECIMAL(38,0)) * 1000000 div roll.wau AS BIGINT) AS stickiness_ppm,
-        |       abs(ra.wau_approx - roll.wau) <= CAST(ceil(0.1 * roll.wau) AS BIGINT) AS approx_ok
-        |FROM dau JOIN roll ON dau.d = roll.d JOIN ra ON ra.d = dau.d
-        |ORDER BY dau.d""".stripMargin))
+    (s, dir) => {
+      val ud = udCache.getOrElseUpdate(s, dir) {
+        Tables.table(s, dir, "events")
+          .select(expr("CAST(date_trunc('day', ts) AS DATE)").as("d"),
+            col("user_id"))
+          .distinct().localCheckpoint(true)
+      }
+      val spine = broadcast(ud.select(col("d").as("d1")).distinct())
+      val dau = ud.groupBy("d").agg(count(lit(1)).cast("long").as("dau"))
+      val roll = spine
+        .join(ud, col("d").between(date_sub(col("d1"), 6), col("d1")))
+        .groupBy("d1").agg(countDistinct(col("user_id")).cast("long").as("wau"))
+      val sk = ud.groupBy("d").agg(expr("hll_sketch_agg(user_id)").as("s"))
+      val ra = spine.withColumnRenamed("d1", "d2")
+        .join(sk, col("d").between(date_sub(col("d2"), 6), col("d2")))
+        .groupBy("d2")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(s))").as("wau_approx"))
+      dau.join(roll, col("d") === col("d1")).join(ra, col("d") === col("d2"))
+        .select(col("d"), col("dau"), col("wau"),
+          expr("CAST(CAST(dau AS DECIMAL(38,0)) * 1000000 div wau AS BIGINT)")
+            .as("stickiness_ppm"),
+          expr("abs(wau_approx - wau) <= CAST(ceil(0.1 * wau) AS BIGINT)")
+            .as("approx_ok"))
+        .orderBy("d")
+    })
 
   // ---- ev18: cohort lifetime value --------------------------------------
   // Revenue by (signup-week cohort, age-in-weeks) — the LTV grid growth
@@ -1065,8 +1160,12 @@ object EventQueries extends QuerySet {
   // integer ppm; the single ln per EVENT-TYPE row (5 rows, not corpus
   // rows) rounds to integer micro-units with identical
   // parenthesization in both engines. Types absent from either window
-  // are excluded (PSI is undefined at p=0; the inner-join semantics of
-  // the proportion CTE state that).
+  // are excluded (PSI is undefined at p=0), and so are types whose
+  // ppm-quantized share rounds to 0 (n_i > 0 but n_i*1e6 < total):
+  // ln(x/0) is Infinity, which Spark saturates while DuckDB errors on
+  // the BIGINT cast — a data-dependent divergence on large skewed
+  // windows, so the exclusion is on the quantized shares, not the raw
+  // counts.
   //
   // 100 TB shape: the window split is a map-side boolean on the
   // timestamp; ONE partial-combining aggregate keyed on event_type
@@ -1090,7 +1189,7 @@ object EventQueries extends QuerySet {
        |  CAST(round((p2_ppm - p1_ppm) / 1000000.0 *
        |             ln(CAST(p2_ppm AS DOUBLE) / p1_ppm) * 1000000.0) AS BIGINT)
        |    AS psi_micro
-       |FROM p WHERE n1 > 0 AND n2 > 0 ORDER BY event_type""".stripMargin
+       |FROM p WHERE p1_ppm > 0 AND p2_ppm > 0 ORDER BY event_type""".stripMargin
 
   private val psiDrift = QueryDef(
     "ev23_psi_drift_windows",
@@ -1511,7 +1610,7 @@ object EventQueries extends QuerySet {
     })
 
   override val defs: Seq[QueryDef] =
-    Seq(hourly, sessions, funnel, salted, keepLatest, asof, rangeJoin, conversion,
+    Seq(hourly, sessions, funnel, salted, adaptiveJoin, keepLatest, asof, rangeJoin, conversion,
       retention, anomaly, winsorized, scd2, markov, funnelSteps, hopping, gapfill,
       twa, sessionPaths, pointInTime, abAssign, stickiness, cohortLtv,
       timeToConvert, userEntropy, madOutliers, skewProfile, psiDrift, srmCheck,

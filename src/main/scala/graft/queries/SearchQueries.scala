@@ -437,45 +437,27 @@ object SearchQueries extends QuerySet {
             |       CAST(ev.rel_at_5 AS BIGINT) AS rel_at_5,
             |       CAST(ev.rel_at_10 AS BIGINT) AS rel_at_10
             |FROM ev JOIN rel USING (term) ORDER BY ev.term""".stripMargin),
-    (s, dir) => Tables.sql(s, dir,
-      s"""WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
-         |dl AS (SELECT doc_id, CAST(size(w) AS BIGINT) AS dl FROM t),
-         |n AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
-         |tf AS (
-         |  SELECT doc_id, term, count(*) AS tf
-         |  FROM (SELECT doc_id, term FROM t LATERAL VIEW explode(w) x AS term)
-         |  WHERE term IN ($TermsSql)
-         |  GROUP BY doc_id, term),
-         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         |s AS (
-         |  SELECT tf.term, tf.doc_id, tf.tf,
-         |         CAST(round(ln(1.0D + (n.n - df.df + 0.5D) / (df.df + 0.5D)) *
-         |                    (tf.tf * 2.2D) /
-         |                    (tf.tf + 1.2D * (0.25D + 0.75D * dl.dl /
-         |                                     (CAST(n.tot AS DOUBLE) / n.n))) *
-         |                    1000000.0D, 0) AS BIGINT) AS m
-         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n),
-         |r AS (
-         |  SELECT term, doc_id, tf, m,
-         |         row_number() OVER (PARTITION BY term
-         |                            ORDER BY m DESC, doc_id) AS rn
-         |  FROM s),
-         |top AS (SELECT * FROM r WHERE rn <= 10),
-         |rel AS (SELECT term, count(*) AS n_relevant FROM tf
-         |        WHERE tf >= 5 GROUP BY term),
-         |ev AS (
-         |  SELECT term,
-         |         min(CASE WHEN tf >= 5 THEN rn END) AS frr,
-         |         count(*) FILTER (WHERE tf >= 5 AND rn <= 5) AS rel_at_5,
-         |         count(*) FILTER (WHERE tf >= 5) AS rel_at_10
-         |  FROM top GROUP BY term)
-         |SELECT ev.term, CAST(rel.n_relevant AS BIGINT) AS n_relevant,
-         |       CAST(coalesce(ev.frr, 0) AS BIGINT) AS first_rel_rank,
-         |       CAST(CASE WHEN ev.frr IS NULL THEN 0
-         |                 ELSE 2520 div ev.frr END AS BIGINT) AS rr_x2520,
-         |       CAST(ev.rel_at_5 AS BIGINT) AS rel_at_5,
-         |       CAST(ev.rel_at_10 AS BIGINT) AS rel_at_10
-         |FROM ev JOIN rel USING (term) ORDER BY ev.term""".stripMargin))
+    (s, dir) => {
+      // the scoring CTE is the memoized checkpointed frame — the served
+      // plan re-reads the standing RDD, zero documents FileScans
+      val sc = bm25TermDoc(s, dir)
+      val w = Window.partitionBy("term").orderBy(col("m").desc, col("doc_id"))
+      val top = sc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      val rel = sc.filter(col("tf") >= 5)
+        .groupBy("term").agg(count(lit(1)).cast("long").as("n_relevant"))
+      val ev = top.groupBy("term").agg(
+        min(when(col("tf") >= 5, col("rn"))).as("frr"),
+        count(when(col("tf") >= 5 && col("rn") <= 5, lit(1)))
+          .cast("long").as("rel_at_5"),
+        count(when(col("tf") >= 5, lit(1))).cast("long").as("rel_at_10"))
+      ev.join(rel, "term")
+        .select(col("term"), col("n_relevant"),
+          coalesce(col("frr"), lit(0)).cast("long").as("first_rel_rank"),
+          when(col("frr").isNull, lit(0L))
+            .otherwise(expr("2520 div frr")).cast("long").as("rr_x2520"),
+          col("rel_at_5"), col("rel_at_10"))
+        .orderBy("term")
+    })
 
   // ---- nDCG@10 -------------------------------------------------------------
   // The graded companion of retrieval_eval_mrr: gain = 2^min(tf,4) − 1
@@ -531,46 +513,33 @@ object SearchQueries extends QuerySet {
             |       CAST(dcg.dcg_x1e6 * 1000000 // idcg.idcg_x1e6 AS BIGINT)
             |         AS ndcg_ppm
             |FROM dcg JOIN idcg USING (term) ORDER BY dcg.term""".stripMargin),
-    (s, dir) => Tables.sql(s, dir,
-      s"""WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
-         |dl AS (SELECT doc_id, CAST(size(w) AS BIGINT) AS dl FROM t),
-         |n AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
-         |tf AS (
-         |  SELECT doc_id, term, count(*) AS tf
-         |  FROM (SELECT doc_id, term FROM t LATERAL VIEW explode(w) x AS term)
-         |  WHERE term IN ($TermsSql)
-         |  GROUP BY doc_id, term),
-         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         |s AS (
-         |  SELECT tf.term, tf.doc_id,
-         |         CASE least(tf.tf, 4) WHEN 0 THEN 0 WHEN 1 THEN 1
-         |              WHEN 2 THEN 3 WHEN 3 THEN 7 ELSE 15 END AS gain,
-         |         CAST(round(ln(1.0D + (n.n - df.df + 0.5D) / (df.df + 0.5D)) *
-         |                    (tf.tf * 2.2D) /
-         |                    (tf.tf + 1.2D * (0.25D + 0.75D * dl.dl /
-         |                                     (CAST(n.tot AS DOUBLE) / n.n))) *
-         |                    1000000.0D, 0) AS BIGINT) AS m
-         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n),
-         |r AS (SELECT term, gain,
-         |             row_number() OVER (PARTITION BY term
-         |                                ORDER BY m DESC, doc_id) AS rn
-         |      FROM s),
-         |ir AS (SELECT term, gain,
-         |              row_number() OVER (PARTITION BY term
-         |                                 ORDER BY gain DESC, doc_id) AS rn
-         |       FROM s),
-         |wgt AS (SELECT * FROM (VALUES $ndcgWeights) AS v(rn, w)),
-         |dcg AS (SELECT r.term, CAST(sum(r.gain * wgt.w) AS BIGINT) AS dcg_x1e6
-         |        FROM (SELECT * FROM r WHERE rn <= 10) r
-         |        JOIN wgt USING (rn) GROUP BY r.term),
-         |idcg AS (SELECT ir.term,
-         |                CAST(sum(ir.gain * wgt.w) AS BIGINT) AS idcg_x1e6
-         |         FROM (SELECT * FROM ir WHERE rn <= 10) ir
-         |         JOIN wgt USING (rn) GROUP BY ir.term)
-         |SELECT dcg.term, dcg.dcg_x1e6, idcg.idcg_x1e6,
-         |       CAST(dcg.dcg_x1e6 * 1000000 div idcg.idcg_x1e6 AS BIGINT)
-         |         AS ndcg_ppm
-         |FROM dcg JOIN idcg USING (term) ORDER BY dcg.term""".stripMargin))
+    (s, dir) => {
+      // BOTH rankings (by score and by ideal gain) read the one
+      // checkpointed scored frame — the pure-SQL spelling inlined the
+      // scoring CTE twice and re-scanned documents 8× in one query,
+      // the first live catch of the now-default-on ScanBudgetRule
+      import s.implicits._
+      val sc = bm25TermDoc(s, dir).withColumn("gain",
+        expr("CASE least(tf, 4) WHEN 0 THEN 0 WHEN 1 THEN 1 " +
+          "WHEN 2 THEN 3 WHEN 3 THEN 7 ELSE 15 END"))
+      val wgt = broadcast(Seq(
+        (1, 1000000L), (2, 630930L), (3, 500000L), (4, 430677L),
+        (5, 386853L), (6, 356207L), (7, 333333L), (8, 315465L),
+        (9, 301030L), (10, 289065L)).toDF("rn", "w"))
+      def top10DcgBy(order: Seq[org.apache.spark.sql.Column], out: String) =
+        sc.withColumn("rn",
+            row_number().over(Window.partitionBy("term").orderBy(order: _*)))
+          .filter(col("rn") <= 10)
+          .join(wgt, "rn")
+          .groupBy("term").agg(sum(expr("gain * w")).cast("long").as(out))
+      val dcg = top10DcgBy(Seq(col("m").desc, col("doc_id")), "dcg_x1e6")
+      val idcg = top10DcgBy(Seq(col("gain").desc, col("doc_id")), "idcg_x1e6")
+      dcg.join(idcg, "term")
+        .select(col("term"), col("dcg_x1e6"), col("idcg_x1e6"),
+          expr("CAST(dcg_x1e6 * 1000000 div idcg_x1e6 AS BIGINT)")
+            .as("ndcg_ppm"))
+        .orderBy("term")
+    })
 
   /** Vocabulary-sized (term, ctf) corpus counts, checkpointed once per
     * (session, dir): referenced twice below (grand total + the lift
@@ -578,6 +547,51 @@ object SearchQueries extends QuerySet {
     * reference (the kl_divergence one-pass discipline). */
   private val ctfCache =
     new graft.operators.DirMemo[org.apache.spark.sql.DataFrame]()
+
+  /** RM1 pass-1 feedback sets, memoized per (session, dir, generation):
+    * ~30 (query-term, doc_id) tuples — the BM25 ranking over the FIXED
+    * query-term set only changes when the corpus does, which the
+    * generation token tracks. */
+  private val rm1FbCache =
+    new graft.operators.DirMemo[Array[(String, Long)]]()
+
+  /** The retrieval-eval tier's shared intermediate: per-(query-term,
+    * doc) single-term BM25 scores `(term, doc_id, tf, m)`, checkpointed
+    * once per (session, dir, generation). The eval queries (MRR, nDCG)
+    * and RM1's pass-1 ranking all derive from this one frame — before
+    * it existed, nDCG's twin rankings (by score and by ideal gain)
+    * inlined the scoring CTE twice and re-scanned documents EIGHT times
+    * in one query, which is precisely what the now-default-on
+    * ScanBudgetRule rejected when it first ran over the gate. The m
+    * arithmetic is the bm25_topk oracle's exactly (one round per row,
+    * identical parenthesization). Query-term-bound: only docs matching
+    * the fixed Terms set survive the map-side filter, so the
+    * checkpointed frame is matching-docs × |terms|, not corpus-sized. */
+  private val bm25TermDocCache =
+    new graft.operators.DirMemo[org.apache.spark.sql.DataFrame]()
+
+  private def bm25TermDoc(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    bm25TermDocCache.getOrElseUpdate(s, dir) {
+      Tables.sql(s, dir,
+        s"""WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+           |dl AS (SELECT doc_id, CAST(size(w) AS BIGINT) AS dl FROM t),
+           |n AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+           |tf AS (
+           |  SELECT doc_id, term, count(*) AS tf
+           |  FROM (SELECT doc_id, term FROM t LATERAL VIEW explode(w) x AS term)
+           |  WHERE term IN ($TermsSql)
+           |  GROUP BY doc_id, term),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+           |SELECT tf.term, tf.doc_id, tf.tf,
+           |       CAST(round(ln(1.0D + (n.n - df.df + 0.5D) / (df.df + 0.5D)) *
+           |                  (tf.tf * 2.2D) /
+           |                  (tf.tf + 1.2D * (0.25D + 0.75D * dl.dl /
+           |                                   (CAST(n.tot AS DOUBLE) / n.n))) *
+           |                  1000000.0D, 0) AS BIGINT) AS m
+           |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n""".stripMargin)
+        .localCheckpoint(true)
+    }
 
   private def ctfFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
     ctfCache.getOrElseUpdate(s, dir) {
@@ -650,31 +664,21 @@ object SearchQueries extends QuerySet {
             |ORDER BY q, rn""".stripMargin),
     (s, dir) => {
       // pass 1: the per-term top-10 feedback doc ids — a 30-row
-      // side-input collected once (the probe-routing discipline)
-      val fbPairs = Tables.sql(s, dir,
-        s"""WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
-           |dl AS (SELECT doc_id, CAST(size(w) AS BIGINT) AS dl FROM t),
-           |n AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
-           |tf AS (
-           |  SELECT doc_id, term, count(*) AS tf
-           |  FROM (SELECT doc_id, term FROM t LATERAL VIEW explode(w) x AS term)
-           |  WHERE term IN ($TermsSql)
-           |  GROUP BY doc_id, term),
-           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-           |s AS (
-           |  SELECT tf.term, tf.doc_id,
-           |         CAST(round(ln(1.0D + (n.n - df.df + 0.5D) / (df.df + 0.5D)) *
-           |                    (tf.tf * 2.2D) /
-           |                    (tf.tf + 1.2D * (0.25D + 0.75D * dl.dl /
-           |                                     (CAST(n.tot AS DOUBLE) / n.n))) *
-           |                    1000000.0D, 0) AS BIGINT) AS m
-           |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n)
-           |SELECT term AS q, doc_id FROM (
-           |  SELECT term, doc_id,
-           |         row_number() OVER (PARTITION BY term
-           |                            ORDER BY m DESC, doc_id) AS rn
-           |  FROM s) x WHERE rn <= 10""".stripMargin)
-        .collect().map(r => (r.getString(0), r.getLong(1)))
+      // side-input, memoized per (session, dir, generation) like its
+      // corpus-totals sibling ctfFrame (r11 verdict #4: un-memoized,
+      // every invocation re-ran the corpus-wide tokenize+rank). The
+      // ranking itself now derives from the SHARED checkpointed scored
+      // frame (bm25TermDoc — identical m arithmetic), so even a cold
+      // memo miss re-ranks a standing frame instead of re-scanning the
+      // corpus. The memoized value is 30 plain tuples — no session
+      // reference, so it weak-clears on its own.
+      val fbPairs = rm1FbCache.getOrElseUpdate(s, dir) {
+        val w = Window.partitionBy("term").orderBy(col("m").desc, col("doc_id"))
+        bm25TermDoc(s, dir)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+          .select(col("term"), col("doc_id"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+      }
       import s.implicits._
       val fb = broadcast(fbPairs.toSeq.toDF("q", "doc_id"))
       val fbIds = fbPairs.map(_._2).distinct.toSeq

@@ -1315,12 +1315,15 @@ object TextQueries extends QuerySet {
       // n_novel per doc == the count of grams whose min(doc_id) IS this
       // doc — so both sides collapse to DOC-granularity aggregates and
       // the corpus-sized (ghash → doc) join disappears: one distinct,
-      // one min, two doc-keyed rollups, one broadcast join of two
-      // doc-sized frames
+      // one min, two doc-keyed rollups, one doc-keyed join of two
+      // doc-sized frames. Both sides can be up to one row per DOCUMENT
+      // (unbounded at corpus scale), so strategy choice is left to AQE
+      // — forcing broadcast here is the corpus-sized-broadcast class
+      // the r9 verdict banned; a shuffled hash join on doc_id is safe.
       val ng = h.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
       val nv = h.groupBy("ghash").agg(min("doc_id").as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
-      ng.join(broadcast(nv), Seq("doc_id"), "left")
+      ng.join(nv, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_grams"),
           coalesce(col("n_novel"), lit(0L)).as("n_novel"),
           expr("coalesce(n_novel, 0L) * 1000000 div n_grams").as("novelty_ppm"))
@@ -1748,6 +1751,9 @@ object TextQueries extends QuerySet {
   // corpus-sized for boilerplate-heavy crawls, so no broadcast
   // assumption); per-doc rollups partial-combine. Everything else is
   // map-side. All output columns are integers/booleans — exact.
+  private val dupSpanCache =
+    new graft.operators.DirMemo[org.apache.spark.sql.DataFrame]()
+
   private val dupSpans = QueryDef(
     "dup_span_stats",
     Some("""WITH t AS (
@@ -1776,20 +1782,30 @@ object TextQueries extends QuerySet {
            |ORDER BY b.doc_id""".stripMargin),
     (s, dir) => {
       val docs = Tables.table(s, dir, "documents")
-      val g = docs
-        .select(col("doc_id"),
-          posexplode(expr("word_shingles(text, 8)")).as(Seq("gpos", "gram")))
-        .select(col("doc_id"), col("gpos").cast("long").as("gpos"),
-          md5(col("gram")).as("k"))
-      // duplicate occurrences via count-then-rejoin: the digest agg and
-      // the join both stay in whole-stage-codegen HashAggregate/SMJ.
-      // (A one-shuffle collect_list(struct) spelling was tried and
-      // measured SLOWER — the object-hash aggregate it forces drops
-      // the stage out of codegen, which costs more than the second
-      // digest pass it saves.)
-      val occ = g.groupBy("k").agg(count(lit(1)).as("occ"))
-        .filter(col("occ") > 1).select("k")
-      val dup = g.join(occ, "k").select("doc_id", "gpos")
+      // the duplicated-position frame (doc_id, gpos) is CHECKPOINTED
+      // per (session, dir, generation): its two consumers (gram count
+      // + coverage union) plus the base rollup otherwise inline the
+      // gram pipeline into FIVE documents scans — rejected by the
+      // default-on ScanBudgetRule. The frame is (long, long) pairs
+      // bounded by the duplicated-gram count — the quantity this query
+      // exists to measure — so checkpointing it is cheap even on
+      // boilerplate-heavy corpora.
+      val dup = dupSpanCache.getOrElseUpdate(s, dir) {
+        val g = docs
+          .select(col("doc_id"),
+            posexplode(expr("word_shingles(text, 8)")).as(Seq("gpos", "gram")))
+          .select(col("doc_id"), col("gpos").cast("long").as("gpos"),
+            md5(col("gram")).as("k"))
+        // duplicate occurrences via count-then-rejoin: the digest agg and
+        // the join both stay in whole-stage-codegen HashAggregate/SMJ.
+        // (A one-shuffle collect_list(struct) spelling was tried and
+        // measured SLOWER — the object-hash aggregate it forces drops
+        // the stage out of codegen, which costs more than the second
+        // digest pass it saves.)
+        val occ = g.groupBy("k").agg(count(lit(1)).as("occ"))
+          .filter(col("occ") > 1).select("k")
+        g.join(occ, "k").select("doc_id", "gpos").localCheckpoint(true)
+      }
       val dg = dup.groupBy("doc_id").agg(count(lit(1)).as("dup_grams"))
       val cov = dup
         .select(col("doc_id"), explode(expr("sequence(gpos, gpos + 7)")).as("tok"))

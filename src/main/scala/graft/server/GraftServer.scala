@@ -179,13 +179,43 @@ final class GraftServer(
           s"""{"field":${quote(er.field)},"message":${quote(er.message)}}""")
         respond(ex, 400, s"""{"errors":[${errs.mkString(",")}]}""", "application/json")
       case e: Exception =>
-        respond(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""",
-          "application/json")
+        // the scan-budget guard fires during lazy optimization inside
+        // the handler (possibly wrapped) — surface it as a DIRECTED
+        // endpoint-config error rather than an anonymous 500: the SQL
+        // is user-authored, the message names the re-scanned relation,
+        // the count, and the sanctioned fixes (422: the request was
+        // well-formed; the endpoint's query exceeds the engine budget)
+        scanBudgetCause(e) match {
+          case Some(msg) =>
+            respond(ex, 422,
+              s"""{"error":"scan_budget_exceeded",""" +
+                s""""message":${quote(msg)}}""",
+              "application/json")
+          case None =>
+            respond(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""",
+              "application/json")
+        }
     }
     finally {
       audit.foreach(a => writeAudit(a, ex, (System.nanoTime() - t0) / 1e6))
       ex.close()
     }
+  }
+
+  /** Unwrap to the scan-budget guard's message if it is anywhere on
+    * the cause chain (Spark may wrap optimizer-rule exceptions — or
+    * re-wrap keeping only the message text — before they reach the
+    * handler). Bounded walk — cause chains can be cyclic. */
+  private def scanBudgetCause(e: Throwable): Option[String] = {
+    var cur: Throwable = e
+    var depth = 0
+    while (cur != null && depth < 16) {
+      val isGuard = cur.isInstanceOf[graft.plans.ScanBudgetRule.ScanBudgetExceeded] ||
+        Option(cur.getMessage).exists(_.contains("scan budget exceeded"))
+      if (isGuard) return Some(String.valueOf(cur.getMessage))
+      cur = cur.getCause; depth += 1
+    }
+    None
   }
 
   private val auditLock = new Object

@@ -316,21 +316,32 @@ object Streaming {
     * This is how a continuous 100 TB ingest keeps live heavy-hitter
     * counts without ever re-scanning the corpus (parity with the
     * batch sketch over any micro-batch split is locked in
-    * StreamingSpec). */
+    * StreamingSpec).
+    *
+    * The additive merge is NOT replay-idempotent, so replays after a
+    * restart are deduplicated STRUCTURALLY by a [[BatchLedger]] inside
+    * the checkpoint dir (r11 verdict: the discipline was caller
+    * documentation before; now a replayed committed batch is skipped
+    * before `mergePartial` is ever invoked). */
   def cmsSketchStream(
       incoming: DataFrame,
-      checkpointDir: String)(mergePartial: DataFrame => Unit): StreamingQuery =
+      checkpointDir: String)(mergePartial: DataFrame => Unit): StreamingQuery = {
+    val ledger = new BatchLedger(checkpointDir)
     incoming.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
-          mergePartial(graft.queries.TextQueries.cmsPartialOf(batch))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ledger.runOnce(batchId) {
+          if (!batch.isEmpty) {
+            graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
+            mergePartial(graft.queries.TextQueries.cmsPartialOf(batch))
+          }
         }
+        ()
       }
       .start()
+  }
 
   /** Streaming Misra–Gries maintenance — the fourth sketch-merge
     * family (CMS cells ADD, Bloom bits OR, HLL registers MAX, MG
@@ -345,30 +356,39 @@ object Streaming {
     * idempotent OR/MAX merges, MG's merge is NOT replay-idempotent —
     * re-merging a batch ADDS its counts again, pushing standing counts
     * ABOVE true frequencies (the overcount direction the algorithm
-    * never produces). foreachBatch is at-least-once, so the callback
-    * receives the BATCH ID and the caller must skip already-absorbed
-    * ids (the `batchId > lastCommitted()` discipline
-    * [[corpusIngestStream]] documents); the checkpoint only
-    * deduplicates batches whose epoch committed. */
+    * never produces). foreachBatch is at-least-once, so replays are
+    * deduplicated STRUCTURALLY: a [[BatchLedger]] inside the
+    * checkpoint dir skips already-committed batch ids BEFORE the
+    * caller's merge runs (r11 ADVICE — previously this was a
+    * documented caller obligation, so a caller omitting the check
+    * silently overcounted). The callback keeps the batch id for
+    * observability/audit; it no longer carries the dedup burden.
+    * StreamingSpec proves a restart-replayed batch does not inflate
+    * the standing counts. */
   def mgSummaryStream(
       incoming: DataFrame,
       checkpointDir: String,
-      k: Int)(mergePartial: (Long, Map[String, Long]) => Unit): StreamingQuery =
+      k: Int)(mergePartial: (Long, Map[String, Long]) => Unit): StreamingQuery = {
+    val ledger = new BatchLedger(checkpointDir)
     incoming.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          graft.functions.GraftFunctions.ensureMgTopk(batch.sparkSession)
-          val row = batch
-            .select(explode(split(col("text"), " ")).as("term"))
-            .agg(expr(s"mg_topk(term, $k)")).collect()(0)
-          mergePartial(batchId, row.getSeq[org.apache.spark.sql.Row](0)
-            .map(r => r.getString(0) -> r.getLong(1)).toMap)
+        ledger.runOnce(batchId) {
+          if (!batch.isEmpty) {
+            graft.functions.GraftFunctions.ensureMgTopk(batch.sparkSession)
+            val row = batch
+              .select(explode(split(col("text"), " ")).as("term"))
+              .agg(expr(s"mg_topk(term, $k)")).collect()(0)
+            mergePartial(batchId, row.getSeq[org.apache.spark.sql.Row](0)
+              .map(r => r.getString(0) -> r.getLong(1)).toMap)
+          }
         }
+        ()
       }
       .start()
+  }
 
   /** Streaming Bloom-bitmap maintenance — the decontamination mate of
     * [[cmsSketchStream]]: as new benchmark/eval documents arrive, each
@@ -492,9 +512,10 @@ object Streaming {
     *
     * Replay safety: foreachBatch REPLAYS a batch whose commit didn't
     * reach the streaming checkpoint, and `refreshAppend` is not
-    * idempotent — a marker file recording the last fully-committed
-    * batch id (written AFTER both appends) makes a completed batch's
-    * replay a no-op. The two appends commit INDEX FIRST, deliberately:
+    * idempotent — a [[BatchLedger]] marker recording the last
+    * fully-committed batch id (written AFTER both appends) makes a
+    * completed batch's replay a no-op. The two appends commit INDEX
+    * FIRST, deliberately:
     * a crash between them leaves "ghost" bands whose docs never
     * reached the corpus, and the replay self-heals — ghost candidates
     * cannot pass the exact verify (matchesVsCorpus inner-joins the
@@ -510,40 +531,36 @@ object Streaming {
       corpus: SnapshotTable,
       index: SnapshotTable,
       checkpointDir: String): StreamingQuery = {
-    val marker = java.nio.file.Paths.get(checkpointDir, "graft-ingest-committed")
-    def lastCommitted(): Long =
-      if (java.nio.file.Files.exists(marker))
-        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim.toLong
-      else -1L
+    val ledger = new BatchLedger(checkpointDir, "graft-ingest-committed")
     incoming.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (batchId > lastCommitted() && !batch.isEmpty) {
-          graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
-          // small per batch; three consumers (match, anti-join, bands)
-          val docs = batch.localCheckpoint(true)
-          val sh = graft.queries.TextQueries.shingleSetsOf(docs)
-          // cold start: an unseeded table pair has nothing to match
-          // against — the first batch IS the corpus
-          val survivors = (if (index.currentSnapshotId.isEmpty ||
-              corpus.currentSnapshotId.isEmpty) docs
-            else {
-              val losers = graft.queries.CorpusOpsQueries
-                .matchesVsCorpus(sh, index.read(), corpus.read())
-                .select(col("incoming_id").as("doc_id"))
-              docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
-            }).localCheckpoint(true)
-          if (!survivors.isEmpty) {
-            index.refreshAppend(graft.queries.TextQueries.bandIndexOf(
-              graft.queries.TextQueries.shingleSetsOf(survivors)))
-            corpus.refreshAppend(survivors)
+        ledger.runOnce(batchId) {
+          if (!batch.isEmpty) {
+            graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
+            // small per batch; three consumers (match, anti-join, bands)
+            val docs = batch.localCheckpoint(true)
+            val sh = graft.queries.TextQueries.shingleSetsOf(docs)
+            // cold start: an unseeded table pair has nothing to match
+            // against — the first batch IS the corpus
+            val survivors = (if (index.currentSnapshotId.isEmpty ||
+                corpus.currentSnapshotId.isEmpty) docs
+              else {
+                val losers = graft.queries.CorpusOpsQueries
+                  .matchesVsCorpus(sh, index.read(), corpus.read())
+                  .select(col("incoming_id").as("doc_id"))
+                docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
+              }).localCheckpoint(true)
+            if (!survivors.isEmpty) {
+              index.refreshAppend(graft.queries.TextQueries.bandIndexOf(
+                graft.queries.TextQueries.shingleSetsOf(survivors)))
+              corpus.refreshAppend(survivors)
+            }
           }
-          java.nio.file.Files.write(marker,
-            batchId.toString.getBytes("UTF-8"))
-          ()
         }
+        ()
       }
       .start()
   }

@@ -86,6 +86,50 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plain.length == 1000)
   }
 
+  test("advisor flips the physical plan both ways, result identical (r11 #2)") {
+    val ss = spark
+    import ss.implicits._
+    val dim = (0L until 50L).map(i => (i, s"attr$i")).toDF("dk", "attr")
+
+    // hot corpus: one key carries 80% of rows (~40× the mean) — the
+    // ≥4×-mean trigger fires and the salted path must appear in the plan
+    val hot = ((1 to 800).map(_ => 7L) ++ (1 to 200).map(i => (i % 40).toLong))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "row_id")
+    val hotCounts = hot.groupBy("k").agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    val hotAdvice = SkewJoin.advise(hotCounts)
+    assert(hotAdvice.salt, s"hot corpus must trigger salting: $hotAdvice")
+    assert(hotAdvice.xMeanMilli >= 4000, s"ratio should be >=4x: $hotAdvice")
+    val hotJoin = SkewJoin.adaptiveJoin(hot, dim, "k", "dk", hotCounts, factor = 4)
+    assert(hotJoin.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "hot path must be the salted join")
+
+    // uniform corpus: max == mean — plain path, no salt machinery, no
+    // factor-times dim replication
+    val flat = (1 to 1000).map(i => ((i % 40).toLong, i.toLong)).toDF("k", "row_id")
+    val flatCounts = flat.groupBy("k").agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    val flatAdvice = SkewJoin.advise(flatCounts)
+    assert(!flatAdvice.salt, s"uniform corpus must not salt: $flatAdvice")
+    val flatJoin = SkewJoin.adaptiveJoin(flat, dim, "k", "dk", flatCounts, factor = 4)
+    assert(!flatJoin.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "uniform path must be the plain join")
+
+    // hash-green either way: both routes equal the plain equi-join
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("row_id", "attr").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rows(hotJoin) == rows(hot.join(dim, $"k" === $"dk")))
+    assert(rows(flatJoin) == rows(flat.join(dim, $"k" === $"dk")))
+
+    // degenerate: an empty key-count frame advises plain (zero rows to
+    // skew), and the advice carries zeroed diagnostics
+    val empty = SkewJoin.advise(hotCounts.filter($"cnt" < 0))
+    assert(!empty.salt && empty.total == 0L && empty.xMeanMilli == 0L)
+  }
+
   test("key histogram surfaces the heavy hitter") {
     val ss = spark
     import ss.implicits._

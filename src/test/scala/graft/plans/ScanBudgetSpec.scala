@@ -56,7 +56,7 @@ class ScanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(msg.contains("scan budget exceeded") &&
         msg.contains("localCheckpoint"),
         s"wrong error: $e")
-    } finally spark.conf.set(ScanBudgetRule.ConfKey, "0")
+    } finally spark.conf.unset(ScanBudgetRule.ConfKey)
   }
 
   test("re-scans hiding inside subquery expressions count against the budget") {
@@ -73,12 +73,55 @@ class ScanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
       val msg = Option(e.getMessage).getOrElse("") +
         Option(e.getCause).map(_.getMessage).getOrElse("")
       assert(msg.contains("scan budget exceeded"), s"wrong error: $e")
-    } finally spark.conf.set(ScanBudgetRule.ConfKey, "0")
+    } finally spark.conf.unset(ScanBudgetRule.ConfKey)
     assert(graft.Tables.sql(spark, sf, sql).collect().nonEmpty)
   }
 
-  test("the same query passes with the guard off (default)") {
+  test("the same query passes with the guard off (key unset = inert rule)") {
+    // NOTE: since r12 the guard is DEFAULT-ON for library-built
+    // sessions (GraftSession sets the key to 4; GraftBootstrap.serve
+    // sets it on budget-less serving sessions) — but the rule itself
+    // stays inert when the key is absent, so embedding the extensions
+    // into a foreign session never changes that session's behavior
+    // uninvited. This spec's session is such a foreign session.
+    assert(spark.conf.getOption(ScanBudgetRule.ConfKey).isEmpty)
     assert(graft.Tables.sql(spark, sf, inliningSql).collect().length == 5)
+  }
+
+  test("partition-pruned slices are distinct scans; identical slices still accumulate") {
+    // the served-ANN shape: one cell-partitioned relation read by many
+    // branches, each pruned to its own `cell IN (…)` slice — sanctioned
+    // at any branch count. The same slice repeated must still count.
+    val ss = spark
+    import ss.implicits._
+    val root = java.nio.file.Files.createTempDirectory("budget_part").toString
+    (0 until 100).map(i => (i.toLong, i % 8, s"p$i")).toDF("id", "cell", "payload")
+      .write.partitionBy("cell").parquet(s"$root/t")
+    def slice(c: Int) = spark.read.parquet(s"$root/t").filter($"cell" === c)
+    spark.conf.set(ScanBudgetRule.ConfKey, "3")
+    try {
+      // six DISTINCT slices union — passes under budget 3
+      val six = (0 until 6).map(slice).reduce(_ unionByName _)
+      assert(six.count() > 0)
+      // the SAME slice four times — identical partition predicate, so
+      // the occurrences accumulate and the budget fires
+      val same = (0 until 4).map(_ => slice(5)).reduce(_ unionByName _)
+      val e = intercept[Throwable] { same.count() }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("scan budget exceeded"), s"wrong error: $e")
+      // an UNPARTITIONED relation gets no slice exemption from its
+      // data filters: four differently-filtered scans still accumulate
+      (0 until 100).map(i => (i.toLong, s"q$i")).toDF("id", "payload")
+        .write.parquet(s"$root/flat")
+      val flat = (0 until 4)
+        .map(c => spark.read.parquet(s"$root/flat").filter($"id" % 8 === c))
+        .reduce(_ unionByName _)
+      val e2 = intercept[Throwable] { flat.count() }
+      val msg2 = Option(e2.getMessage).getOrElse("") +
+        Option(e2.getCause).map(_.getMessage).getOrElse("")
+      assert(msg2.contains("scan budget exceeded"), s"wrong error: $e2")
+    } finally spark.conf.unset(ScanBudgetRule.ConfKey)
   }
 
   test("the memoized library build passes under the same budget") {
@@ -90,6 +133,6 @@ class ScanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
       val rows = graft.SparkEntry.queries("kl_divergence_sources")(spark, sf)
         .collect()
       assert(rows.nonEmpty)
-    } finally spark.conf.set(ScanBudgetRule.ConfKey, "0")
+    } finally spark.conf.unset(ScanBudgetRule.ConfKey)
   }
 }

@@ -1052,6 +1052,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
         s"$q per-term top-10 lost group-limit pruning:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q plan degraded:\n$p")
+      // both evals rank the ONE checkpointed scored frame (bm25TermDoc)
+      // — zero documents FileScans in the served plan. nDCG's pure-SQL
+      // spelling re-scanned documents 8× (twin rankings inlined the
+      // scoring CTE) and was the first live ScanBudgetRule catch.
+      assert(corpusScans(p, "text#") == 0, s"$q re-scans documents:\n$p")
     }
   }
 

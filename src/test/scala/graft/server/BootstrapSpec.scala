@@ -329,4 +329,72 @@ class BootstrapSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"Bearer $h.$pBad.${enc.encodeToString(sig2.sign())}").statusCode() == 401)
     } finally srv.stop()
   }
+
+  test("serving scan budget is default-on: a 5x-rescan endpoint gets the directed 422") {
+    val key = graft.plans.ScanBudgetRule.ConfKey
+    val root = Files.createTempDirectory("graft_budget_project")
+    val sqls = Files.createDirectory(root.resolve("sqls"))
+    Files.writeString(root.resolve("project.yaml"),
+      """project-name: budget-test
+        |template:
+        |  path: './sqls'
+        |connections:
+        |  customers-parquet:
+        |    properties:
+        |      path: '/root/testdata/sf0.001/customer.parquet'
+        |""".stripMargin)
+    // user-authored endpoint SQL re-scanning one relation 5 times —
+    // exactly the input class the rule exists to guard
+    val rescanRef = "SELECT c_custkey FROM read_parquet('{{conn.path}}')"
+    Files.writeString(sqls.resolve("rescan.yaml"),
+      """url-path: /rescan
+        |template-source: rescan.sql
+        |with-pagination: "false"
+        |""".stripMargin)
+    Files.writeString(sqls.resolve("rescan.sql"),
+      s"""SELECT count(*) AS n FROM (
+         |$rescanRef UNION ALL $rescanRef UNION ALL $rescanRef
+         |UNION ALL $rescanRef UNION ALL $rescanRef) u""".stripMargin)
+    Files.writeString(sqls.resolve("ok.yaml"),
+      """url-path: /ok
+        |template-source: ok.sql
+        |with-pagination: "false"
+        |""".stripMargin)
+    Files.writeString(sqls.resolve("ok.sql"),
+      "SELECT c_custkey FROM read_parquet('{{conn.path}}') ORDER BY c_custkey LIMIT 3")
+
+    def http(base: String, path: String): HttpResponse[String] = client.send(
+      HttpRequest.newBuilder(URI.create(base + path)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+    // a session arriving WITHOUT the key gets the shipped default
+    spark.conf.unset(key)
+    val srv = GraftBootstrap.serve(spark, root.resolve("project.yaml").toString)
+    try {
+      assert(spark.conf.get(key) ==
+        graft.plans.ScanBudgetRule.DefaultBudget.toString)
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val bad = http(base, "/rescan")
+      assert(bad.statusCode() == 422, s"${bad.statusCode()} ${bad.body()}")
+      assert(bad.body().contains("scan_budget_exceeded") &&
+        bad.body().contains("scanned 5 times") &&
+        bad.body().contains("customer.parquet"), bad.body())
+      // well-behaved endpoints serve normally under the same budget
+      val ok = http(base, "/ok")
+      assert(ok.statusCode() == 200, ok.body())
+      assert(mapper.readTree(ok.body()).size() == 3)
+    } finally srv.stop()
+
+    // a deployment's explicit setting — including 0 = off — is respected
+    spark.conf.set(key, "0")
+    val srv2 = GraftBootstrap.serve(spark, root.resolve("project.yaml").toString)
+    try {
+      assert(spark.conf.get(key) == "0")
+      val r = http(s"http://127.0.0.1:${srv2.boundPort}", "/rescan")
+      assert(r.statusCode() == 200, s"${r.statusCode()} ${r.body()}")
+    } finally {
+      srv2.stop()
+      spark.conf.unset(key)
+    }
+  }
 }

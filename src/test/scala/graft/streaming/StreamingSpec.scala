@@ -656,16 +656,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val K = 64
     val standing = scala.collection.mutable.HashMap.empty[String, Long]
     var batches = 0
-    var lastCommitted = -1L
+    // NO caller-side replay discipline: the BatchLedger inside the
+    // stream owns it now (the replay test below proves it)
     val q = graft.streaming.Streaming.mgSummaryStream(stream, s"$tmp/ck", K) {
-      (batchId, part) =>
-        // the at-least-once discipline the signature exists for: a
-        // replayed id must NOT re-add its counts (MG merge is additive)
-        if (batchId > lastCommitted) {
-          batches += 1
-          graft.functions.MisraGriesTopK.mergeInto(standing, part, K)
-          lastCommitted = batchId
-        }
+      (_, part) =>
+        batches += 1
+        graft.functions.MisraGriesTopK.mergeInto(standing, part, K)
     }
     try assert(q.awaitTermination(180000), "AvailableNow did not finish")
     finally if (q.isActive) q.stop()
@@ -685,6 +681,70 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(c <= exact(t), s"$t overcounted")
       assert(exact(t) - c <= n / (K + 1), s"$t undercount breaks the bound")
     }
+  }
+
+  test("MG stream replay after restart does not inflate standing counts (BatchLedger)") {
+    val dir = "/root/testdata/sf0.001"
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").limit(200)
+    val tmp = Files.createTempDirectory("mg_replay")
+    docs.repartition(3).write.parquet(s"$tmp/incoming")
+    def mkStream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/incoming")
+    val K = 32
+    val standing = scala.collection.mutable.HashMap.empty[String, Long]
+    var merges = 0
+    def run(): Unit = {
+      val q = graft.streaming.Streaming.mgSummaryStream(mkStream(), s"$tmp/ck", K) {
+        (_, part) =>
+          merges += 1
+          graft.functions.MisraGriesTopK.mergeInto(standing, part, K)
+      }
+      try assert(q.awaitTermination(180000), "AvailableNow did not finish")
+      finally {
+        q.stop()
+        // checkpoint-path registration clears asynchronously after
+        // termination — wait it out or the restart trips Spark's
+        // concurrent-checkpoint-use check
+        val deadline = System.nanoTime() + 30000000000L
+        while (spark.streams.active.exists(_.id == q.id) &&
+            System.nanoTime() < deadline) Thread.sleep(100)
+      }
+    }
+    run()
+    val firstMerges = merges
+    assert(firstMerges >= 3)
+    val snapshot = standing.toMap
+
+    // simulate the at-least-once crash window: the LAST batch's merge
+    // ran (ledger committed it) but its epoch never reached the
+    // streaming commit log — delete the highest commit file so the
+    // restart re-delivers that batch
+    val commits = java.nio.file.Paths.get(s"$tmp/ck/commits")
+    val files = java.nio.file.Files.list(commits).iterator()
+    var latest: java.nio.file.Path = null
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getFileName.toString.forall(_.isDigit) &&
+          (latest == null ||
+            f.getFileName.toString.toLong > latest.getFileName.toString.toLong))
+        latest = f
+    }
+    assert(latest != null, "no commit files found in the checkpoint")
+    java.nio.file.Files.delete(latest)
+    // the local FS keeps a checksum shadow per entry — remove it too or
+    // the replay's re-commit rename trips FileAlreadyExists on the crc
+    java.nio.file.Files.deleteIfExists(
+      latest.resolveSibling("." + latest.getFileName.toString + ".crc"))
+
+    // restart from the same checkpoint: Spark REPLAYS the uncommitted
+    // batch into foreachBatch, and the ledger must skip it before the
+    // merge callback ever fires — standing counts stay exactly put
+    run()
+    assert(merges == firstMerges,
+      s"replayed batch reached the merge callback ($merges != $firstMerges)")
+    assert(standing.toMap == snapshot, "standing MG counts inflated on replay")
   }
 
   test("streaming cms partials sum to the batch sketch over any micro-batch split") {
