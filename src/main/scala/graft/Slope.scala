@@ -154,7 +154,11 @@ object Slope {
     // (the whole point — the vocabulary table never materializes), and
     // pass 2's exact count only sees candidate tokens; a regression to
     // a full (term, count) shuffle would show in the ratio
-    "mg_heavy_terms")
+    "mg_heavy_terms",
+    // r12: per-GROUP exact order statistics — one global range
+    // exchange ranks (source, n_tokens, doc_id); a regression to a
+    // partitioned window would put a skewed source on one reducer
+    "token_quantiles_by_source")
 
   val MaxRatio = 15.0
   val OverheadFloorSec = 0.3

@@ -1451,6 +1451,48 @@ object EventQueries extends QuerySet {
           expr("CAST(top5 * 1000000 div join_rows_d AS BIGINT)").as("top5_share_ppm"))
     })
 
+  // ---- ev31: CUSUM change-point detection ---------------------------------
+  // The rate-shift monitor (Page 1954) run on ingestion/event streams
+  // before trusting any windowed statistic: one-sided CUSUM over
+  // hourly counts, S_i = max(0, S_{i-1} + (n_i − μ)). The max-recursion
+  // is NOT a prefix sum — but the classic identity S_i = P_i −
+  // min(0, min_{j≤i} P_j) over the centered prefix P turns it into two
+  // scans, and CENTERING is exact by cross-multiplication: dev_i =
+  // n_hours·cum_i − total·i (all integers; μ = total/n_hours never
+  // divides). Peak location, peak value, the excess share in exact ppm
+  // (DECIMAL(38,0)/HUGEINT hoist — S·10⁶ clears BIGINT at corpus
+  // rates), and a deterministic detection rule (peak > 24·total ⟺
+  // excess events > 24 hourly means) — all integer-exact, honestly
+  // FALSE on this steady synthetic corpus.
+  //
+  // 100 TB shape: the only corpus-sized work is ONE hour-keyed
+  // partial-combining count; everything after runs on the
+  // TIME-cardinality frame (720 rows/month — the ev23 rule: windows
+  // over type/time cardinality, never corpus rows).
+  private def cusumSql(big: String, idiv: String) =
+    s"""WITH h AS (SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS n
+       |           FROM events GROUP BY date_trunc('hour', ts)),
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS n_hours, CAST(sum(n) AS BIGINT) AS total FROM h),
+       |p AS (SELECT hr, n, CAST(sum(n) OVER (ORDER BY hr) AS BIGINT) AS cum,
+       |             CAST(row_number() OVER (ORDER BY hr) AS BIGINT) AS i FROM h),
+       |s AS (SELECT p.hr, p.i, g.n_hours * p.cum - g.total * p.i AS dev
+       |      FROM p CROSS JOIN g),
+       |c AS (SELECT hr, i, dev,
+       |        dev - least(CAST(0 AS BIGINT),
+       |                    min(dev) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+       |                                   AND CURRENT ROW)) AS cusum
+       |      FROM s)
+       |SELECT g.n_hours, g.total, c.hr AS peak_hr, c.cusum AS cusum_peak,
+       |  CAST(CAST(c.cusum AS $big) * 1000000 $idiv (g.n_hours * g.total) AS BIGINT)
+       |    AS excess_ppm,
+       |  c.cusum > 24 * g.total AS detected
+       |FROM c CROSS JOIN g ORDER BY c.cusum DESC, c.hr LIMIT 1""".stripMargin
+
+  private val cusumChangepoint = QueryDef(
+    "ev31_cusum_changepoint",
+    Some(cusumSql("HUGEINT", "//")),
+    (s, dir) => Tables.sql(s, dir, cusumSql("DECIMAL(38,0)", "div")))
+
   // ---- ev30: Misra–Gries heavy hitters (verified two-pass) ---------------
   // The deterministic-guarantee heavy-hitters protocol on the native
   // [[graft.functions.MisraGriesTopK]] aggregate: pass 1 builds
@@ -1615,5 +1657,5 @@ object EventQueries extends QuerySet {
       twa, sessionPaths, pointInTime, abAssign, stickiness, cohortLtv,
       timeToConvert, userEntropy, madOutliers, skewProfile, psiDrift, srmCheck,
       liftBootstrap, ksTwoSample, exactQuantiles, equidepth, joinSizeEstimate,
-      mgHeavyHitters)
+      mgHeavyHitters, cusumChangepoint)
 }

@@ -102,6 +102,30 @@ class InferenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(los.zip(los.tail).forall { case (x, y) => x <= y })
   }
 
+  test("per-source exact quantiles equal a per-group driver sort") {
+    // the group-contiguous-rank trick (one global rank, in-group rank
+    // = rk − min(rk)+1) must reproduce a literal per-group sort
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").length.toLong))
+    val bySource = docs.groupBy(_._1).map { case (src, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val n = sorted.length.toLong
+      def kth(p: Long): Long = sorted(((p * n + 99) / 100 - 1).toInt)
+      src -> ((n, kth(50), kth(95)))
+    }
+    val rows = SparkEntry.queries("token_quantiles_by_source")(spark, sf).collect()
+    assert(rows.length == bySource.size)
+    rows.foreach { r =>
+      val (n, p50, p95) = bySource(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("p50_tokens") == p50,
+        s"${r.getAs[String]("source")}: p50 diverges from the driver sort")
+      assert(r.getAs[Long]("p95_tokens") == p95,
+        s"${r.getAs[String]("source")}: p95 diverges from the driver sort")
+    }
+  }
+
   test("nDCG is bounded by 1 and the ideal ranking dominates the served one") {
     val rows = SparkEntry.queries("retrieval_eval_ndcg")(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -112,6 +136,48 @@ class InferenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ndcg >= 0 && ndcg <= 1000000L)
       assert(ndcg == dcg * 1000000L / idcg)
     }
+  }
+
+  test("CUSUM identity equals the max-recursion; planted shift detected, peak matches") {
+    // the prefix-minus-running-min identity the query rides vs the
+    // textbook recursion S_i = max(0, S_{i-1} + (H·n_i − total)),
+    // in the same cross-multiplied integer units
+    def direct(ns: Seq[Long]): Seq[Long] = {
+      val h = ns.length.toLong
+      val total = ns.sum
+      ns.scanLeft(0L)((s, n) => math.max(0L, s + h * n - total)).tail
+    }
+    def viaIdentity(ns: Seq[Long]): Seq[Long] = {
+      val h = ns.length.toLong
+      val total = ns.sum
+      val prefix = ns.scanLeft(0L)(_ + _).tail.zipWithIndex
+        .map { case (cum, i) => h * cum - total * (i + 1) }
+      prefix.zipWithIndex.map { case (p, i) =>
+        p - math.min(0L, prefix.take(i + 1).min) }
+    }
+    // planted 10× rate shift in the last quarter
+    val planted = Seq.fill(75)(10L) ++ Seq.fill(25)(100L)
+    assert(direct(planted) == viaIdentity(planted), "identity diverges")
+    val s = direct(planted)
+    assert(s.max > 24 * planted.sum, "planted shift must trip the detection rule")
+    assert(s.indexOf(s.max) >= 75, "peak must land after the shift")
+    // steady series: no detection
+    val steady = Seq.fill(100)(10L)
+    assert(direct(steady).max <= 24 * steady.sum)
+
+    // live replay: the gated query's peak equals the driver recursion
+    // (events via Tables.table — the raw parquet ts is TIMESTAMP(NANOS)
+    // read as long under nanosAsLong; register normalizes it)
+    val hours = graft.Tables.table(spark, sf, "events")
+      .groupBy(org.apache.spark.sql.functions.date_trunc("hour",
+        org.apache.spark.sql.functions.col("ts")).as("hr"))
+      .count().orderBy("hr").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)))
+    val cus = direct(hours.map(_._2).toSeq)
+    val peakIdx = cus.indexOf(cus.max)
+    val row = SparkEntry.queries("ev31_cusum_changepoint")(spark, sf).collect()(0)
+    assert(row.getAs[Long]("cusum_peak") == cus.max)
+    assert(row.getAs[java.sql.Timestamp]("peak_hr") == hours(peakIdx)._1)
   }
 
   test("privacy audit output carries no sensitive value and partitions the table") {

@@ -116,11 +116,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("md5"), s"hash-bucket weight kernel missing:\n$p")
   }
 
-  test("dup-span grams shuffle as md5 keys with map-side combine, never raw text") {
+  test("dup-span rollups read the checkpointed duplicate set; one documents scan") {
+    // r12: the (doc_id, gpos) duplicated-position frame is memoized +
+    // checkpointed (the pure pipeline inlined into FIVE documents
+    // scans — a live ScanBudgetRule catch); the served plan re-reads
+    // the standing RDD for both rollups plus ONE documents scan for
+    // the per-doc base. The md5 digest discipline now lives inside
+    // the memoized build (DupSpanSpec-gated semantics unchanged).
     val p = plan("dup_span_stats")
-    assert(p.contains("md5"), s"gram digest key missing — raw 8-grams would shuffle:\n$p")
+    assert(corpusScans(p, "text#") <= 1,
+      s"documents re-scanned past the checkpointed duplicate set:\n$p")
     assert(p.contains("partial_count"),
-      s"occurrence count shuffles raw gram rows instead of partials:\n$p")
+      s"per-doc rollups lost the map-side combine:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"),
       s"dup-span plan degraded:\n$p")
   }
@@ -807,12 +814,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("funnel steps aggregate partially on user_id; no cartesian") {
+  test("funnel steps run on ONE events scan and one user_id exchange") {
+    // r12: the CTE-chain spelling inlined into SIX events scans (a
+    // live ScanBudgetRule catch); the one-pass form filters the three
+    // funnel types map-side and derives t0→t1→t2 as chained unordered
+    // windows over a single user_id partitioning
     val p = plan("ev10_funnel_steps")
-    assert(p.contains("partial_min"),
-      s"step times shuffle raw events without a min combine:\n$p")
-    assert(!p.contains("CartesianProduct"),
-      s"funnel planned a cartesian:\n$p")
+    assert(corpusScans(p, "event_type#") == 1,
+      s"funnel re-scans events per step:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_count"),
+      s"per-user collapse lost the map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"funnel plan degraded:\n$p")
+    // the type filter must reach the scan (map-side, before any window)
+    assert(p.contains("PushedFilters: [In(event_type") ||
+      p.contains("event_type#"), s"funnel type filter not pushed:\n$p")
   }
 
   test("source cap prunes to per-partition top-K before the exchange") {
@@ -1130,6 +1146,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(p.contains("BroadcastNestedLoopJoin"),
         s"$q count row not broadcast:\n$p")
     }
+  }
+
+  test("per-source exact quantiles ride one global rank — no partitioned window") {
+    val p = plan("token_quantiles_by_source")
+    // the (source, n_tokens, doc_id) ranked frame is GlobalRank's
+    // checkpointed two-pass scan, memoized: the served plan reads the
+    // standing RDD — no documents FileScan, and NO Window at all (a
+    // regression to row_number() OVER (PARTITION BY source) puts a
+    // skewed source on a single reducer); the |sources|-row offset
+    // frame broadcasts back
+    assert(corpusScans(p, "text#") == 0, s"documents re-scanned:\n$p")
+    assert(!p.contains("Window"), s"degraded to a partitioned window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"group-offset frame not broadcast:\n$p")
   }
 
   test("RM1 expansion's served pass reads only feedback docs plus the standing vocab") {
