@@ -172,7 +172,7 @@ object Bench {
     // Binary-quantization quality artifact: recall@5 of the Hamming-only
     // top-5 and the exact-reranked top-R shortlist (shipped R=100) vs
     // the true cosine top-5, plus the recall-vs-shortlist curve (the
-    // sign-bit mate of adc_recall_at5; the rerank ≥ hamming dominance
+    // sign-bit mate of adc{4_legacy,8}_recall_at5; the rerank ≥ hamming dominance
     // is the gated theorem in EmbeddingSpec, these are the measured
     // absolute numbers).
     val bin =

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, ExprId, Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -88,20 +88,38 @@ object ScanBudgetRule extends Rule[LogicalPlan] {
     * the same unsliced subtree. */
   private def collectScans(plan: LogicalPlan): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    // And-split a condition into its conjuncts: slice keying must look
+    // at conjuncts INDIVIDUALLY — CombineFilters merges per-consumer
+    // predicates into the partition predicate's And, and keying on the
+    // whole condition would give every re-scan of the same slice a
+    // unique key (a silent bypass of the budget on partitioned tables)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
     def leafKey(fs: HadoopFsRelation, conds: Seq[Expression]): String = {
       val path = fs.location.rootPaths.map(_.toString).sorted.mkString(",")
       val partCols = fs.partitionSchema.fieldNames
         .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-      val partConds = conds.filter(_.references.exists(a =>
-        partCols.contains(a.name.toLowerCase(java.util.Locale.ROOT))))
+      // a conjunct is a SLICE predicate only when it references
+      // partition columns EXCLUSIVELY — a mixed or data-only conjunct
+      // is consumer logic and must not differentiate the key
+      val partConds = conds.flatMap(conjuncts).filter { c =>
+        val refs = c.references.toSeq
+        refs.nonEmpty && refs.forall(a =>
+          partCols.contains(a.name.toLowerCase(java.util.Locale.ROOT)))
+      }
       if (partConds.isEmpty) path
       else {
-        // strip expression ids: every spark.read of the same path mints
-        // fresh attribute ids, so two scans of the SAME slice would
-        // otherwise never collide (and the budget would never fire on
-        // a partitioned relation at all)
+        // normalize expression ids STRUCTURALLY (every spark.read of
+        // the same path mints fresh ids, so identical slices would
+        // never collide) — a rendered-string regex would also mangle
+        // '#digits' inside string-literal partition VALUES and
+        // conflate genuinely distinct slices
         val slices = partConds
-          .map(_.canonicalized.toString.replaceAll("#\\d+", ""))
+          .map(_.transform {
+            case a: AttributeReference => a.withExprId(ExprId(0))
+          }.canonicalized.toString)
           .sorted.mkString("&")
         path + "#" + slices
       }

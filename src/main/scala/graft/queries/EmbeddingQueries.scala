@@ -158,7 +158,7 @@ object EmbeddingQueries extends QuerySet {
   private val IvfProbeIds = Seq(7, 42, 99)
   // ADC/rerank coarse-routing operating point (r9 verdict #6):
   // nprobe=4 of 8 — the prune-half shape; within the probed cells the
-  // PQ rerank restores quality (adc_recall_at5.rerank 0.66 at R=64),
+  // PQ rerank restores quality (adc4_recall_at5_legacy.rerank_r64 0.66 — the PQ8 tier reaches it at R=20, adc8_recall_at5.rerank_r20),
   // so the router can stay narrow. At deployment scale the knob is
   // nprobe/K with K in the thousands.
   private val IvfNProbe = 4
@@ -509,7 +509,7 @@ object EmbeddingQueries extends QuerySet {
     * `sampled`/`trained` are the nprobe=4 DIAGNOSTIC baselines (what
     * Lloyd training buys the router at the ADC family's narrow routing
     * width — the ADC family's own shipped quality is the gated
-    * adc_recall_at5.rerank, not these); the curves sweep nprobe for
+    * adc{4_legacy,8}_recall_at5 rerank rows, not these); the curves sweep nprobe for
     * both quantizers. */
   final case class IvfRecallReport(
       sampled: Double, trained: Double, curve: Seq[(Int, Double)],
@@ -1753,7 +1753,7 @@ object EmbeddingQueries extends QuerySet {
   // both engines derive the identical quantizer from the data, the
   // oracle by unrolling the same two rounds in SQL — at R=64 the
   // trained books buy rerank recall@5 0.66 vs 0.44 for the seed
-  // slices (BENCH adc_recall_at5 curve).
+  // slices (BENCH adc4_recall_at5_legacy curve).
   private val AdcTopK = 5
 
   private val ivfpqAdc = QueryDef(

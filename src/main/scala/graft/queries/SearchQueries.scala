@@ -468,9 +468,17 @@ object SearchQueries extends QuerySet {
   // exact on both sides. Both top-10s keep their `rn <= 10` filters so
   // Catalyst's WindowGroupLimit prunes map-side before the exchange;
   // candidates stay query-term-bound (bm25's map-side term filter).
+  // ONE source of truth for the ten discount integers
+  // round(10⁶/log2(rn+1)) — the oracle's VALUES string and the Spark
+  // side's broadcast frame both derive from it (review catch: a
+  // duplicated literal list would let the engines drift silently)
+  private val NdcgWeights: Seq[(Int, Long)] = Seq(
+    1 -> 1000000L, 2 -> 630930L, 3 -> 500000L, 4 -> 430677L,
+    5 -> 386853L, 6 -> 356207L, 7 -> 333333L, 8 -> 315465L,
+    9 -> 301030L, 10 -> 289065L)
+
   private val ndcgWeights =
-    "(1,1000000),(2,630930),(3,500000),(4,430677),(5,386853)," +
-      "(6,356207),(7,333333),(8,315465),(9,301030),(10,289065)"
+    NdcgWeights.map { case (rn, w) => s"($rn,$w)" }.mkString(",")
 
   private val retrievalNdcg = QueryDef(
     "retrieval_eval_ndcg",
@@ -522,10 +530,7 @@ object SearchQueries extends QuerySet {
       val sc = bm25TermDoc(s, dir).withColumn("gain",
         expr("CASE least(tf, 4) WHEN 0 THEN 0 WHEN 1 THEN 1 " +
           "WHEN 2 THEN 3 WHEN 3 THEN 7 ELSE 15 END"))
-      val wgt = broadcast(Seq(
-        (1, 1000000L), (2, 630930L), (3, 500000L), (4, 430677L),
-        (5, 386853L), (6, 356207L), (7, 333333L), (8, 315465L),
-        (9, 301030L), (10, 289065L)).toDF("rn", "w"))
+      val wgt = broadcast(NdcgWeights.toDF("rn", "w"))
       def top10DcgBy(order: Seq[org.apache.spark.sql.Column], out: String) =
         sc.withColumn("rn",
             row_number().over(Window.partitionBy("term").orderBy(order: _*)))

@@ -1815,6 +1815,28 @@ object TextQueries extends QuerySet {
   private val dupSpanCache =
     new graft.operators.DirMemo[org.apache.spark.sql.DataFrame]()
 
+  /** The dup-span BUILD pipeline (pre-checkpoint), exposed so PlanSpec
+    * can lock its shuffle payload: grams are keyed by md5 DIGEST so
+    * the corpus-wide occurrence count shuffles fixed-width keys, never
+    * raw 8-gram text, and the count is a map-side-combining partial
+    * agg. Duplicate occurrences via count-then-rejoin: the digest agg
+    * and the join both stay in whole-stage-codegen HashAggregate/SMJ.
+    * (A one-shuffle collect_list(struct) spelling was tried and
+    * measured SLOWER — the object-hash aggregate it forces drops the
+    * stage out of codegen, which costs more than the second digest
+    * pass it saves.) */
+  private[graft] def dupPositions(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val g = docs
+      .select(col("doc_id"),
+        posexplode(expr("word_shingles(text, 8)")).as(Seq("gpos", "gram")))
+      .select(col("doc_id"), col("gpos").cast("long").as("gpos"),
+        md5(col("gram")).as("k"))
+    val occ = g.groupBy("k").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1).select("k")
+    g.join(occ, "k").select("doc_id", "gpos")
+  }
+
   private val dupSpans = QueryDef(
     "dup_span_stats",
     Some("""WITH t AS (
@@ -1852,20 +1874,7 @@ object TextQueries extends QuerySet {
       // exists to measure — so checkpointing it is cheap even on
       // boilerplate-heavy corpora.
       val dup = dupSpanCache.getOrElseUpdate(s, dir) {
-        val g = docs
-          .select(col("doc_id"),
-            posexplode(expr("word_shingles(text, 8)")).as(Seq("gpos", "gram")))
-          .select(col("doc_id"), col("gpos").cast("long").as("gpos"),
-            md5(col("gram")).as("k"))
-        // duplicate occurrences via count-then-rejoin: the digest agg and
-        // the join both stay in whole-stage-codegen HashAggregate/SMJ.
-        // (A one-shuffle collect_list(struct) spelling was tried and
-        // measured SLOWER — the object-hash aggregate it forces drops
-        // the stage out of codegen, which costs more than the second
-        // digest pass it saves.)
-        val occ = g.groupBy("k").agg(count(lit(1)).as("occ"))
-          .filter(col("occ") > 1).select("k")
-        g.join(occ, "k").select("doc_id", "gpos").localCheckpoint(true)
+        dupPositions(docs).localCheckpoint(true)
       }
       val dg = dup.groupBy("doc_id").agg(count(lit(1)).as("dup_grams"))
       val cov = dup

@@ -1,6 +1,10 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.EnumSet
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path}
+import org.apache.hadoop.fs.permission.FsPermission
 
 /** Persistent last-committed-batch ledger for foreachBatch sinks whose
   * merge is NOT replay-idempotent (MG summary merge ADDS counts, CMS
@@ -14,9 +18,15 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * it structural: [[runOnce]] skips already-committed ids and records
   * the id AFTER the merge body completes.
   *
-  * The marker lives INSIDE the stream's checkpoint directory, so its
-  * lifecycle (and deletion) rides the checkpoint's. Writes go through
-  * a temp file + atomic move — a crash mid-write leaves the previous
+  * The marker lives INSIDE the stream's checkpoint directory and is
+  * resolved through Hadoop's FileContext — the SAME filesystem layer
+  * the streaming checkpoint itself uses — so an `hdfs://`/`s3a://`
+  * checkpoint carries its ledger next to its offset/commit logs and
+  * the guarantee survives a driver relocation (a java.nio local-path
+  * resolution would silently strand the marker on the old driver's
+  * disk — the r12 review catch). Writes go through a temp file +
+  * `Options.Rename.OVERWRITE` — the atomic-replace recipe Spark's own
+  * CheckpointFileManager uses; a crash mid-write leaves the previous
   * marker intact, never a torn read.
   *
   * Delivery contract: the window narrows from "any replay double-
@@ -34,23 +44,30 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * beyond the path. Batch ids from one streaming query are strictly
   * increasing, so a single high-water mark (not a set) suffices. */
 final class BatchLedger(checkpointDir: String,
-    name: String = "graft-committed") {
-  private val marker = Paths.get(checkpointDir, name)
+    name: String = "graft-committed",
+    hadoopConf: Configuration = new Configuration()) {
+  private val marker = new Path(checkpointDir, name)
+  private val fc = FileContext.getFileContext(marker.toUri, hadoopConf)
 
   /** Highest batch id whose merge body completed, or -1 if none. */
   def lastCommitted(): Long =
-    if (Files.exists(marker))
-      new String(Files.readAllBytes(marker), "UTF-8").trim.toLong
-    else -1L
+    if (!fc.util.exists(marker)) -1L
+    else {
+      val in = fc.open(marker)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
 
   /** Record `batchId` as committed (atomic replace). */
   def commit(batchId: Long): Unit = {
-    Files.createDirectories(marker.getParent)
-    val tmp = marker.resolveSibling(name + ".tmp")
-    Files.write(tmp, batchId.toString.getBytes("UTF-8"))
-    Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    ()
+    val tmp = new Path(marker.getParent, name + ".tmp")
+    val out = fc.create(tmp,
+      EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+      Options.CreateOpts.createParent(),
+      Options.CreateOpts.perms(FsPermission.getFileDefault))
+    try out.write(batchId.toString.getBytes("UTF-8"))
+    finally out.close()
+    fc.rename(tmp, marker, Options.Rename.OVERWRITE)
   }
 
   /** Run `body` iff `batchId` has not committed yet, then commit it.

@@ -326,7 +326,8 @@ object Streaming {
   def cmsSketchStream(
       incoming: DataFrame,
       checkpointDir: String)(mergePartial: DataFrame => Unit): StreamingQuery = {
-    val ledger = new BatchLedger(checkpointDir)
+    val ledger = new BatchLedger(checkpointDir,
+      hadoopConf = incoming.sparkSession.sessionState.newHadoopConf())
     incoming.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -369,7 +370,8 @@ object Streaming {
       incoming: DataFrame,
       checkpointDir: String,
       k: Int)(mergePartial: (Long, Map[String, Long]) => Unit): StreamingQuery = {
-    val ledger = new BatchLedger(checkpointDir)
+    val ledger = new BatchLedger(checkpointDir,
+      hadoopConf = incoming.sparkSession.sessionState.newHadoopConf())
     incoming.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -531,7 +533,8 @@ object Streaming {
       corpus: SnapshotTable,
       index: SnapshotTable,
       checkpointDir: String): StreamingQuery = {
-    val ledger = new BatchLedger(checkpointDir, "graft-ingest-committed")
+    val ledger = new BatchLedger(checkpointDir, "graft-ingest-committed",
+      incoming.sparkSession.sessionState.newHadoopConf())
     incoming.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)

@@ -110,6 +110,18 @@ class ScanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
       val msg = Option(e.getMessage).getOrElse("") +
         Option(e.getCause).map(_.getMessage).getOrElse("")
       assert(msg.contains("scan budget exceeded"), s"wrong error: $e")
+      // mixed-conjunct bypass (review catch): per-consumer DATA
+      // predicates merged into the slice predicate's And must NOT
+      // differentiate the key — four re-scans of slice 5, each with
+      // its own data filter, still accumulate
+      val mixed = (0 until 4)
+        .map(c => slice(5).filter($"id" > c))
+        .reduce(_ unionByName _)
+      val e3 = intercept[Throwable] { mixed.count() }
+      val msg3 = Option(e3.getMessage).getOrElse("") +
+        Option(e3.getCause).map(_.getMessage).getOrElse("")
+      assert(msg3.contains("scan budget exceeded"),
+        s"per-consumer data conjuncts bypassed the slice budget: $e3")
       // an UNPARTITIONED relation gets no slice exemption from its
       // data filters: four differently-filtered scans still accumulate
       (0 until 100).map(i => (i.toLong, s"q$i")).toDF("id", "payload")

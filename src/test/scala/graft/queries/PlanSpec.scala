@@ -130,6 +130,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-doc rollups lost the map-side combine:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"),
       s"dup-span plan degraded:\n$p")
+    // the BUILD pipeline's shuffle-payload lock, now on the exposed
+    // pre-checkpoint frame (the served plan only shows the standing
+    // RDD, so the digest discipline would otherwise be unlockable):
+    // grams shuffle as md5 keys with a map-side combine, never raw text
+    val build = graft.queries.TextQueries
+      .dupPositions(graft.Tables.table(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(build.contains("md5"),
+      s"gram digest key missing — raw 8-grams would shuffle:\n$build")
+    assert(build.contains("partial_count"),
+      s"occurrence count shuffles raw gram rows instead of partials:\n$build")
   }
 
   test("repetition signals stay per-doc keyed (no corpus-wide key, no window)") {
@@ -826,9 +837,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-user collapse lost the map-side combine:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"funnel plan degraded:\n$p")
-    // the type filter must reach the scan (map-side, before any window)
-    assert(p.contains("PushedFilters: [In(event_type") ||
-      p.contains("event_type#"), s"funnel type filter not pushed:\n$p")
+    // the type filter must reach the parquet scan (review catch: an
+    // `|| contains("event_type#")` fallback here was tautological —
+    // the scan-count assert above already guarantees that substring)
+    assert(p.contains("PushedFilters: [In(event_type"),
+      s"funnel type filter not pushed into the scan:\n$p")
   }
 
   test("source cap prunes to per-partition top-K before the exchange") {
