@@ -344,6 +344,67 @@ object Streaming {
       .start()
   }
 
+  /** Incremental materialized-aggregate maintenance — the keyed
+    * rollup generalization of the sketch-merge family: a standing
+    * per-key (n, sum, min, max) table is updated per micro-batch by
+    * MERGING batch partials (counts/sums ADD, min/max MONOTONE) into
+    * the snapshot table, so the serving rollup is always current
+    * WITHOUT ever recomputing over history — the incremental
+    * materialized view every 100 TB metrics pipeline maintains
+    * (recomputing a corpus-wide groupBy per refresh is the thing this
+    * replaces; per batch the work is one batch-sized partial agg plus
+    * a key-cardinality merge, independent of stream length).
+    *
+    * The additive components make the merge NON-idempotent, so replay
+    * dedup is structural via [[BatchLedger]] (the MG/CMS discipline):
+    * a restart-replayed committed batch never re-merges. The merge +
+    * snapshot commit are not one transaction — the residual
+    * crash-between window is the ledger's documented at-least-once
+    * trade. sum rides Spark's exact DECIMAL aggregation over the
+    * cents-quantized value so the standing sums are integer-exact at
+    * any stream length (a double running sum would drift order-
+    * dependently). StreamingSpec proves standing ≡ full recompute over
+    * any micro-batch split AND after a forced replay. */
+  def aggMaintenanceStream(
+      incoming: DataFrame,
+      table: SnapshotTable,
+      checkpointDir: String,
+      keyCol: String = "event_type",
+      valueCol: String = "value"): StreamingQuery = {
+    val ledger = new BatchLedger(checkpointDir,
+      hadoopConf = incoming.sparkSession.sessionState.newHadoopConf())
+    def partials(df: DataFrame) = df
+      .select(col(keyCol).as("k"),
+        expr(s"CAST(round($valueCol * 100) AS BIGINT)").as("cents"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+    incoming.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ledger.runOnce(batchId) {
+          if (!batch.isEmpty) {
+            val p = partials(batch)
+            val merged =
+              if (table.currentSnapshotId.isEmpty) p
+              else table.read().unionByName(p)
+                .groupBy("k")
+                .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"),
+                  min("min_cents").as("min_cents"),
+                  max("max_cents").as("max_cents"))
+            // key-cardinality frame; localCheckpoint breaks the plan's
+            // dependence on the table dir being rewritten underneath
+            table.refreshFull(merged.localCheckpoint(true))
+            ()
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming Misra–Gries maintenance — the fourth sketch-merge
     * family (CMS cells ADD, Bloom bits OR, HLL registers MAX, MG
     * summaries MERGE): each micro-batch's k-entry token summary (the

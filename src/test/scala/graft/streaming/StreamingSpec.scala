@@ -3,6 +3,8 @@ package graft.streaming
 import java.nio.file.Files
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -745,6 +747,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merges == firstMerges,
       s"replayed batch reached the merge callback ($merges != $firstMerges)")
     assert(standing.toMap == snapshot, "standing MG counts inflated on replay")
+  }
+
+  test("agg maintenance equals full recompute over any split; replay does not inflate") {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.Tables.table(spark, dir, "events")
+      .select("event_type", "value").filter(col("event_type").isNotNull)
+    val tmp = Files.createTempDirectory("agg_maint")
+    events.repartition(3).write.parquet(s"$tmp/incoming")
+    def mkStream() = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/incoming").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/incoming")
+    val table = new SnapshotTable(spark, s"$tmp/wh", "agg_maint")
+    def run(): Unit = {
+      val q = graft.streaming.Streaming.aggMaintenanceStream(
+        mkStream(), table, s"$tmp/ck")
+      try assert(q.awaitTermination(180000), "AvailableNow did not finish")
+      finally {
+        q.stop()
+        val deadline = System.nanoTime() + 30000000000L
+        while (spark.streams.active.exists(_.id == q.id) &&
+            System.nanoTime() < deadline) Thread.sleep(100)
+      }
+    }
+    run()
+    def standing() = table.read()
+      .select("k", "n", "sum_cents", "min_cents", "max_cents").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    // the incremental standing table ≡ one full recompute over history
+    val expected = events
+      .select(col("event_type").as("k"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+        min("cents").as("mn"), max("cents").as("mx"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(standing() == expected, "standing table diverges from full recompute")
+
+    // forced replay (delete the newest commit-log entry + its crc
+    // shadow): the additive merge must not double-count — BatchLedger
+    // skips the committed batch before the merge runs
+    val commits = java.nio.file.Paths.get(s"$tmp/ck/commits")
+    val latest = java.nio.file.Files.list(commits).iterator().asScala
+      .filter(_.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    java.nio.file.Files.delete(latest)
+    java.nio.file.Files.deleteIfExists(
+      latest.resolveSibling("." + latest.getFileName.toString + ".crc"))
+    run()
+    assert(standing() == expected, "replayed batch inflated the standing rollup")
   }
 
   test("streaming cms partials sum to the batch sketch over any micro-batch split") {
