@@ -39,6 +39,14 @@ object ScanBudgetRule extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.graft.scanBudget.max"
 
+  /** `fail` (default) throws the directed error; `warn` logs it and
+    * lets the plan run — the migration mode for a deployment upgrading
+    * onto the default-on budget with pre-existing endpoint SQL it has
+    * not yet checkpointed (observe violations in the logs first, flip
+    * to fail once clean). Any other value reads as `fail` — the guard
+    * never silently disables through a typo. */
+  val ModeKey = "spark.graft.scanBudget.mode"
+
   /** The shipped default (r11 verdict #1: the rule existed but shipped
     * dark at 0=off). 4 clears every sanctioned multi-reference shape in
     * the gate — self-joins (2), per-probe pruned ANN branches (3), the
@@ -56,15 +64,21 @@ object ScanBudgetRule extends Rule[LogicalPlan] {
       try SQLConf.get.getConfString(ConfKey, "0").toInt
       catch { case _: NumberFormatException => 0 }
     if (max > 0) {
+      val warnOnly =
+        SQLConf.get.getConfString(ModeKey, "fail").trim
+          .equalsIgnoreCase("warn")
       val scans = collectScans(plan)
       scans.groupBy(identity).foreach { case (path, hits) =>
-        if (hits.size > max)
-          throw new ScanBudgetExceeded(
+        if (hits.size > max) {
+          val msg =
             s"scan budget exceeded: relation [$path] is scanned " +
               s"${hits.size} times in one query (budget $ConfKey=$max). " +
               "Spark inlines CTEs, so each reference re-executes the " +
               "subtree — localCheckpoint the shared intermediate (see " +
-              "graft.operators.SessionMemo/DirMemo) or raise the budget.")
+              "graft.operators.SessionMemo/DirMemo) or raise the budget."
+          if (warnOnly) logWarning(msg)
+          else throw new ScanBudgetExceeded(msg)
+        }
       }
     }
     plan

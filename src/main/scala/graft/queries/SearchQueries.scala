@@ -71,30 +71,14 @@ object SearchQueries extends QuerySet {
     })
 
   /** All-doc BM25 scores for [[Terms]] — the shared prelude of the
-    * top-k query and the hybrid fusion below. */
-  private def bm25Scores(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val docs = Tables.table(s, dir, "documents")
-    val dl = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("dl"))
-    val n = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
-    val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term").isin(Terms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(n))
-      // identical parenthesization to the oracle — the doubles must
-      // take the same IEEE path in both engines before the round
-      .select(col("doc_id"), expr(
-        """CAST(round(ln(1.0D + (n - df + 0.5D) / (df + 0.5D)) *
-          |           (tf * 2.2D) /
-          |           (tf + 1.2D * (0.25D + 0.75D * dl /
-          |                         (CAST(tot AS DOUBLE) / n))) *
-          |           1000000.0D, 0) AS BIGINT)""".stripMargin).as("m"))
+    * top-k query and the hybrid fusion below. Since r12 this is a
+    * doc-keyed rollup of the CHECKPOINTED per-(term, doc) scored frame
+    * (bm25TermDoc — identical m arithmetic, proven hash-equal through
+    * the MRR/nDCG gates), so the sparse ranking arm re-reads a
+    * standing RDD instead of re-tokenizing the corpus per query. */
+  private def bm25Scores(s: org.apache.spark.sql.SparkSession, dir: String) =
+    bm25TermDoc(s, dir)
       .groupBy("doc_id").agg(sum(col("m")).as("score_micro"))
-  }
 
   // ---- inverted-index postings --------------------------------------------
   // The index-build side of lexical search: per term, document
@@ -360,24 +344,33 @@ object SearchQueries extends QuerySet {
             |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
             |       doc_id, score_micro
             |FROM sc ORDER BY rank LIMIT 10""".stripMargin),
-    (s, dir) => Tables.sql(s, dir,
-      s"""WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
-         |dl AS (SELECT doc_id, CAST(size(w) AS BIGINT) AS dl FROM t),
-         |n AS (SELECT CAST(sum(dl) AS BIGINT) AS tot FROM dl),
-         |ctf AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM (
-         |  SELECT explode(w) AS term FROM t) WHERE term IN ($TermsSql) GROUP BY term),
-         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
-         |  SELECT doc_id, explode(w) AS term FROM t) WHERE term IN ($TermsSql) GROUP BY doc_id, term),
-         |s AS (
-         |  SELECT dl.doc_id,
-         |    CAST(round(1e6 * ln((coalesce(tf.tf, 0) + 2000.0 * ctf.c / n.tot) / (dl.dl + 2000.0))) AS BIGINT) AS m
-         |  FROM dl CROSS JOIN n
-         |  CROSS JOIN ctf
-         |  LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = ctf.term),
-         |sc AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS score_micro FROM s GROUP BY doc_id)
-         |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
-         |       doc_id, score_micro
-         |FROM sc ORDER BY rank LIMIT 10""".stripMargin))
+    (s, dir) => {
+      // sparse (doc, term) tf comes off the shared checkpointed scored
+      // frame; one documents scan remains for the dense doc-length
+      // spine (QL scores EVERY doc on every term — absent terms get
+      // the smoothed background mass, so dl cannot be term-bound).
+      // The ln argument keeps the oracle's exact parenthesization.
+      val sc = bm25TermDoc(s, dir).select("doc_id", "term", "tf")
+      val dl = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+      // corpus token total = Σ ctf over the checkpointed vocabulary
+      // frame (≡ Σ dl, same tokenization) — re-aggregating dl here
+      // would scan documents a second time
+      val tot = broadcast(ctfFrame(s, dir).agg(sum("ctf").cast("long").as("tot")))
+      val ctf = broadcast(sc.groupBy("term").agg(sum("tf").cast("long").as("c")))
+      val scored = dl.crossJoin(ctf).crossJoin(tot)
+        .join(sc, Seq("doc_id", "term"), "left")
+        .withColumn("m", expr(
+          "CAST(round(1e6 * ln((coalesce(tf, 0) + 2000.0 * c / tot) / " +
+            "(dl + 2000.0))) AS BIGINT)"))
+      val top = scored.groupBy("doc_id")
+        .agg(sum("m").cast("long").as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id")).limit(10)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(col("score_micro").desc, col("doc_id")))
+            .cast("long"))
+        .select(col("rank"), col("doc_id"), col("score_micro"))
+    })
 
   // ---- retrieval evaluation: MRR / P@5 / hits@10 -------------------------
   // The eval harness that closes the retrieval loop: for each query

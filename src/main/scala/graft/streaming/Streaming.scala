@@ -30,7 +30,13 @@ object Streaming {
 
   /** Stream new parquet files from `sourceDir` into `table` as append
     * snapshots: one snapshot per non-empty micro-batch. Returns the
-    * started query (AvailableNow: processes what exists, then stops). */
+    * started query (AvailableNow: processes what exists, then stops).
+    * `refreshAppend` is NOT replay-idempotent (a re-appended batch
+    * duplicates its rows), so replays after a restart are deduplicated
+    * structurally by the [[BatchLedger]] — the same contract the other
+    * non-idempotent sinks (MG/CMS merges, the corpus ingest loop)
+    * carry; the residual crash-between-append-and-marker window is the
+    * ledger's documented at-least-once trade. */
   def cursorAppendStream(
       spark: SparkSession,
       sourceDir: String,
@@ -38,6 +44,8 @@ object Streaming {
       table: SnapshotTable,
       checkpointDir: String): StreamingQuery = {
     val schema = spark.read.parquet(schemaSource).schema
+    val ledger = new BatchLedger(checkpointDir,
+      hadoopConf = spark.sessionState.newHadoopConf())
     spark.readStream
       .schema(schema)
       .parquet(sourceDir)
@@ -46,10 +54,13 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          table.refreshAppend(batch)
-          ()
+        ledger.runOnce(batchId) {
+          if (!batch.isEmpty) {
+            table.refreshAppend(batch)
+            ()
+          }
         }
+        ()
       }
       .start()
   }

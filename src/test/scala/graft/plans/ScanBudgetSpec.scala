@@ -136,6 +136,26 @@ class ScanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(ScanBudgetRule.ConfKey)
   }
 
+  test("warn mode logs instead of failing; a typo'd mode still fails closed") {
+    spark.conf.set(ScanBudgetRule.ConfKey, "3")
+    try {
+      spark.conf.set(ScanBudgetRule.ModeKey, "warn")
+      // same over-budget plan as the fail-direction test: runs through
+      assert(graft.Tables.sql(spark, sf, inliningSql).collect().length == 5)
+      // an unrecognized mode must NOT silently disable the guard
+      spark.conf.set(ScanBudgetRule.ModeKey, "observe")
+      val e = intercept[Throwable] {
+        graft.Tables.sql(spark, sf, inliningSql).collect()
+      }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("scan budget exceeded"), s"wrong error: $e")
+    } finally {
+      spark.conf.unset(ScanBudgetRule.ConfKey)
+      spark.conf.unset(ScanBudgetRule.ModeKey)
+    }
+  }
+
   test("the memoized library build passes under the same budget") {
     spark.conf.set(ScanBudgetRule.ConfKey, "3")
     try {

@@ -150,12 +150,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"repetition plan degraded:\n$p")
   }
 
-  test("bm25 filters query terms map-side, broadcasts stats, top-k never full-sorts") {
+  test("bm25 sums the standing scored frame; top-k never full-sorts") {
+    // r12: the scoring pipeline (map-side term filter, broadcast df/N
+    // stats) lives inside the memoized bm25TermDoc build; the served
+    // plan rolls the standing RDD up per doc — zero documents scans —
+    // and the top-k stays a distributed TakeOrdered collapse
     val p = plan("bm25_topk")
     assert(p.contains("TakeOrderedAndProject"), s"top-k degraded to a full sort:\n$p")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      s"df/N stats not broadcast back:\n$p")
-    assert(p.contains("partial_count"), s"tf shuffles raw token rows:\n$p")
+    assert(corpusScans(p, "text#") == 0, s"documents re-scanned:\n$p")
+    assert(p.contains("partial_sum"), s"doc rollup lacks a map-side combine:\n$p")
   }
 
   test("inverted-index top-5 prunes map-side (partial WindowGroupLimit before the exchange)") {
@@ -949,6 +952,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("ql_dirichlet_topk")
     assert(!p.contains("CartesianProduct"), s"QL scoring degraded:\n$p")
     assert(p.contains("partial_sum"), s"score terms lack a map-side combine:\n$p")
+    // r12: the sparse (doc, term) tf rides the shared checkpointed
+    // scored frame — only ONE documents scan remains (the dense
+    // doc-length spine; QL scores every doc on every term, so dl
+    // cannot be term-bound), and the top-10 collapses distributed
+    assert(corpusScans(p, "text#") <= 1, s"documents re-scanned:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 degraded to a full sort:\n$p")
   }
 
   test("user entropy and AB assignment collapse with partial aggs, no window") {
