@@ -959,6 +959,51 @@ object TextQueries extends QuerySet {
         .orderBy("source")
     })
 
+  // ---- per-source equi-depth token-length buckets --------------------------
+  // ev28 at GROUP granularity off the SAME memoized ranked frame as
+  // token_quantiles_by_source: per source, the 4 range-bucket
+  // boundaries a per-source repartitionByRange / zone-map layout would
+  // use, with exact per-bucket counts proving ±1 balance inside every
+  // group. bucket = (grk−1)·4 div n_g over the contiguous in-group
+  // rank — pure integer arithmetic, no window, no per-group sort; the
+  // group offsets are the same |sources|-row broadcast rollup. One
+  // corpus pass total for BOTH gated queries (the shared-frame
+  // discipline, enforced by the default-on scan budget).
+  private val sourceEquidepth = QueryDef(
+    "token_buckets_by_source",
+    Some("""WITH t AS (SELECT doc_id, source,
+           |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |          FROM documents),
+           |o AS (SELECT source, n_tokens,
+           |        row_number() OVER (PARTITION BY source
+           |                           ORDER BY n_tokens, doc_id) AS rk
+           |      FROM t),
+           |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM t GROUP BY source)
+           |SELECT o.source, CAST((o.rk - 1) * 4 // g.n_docs AS BIGINT) AS bucket,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       min(o.n_tokens) AS lo, max(o.n_tokens) AS hi
+           |FROM o JOIN g USING (source)
+           |GROUP BY o.source, 2 ORDER BY o.source, bucket""".stripMargin),
+    (s, dir) => {
+      val ranked = sourceQuantileCache.getOrElseUpdate(s, dir) {
+        graft.operators.GlobalRank.withRank(
+          Tables.table(s, dir, "documents")
+            .select(col("source"),
+              size(split(col("text"), " ")).cast("long").as("n_tokens"),
+              col("doc_id")),
+          Seq(col("source"), col("n_tokens"), col("doc_id")), "rk")
+      }
+      val g = ranked.groupBy("source")
+        .agg(min("rk").as("rk0"), count(lit(1)).cast("long").as("n_g"))
+      ranked.join(broadcast(g), "source")
+        .select(col("source"),
+          expr("((rk - rk0) * 4) div n_g").as("bucket"), col("n_tokens"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_tokens").as("lo"), max("n_tokens").as("hi"))
+        .orderBy("source", "bucket")
+    })
+
   // ---- tokenizer fertility by source -------------------------------------
   // The tokenizer-eval rollup run before committing a vocabulary:
   // per source, bytes-per-token and FERTILITY (subwords emitted per
@@ -2274,5 +2319,5 @@ object TextQueries extends QuerySet {
     seqPacking, classifierScore, dupSpans, repetition, neardupCanonical,
     sourceOverlap, freqSpectrum, bpePairs, bpeApply, triangles, pagerank,
     editVerify, noveltyProfile, tokenizerFertility, calibration, mgHeavyTerms,
-    sourceQuantiles)
+    sourceQuantiles, sourceEquidepth)
 }

@@ -124,6 +124,20 @@ class InferenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("p95_tokens") == p95,
         s"${r.getAs[String]("source")}: p95 diverges from the driver sort")
     }
+
+    // the equi-depth mate: every source's 4 buckets partition the
+    // group to ±1 balance with non-decreasing boundaries
+    val buckets = SparkEntry.queries("token_buckets_by_source")(spark, sf)
+      .collect().groupBy(_.getAs[String]("source"))
+    assert(buckets.keySet == bySource.keySet)
+    buckets.foreach { case (src, bs) =>
+      val sizes = bs.map(_.getAs[Long]("n_docs"))
+      assert(sizes.sum == bySource(src)._1, s"$src buckets must partition")
+      assert(sizes.max - sizes.min <= 1, s"$src unbalanced: ${sizes.mkString(",")}")
+      val los = bs.sortBy(_.getAs[Long]("bucket")).map(_.getAs[Long]("lo"))
+      assert(los.zip(los.tail).forall { case (x, y) => x <= y },
+        s"$src boundaries not monotone")
+    }
   }
 
   test("nDCG is bounded by 1 and the ideal ranking dominates the served one") {

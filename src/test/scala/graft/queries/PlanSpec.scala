@@ -1171,18 +1171,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("per-source exact quantiles ride one global rank — no partitioned window") {
-    val p = plan("token_quantiles_by_source")
-    // the (source, n_tokens, doc_id) ranked frame is GlobalRank's
-    // checkpointed two-pass scan, memoized: the served plan reads the
-    // standing RDD — no documents FileScan, and NO Window at all (a
-    // regression to row_number() OVER (PARTITION BY source) puts a
-    // skewed source on a single reducer); the |sources|-row offset
-    // frame broadcasts back
-    assert(corpusScans(p, "text#") == 0, s"documents re-scanned:\n$p")
-    assert(!p.contains("Window"), s"degraded to a partitioned window:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"group-offset frame not broadcast:\n$p")
+  test("per-source exact quantiles/buckets ride one global rank — no partitioned window") {
+    Seq("token_quantiles_by_source", "token_buckets_by_source").foreach { q =>
+      val p = plan(q)
+      // the (source, n_tokens, doc_id) ranked frame is GlobalRank's
+      // checkpointed two-pass scan, memoized AND SHARED by both
+      // queries: the served plans read the standing RDD — no documents
+      // FileScan, and NO Window at all (a regression to row_number()
+      // OVER (PARTITION BY source) puts a skewed source on a single
+      // reducer); the |sources|-row offset frame broadcasts back
+      assert(corpusScans(p, "text#") == 0, s"$q re-scans documents:\n$p")
+      assert(!p.contains("Window"), s"$q degraded to a partitioned window:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q group-offset frame not broadcast:\n$p")
+    }
   }
 
   test("RM1 expansion's served pass reads only feedback docs plus the standing vocab") {
