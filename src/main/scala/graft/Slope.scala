@@ -199,6 +199,22 @@ object Slope {
       factor: Int): Unit = {
     import org.apache.spark.sql.functions._
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // the replication below is a UNION OF `factor` SCANS of one file —
+    // a legitimate one-time data-synthesis shape that the now-default-on
+    // scan budget would otherwise reject (it rejected exactly this when
+    // the budget first went live); scope the exemption to this build
+    val budgetBefore = spark.conf.getOption(graft.plans.ScanBudgetRule.ConfKey)
+    spark.conf.set(graft.plans.ScanBudgetRule.ConfKey, "0")
+    try synthesizeTierInner(spark, srcDir, outDir, factor)
+    finally budgetBefore match {
+      case Some(v) => spark.conf.set(graft.plans.ScanBudgetRule.ConfKey, v)
+      case None => spark.conf.unset(graft.plans.ScanBudgetRule.ConfKey)
+    }
+  }
+
+  private def synthesizeTierInner(spark: SparkSession, srcDir: String,
+      outDir: String, factor: Int): Unit = {
+    import org.apache.spark.sql.functions._
     def replicate(name: String, idCols: Seq[String]): Unit = {
       val src = spark.read.parquet(s"$srcDir/$name.parquet")
       val stride: Map[String, Long] = idCols.map { c =>
