@@ -202,14 +202,13 @@ object Slope {
     // the replication below is a UNION OF `factor` SCANS of one file —
     // a legitimate one-time data-synthesis shape that the now-default-on
     // scan budget would otherwise reject (it rejected exactly this when
-    // the budget first went live); scope the exemption to this build
-    val budgetBefore = spark.conf.getOption(graft.plans.ScanBudgetRule.ConfKey)
-    spark.conf.set(graft.plans.ScanBudgetRule.ConfKey, "0")
-    try synthesizeTierInner(spark, srcDir, outDir, factor)
-    finally budgetBefore match {
-      case Some(v) => spark.conf.set(graft.plans.ScanBudgetRule.ConfKey, v)
-      case None => spark.conf.unset(graft.plans.ScanBudgetRule.ConfKey)
-    }
+    // the budget first went live). The exemption is scoped to a
+    // DEDICATED session clone: a session-wide set/restore would
+    // disable the guard for every concurrent query on the shared
+    // session and is not re-entrant (review catch).
+    val synth = spark.newSession()
+    synth.conf.set(graft.plans.ScanBudgetRule.ConfKey, "0")
+    synthesizeTierInner(synth, srcDir, outDir, factor)
   }
 
   private def synthesizeTierInner(spark: SparkSession, srcDir: String,

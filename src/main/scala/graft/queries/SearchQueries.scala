@@ -571,6 +571,17 @@ object SearchQueries extends QuerySet {
   private def bm25TermDoc(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     bm25TermDocCache.getOrElseUpdate(s, dir) {
+      bm25TermDocBuild(s, dir).localCheckpoint(true)
+    }
+
+  /** The BUILD pipeline (pre-checkpoint), exposed so PlanSpec can lock
+    * its scale shape — the served plans only show the standing RDD, so
+    * the once-per-generation scoring pass (map-side query-term filter
+    * before the partial-agg exchange, vocabulary-scale df and the
+    * 1-row (N, tot) stats broadcast back) would otherwise be
+    * unlockable (the dupPositions discipline). */
+  private[graft] def bm25TermDocBuild(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
       Tables.sql(s, dir,
         s"""WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
            |dl AS (SELECT doc_id, CAST(size(w) AS BIGINT) AS dl FROM t),
@@ -588,8 +599,6 @@ object SearchQueries extends QuerySet {
            |                                   (CAST(n.tot AS DOUBLE) / n.n))) *
            |                  1000000.0D, 0) AS BIGINT) AS m
            |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n""".stripMargin)
-        .localCheckpoint(true)
-    }
 
   private def ctfFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
     ctfCache.getOrElseUpdate(s, dir) {

@@ -921,6 +921,27 @@ object TextQueries extends QuerySet {
   private val sourceQuantileCache =
     new graft.operators.DirMemo[org.apache.spark.sql.DataFrame]()
 
+  /** The ONE globally-ranked (source, n_tokens, doc_id, rk) frame both
+    * per-source order-statistic queries read (review catch: two
+    * copy-pasted build lambdas only dedupe while they stay
+    * byte-identical — the memo key carries no lambda fingerprint). */
+  private def sourceRankedFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    sourceQuantileCache.getOrElseUpdate(s, dir) {
+      graft.operators.GlobalRank.withRank(
+        Tables.table(s, dir, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            col("doc_id")),
+        Seq(col("source"), col("n_tokens"), col("doc_id")), "rk")
+    }
+
+  /** Per-source group offsets (first global rank + group size) — the
+    * |sources|-row rollup both consumers broadcast back. */
+  private def sourceRankOffsets(ranked: org.apache.spark.sql.DataFrame) =
+    ranked.groupBy("source")
+      .agg(min("rk").as("rk0"), count(lit(1)).cast("long").as("n_g"))
+
   private val sourceQuantiles = QueryDef(
     "token_quantiles_by_source",
     Some("""WITH t AS (SELECT doc_id, source,
@@ -937,16 +958,8 @@ object TextQueries extends QuerySet {
            |FROM o JOIN g USING (source) GROUP BY g.source, g.n_docs
            |ORDER BY g.source""".stripMargin),
     (s, dir) => {
-      val ranked = sourceQuantileCache.getOrElseUpdate(s, dir) {
-        graft.operators.GlobalRank.withRank(
-          Tables.table(s, dir, "documents")
-            .select(col("source"),
-              size(split(col("text"), " ")).cast("long").as("n_tokens"),
-              col("doc_id")),
-          Seq(col("source"), col("n_tokens"), col("doc_id")), "rk")
-      }
-      val g = ranked.groupBy("source")
-        .agg(min("rk").as("rk0"), count(lit(1)).cast("long").as("n_docs"))
+      val ranked = sourceRankedFrame(s, dir)
+      val g = sourceRankOffsets(ranked).withColumnRenamed("n_g", "n_docs")
       ranked.join(broadcast(g), "source")
         .withColumn("grk", col("rk") - col("rk0") + 1)
         .groupBy(col("source"), col("n_docs"))
@@ -985,17 +998,8 @@ object TextQueries extends QuerySet {
            |FROM o JOIN g USING (source)
            |GROUP BY o.source, 2 ORDER BY o.source, bucket""".stripMargin),
     (s, dir) => {
-      val ranked = sourceQuantileCache.getOrElseUpdate(s, dir) {
-        graft.operators.GlobalRank.withRank(
-          Tables.table(s, dir, "documents")
-            .select(col("source"),
-              size(split(col("text"), " ")).cast("long").as("n_tokens"),
-              col("doc_id")),
-          Seq(col("source"), col("n_tokens"), col("doc_id")), "rk")
-      }
-      val g = ranked.groupBy("source")
-        .agg(min("rk").as("rk0"), count(lit(1)).cast("long").as("n_g"))
-      ranked.join(broadcast(g), "source")
+      val ranked = sourceRankedFrame(s, dir)
+      ranked.join(broadcast(sourceRankOffsets(ranked)), "source")
         .select(col("source"),
           expr("((rk - rk0) * 4) div n_g").as("bucket"), col("n_tokens"))
         .groupBy("source", "bucket")

@@ -371,11 +371,16 @@ object Streaming {
     * a restart-replayed committed batch never re-merges. The merge +
     * snapshot commit are not one transaction — the residual
     * crash-between window is the ledger's documented at-least-once
-    * trade. sum rides Spark's exact DECIMAL aggregation over the
-    * cents-quantized value so the standing sums are integer-exact at
-    * any stream length (a double running sum would drift order-
-    * dependently). StreamingSpec proves standing ≡ full recompute over
-    * any micro-batch split AND after a forced replay. */
+    * trade. Sums run over exact BIGINT cents (a double running sum
+    * would drift order-dependently); the bound is 2^63 cents per key
+    * (~9.2e16 dollars) — beyond any revenue stream, and stated here
+    * rather than papered over with a DECIMAL hoist the consumer
+    * schema would have to carry. Each publish expires superseded
+    * snapshots down to a 2-deep history, so disk and manifest stay
+    * key-cardinality-sized at any stream length (review catch: an
+    * unexpired refreshFull per batch accretes one full table copy per
+    * batch). StreamingSpec proves standing ≡ full recompute over any
+    * micro-batch split AND after a forced replay. */
   def aggMaintenanceStream(
       incoming: DataFrame,
       table: SnapshotTable,
@@ -408,6 +413,10 @@ object Streaming {
             // key-cardinality frame; localCheckpoint breaks the plan's
             // dependence on the table dir being rewritten underneath
             table.refreshFull(merged.localCheckpoint(true))
+            // retention: keep current + one rollback version — without
+            // this a per-batch refreshFull accretes a full table copy
+            // per micro-batch forever
+            table.expireSnapshots(keepLast = 2)
             ()
           }
         }

@@ -159,6 +159,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), s"top-k degraded to a full sort:\n$p")
     assert(corpusScans(p, "text#") == 0, s"documents re-scanned:\n$p")
     assert(p.contains("partial_sum"), s"doc rollup lacks a map-side combine:\n$p")
+    // the once-per-generation BUILD pipeline keeps its own scale locks
+    // (the old served-plan assertions, re-established on the exposed
+    // pre-checkpoint frame — review catch): query terms filter
+    // MAP-SIDE before the (doc, term) partial-agg exchange, df/N stats
+    // broadcast back
+    val b = graft.queries.SearchQueries.bm25TermDocBuild(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(b.contains("partial_count"),
+      s"tf shuffles raw token rows in the build:\n$b")
+    assert(b.contains("BroadcastHashJoin") || b.contains("BroadcastNestedLoopJoin"),
+      s"df/N stats not broadcast in the build:\n$b")
+    val bLines = b.linesIterator.toSeq
+    val exchangeAt = bLines.indexWhere(_.contains("Exchange hashpartitioning"))
+    val filterAt = bLines.indexWhere(l => l.contains("Filter") && l.contains(" IN ("))
+    assert(exchangeAt >= 0 && filterAt >= 0 && filterAt > exchangeAt,
+      s"query-term filter is not map-side below the exchange:\n$b")
   }
 
   test("inverted-index top-5 prunes map-side (partial WindowGroupLimit before the exchange)") {
