@@ -425,6 +425,79 @@ object Streaming {
       .start()
   }
 
+  /** Streaming PSI drift monitor — ev23's streaming face and the
+    * measurement tier's ingest-loop member: the event-type mix of
+    * everything ingested so far is compared per micro-batch against a
+    * FROZEN baseline distribution (the reference window a deployment
+    * snapshots when the pipeline is known-good), with the Population
+    * Stability Index in integer micro-units — the same ppm-quantized
+    * discipline as the gated batch query (shares exclude types whose
+    * quantized share is 0 on either side; PSI is undefined at p=0).
+    * The caller receives (batchId, psi_micro, standing counts) after
+    * every absorbed batch and owns the alert rule (the conventional
+    * thresholds: 0.1 = drifting, 0.25 = shifted — 100 000 / 250 000
+    * in micro-units).
+    *
+    * State is one count per event TYPE — type-cardinality, constant at
+    * any stream length — and the additive merge rides the
+    * [[BatchLedger]] (a replayed committed batch must not inflate the
+    * mix). The PSI arithmetic runs driver-side over ≤|types| entries:
+    * integer ppm shares, one ln per type rounded to micro-units —
+    * StreamingSpec locks parity with a direct whole-stream computation
+    * over any split, plus a planted-drift alert flip. */
+  def psiMonitorStream(
+      incoming: DataFrame,
+      checkpointDir: String,
+      baseline: Map[String, Long],
+      typeCol: String = "event_type")(
+      onBatch: (Long, Long, Map[String, Long]) => Unit): StreamingQuery = {
+    require(baseline.values.sum > 0, "baseline distribution is empty")
+    val ledger = new BatchLedger(checkpointDir,
+      hadoopConf = incoming.sparkSession.sessionState.newHadoopConf())
+    val standing = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    incoming.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ledger.runOnce(batchId) {
+          if (!batch.isEmpty) {
+            batch.filter(col(typeCol).isNotNull)
+              .groupBy(typeCol).count().collect()
+              .foreach(r => standing.merge(r.getString(0), r.getLong(1), _ + _))
+            val counts = {
+              import scala.jdk.CollectionConverters._
+              standing.asScala.toMap
+            }
+            onBatch(batchId, psiMicro(baseline, counts), counts)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Integer-micro-unit PSI between two count maps — the ev23
+    * arithmetic verbatim (ppm-quantized shares, types with a 0 share
+    * on either side excluded, one ln per type rounded to micro-units,
+    * order-independent sum over the sorted type set). */
+  private[streaming] def psiMicro(
+      base: Map[String, Long], cur: Map[String, Long]): Long = {
+    val bTot = base.values.sum
+    val cTot = cur.values.sum
+    if (bTot == 0 || cTot == 0) return 0L
+    (base.keySet ++ cur.keySet).toSeq.sorted.map { t =>
+      // BigInt cross-multiply: cnt·10⁶ clears Long past 9.2e12-row
+      // counts — the ppm-hoist discipline, driver-side form
+      val p1 = (BigInt(base.getOrElse(t, 0L)) * 1000000 / bTot).toLong
+      val p2 = (BigInt(cur.getOrElse(t, 0L)) * 1000000 / cTot).toLong
+      if (p1 > 0 && p2 > 0)
+        math.round((p2 - p1) / 1000000.0 *
+          math.log(p2.toDouble / p1) * 1000000.0)
+      else 0L
+    }.sum
+  }
+
   /** Streaming Misra–Gries maintenance — the fourth sketch-merge
     * family (CMS cells ADD, Bloom bits OR, HLL registers MAX, MG
     * summaries MERGE): each micro-batch's k-entry token summary (the

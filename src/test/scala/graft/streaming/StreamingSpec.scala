@@ -801,6 +801,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(standing() == expected, "replayed batch inflated the standing rollup")
   }
 
+  test("PSI monitor matches a direct whole-stream computation; planted drift alerts") {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.Tables.table(spark, dir, "events")
+      .select("event_type").filter(col("event_type").isNotNull)
+    // the frozen known-good baseline: the corpus's own mix
+    val baseline = events.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tmp = Files.createTempDirectory("psi_monitor")
+    events.repartition(3).write.parquet(s"$tmp/in_same")
+    def run(src: String, ck: String): (Long, Map[String, Long]) = {
+      var last: (Long, Map[String, Long]) = (-1L, Map.empty)
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = graft.streaming.Streaming.psiMonitorStream(
+        stream, ck, baseline) { (_, psi, counts) => last = (psi, counts) }
+      try assert(q.awaitTermination(180000), "AvailableNow did not finish")
+      finally if (q.isActive) q.stop()
+      last
+    }
+    // same-mix stream: final PSI ≡ the direct computation over the
+    // whole corpus vs itself = exactly 0, over any micro-batch split
+    val (psiSame, counts) = run(s"$tmp/in_same", s"$tmp/ck1")
+    assert(counts == baseline, "standing mix diverges from the stream total")
+    assert(psiSame == 0L, s"identical mix must score PSI 0, got $psiSame")
+
+    // planted drift: one type carries 90% of the new window — the
+    // conventional 0.25 'shifted' threshold must trip
+    val hot = baseline.keySet.toSeq.sorted.head
+    val ss2 = spark
+    import ss2.implicits._
+    (Seq.fill(900)(hot) ++ baseline.keySet.toSeq.sorted.tail.take(2)
+      .flatMap(t => Seq.fill(50)(t)))
+      .toDF("event_type").repartition(2).write.parquet(s"$tmp/in_drift")
+    val (psiDrift, _) = run(s"$tmp/in_drift", s"$tmp/ck2")
+    assert(psiDrift > 250000L, s"planted 90% skew must exceed 0.25: $psiDrift")
+    // and the stream-side arithmetic equals the shared helper applied
+    // to the planted counts directly
+    val drifted = spark.read.parquet(s"$tmp/in_drift")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(psiDrift == graft.streaming.Streaming.psiMicro(baseline, drifted))
+  }
+
   test("streaming cms partials sum to the batch sketch over any micro-batch split") {
     val dir = "/root/testdata/sf0.001"
     graft.functions.GraftFunctions.ensureRegistered(spark)
