@@ -477,6 +477,75 @@ object Streaming {
       .start()
   }
 
+  /** Streaming CUSUM rate monitor — ev31's streaming face, the PSI
+    * monitor's mate for the OTHER drift axis (PSI watches the type
+    * MIX; this watches the arrival RATE): standing per-hour counts
+    * accumulate across micro-batches, and after each batch the
+    * one-sided CUSUM peak over the hourly series is recomputed with
+    * the gated query's exact identity (S_i = P_i − min(0, min_{j≤i}
+    * P_j) over the cross-multiplied centered prefix — μ never
+    * divides). The caller receives (batchId, peak, detected) where
+    * `detected` is the gated query's deterministic rule (peak >
+    * 24·total ⟺ cumulative excess > 24 hourly means).
+    *
+    * State is one count per HOUR (time-cardinality — 720/month — at
+    * any volume); the additive merge rides the [[BatchLedger]]; the
+    * per-batch recompute is an O(hours) driver fold over the standing
+    * map, not a Spark job. StreamingSpec locks whole-stream parity
+    * with the arithmetic over any split and a planted rate-burst
+    * detection flip. */
+  def cusumMonitorStream(
+      incoming: DataFrame,
+      checkpointDir: String,
+      tsCol: String = "ts")(
+      onBatch: (Long, Long, Boolean) => Unit): StreamingQuery = {
+    val ledger = new BatchLedger(checkpointDir,
+      hadoopConf = incoming.sparkSession.sessionState.newHadoopConf())
+    val hours = new java.util.concurrent.ConcurrentHashMap[java.sql.Timestamp, Long]()
+    incoming.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ledger.runOnce(batchId) {
+          if (!batch.isEmpty) {
+            batch.select(date_trunc("hour", col(tsCol)).as("hr"))
+              .groupBy("hr").count().collect()
+              .foreach(r => hours.merge(r.getTimestamp(0), r.getLong(1), _ + _))
+            val series = {
+              import scala.jdk.CollectionConverters._
+              hours.asScala.toSeq.sortBy(_._1.getTime).map(_._2)
+            }
+            val (peak, total) = cusumPeak(series)
+            onBatch(batchId, peak, peak > 24 * total)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** The ev31 identity over an hour-ordered count series: returns
+    * (max one-sided CUSUM in n_hours·count units, total count). All
+    * integer; BigInt-free because h·cum tops out at hours·total —
+    * 720·(BIGINT total) clears Long until ~1.3e16 events/month. */
+  private[streaming] def cusumPeak(series: Seq[Long]): (Long, Long) = {
+    if (series.isEmpty) return (0L, 0L)
+    val h = series.length.toLong
+    val total = series.sum
+    var cum = 0L
+    var minDev = 0L // includes P_0 = 0
+    var peak = 0L
+    var i = 0L
+    series.foreach { n =>
+      cum += n; i += 1
+      val dev = h * cum - total * i
+      if (dev - minDev > peak) peak = dev - minDev
+      if (dev < minDev) minDev = dev
+    }
+    (peak, total)
+  }
+
   /** Integer-micro-unit PSI between two count maps — the ev23
     * arithmetic verbatim (ppm-quantized shares, types with a 0 share
     * on either side excluded, one ln per type rounded to micro-units,

@@ -844,6 +844,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(psiDrift == graft.streaming.Streaming.psiMicro(baseline, drifted))
   }
 
+  test("CUSUM monitor matches the driver recursion over any split; planted burst detected") {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.Tables.table(spark, dir, "events").select("ts")
+    val tmp = Files.createTempDirectory("cusum_monitor")
+    events.repartition(3).write.parquet(s"$tmp/in_steady")
+    def run(src: String, ck: String): (Long, Boolean) = {
+      var last: (Long, Boolean) = (-1L, false)
+      val stream = spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = graft.streaming.Streaming.cusumMonitorStream(
+        stream, ck) { (_, peak, det) => last = (peak, det) }
+      try assert(q.awaitTermination(180000), "AvailableNow did not finish")
+      finally if (q.isActive) q.stop()
+      last
+    }
+    // whole-stream parity: the final standing peak equals the direct
+    // recursion over the hour-ordered counts, regardless of the split
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hr")).count()
+      .orderBy("hr").collect().map(_.getLong(1)).toSeq
+    def direct(ns: Seq[Long]): Long = {
+      val h = ns.length.toLong; val total = ns.sum
+      ns.scanLeft(0L)((s, n) => math.max(0L, s + h * n - total)).max
+    }
+    val (peakSteady, detSteady) = run(s"$tmp/in_steady", s"$tmp/ck1")
+    assert(peakSteady == direct(hourly), "stream peak diverges from the recursion")
+    // the verdict must be exactly the rule applied to the exact peak
+    // (at this tiny SF the sparse hourly series can legitimately sit
+    // on either side of 24 hourly means — consistency is the theorem,
+    // the burst below is the behavioral flip)
+    assert(detSteady == (peakSteady > 24 * hourly.sum),
+      "steady verdict inconsistent with the rule")
+
+    // planted burst: one hour carrying 5x the whole corpus — the
+    // 24-hourly-means rule must flip
+    val ss2 = spark
+    import ss2.implicits._
+    val burstHr = new java.sql.Timestamp(
+      events.agg(max("ts")).collect()(0).getTimestamp(0).getTime + 3600000L)
+    val burst = events.collect().map(_.getTimestamp(0)).toSeq ++
+      Seq.fill(5000)(burstHr)
+    burst.toDF("ts").repartition(2).write.parquet(s"$tmp/in_burst")
+    val (peakBurst, detBurst) = run(s"$tmp/in_burst", s"$tmp/ck2")
+    assert(detBurst, s"planted 5x burst must alarm (peak $peakBurst)")
+  }
+
   test("streaming cms partials sum to the batch sketch over any micro-batch split") {
     val dir = "/root/testdata/sf0.001"
     graft.functions.GraftFunctions.ensureRegistered(spark)
