@@ -546,6 +546,80 @@ object Streaming {
     (peak, total)
   }
 
+  /** Streaming sample-ratio-mismatch monitor — ev24's streaming face,
+    * completing the measurement trio (PSI = mix drift, CUSUM = rate
+    * drift, SRM = assignment-integrity drift): per micro-batch the
+    * standing per-variant DISTINCT-user sketches absorb the batch's
+    * HLL partials (register-MAX merge — idempotent and commutative,
+    * so unlike the additive monitors this one needs NO replay ledger,
+    * the Bloom/HLL family's property), and the 1-df χ² statistic
+    * (c−t)²/(c+t) is evaluated driver-side on the sketch estimates
+    * against the 0.05 critical value. Exactness is the honest trade
+    * vs the gated batch query: ev24's χ² is integer-exact over exact
+    * distinct counts, which would need per-user state (unbounded);
+    * the monitor holds TWO fixed-size sketches at any stream length
+    * and pays the HLL ±2% error — fine for a guardrail whose action
+    * is "stop trusting the A/B readout and run the exact batch
+    * check". Variant assignment is the same md5 split as ev16/ev24,
+    * so the monitor watches the same population. StreamingSpec locks
+    * estimate parity with a whole-stream HLL computed in one batch
+    * (same sketches ⟹ same estimate, split-invariant) and a planted
+    * 3:1 imbalance flipping the verdict. */
+  def srmMonitorStream(
+      incoming: DataFrame,
+      checkpointDir: String,
+      userCol: String = "user_id")(
+      onBatch: (Long, Long, Long, Boolean) => Unit): StreamingQuery = {
+    val standing = new java.util.concurrent.atomic.AtomicReference[
+      (Array[Byte], Array[Byte])](null)
+    incoming.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val rows = batch
+            .select(col(userCol).cast("long").as("u"))
+            .filter(col("u").isNotNull)
+            .withColumn("variant",
+              expr("CASE WHEN substr(md5(CAST(u AS STRING)), 1, 8) < '80000000' " +
+                "THEN 'control' ELSE 'treatment' END"))
+            .groupBy("variant").agg(expr("hll_sketch_agg(u)").as("sk"))
+            .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+          val s = batch.sparkSession
+          def unionOpt(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+            if (a == null) b else if (b == null) a
+            else {
+              import s.implicits._
+              Seq((a, b)).toDF("a", "b")
+                .selectExpr("hll_union(a, b) AS u")
+                .collect()(0).getAs[Array[Byte]]("u")
+            }
+          val prev = Option(standing.get()).getOrElse((null, null))
+          val next = (unionOpt(prev._1, rows.getOrElse("control", null)),
+            unionOpt(prev._2, rows.getOrElse("treatment", null)))
+          standing.set(next)
+          def est(sk: Array[Byte]): Long =
+            if (sk == null) 0L
+            else {
+              import s.implicits._
+              Seq(sk).toDF("sk").selectExpr("hll_sketch_estimate(sk) AS e")
+                .collect()(0).getLong(0)
+            }
+          val (c, t) = (est(next._1), est(next._2))
+          onBatch(batchId, c, t, srmDetected(c, t))
+        }
+      }
+      .start()
+  }
+
+  /** ev24's exact-rational verdict on two counts: (c−t)²·10⁶ >
+    * 3 841 459·(c+t) ⟺ χ²(1df) > 3.841459 at α = 0.05 — BigInt
+    * cross-multiplied, no double ever enters. */
+  private[streaming] def srmDetected(c: Long, t: Long): Boolean =
+    c + t > 0 &&
+      BigInt(c - t) * (c - t) * 1000000 > BigInt(3841459) * (c + t)
+
   /** Integer-micro-unit PSI between two count maps — the ev23
     * arithmetic verbatim (ppm-quantized shares, types with a 0 share
     * on either side excluded, one ln per type rounded to micro-units,
