@@ -1210,11 +1210,22 @@ object EventQueries extends QuerySet {
   // ev16; the distinct-user collapse is one partial agg; the verdict
   // is a 1-row rollup. Nothing corpus-sized survives the first
   // exchange.
+  /** The canonical md5 50/50 A/B assignment — ONE definition shared
+    * by ev24's SQL and the streaming SRM guardrail
+    * ([[graft.streaming.Streaming.srmMonitorStream]]), so the monitor
+    * provably watches the same population as the exact batch check it
+    * escalates to (r12 review: the expression was triplicated).
+    * ev16/ev25 carry the same split spelled inline in their
+    * stripMargin layouts — semantically identical, gated against the
+    * same oracle arithmetic. */
+  private[graft] def variantCaseSql(str: String = "STRING"): String =
+    s"CASE WHEN substr(md5(CAST(user_id AS $str)), 1, 8) < '80000000' " +
+      "THEN 'control' ELSE 'treatment' END"
+
   private def srmSql(big: String, idiv: String, str: String) =
     s"""WITH assign AS (
        |  SELECT DISTINCT user_id,
-       |         CASE WHEN substr(md5(CAST(user_id AS $str)), 1, 8) < '80000000'
-       |              THEN 'control' ELSE 'treatment' END AS variant
+       |         ${variantCaseSql(str)} AS variant
        |  FROM events),
        |n AS (SELECT
        |        count(*) FILTER (WHERE variant = 'control') AS c,

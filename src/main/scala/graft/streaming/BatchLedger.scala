@@ -39,34 +39,54 @@ import org.apache.hadoop.fs.permission.FsPermission
   * window is the accepted at-least-once trade; the common failure
   * (restart with a committed batch re-delivered) is fully covered.
   *
-  * 100 TB shape: one 8-byte file read per micro-batch and one atomic
-  * rename per commit — no growth with stream length, no driver state
-  * beyond the path. Batch ids from one streaming query are strictly
-  * increasing, so a single high-water mark (not a set) suffices. */
+  * 100 TB shape: one small file read per micro-batch (8-byte id plus
+  * an optional bounded state payload) and one atomic rename per
+  * commit — no growth with stream length, no driver state beyond the
+  * path. Batch ids from one streaming query are strictly increasing,
+  * so a single high-water mark (not a set) suffices. */
 final class BatchLedger(checkpointDir: String,
     name: String = "graft-committed",
     hadoopConf: Configuration = new Configuration()) {
   private val marker = new Path(checkpointDir, name)
   private val fc = FileContext.getFileContext(marker.toUri, hadoopConf)
 
-  /** Highest batch id whose merge body completed, or -1 if none. */
-  def lastCommitted(): Long =
-    if (!fc.util.exists(marker)) -1L
+  // marker layout: 8-byte big-endian batch id, then the (possibly
+  // empty) state payload — id and state commit in ONE atomic rename
+  private def readMarker(): Option[(Long, Array[Byte])] =
+    if (!fc.util.exists(marker)) None
     else {
       val in = fc.open(marker)
-      try new String(in.readAllBytes(), "UTF-8").trim.toLong
-      finally in.close()
+      try {
+        val all = in.readAllBytes()
+        if (all.length < 8) None
+        else {
+          val id = java.nio.ByteBuffer.wrap(all, 0, 8).getLong
+          Some((id, java.util.Arrays.copyOfRange(all, 8, all.length)))
+        }
+      } finally in.close()
     }
 
-  /** Record `batchId` as committed (atomic replace). */
-  def commit(batchId: Long): Unit = {
+  /** Highest batch id whose merge body completed, or -1 if none. */
+  def lastCommitted(): Long = readMarker().map(_._1).getOrElse(-1L)
+
+  /** The state payload committed WITH the last batch id (empty for
+    * ledgers used id-only). */
+  def lastState(): Option[Array[Byte]] =
+    readMarker().map(_._2).filter(_.nonEmpty)
+
+  /** Record `batchId` (+ optional state) as committed — one atomic
+    * replace, so the id and the state can never disagree. */
+  def commit(batchId: Long, state: Array[Byte] = Array.emptyByteArray): Unit = {
     val tmp = new Path(marker.getParent, name + ".tmp")
     val out = fc.create(tmp,
       EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
       Options.CreateOpts.createParent(),
       Options.CreateOpts.perms(FsPermission.getFileDefault))
-    try out.write(batchId.toString.getBytes("UTF-8"))
-    finally out.close()
+    try {
+      val hdr = java.nio.ByteBuffer.allocate(8).putLong(batchId).array()
+      out.write(hdr)
+      if (state.nonEmpty) out.write(state)
+    } finally out.close()
     fc.rename(tmp, marker, Options.Rename.OVERWRITE)
   }
 
@@ -75,5 +95,17 @@ final class BatchLedger(checkpointDir: String,
     * `batchId > lastCommitted` discipline. */
   def runOnce(batchId: Long)(body: => Unit): Boolean =
     if (batchId > lastCommitted()) { body; commit(batchId); true }
+    else false
+
+  /** Stateful form: `body` returns the NEW standing state, committed
+    * atomically WITH the batch id. This CLOSES the residual
+    * crash-between window the id-only form documents — for a consumer
+    * whose whole standing state rides the payload (the streaming
+    * monitors), a replayed batch either sees (old id, old state) and
+    * re-merges, or (new id, new state) and skips; the torn middle
+    * cannot exist. Payloads must stay small (type/time-cardinality
+    * maps, fixed-size sketches) — this is a marker file, not a table. */
+  def runOnceStateful(batchId: Long)(body: => Array[Byte]): Boolean =
+    if (batchId > lastCommitted()) { commit(batchId, body); true }
     else false
 }

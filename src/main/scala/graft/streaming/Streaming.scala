@@ -439,12 +439,17 @@ object Streaming {
     * in micro-units).
     *
     * State is one count per event TYPE — type-cardinality, constant at
-    * any stream length — and the additive merge rides the
-    * [[BatchLedger]] (a replayed committed batch must not inflate the
-    * mix). The PSI arithmetic runs driver-side over ≤|types| entries:
-    * integer ppm shares, one ln per type rounded to micro-units —
-    * StreamingSpec locks parity with a direct whole-stream computation
-    * over any split, plus a planted-drift alert flip. */
+    * any stream length — PERSISTED as the [[BatchLedger]]'s payload:
+    * the standing counts and the batch id commit in ONE atomic rename,
+    * so a restart resumes the cumulative mix exactly (an in-memory
+    * map next to a persistent ledger would skip a replayed batch whose
+    * counts died with the old process — the r12 third-review catch),
+    * and the crash-between-merge-and-marker window does not exist for
+    * this consumer. The PSI arithmetic runs driver-side over ≤|types|
+    * entries: integer ppm shares, one ln per type rounded to
+    * micro-units — StreamingSpec locks parity with a direct
+    * whole-stream computation over any split, a planted-drift alert
+    * flip, and state survival across a forced restart-replay. */
   def psiMonitorStream(
       incoming: DataFrame,
       checkpointDir: String,
@@ -455,12 +460,14 @@ object Streaming {
     val ledger = new BatchLedger(checkpointDir,
       hadoopConf = incoming.sparkSession.sessionState.newHadoopConf())
     val standing = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    ledger.lastState().foreach(decodeCounts(_)
+      .foreach { case (k, v) => standing.put(k, v); () })
     incoming.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ledger.runOnce(batchId) {
+        ledger.runOnceStateful(batchId) {
           if (!batch.isEmpty) {
             batch.filter(col(typeCol).isNotNull)
               .groupBy(typeCol).count().collect()
@@ -471,10 +478,36 @@ object Streaming {
             }
             onBatch(batchId, psiMicro(baseline, counts), counts)
           }
+          import scala.jdk.CollectionConverters._
+          encodeCounts(standing.asScala.toMap)
         }
         ()
       }
       .start()
+  }
+
+  /** (string → long) map codec for ledger payloads — length-prefixed
+    * raw UTF-8 (the writeUTF 64 KiB cap discipline), sorted keys for a
+    * deterministic artifact. */
+  private[streaming] def encodeCounts(m: Map[String, Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(m.size)
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val kb = k.getBytes("UTF-8")
+      out.writeInt(kb.length); out.write(kb); out.writeLong(v)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  private[streaming] def decodeCounts(b: Array[Byte]): Map[String, Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
+    val n = in.readInt()
+    (0 until n).map { _ =>
+      val len = in.readInt()
+      val kb = new Array[Byte](len); in.readFully(kb)
+      new String(kb, "UTF-8") -> in.readLong()
+    }.toMap
   }
 
   /** Streaming CUSUM rate monitor — ev31's streaming face, the PSI
@@ -489,11 +522,13 @@ object Streaming {
     * 24·total ⟺ cumulative excess > 24 hourly means).
     *
     * State is one count per HOUR (time-cardinality — 720/month — at
-    * any volume); the additive merge rides the [[BatchLedger]]; the
-    * per-batch recompute is an O(hours) driver fold over the standing
-    * map, not a Spark job. StreamingSpec locks whole-stream parity
-    * with the arithmetic over any split and a planted rate-burst
-    * detection flip. */
+    * any volume), PERSISTED as the [[BatchLedger]]'s payload so the id
+    * and the standing series commit in one atomic rename (the PSI
+    * monitor's restart-consistency discipline); null timestamps are
+    * dropped like every monitor's key filter. The per-batch recompute
+    * is an O(hours) driver fold over the standing map, not a Spark
+    * job. StreamingSpec locks whole-stream parity with the arithmetic
+    * over any split and a planted rate-burst detection flip. */
   def cusumMonitorStream(
       incoming: DataFrame,
       checkpointDir: String,
@@ -501,24 +536,31 @@ object Streaming {
       onBatch: (Long, Long, Boolean) => Unit): StreamingQuery = {
     val ledger = new BatchLedger(checkpointDir,
       hadoopConf = incoming.sparkSession.sessionState.newHadoopConf())
-    val hours = new java.util.concurrent.ConcurrentHashMap[java.sql.Timestamp, Long]()
+    val hours = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    ledger.lastState().foreach(decodeCounts(_)
+      .foreach { case (k, v) => hours.put(k.toLong, v); () })
     incoming.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ledger.runOnce(batchId) {
+        ledger.runOnceStateful(batchId) {
           if (!batch.isEmpty) {
             batch.select(date_trunc("hour", col(tsCol)).as("hr"))
+              .filter(col("hr").isNotNull)
               .groupBy("hr").count().collect()
-              .foreach(r => hours.merge(r.getTimestamp(0), r.getLong(1), _ + _))
+              .foreach(r =>
+                hours.merge(r.getTimestamp(0).getTime, r.getLong(1), _ + _))
             val series = {
               import scala.jdk.CollectionConverters._
-              hours.asScala.toSeq.sortBy(_._1.getTime).map(_._2)
+              hours.asScala.toSeq.sortBy(_._1).map(_._2)
             }
             val (peak, total) = cusumPeak(series)
             onBatch(batchId, peak, peak > 24 * total)
           }
+          import scala.jdk.CollectionConverters._
+          encodeCounts(hours.asScala.toMap.map { case (k, v) =>
+            k.toString -> v })
         }
         ()
       }
@@ -570,47 +612,86 @@ object Streaming {
       checkpointDir: String,
       userCol: String = "user_id")(
       onBatch: (Long, Long, Long, Boolean) => Unit): StreamingQuery = {
+    // register-MAX makes re-absorbing a replayed batch harmless, but
+    // the standing sketches still must SURVIVE a restart (an
+    // in-process reference would silently reset the "cumulative
+    // distinct users" to the post-restart window — the PSI monitor's
+    // restart-consistency discipline), so they ride the ledger payload
+    val ledger = new BatchLedger(checkpointDir,
+      hadoopConf = incoming.sparkSession.sessionState.newHadoopConf())
     val standing = new java.util.concurrent.atomic.AtomicReference[
-      (Array[Byte], Array[Byte])](null)
+      (Array[Byte], Array[Byte])](
+      ledger.lastState().map(decodeSketchPair).orNull)
     incoming.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val rows = batch
-            .select(col(userCol).cast("long").as("u"))
-            .filter(col("u").isNotNull)
-            .withColumn("variant",
-              expr("CASE WHEN substr(md5(CAST(u AS STRING)), 1, 8) < '80000000' " +
-                "THEN 'control' ELSE 'treatment' END"))
-            .groupBy("variant").agg(expr("hll_sketch_agg(u)").as("sk"))
-            .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
-          val s = batch.sparkSession
-          def unionOpt(a: Array[Byte], b: Array[Byte]): Array[Byte] =
-            if (a == null) b else if (b == null) a
-            else {
-              import s.implicits._
-              Seq((a, b)).toDF("a", "b")
-                .selectExpr("hll_union(a, b) AS u")
-                .collect()(0).getAs[Array[Byte]]("u")
-            }
-          val prev = Option(standing.get()).getOrElse((null, null))
-          val next = (unionOpt(prev._1, rows.getOrElse("control", null)),
-            unionOpt(prev._2, rows.getOrElse("treatment", null)))
-          standing.set(next)
-          def est(sk: Array[Byte]): Long =
-            if (sk == null) 0L
-            else {
-              import s.implicits._
-              Seq(sk).toDF("sk").selectExpr("hll_sketch_estimate(sk) AS e")
-                .collect()(0).getLong(0)
-            }
-          val (c, t) = (est(next._1), est(next._2))
-          onBatch(batchId, c, t, srmDetected(c, t))
+        // runOnceStateful for the PERSISTENCE (id + sketches atomic),
+        // not for dedup necessity — MAX-merge tolerates re-absorption
+        ledger.runOnceStateful(batchId) {
+          if (!batch.isEmpty) {
+            val prev = Option(standing.get()).getOrElse((null, null))
+            val s = batch.sparkSession
+            // ONE Spark job: batch partials grouped per variant, the
+            // standing sketches folded in as literals, union + estimate
+            // in the same projection (the first spelling paid four
+            // single-row collect jobs per batch — review catch)
+            def lit2(b: Array[Byte]) =
+              if (b == null) lit(null).cast("binary") else lit(b)
+            val merged = batch
+              .select(col(userCol).cast("long").as("u"))
+              .filter(col("u").isNotNull)
+              .withColumn("variant",
+                expr(graft.queries.EventQueries.variantCaseSql()
+                  .replace("user_id", "u")))
+              .groupBy("variant").agg(expr("hll_sketch_agg(u)").as("sk"))
+              .groupBy()
+              .agg(
+                max(when(col("variant") === "control", col("sk"))).as("cb"),
+                max(when(col("variant") === "treatment", col("sk"))).as("tb"))
+              .select(col("cb"), col("tb"),
+                lit2(prev._1).as("pc"), lit2(prev._2).as("pt"))
+              .selectExpr(
+                "CASE WHEN pc IS NULL THEN cb WHEN cb IS NULL THEN pc " +
+                  "ELSE hll_union(pc, cb) END AS csk",
+                "CASE WHEN pt IS NULL THEN tb WHEN tb IS NULL THEN pt " +
+                  "ELSE hll_union(pt, tb) END AS tsk")
+              .selectExpr("csk", "tsk",
+                "CASE WHEN csk IS NULL THEN 0L ELSE hll_sketch_estimate(csk) END AS c",
+                "CASE WHEN tsk IS NULL THEN 0L ELSE hll_sketch_estimate(tsk) END AS t")
+              .collect()(0)
+            val next = (merged.getAs[Array[Byte]]("csk"),
+              merged.getAs[Array[Byte]]("tsk"))
+            standing.set(next)
+            val (c, t) = (merged.getAs[Long]("c"), merged.getAs[Long]("t"))
+            onBatch(batchId, c, t, srmDetected(c, t))
+          }
+          Option(standing.get()).map(encodeSketchPair)
+            .getOrElse(Array.emptyByteArray)
         }
+        ()
       }
       .start()
+  }
+
+  /** Two nullable byte arrays ⇄ one ledger payload (len-prefixed,
+    * −1 = null). */
+  private[streaming] def encodeSketchPair(p: (Array[Byte], Array[Byte])): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    def w(b: Array[Byte]): Unit =
+      if (b == null) out.writeInt(-1) else { out.writeInt(b.length); out.write(b) }
+    w(p._1); w(p._2); out.flush(); bos.toByteArray
+  }
+
+  private[streaming] def decodeSketchPair(b: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
+    def r(): Array[Byte] = {
+      val len = in.readInt()
+      if (len < 0) null else { val a = new Array[Byte](len); in.readFully(a); a }
+    }
+    (r(), r())
   }
 
   /** ev24's exact-rational verdict on two counts: (c−t)²·10⁶ >

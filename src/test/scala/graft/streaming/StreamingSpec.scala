@@ -826,11 +826,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts == baseline, "standing mix diverges from the stream total")
     assert(psiSame == 0L, s"identical mix must score PSI 0, got $psiSame")
 
+    // restart-replay consistency: the standing counts ride the ledger
+    // PAYLOAD (id + state one atomic rename), so a new process that
+    // resumes the checkpoint — with the last commit-log entry deleted
+    // to force a replayed batch — must neither drop nor double the
+    // replayed counts
+    val commits = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$tmp/ck1/commits")).iterator().asScala
+      .filter(_.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    java.nio.file.Files.delete(commits)
+    java.nio.file.Files.deleteIfExists(
+      commits.resolveSibling("." + commits.getFileName.toString + ".crc"))
+    run(s"$tmp/in_same", s"$tmp/ck1") // replayed batch skipped by id
+    def persisted(): Map[String, Long] = {
+      val l = new graft.streaming.BatchLedger(s"$tmp/ck1",
+        hadoopConf = spark.sessionState.newHadoopConf())
+      graft.streaming.Streaming.decodeCounts(l.lastState().get)
+    }
+    assert(persisted() == baseline,
+      s"restart replay dropped or doubled the standing mix: ${persisted()}")
+    // and a continuation batch after the restart ABSORBS on top of the
+    // resumed state (the failure the payload design prevents: a fresh
+    // process whose in-memory map starts empty would report only the
+    // post-restart window)
+    val extraType = baseline.keySet.toSeq.sorted.head
+    val ss3 = spark
+    import ss3.implicits._
+    Seq.fill(7)(extraType).toDF("event_type")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in_same")
+    val (_, countsCont) = run(s"$tmp/in_same", s"$tmp/ck1")
+    assert(countsCont ==
+      baseline.updated(extraType, baseline(extraType) + 7),
+      s"continuation after restart lost the resumed state: $countsCont")
+
     // planted drift: one type carries 90% of the new window — the
     // conventional 0.25 'shifted' threshold must trip
     val hot = baseline.keySet.toSeq.sorted.head
-    val ss2 = spark
-    import ss2.implicits._
     (Seq.fill(900)(hot) ++ baseline.keySet.toSeq.sorted.tail.take(2)
       .flatMap(t => Seq.fill(50)(t)))
       .toDF("event_type").repartition(2).write.parquet(s"$tmp/in_drift")
