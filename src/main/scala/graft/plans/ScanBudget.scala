@@ -59,6 +59,36 @@ object ScanBudgetRule extends Rule[LogicalPlan] {
 
   final class ScanBudgetExceeded(msg: String) extends RuntimeException(msg)
 
+  /** One violation, as the metrics surface reports it. */
+  final case class Violation(relation: String, scans: Int, budget: Int,
+      mode: String, atMillis: Long)
+
+  /** Serving-visible violation telemetry (r12 verdict #4: `warn` mode
+    * was log-only, so the observe-then-flip migration path — run warn,
+    * watch for violations, flip to fail once clean — required log
+    * scraping). Every violation feeds the counter and the
+    * last-violation gauge, in BOTH modes: warn is the migration
+    * consumer, and a fail-mode 422 leaving a trace here lets an
+    * operator correlate request errors with the relation that caused
+    * them. The server surfaces the snapshot on `/mcp/metrics`. */
+  object Metrics {
+    private val count = new java.util.concurrent.atomic.AtomicLong()
+    @volatile private var last: Option[Violation] = None
+
+    private[plans] def record(v: Violation): Unit = { count.incrementAndGet(); last = Some(v) }
+
+    def violations: Long = count.get()
+    def lastViolation: Option[Violation] = last
+
+    def toJson: String = {
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val lastJson = last.fold("null")(v =>
+        s"""{"relation":"${esc(v.relation)}","scans":${v.scans},""" +
+          s""""budget":${v.budget},"mode":"${v.mode}","at_ms":${v.atMillis}}""")
+      s"""{"violations":${count.get()},"last":$lastJson}"""
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val max =
       try SQLConf.get.getConfString(ConfKey, "0").toInt
@@ -76,6 +106,8 @@ object ScanBudgetRule extends Rule[LogicalPlan] {
               "Spark inlines CTEs, so each reference re-executes the " +
               "subtree — localCheckpoint the shared intermediate (see " +
               "graft.operators.SessionMemo/DirMemo) or raise the budget."
+          Metrics.record(Violation(path, hits.size, max,
+            if (warnOnly) "warn" else "fail", System.currentTimeMillis()))
           if (warnOnly) logWarning(msg)
           else throw new ScanBudgetExceeded(msg)
         }
@@ -111,17 +143,28 @@ object ScanBudgetRule extends Rule[LogicalPlan] {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    def leafKey(fs: HadoopFsRelation, conds: Seq[Expression]): String = {
+    def leafKey(lr: LogicalRelation, fs: HadoopFsRelation,
+        conds: Seq[Expression]): String = {
       val path = fs.location.rootPaths.map(_.toString).sorted.mkString(",")
       val partCols = fs.partitionSchema.fieldNames
         .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      // the relation's ACTUAL partition attributes, by ExprId — a
+      // Project alias that merely SHARES a partition column's name
+      // mints a fresh ExprId, so a data predicate over it can never
+      // classify as a slice (the name-match version could be shadowed
+      // into silently bypassing the budget — r12 ADVICE)
+      val partAttrIds = lr.output.filter(a =>
+        partCols.contains(a.name.toLowerCase(java.util.Locale.ROOT)))
+        .map(_.exprId).toSet
       // a conjunct is a SLICE predicate only when it references
       // partition columns EXCLUSIVELY — a mixed or data-only conjunct
       // is consumer logic and must not differentiate the key
       val partConds = conds.flatMap(conjuncts).filter { c =>
         val refs = c.references.toSeq
-        refs.nonEmpty && refs.forall(a =>
-          partCols.contains(a.name.toLowerCase(java.util.Locale.ROOT)))
+        refs.nonEmpty && refs.forall {
+          case a: AttributeReference => partAttrIds.contains(a.exprId)
+          case _ => false
+        }
       }
       if (partConds.isEmpty) path
       else {
@@ -140,12 +183,28 @@ object ScanBudgetRule extends Rule[LogicalPlan] {
     }
     // walk linear Filter/Project chains carrying the filter context;
     // any other node resets it (a filter above a join/aggregate does
-    // not slice the scans underneath)
+    // not slice the scans underneath). Crossing a Project REMAPS the
+    // carried conditions through its alias list, so a condition that
+    // referenced `alias AS cell` arrives at the leaf as a condition
+    // over the alias's CHILD expression (whose refs are what decide
+    // slice-ness) — without the remap, a filter above an aliasing
+    // Project would reference ExprIds the leaf has never heard of.
     def walk(node: LogicalPlan, conds: Seq[Expression]): Unit = node match {
       case f: Filter => walk(f.child, conds :+ f.condition)
-      case p: Project => walk(p.child, conds)
-      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-        out += leafKey(fs, conds); ()
+      case p: Project =>
+        val aliasById = p.projectList.collect {
+          case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+            al.exprId -> al.child
+        }.toMap
+        val remapped =
+          if (aliasById.isEmpty) conds
+          else conds.map(_.transform {
+            case a: AttributeReference if aliasById.contains(a.exprId) =>
+              aliasById(a.exprId)
+          })
+        walk(p.child, remapped)
+      case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        out += leafKey(lr, fs, conds); ()
       case other => other.children.foreach(walk(_, Nil))
     }
     walk(plan, Nil)

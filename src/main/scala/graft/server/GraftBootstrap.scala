@@ -23,12 +23,15 @@ object GraftBootstrap {
   val templateCache = new graft.template.CachingTemplateSource()
 
   /** Parsed project file (reference flapi.yaml: project-name,
-    * template.path + environment-whitelist, connections map). */
+    * template.path + environment-whitelist, connections map; the
+    * `monitors:` block is this engine's streaming extension — the
+    * reference has no stream engine, SURVEY §2.12). */
   final case class ProjectConfig(
       projectName: String,
       templatePath: String,
       envWhitelist: Seq[String] = Nil,
-      connections: Seq[ConnectionConfig] = Nil)
+      connections: Seq[ConnectionConfig] = Nil,
+      monitors: Seq[MonitorConfig] = Nil)
 
   def parseProject(yaml: String): ProjectConfig = {
     val root = new org.yaml.snakeyaml.Yaml().load[Any](yaml)
@@ -54,11 +57,42 @@ object GraftBootstrap {
           ConnectionConfig(name, props, str(m, "init"))
         }
       }.getOrElse(Seq.empty)
+    val monitors = Option(root.get("monitors"))
+      .map(_.asInstanceOf[java.util.List[Any]])
+      .map { l =>
+        import scala.jdk.CollectionConverters._
+        l.asScala.toSeq.map { v =>
+          val m = v.asInstanceOf[java.util.Map[String, Any]]
+          def intOr(k: String, d: Int) = str(m, k)
+            .flatMap(x => scala.util.Try(x.toInt).toOption).getOrElse(d)
+          val baseline = Option(m.get("baseline"))
+            .map(_.asInstanceOf[java.util.Map[String, Any]])
+            .map(_.asScala.map { case (k, bv) =>
+              k -> String.valueOf(bv).toLong }.toMap)
+            .getOrElse(Map.empty[String, Long])
+          MonitorConfig(
+            name = str(m, "name").getOrElse(
+              throw new IllegalArgumentException("monitor missing name")),
+            tpe = str(m, "type").getOrElse(
+              throw new IllegalArgumentException("monitor missing type")),
+            source = str(m, "source").getOrElse(
+              throw new IllegalArgumentException("monitor missing source")),
+            checkpoint = str(m, "checkpoint").getOrElse(
+              throw new IllegalArgumentException("monitor missing checkpoint")),
+            typeCol = str(m, "type-column").getOrElse("event_type"),
+            tsCol = str(m, "ts-column").getOrElse("ts"),
+            userCol = str(m, "user-column").getOrElse("user_id"),
+            baseline = baseline,
+            trailingWindows = intOr("trailing-windows", 7),
+            horizonHours = intOr("horizon-hours", 720))
+        }
+      }.getOrElse(Seq.empty)
     ProjectConfig(
       projectName = str(root, "project-name").getOrElse("graft"),
       templatePath = template.flatMap(t => str(t, "path")).getOrElse("."),
       envWhitelist = whitelist,
-      connections = conns)
+      connections = conns,
+      monitors = monitors)
   }
 
   /** Load a project tree: project yaml → discovered endpoints with
@@ -209,6 +243,18 @@ object GraftBootstrap {
       val scheduler = new graft.cache.RefreshScheduler(cm)
       scheduler.start(cached.map(_.config), templates)
     }
+    // drift monitors (the `monitors:` block): seed standing verdicts
+    // from the persisted ledger payloads FIRST — a restarted server
+    // serves the last verdict even if its sources are empty or its
+    // boot drain fails — then run one catch-up drain over whatever
+    // landed in each source since the checkpoint (the cache-warmup
+    // discipline: blocking at boot, per-monitor failures logged).
+    val monitorManager = Option(project.monitors).filter(_.nonEmpty).map { ms =>
+      val mm = new MonitorManager(spark, ms)
+      mm.seed()
+      mm.drain()
+      mm
+    }
     // boot-time security audit (reference runs it as a startup wave):
     // advisory — a dangerous config serves, but never silently. The
     // project env allowlist rides along so whitelisted refs don't
@@ -229,6 +275,7 @@ object GraftBootstrap {
               "templates" -> templateDir)))
     new GraftServer(spark, endpoints, port = port, wire = wire,
       mcpAuthEnabled = anyAuth, basicAuth = basic, jwtAuth = jwt, oidcAuth = oidc,
-      configService = csWithConns, cacheManager = manager).start()
+      configService = csWithConns, cacheManager = manager,
+      monitors = monitorManager).start()
   }
 }

@@ -102,7 +102,10 @@ final class GraftServer(
     audit: Option[RequestAuditConfig] = None,
     /** opt-in app start/stop telemetry (reference flapi_telemetry.cpp);
       * None = off. */
-    telemetry: Option[Telemetry] = None) {
+    telemetry: Option[Telemetry] = None,
+    /** drift-monitor registry (the `monitors:` project block) — when
+      * set, standing verdicts serve on GET /mcp/monitors. */
+    monitors: Option[MonitorManager] = None) {
 
   private val mapper = new ObjectMapper()
   private val rateLimiter = new RateLimiter()
@@ -134,12 +137,24 @@ final class GraftServer(
     })
     // serving metrics (reference arrow_metrics.hpp counters/gauges
     // surfaced per stream): read-only counts, no auth — same policy as
-    // the health probe above
+    // the health probe above. scan_budget makes the warn-mode
+    // observe-then-flip migration observable without log scraping
+    // (r12 verdict #4): a violation counter plus the last violation's
+    // relation/count/mode.
     server.createContext("/mcp/metrics", (ex: HttpExchange) => safely(ex) { e =>
       respond(e, 200,
-        s"""{"arrow":${graft.serialize.ArrowMetrics.snapshot.toJson}}""",
+        s"""{"arrow":${graft.serialize.ArrowMetrics.snapshot.toJson},""" +
+          s""""scan_budget":${graft.plans.ScanBudgetRule.Metrics.toJson}}""",
         "application/json")
     })
+    // drift-monitor standing verdicts (PSI mix / CUSUM rate / SRM
+    // assignment): read-only statistics, the same no-auth policy —
+    // exposes aggregate drift scores and distinct-count estimates only
+    monitors.foreach { mm =>
+      server.createContext("/mcp/monitors", (ex: HttpExchange) => safely(ex) { e =>
+        respond(e, 200, mm.toJson, "application/json")
+      })
+    }
     server.createContext("/openapi.json", (ex: HttpExchange) => safely(ex) { e =>
       respond(e, 200, OpenApi.generate(spark, eps), "application/json")
     })
@@ -205,13 +220,19 @@ final class GraftServer(
   /** Unwrap to the scan-budget guard's message if it is anywhere on
     * the cause chain (Spark may wrap optimizer-rule exceptions — or
     * re-wrap keeping only the message text — before they reach the
-    * handler). Bounded walk — cause chains can be cyclic. */
+    * handler). Bounded walk — cause chains can be cyclic. The message
+    * fallback (for re-wraps that drop the exception TYPE) is anchored
+    * to the guard's full directed prefix INCLUDING its conf key — a
+    * generic substring would remap any 500 whose user SQL or data
+    * merely echoes the phrase into a misleading 422 (r12 ADVICE). */
   private def scanBudgetCause(e: Throwable): Option[String] = {
     var cur: Throwable = e
     var depth = 0
     while (cur != null && depth < 16) {
       val isGuard = cur.isInstanceOf[graft.plans.ScanBudgetRule.ScanBudgetExceeded] ||
-        Option(cur.getMessage).exists(_.contains("scan budget exceeded"))
+        Option(cur.getMessage).exists(m =>
+          m.contains("scan budget exceeded: relation [") &&
+            m.contains(s"(budget ${graft.plans.ScanBudgetRule.ConfKey}="))
       if (isGuard) return Some(String.valueOf(cur.getMessage))
       cur = cur.getCause; depth += 1
     }

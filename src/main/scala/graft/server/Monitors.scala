@@ -1,0 +1,178 @@
+package graft.server
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+
+import graft.streaming.Streaming
+
+/** One configured drift monitor (the `monitors:` block of the project
+  * yaml — see [[GraftBootstrap.parseProject]]). `source` is a parquet
+  * directory the monitor streams (the cursor-append/crawl-drop layout
+  * every ingest stream in this engine consumes); `checkpoint` owns the
+  * stream offsets AND the [[graft.streaming.BatchLedger]] payload that
+  * carries the monitor's whole standing state, so the verdict survives
+  * any restart. The reference has no stream engine — this is the
+  * Spark-native extension of its scheduled-refresh model (SURVEY
+  * §2.12), promoted from library code to served product the same way
+  * the r12 scan-budget rule was. */
+final case class MonitorConfig(
+    name: String,
+    tpe: String, // psi | cusum | srm
+    source: String,
+    checkpoint: String,
+    typeCol: String = "event_type",
+    tsCol: String = "ts",
+    userCol: String = "user_id",
+    /** PSI only: the frozen known-good mix (type -> count). */
+    baseline: Map[String, Long] = Map.empty,
+    /** PSI only: trailing event-time days scored as "recent". */
+    trailingWindows: Int = 7,
+    /** CUSUM only: event-time hours kept un-folded. */
+    horizonHours: Int = 720)
+
+/** A monitor's latest standing verdict as the serving surface reports
+  * it. `stats` keys depend on the type: psi → psi_micro_cumulative /
+  * psi_micro_windowed; cusum → peak; srm → control / treatment. */
+final case class MonitorVerdict(
+    name: String,
+    tpe: String,
+    batchId: Long,
+    alert: Boolean,
+    stats: Map[String, Long],
+    updatedAtMs: Long) {
+  def toJson: String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val statJson = stats.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    s"""{"name":"${esc(name)}","type":"${esc(tpe)}","batch_id":$batchId,""" +
+      s""""alert":$alert,"stats":$statJson,"updated_at_ms":$updatedAtMs}"""
+  }
+}
+
+/** Runs the streaming monitor trio (PSI mix drift, CUSUM rate drift,
+  * SRM assignment drift) as SERVED infrastructure: [[drain]] runs one
+  * catch-up pass per monitor (Trigger.AvailableNow — the production
+  * cadence of every ingest stream here: run per crawl drop, resume
+  * from the checkpoint), live callbacks land each absorbed batch's
+  * verdict in the registry, and [[seed]] recovers every standing
+  * verdict from the persisted ledger payloads WITHOUT running a
+  * stream — so a freshly restarted server serves the last verdict
+  * immediately, even before (or without) its first drain. The server
+  * exposes [[toJson]] on `GET /mcp/monitors` (read-only statistics,
+  * the health/metrics auth policy).
+  *
+  * PSI alert rule: the WINDOWED statistic over the conventional 0.25
+  * "shifted" threshold (250 000 micro-units) — the cumulative value is
+  * reported alongside but does not gate, because it dilutes late
+  * drift (the r12 verdict's design-debt finding; the windowed monitor
+  * exists to fix exactly that). CUSUM/SRM alert rules are the
+  * monitors' own deterministic verdicts.
+  *
+  * 100 TB shape: per drain, each monitor does one batch-sized
+  * aggregation per micro-batch plus an O(types·K)/O(horizon)/O(1)
+  * driver fold; standing state is ledger-payload-sized (bounded by
+  * type/window/horizon/sketch cardinality, never stream age or
+  * volume). The registry holds |monitors| small records. */
+final class MonitorManager(spark: SparkSession, configs: Seq[MonitorConfig]) {
+
+  private val verdicts = new ConcurrentHashMap[String, MonitorVerdict]()
+
+  configs.foreach { c =>
+    require(Set("psi", "cusum", "srm").contains(c.tpe),
+      s"monitor '${c.name}': unknown type '${c.tpe}' (psi|cusum|srm)")
+    if (c.tpe == "psi") require(c.baseline.values.sum > 0,
+      s"monitor '${c.name}': psi needs a non-empty baseline")
+  }
+
+  private def record(name: String, tpe: String, batchId: Long,
+      alert: Boolean, stats: Map[String, Long]): Unit = {
+    verdicts.put(name, MonitorVerdict(name, tpe, batchId, alert, stats,
+      System.currentTimeMillis()))
+    ()
+  }
+
+  /** Recover every monitor's standing verdict from its persisted
+    * ledger state (no stream runs). Monitors whose checkpoint has
+    * never committed a batch stay absent from the registry. */
+  def seed(): Unit = configs.foreach { c =>
+    try c.tpe match {
+      case "psi" =>
+        Streaming.windowedPsiStanding(spark, c.checkpoint, c.baseline)
+          .foreach { case (id, cum, win, _) =>
+            record(c.name, "psi", id, win > 250000L,
+              Map("psi_micro_cumulative" -> cum, "psi_micro_windowed" -> win))
+          }
+      case "cusum" =>
+        Streaming.cusumStanding(spark, c.checkpoint).foreach {
+          case (id, peak, det) =>
+            record(c.name, "cusum", id, det, Map("peak" -> peak))
+        }
+      case "srm" =>
+        Streaming.srmStanding(spark, c.checkpoint).foreach {
+          case (id, ctl, trt, det) =>
+            record(c.name, "srm", id, det,
+              Map("control" -> ctl, "treatment" -> trt))
+        }
+    } catch { case e: Exception =>
+      System.err.println(s"[monitors] seed '${c.name}' failed: ${e.getMessage}")
+    }
+  }
+
+  /** One catch-up pass per monitor: stream whatever landed in each
+    * source since the checkpoint, absorb it, update the registry.
+    * Blocking (the boot path runs it once, like cache warmup);
+    * failures are per-monitor and logged — one bad source must not
+    * take down serving. */
+  def drain(timeoutMs: Long = 300000): Unit = configs.foreach { c =>
+    try {
+      val schema = spark.read.parquet(c.source).schema
+      val stream = spark.readStream.schema(schema).parquet(c.source)
+      val q = c.tpe match {
+        case "psi" =>
+          Streaming.windowedPsiMonitorStream(stream, c.checkpoint,
+            c.baseline, c.typeCol, c.tsCol, c.trailingWindows) {
+            (id, cum, win, _) =>
+              record(c.name, "psi", id, win > 250000L,
+                Map("psi_micro_cumulative" -> cum, "psi_micro_windowed" -> win))
+          }
+        case "cusum" =>
+          Streaming.cusumMonitorStream(stream, c.checkpoint,
+            c.tsCol, c.horizonHours) { (id, peak, det) =>
+            record(c.name, "cusum", id, det, Map("peak" -> peak))
+          }
+        case "srm" =>
+          Streaming.srmMonitorStream(stream, c.checkpoint, c.userCol) {
+            (id, ctl, trt, det) =>
+              record(c.name, "srm", id, det,
+                Map("control" -> ctl, "treatment" -> trt))
+          }
+      }
+      try {
+        if (!q.awaitTermination(timeoutMs))
+          System.err.println(s"[monitors] drain '${c.name}' timed out")
+      } finally if (q.isActive) q.stop()
+    } catch { case e: Exception =>
+      System.err.println(s"[monitors] drain '${c.name}' failed: ${e.getMessage}")
+    }
+  }
+
+  def snapshot: Seq[MonitorVerdict] = {
+    import scala.jdk.CollectionConverters._
+    verdicts.values.asScala.toSeq.sortBy(_.name)
+  }
+
+  /** Configured monitors with no committed batch yet report
+    * `batch_id: -1` rather than disappearing — an operator must see
+    * the monitor EXISTS before its first data arrives. */
+  def toJson: String = {
+    val rows = configs.map { c =>
+      Option(verdicts.get(c.name)).map(_.toJson).getOrElse {
+        def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+        s"""{"name":"${esc(c.name)}","type":"${esc(c.tpe)}","batch_id":-1,""" +
+          s""""alert":false,"stats":{},"updated_at_ms":0}"""
+      }
+    }
+    s"""{"monitors":[${rows.mkString(",")}]}"""
+  }
+}

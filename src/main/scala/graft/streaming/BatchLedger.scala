@@ -3,7 +3,7 @@ package graft.streaming
 import java.util.EnumSet
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path}
+import org.apache.hadoop.fs.{CreateFlag, FileContext, FileSystem, Options, Path}
 import org.apache.hadoop.fs.permission.FsPermission
 
 /** Persistent last-committed-batch ledger for foreachBatch sinks whose
@@ -26,8 +26,18 @@ import org.apache.hadoop.fs.permission.FsPermission
   * resolution would silently strand the marker on the old driver's
   * disk — the r12 review catch). Writes go through a temp file +
   * `Options.Rename.OVERWRITE` — the atomic-replace recipe Spark's own
-  * CheckpointFileManager uses; a crash mid-write leaves the previous
-  * marker intact, never a torn read.
+  * CheckpointFileManager uses. Like CheckpointFileManager, a scheme
+  * without an AbstractFileSystem binding (some object-store
+  * connectors register only a FileSystem) falls back to the
+  * FileSystem API: delete-then-rename, which narrows "never a torn
+  * read" to "a crash inside the two-call window can lose the marker
+  * but never tear it" — the same trade Spark's fallback makes, and
+  * losing the marker only re-runs a batch (the at-least-once
+  * direction). The atomic-replace guarantee proper holds on
+  * filesystems with atomic rename (local, HDFS); S3A's rename is
+  * copy+delete, so there the window is the copy, not a byte-level
+  * tear — marker content is still all-old or all-new because the
+  * temp file is fully written before either rename recipe runs.
   *
   * Delivery contract: the window narrows from "any replay double-
   * merges" to "a crash BETWEEN the merge body and the marker write
@@ -48,14 +58,34 @@ final class BatchLedger(checkpointDir: String,
     name: String = "graft-committed",
     hadoopConf: Configuration = new Configuration()) {
   private val marker = new Path(checkpointDir, name)
-  private val fc = FileContext.getFileContext(marker.toUri, hadoopConf)
+  // CheckpointFileManager's dual-stack discipline: FileContext when the
+  // scheme has an AbstractFileSystem binding (atomic Rename.OVERWRITE),
+  // FileSystem otherwise (delete+rename — the construction must not
+  // throw UnsupportedFileSystemException just because a connector
+  // registered only the FileSystem side)
+  private val fc: Either[FileContext, FileSystem] =
+    try Left(FileContext.getFileContext(marker.toUri, hadoopConf))
+    catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        Right(marker.getFileSystem(hadoopConf))
+    }
+
+  private def exists(p: Path): Boolean = fc match {
+    case Left(c) => c.util.exists(p)
+    case Right(s) => s.exists(p)
+  }
+
+  private def open(p: Path): java.io.InputStream = fc match {
+    case Left(c) => c.open(p)
+    case Right(s) => s.open(p)
+  }
 
   // marker layout: 8-byte big-endian batch id, then the (possibly
   // empty) state payload — id and state commit in ONE atomic rename
   private def readMarker(): Option[(Long, Array[Byte])] =
-    if (!fc.util.exists(marker)) None
+    if (!exists(marker)) None
     else {
-      val in = fc.open(marker)
+      val in = open(marker)
       try {
         val all = in.readAllBytes()
         if (all.length < 8) None
@@ -78,16 +108,30 @@ final class BatchLedger(checkpointDir: String,
     * replace, so the id and the state can never disagree. */
   def commit(batchId: Long, state: Array[Byte] = Array.emptyByteArray): Unit = {
     val tmp = new Path(marker.getParent, name + ".tmp")
-    val out = fc.create(tmp,
-      EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
-      Options.CreateOpts.createParent(),
-      Options.CreateOpts.perms(FsPermission.getFileDefault))
+    val out: java.io.OutputStream = fc match {
+      case Left(c) => c.create(tmp,
+        EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+        Options.CreateOpts.createParent(),
+        Options.CreateOpts.perms(FsPermission.getFileDefault))
+      case Right(s) => s.create(tmp, true)
+    }
     try {
       val hdr = java.nio.ByteBuffer.allocate(8).putLong(batchId).array()
       out.write(hdr)
       if (state.nonEmpty) out.write(state)
     } finally out.close()
-    fc.rename(tmp, marker, Options.Rename.OVERWRITE)
+    fc match {
+      case Left(c) => c.rename(tmp, marker, Options.Rename.OVERWRITE)
+      case Right(s) =>
+        // FileSystem.rename refuses to clobber: delete-then-rename, the
+        // CheckpointFileManager fallback's recipe — a crash between the
+        // calls LOSES the marker (batch re-runs, the safe direction)
+        // but never leaves a torn one (tmp was fully written above)
+        if (s.exists(marker)) s.delete(marker, false)
+        if (!s.rename(tmp, marker))
+          throw new java.io.IOException(s"ledger rename $tmp -> $marker failed")
+    }
+    ()
   }
 
   /** Run `body` iff `batchId` has not committed yet, then commit it.

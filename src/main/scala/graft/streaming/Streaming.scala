@@ -449,7 +449,20 @@ object Streaming {
     * entries: integer ppm shares, one ln per type rounded to
     * micro-units — StreamingSpec locks parity with a direct
     * whole-stream computation over any split, a planted-drift alert
-    * flip, and state survival across a forced restart-replay. */
+    * flip, and state survival across a forced restart-replay.
+    *
+    * Sensitivity caveat: this is the CUMULATIVE mix — after a long
+    * healthy run, a late drift window moves the all-time shares only
+    * marginally, so detection latency grows with stream age. For the
+    * "is the RECENT window drifting" question use
+    * [[windowedPsiMonitorStream]], which scores the trailing K
+    * event-time windows against the same frozen baseline.
+    *
+    * Replay delivery (r12 ADVICE): a restart whose run only replays
+    * already-committed batches still delivers the STANDING verdict —
+    * a skipped replay re-emits from the persisted ledger state, so a
+    * caller acting on the latest callback is never left silent after
+    * a restart. */
   def psiMonitorStream(
       incoming: DataFrame,
       checkpointDir: String,
@@ -467,7 +480,7 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ledger.runOnceStateful(batchId) {
+        val ran = ledger.runOnceStateful(batchId) {
           if (!batch.isEmpty) {
             batch.filter(col(typeCol).isNotNull)
               .groupBy(typeCol).count().collect()
@@ -481,9 +494,129 @@ object Streaming {
           import scala.jdk.CollectionConverters._
           encodeCounts(standing.asScala.toMap)
         }
+        if (!ran) ledger.lastState().map(decodeCounts).foreach(counts =>
+          onBatch(batchId, psiMicro(baseline, counts), counts))
         ()
       }
       .start()
+  }
+
+  /** Windowed PSI drift monitor — [[psiMonitorStream]]'s
+    * late-drift-sensitive form (r12 verdict: the cumulative mix
+    * DILUTES late drift — after months of healthy stream, a week of
+    * hard drift barely moves the all-time shares). Events bucket into
+    * event-time DAYS; the monitor keeps per-day type counts for the
+    * trailing `trailingWindows` days plus the all-time cumulative
+    * counts, and each absorbed batch reports BOTH statistics:
+    * `psi_cumulative` (the all-time mix vs the frozen baseline —
+    * unchanged semantics) and `psi_windowed` (the union of the
+    * trailing K days vs the same baseline — the production "is the
+    * recent window drifting" answer).
+    *
+    * State is bounded at |types| (cumulative) + |types|×K (windows):
+    * days older than the trailing K are PRUNED per batch after their
+    * counts were already absorbed into the cumulative map, so stream
+    * AGE never grows the payload. Everything rides the
+    * [[BatchLedger]] payload (id + state, one atomic rename — the
+    * trio's restart-consistency discipline), and a skipped replay
+    * re-emits the standing verdict from the persisted state.
+    * Null timestamps/types are dropped like every monitor's key
+    * filter. StreamingSpec plants drift confined to the final slice
+    * of a long stream that cumulative PSI scores under the 0.1
+    * "drifting" threshold while windowed PSI clears 0.25 "shifted". */
+  def windowedPsiMonitorStream(
+      incoming: DataFrame,
+      checkpointDir: String,
+      baseline: Map[String, Long],
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      trailingWindows: Int = 7)(
+      onBatch: (Long, Long, Long, Map[String, Long]) => Unit): StreamingQuery = {
+    require(baseline.values.sum > 0, "baseline distribution is empty")
+    require(trailingWindows > 0, "trailingWindows must be positive")
+    val ledger = new BatchLedger(checkpointDir,
+      hadoopConf = incoming.sparkSession.sessionState.newHadoopConf())
+    // composite-key map rides the shared counts codec:
+    //   c|<type>        cumulative count
+    //   w|<epochDay>|<type>  trailing-window count
+    val cumulative = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val windows = new java.util.concurrent.ConcurrentHashMap[(Long, String), Long]()
+    ledger.lastState().map(decodeWindowedPsi).foreach { case (c, w) =>
+      c.foreach { case (k, v) => cumulative.put(k, v); () }
+      w.foreach { case (k, v) => windows.put(k, v); () }
+    }
+    def snapshot(): (Map[String, Long], Map[(Long, String), Long]) = {
+      import scala.jdk.CollectionConverters._
+      (cumulative.asScala.toMap, windows.asScala.toMap)
+    }
+    def emit(batchId: Long, c: Map[String, Long],
+        w: Map[(Long, String), Long]): Unit = {
+      val recent = w.groupBy(_._1._2).map { case (t, m) => t -> m.values.sum }
+      onBatch(batchId, psiMicro(baseline, c), psiMicro(baseline, recent), c)
+    }
+    incoming.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ran = ledger.runOnceStateful(batchId) {
+          if (!batch.isEmpty) {
+            batch
+              .filter(col(typeCol).isNotNull && col(tsCol).isNotNull)
+              .groupBy(
+                // event-time day as an epoch-day long (datediff works
+                // on TIMESTAMP and TIMESTAMP_NTZ alike — unix_micros
+                // rejects NTZ parquet timestamps)
+                datediff(to_date(col(tsCol)), lit("1970-01-01"))
+                  .cast("long").as("d"),
+                col(typeCol).as("t"))
+              .count().collect()
+              .foreach { r =>
+                cumulative.merge(r.getString(1), r.getLong(2), _ + _)
+                windows.merge((r.getLong(0), r.getString(1)), r.getLong(2), _ + _)
+              }
+            // prune: only the trailing K distinct days stay windowed
+            // (their counts already live in the cumulative map)
+            val days = {
+              import scala.jdk.CollectionConverters._
+              windows.keySet.asScala.map(_._1).toSeq.distinct.sorted
+            }
+            days.dropRight(trailingWindows).foreach { old =>
+              import scala.jdk.CollectionConverters._
+              windows.keySet.asScala.filter(_._1 == old)
+                .toSeq.foreach(windows.remove)
+            }
+            val (c, w) = snapshot()
+            emit(batchId, c, w)
+          }
+          val (c, w) = snapshot()
+          encodeWindowedPsi(c, w)
+        }
+        if (!ran) ledger.lastState().map(decodeWindowedPsi)
+          .foreach { case (c, w) => emit(batchId, c, w) }
+        ()
+      }
+      .start()
+  }
+
+  private[streaming] def encodeWindowedPsi(
+      c: Map[String, Long], w: Map[(Long, String), Long]): Array[Byte] =
+    encodeCounts(
+      c.map { case (t, v) => s"c|$t" -> v } ++
+        w.map { case ((d, t), v) => s"w|$d|$t" -> v })
+
+  private[streaming] def decodeWindowedPsi(b: Array[Byte]):
+      (Map[String, Long], Map[(Long, String), Long]) = {
+    val all = decodeCounts(b)
+    val c = all.collect { case (k, v) if k.startsWith("c|") =>
+      k.substring(2) -> v }
+    // type is the LAST field and keeps any embedded delimiter (limit-3
+    // split) — day is a rendered long, always delimiter-free
+    val w = all.collect { case (k, v) if k.startsWith("w|") =>
+      val parts = k.split("\\|", 3)
+      (parts(1).toLong, parts(2)) -> v
+    }
+    (c, w)
   }
 
   /** (string → long) map codec for ledger payloads — length-prefixed
@@ -521,50 +654,153 @@ object Streaming {
     * `detected` is the gated query's deterministic rule (peak >
     * 24·total ⟺ cumulative excess > 24 hourly means).
     *
-    * State is one count per HOUR (time-cardinality — 720/month — at
-    * any volume), PERSISTED as the [[BatchLedger]]'s payload so the id
-    * and the standing series commit in one atomic rename (the PSI
-    * monitor's restart-consistency discipline); null timestamps are
-    * dropped like every monitor's key filter. The per-batch recompute
-    * is an O(hours) driver fold over the standing map, not a Spark
-    * job. StreamingSpec locks whole-stream parity with the arithmetic
-    * over any split and a planted rate-burst detection flip. */
+    * State is BOUNDED BY THE HORIZON, not stream age (r12 verdict:
+    * the all-hours form grew its payload, its per-batch fold, and —
+    * worse — its detection DENOMINATOR linearly with stream age, so
+    * the peak > 24·total rule got progressively deafer to late
+    * bursts): per-hour counts are kept only for the trailing
+    * `horizonHours` event-time hours; hours falling off the horizon
+    * FOLD into a frozen (sum, n_hours) baseline, and once that
+    * baseline exists the CUSUM runs over the horizon series centered
+    * on the BASELINE mean (dev_i = n_base·cum_i − sum_base·i, exact
+    * cross-multiplied — μ never divides) with the rule peak >
+    * 24·sum_base ⟺ cumulative in-horizon excess > 24 baseline-hour
+    * means. Before the stream outgrows the horizon the baseline is
+    * empty and the arithmetic is exactly the gated ev31 identity over
+    * the horizon series (self-centered) — the original semantics.
+    * Sensitivity contract: the monitor detects bursts INSIDE the
+    * horizon; a drift slower than the horizon length migrates into
+    * the baseline and is the windowed-PSI/ev-tier batch checks' job.
+    * Late events behind the horizon fold into the baseline sum
+    * (raising μ — the conservative, non-alerting direction).
+    *
+    * Everything rides the [[BatchLedger]] payload (id + state in one
+    * atomic rename); the payload is ≤ horizon+3 entries at ANY stream
+    * age, and a skipped replay re-emits the standing verdict from the
+    * persisted state. The per-batch recompute is an O(horizon) driver
+    * fold, not a Spark job. StreamingSpec locks whole-stream parity
+    * with the arithmetic over any split, a planted rate-burst flip,
+    * and the year-long-stream bound: constant payload size AND an
+    * in-horizon 5× burst still detected after a simulated year of
+    * steady prior hours. */
   def cusumMonitorStream(
       incoming: DataFrame,
       checkpointDir: String,
-      tsCol: String = "ts")(
+      tsCol: String = "ts",
+      horizonHours: Int = 720)(
       onBatch: (Long, Long, Boolean) => Unit): StreamingQuery = {
+    require(horizonHours > 0, "horizonHours must be positive")
     val ledger = new BatchLedger(checkpointDir,
       hadoopConf = incoming.sparkSession.sessionState.newHadoopConf())
     val hours = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
-    ledger.lastState().foreach(decodeCounts(_)
-      .foreach { case (k, v) => hours.put(k.toLong, v); () })
+    // frozen baseline: (sum of folded hourly counts, folded hour count,
+    // fold watermark — epoch-ms hour below which everything is folded)
+    val frozen = new java.util.concurrent.atomic.AtomicReference[(Long, Long, Long)]((0L, 0L, Long.MinValue))
+    ledger.lastState().map(decodeCusumState).foreach { case (f, h) =>
+      frozen.set(f)
+      h.foreach { case (k, v) => hours.put(k, v); () }
+    }
+    def verdict(f: (Long, Long, Long), series: Seq[Long]): (Long, Boolean) = {
+      val (fSum, fN, _) = f
+      if (fN == 0) {
+        val (peak, total) = cusumPeak(series)
+        (peak, peak > 24 * total)
+      } else {
+        val (peak, threshold) = cusumPeakVsBaseline(series, fSum, fN)
+        (peak.min(BigInt(Long.MaxValue)).toLong, peak > threshold)
+      }
+    }
+    def sortedSeries(): Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      hours.asScala.toSeq.sortBy(_._1).map(_._2)
+    }
     incoming.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ledger.runOnceStateful(batchId) {
+        val ran = ledger.runOnceStateful(batchId) {
           if (!batch.isEmpty) {
+            var (fSum, fN, fUpTo) = frozen.get()
             batch.select(date_trunc("hour", col(tsCol)).as("hr"))
               .filter(col("hr").isNotNull)
               .groupBy("hr").count().collect()
-              .foreach(r =>
-                hours.merge(r.getTimestamp(0).getTime, r.getLong(1), _ + _))
-            val series = {
+              .foreach { r =>
+                val hr = r.getTimestamp(0).getTime
+                if (hr < fUpTo) fSum += r.getLong(1) // late, behind the fold
+                else { hours.merge(hr, r.getLong(1), _ + _); () }
+              }
+            // fold hours that fell off the horizon (ends at max hour)
+            if (!hours.isEmpty) {
               import scala.jdk.CollectionConverters._
-              hours.asScala.toSeq.sortBy(_._1).map(_._2)
+              val maxHr = hours.keySet.asScala.max
+              val cutoff = maxHr - (horizonHours - 1) * 3600000L
+              if (cutoff > fUpTo) {
+                hours.keySet.asScala.filter(_ < cutoff).toSeq.foreach { hr =>
+                  fSum += hours.remove(hr); fN += 1
+                }
+                fUpTo = cutoff
+              }
             }
-            val (peak, total) = cusumPeak(series)
-            onBatch(batchId, peak, peak > 24 * total)
+            frozen.set((fSum, fN, fUpTo))
+            val (peak, det) = verdict(frozen.get(), sortedSeries())
+            onBatch(batchId, peak, det)
           }
           import scala.jdk.CollectionConverters._
-          encodeCounts(hours.asScala.toMap.map { case (k, v) =>
-            k.toString -> v })
+          encodeCusumState(frozen.get(), hours.asScala.toMap)
         }
+        if (!ran) ledger.lastState().map(decodeCusumState)
+          .foreach { case (f, h) =>
+            val series = h.toSeq.sortBy(_._1).map(_._2)
+            val (peak, det) = verdict(f, series)
+            onBatch(batchId, peak, det)
+          }
         ()
       }
       .start()
+  }
+
+  /** One-sided CUSUM peak of `series` centered on an EXTERNAL frozen
+    * baseline mean μ = baseSum/baseN, exact cross-multiplied:
+    * dev_i = baseN·cum_i − baseSum·i (units of baseN), peak = max
+    * prefix-minus-running-min (the ev31 identity with external
+    * centering). Returns (peak, threshold = 24·baseN·μ = 24·baseSum)
+    * — detected ⟺ peak > threshold ⟺ in-horizon cumulative excess >
+    * 24 baseline-hour means. BigInt: baseN grows with stream age, so
+    * baseN·cum has no static Long bound to document. */
+  private[streaming] def cusumPeakVsBaseline(
+      series: Seq[Long], baseSum: Long, baseN: Long): (BigInt, BigInt) = {
+    var cum = BigInt(0)
+    var minDev = BigInt(0)
+    var peak = BigInt(0)
+    var i = BigInt(0)
+    series.foreach { n =>
+      cum += n; i += 1
+      val dev = BigInt(baseN) * cum - BigInt(baseSum) * i
+      if (dev - minDev > peak) peak = dev - minDev
+      if (dev < minDev) minDev = dev
+    }
+    (peak, BigInt(24) * baseSum)
+  }
+
+  private[streaming] def encodeCusumState(
+      frozen: (Long, Long, Long), hours: Map[Long, Long]): Array[Byte] =
+    encodeCounts(
+      Map("f|sum" -> frozen._1, "f|n" -> frozen._2, "f|upTo" -> frozen._3) ++
+        hours.map { case (k, v) => s"h|$k" -> v })
+
+  private[streaming] def decodeCusumState(b: Array[Byte]):
+      ((Long, Long, Long), Map[Long, Long]) = {
+    val all = decodeCounts(b)
+    // legacy payloads (pre-horizon, bare-numeric hour keys) decode as
+    // an empty baseline over the full series — semantics-preserving
+    val hours = all.collect {
+      case (k, v) if k.startsWith("h|") => k.substring(2).toLong -> v
+      case (k, v) if k.nonEmpty && k.forall(c => c.isDigit || c == '-') =>
+        k.toLong -> v
+    }
+    ((all.getOrElse("f|sum", 0L), all.getOrElse("f|n", 0L),
+      all.getOrElse("f|upTo", Long.MinValue)), hours)
   }
 
   /** The ev31 identity over an hour-ordered count series: returns
@@ -629,7 +865,7 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // runOnceStateful for the PERSISTENCE (id + sketches atomic),
         // not for dedup necessity — MAX-merge tolerates re-absorption
-        ledger.runOnceStateful(batchId) {
+        val ran = ledger.runOnceStateful(batchId) {
           if (!batch.isEmpty) {
             val prev = Option(standing.get()).getOrElse((null, null))
             val s = batch.sparkSession
@@ -670,9 +906,86 @@ object Streaming {
           Option(standing.get()).map(encodeSketchPair)
             .getOrElse(Array.emptyByteArray)
         }
+        // skipped replay still delivers the standing verdict (r12
+        // ADVICE): one single-row estimate job over the persisted
+        // sketches, so a restart that only replays committed batches
+        // never completes silently
+        if (!ran) ledger.lastState().map(decodeSketchPair).foreach { pair =>
+          val (c, t) = estimateSketchPair(batch.sparkSession, pair)
+          onBatch(batchId, c, t, srmDetected(c, t))
+        }
         ()
       }
       .start()
+  }
+
+  // ---- standing-verdict readers (the serving surface's boot seed) --------
+  //
+  // Each monitor's WHOLE state rides its BatchLedger payload, so the
+  // standing verdict is recoverable from the checkpoint alone — no
+  // stream needs to run. graft.server.MonitorManager seeds its verdict
+  // registry from these at boot (restart consistency: a server restart
+  // with no new data still serves the last verdict), and refreshes
+  // after each drain.
+
+  /** Standing (batchId, psi_cumulative, psi_windowed, cumulative
+    * counts) from a [[windowedPsiMonitorStream]] checkpoint, or None
+    * when no batch has ever committed. */
+  def windowedPsiStanding(spark: SparkSession, checkpointDir: String,
+      baseline: Map[String, Long]): Option[(Long, Long, Long, Map[String, Long])] = {
+    val ledger = new BatchLedger(checkpointDir,
+      hadoopConf = spark.sessionState.newHadoopConf())
+    ledger.lastState().map(decodeWindowedPsi).map { case (c, w) =>
+      val recent = w.groupBy(_._1._2).map { case (t, m) => t -> m.values.sum }
+      (ledger.lastCommitted(), psiMicro(baseline, c), psiMicro(baseline, recent), c)
+    }
+  }
+
+  /** Standing (batchId, peak, detected) from a [[cusumMonitorStream]]
+    * checkpoint, or None when no batch has ever committed. */
+  def cusumStanding(spark: SparkSession, checkpointDir: String): Option[(Long, Long, Boolean)] = {
+    val ledger = new BatchLedger(checkpointDir,
+      hadoopConf = spark.sessionState.newHadoopConf())
+    ledger.lastState().map(decodeCusumState).map { case ((fSum, fN, _), h) =>
+      val series = h.toSeq.sortBy(_._1).map(_._2)
+      if (fN == 0) {
+        val (peak, total) = cusumPeak(series)
+        (ledger.lastCommitted(), peak, peak > 24 * total)
+      } else {
+        val (peak, threshold) = cusumPeakVsBaseline(series, fSum, fN)
+        (ledger.lastCommitted(),
+          peak.min(BigInt(Long.MaxValue)).toLong, peak > threshold)
+      }
+    }
+  }
+
+  /** Standing (batchId, control, treatment, detected) from an
+    * [[srmMonitorStream]] checkpoint (one single-row estimate job),
+    * or None when no batch has ever committed. */
+  def srmStanding(spark: SparkSession, checkpointDir: String): Option[(Long, Long, Long, Boolean)] = {
+    val ledger = new BatchLedger(checkpointDir,
+      hadoopConf = spark.sessionState.newHadoopConf())
+    ledger.lastState().map(decodeSketchPair).map { pair =>
+      val (c, t) = estimateSketchPair(spark, pair)
+      (ledger.lastCommitted(), c, t, srmDetected(c, t))
+    }
+  }
+
+  /** Estimate (control, treatment) distinct counts off a persisted
+    * sketch pair — ONE single-row projection job over the sketch
+    * literals (null sketch = 0). Used for skipped-replay re-emission
+    * and for seeding a serving surface's standing verdict at boot. */
+  private[graft] def estimateSketchPair(spark: SparkSession,
+      pair: (Array[Byte], Array[Byte])): (Long, Long) = {
+    def lit2(b: Array[Byte]) =
+      if (b == null) lit(null).cast("binary") else lit(b)
+    val r = spark.range(1)
+      .select(lit2(pair._1).as("csk"), lit2(pair._2).as("tsk"))
+      .selectExpr(
+        "CASE WHEN csk IS NULL THEN 0L ELSE hll_sketch_estimate(csk) END AS c",
+        "CASE WHEN tsk IS NULL THEN 0L ELSE hll_sketch_estimate(tsk) END AS t")
+      .collect()(0)
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Two nullable byte arrays ⇄ one ledger payload (len-prefixed,

@@ -136,6 +136,70 @@ class ScanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(ScanBudgetRule.ConfKey)
   }
 
+  test("an alias that shadows a partition column's NAME is not a slice (ExprId keying)") {
+    // r12 ADVICE: slice classification by column NAME could be
+    // shadowed — a Project aliasing a DATA expression to the partition
+    // column's name would hand every re-scan its own slice key and
+    // silently bypass the budget. Classification now resolves the
+    // conjunct's references by ExprId against the relation's actual
+    // partition attributes, remapping through Project alias lists.
+    val ss = spark
+    import ss.implicits._
+    val root = java.nio.file.Files.createTempDirectory("budget_alias").toString
+    (0 until 100).map(i => (i.toLong, i % 8, s"p$i")).toDF("id", "cell", "payload")
+      .write.partitionBy("cell").parquet(s"$root/t")
+    spark.conf.set(ScanBudgetRule.ConfKey, "3")
+    try {
+      // four re-scans, each filtered on an alias NAMED like the
+      // partition column but computed from a data column — these are
+      // data predicates and must accumulate on the bare path key
+      def shadowed(c: Int) = spark.read.parquet(s"$root/t")
+        .select($"id", ($"id" % 8).cast("int").as("cell"), $"payload")
+        .filter($"cell" === c)
+      val e = intercept[Throwable] {
+        (0 until 4).map(shadowed).reduce(_ unionByName _).count()
+      }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("scan budget exceeded"),
+        s"alias shadowing bypassed the budget: $e")
+      // the remap's positive direction: a RENAMED real partition
+      // attribute still classifies as a slice — six distinct slices
+      // through the alias pass under budget 3
+      def renamed(c: Int) = spark.read.parquet(s"$root/t")
+        .select($"cell".as("c2"), $"id").filter($"c2" === c)
+      assert((0 until 6).map(renamed).reduce(_ unionByName _).count() > 0)
+    } finally spark.conf.unset(ScanBudgetRule.ConfKey)
+  }
+
+  test("violations feed the metrics counter and last-violation gauge in both modes") {
+    val before = ScanBudgetRule.Metrics.violations
+    spark.conf.set(ScanBudgetRule.ConfKey, "3")
+    try {
+      spark.conf.set(ScanBudgetRule.ModeKey, "warn")
+      assert(graft.Tables.sql(spark, sf, inliningSql).collect().length == 5)
+      // the optimizer's fixed-point driver may evaluate a plan more
+      // than once in warn mode, so the counter is a monotone signal,
+      // not a per-query count — assert direction, not arity
+      assert(ScanBudgetRule.Metrics.violations > before)
+      val v = ScanBudgetRule.Metrics.lastViolation.get
+      assert(v.mode == "warn" && v.scans > 3 && v.budget == 3)
+      assert(v.relation.contains("documents"))
+      // fail mode records too (the 422 an operator correlates with)
+      spark.conf.set(ScanBudgetRule.ModeKey, "fail")
+      val mid = ScanBudgetRule.Metrics.violations
+      intercept[Throwable] { graft.Tables.sql(spark, sf, inliningSql).collect() }
+      assert(ScanBudgetRule.Metrics.violations > mid)
+      assert(ScanBudgetRule.Metrics.lastViolation.get.mode == "fail")
+      // the metrics JSON the server serves is well-formed
+      val json = ScanBudgetRule.Metrics.toJson
+      assert(json.contains("\"violations\":") && json.contains("\"relation\":"))
+    } finally {
+      spark.conf.unset(ScanBudgetRule.ConfKey)
+      spark.conf.unset(ScanBudgetRule.ModeKey)
+    }
+  }
+
   test("warn mode logs instead of failing; a typo'd mode still fails closed") {
     spark.conf.set(ScanBudgetRule.ConfKey, "3")
     try {

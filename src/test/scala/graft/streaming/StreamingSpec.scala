@@ -979,6 +979,164 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(det2, s"planted 3:1 imbalance must alarm: c=$c2 t=$t2")
   }
 
+  test("windowed PSI flags late drift the cumulative statistic dilutes; restart-exact") {
+    val ss = spark
+    import ss.implicits._
+    // 20 healthy days of a 50/50 A-B mix, then one final hard-drift
+    // day of pure A — the late-drift fixture the r12 verdict asked
+    // for: cumulative PSI stays under the 0.1 "drifting" threshold
+    // while the trailing-3-day windowed PSI clears 0.25 "shifted"
+    val baseline = Map("A" -> 500L, "B" -> 500L)
+    def day(d: Int) = Timestamp.valueOf(f"2026-01-$d%02d 12:00:00")
+    val healthy = (1 to 20).flatMap(d =>
+      Seq.fill(50)((day(d), "A")) ++ Seq.fill(50)((day(d), "B")))
+    val drift = Seq.fill(200)((day(21), "A"))
+    val tmp = Files.createTempDirectory("psi_windowed")
+    val verdicts = new java.util.concurrent.atomic.AtomicReference[(Long, Long, Long)]((-1L, -1L, -1L))
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$tmp/in").schema).parquet(s"$tmp/in")
+      val q = Streaming.windowedPsiMonitorStream(
+        stream, s"$tmp/ck", baseline, typeCol = "event_type",
+        tsCol = "ts", trailingWindows = 3) { (id, cum, win, _) =>
+        verdicts.set((id, cum, win))
+      }
+      try assert(q.awaitTermination(180000), "AvailableNow did not finish")
+      finally {
+        q.stop()
+        val deadline = System.nanoTime() + 30000000000L
+        while (spark.streams.active.exists(_.id == q.id) &&
+            System.nanoTime() < deadline) Thread.sleep(100)
+      }
+    }
+    healthy.toDF("ts", "event_type").coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    run()
+    val (_, cumH, winH) = verdicts.get()
+    assert(cumH == 0L && winH == 0L, s"healthy run must score 0/0: $cumH/$winH")
+    drift.toDF("ts", "event_type").coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    run()
+    val (_, cumD, winD) = verdicts.get()
+    assert(cumD < 100000L,
+      s"cumulative PSI should dilute the late drift below 0.1: $cumD")
+    assert(winD > 250000L,
+      s"windowed PSI must flag the late drift over 0.25: $winD")
+    // the windowed statistic equals the helper on the trailing window
+    // counts directly (days 19, 20 healthy + day 21 drift)
+    val recent = Map("A" -> (50L + 50L + 200L), "B" -> 100L)
+    assert(winD == Streaming.psiMicro(baseline, recent))
+
+    // restart-replay: delete the newest commit-log entry, re-run —
+    // the replayed batch is SKIPPED by the ledger, and (r12 ADVICE)
+    // the skip still DELIVERS the standing verdict from the persisted
+    // payload: a restart that absorbs nothing must not end silent
+    val commits = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$tmp/ck/commits")).iterator().asScala
+      .filter(_.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    java.nio.file.Files.delete(commits)
+    java.nio.file.Files.deleteIfExists(
+      commits.resolveSibling("." + commits.getFileName.toString + ".crc"))
+    verdicts.set((-1L, -1L, -1L))
+    run()
+    val (idR, cumR, winR) = verdicts.get()
+    assert(idR >= 0L, "skipped replay delivered no standing verdict")
+    assert(cumR == cumD && winR == winD,
+      s"restart replay changed the standing verdict: ($cumR,$winR) vs ($cumD,$winD)")
+    // and the boot-seed reader recovers the same verdict with no stream
+    val standing = Streaming.windowedPsiStanding(spark, s"$tmp/ck", baseline)
+    assert(standing.map(s => (s._2, s._3)).contains((cumD, winD)))
+  }
+
+  test("CUSUM horizon fold: in-horizon burst detected after a simulated year; payload constant") {
+    val ss = spark
+    import ss.implicits._
+    val tmp = Files.createTempDirectory("cusum_horizon")
+    val t0 = Timestamp.valueOf("2025-01-01 00:00:00").getTime
+    def hr(i: Int) = new Timestamp(t0 + i * 3600000L)
+    // a year of steady 10 events/hour
+    val year = (0 until 8760).flatMap(i => Seq.fill(10)(hr(i)))
+    val verdicts = new java.util.concurrent.atomic.AtomicReference[(Long, Boolean)]((-1L, false))
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$tmp/in").schema).parquet(s"$tmp/in")
+      val q = Streaming.cusumMonitorStream(
+        stream, s"$tmp/ck", horizonHours = 48) { (_, peak, det) =>
+        verdicts.set((peak, det))
+      }
+      try assert(q.awaitTermination(180000), "AvailableNow did not finish")
+      finally {
+        q.stop()
+        val deadline = System.nanoTime() + 30000000000L
+        while (spark.streams.active.exists(_.id == q.id) &&
+            System.nanoTime() < deadline) Thread.sleep(100)
+      }
+    }
+    year.toDF("ts").coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    run()
+    val (peakSteady, detSteady) = verdicts.get()
+    assert(!detSteady, s"steady year must not alarm (peak $peakSteady)")
+    val ledger = new BatchLedger(s"$tmp/ck",
+      hadoopConf = spark.sessionState.newHadoopConf())
+    val sizeAfterYear = ledger.lastState().get.length
+    val (frozen1, hours1) = Streaming.decodeCusumState(ledger.lastState().get)
+    assert(hours1.size <= 48,
+      s"horizon must bound the standing hours: ${hours1.size}")
+    assert(frozen1._2 == 8760 - 48, s"folded hour count wrong: ${frozen1._2}")
+    assert(frozen1._1 == (8760L - 48L) * 10L, s"folded sum wrong: ${frozen1._1}")
+
+    // a 30-hour in-horizon burst at 5x the baseline rate — cumulative
+    // excess 30·40·N > 24·S ⟺ 1200 > 240 baseline means: must flip
+    val burst = (8760 until 8790).flatMap(i => Seq.fill(50)(hr(i)))
+    burst.toDF("ts").coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    run()
+    val (peakBurst, detBurst) = verdicts.get()
+    assert(detBurst, s"in-horizon 5x burst must alarm after a year (peak $peakBurst)")
+    // independent driver replay of the fold + baseline-centered identity
+    val allHours = (0 until 8760).map(_ -> 10L) ++ (8760 until 8790).map(_ -> 50L)
+    val cutoff = 8790 - 48
+    val (bs, bn) = (allHours.filter(_._1 < cutoff).map(_._2).sum,
+      allHours.count(_._1 < cutoff).toLong)
+    val series = allHours.filter(_._1 >= cutoff).sortBy(_._1).map(_._2)
+    val (expPeak, expThr) = Streaming.cusumPeakVsBaseline(series, bs, bn)
+    var cum = BigInt(0); var minDev = BigInt(0); var peak = BigInt(0); var i = 0
+    series.foreach { n =>
+      cum += n; i += 1
+      val dev = BigInt(bn) * cum - BigInt(bs) * i
+      if (dev - minDev > peak) peak = dev - minDev
+      if (dev < minDev) minDev = dev
+    }
+    assert(expPeak == peak && expPeak > expThr)
+    assert(peakBurst == expPeak.toLong,
+      s"stream peak diverges from the driver replay: $peakBurst vs $expPeak")
+    // payload stays horizon-bounded as the stream ages (48 hours + the
+    // 3 frozen fields — burst batch did not grow it past the year run)
+    val sizeAfterBurst = ledger.lastState().get.length
+    assert(sizeAfterBurst <= sizeAfterYear + 64,
+      s"payload grew with stream age: $sizeAfterYear -> $sizeAfterBurst")
+    val (_, hours2) = Streaming.decodeCusumState(ledger.lastState().get)
+    assert(hours2.size <= 48)
+
+    // skipped-replay delivery (r12 ADVICE): replay-only restart still
+    // emits the standing verdict
+    val commits = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$tmp/ck/commits")).iterator().asScala
+      .filter(_.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    java.nio.file.Files.delete(commits)
+    java.nio.file.Files.deleteIfExists(
+      commits.resolveSibling("." + commits.getFileName.toString + ".crc"))
+    verdicts.set((-1L, false))
+    run()
+    val (peakR, detR) = verdicts.get()
+    assert(peakR == peakBurst && detR,
+      s"skipped replay lost the standing verdict: ($peakR,$detR)")
+    // boot-seed reader parity
+    assert(Streaming.cusumStanding(spark, s"$tmp/ck")
+      .map(s => (s._2, s._3)).contains((peakBurst, true)))
+  }
+
   test("streaming cms partials sum to the batch sketch over any micro-batch split") {
     val dir = "/root/testdata/sf0.001"
     graft.functions.GraftFunctions.ensureRegistered(spark)
