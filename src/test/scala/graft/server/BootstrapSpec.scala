@@ -330,6 +330,118 @@ class BootstrapSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.stop()
   }
 
+  test("monitors block: PSI drift alert serves on /mcp/monitors and survives a restart") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_monitor_project")
+    val sqls = Files.createDirectory(root.resolve("sqls"))
+    val src = Files.createTempDirectory("graft_monitor_src")
+    val ck = Files.createTempDirectory("graft_monitor_ck").resolve("psi")
+    // planted drift lands in the source BEFORE boot: 900 A / 100 B
+    // against a frozen 50/50 baseline — well past the 0.25 threshold
+    val day = java.sql.Timestamp.valueOf("2026-02-01 12:00:00")
+    (Seq.fill(900)((day, "A")) ++ Seq.fill(100)((day, "B")))
+      .toDF("ts", "event_type").coalesce(1)
+      .write.mode("append").parquet(src.toString)
+    Files.writeString(root.resolve("project.yaml"),
+      s"""project-name: monitor-test
+         |template:
+         |  path: './sqls'
+         |monitors:
+         |  - name: mix-drift
+         |    type: psi
+         |    source: '$src'
+         |    checkpoint: '$ck'
+         |    type-column: event_type
+         |    ts-column: ts
+         |    trailing-windows: 7
+         |    baseline:
+         |      A: 500
+         |      B: 500
+         |""".stripMargin)
+    Files.writeString(sqls.resolve("one.yaml"),
+      "url-path: /one\ntemplate-source: one.sql\nwith-pagination: \"false\"\n")
+    Files.writeString(sqls.resolve("one.sql"), "SELECT 1 AS one")
+
+    def monitorsJson(port: Int) = mapper.readTree(client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/mcp/monitors")).build(),
+      HttpResponse.BodyHandlers.ofString()).body())
+
+    // boot 1: the boot drain absorbs the planted drift
+    val srv = GraftBootstrap.serve(spark, root.resolve("project.yaml").toString)
+    val expected = try {
+      val m = monitorsJson(srv.boundPort).get("monitors").get(0)
+      assert(m.get("name").asText() == "mix-drift")
+      assert(m.get("type").asText() == "psi")
+      assert(m.get("batch_id").asLong() >= 0L)
+      assert(m.get("alert").asBoolean(), m.toString)
+      val win = m.get("stats").get("psi_micro_windowed").asLong()
+      assert(win > 250000L, s"planted 90/10 drift must exceed 0.25: $win")
+      (m.get("batch_id").asLong(), win,
+        m.get("stats").get("psi_micro_cumulative").asLong())
+    } finally srv.stop()
+
+    // boot 2 (restart, NO new data): nothing streams, so the verdict
+    // must come from the persisted ledger payload via the boot seed
+    val srv2 = GraftBootstrap.serve(spark, root.resolve("project.yaml").toString)
+    try {
+      val m = monitorsJson(srv2.boundPort).get("monitors").get(0)
+      assert(m.get("alert").asBoolean(), s"restart lost the standing alert: $m")
+      assert((m.get("batch_id").asLong(),
+        m.get("stats").get("psi_micro_windowed").asLong(),
+        m.get("stats").get("psi_micro_cumulative").asLong()) == expected,
+        s"restart changed the standing verdict: $m vs $expected")
+    } finally srv2.stop()
+  }
+
+  test("warn-mode scan-budget violations surface on /mcp/metrics") {
+    val key = graft.plans.ScanBudgetRule.ConfKey
+    val modeKey = graft.plans.ScanBudgetRule.ModeKey
+    val root = Files.createTempDirectory("graft_warn_project")
+    val sqls = Files.createDirectory(root.resolve("sqls"))
+    Files.writeString(root.resolve("project.yaml"),
+      """project-name: warn-test
+        |template:
+        |  path: './sqls'
+        |connections:
+        |  customers-parquet:
+        |    properties:
+        |      path: '/root/testdata/sf0.001/customer.parquet'
+        |""".stripMargin)
+    val ref = "SELECT c_custkey FROM read_parquet('{{conn.path}}')"
+    Files.writeString(sqls.resolve("rescan.yaml"),
+      "url-path: /rescan\ntemplate-source: rescan.sql\nwith-pagination: \"false\"\n")
+    Files.writeString(sqls.resolve("rescan.sql"),
+      s"""SELECT count(*) AS n FROM (
+         |$ref UNION ALL $ref UNION ALL $ref UNION ALL $ref UNION ALL $ref) u""".stripMargin)
+    spark.conf.unset(key)
+    spark.conf.set(modeKey, "warn")
+    val before = graft.plans.ScanBudgetRule.Metrics.violations
+    val srv = GraftBootstrap.serve(spark, root.resolve("project.yaml").toString)
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      // warn = the migration mode: the over-budget endpoint still runs…
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(base + "/rescan")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200, s"${r.statusCode()} ${r.body()}")
+      // …and the violation is visible on the metrics surface (no log
+      // scraping): counter advanced, gauge names the relation + mode
+      val metrics = mapper.readTree(client.send(
+        HttpRequest.newBuilder(URI.create(base + "/mcp/metrics")).build(),
+        HttpResponse.BodyHandlers.ofString()).body())
+      val sb = metrics.get("scan_budget")
+      assert(sb.get("violations").asLong() > before, sb.toString)
+      assert(sb.get("last").get("relation").asText().contains("customer.parquet"))
+      assert(sb.get("last").get("mode").asText() == "warn")
+      assert(sb.get("last").get("scans").asInt() == 5)
+    } finally {
+      srv.stop()
+      spark.conf.unset(key)
+      spark.conf.unset(modeKey)
+    }
+  }
+
   test("serving scan budget is default-on: a 5x-rescan endpoint gets the directed 422") {
     val key = graft.plans.ScanBudgetRule.ConfKey
     val root = Files.createTempDirectory("graft_budget_project")
