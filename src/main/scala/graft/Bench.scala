@@ -210,6 +210,16 @@ object Bench {
          System.err.println(s"[bench] quantile err report failed: ${e.getMessage}")
          Nil
        }).map { case (acc, err) => s""""$acc":$err""" }.mkString("{", ",", "}")
+    // the native q-digest's curve at its compression knob — measured
+    // side-by-side with percentile_approx's accuracy knob above, over
+    // the same max-relative-error-ppm convention (r12 verdict #4: the
+    // sketch ships with its accuracy MEASURED, not asserted)
+    val qdErrJson =
+      (try graft.queries.TextQueries.qdigestErrReport(spark, sfDir)
+       catch { case e: Throwable =>
+         System.err.println(s"[bench] qdigest err report failed: ${e.getMessage}")
+         Nil
+       }).map { case (k, err) => s""""$k":$err""" }.mkString("{", ",", "}")
     val degradedJson = degraded.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contaminatedJson = contaminated
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -242,6 +252,7 @@ object Bench {
         s""""curve_by_shortlist":${icurve(bin.curve)}},""" +
         s""""pca_rayleigh_u6":$pcaJson,"pca2_rayleigh_u6":$pca2Json,""" +
         s""""quantile_err_ppm":$qerrJson,""" +
+        s""""qdigest_err_ppm":$qdErrJson,""" +
         s""""failures":$failures,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")

@@ -158,7 +158,13 @@ object Slope {
     // r12: per-GROUP exact order statistics — one global range
     // exchange ranks (source, n_tokens, doc_id); a regression to a
     // partitioned window would put a skewed source on one reducer
-    "token_quantiles_by_source")
+    "token_quantiles_by_source",
+    // r13: the q-digest two-pass — pass 1's exchange is O(k·partitions)
+    // digest buffers (never a value-frequency table), pass 2 re-scans
+    // only the decile windows through a pushed range filter; a
+    // regression to a corpus-wide range exchange (the ev27 shape) or
+    // an unpushed window scan would show in the ratio
+    "qdigest_verified_deciles")
 
   val MaxRatio = 15.0
   val OverheadFloorSec = 0.3

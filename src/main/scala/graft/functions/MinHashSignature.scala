@@ -330,6 +330,7 @@ object GraftFunctions {
         WordShingles(exprs.head, n)
       }))
     ext.injectFunction(mgTopkRegistration)
+    ext.injectFunction(qdigestRegistration)
     // the duplicated-scan guard (conf-gated, default off) — see
     // graft.plans.ScanBudgetRule; user-provided rules run after the
     // built-in optimizer batches, i.e. after CTE inlining
@@ -363,6 +364,37 @@ object GraftFunctions {
     * batch session before aggregating. Idempotent. */
   def ensureMgTopk(spark: org.apache.spark.sql.SparkSession): Unit = {
     val (id, info, builder) = mgTopkRegistration
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+  }
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case x if x.foldable => x.eval() match {
+      case num: Number => num.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got ${other.sql}")
+  }
+
+  private val qdigestBuilder: Seq[Expression] => Expression =
+    (exprs: Seq[Expression]) => {
+      require(exprs.size == 3, "qdigest(value, k, b) takes exactly 3 arguments")
+      QDigestAgg(exprs.head,
+        intLit(exprs(1), "qdigest", "k"),
+        intLit(exprs(2), "qdigest", "b")).toAggregateExpression()
+    }
+
+  private def qdigestRegistration = (
+    new FunctionIdentifier("qdigest"),
+    new ExpressionInfo(classOf[QDigestAgg].getName, "qdigest"),
+    qdigestBuilder)
+
+  /** Clone-session registration for qdigest — the ensureMgTopk
+    * discipline for the second native aggregate. Idempotent. */
+  def ensureQdigest(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (id, info, builder) = qdigestRegistration
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
   }

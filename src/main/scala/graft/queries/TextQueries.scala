@@ -2315,6 +2315,110 @@ object TextQueries extends QuerySet {
         .orderBy("bin")
     })
 
+  // ---- verified deciles off the native q-digest sketch --------------------
+  // The quantile analog of mg_heavy_terms' two-pass protocol, and the
+  // scale-native replacement for a full-corpus GlobalRank when only a
+  // FIXED set of quantiles is needed: pass 1 is ONE bounded-state
+  // aggregation (the native qdigest TypedImperativeAggregate — ≤ 3k
+  // nodes per shuffle buffer, O(k·partitions) exchange payload — where
+  // ev27's exact path range-exchanges the whole corpus); the digest's
+  // rank guarantee (error ≤ b·⌊n/k⌋) brackets each decile in a VALUE
+  // window, and the exact pass re-scans only those windows — a pushed
+  // parquet range filter over a top-level column — resolving the true
+  // quantile with a prefix sum over the window's per-value counts.
+  // Output EXACT and deterministic (the digest only steers the window;
+  // QDigestSpec gates the containment theorem under adversarial
+  // repartitionings, so the windows provably hold the true values).
+  //
+  // 100 TB shape: two full map-side passes (sketch agg + the
+  // below-window rank anchor) and one ~2·b/k-fraction windowed pass;
+  // no corpus-wide sort or range exchange anywhere.
+  private val QdK = 2048
+  private val QdB = 20
+  private val qdigestDeciles = QueryDef(
+    "qdigest_verified_deciles",
+    Some("""WITH ord AS (
+           |  SELECT n_chars AS v,
+           |         row_number() OVER (ORDER BY n_chars) AS rk,
+           |         CAST(count(*) OVER () AS BIGINT) AS n
+           |  FROM documents WHERE n_chars IS NOT NULL),
+           |d AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS decile)
+           |SELECT d.decile, CAST(min(ord.v) AS BIGINT) AS q
+           |FROM d JOIN ord ON ord.rk = (d.decile * ord.n + 9) // 10
+           |GROUP BY d.decile ORDER BY d.decile""".stripMargin),
+    (s, dir) => {
+      graft.functions.GraftFunctions.ensureQdigest(s)
+      val docs = Tables.table(s, dir, "documents")
+        .filter(col("n_chars").isNotNull)
+      // pass 1: the sketch (n comes exactly from the digest total —
+      // every non-null row lands in exactly one node)
+      val first = docs
+        .agg(expr(s"qdigest(n_chars, $QdK, $QdB)").as("qd")).collect()(0)
+      val entries = first.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val n = graft.functions.QDigest.totalOf(entries)
+      val windows = (1L to 9L).map { p =>
+        val target = (p * n + 9) / 10
+        val (lo, hi) = graft.functions.QDigest
+          .valueWindow(entries, QdB, QdK, target)
+        (p, target, lo, hi)
+      }
+      val gLo = windows.map(_._3).min
+      val gHi = windows.map(_._4).max
+      // exact rank anchor below the window union (map-side partials)
+      val below = docs.agg(
+        sum(when(col("n_chars") < gLo, 1L).otherwise(0L)).cast("long"))
+        .collect()(0).getLong(0)
+      // exact pass over the windows only: pushed range filter, per-value
+      // counts, distributed prefix sum — value at rank t is the least v
+      // with below + cum(v) ≥ t
+      val wcounts = docs
+        .filter(col("n_chars") >= gLo && col("n_chars") <= gHi)
+        .groupBy(col("n_chars").cast("long").as("v"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      val ranked = graft.operators.GlobalRank
+        .withPrefixSum(wcounts, Seq(col("v")), col("c"), "cum")
+      val ss = s
+      import ss.implicits._
+      val dec = windows.map { case (p, t, _, _) => (p, t) }
+        .toDF("decile", "target")
+      ranked.join(broadcast(dec), col("cum") + lit(below) >= col("target"))
+        .groupBy("decile").agg(min("v").as("q"))
+        .orderBy("decile")
+    })
+
+  /** q-digest accuracy curve for BENCH — the quantile_err_ppm
+    * discipline applied to the native sketch: max relative VALUE error
+    * (ppm, over p50/p90/p99 of n_chars) per compression k, against the
+    * exact rank frame. Comparable side-by-side with percentile_approx's
+    * curve at its accuracy knob. */
+  def qdigestErrReport(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Int, Long)] = {
+    graft.functions.GraftFunctions.ensureQdigest(s)
+    val docs = Tables.table(s, dir, "documents")
+      .filter(col("n_chars").isNotNull)
+      .select(col("n_chars").cast("long").as("v"), col("doc_id"))
+    val ranked = graft.operators.GlobalRank.withRank(
+      docs, Seq(col("v"), col("doc_id")), "rk")
+    val n = ranked.count()
+    val ps = Seq(50, 90, 99)
+    val ks = ps.map(p => (p * n + 99) / 100)
+    val byRank = ranked.filter(col("rk").isin(ks: _*))
+      .select("rk", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = ks.map(byRank)
+    Seq(256, 2048, 16384).map { k =>
+      val entries = docs.agg(expr(s"qdigest(v, $k, $QdB)")).collect()(0)
+        .getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val errs = ps.zip(exact).map { case (p, e) =>
+        val a = graft.functions.QDigest.quantile(entries, QdB, p.toLong, 100L)
+        if (e == 0L) 0L else math.round(math.abs(a - e).toDouble / e * 1e6)
+      }
+      k -> errs.max
+    }
+  }
+
   override val defs: Seq[QueryDef] = Seq(
     dedupExact, neardup, neardupClusters, clusterSizeHist, neardupCorpus, simhash, simhashPairs,
     pmiCollocations, langConfusion, flesch, thresholdSweep, hapaxRate,
@@ -2323,5 +2427,5 @@ object TextQueries extends QuerySet {
     seqPacking, classifierScore, dupSpans, repetition, neardupCanonical,
     sourceOverlap, freqSpectrum, bpePairs, bpeApply, triangles, pagerank,
     editVerify, noveltyProfile, tokenizerFertility, calibration, mgHeavyTerms,
-    sourceQuantiles, sourceEquidepth)
+    sourceQuantiles, sourceEquidepth, qdigestDeciles)
 }

@@ -82,6 +82,7 @@ object GraftBootstrap {
             typeCol = str(m, "type-column").getOrElse("event_type"),
             tsCol = str(m, "ts-column").getOrElse("ts"),
             userCol = str(m, "user-column").getOrElse("user_id"),
+            valueCol = str(m, "value-column").getOrElse("n_chars"),
             baseline = baseline,
             trailingWindows = intOr("trailing-windows", 7),
             horizonHours = intOr("horizon-hours", 720))

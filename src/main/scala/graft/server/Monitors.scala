@@ -18,18 +18,25 @@ import graft.streaming.Streaming
   * the r12 scan-budget rule was. */
 final case class MonitorConfig(
     name: String,
-    tpe: String, // psi | cusum | srm
+    tpe: String, // psi | cusum | srm | quantile
     source: String,
     checkpoint: String,
     typeCol: String = "event_type",
     tsCol: String = "ts",
     userCol: String = "user_id",
-    /** PSI only: the frozen known-good mix (type -> count). */
+    /** quantile only: the value column the digest summarizes. */
+    valueCol: String = "n_chars",
+    /** PSI: the frozen known-good mix (type -> count);
+      * quantile: the frozen baseline deciles (decile "1".."9" -> value). */
     baseline: Map[String, Long] = Map.empty,
     /** PSI only: trailing event-time days scored as "recent". */
     trailingWindows: Int = 7,
     /** CUSUM only: event-time hours kept un-folded. */
-    horizonHours: Int = 720)
+    horizonHours: Int = 720) {
+  /** The quantile monitor's baseline, keys parsed as decile indices. */
+  def baselineDeciles: Map[Int, Long] =
+    baseline.map { case (k, v) => k.trim.toInt -> v }
+}
 
 /** A monitor's latest standing verdict as the serving surface reports
   * it. `stats` keys depend on the type: psi → psi_micro_cumulative /
@@ -79,10 +86,12 @@ final class MonitorManager(spark: SparkSession, configs: Seq[MonitorConfig]) {
   private val verdicts = new ConcurrentHashMap[String, MonitorVerdict]()
 
   configs.foreach { c =>
-    require(Set("psi", "cusum", "srm").contains(c.tpe),
-      s"monitor '${c.name}': unknown type '${c.tpe}' (psi|cusum|srm)")
+    require(Set("psi", "cusum", "srm", "quantile").contains(c.tpe),
+      s"monitor '${c.name}': unknown type '${c.tpe}' (psi|cusum|srm|quantile)")
     if (c.tpe == "psi") require(c.baseline.values.sum > 0,
       s"monitor '${c.name}': psi needs a non-empty baseline")
+    if (c.tpe == "quantile") require(c.baselineDeciles.nonEmpty,
+      s"monitor '${c.name}': quantile needs baseline deciles (keys 1..9)")
   }
 
   private def record(name: String, tpe: String, batchId: Long,
@@ -114,6 +123,11 @@ final class MonitorManager(spark: SparkSession, configs: Seq[MonitorConfig]) {
             record(c.name, "srm", id, det,
               Map("control" -> ctl, "treatment" -> trt))
         }
+      case "quantile" =>
+        Streaming.quantileStanding(spark, c.checkpoint, c.baselineDeciles)
+          .foreach { case (id, drift, det) =>
+            record(c.name, "quantile", id, det, Map("drift_ppm" -> drift))
+          }
     } catch { case e: Exception =>
       System.err.println(s"[monitors] seed '${c.name}' failed: ${e.getMessage}")
     }
@@ -146,6 +160,11 @@ final class MonitorManager(spark: SparkSession, configs: Seq[MonitorConfig]) {
             (id, ctl, trt, det) =>
               record(c.name, "srm", id, det,
                 Map("control" -> ctl, "treatment" -> trt))
+          }
+        case "quantile" =>
+          Streaming.quantileMonitorStream(stream, c.checkpoint,
+            c.baselineDeciles, c.valueCol) { (id, drift, det) =>
+            record(c.name, "quantile", id, det, Map("drift_ppm" -> drift))
           }
       }
       try {

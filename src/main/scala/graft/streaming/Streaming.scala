@@ -1035,6 +1035,102 @@ object Streaming {
     }.sum
   }
 
+  /** Streaming quantile drift monitor — the measurement trio's FOURTH
+    * axis (PSI = type mix, CUSUM = arrival rate, SRM = assignment
+    * integrity; this = VALUE-DISTRIBUTION shift, e.g. document length
+    * collapsing after an extractor regression): a standing
+    * [[graft.functions.QDigest]] absorbs each micro-batch's partial
+    * digest (nodewise-additive merge + recompress — the native
+    * `qdigest` aggregate builds the partial map-side, so per batch
+    * only a ≤ 3k-node summary reaches the driver), and the monitor
+    * scores the ingested distribution against FROZEN baseline deciles:
+    * drift_ppm = max over p of |digest-estimated rank of baseline
+    * value v_p − p·100 000| in ppm of the ingested count. The alert
+    * rule is drift_ppm > 150 000 — a 0.15 rank displacement, an order
+    * of magnitude past the digest's own rank error (b/k = 20/2048 ≈
+    * 10 000 ppm), so the sketch error cannot flip the verdict.
+    *
+    * State is ONE digest (≤ 3k nodes at any stream length), persisted
+    * as the [[BatchLedger]] payload (id + digest, one atomic rename);
+    * the additive merge makes replay dedup structural, and a skipped
+    * replay re-emits the standing verdict. The per-batch statistic is
+    * an O(k) driver fold. StreamingSpec locks a planted
+    * value-scale shift flipping the verdict, a steady stream staying
+    * quiet, and restart-replay continuation. */
+  def quantileMonitorStream(
+      incoming: DataFrame,
+      checkpointDir: String,
+      baselineDeciles: Map[Int, Long],
+      valueCol: String = "n_chars",
+      k: Int = 2048,
+      b: Int = 20)(
+      onBatch: (Long, Long, Boolean) => Unit): StreamingQuery = {
+    require(baselineDeciles.nonEmpty, "baseline deciles are empty")
+    require(baselineDeciles.keySet.forall(p => p >= 1 && p <= 9),
+      s"baseline decile keys must be in 1..9: ${baselineDeciles.keySet}")
+    val ledger = new BatchLedger(checkpointDir,
+      hadoopConf = incoming.sparkSession.sessionState.newHadoopConf())
+    val standing = scala.collection.mutable.HashMap.empty[Long, Long]
+    ledger.lastState().foreach(graft.functions.QDigest.decode(_)
+      .foreach { case (id, c) => standing.update(id, c) })
+    incoming.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ran = ledger.runOnceStateful(batchId) {
+          if (!batch.isEmpty) {
+            graft.functions.GraftFunctions.ensureQdigest(batch.sparkSession)
+            val part = batch
+              .select(col(valueCol).cast("long").as("v"))
+              .filter(col("v").isNotNull)
+              .agg(expr(s"qdigest(v, $k, $b)")).collect()(0)
+              .getSeq[org.apache.spark.sql.Row](0)
+              .map(r => r.getLong(0) -> r.getLong(1)).toMap
+            graft.functions.QDigest.mergeInto(standing, part, k, b)
+            val (drift, det) = quantileDrift(standing.toMap, b, baselineDeciles)
+            onBatch(batchId, drift, det)
+          }
+          graft.functions.QDigest.encode(standing)
+        }
+        if (!ran) ledger.lastState()
+          .map(graft.functions.QDigest.decode(_).toMap)
+          .foreach { digest =>
+            val (drift, det) = quantileDrift(digest, b, baselineDeciles)
+            onBatch(batchId, drift, det)
+          }
+        ()
+      }
+      .start()
+  }
+
+  /** (max ppm rank displacement of the baseline decile values under
+    * the digest, verdict at the 0.15 threshold) — BigInt
+    * cross-multiplied, order-independent over the sorted decile set. */
+  private[graft] def quantileDrift(digest: Map[Long, Long], b: Int,
+      baselineDeciles: Map[Int, Long]): (Long, Boolean) = {
+    val n = graft.functions.QDigest.totalOf(digest)
+    if (n == 0L) return (0L, false)
+    val drift = baselineDeciles.toSeq.sorted.map { case (p, v) =>
+      val rankPpm = (BigInt(graft.functions.QDigest
+        .rankLowerBound(digest, b, v)) * 1000000 / n).toLong
+      math.abs(rankPpm - p.toLong * 100000)
+    }.max
+    (drift, drift > 150000L)
+  }
+
+  /** Standing (batchId, drift_ppm, detected) from a
+    * [[quantileMonitorStream]] checkpoint — the boot-seed reader. */
+  def quantileStanding(spark: SparkSession, checkpointDir: String,
+      baselineDeciles: Map[Int, Long], b: Int = 20): Option[(Long, Long, Boolean)] = {
+    val ledger = new BatchLedger(checkpointDir,
+      hadoopConf = spark.sessionState.newHadoopConf())
+    ledger.lastState().map(graft.functions.QDigest.decode(_).toMap).map { d =>
+      val (drift, det) = quantileDrift(d, b, baselineDeciles)
+      (ledger.lastCommitted(), drift, det)
+    }
+  }
+
   /** Streaming Misra–Gries maintenance — the fourth sketch-merge
     * family (CMS cells ADD, Bloom bits OR, HLL registers MAX, MG
     * summaries MERGE): each micro-batch's k-entry token summary (the

@@ -1137,6 +1137,67 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(s => (s._2, s._3)).contains((peakBurst, true)))
   }
 
+  test("quantile monitor: steady stream quiet, planted value-scale shift detected, restart-exact") {
+    val ss = spark
+    import ss.implicits._
+    graft.functions.GraftFunctions.ensureQdigest(spark)
+    val tmp = Files.createTempDirectory("quantile_monitor")
+    // baseline window: lengths uniform-ish in [100, 1100)
+    val base = (0 until 5000).map(i => 100L + (i.toLong * 37) % 1000)
+    // frozen baseline deciles from the window itself (what a deployment
+    // snapshots when the pipeline is known-good)
+    val sorted = base.sorted
+    val deciles = (1 to 9).map(p =>
+      p -> sorted(((p * base.size + 9) / 10) - 1)).toMap
+    val verdicts = new java.util.concurrent.atomic.AtomicReference[(Long, Long, Boolean)]((-1L, -1L, false))
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$tmp/in").schema).parquet(s"$tmp/in")
+      val q = Streaming.quantileMonitorStream(
+        stream, s"$tmp/ck", deciles, valueCol = "n_chars") { (id, d, det) =>
+        verdicts.set((id, d, det))
+      }
+      try assert(q.awaitTermination(180000), "AvailableNow did not finish")
+      finally {
+        q.stop()
+        val deadline = System.nanoTime() + 30000000000L
+        while (spark.streams.active.exists(_.id == q.id) &&
+            System.nanoTime() < deadline) Thread.sleep(100)
+      }
+    }
+    base.toDF("n_chars").coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    run()
+    val (_, dSteady, detSteady) = verdicts.get()
+    // same distribution as the baseline: displacement stays within the
+    // digest's own error, far under the 0.15 rule
+    assert(!detSteady && dSteady < 50000L,
+      s"steady stream must stay quiet: $dSteady")
+
+    // planted shift: the ingest doubles in length (an extractor
+    // regression) — baseline median's rank collapses toward 0
+    val shifted = base.map(_ * 2)
+    shifted.toDF("n_chars").coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    run()
+    val (_, dShift, detShift) = verdicts.get()
+    assert(detShift, s"planted 2x length shift must alarm: $dShift")
+
+    // skipped-replay delivery + standing reader parity
+    val commits = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$tmp/ck/commits")).iterator().asScala
+      .filter(_.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    java.nio.file.Files.delete(commits)
+    java.nio.file.Files.deleteIfExists(
+      commits.resolveSibling("." + commits.getFileName.toString + ".crc"))
+    verdicts.set((-1L, -1L, false))
+    run()
+    val (idR, dR, detR) = verdicts.get()
+    assert(idR >= 0L && dR == dShift && detR,
+      s"skipped replay lost the standing verdict: ($idR,$dR,$detR) vs $dShift")
+    assert(Streaming.quantileStanding(spark, s"$tmp/ck", deciles)
+      .map(s => (s._2, s._3)).contains((dShift, true)))
+  }
+
   test("streaming cms partials sum to the batch sketch over any micro-batch split") {
     val dir = "/root/testdata/sf0.001"
     graft.functions.GraftFunctions.ensureRegistered(spark)
