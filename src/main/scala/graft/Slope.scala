@@ -164,7 +164,12 @@ object Slope {
     // only the decile windows through a pushed range filter; a
     // regression to a corpus-wide range exchange (the ev27 shape) or
     // an unpushed window scan would show in the ratio
-    "qdigest_verified_deciles")
+    "qdigest_verified_deciles",
+    // r13: per-GROUP KS — the corpus collapses to the (source, value)
+    // count frame in one map-side-partial pass; everything downstream
+    // is grid-sized. A regression that re-scans the corpus per source
+    // or windows over corpus rows would blow the ratio
+    "ks_by_source")
 
   val MaxRatio = 15.0
   val OverheadFloorSec = 0.3

@@ -2387,6 +2387,89 @@ object TextQueries extends QuerySet {
         .orderBy("decile")
     })
 
+  // ---- per-source two-sample KS (group vs complement) ---------------------
+  // ev26 at GROUP granularity — the distribution-shift audit run per
+  // SOURCE before mixing a corpus: for every source, the two-sample
+  // Kolmogorov–Smirnov statistic between its token-length distribution
+  // and the REST of the corpus, with the same exact-rational discipline
+  // as ev26 (D's numerator cross-multiplied BIGINT→DECIMAL(38,0), ppm
+  // quantization only AFTER the max, verdict by the squared critical
+  // inequality c²=1.844164 at α=0.05 — no sqrt, no double).
+  //
+  // 100 TB shape: ONE corpus pass collapses to the (source, value)
+  // count frame (map-side partials — only S×|V| rows shuffle), which is
+  // checkpointed and feeds everything: the global value CDF via the
+  // two-pass distributed prefix scan, the per-source sizes, and the
+  // dense source×value grid. Both ECDFs evaluate on that grid — a
+  // DERIVED frame of S×|V| rows (sources × distinct values, never
+  // corpus-sized), so its partitioned per-source window is a
+  // small-frame scan, not the single-reducer corpus hazard the
+  // GlobalRank family exists to avoid.
+  private val ksBySource = QueryDef(
+    "ks_by_source",
+    Some("""WITH t AS (SELECT source,
+           |            CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+           |          FROM documents),
+           |c AS (SELECT source, v, CAST(count(*) AS BIGINT) AS cnt
+           |      FROM t GROUP BY 1, 2),
+           |vals AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS c_v FROM c GROUP BY v),
+           |cum AS (SELECT v, CAST(sum(c_v) OVER (ORDER BY v) AS BIGINT) AS cum_all
+           |        FROM vals),
+           |g AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s FROM c GROUP BY source),
+           |n AS (SELECT CAST(sum(c_v) AS BIGINT) AS n_tot FROM vals),
+           |sc AS (SELECT g.source, cum.v, cum.cum_all, g.n_s,
+           |         CAST(sum(COALESCE(c.cnt, 0))
+           |                OVER (PARTITION BY g.source ORDER BY cum.v)
+           |              AS BIGINT) AS cum_s
+           |       FROM g CROSS JOIN cum
+           |       LEFT JOIN c ON c.source = g.source AND c.v = cum.v),
+           |d AS (SELECT sc.source, sc.n_s, n.n_tot - sc.n_s AS n_r,
+           |        max(abs(CAST(sc.cum_s AS HUGEINT) * (n.n_tot - sc.n_s)
+           |              - CAST(sc.cum_all - sc.cum_s AS HUGEINT) * sc.n_s))
+           |          AS d_num
+           |      FROM sc CROSS JOIN n GROUP BY 1, 2, 3)
+           |SELECT source, n_s, d_ppm,
+           |  CAST(d_ppm AS HUGEINT) * d_ppm * n_s * n_r >
+           |    CAST(1844164 AS HUGEINT) * (n_s + n_r) * 1000000 AS shifted
+           |FROM (SELECT source, n_s, n_r,
+           |        CAST(d_num * 1000000 // (CAST(n_s AS HUGEINT) * n_r)
+           |             AS BIGINT) AS d_ppm
+           |      FROM d) x
+           |ORDER BY source""".stripMargin),
+    (s, dir) => {
+      val t = Tables.table(s, dir, "documents")
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("v"))
+      // the ONE corpus-pass product; three consumers read it
+      val c = t.groupBy("source", "v")
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .localCheckpoint(true)
+      val vals = c.groupBy("v").agg(sum("cnt").cast("long").as("c_v"))
+      val cum = graft.operators.GlobalRank
+        .withPrefixSum(vals, Seq(col("v")), col("c_v"), "cum_all")
+      val g = c.groupBy("source").agg(sum("cnt").cast("long").as("n_s"))
+      val n = vals.agg(sum("c_v").cast("long").as("n_tot"))
+      val grid = cum.crossJoin(broadcast(g))
+        .join(c, Seq("source", "v"), "left")
+        .withColumn("cum_s",
+          sum(coalesce(col("cnt"), lit(0L)))
+            .over(Window.partitionBy("source").orderBy("v"))
+            .cast("long"))
+      grid.crossJoin(broadcast(n))
+        .select(col("source"), col("n_s"),
+          (col("n_tot") - col("n_s")).as("n_r"),
+          expr("abs(CAST(cum_s AS DECIMAL(38,0)) * (n_tot - n_s) - " +
+            "CAST(cum_all - cum_s AS DECIMAL(38,0)) * n_s)").as("dn"))
+        .groupBy("source", "n_s", "n_r").agg(max("dn").as("d_num"))
+        .select(col("source"), col("n_s"), col("n_r"),
+          expr("CAST(d_num * 1000000 div (CAST(n_s AS DECIMAL(38,0)) * n_r) " +
+            "AS BIGINT)").as("d_ppm"))
+        .withColumn("shifted",
+          expr("CAST(d_ppm AS DECIMAL(38,0)) * d_ppm * n_s * n_r > " +
+            "CAST(1844164 AS DECIMAL(38,0)) * (n_s + n_r) * 1000000"))
+        .select(col("source"), col("n_s"), col("d_ppm"), col("shifted"))
+        .orderBy("source")
+    })
+
   /** q-digest accuracy curve for BENCH — the quantile_err_ppm
     * discipline applied to the native sketch: max relative VALUE error
     * (ppm, over p50/p90/p99 of n_chars) per compression k, against the
@@ -2427,5 +2510,5 @@ object TextQueries extends QuerySet {
     seqPacking, classifierScore, dupSpans, repetition, neardupCanonical,
     sourceOverlap, freqSpectrum, bpePairs, bpeApply, triangles, pagerank,
     editVerify, noveltyProfile, tokenizerFertility, calibration, mgHeavyTerms,
-    sourceQuantiles, sourceEquidepth, qdigestDeciles)
+    sourceQuantiles, sourceEquidepth, qdigestDeciles, ksBySource)
 }

@@ -194,6 +194,48 @@ class InferenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[java.sql.Timestamp]("peak_hr") == hours(peakIdx)._1)
   }
 
+  test("per-source KS equals a per-group driver brute force; verdict matches the rule") {
+    // the gated ks_by_source pipeline (one count-frame pass, dense
+    // source×value grid, cross-multiplied D) vs the naive per-group
+    // ECDF computed entirely on the driver in exact BigInt arithmetic
+    val docs = graft.Tables.table(spark, sf, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = docs.length.toLong
+    val points = docs.map(_._2).distinct.sorted
+    val expected = docs.groupBy(_._1).map { case (src, rows) =>
+      val mine = rows.map(_._2)
+      val ns = mine.length.toLong
+      val nr = n - ns
+      val dNum = points.map { x =>
+        val cs = BigInt(mine.count(_ <= x))
+        val cr = BigInt(docs.count(_._2 <= x)) - cs
+        (cs * nr - cr * ns).abs
+      }.max
+      val dPpm = (dNum * 1000000 / (BigInt(ns) * nr)).toLong
+      val shifted = BigInt(dPpm) * dPpm * ns * nr >
+        BigInt(1844164) * (ns + nr) * 1000000
+      src -> ((ns, dPpm, shifted))
+    }
+    val got = SparkEntry.queries("ks_by_source")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == expected, s"per-source KS diverges:\n got=$got\n exp=$expected")
+    // behavioral anchor: a planted disjoint source must max out — run
+    // the same Spark pipeline's arithmetic on a synthetic two-source
+    // frame where source 'hi' sits entirely above 'lo'
+    val synth = (1 to 50).map(i => ("lo", i.toLong)) ++
+      (1 to 50).map(i => ("hi", 1000L + i))
+    val sNs = 50L; val sNr = 50L
+    val dDisjoint = synth.map(_._2).distinct.sorted.map { x =>
+      val cs = BigInt(synth.count(p => p._1 == "lo" && p._2 <= x))
+      val cr = BigInt(synth.count(p => p._1 != "lo" && p._2 <= x))
+      (cs * sNr - cr * sNs).abs
+    }.max
+    assert((dDisjoint * 1000000 / (BigInt(sNs) * sNr)).toLong == 1000000L,
+      "disjoint supports must give D = 1")
+  }
+
   test("privacy audit output carries no sensitive value and partitions the table") {
     val out = SparkEntry.queries("kanon_privacy_audit")(spark, sf)
     // suppression by construction: classes + sizes + flags only
