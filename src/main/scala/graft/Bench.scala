@@ -22,8 +22,11 @@ package graft
   */
 object Bench {
 
-  /** One degraded query's self-adjudication: the in-run number, the
-    * post-suite settled re-measure, and the final adjudicated warm. */
+  /** One degraded query's self-adjudication: `initial` is the
+    * CONTENDED in-run measurement that raised the flag (before the
+    * in-run retry), `settled` the post-suite re-measure, `kept` the
+    * final adjudicated warm (min of the in-run kept number and the
+    * settled one). */
   final case class Adjudication(initial: Double, settled: Double, kept: Double)
 
   /** Post-suite reconciliation of the in-run `degraded` set (r12
@@ -32,31 +35,29 @@ object Bench {
     * re-litigate every round; now the artifact adjudicates itself).
     * Each flagged query is re-measured ONCE after the whole suite
     * finished (minutes later — transient host contention has had time
-    * to pass, unlike the immediate in-run retry) and classified:
-    *
-    *  - CLEARED: the settled number returned under the 1 s gate band,
-    *    or improved ≥ 20% — the in-run number was contention; the
-    *    settled number is kept for the totals, both are reported.
-    *  - CONFIRMED: the settled number reproduces the slow measurement
-    *    (within noise) — the query is genuinely slow; the better of
-    *    the two is kept, and the flag stands as a real finding.
-    *
-    * Pure so the classification is spec-testable; measurement stays
-    * with the caller. */
+    * to pass, unlike the immediate in-run retry) and classified by
+    * [[isCleared]]. Input per flag is (contended in-run number, the
+    * in-run kept warm) — the CONTENDED number is the initial, because
+    * the in-run retry already kept a better number and comparing the
+    * settled run against THAT would coin-flip normal noise into
+    * 'confirmed slow' (review catch). Pure so the classification is
+    * spec-testable; measurement stays with the caller. */
   def reconcileDegraded(
-      initialWarm: Map[String, Double],
+      flagged: Map[String, (Double, Double)],
       remeasure: String => Double): Map[String, Adjudication] =
-    initialWarm.map { case (name, init) =>
+    flagged.map { case (name, (contended, inRunKept)) =>
       val settled = remeasure(name)
-      val kept = if (settled >= 0 && settled < init) settled else init
-      name -> Adjudication(init, settled, kept)
+      val kept =
+        if (settled >= 0 && settled < inRunKept) settled else inRunKept
+      name -> Adjudication(contended, settled, kept)
     }
 
-  /** Cleared ⟺ the settled run changed the gate story: back under the
-    * 1 s band, or a ≥ 20% improvement (the in-run flag threshold). */
+  /** Cleared ⟺ no re-litigation needed: the final adjudicated number
+    * sits fully under the 1 s p95 gate band, so the flag was transient
+    * contention. A kept number still above the band stays CONFIRMED —
+    * gate-relevant either way, a human should look. */
   def isCleared(a: Adjudication): Boolean =
-    a.settled >= 0 && a.settled < a.initial &&
-      (a.settled <= 1.0 || a.settled < 0.8 * a.initial)
+    a.kept >= 0 && a.kept <= 1.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -95,7 +96,8 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val degraded = scala.collection.mutable.ListBuffer.empty[String]
+    // (name, the CONTENDED warm that raised the flag)
+    val degraded = scala.collection.mutable.ListBuffer.empty[(String, Double)]
     val contaminated = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = names.map { n =>
       val cold = force(n)
@@ -128,7 +130,7 @@ object Bench {
         // be silent, even if the improvement is small.
         val crossedGate = (before > 1.0 && warm <= 1.0) || (before > 2.0 && warm <= 2.0)
         if (warm < 0.8 * before || (warm < before && crossedGate)) {
-          degraded += n
+          degraded += ((n, before))
           System.err.println(
             f"[bench] $n degraded: warm $before%.2fs vs cold $cold%.2fs — re-measured after settle, kept $warm%.2fs")
         }
@@ -167,7 +169,8 @@ object Bench {
         System.gc()
         Thread.sleep(3000)
         reconcileDegraded(
-          degraded.map(n => n -> results.find(_._1 == n).get._3).toMap,
+          degraded.map { case (n, contended) =>
+            n -> ((contended, results.find(_._1 == n).get._3)) }.toMap,
           n => { val a = force(n); val b = force(n)
             if (a < 0 || b < 0) math.max(a, b) else math.min(a, b) })
       }
@@ -281,9 +284,12 @@ object Bench {
     // cleared flags move to degraded_cleared with both numbers so the
     // incident stays loud without re-litigating load noise
     val (clearedAdj, confirmedAdj) = adjudged.partition { case (_, a) => isCleared(a) }
+    // plain Double concatenation like every neighboring field — an
+    // f"%.3f" here renders comma decimals under comma-locales and
+    // corrupts the JSON (review catch)
     def adjJson(m: Map[String, Adjudication]) = m.toSeq.sortBy(_._1)
       .map { case (n, a) =>
-        f""""$n":{"initial":${a.initial}%.3f,"settled":${a.settled}%.3f}""" }
+        s""""$n":{"initial":${a.initial},"settled":${a.settled}}""" }
       .mkString("{", ",", "}")
     val degradedJson = confirmedAdj.keys.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -2357,6 +2357,12 @@ object TextQueries extends QuerySet {
       val entries = first.getSeq[org.apache.spark.sql.Row](0)
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       val n = graft.functions.QDigest.totalOf(entries)
+      val ss = s
+      import ss.implicits._
+      // empty corpus: the oracle returns zero rows; without this guard
+      // the below-window sum is NULL and getLong NPEs (review catch)
+      if (n == 0L) Seq.empty[(Long, Long)].toDF("decile", "q")
+      else {
       val windows = (1L to 9L).map { p =>
         val target = (p * n + 9) / 10
         val (lo, hi) = graft.functions.QDigest
@@ -2378,13 +2384,12 @@ object TextQueries extends QuerySet {
         .agg(count(lit(1)).cast("long").as("c"))
       val ranked = graft.operators.GlobalRank
         .withPrefixSum(wcounts, Seq(col("v")), col("c"), "cum")
-      val ss = s
-      import ss.implicits._
       val dec = windows.map { case (p, t, _, _) => (p, t) }
         .toDF("decile", "target")
       ranked.join(broadcast(dec), col("cum") + lit(below) >= col("target"))
         .groupBy("decile").agg(min("v").as("q"))
         .orderBy("decile")
+      }
     })
 
   // ---- per-source two-sample KS (group vs complement) ---------------------
@@ -2434,7 +2439,8 @@ object TextQueries extends QuerySet {
            |FROM (SELECT source, n_s, n_r,
            |        CAST(d_num * 1000000 // (CAST(n_s AS HUGEINT) * n_r)
            |             AS BIGINT) AS d_ppm
-           |      FROM d) x
+           |      FROM d
+           |      WHERE n_r > 0) x
            |ORDER BY source""".stripMargin),
     (s, dir) => {
       val t = Tables.table(s, dir, "documents")
@@ -2460,6 +2466,10 @@ object TextQueries extends QuerySet {
           expr("abs(CAST(cum_s AS DECIMAL(38,0)) * (n_tot - n_s) - " +
             "CAST(cum_all - cum_s AS DECIMAL(38,0)) * n_s)").as("dn"))
         .groupBy("source", "n_s", "n_r").agg(max("dn").as("d_num"))
+        // a single-source corpus has no complement: n_r = 0 would be a
+        // DuckDB division error vs a Spark null — both engines drop the
+        // degenerate row instead (review catch)
+        .filter(col("n_r") > 0)
         .select(col("source"), col("n_s"), col("n_r"),
           expr("CAST(d_num * 1000000 div (CAST(n_s AS DECIMAL(38,0)) * n_r) " +
             "AS BIGINT)").as("d_ppm"))

@@ -65,10 +65,15 @@ object GraftBootstrap {
           val m = v.asInstanceOf[java.util.Map[String, Any]]
           def intOr(k: String, d: Int) = str(m, k)
             .flatMap(x => scala.util.Try(x.toInt).toOption).getOrElse(d)
+          // SnakeYAML parses an unquoted numeric key (`1:` in a
+          // quantile monitor's decile baseline) as Integer; the erased
+          // Map[String, Any] cast doesn't check, so the key must be
+          // re-stringified or the first use throws ClassCastException
+          // and aborts the whole boot (review catch)
           val baseline = Option(m.get("baseline"))
-            .map(_.asInstanceOf[java.util.Map[String, Any]])
+            .map(_.asInstanceOf[java.util.Map[Any, Any]])
             .map(_.asScala.map { case (k, bv) =>
-              k -> String.valueOf(bv).toLong }.toMap)
+              String.valueOf(k) -> String.valueOf(bv).toLong }.toMap)
             .getOrElse(Map.empty[String, Long])
           MonitorConfig(
             name = str(m, "name").getOrElse(

@@ -49,12 +49,17 @@ final case class MonitorVerdict(
     stats: Map[String, Long],
     updatedAtMs: Long) {
   def toJson: String = {
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    import MonitorVerdict.esc
     val statJson = stats.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     s"""{"name":"${esc(name)}","type":"${esc(tpe)}","batch_id":$batchId,""" +
       s""""alert":$alert,"stats":$statJson,"updated_at_ms":$updatedAtMs}"""
   }
+}
+
+object MonitorVerdict {
+  private[server] def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
 }
 
 /** Runs the streaming monitor trio (PSI mix drift, CUSUM rate drift,
@@ -125,8 +130,9 @@ final class MonitorManager(spark: SparkSession, configs: Seq[MonitorConfig]) {
         }
       case "quantile" =>
         Streaming.quantileStanding(spark, c.checkpoint, c.baselineDeciles)
-          .foreach { case (id, drift, det) =>
-            record(c.name, "quantile", id, det, Map("drift_ppm" -> drift))
+          .foreach { case (id, dc, dw, det) =>
+            record(c.name, "quantile", id, det,
+              Map("drift_ppm_cumulative" -> dc, "drift_ppm_windowed" -> dw))
           }
     } catch { case e: Exception =>
       System.err.println(s"[monitors] seed '${c.name}' failed: ${e.getMessage}")
@@ -163,8 +169,9 @@ final class MonitorManager(spark: SparkSession, configs: Seq[MonitorConfig]) {
           }
         case "quantile" =>
           Streaming.quantileMonitorStream(stream, c.checkpoint,
-            c.baselineDeciles, c.valueCol) { (id, drift, det) =>
-            record(c.name, "quantile", id, det, Map("drift_ppm" -> drift))
+            c.baselineDeciles, c.valueCol) { (id, dc, dw, det) =>
+            record(c.name, "quantile", id, det,
+              Map("drift_ppm_cumulative" -> dc, "drift_ppm_windowed" -> dw))
           }
       }
       try {
@@ -183,14 +190,14 @@ final class MonitorManager(spark: SparkSession, configs: Seq[MonitorConfig]) {
 
   /** Configured monitors with no committed batch yet report
     * `batch_id: -1` rather than disappearing — an operator must see
-    * the monitor EXISTS before its first data arrives. */
+    * the monitor EXISTS before its first data arrives. The placeholder
+    * is the SAME MonitorVerdict shape, so the two JSON forms cannot
+    * drift (review catch). */
   def toJson: String = {
     val rows = configs.map { c =>
-      Option(verdicts.get(c.name)).map(_.toJson).getOrElse {
-        def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-        s"""{"name":"${esc(c.name)}","type":"${esc(c.tpe)}","batch_id":-1,""" +
-          s""""alert":false,"stats":{},"updated_at_ms":0}"""
-      }
+      Option(verdicts.get(c.name)).getOrElse(
+        MonitorVerdict(c.name, c.tpe, -1L, alert = false, Map.empty, 0L))
+        .toJson
     }
     s"""{"monitors":[${rows.mkString(",")}]}"""
   }

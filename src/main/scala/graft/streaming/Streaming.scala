@@ -575,15 +575,18 @@ object Streaming {
                 cumulative.merge(r.getString(1), r.getLong(2), _ + _)
                 windows.merge((r.getLong(0), r.getString(1)), r.getLong(2), _ + _)
               }
-            // prune: only the trailing K distinct days stay windowed
-            // (their counts already live in the cumulative map)
-            val days = {
+            // prune on a CALENDAR cutoff from the max event-time day —
+            // the CUSUM monitor's fold semantics. Keeping the trailing
+            // K DISTINCT data days instead would let months-old
+            // healthy days survive an ingest gap and dilute the
+            // "recent" statistic — the exact defect this monitor
+            // exists to fix (review catch). Their counts already live
+            // in the cumulative map.
+            if (!windows.isEmpty) {
               import scala.jdk.CollectionConverters._
-              windows.keySet.asScala.map(_._1).toSeq.distinct.sorted
-            }
-            days.dropRight(trailingWindows).foreach { old =>
-              import scala.jdk.CollectionConverters._
-              windows.keySet.asScala.filter(_._1 == old)
+              val cutoff = windows.keySet.asScala.map(_._1).max -
+                (trailingWindows - 1)
+              windows.keySet.asScala.filter(_._1 < cutoff)
                 .toSeq.foreach(windows.remove)
             }
             val (c, w) = snapshot()
@@ -1050,29 +1053,54 @@ object Streaming {
     * of magnitude past the digest's own rank error (b/k = 20/2048 ≈
     * 10 000 ppm), so the sketch error cannot flip the verdict.
     *
-    * State is ONE digest (≤ 3k nodes at any stream length), persisted
-    * as the [[BatchLedger]] payload (id + digest, one atomic rename);
-    * the additive merge makes replay dedup structural, and a skipped
-    * replay re-emits the standing verdict. The per-batch statistic is
-    * an O(k) driver fold. StreamingSpec locks a planted
-    * value-scale shift flipping the verdict, a steady stream staying
-    * quiet, and restart-replay continuation. */
+    * Windowing (review catch — an all-time digest would re-introduce
+    * the exact late-drift dilution the windowed PSI fixed: after a
+    * year of healthy ingest, a week of collapsed lengths moves the
+    * cumulative ranks by under 2%): the monitor keeps the per-batch
+    * digests of the trailing `trailingBatches` ingest windows NEXT TO
+    * the all-time cumulative digest, and reports BOTH statistics —
+    * `drift_cumulative` (all-time, informational) and
+    * `drift_windowed` (the trailing windows merged, the alerting
+    * statistic). Under the catch-up-per-crawl-drop cadence every
+    * ingest stream here runs, a batch IS an ingest window. State is
+    * (trailingBatches + 1) digests — ≤ (K+1)·3k nodes at any stream
+    * length — persisted as the [[BatchLedger]] payload (id + all
+    * digests, one atomic rename); the additive merges make replay
+    * dedup structural, and a skipped replay re-emits the standing
+    * verdict. The per-batch statistic is an O(K·k) driver fold.
+    * StreamingSpec locks a late planted value-scale shift flipping the
+    * WINDOWED verdict while the cumulative statistic stays under
+    * threshold, a steady stream staying quiet, and restart-replay
+    * continuation. */
   def quantileMonitorStream(
       incoming: DataFrame,
       checkpointDir: String,
       baselineDeciles: Map[Int, Long],
       valueCol: String = "n_chars",
       k: Int = 2048,
-      b: Int = 20)(
-      onBatch: (Long, Long, Boolean) => Unit): StreamingQuery = {
+      b: Int = 20,
+      trailingBatches: Int = 4)(
+      onBatch: (Long, Long, Long, Boolean) => Unit): StreamingQuery = {
     require(baselineDeciles.nonEmpty, "baseline deciles are empty")
     require(baselineDeciles.keySet.forall(p => p >= 1 && p <= 9),
       s"baseline decile keys must be in 1..9: ${baselineDeciles.keySet}")
+    require(trailingBatches > 0, "trailingBatches must be positive")
     val ledger = new BatchLedger(checkpointDir,
       hadoopConf = incoming.sparkSession.sessionState.newHadoopConf())
-    val standing = scala.collection.mutable.HashMap.empty[Long, Long]
-    ledger.lastState().foreach(graft.functions.QDigest.decode(_)
-      .foreach { case (id, c) => standing.update(id, c) })
+    val cumulative = scala.collection.mutable.HashMap.empty[Long, Long]
+    val windowsQ = scala.collection.mutable.TreeMap.empty[Long, Map[Long, Long]]
+    ledger.lastState().map(decodeQuantileState).foreach { case (c, w) =>
+      c.foreach { case (id, cnt) => cumulative.update(id, cnt) }
+      w.foreach { case (bid, d) => windowsQ.update(bid, d) }
+    }
+    def verdict(c: Map[Long, Long], w: collection.Map[Long, Map[Long, Long]]):
+        (Long, Long, Boolean) = {
+      val merged = scala.collection.mutable.HashMap.empty[Long, Long]
+      w.values.foreach(graft.functions.QDigest.mergeInto(merged, _, k, b))
+      val (dc, _) = quantileDrift(c, b, baselineDeciles)
+      val (dw, det) = quantileDrift(merged.toMap, b, baselineDeciles)
+      (dc, dw, det)
+    }
     incoming.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -1087,21 +1115,53 @@ object Streaming {
               .agg(expr(s"qdigest(v, $k, $b)")).collect()(0)
               .getSeq[org.apache.spark.sql.Row](0)
               .map(r => r.getLong(0) -> r.getLong(1)).toMap
-            graft.functions.QDigest.mergeInto(standing, part, k, b)
-            val (drift, det) = quantileDrift(standing.toMap, b, baselineDeciles)
-            onBatch(batchId, drift, det)
+            graft.functions.QDigest.mergeInto(cumulative, part, k, b)
+            windowsQ.update(batchId, part)
+            while (windowsQ.size > trailingBatches)
+              windowsQ.remove(windowsQ.firstKey)
+            val (dc, dw, det) = verdict(cumulative.toMap, windowsQ)
+            onBatch(batchId, dc, dw, det)
           }
-          graft.functions.QDigest.encode(standing)
+          encodeQuantileState(cumulative.toMap, windowsQ.toMap)
         }
-        if (!ran) ledger.lastState()
-          .map(graft.functions.QDigest.decode(_).toMap)
-          .foreach { digest =>
-            val (drift, det) = quantileDrift(digest, b, baselineDeciles)
-            onBatch(batchId, drift, det)
+        if (!ran) ledger.lastState().map(decodeQuantileState)
+          .foreach { case (c, w) =>
+            val (dc, dw, det) = verdict(c, w)
+            onBatch(batchId, dc, dw, det)
           }
         ()
       }
       .start()
+  }
+
+  /** (cumulative digest, batchId → window digest) ⇄ one ledger
+    * payload: int window count, each (long batchId, len-prefixed
+    * digest image), then the cumulative image. */
+  private[streaming] def encodeQuantileState(
+      c: Map[Long, Long], w: Map[Long, Map[Long, Long]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    def img(d: Map[Long, Long]): Unit = {
+      val bytes = graft.functions.QDigest.encode(d)
+      out.writeInt(bytes.length); out.write(bytes)
+    }
+    out.writeInt(w.size)
+    w.toSeq.sortBy(_._1).foreach { case (bid, d) => out.writeLong(bid); img(d) }
+    img(c)
+    out.flush(); bos.toByteArray
+  }
+
+  private[streaming] def decodeQuantileState(bytes: Array[Byte]):
+      (Map[Long, Long], Map[Long, Map[Long, Long]]) = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    def img(): Map[Long, Long] = {
+      val len = in.readInt()
+      val b2 = new Array[Byte](len); in.readFully(b2)
+      graft.functions.QDigest.decode(b2).toMap
+    }
+    val nw = in.readInt()
+    val w = (0 until nw).map { _ => val bid = in.readLong(); bid -> img() }.toMap
+    (img(), w)
   }
 
   /** (max ppm rank displacement of the baseline decile values under
@@ -1119,15 +1179,20 @@ object Streaming {
     (drift, drift > 150000L)
   }
 
-  /** Standing (batchId, drift_ppm, detected) from a
-    * [[quantileMonitorStream]] checkpoint — the boot-seed reader. */
+  /** Standing (batchId, drift_cumulative, drift_windowed, detected)
+    * from a [[quantileMonitorStream]] checkpoint — the boot-seed
+    * reader. */
   def quantileStanding(spark: SparkSession, checkpointDir: String,
-      baselineDeciles: Map[Int, Long], b: Int = 20): Option[(Long, Long, Boolean)] = {
+      baselineDeciles: Map[Int, Long], k: Int = 2048, b: Int = 20):
+      Option[(Long, Long, Long, Boolean)] = {
     val ledger = new BatchLedger(checkpointDir,
       hadoopConf = spark.sessionState.newHadoopConf())
-    ledger.lastState().map(graft.functions.QDigest.decode(_).toMap).map { d =>
-      val (drift, det) = quantileDrift(d, b, baselineDeciles)
-      (ledger.lastCommitted(), drift, det)
+    ledger.lastState().map(decodeQuantileState).map { case (c, w) =>
+      val merged = scala.collection.mutable.HashMap.empty[Long, Long]
+      w.values.foreach(graft.functions.QDigest.mergeInto(merged, _, k, b))
+      val (dc, _) = quantileDrift(c, b, baselineDeciles)
+      val (dw, det) = quantileDrift(merged.toMap, b, baselineDeciles)
+      (ledger.lastCommitted(), dc, dw, det)
     }
   }
 

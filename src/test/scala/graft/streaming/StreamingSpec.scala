@@ -987,7 +987,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // for: cumulative PSI stays under the 0.1 "drifting" threshold
     // while the trailing-3-day windowed PSI clears 0.25 "shifted"
     val baseline = Map("A" -> 500L, "B" -> 500L)
-    def day(d: Int) = Timestamp.valueOf(f"2026-01-$d%02d 12:00:00")
+    def day(d: Int) = Timestamp.valueOf(
+      java.time.LocalDate.of(2026, 1, 1).plusDays(d - 1L).atTime(12, 0))
     val healthy = (1 to 20).flatMap(d =>
       Seq.fill(50)((day(d), "A")) ++ Seq.fill(50)((day(d), "B")))
     val drift = Seq.fill(200)((day(21), "A"))
@@ -1047,6 +1048,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the boot-seed reader recovers the same verdict with no stream
     val standing = Streaming.windowedPsiStanding(spark, s"$tmp/ck", baseline)
     assert(standing.map(s => (s._2, s._3)).contains((cumD, winD)))
+
+    // ingest-gap semantics (review catch): after a long gap, a new
+    // batch's event-time day defines the window by CALENDAR cutoff —
+    // stale data-days from before the gap must NOT blend into
+    // "recent". Day 40 arrives pure-B: the trailing-3-day window is
+    // {38,39,40} = day 40 alone, so windowed PSI scores the pure-B mix
+    // (days 19-21 would otherwise still sit in a distinct-days window).
+    Seq.fill(120)((day(40), "B")).toDF("ts", "event_type").coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    run()
+    val (_, _, winGap) = verdicts.get()
+    assert(winGap == Streaming.psiMicro(baseline, Map("B" -> 120L)),
+      s"post-gap window must contain day 40 only: $winGap")
   }
 
   test("CUSUM horizon fold: in-horizon burst detected after a simulated year; payload constant") {
@@ -1137,7 +1151,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(s => (s._2, s._3)).contains((peakBurst, true)))
   }
 
-  test("quantile monitor: steady stream quiet, planted value-scale shift detected, restart-exact") {
+  test("quantile monitor: windowed statistic flags a LATE shift the cumulative dilutes; restart-exact") {
     val ss = spark
     import ss.implicits._
     graft.functions.GraftFunctions.ensureQdigest(spark)
@@ -1149,13 +1163,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sorted = base.sorted
     val deciles = (1 to 9).map(p =>
       p -> sorted(((p * base.size + 9) / 10) - 1)).toMap
-    val verdicts = new java.util.concurrent.atomic.AtomicReference[(Long, Long, Boolean)]((-1L, -1L, false))
-    def run(): Unit = {
-      val stream = spark.readStream
-        .schema(spark.read.parquet(s"$tmp/in").schema).parquet(s"$tmp/in")
+    val verdicts = new java.util.concurrent.atomic.AtomicReference[(Long, Long, Long, Boolean)]((-1L, -1L, -1L, false))
+    def run(maxFilesPerTrigger: Option[Int] = None): Unit = {
+      var rd = spark.readStream
+        .schema(spark.read.parquet(s"$tmp/in").schema)
+      maxFilesPerTrigger.foreach(m =>
+        rd = rd.option("maxFilesPerTrigger", m.toString))
       val q = Streaming.quantileMonitorStream(
-        stream, s"$tmp/ck", deciles, valueCol = "n_chars") { (id, d, det) =>
-        verdicts.set((id, d, det))
+        rd.parquet(s"$tmp/in"), s"$tmp/ck", deciles,
+        valueCol = "n_chars", trailingBatches = 1) { (id, dc, dw, det) =>
+        verdicts.set((id, dc, dw, det))
       }
       try assert(q.awaitTermination(180000), "AvailableNow did not finish")
       finally {
@@ -1165,21 +1182,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
             System.nanoTime() < deadline) Thread.sleep(100)
       }
     }
-    base.toDF("n_chars").coalesce(1).write.mode("append").parquet(s"$tmp/in")
-    run()
-    val (_, dSteady, detSteady) = verdicts.get()
-    // same distribution as the baseline: displacement stays within the
-    // digest's own error, far under the 0.15 rule
-    assert(!detSteady && dSteady < 50000L,
-      s"steady stream must stay quiet: $dSteady")
+    // five healthy ingest windows (one micro-batch each)
+    (0 until 5).foreach { _ =>
+      base.toDF("n_chars").coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    }
+    run(maxFilesPerTrigger = Some(1))
+    val (_, dcSteady, dwSteady, detSteady) = verdicts.get()
+    // same distribution as the baseline: both statistics stay within
+    // the digest's own error, far under the 0.15 rule
+    assert(!detSteady && dcSteady < 50000L && dwSteady < 50000L,
+      s"steady stream must stay quiet: cum=$dcSteady win=$dwSteady")
 
-    // planted shift: the ingest doubles in length (an extractor
-    // regression) — baseline median's rank collapses toward 0
+    // LATE planted shift: after five healthy windows, one window of
+    // doubled lengths (an extractor regression). The cumulative digest
+    // dilutes it (1/6 of the mass) under the threshold — the windowed
+    // statistic (trailing 1 ingest window) must flag it anyway.
     val shifted = base.map(_ * 2)
     shifted.toDF("n_chars").coalesce(1).write.mode("append").parquet(s"$tmp/in")
     run()
-    val (_, dShift, detShift) = verdicts.get()
-    assert(detShift, s"planted 2x length shift must alarm: $dShift")
+    val (_, dcShift, dwShift, detShift) = verdicts.get()
+    assert(dcShift <= 150000L,
+      s"cumulative statistic should dilute the late shift: $dcShift")
+    assert(detShift && dwShift > 150000L,
+      s"windowed statistic must flag the late shift: $dwShift")
 
     // skipped-replay delivery + standing reader parity
     val commits = java.nio.file.Files.list(
@@ -1189,13 +1214,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     java.nio.file.Files.delete(commits)
     java.nio.file.Files.deleteIfExists(
       commits.resolveSibling("." + commits.getFileName.toString + ".crc"))
-    verdicts.set((-1L, -1L, false))
+    verdicts.set((-1L, -1L, -1L, false))
     run()
-    val (idR, dR, detR) = verdicts.get()
-    assert(idR >= 0L && dR == dShift && detR,
-      s"skipped replay lost the standing verdict: ($idR,$dR,$detR) vs $dShift")
+    val (idR, dcR, dwR, detR) = verdicts.get()
+    assert(idR >= 0L && dcR == dcShift && dwR == dwShift && detR,
+      s"skipped replay lost the standing verdict: ($idR,$dcR,$dwR,$detR)")
     assert(Streaming.quantileStanding(spark, s"$tmp/ck", deciles)
-      .map(s => (s._2, s._3)).contains((dShift, true)))
+      .map(s => (s._2, s._3, s._4)).contains((dcShift, dwShift, true)))
   }
 
   test("streaming cms partials sum to the batch sketch over any micro-batch split") {
