@@ -31,7 +31,9 @@ object GraftBootstrap {
       templatePath: String,
       envWhitelist: Seq[String] = Nil,
       connections: Seq[ConnectionConfig] = Nil,
-      monitors: Seq[MonitorConfig] = Nil)
+      monitors: Seq[MonitorConfig] = Nil,
+      /** 0 = boot-drain only; > 0 re-drains monitors on this cadence. */
+      monitorDrainIntervalSeconds: Int = 0)
 
   def parseProject(yaml: String): ProjectConfig = {
     val root = new org.yaml.snakeyaml.Yaml().load[Any](yaml)
@@ -98,7 +100,9 @@ object GraftBootstrap {
       templatePath = template.flatMap(t => str(t, "path")).getOrElse("."),
       envWhitelist = whitelist,
       connections = conns,
-      monitors = monitors)
+      monitors = monitors,
+      monitorDrainIntervalSeconds = str(root, "monitor-drain-interval")
+        .flatMap(x => scala.util.Try(x.toInt).toOption).getOrElse(0))
   }
 
   /** Load a project tree: project yaml → discovered endpoints with
@@ -259,6 +263,11 @@ object GraftBootstrap {
       val mm = new MonitorManager(spark, ms)
       mm.seed()
       mm.drain()
+      // `monitor-drain-interval` (seconds, project root key): keep the
+      // served verdicts current as new drops land — without it the
+      // boot drain is the only crank and verdicts freeze until restart
+      if (project.monitorDrainIntervalSeconds > 0)
+        mm.startScheduler(project.monitorDrainIntervalSeconds)
       mm
     }
     // boot-time security audit (reference runs it as a startup wave):

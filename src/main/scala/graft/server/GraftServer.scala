@@ -174,6 +174,7 @@ final class GraftServer(
 
   def stop(): Unit = {
     server.stop(0)
+    monitors.foreach(_.stop()) // halt the scheduled drain loop, if any
     telemetry.foreach(_.notifyStop("0.1"))
   }
 

@@ -188,6 +188,42 @@ final class MonitorManager(spark: SparkSession, configs: Seq[MonitorConfig]) {
     verdicts.values.asScala.toSeq.sortBy(_.name)
   }
 
+  // ---- scheduled drains ----------------------------------------------------
+  // Boot-only drains leave a served monitor whose verdict never moves
+  // until the next restart — the scheduler is the crank that keeps the
+  // /mcp/monitors surface current as new crawl drops land (the
+  // RefreshScheduler discipline: a daemon thread, interval-paced,
+  // failures logged per tick and never fatal to serving).
+  @volatile private var schedulerThread: Option[Thread] = None
+
+  /** Re-drain every monitor each `intervalSeconds` until [[stop]].
+    * Idempotent: a second start is a no-op while one runs. */
+  def startScheduler(intervalSeconds: Int): Unit = synchronized {
+    require(intervalSeconds > 0, "drain interval must be positive")
+    if (schedulerThread.isEmpty) {
+      val t = new Thread(() => {
+        try {
+          while (!Thread.currentThread().isInterrupted) {
+            Thread.sleep(intervalSeconds * 1000L)
+            try drain()
+            catch { case e: Exception =>
+              System.err.println(s"[monitors] scheduled drain failed: ${e.getMessage}")
+            }
+          }
+        } catch { case _: InterruptedException => () }
+      }, "graft-monitor-drain")
+      t.setDaemon(true)
+      t.start()
+      schedulerThread = Some(t)
+    }
+  }
+
+  /** Stop the scheduler (server shutdown). Safe when never started. */
+  def stop(): Unit = synchronized {
+    schedulerThread.foreach(_.interrupt())
+    schedulerThread = None
+  }
+
   /** Configured monitors with no committed batch yet report
     * `batch_id: -1` rather than disappearing — an operator must see
     * the monitor EXISTS before its first data arrives. The placeholder

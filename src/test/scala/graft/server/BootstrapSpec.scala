@@ -347,6 +347,7 @@ class BootstrapSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"""project-name: monitor-test
          |template:
          |  path: './sqls'
+         |monitor-drain-interval: 1
          |monitors:
          |  - name: mix-drift
          |    type: psi
@@ -377,8 +378,28 @@ class BootstrapSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(m.get("alert").asBoolean(), m.toString)
       val win = m.get("stats").get("psi_micro_windowed").asLong()
       assert(win > 250000L, s"planted 90/10 drift must exceed 0.25: $win")
-      (m.get("batch_id").asLong(), win,
-        m.get("stats").get("psi_micro_cumulative").asLong())
+      val bootBatch = m.get("batch_id").asLong()
+
+      // scheduled drain (monitor-drain-interval: 1): a drop landing
+      // AFTER boot must update the served verdict WITHOUT a restart —
+      // boot-only drains would freeze the surface until the next boot
+      (Seq.fill(300)((day, "A")) ++ Seq.fill(300)((day, "B")))
+        .toDF("ts", "event_type").coalesce(1)
+        .write.mode("append").parquet(src.toString)
+      val deadline = System.nanoTime() + 60000000000L
+      var live = m
+      while (live.get("batch_id").asLong() == bootBatch &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(500)
+        live = monitorsJson(srv.boundPort).get("monitors").get(0)
+      }
+      assert(live.get("batch_id").asLong() > bootBatch,
+        s"scheduled drain never absorbed the post-boot drop: $live")
+      // the updated mix is (1200 A, 400 B) — still shifted vs 50/50
+      assert(live.get("alert").asBoolean(), live.toString)
+      (live.get("batch_id").asLong(),
+        live.get("stats").get("psi_micro_windowed").asLong(),
+        live.get("stats").get("psi_micro_cumulative").asLong())
     } finally srv.stop()
 
     // boot 2 (restart, NO new data): nothing streams, so the verdict
