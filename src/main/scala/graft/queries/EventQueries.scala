@@ -1504,6 +1504,104 @@ object EventQueries extends QuerySet {
     Some(cusumSql("HUGEINT", "//")),
     (s, dir) => Tables.sql(s, dir, cusumSql("DECIMAL(38,0)", "div")))
 
+  // ---- ev32: windowed PSI (trailing window vs opening baseline) -----------
+  // The batch face of the r13 windowed PSI monitor, keeping the
+  // monitor's statistic oracle-gated exactly like ev23 keeps the
+  // cumulative one: the event-type mix of the TRAILING 7 event-time
+  // days scored against the mix of the FIRST 7 days (the known-good
+  // opening window standing in for the frozen baseline a deployment
+  // snapshots). Arithmetic is ev23's verbatim — integer ppm shares
+  // via window sums over the type-cardinality frame, zero-quantized-
+  // share exclusion, one ln per type rounded to micro-units with
+  // identical parenthesization. Both window memberships are map-side
+  // booleans off the broadcast (d0, d1) row, so the whole query stays
+  // ONE events pass + type-cardinality postprocessing.
+  private def windowedPsiSql(idiv: String) =
+    s"""WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0,
+       |                  max(CAST(ts AS DATE)) AS d1 FROM events),
+       |c AS (SELECT event_type,
+       |        count(*) FILTER (WHERE d < d0 + INTERVAL 7 DAY) AS n1,
+       |        count(*) FILTER (WHERE d > d1 - INTERVAL 7 DAY) AS n2
+       |      FROM (SELECT event_type, CAST(ts AS DATE) AS d FROM events) e
+       |      CROSS JOIN b GROUP BY event_type),
+       |p AS (SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       |        CAST((n1 * 1000000) $idiv (sum(n1) OVER ()) AS BIGINT) AS p1_ppm,
+       |        CAST((n2 * 1000000) $idiv (sum(n2) OVER ()) AS BIGINT) AS p2_ppm
+       |      FROM c)
+       |SELECT event_type, n1, n2, p1_ppm, p2_ppm,
+       |  CAST(round((p2_ppm - p1_ppm) / 1000000.0 *
+       |             ln(CAST(p2_ppm AS DOUBLE) / p1_ppm) * 1000000.0) AS BIGINT)
+       |    AS psi_micro
+       |FROM p WHERE p1_ppm > 0 AND p2_ppm > 0 ORDER BY event_type""".stripMargin
+
+  private val windowedPsi = QueryDef(
+    "ev32_windowed_psi",
+    Some(windowedPsiSql("//")),
+    (s, dir) => Tables.sql(s, dir, windowedPsiSql("div")))
+
+  // ---- ev33: horizon-folded CUSUM (baseline-centered) ----------------------
+  // The batch face of the r13 CUSUM horizon fold, oracle-gating the
+  // monitor's centered arithmetic the way ev31 gates the self-centered
+  // identity: hours OLDER than the trailing 168-hour horizon fold into
+  // a frozen (sum s, count k) baseline, and the one-sided CUSUM runs
+  // over the horizon with deviations centered on the BASELINE mean —
+  // dev_i = k·cum_i − s·i (cross-multiplied, μ = s/k never divides),
+  // peak = dev − min(0, running-min(dev)), detected ⟺ peak > 24·s
+  // (cumulative in-horizon excess > 24 baseline-hour means). dev runs
+  // in DECIMAL(38,0)/HUGEINT — k grows with stream age, so k·cum has
+  // no static BIGINT bound; the emitted peak CASTs back to BIGINT
+  // (ANSI-loud on overflow, never silent). A stream younger than the
+  // horizon has an empty baseline (s = k = 0): every dev is 0 and the
+  // query reports an honest non-detection — the monitor's pre-horizon
+  // fallback to the self-centered ev31 identity is the library path.
+  //
+  // 100 TB shape: ONE hour-keyed partial-combining count; the fold,
+  // the prefix scan, and the running min all run on the ≤168-row
+  // horizon frame (time-cardinality, never corpus rows).
+  // The post-hour-frame arithmetic, parameterized on the hour
+  // relation: the ORACLE inlines `h` as a CTE (DuckDB executes CTEs
+  // once); the Spark build points `hRel` at a CHECKPOINTED temp view —
+  // the default-on scan budget caught the CTE spelling re-scanning
+  // events SIX times through the inlined references (its own audit
+  // working as designed), so every reference here reads the standing
+  // 531-row hour RDD instead.
+  private def cusumHorizonBody(hRel: String, big: String) =
+    s"""WITH mx AS (SELECT max(hr) AS hmax FROM $hRel),
+       |base AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS s,
+       |                CAST(count(*) AS BIGINT) AS k
+       |         FROM $hRel CROSS JOIN mx WHERE hr < hmax - INTERVAL 167 HOUR),
+       |w AS (SELECT hr, n,
+       |        CAST(sum(n) OVER (ORDER BY hr) AS BIGINT) AS cum,
+       |        CAST(row_number() OVER (ORDER BY hr) AS BIGINT) AS i
+       |      FROM $hRel CROSS JOIN mx WHERE hr >= hmax - INTERVAL 167 HOUR),
+       |s2 AS (SELECT w.hr, w.i,
+       |         CAST(base.k AS $big) * w.cum - CAST(base.s AS $big) * w.i AS dev
+       |       FROM w CROSS JOIN base),
+       |c AS (SELECT hr, i, dev,
+       |        dev - least(CAST(0 AS $big),
+       |                    min(dev) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+       |                                   AND CURRENT ROW)) AS cusum
+       |      FROM s2)
+       |SELECT base.k AS base_hours, base.s AS base_total,
+       |  c.hr AS peak_hr, CAST(c.cusum AS BIGINT) AS cusum_peak,
+       |  c.cusum > CAST(24 AS $big) * base.s AS detected
+       |FROM c CROSS JOIN base ORDER BY c.cusum DESC, c.hr LIMIT 1""".stripMargin
+
+  private val cusumHorizon = QueryDef(
+    "ev33_cusum_horizon",
+    Some("WITH h AS (SELECT date_trunc('hour', ts) AS hr, " +
+      "CAST(count(*) AS BIGINT) AS n FROM events " +
+      "GROUP BY date_trunc('hour', ts)), " +
+      cusumHorizonBody("h", "HUGEINT").stripPrefix("WITH ")),
+    (s, dir) => {
+      val h = Tables.table(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .localCheckpoint(true)
+      h.createOrReplaceTempView("ev33_hours")
+      s.sql(cusumHorizonBody("ev33_hours", "DECIMAL(38,0)"))
+    })
+
   // ---- ev30: Misra–Gries heavy hitters (verified two-pass) ---------------
   // The deterministic-guarantee heavy-hitters protocol on the native
   // [[graft.functions.MisraGriesTopK]] aggregate: pass 1 builds
@@ -1668,5 +1766,5 @@ object EventQueries extends QuerySet {
       twa, sessionPaths, pointInTime, abAssign, stickiness, cohortLtv,
       timeToConvert, userEntropy, madOutliers, skewProfile, psiDrift, srmCheck,
       liftBootstrap, ksTwoSample, exactQuantiles, equidepth, joinSizeEstimate,
-      mgHeavyHitters, cusumChangepoint)
+      mgHeavyHitters, cusumChangepoint, windowedPsi, cusumHorizon)
 }
