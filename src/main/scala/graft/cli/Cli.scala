@@ -55,7 +55,9 @@ object Cli {
       |    expand <slug> [k=v ...]     POST   _config/endpoints/<slug>/template/expand
       |    test <slug> [k=v ...]       POST   _config/endpoints/<slug>/template/test
       |    cache refresh <slug>        POST   _config/endpoints/<slug>/cache/refresh
-      |    log-level <level>           PUT    _config/log-level""".stripMargin
+      |    log-level <level>           PUT    _config/log-level
+      |    monitors                    GET    /mcp/monitors (drift verdicts)
+      |    metrics                     GET    /mcp/metrics (arrow + scan budget)""".stripMargin
 
   /** Testable entry: returns the process exit code. */
   def run(args: Seq[String], out: PrintStream, err: PrintStream): Int =
@@ -178,6 +180,10 @@ object Cli {
       case List("ping") => Some(("GET", s"$cfgBase/project", None))
       case List("health") => Some(("GET", s"$cfgBase/health", None))
       case List("audit") => Some(("GET", s"$cfgBase/audit", None))
+      // drift-monitor standing verdicts + serving metrics — read-only
+      // surfaces an operator polls without the config token
+      case List("monitors") => Some(("GET", "/mcp/monitors", None))
+      case List("metrics") => Some(("GET", "/mcp/metrics", None))
       case List("endpoints", "list") => Some(("GET", s"$cfgBase/endpoints", None))
       case List("endpoints", "get", slug) =>
         Some(("GET", s"$cfgBase/endpoints/${enc(slug)}", None))

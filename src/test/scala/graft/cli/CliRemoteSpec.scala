@@ -148,6 +148,31 @@ class CliRemoteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(code2 == 0, out2)
   }
 
+  test("metrics and monitors read the operator surfaces") {
+    // metrics is always served (arrow counters + scan-budget gauge)
+    val (code, out, _) = remote("metrics")
+    assert(code == 0, out)
+    assert(out.contains("\"arrow\"") && out.contains("\"scan_budget\""))
+    // this server has no monitors block: the route does not exist and
+    // the CLI reports the HTTP failure instead of fabricating a result
+    val (mc, _, me) = remote("monitors")
+    assert(mc == 1 && me.contains("HTTP 404"), me)
+    // a monitor-bearing server serves the registry (placeholder row
+    // for a monitor that has not committed a batch yet)
+    val src = Files.createTempDirectory("cli_mon_src")
+    val mm = new graft.server.MonitorManager(spark, Seq(
+      graft.server.MonitorConfig("m1", "cusum",
+        src.toString, Files.createTempDirectory("cli_mon_ck").toString)))
+    val srv2 = new GraftServer(spark, Seq(cachedEndpoint),
+      monitors = Some(mm)).start()
+    try {
+      val (c2, o2, _) = cli("--server",
+        s"http://127.0.0.1:${srv2.boundPort}", "monitors")
+      assert(c2 == 0, o2)
+      assert(o2.contains("\"name\":\"m1\"") && o2.contains("\"batch_id\":-1"))
+    } finally srv2.stop()
+  }
+
   test("auth failures and unknown commands are directed, not silent") {
     val (code, _, errTxt) =
       cli("--server", base, "--token", "wrong", "ping")
