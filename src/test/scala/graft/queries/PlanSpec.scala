@@ -1231,4 +1231,50 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // corpus passes run once, inside the memoized build)
     assert(corpusScans(p, "text#") == 0, s"documents re-scanned:\n$p")
   }
+
+  test("qdigest verified deciles: windowed exact pass, no corpus sort, no corpus window") {
+    // the two-pass protocol's served plan joins the checkpointed
+    // windowed prefix-sum frame with the 9-row decile side — the
+    // corpus passes (sketch agg, rank anchor, window scan) ran inside
+    // the build; the plan the server re-executes per request must not
+    // re-scan documents or re-sort anything corpus-sized
+    val p = plan("qdigest_verified_deciles")
+    assert(corpusScans(p, "text#") == 0 && corpusScans(p, "n_chars#") == 0,
+      s"documents re-scanned downstream of the windowed exact pass:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"does not read the materialized window frame:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"decile side not broadcast:\n$p")
+  }
+
+  test("per-source KS: one checkpointed count frame feeds everything; windows only on the grid") {
+    // the corpus collapses to the (source, value) count frame once —
+    // the served plan reads standing RDDs (the checkpointed counts +
+    // the prefix-summed value CDF) and its only Window runs on the
+    // derived source×value grid, never corpus rows
+    val p = plan("ks_by_source")
+    assert(corpusScans(p, "text#") == 0,
+      s"documents re-scanned past the count-frame checkpoint:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"does not read the materialized count frame:\n$p")
+  }
+
+  test("windowed PSI batch face stays ONE events pass (window-membership map-side)") {
+    // both window counts are conditional aggregates in one pass; the
+    // (d0, d1) row is broadcast; the only windows run over the
+    // type-cardinality aggregate frame (the ev23 discipline)
+    val p = plan("ev32_windowed_psi")
+    assert(corpusScans(p, "event_type#") <= 2,
+      s"windowed PSI re-scans events (bounds row + mix pass expected):\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum") ||
+      p.contains("partial_"), s"mix pass lacks map-side combine:\n$p")
+  }
+
+  test("horizon CUSUM serves off the checkpointed hour frame — zero events re-scans") {
+    val p = plan("ev33_cusum_horizon")
+    assert(corpusScans(p, "event_type#") == 0 && corpusScans(p, "user_id#") == 0,
+      s"events re-scanned past the hour-frame checkpoint:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"does not read the materialized hour frame:\n$p")
+  }
 }
