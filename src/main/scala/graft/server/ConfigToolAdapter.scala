@@ -19,7 +19,8 @@ final class ConfigToolAdapter(
     registry: EndpointRegistry,
     cfg: ConfigServiceConfig,
     api: ConfigApi,
-    cacheManager: Option[graft.cache.CacheManager]) {
+    cacheManager: Option[graft.cache.CacheManager],
+    monitors: Option[MonitorManager] = None) {
 
   private val mapper = new ObjectMapper()
 
@@ -50,7 +51,8 @@ final class ConfigToolAdapter(
     ("graft_get_cache_status", "Snapshot manifest of endpoint {slug}'s cache"),
     ("graft_refresh_cache", "Refresh endpoint {slug}'s cache table now"),
     ("graft_get_cache_audit", "Recent cache sync events"),
-    ("graft_run_cache_gc", "Apply retention to endpoint {slug}'s cache"))
+    ("graft_run_cache_gc", "Apply retention to endpoint {slug}'s cache"),
+    ("graft_get_monitors", "Standing drift-monitor verdicts (PSI/CUSUM/SRM/quantile)"))
 
   private val toolNames = tools.map(_._1).toSet
 
@@ -282,6 +284,10 @@ final class ConfigToolAdapter(
             obj("dropped_snapshots" -> dropped.size)
           }
         }
+      case "graft_get_monitors" =>
+        // read-only like the /mcp/monitors route; reachable from the
+        // MCP surface where an AI operator cannot GET arbitrary paths
+        monitors.toRight("no monitors configured").map(_.toJson)
       case other => Left(s"unknown config tool '$other'")
     } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
   }

@@ -163,7 +163,8 @@ final class GraftServer(
       server.createContext("/api/v1/_config", (ex: HttpExchange) => safely(ex)(api.handle))
       // the same capabilities as MCP tools for AI operators
       // (reference config_tool_adapter.cpp)
-      configTools = Some(new ConfigToolAdapter(spark, registry, cs, api, cacheManager))
+      configTools = Some(new ConfigToolAdapter(spark, registry, cs, api,
+        cacheManager, monitors))
     }
     server.createContext("/", (ex: HttpExchange) => safely(ex)(handleRest))
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))

@@ -191,6 +191,16 @@ class ConfigApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val names = (0 until tools.size()).map(tools.get(_).get("name").asText()).toSet
     assert(names.contains("graft_list_endpoints"))
     assert(names.contains("graft_create_endpoint"))
+    assert(names.contains("graft_get_monitors"))
+
+    // monitors tool on a monitor-less server: a directed error, never
+    // a fabricated empty registry (this spec's server wires none)
+    val noMon = rpc(
+      """{"jsonrpc":"2.0","id":9,"method":"tools/call",
+        |"params":{"name":"graft_get_monitors","arguments":{}}}""".stripMargin,
+      "Authorization" -> s"Bearer $token")
+    assert(noMon.get("result").get("isError").asBoolean())
+    assert(resultText(noMon).contains("no monitors configured"))
 
     // EVERY config tool gates on the token when one is set — identical
     // to the REST _config routes (reads leak templates/schema too)
