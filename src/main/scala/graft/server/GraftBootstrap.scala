@@ -90,6 +90,9 @@ object GraftBootstrap {
             tsCol = str(m, "ts-column").getOrElse("ts"),
             userCol = str(m, "user-column").getOrElse("user_id"),
             valueCol = str(m, "value-column").getOrElse("n_chars"),
+            labelCol = str(m, "label-column").getOrElse("label"),
+            vecCol = str(m, "vector-column").getOrElse("embedding"),
+            baselineFrom = str(m, "baseline-from").getOrElse(""),
             baseline = baseline,
             trailingWindows = intOr("trailing-windows", 7),
             horizonHours = intOr("horizon-hours", 720))

@@ -26,6 +26,13 @@ final case class MonitorConfig(
     userCol: String = "user_id",
     /** quantile only: the value column the digest summarizes. */
     valueCol: String = "n_chars",
+    /** embedding only: label + vector columns. */
+    labelCol: String = "label",
+    vecCol: String = "embedding",
+    /** embedding only: parquet dir of the known-good window whose
+      * per-label centroids freeze as the baseline (computed once at
+      * manager construction — one aggregation job, boot-warmup cost). */
+    baselineFrom: String = "",
     /** PSI: the frozen known-good mix (type -> count);
       * quantile: the frozen baseline deciles (decile "1".."9" -> value). */
     baseline: Map[String, Long] = Map.empty,
@@ -91,13 +98,23 @@ final class MonitorManager(spark: SparkSession, configs: Seq[MonitorConfig]) {
   private val verdicts = new ConcurrentHashMap[String, MonitorVerdict]()
 
   configs.foreach { c =>
-    require(Set("psi", "cusum", "srm", "quantile").contains(c.tpe),
-      s"monitor '${c.name}': unknown type '${c.tpe}' (psi|cusum|srm|quantile)")
+    require(Set("psi", "cusum", "srm", "quantile", "embedding").contains(c.tpe),
+      s"monitor '${c.name}': unknown type '${c.tpe}' (psi|cusum|srm|quantile|embedding)")
     if (c.tpe == "psi") require(c.baseline.values.sum > 0,
       s"monitor '${c.name}': psi needs a non-empty baseline")
     if (c.tpe == "quantile") require(c.baselineDeciles.nonEmpty,
       s"monitor '${c.name}': quantile needs baseline deciles (keys 1..9)")
+    if (c.tpe == "embedding") require(c.baselineFrom.nonEmpty,
+      s"monitor '${c.name}': embedding needs baseline-from (a parquet dir)")
   }
+
+  // frozen per-label centroids, computed ONCE (boot-warmup cost — one
+  // aggregation job over the known-good window per embedding monitor)
+  private val embeddingBaselines: Map[String, Map[String, (Long, Array[Long])]] =
+    configs.filter(_.tpe == "embedding").map { c =>
+      c.name -> Streaming.embeddingBaseline(
+        spark.read.parquet(c.baselineFrom), c.labelCol, c.vecCol)
+    }.toMap
 
   private def record(name: String, tpe: String, batchId: Long,
       alert: Boolean, stats: Map[String, Long]): Unit = {
@@ -133,6 +150,11 @@ final class MonitorManager(spark: SparkSession, configs: Seq[MonitorConfig]) {
           .foreach { case (id, dc, dw, det) =>
             record(c.name, "quantile", id, det,
               Map("drift_ppm_cumulative" -> dc, "drift_ppm_windowed" -> dw))
+          }
+      case "embedding" =>
+        Streaming.embeddingDriftStanding(spark, c.checkpoint,
+          embeddingBaselines(c.name)).foreach { case (id, drift, det) =>
+            record(c.name, "embedding", id, det, Map("drift_u6" -> drift))
           }
     } catch { case e: Exception =>
       System.err.println(s"[monitors] seed '${c.name}' failed: ${e.getMessage}")
@@ -172,6 +194,11 @@ final class MonitorManager(spark: SparkSession, configs: Seq[MonitorConfig]) {
             c.baselineDeciles, c.valueCol) { (id, dc, dw, det) =>
             record(c.name, "quantile", id, det,
               Map("drift_ppm_cumulative" -> dc, "drift_ppm_windowed" -> dw))
+          }
+        case "embedding" =>
+          Streaming.embeddingDriftMonitorStream(stream, c.checkpoint,
+            embeddingBaselines(c.name), c.labelCol, c.vecCol) { (id, drift, det) =>
+            record(c.name, "embedding", id, det, Map("drift_u6" -> drift))
           }
       }
       try {

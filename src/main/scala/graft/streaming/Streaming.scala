@@ -1196,6 +1196,226 @@ object Streaming {
     }
   }
 
+  /** Streaming embedding-centroid drift monitor — the FIFTH drift
+    * axis (mix / rate / assignment / value-distribution / EMBEDDING):
+    * the ingest-loop face of the batch `embedding_centroid_drift`
+    * query, watching for encoder regressions or shifted upstream
+    * features BEFORE retrieval recall degrades. Per micro-batch, each
+    * label's (count, Σ round(v·10⁶) per dimension) partial — exact
+    * integers, additive merge — lands in the trailing-K ingest-window
+    * state (the quantile monitor's windowing discipline: drift is a
+    * RECENT question), and the verdict compares every label's windowed
+    * centroid against a FROZEN baseline centroid with NO division:
+    * Σ_d (S_wd·n_b − S_bd·n_w)² > thr²·n_w²·n_b² ⟺ ‖c_w − c_b‖ >
+    * thr, cross-multiplied in BigInt (u6 units end to end — the
+    * integer-determinism discipline; the batch query's rounded-double
+    * form is the oracle-gated sibling). The reported statistic is the
+    * max per-label displacement in micro-units (BigInt isqrt — exact
+    * floor, no float path).
+    *
+    * State is |labels|·(dim+1) longs per window — bounded by label
+    * cardinality, never stream length — riding the [[BatchLedger]]
+    * payload; skipped replays re-emit the standing verdict.
+    * StreamingSpec locks steady-quiet, a planted dimension-shift flip,
+    * restart-replay exactness, and standing-reader parity. */
+  def embeddingDriftMonitorStream(
+      incoming: DataFrame,
+      checkpointDir: String,
+      baseline: Map[String, (Long, Array[Long])],
+      labelCol: String = "label",
+      vecCol: String = "embedding",
+      thresholdU6: Long = 250000L,
+      trailingBatches: Int = 4)(
+      onBatch: (Long, Long, Boolean) => Unit): StreamingQuery = {
+    require(baseline.nonEmpty, "baseline centroids are empty")
+    require(baseline.values.forall(_._1 > 0), "baseline labels need counts")
+    val dims = baseline.values.head._2.length
+    require(baseline.values.forall(_._2.length == dims),
+      "baseline centroid dimensions disagree")
+    val ledger = new BatchLedger(checkpointDir,
+      hadoopConf = incoming.sparkSession.sessionState.newHadoopConf())
+    // batchId -> label -> (n, u6 dimension sums)
+    val windowsE = scala.collection.mutable.TreeMap
+      .empty[Long, Map[String, (Long, Array[Long])]]
+    ledger.lastState().map(decodeEmbeddingState).foreach(_.foreach {
+      case (bid, m) => windowsE.update(bid, m)
+    })
+    def verdict(w: collection.Map[Long, Map[String, (Long, Array[Long])]]):
+        (Long, Boolean) = {
+      // merge trailing windows per label (counts and sums ADD)
+      val merged = scala.collection.mutable.HashMap.empty[String, (Long, Array[Long])]
+      w.values.foreach(_.foreach { case (l, (n, s)) =>
+        val (pn, ps) = merged.getOrElse(l, (0L, new Array[Long](dims)))
+        var d = 0
+        while (d < dims) { ps(d) += s(d); d += 1 }
+        merged.update(l, (pn + n, ps))
+      })
+      embeddingDrift(merged.toMap, baseline, thresholdU6)
+    }
+    incoming.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ran = ledger.runOnceStateful(batchId) {
+          if (!batch.isEmpty) {
+            val part = batch
+              .filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+              .select(col(labelCol).cast("string").as("l"),
+                posexplode(expr(
+                  s"transform($vecCol, x -> CAST(round(x * 1000000) AS BIGINT))")))
+              .groupBy("l", "pos")
+              .agg(count(lit(1)).as("n"), sum("col").as("s"))
+              .collect()
+              .groupBy(_.getString(0))
+              .map { case (l, rows) =>
+                val s = new Array[Long](dims)
+                var n = 0L
+                rows.foreach { r =>
+                  val p = r.getInt(1)
+                  if (p < dims) s(p) = r.getLong(3)
+                  n = r.getLong(2) // rows-per-(l,pos) == vectors of l
+                }
+                l -> ((n, s))
+              }
+            if (part.nonEmpty) {
+              windowsE.update(batchId, part)
+              while (windowsE.size > trailingBatches)
+                windowsE.remove(windowsE.firstKey)
+            }
+            val (drift, det) = verdict(windowsE)
+            onBatch(batchId, drift, det)
+          }
+          encodeEmbeddingState(windowsE.toMap)
+        }
+        if (!ran) ledger.lastState().map(decodeEmbeddingState)
+          .foreach { w =>
+            val (drift, det) = verdict(w.toMap)
+            onBatch(batchId, drift, det)
+          }
+        ()
+      }
+      .start()
+  }
+
+  /** (max per-label centroid displacement in u6 micro-units, verdict)
+    * — BigInt cross-multiplied, division-free detection; the reported
+    * magnitude uses an exact integer floor-sqrt. Labels absent from
+    * either side are skipped (no baseline ⇒ nothing to drift FROM). */
+  private[graft] def embeddingDrift(
+      windowed: Map[String, (Long, Array[Long])],
+      baseline: Map[String, (Long, Array[Long])],
+      thresholdU6: Long): (Long, Boolean) = {
+    var maxDrift = 0L
+    var det = false
+    baseline.toSeq.sortBy(_._1).foreach { case (l, (nb, sb)) =>
+      windowed.get(l).filter(_._1 > 0).foreach { case (nw, sw) =>
+        var sum2 = BigInt(0)
+        var d = 0
+        while (d < sb.length) {
+          val diff = BigInt(sw(d)) * nb - BigInt(sb(d)) * nw
+          sum2 += diff * diff
+          d += 1
+        }
+        val denom = BigInt(nw) * nb
+        if (sum2 > BigInt(thresholdU6) * thresholdU6 * denom * denom) det = true
+        val drift = (bigIntSqrt(sum2) / denom).toLong
+        if (drift > maxDrift) maxDrift = drift
+      }
+    }
+    (maxDrift, det)
+  }
+
+  /** Exact integer floor square root (Newton on BigInt). */
+  private[graft] def bigIntSqrt(n: BigInt): BigInt = {
+    if (n <= 0) return BigInt(0)
+    var x = BigInt(1) << ((n.bitLength + 1) / 2)
+    var prev = BigInt(0)
+    while (x != prev) { prev = x; x = (x + n / x) >> 1 }
+    while (x * x > n) x -= 1
+    x
+  }
+
+  private[streaming] def encodeEmbeddingState(
+      w: Map[Long, Map[String, (Long, Array[Long])]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(w.size)
+    w.toSeq.sortBy(_._1).foreach { case (bid, m) =>
+      out.writeLong(bid); out.writeInt(m.size)
+      m.toSeq.sortBy(_._1).foreach { case (l, (n, s)) =>
+        val lb = l.getBytes("UTF-8")
+        out.writeInt(lb.length); out.write(lb)
+        out.writeLong(n); out.writeInt(s.length)
+        s.foreach(out.writeLong)
+      }
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  private[streaming] def decodeEmbeddingState(b: Array[Byte]):
+      Map[Long, Map[String, (Long, Array[Long])]] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
+    val nw = in.readInt()
+    (0 until nw).map { _ =>
+      val bid = in.readLong()
+      val nl = in.readInt()
+      bid -> (0 until nl).map { _ =>
+        val len = in.readInt()
+        val lb = new Array[Byte](len); in.readFully(lb)
+        val n = in.readLong()
+        val ds = in.readInt()
+        val s = Array.fill(ds)(in.readLong())
+        new String(lb, "UTF-8") -> ((n, s))
+      }.toMap
+    }.toMap
+  }
+
+  /** Per-label (count, u6 dimension sums) of a static embedding set —
+    * the FROZEN baseline a deployment computes once from a known-good
+    * window (one aggregation job; the exact arithmetic the monitor's
+    * partials use, so baseline and stream cannot drift numerically). */
+  def embeddingBaseline(df: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding"): Map[String, (Long, Array[Long])] =
+    df.filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(labelCol).cast("string").as("l"),
+        posexplode(expr(
+          s"transform($vecCol, x -> CAST(round(x * 1000000) AS BIGINT))")))
+      .groupBy("l", "pos")
+      .agg(count(lit(1)).as("n"), sum("col").as("s"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rows) =>
+        val dims = rows.map(_.getInt(1)).max + 1
+        val s = new Array[Long](dims)
+        var n = 0L
+        rows.foreach { r => s(r.getInt(1)) = r.getLong(3); n = r.getLong(2) }
+        l -> ((n, s))
+      }
+
+  /** Standing (batchId, max drift u6, detected) from an
+    * [[embeddingDriftMonitorStream]] checkpoint — the boot-seed
+    * reader. */
+  def embeddingDriftStanding(spark: SparkSession, checkpointDir: String,
+      baseline: Map[String, (Long, Array[Long])],
+      thresholdU6: Long = 250000L): Option[(Long, Long, Boolean)] = {
+    val ledger = new BatchLedger(checkpointDir,
+      hadoopConf = spark.sessionState.newHadoopConf())
+    ledger.lastState().map(decodeEmbeddingState).map { w =>
+      val dims = baseline.values.head._2.length
+      val merged = scala.collection.mutable.HashMap.empty[String, (Long, Array[Long])]
+      w.values.foreach(_.foreach { case (l, (n, s)) =>
+        val (pn, ps) = merged.getOrElse(l, (0L, new Array[Long](dims)))
+        var d = 0
+        while (d < dims) { ps(d) += s(d); d += 1 }
+        merged.update(l, (pn + n, ps))
+      })
+      val (drift, det) = embeddingDrift(merged.toMap, baseline, thresholdU6)
+      (ledger.lastCommitted(), drift, det)
+    }
+  }
+
   /** Streaming Misra–Gries maintenance — the fourth sketch-merge
     * family (CMS cells ADD, Bloom bits OR, HLL registers MAX, MG
     * summaries MERGE): each micro-batch's k-entry token summary (the

@@ -1223,6 +1223,73 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(s => (s._2, s._3, s._4)).contains((dcShift, dwShift, true)))
   }
 
+  test("embedding drift monitor: steady quiet, planted dimension shift detected, restart-exact") {
+    val ss = spark
+    import ss.implicits._
+    val tmp = Files.createTempDirectory("emb_monitor")
+    def mkVecs(ids: Range, shift: Float): Seq[(Long, String, Array[Float])] =
+      ids.map(i => (i.toLong, s"lab${i % 3}",
+        Array.tabulate(16)(d =>
+          ((i * 13 + d * 7) % 19 - 9).toFloat / 9f + (if (d == 0) shift else 0f))))
+    // the frozen known-good window and its per-label u6 centroids
+    val baseDf = mkVecs(0 until 600, 0f).toDF("vec_id", "label", "embedding")
+    val baseline = Streaming.embeddingBaseline(baseDf)
+    assert(baseline.keySet == Set("lab0", "lab1", "lab2"))
+    val verdicts = new java.util.concurrent.atomic.AtomicReference[(Long, Long, Boolean)]((-1L, -1L, false))
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$tmp/in").schema).parquet(s"$tmp/in")
+      val q = Streaming.embeddingDriftMonitorStream(
+        stream, s"$tmp/ck", baseline, trailingBatches = 1) { (id, d, det) =>
+        verdicts.set((id, d, det))
+      }
+      try assert(q.awaitTermination(180000), "AvailableNow did not finish")
+      finally {
+        q.stop()
+        val deadline = System.nanoTime() + 30000000000L
+        while (spark.streams.active.exists(_.id == q.id) &&
+            System.nanoTime() < deadline) Thread.sleep(100)
+      }
+    }
+    // steady window: a DIFFERENT sample of the same generator — the
+    // centroids land within noise, far under the 0.25 threshold
+    mkVecs(600 until 1200, 0f).toDF("vec_id", "label", "embedding")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    run()
+    val (_, dSteady, detSteady) = verdicts.get()
+    assert(!detSteady && dSteady < 150000L,
+      s"steady window must stay quiet: $dSteady")
+
+    // planted encoder regression: dimension 0 shifts by +0.5 — the
+    // centroid displacement is ~500000 u6 per label, over threshold
+    mkVecs(1200 until 1800, 0.5f).toDF("vec_id", "label", "embedding")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    run()
+    val (_, dShift, detShift) = verdicts.get()
+    assert(detShift && dShift > 250000L,
+      s"planted +0.5 dim-0 shift must alarm: $dShift")
+    // the magnitude is the exact planted displacement (trailing window
+    // = shifted batch alone; same generator otherwise): ≈ 0.5 in u6
+    assert(math.abs(dShift - 500000L) < 50000L,
+      s"reported drift should be the planted 0.5 shift: $dShift")
+
+    // skipped-replay delivery + standing reader parity
+    val commits = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$tmp/ck/commits")).iterator().asScala
+      .filter(_.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    java.nio.file.Files.delete(commits)
+    java.nio.file.Files.deleteIfExists(
+      commits.resolveSibling("." + commits.getFileName.toString + ".crc"))
+    verdicts.set((-1L, -1L, false))
+    run()
+    val (idR, dR, detR) = verdicts.get()
+    assert(idR >= 0L && dR == dShift && detR,
+      s"skipped replay lost the standing verdict: ($idR,$dR,$detR)")
+    assert(Streaming.embeddingDriftStanding(spark, s"$tmp/ck", baseline)
+      .map(s => (s._2, s._3)).contains((dShift, true)))
+  }
+
   test("streaming cms partials sum to the batch sketch over any micro-batch split") {
     val dir = "/root/testdata/sf0.001"
     graft.functions.GraftFunctions.ensureRegistered(spark)
