@@ -52,7 +52,7 @@ final class ConfigToolAdapter(
     ("graft_refresh_cache", "Refresh endpoint {slug}'s cache table now"),
     ("graft_get_cache_audit", "Recent cache sync events"),
     ("graft_run_cache_gc", "Apply retention to endpoint {slug}'s cache"),
-    ("graft_get_monitors", "Standing drift-monitor verdicts (PSI/CUSUM/SRM/quantile)"))
+    ("graft_get_monitors", "Standing drift-monitor verdicts (PSI/CUSUM/SRM/quantile/embedding)"))
 
   private val toolNames = tools.map(_._1).toSet
 

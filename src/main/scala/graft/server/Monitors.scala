@@ -47,7 +47,9 @@ final case class MonitorConfig(
 
 /** A monitor's latest standing verdict as the serving surface reports
   * it. `stats` keys depend on the type: psi → psi_micro_cumulative /
-  * psi_micro_windowed; cusum → peak; srm → control / treatment. */
+  * psi_micro_windowed; cusum → peak; srm → control / treatment;
+  * quantile → drift_ppm_cumulative / drift_ppm_windowed; embedding →
+  * drift_u6. */
 final case class MonitorVerdict(
     name: String,
     tpe: String,
@@ -109,11 +111,21 @@ final class MonitorManager(spark: SparkSession, configs: Seq[MonitorConfig]) {
   }
 
   // frozen per-label centroids, computed ONCE (boot-warmup cost — one
-  // aggregation job over the known-good window per embedding monitor)
+  // aggregation job over the known-good window per embedding monitor).
+  // GUARDED per monitor: a missing/unreadable baseline dir must not
+  // abort the whole boot — that would cost every endpoint and every
+  // OTHER monitor's ledger-seeded verdict (review catch; the same
+  // per-monitor failure isolation seed()/drain() enforce). A monitor
+  // whose baseline failed is skipped with a logged reason.
   private val embeddingBaselines: Map[String, Map[String, (Long, Array[Long])]] =
-    configs.filter(_.tpe == "embedding").map { c =>
-      c.name -> Streaming.embeddingBaseline(
-        spark.read.parquet(c.baselineFrom), c.labelCol, c.vecCol)
+    configs.filter(_.tpe == "embedding").flatMap { c =>
+      try Some(c.name -> Streaming.embeddingBaseline(
+        spark.read.parquet(c.baselineFrom), c.labelCol, c.vecCol))
+      catch { case e: Exception =>
+        System.err.println(
+          s"[monitors] baseline for '${c.name}' failed (${c.baselineFrom}): ${e.getMessage}")
+        None
+      }
     }.toMap
 
   private def record(name: String, tpe: String, batchId: Long,
@@ -152,10 +164,12 @@ final class MonitorManager(spark: SparkSession, configs: Seq[MonitorConfig]) {
               Map("drift_ppm_cumulative" -> dc, "drift_ppm_windowed" -> dw))
           }
       case "embedding" =>
-        Streaming.embeddingDriftStanding(spark, c.checkpoint,
-          embeddingBaselines(c.name)).foreach { case (id, drift, det) =>
-            record(c.name, "embedding", id, det, Map("drift_u6" -> drift))
-          }
+        embeddingBaselines.get(c.name).foreach { b =>
+          Streaming.embeddingDriftStanding(spark, c.checkpoint, b)
+            .foreach { case (id, drift, det) =>
+              record(c.name, "embedding", id, det, Map("drift_u6" -> drift))
+            }
+        }
     } catch { case e: Exception =>
       System.err.println(s"[monitors] seed '${c.name}' failed: ${e.getMessage}")
     }
@@ -196,8 +210,11 @@ final class MonitorManager(spark: SparkSession, configs: Seq[MonitorConfig]) {
               Map("drift_ppm_cumulative" -> dc, "drift_ppm_windowed" -> dw))
           }
         case "embedding" =>
+          val b = embeddingBaselines.getOrElse(c.name,
+            throw new IllegalStateException(
+              s"monitor '${c.name}': baseline unavailable — skipping drain"))
           Streaming.embeddingDriftMonitorStream(stream, c.checkpoint,
-            embeddingBaselines(c.name), c.labelCol, c.vecCol) { (id, drift, det) =>
+            b, c.labelCol, c.vecCol) { (id, drift, det) =>
             record(c.name, "embedding", id, det, Map("drift_u6" -> drift))
           }
       }
@@ -222,20 +239,29 @@ final class MonitorManager(spark: SparkSession, configs: Seq[MonitorConfig]) {
   // RefreshScheduler discipline: a daemon thread, interval-paced,
   // failures logged per tick and never fatal to serving).
   @volatile private var schedulerThread: Option[Thread] = None
+  // interrupt alone cannot stop the loop: an interrupt landing DURING
+  // drain() is swallowed by its per-monitor catch (clearing the flag),
+  // so the loop would keep re-draining after server shutdown — and a
+  // replacement server in the same JVM would then run a second
+  // streaming query against the SAME checkpoints (review catch). The
+  // explicit flag is the authoritative stop signal.
+  @volatile private var schedulerStop = false
 
   /** Re-drain every monitor each `intervalSeconds` until [[stop]].
     * Idempotent: a second start is a no-op while one runs. */
   def startScheduler(intervalSeconds: Int): Unit = synchronized {
     require(intervalSeconds > 0, "drain interval must be positive")
     if (schedulerThread.isEmpty) {
+      schedulerStop = false
       val t = new Thread(() => {
         try {
-          while (!Thread.currentThread().isInterrupted) {
+          while (!schedulerStop) {
             Thread.sleep(intervalSeconds * 1000L)
-            try drain()
-            catch { case e: Exception =>
-              System.err.println(s"[monitors] scheduled drain failed: ${e.getMessage}")
-            }
+            if (!schedulerStop)
+              try drain()
+              catch { case e: Exception =>
+                System.err.println(s"[monitors] scheduled drain failed: ${e.getMessage}")
+              }
           }
         } catch { case _: InterruptedException => () }
       }, "graft-monitor-drain")
@@ -247,6 +273,7 @@ final class MonitorManager(spark: SparkSession, configs: Seq[MonitorConfig]) {
 
   /** Stop the scheduler (server shutdown). Safe when never started. */
   def stop(): Unit = synchronized {
+    schedulerStop = true
     schedulerThread.foreach(_.interrupt())
     schedulerThread = None
   }

@@ -561,6 +561,7 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ran = ledger.runOnceStateful(batchId) {
           if (!batch.isEmpty) {
+            var batchMaxDay = Long.MinValue
             batch
               .filter(col(typeCol).isNotNull && col(tsCol).isNotNull)
               .groupBy(
@@ -574,18 +575,23 @@ object Streaming {
               .foreach { r =>
                 cumulative.merge(r.getString(1), r.getLong(2), _ + _)
                 windows.merge((r.getLong(0), r.getString(1)), r.getLong(2), _ + _)
+                if (r.getLong(0) > batchMaxDay) batchMaxDay = r.getLong(0)
               }
-            // prune on a CALENDAR cutoff from the max event-time day —
-            // the CUSUM monitor's fold semantics. Keeping the trailing
-            // K DISTINCT data days instead would let months-old
-            // healthy days survive an ingest gap and dilute the
-            // "recent" statistic — the exact defect this monitor
-            // exists to fix (review catch). Their counts already live
-            // in the cumulative map.
-            if (!windows.isEmpty) {
+            // prune on a CALENDAR cutoff from the CURRENT BATCH's max
+            // event-time day — the CUSUM monitor's fold semantics.
+            // Trailing K DISTINCT data days would let months-old
+            // healthy days survive an ingest gap and dilute "recent"
+            // (first review catch); anchoring the cutoff on the GLOBAL
+            // max would let one clock-skewed future-dated row evict
+            // every real day forever (second review catch) — anchored
+            // on each batch's own days, a poisoned batch disturbs the
+            // window once and the next healthy drop restores it, with
+            // the stray future day lingering as one bounded extra
+            // entry. All evicted counts already live in the
+            // cumulative map.
+            if (batchMaxDay != Long.MinValue) {
               import scala.jdk.CollectionConverters._
-              val cutoff = windows.keySet.asScala.map(_._1).max -
-                (trailingWindows - 1)
+              val cutoff = batchMaxDay - (trailingWindows - 1)
               windows.keySet.asScala.filter(_._1 < cutoff)
                 .toSeq.foreach(windows.remove)
             }
@@ -1094,13 +1100,8 @@ object Streaming {
       w.foreach { case (bid, d) => windowsQ.update(bid, d) }
     }
     def verdict(c: Map[Long, Long], w: collection.Map[Long, Map[Long, Long]]):
-        (Long, Long, Boolean) = {
-      val merged = scala.collection.mutable.HashMap.empty[Long, Long]
-      w.values.foreach(graft.functions.QDigest.mergeInto(merged, _, k, b))
-      val (dc, _) = quantileDrift(c, b, baselineDeciles)
-      val (dw, det) = quantileDrift(merged.toMap, b, baselineDeciles)
-      (dc, dw, det)
-    }
+        (Long, Long, Boolean) =
+      quantileWindowedVerdict(c, w, baselineDeciles, k, b)
     incoming.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -1179,19 +1180,31 @@ object Streaming {
     (drift, drift > 150000L)
   }
 
+  /** (drift_cumulative, drift_windowed, detected) — the monitor's and
+    * the standing reader's ONE verdict implementation (review catch:
+    * the merge-then-score loop was duplicated and could drift). */
+  private[streaming] def quantileWindowedVerdict(
+      c: Map[Long, Long], w: collection.Map[Long, Map[Long, Long]],
+      baselineDeciles: Map[Int, Long], k: Int, b: Int): (Long, Long, Boolean) = {
+    val merged = scala.collection.mutable.HashMap.empty[Long, Long]
+    w.values.foreach(graft.functions.QDigest.mergeInto(merged, _, k, b))
+    val (dc, _) = quantileDrift(c, b, baselineDeciles)
+    val (dw, det) = quantileDrift(merged.toMap, b, baselineDeciles)
+    (dc, dw, det)
+  }
+
   /** Standing (batchId, drift_cumulative, drift_windowed, detected)
     * from a [[quantileMonitorStream]] checkpoint — the boot-seed
-    * reader. */
+    * reader. `k` is appended AFTER the pre-existing `b` (review catch:
+    * inserting it before `b` would silently re-mean positional calls
+    * that passed b). */
   def quantileStanding(spark: SparkSession, checkpointDir: String,
-      baselineDeciles: Map[Int, Long], k: Int = 2048, b: Int = 20):
+      baselineDeciles: Map[Int, Long], b: Int = 20, k: Int = 2048):
       Option[(Long, Long, Long, Boolean)] = {
     val ledger = new BatchLedger(checkpointDir,
       hadoopConf = spark.sessionState.newHadoopConf())
     ledger.lastState().map(decodeQuantileState).map { case (c, w) =>
-      val merged = scala.collection.mutable.HashMap.empty[Long, Long]
-      w.values.foreach(graft.functions.QDigest.mergeInto(merged, _, k, b))
-      val (dc, _) = quantileDrift(c, b, baselineDeciles)
-      val (dw, det) = quantileDrift(merged.toMap, b, baselineDeciles)
+      val (dc, dw, det) = quantileWindowedVerdict(c, w, baselineDeciles, k, b)
       (ledger.lastCommitted(), dc, dw, det)
     }
   }
@@ -1241,17 +1254,8 @@ object Streaming {
       case (bid, m) => windowsE.update(bid, m)
     })
     def verdict(w: collection.Map[Long, Map[String, (Long, Array[Long])]]):
-        (Long, Boolean) = {
-      // merge trailing windows per label (counts and sums ADD)
-      val merged = scala.collection.mutable.HashMap.empty[String, (Long, Array[Long])]
-      w.values.foreach(_.foreach { case (l, (n, s)) =>
-        val (pn, ps) = merged.getOrElse(l, (0L, new Array[Long](dims)))
-        var d = 0
-        while (d < dims) { ps(d) += s(d); d += 1 }
-        merged.update(l, (pn + n, ps))
-      })
-      embeddingDrift(merged.toMap, baseline, thresholdU6)
-    }
+        (Long, Boolean) =
+      embeddingDrift(mergeEmbeddingWindows(w), baseline, thresholdU6)
     incoming.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -1259,25 +1263,7 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ran = ledger.runOnceStateful(batchId) {
           if (!batch.isEmpty) {
-            val part = batch
-              .filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
-              .select(col(labelCol).cast("string").as("l"),
-                posexplode(expr(
-                  s"transform($vecCol, x -> CAST(round(x * 1000000) AS BIGINT))")))
-              .groupBy("l", "pos")
-              .agg(count(lit(1)).as("n"), sum("col").as("s"))
-              .collect()
-              .groupBy(_.getString(0))
-              .map { case (l, rows) =>
-                val s = new Array[Long](dims)
-                var n = 0L
-                rows.foreach { r =>
-                  val p = r.getInt(1)
-                  if (p < dims) s(p) = r.getLong(3)
-                  n = r.getLong(2) // rows-per-(l,pos) == vectors of l
-                }
-                l -> ((n, s))
-              }
+            val part = embeddingPartial(batch, labelCol, vecCol)
             if (part.nonEmpty) {
               windowsE.update(batchId, part)
               while (windowsE.size > trailingBatches)
@@ -1313,7 +1299,10 @@ object Streaming {
         var sum2 = BigInt(0)
         var d = 0
         while (d < sb.length) {
-          val diff = BigInt(sw(d)) * nb - BigInt(sb(d)) * nw
+          // ragged windowed vectors (an encoder rollout mid-stream)
+          // zero-extend against the baseline's dimensionality
+          val swd = if (d < sw.length) sw(d) else 0L
+          val diff = BigInt(swd) * nb - BigInt(sb(d)) * nw
           sum2 += diff * diff
           d += 1
         }
@@ -1326,13 +1315,17 @@ object Streaming {
     (maxDrift, det)
   }
 
-  /** Exact integer floor square root (Newton on BigInt). */
+  /** Exact integer floor square root — Newton on BigInt with the
+    * STRICT-DECREASE termination rule: the `x == prev` form never
+    * terminates when n = m²−1 (the iteration oscillates floor ↔
+    * floor+1 — review catch, verified by simulation on 3, 8, 15, …);
+    * iterating while the estimate strictly decreases is the standard
+    * guaranteed-terminating form and lands exactly on ⌊√n⌋. */
   private[graft] def bigIntSqrt(n: BigInt): BigInt = {
     if (n <= 0) return BigInt(0)
-    var x = BigInt(1) << ((n.bitLength + 1) / 2)
-    var prev = BigInt(0)
-    while (x != prev) { prev = x; x = (x + n / x) >> 1 }
-    while (x * x > n) x -= 1
+    var x = BigInt(1) << ((n.bitLength + 1) / 2) // ≥ √n
+    var y = (x + n / x) >> 1
+    while (y < x) { x = y; y = (x + n / x) >> 1 }
     x
   }
 
@@ -1371,28 +1364,69 @@ object Streaming {
     }.toMap
   }
 
-  /** Per-label (count, u6 dimension sums) of a static embedding set —
-    * the FROZEN baseline a deployment computes once from a known-good
-    * window (one aggregation job; the exact arithmetic the monitor's
-    * partials use, so baseline and stream cannot drift numerically). */
-  def embeddingBaseline(df: DataFrame,
-      labelCol: String = "label",
-      vecCol: String = "embedding"): Map[String, (Long, Array[Long])] =
-    df.filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+  /** Per-label (vector count, u6 dimension sums) of an embedding set —
+    * THE shared aggregation for the monitor's per-batch partials AND
+    * the frozen baseline ([[embeddingBaseline]]), one implementation
+    * so stream and baseline cannot drift numerically (review catch —
+    * they were verbatim copies). The vector COUNT comes from its own
+    * pre-explode aggregate, not rows-per-(label, pos): with ragged
+    * vector lengths (an encoder rollout mid-stream) the per-pos row
+    * count differs by position and the last-iterated value was
+    * nondeterministic (review catch); an all-null position sums to
+    * NULL and contributes zero rather than NPE-ing the query. */
+  private[streaming] def embeddingPartial(df: DataFrame,
+      labelCol: String, vecCol: String): Map[String, (Long, Array[Long])] = {
+    val prepped = df
+      .filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
       .select(col(labelCol).cast("string").as("l"),
-        posexplode(expr(
-          s"transform($vecCol, x -> CAST(round(x * 1000000) AS BIGINT))")))
-      .groupBy("l", "pos")
-      .agg(count(lit(1)).as("n"), sum("col").as("s"))
+        expr(s"transform($vecCol, x -> CAST(round(x * 1000000) AS BIGINT))")
+          .as("v"))
+    val counts = prepped.groupBy("l")
+      .agg(count(lit(1)).cast("long").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    prepped.select(col("l"), posexplode(col("v")))
+      .groupBy("l", "pos").agg(sum("col").as("s"))
       .collect()
       .groupBy(_.getString(0))
       .map { case (l, rows) =>
         val dims = rows.map(_.getInt(1)).max + 1
         val s = new Array[Long](dims)
-        var n = 0L
-        rows.foreach { r => s(r.getInt(1)) = r.getLong(3); n = r.getLong(2) }
-        l -> ((n, s))
+        rows.foreach { r =>
+          if (!r.isNullAt(2)) s(r.getInt(1)) = r.getLong(2)
+        }
+        l -> ((counts.getOrElse(l, 0L), s))
       }
+  }
+
+  /** Per-label (count, u6 dimension sums) of a static embedding set —
+    * the FROZEN baseline a deployment computes once from a known-good
+    * window (one aggregation job; [[embeddingPartial]]'s arithmetic
+    * exactly). */
+  def embeddingBaseline(df: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding"): Map[String, (Long, Array[Long])] =
+    embeddingPartial(df, labelCol, vecCol)
+
+  /** Merge trailing-window per-label partials (counts and sums ADD;
+    * ragged dimensions zero-extend) — shared by the monitor's verdict
+    * and the standing reader. */
+  private[streaming] def mergeEmbeddingWindows(
+      w: collection.Map[Long, Map[String, (Long, Array[Long])]]):
+      Map[String, (Long, Array[Long])] = {
+    val merged = scala.collection.mutable.HashMap.empty[String, (Long, Array[Long])]
+    w.values.foreach(_.foreach { case (l, (n, s)) =>
+      val (pn, ps) = merged.getOrElse(l, (0L, Array.emptyLongArray))
+      val out = new Array[Long](math.max(ps.length, s.length))
+      var d = 0
+      while (d < out.length) {
+        out(d) = (if (d < ps.length) ps(d) else 0L) +
+          (if (d < s.length) s(d) else 0L)
+        d += 1
+      }
+      merged.update(l, (pn + n, out))
+    })
+    merged.toMap
+  }
 
   /** Standing (batchId, max drift u6, detected) from an
     * [[embeddingDriftMonitorStream]] checkpoint — the boot-seed
@@ -1403,15 +1437,8 @@ object Streaming {
     val ledger = new BatchLedger(checkpointDir,
       hadoopConf = spark.sessionState.newHadoopConf())
     ledger.lastState().map(decodeEmbeddingState).map { w =>
-      val dims = baseline.values.head._2.length
-      val merged = scala.collection.mutable.HashMap.empty[String, (Long, Array[Long])]
-      w.values.foreach(_.foreach { case (l, (n, s)) =>
-        val (pn, ps) = merged.getOrElse(l, (0L, new Array[Long](dims)))
-        var d = 0
-        while (d < dims) { ps(d) += s(d); d += 1 }
-        merged.update(l, (pn + n, ps))
-      })
-      val (drift, det) = embeddingDrift(merged.toMap, baseline, thresholdU6)
+      val (drift, det) = embeddingDrift(
+        mergeEmbeddingWindows(w), baseline, thresholdU6)
       (ledger.lastCommitted(), drift, det)
     }
   }

@@ -1290,6 +1290,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(s => (s._2, s._3)).contains((dShift, true)))
   }
 
+  test("bigIntSqrt terminates and floors exactly on the m^2-1 oscillation class") {
+    // the x == prev Newton form never terminates on n = m²−1 (floor ↔
+    // floor+1 oscillation — review catch); the strict-decrease form
+    // must land on ⌊√n⌋ for every n in the hazard class and beyond
+    for (m <- 1 to 2000) {
+      val n = BigInt(m) * m - 1
+      val r = Streaming.bigIntSqrt(n)
+      assert(r * r <= n && (r + 1) * (r + 1) > n, s"sqrt($n) = $r wrong")
+      assert(Streaming.bigIntSqrt(BigInt(m) * m) == BigInt(m))
+    }
+    assert(Streaming.bigIntSqrt(BigInt(0)) == BigInt(0))
+    assert(Streaming.bigIntSqrt(BigInt(-5)) == BigInt(0))
+    val big = (BigInt(1) << 131) - 1
+    val rb = Streaming.bigIntSqrt(big)
+    assert(rb * rb <= big && (rb + 1) * (rb + 1) > big)
+  }
+
   test("streaming cms partials sum to the batch sketch over any micro-batch split") {
     val dir = "/root/testdata/sf0.001"
     graft.functions.GraftFunctions.ensureRegistered(spark)
