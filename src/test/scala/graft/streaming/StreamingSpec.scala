@@ -1290,6 +1290,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(s => (s._2, s._3)).contains((dShift, true)))
   }
 
+  test("embedding monitor magnitude matches the oracle-gated batch query's drift") {
+    // the 5th axis tied to its hash-gated batch sibling: feed wave A
+    // (the batch query's md5 split) as the frozen baseline and wave B
+    // as the stream — the monitor's u6 integer magnitude must equal
+    // embedding_centroid_drift's double result within quantization
+    // (per-component rounding to 1e-6 across 64 dims; the verdict
+    // rule itself never touches a double)
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("wave_a",
+        substring(md5(col("vec_id").cast("string")), 1, 1) < "8")
+    val baseline = Streaming.embeddingBaseline(emb.filter(col("wave_a")))
+    val tmp = Files.createTempDirectory("emb_parity")
+    emb.filter(!col("wave_a")).select("vec_id", "label", "embedding")
+      .coalesce(1).write.parquet(s"$tmp/in")
+    var last: (Long, Boolean) = (-1L, false)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in").schema).parquet(s"$tmp/in")
+    val q = Streaming.embeddingDriftMonitorStream(
+      stream, s"$tmp/ck", baseline) { (_, d, det) => last = (d, det) }
+    try assert(q.awaitTermination(180000), "AvailableNow did not finish")
+    finally if (q.isActive) q.stop()
+    // batch query: per-label wave-A-vs-wave-B centroid drift (doubles,
+    // rounded 6dp); the monitor's windowed side IS wave B vs wave A
+    val batchMax = graft.SparkEntry.queries("embedding_centroid_drift")(spark, dir)
+      .agg(max("centroid_drift")).collect()(0).getDouble(0)
+    val monitorDrift = last._1 / 1e6
+    assert(math.abs(monitorDrift - batchMax) < 0.001,
+      s"monitor magnitude $monitorDrift diverges from batch $batchMax")
+  }
+
   test("bigIntSqrt terminates and floors exactly on the m^2-1 oscillation class") {
     // the x == prev Newton form never terminates on n = m²−1 (floor ↔
     // floor+1 oscillation — review catch); the strict-decrease form
