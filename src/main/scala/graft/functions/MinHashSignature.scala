@@ -331,6 +331,7 @@ object GraftFunctions {
       }))
     ext.injectFunction(mgTopkRegistration)
     ext.injectFunction(qdigestRegistration)
+    ext.injectFunction(qdigestMergeRegistration)
     // the duplicated-scan guard (conf-gated, default off) — see
     // graft.plans.ScanBudgetRule; user-provided rules run after the
     // built-in optimizer batches, i.e. after CTE inlining
@@ -391,11 +392,28 @@ object GraftFunctions {
     new ExpressionInfo(classOf[QDigestAgg].getName, "qdigest"),
     qdigestBuilder)
 
-  /** Clone-session registration for qdigest — the ensureMgTopk
-    * discipline for the second native aggregate. Idempotent. */
+  private val qdigestMergeBuilder: Seq[Expression] => Expression =
+    (exprs: Seq[Expression]) => {
+      require(exprs.size == 3,
+        "qdigest_merge(digest, k, b) takes exactly 3 arguments")
+      QDigestMergeAgg(exprs.head,
+        intLit(exprs(1), "qdigest_merge", "k"),
+        intLit(exprs(2), "qdigest_merge", "b")).toAggregateExpression()
+    }
+
+  private def qdigestMergeRegistration = (
+    new FunctionIdentifier("qdigest_merge"),
+    new ExpressionInfo(classOf[QDigestMergeAgg].getName, "qdigest_merge"),
+    qdigestMergeBuilder)
+
+  /** Clone-session registration for qdigest + qdigest_merge — the
+    * ensureMgTopk discipline for the second native-aggregate family.
+    * Idempotent. */
   def ensureQdigest(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = qdigestRegistration
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    Seq(qdigestRegistration, qdigestMergeRegistration).foreach {
+      case (id, info, builder) =>
+        if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
   }
 }

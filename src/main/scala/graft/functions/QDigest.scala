@@ -121,6 +121,95 @@ case class QDigestAgg(
   override def prettyName: String = "qdigest"
 }
 
+/** `qdigest_merge(digest, k, b)` — re-aggregates STORED q-digest
+  * summaries (the `array<struct<node,cnt>>` image `qdigest` emits):
+  * the `hll_union_agg` analog for the quantile sketch, and the piece
+  * that makes the digest a first-class STORED artifact at 100 TB — a
+  * pipeline sketches each ingest partition/day once, persists the
+  * ≤ 3k-node summaries next to the data, and any later rollup (per
+  * source, per month, whole corpus) merges the summaries WITHOUT
+  * touching the rows. Merge is nodewise addition + recompress (the
+  * mergeable-summaries rule), so the rank guarantee survives any
+  * rollup tree. Hash-gated end-to-end by `qdigest_rollup_deciles`:
+  * a per-source sketch layer merged through this aggregate must
+  * reproduce the EXACT corpus deciles through the verified two-pass. */
+case class QDigestMergeAgg(
+    child: Expression,
+    k: Int,
+    b: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.HashMap[Long, Long]] {
+
+  require(k >= 8 && k <= 65536, s"qdigest_merge: k must be in [8, 65536], got $k")
+  require(b >= 1 && b <= 40, s"qdigest_merge: b must be in [1, 40], got $b")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("node", LongType, nullable = false),
+      StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(fields), _)
+        if fields.length == 2 &&
+          fields.forall(_.dataType == LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"qdigest_merge expects array<struct<node: bigint, cnt: bigint>>, got $other")
+  }
+
+  override def createAggregationBuffer(): mutable.HashMap[Long, Long] =
+    mutable.HashMap.empty
+
+  override def update(buf: mutable.HashMap[Long, Long],
+      input: InternalRow): mutable.HashMap[Long, Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      val row = arr.getStruct(i, 2)
+      buf.update(row.getLong(0), buf.getOrElse(row.getLong(0), 0L) + row.getLong(1))
+      i += 1
+    }
+    if (buf.size > 6 * k) QDigest.compress(buf, k, b)
+    buf
+  }
+
+  override def merge(buf: mutable.HashMap[Long, Long],
+      other: mutable.HashMap[Long, Long]): mutable.HashMap[Long, Long] =
+    QDigest.mergeInto(buf, other, k, b)
+
+  override def eval(buf: mutable.HashMap[Long, Long]): Any = {
+    QDigest.compress(buf, k, b)
+    val rows = buf.toSeq.sortBy(_._1).map { case (id, c) => InternalRow(id, c) }
+    new GenericArrayData(rows.toArray[Any])
+  }
+
+  override def serialize(buf: mutable.HashMap[Long, Long]): Array[Byte] = {
+    QDigest.compress(buf, k, b)
+    QDigest.encode(buf)
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Long, Long] = {
+    val m = mutable.HashMap.empty[Long, Long]
+    QDigest.decode(bytes).foreach { case (id, c) => m.update(id, c) }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QDigestMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QDigestMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): QDigestMergeAgg =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "qdigest_merge"
+}
+
 /** Driver-side q-digest arithmetic, shared by the aggregate's merge,
   * the gated two-pass consumer, and the streaming quantile monitor —
   * one implementation so the paths cannot drift (the MisraGriesTopK

@@ -2356,13 +2356,25 @@ object TextQueries extends QuerySet {
         .agg(expr(s"qdigest(n_chars, $QdK, $QdB)").as("qd")).collect()(0)
       val entries = first.getSeq[org.apache.spark.sql.Row](0)
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val n = graft.functions.QDigest.totalOf(entries)
-      val ss = s
-      import ss.implicits._
-      // empty corpus: the oracle returns zero rows; without this guard
-      // the below-window sum is NULL and getLong NPEs (review catch)
-      if (n == 0L) Seq.empty[(Long, Long)].toDF("decile", "q")
-      else {
+      verifiedDecilesFrom(s, docs, entries)
+    })
+
+  /** The verified-decile resolution shared by the direct-sketch and
+    * rollup-merged gated queries: digest brackets each decile in a
+    * value window, the exact pass re-scans only the windows (pushed
+    * range filter) and resolves true quantiles with a distributed
+    * prefix sum. One implementation so the two paths' EXACT outputs
+    * cannot drift. */
+  private def verifiedDecilesFrom(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      entries: Map[Long, Long]): org.apache.spark.sql.DataFrame = {
+    val n = graft.functions.QDigest.totalOf(entries)
+    val ss = s
+    import ss.implicits._
+    // empty corpus: the oracle returns zero rows; without this guard
+    // the below-window sum is NULL and getLong NPEs (review catch)
+    if (n == 0L) Seq.empty[(Long, Long)].toDF("decile", "q")
+    else {
       val windows = (1L to 9L).map { p =>
         val target = (p * n + 9) / 10
         val (lo, hi) = graft.functions.QDigest
@@ -2389,7 +2401,34 @@ object TextQueries extends QuerySet {
       ranked.join(broadcast(dec), col("cum") + lit(below) >= col("target"))
         .groupBy("decile").agg(min("v").as("q"))
         .orderBy("decile")
-      }
+    }
+  }
+
+  // ---- rollup-merged verified deciles (qdigest_merge end-to-end) -----------
+  // The STORED-sketch deployment path hash-gated whole: a per-SOURCE
+  // digest layer (what a 100 TB pipeline persists next to each ingest
+  // partition — rows never re-read for a rollup) re-aggregates through
+  // the native `qdigest_merge` into the corpus digest, and the same
+  // verified two-pass must reproduce the EXACT corpus deciles — the
+  // hash gate thereby proves the merge preserves the rank guarantee
+  // end-to-end, not just in the unit spec. Same oracle as the direct
+  // query (exact deciles don't care how the sketch was assembled).
+  private val qdigestRollup = QueryDef(
+    "qdigest_rollup_deciles",
+    qdigestDeciles.oracle,
+    (s, dir) => {
+      graft.functions.GraftFunctions.ensureQdigest(s)
+      val docs = Tables.table(s, dir, "documents")
+        .filter(col("n_chars").isNotNull)
+      // the stored-artifact layer: one digest per source…
+      val perSource = docs.groupBy("source")
+        .agg(expr(s"qdigest(n_chars, $QdK, $QdB)").as("qd"))
+      // …re-aggregated WITHOUT touching rows
+      val merged = perSource
+        .agg(expr(s"qdigest_merge(qd, $QdK, $QdB)").as("qd")).collect()(0)
+      val entries = merged.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      verifiedDecilesFrom(s, docs, entries)
     })
 
   // ---- per-source two-sample KS (group vs complement) ---------------------
@@ -2520,5 +2559,5 @@ object TextQueries extends QuerySet {
     seqPacking, classifierScore, dupSpans, repetition, neardupCanonical,
     sourceOverlap, freqSpectrum, bpePairs, bpeApply, triangles, pagerank,
     editVerify, noveltyProfile, tokenizerFertility, calibration, mgHeavyTerms,
-    sourceQuantiles, sourceEquidepth, qdigestDeciles, ksBySource)
+    sourceQuantiles, sourceEquidepth, qdigestDeciles, qdigestRollup, ksBySource)
 }

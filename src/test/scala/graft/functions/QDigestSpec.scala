@@ -154,6 +154,43 @@ class QDigestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(QDigest.totalOf(withNulls) == 2L)
   }
 
+  test("qdigest_merge re-aggregates stored summaries within the same rank bound") {
+    // the stored-artifact path: per-group digests (the persisted layer)
+    // re-aggregated through the SQL merge aggregate must satisfy the
+    // same rank-error and window-containment guarantees as a direct
+    // whole-corpus sketch — and never touch the raw rows again
+    val s2 = spark
+    import s2.implicits._
+    val n = values.size.toLong
+    val bound = B.toLong * (n / K)
+    val df = values.zipWithIndex.map { case (v, i) => (v, i % 7) }.toDF("v", "g")
+    val merged = df.groupBy("g")
+      .agg(expr(s"qdigest(v, $K, $B)").as("qd"))
+      .agg(expr(s"qdigest_merge(qd, $K, $B)")).collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(QDigest.totalOf(merged) == n, "merge lost rows")
+    assert(merged.size <= 3 * K)
+    for (p <- 1 to 9) {
+      val target = (p * n + 9) / 10
+      val err = rankErr(QDigest.valueAtRank(merged, B, target), target)
+      assert(err <= bound, s"rollup decile $p error $err > $bound")
+      val trueV = exactSorted((target - 1).toInt)
+      val (lo, hi) = QDigest.valueWindow(merged, B, K, target)
+      assert(trueV >= lo && trueV <= hi,
+        s"rollup decile $p true value $trueV escapes [$lo,$hi]")
+    }
+    // null digests are skipped like every aggregate input
+    val withNull = Seq((Some(Seq((QDigest.leafOf(5L, B), 1L))), 0), (None, 1))
+    val nd = withNull.map { case (d, g) =>
+      (d.map(_.map { case (a, b2) => (a, b2) }), g) }
+      .toDF("qd", "g")
+      .selectExpr("CAST(qd AS array<struct<node: bigint, cnt: bigint>>) AS qd")
+      .agg(expr(s"qdigest_merge(qd, $K, $B)")).collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(nd.map(_.getLong(1)).sum == 1L)
+  }
+
   test("encode/decode round-trips the digest byte image") {
     val d = digestOf(3, sorted = false)
     val back = QDigest.decode(QDigest.encode(d)).toMap
