@@ -48,45 +48,37 @@ import org.apache.spark.sql.types._
   * value window, an exact pass re-scans ONLY that window (a
   * pushed-down range filter) and resolves the true quantile.
   */
-case class QDigestAgg(
-    child: Expression,
-    k: Int,
-    b: Int,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+/** Everything the two q-digest aggregates share — buffer lifecycle,
+  * the mergeable combine, output shape, and the compress-before-ship
+  * serialization — ONE implementation so the build and merge paths
+  * cannot drift (the library's one-implementation discipline; review
+  * catch: the first spelling copy-pasted ~60 lines). Subclasses
+  * supply only their input contract (`update` + type check). */
+abstract class QDigestAggBase
     extends TypedImperativeAggregate[mutable.HashMap[Long, Long]] {
+  def k: Int
+  def b: Int
 
-  require(k >= 8 && k <= 65536, s"qdigest: compression k must be in [8, 65536], got $k")
-  require(b >= 1 && b <= 40, s"qdigest: universe log2 b must be in [1, 40], got $b")
+  // parameter-range validation lives in the SUBCLASS bodies, not here:
+  // this abstract class is the first non-Serializable superclass, so
+  // Java deserialization on the executor runs ITS constructor with the
+  // fields still unset — a constructor-time require on k/b fails every
+  // deserialized task with k=0 (found the hard way)
+  protected final def validateParams(): Unit = {
+    require(k >= 8 && k <= 65536,
+      s"$prettyName: compression k must be in [8, 65536], got $k")
+    require(b >= 1 && b <= 40,
+      s"$prettyName: universe log2 b must be in [1, 40], got $b")
+  }
 
-  override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("node", LongType, nullable = false),
       StructField("cnt", LongType, nullable = false))),
     containsNull = false)
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ByteType | ShortType | IntegerType | LongType =>
-      TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"qdigest expects an integral column, got $other")
-  }
-
   override def createAggregationBuffer(): mutable.HashMap[Long, Long] =
     mutable.HashMap.empty
-
-  override def update(buf: mutable.HashMap[Long, Long],
-      input: InternalRow): mutable.HashMap[Long, Long] = {
-    val v = child.eval(input)
-    if (v == null) return buf
-    val leaf = QDigest.leafOf(v.asInstanceOf[Number].longValue(), b)
-    buf.update(leaf, buf.getOrElse(leaf, 0L) + 1L)
-    // amortized compaction: past 6k live nodes, one compress pass pays
-    // for the ≥ 3k insertions since the last one
-    if (buf.size > 6 * k) QDigest.compress(buf, k, b)
-    buf
-  }
 
   override def merge(buf: mutable.HashMap[Long, Long],
       other: mutable.HashMap[Long, Long]): mutable.HashMap[Long, Long] =
@@ -108,6 +100,37 @@ case class QDigestAgg(
     val m = mutable.HashMap.empty[Long, Long]
     QDigest.decode(bytes).foreach { case (id, c) => m.update(id, c) }
     m
+  }
+}
+
+case class QDigestAgg(
+    child: Expression,
+    k: Int,
+    b: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends QDigestAggBase {
+
+  validateParams()
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"qdigest expects an integral column, got $other")
+  }
+
+  override def update(buf: mutable.HashMap[Long, Long],
+      input: InternalRow): mutable.HashMap[Long, Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val leaf = QDigest.leafOf(v.asInstanceOf[Number].longValue(), b)
+    buf.update(leaf, buf.getOrElse(leaf, 0L) + 1L)
+    // amortized compaction: past 6k live nodes, one compress pass pays
+    // for the ≥ 3k insertions since the last one
+    if (buf.size > 6 * k) QDigest.compress(buf, k, b)
+    buf
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): QDigestAgg =
@@ -138,18 +161,11 @@ case class QDigestMergeAgg(
     k: Int,
     b: Int,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.HashMap[Long, Long]] {
+    inputAggBufferOffset: Int = 0) extends QDigestAggBase {
 
-  require(k >= 8 && k <= 65536, s"qdigest_merge: k must be in [8, 65536], got $k")
-  require(b >= 1 && b <= 40, s"qdigest_merge: b must be in [1, 40], got $b")
+  validateParams()
 
   override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(
-    StructType(Seq(StructField("node", LongType, nullable = false),
-      StructField("cnt", LongType, nullable = false))),
-    containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StructType(fields), _)
@@ -160,9 +176,6 @@ case class QDigestMergeAgg(
       s"qdigest_merge expects array<struct<node: bigint, cnt: bigint>>, got $other")
   }
 
-  override def createAggregationBuffer(): mutable.HashMap[Long, Long] =
-    mutable.HashMap.empty
-
   override def update(buf: mutable.HashMap[Long, Long],
       input: InternalRow): mutable.HashMap[Long, Long] = {
     val v = child.eval(input)
@@ -170,33 +183,29 @@ case class QDigestMergeAgg(
     val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     var i = 0
     while (i < arr.numElements()) {
-      val row = arr.getStruct(i, 2)
-      buf.update(row.getLong(0), buf.getOrElse(row.getLong(0), 0L) + row.getLong(1))
+      // null elements/fields skip like null inputs everywhere else
+      // (review catch: getStruct returns null for a null element)
+      if (!arr.isNullAt(i)) {
+        val row = arr.getStruct(i, 2)
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val id = row.getLong(0)
+          // stored digests carry no (k, b) metadata, so validate every
+          // node id against THIS call's universe: an id deeper than b
+          // means the summaries were built with a LARGER b, and a
+          // silent merge would compute garbage value windows (review
+          // catch — 1L << negative wraps). Directed error over silent
+          // corruption.
+          require(id >= 1L && QDigest.depth(id) <= b,
+            s"qdigest_merge: node id $id exceeds universe log2 b=$b — " +
+              "the stored digests were built with different (k, b) " +
+              "parameters; merge with the b they were sketched at")
+          buf.update(id, buf.getOrElse(id, 0L) + row.getLong(1))
+        }
+      }
       i += 1
     }
     if (buf.size > 6 * k) QDigest.compress(buf, k, b)
     buf
-  }
-
-  override def merge(buf: mutable.HashMap[Long, Long],
-      other: mutable.HashMap[Long, Long]): mutable.HashMap[Long, Long] =
-    QDigest.mergeInto(buf, other, k, b)
-
-  override def eval(buf: mutable.HashMap[Long, Long]): Any = {
-    QDigest.compress(buf, k, b)
-    val rows = buf.toSeq.sortBy(_._1).map { case (id, c) => InternalRow(id, c) }
-    new GenericArrayData(rows.toArray[Any])
-  }
-
-  override def serialize(buf: mutable.HashMap[Long, Long]): Array[Byte] = {
-    QDigest.compress(buf, k, b)
-    QDigest.encode(buf)
-  }
-
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Long, Long] = {
-    val m = mutable.HashMap.empty[Long, Long]
-    QDigest.decode(bytes).foreach { case (id, c) => m.update(id, c) }
-    m
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): QDigestMergeAgg =

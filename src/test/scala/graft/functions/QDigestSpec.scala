@@ -182,13 +182,25 @@ class QDigestSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     // null digests are skipped like every aggregate input
     val withNull = Seq((Some(Seq((QDigest.leafOf(5L, B), 1L))), 0), (None, 1))
-    val nd = withNull.map { case (d, g) =>
-      (d.map(_.map { case (a, b2) => (a, b2) }), g) }
-      .toDF("qd", "g")
+    val nd = withNull.toDF("qd", "g")
       .selectExpr("CAST(qd AS array<struct<node: bigint, cnt: bigint>>) AS qd")
       .agg(expr(s"qdigest_merge(qd, $K, $B)")).collect()(0)
       .getSeq[org.apache.spark.sql.Row](0)
     assert(nd.map(_.getLong(1)).sum == 1L)
+    // a (k, b) mismatch with the stored digests is a DIRECTED error,
+    // never silent corruption: a node deeper than this call's b means
+    // the summaries were sketched at a larger universe
+    val deepId = QDigest.leafOf(5L, B + 4) // depth B+4 > B
+    val e = intercept[Throwable] {
+      Seq(Seq((deepId, 1L))).toDF("qd")
+        .selectExpr("CAST(qd AS array<struct<node: bigint, cnt: bigint>>) AS qd")
+        .agg(expr(s"qdigest_merge(qd, $K, $B)")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("different (k, b)")),
+      s"expected the directed universe-mismatch error, got: $e")
   }
 
   test("encode/decode round-trips the digest byte image") {

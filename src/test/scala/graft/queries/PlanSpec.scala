@@ -1232,19 +1232,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(corpusScans(p, "text#") == 0, s"documents re-scanned:\n$p")
   }
 
-  test("qdigest verified deciles: windowed exact pass, no corpus sort, no corpus window") {
+  test("qdigest verified deciles (direct + rollup): windowed exact pass, no corpus sort") {
     // the two-pass protocol's served plan joins the checkpointed
     // windowed prefix-sum frame with the 9-row decile side — the
-    // corpus passes (sketch agg, rank anchor, window scan) ran inside
-    // the build; the plan the server re-executes per request must not
-    // re-scan documents or re-sort anything corpus-sized
-    val p = plan("qdigest_verified_deciles")
-    assert(corpusScans(p, "text#") == 0 && corpusScans(p, "n_chars#") == 0,
-      s"documents re-scanned downstream of the windowed exact pass:\n$p")
-    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
-      s"does not read the materialized window frame:\n$p")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      s"decile side not broadcast:\n$p")
+    // corpus passes (sketch agg / per-source sketch + merge, rank
+    // anchor, window scan) ran inside the build; the plan the server
+    // re-executes per request must not re-scan documents or re-sort
+    // anything corpus-sized. Both the direct-sketch and the
+    // qdigest_merge rollup path serve the same shape (shared core).
+    Seq("qdigest_verified_deciles", "qdigest_rollup_deciles").foreach { q =>
+      val p = plan(q)
+      assert(corpusScans(p, "text#") == 0 && corpusScans(p, "n_chars#") == 0,
+        s"$q re-scans documents downstream of the windowed exact pass:\n$p")
+      assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+        s"$q does not read the materialized window frame:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q decile side not broadcast:\n$p")
+    }
   }
 
   test("per-source KS: one checkpointed count frame feeds everything; windows only on the grid") {
