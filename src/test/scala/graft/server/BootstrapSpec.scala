@@ -343,6 +343,24 @@ class BootstrapSpec extends AnyFunSuite with BeforeAndAfterAll {
     (Seq.fill(900)((day, "A")) ++ Seq.fill(100)((day, "B")))
       .toDF("ts", "event_type").coalesce(1)
       .write.mode("append").parquet(src.toString)
+    // quantile monitor fixture: lengths double vs the inline baseline
+    // deciles (UNQUOTED numeric YAML keys — SnakeYAML parses them as
+    // Integer; the re-stringify fix is exactly what this exercises)
+    val qsrc = Files.createTempDirectory("graft_monitor_qsrc")
+    val qck = Files.createTempDirectory("graft_monitor_qck").resolve("q")
+    (0 until 2000).map(i => 200L + (i.toLong * 37) % 2000)
+      .toDF("n_chars").coalesce(1).write.mode("append").parquet(qsrc.toString)
+    // embedding monitor fixture: baseline dir + a dim-0-shifted stream
+    val ebase = Files.createTempDirectory("graft_monitor_ebase")
+    val esrc = Files.createTempDirectory("graft_monitor_esrc")
+    val eck = Files.createTempDirectory("graft_monitor_eck").resolve("e")
+    def vecs(ids: Range, shift: Float) = ids.map(i => (i.toLong, s"l${i % 2}",
+      Array.tabulate(8)(d => ((i * 7 + d * 3) % 11 - 5).toFloat / 5f +
+        (if (d == 0) shift else 0f))))
+    vecs(0 until 300, 0f).toDF("vec_id", "label", "embedding")
+      .coalesce(1).write.mode("append").parquet(ebase.toString)
+    vecs(300 until 600, 0.6f).toDF("vec_id", "label", "embedding")
+      .coalesce(1).write.mode("append").parquet(esrc.toString)
     Files.writeString(root.resolve("project.yaml"),
       s"""project-name: monitor-test
          |template:
@@ -359,6 +377,22 @@ class BootstrapSpec extends AnyFunSuite with BeforeAndAfterAll {
          |    baseline:
          |      A: 500
          |      B: 500
+         |  - name: len-drift
+         |    type: quantile
+         |    source: '$qsrc'
+         |    checkpoint: '$qck'
+         |    value-column: n_chars
+         |    baseline:
+         |      1: 300
+         |      5: 700
+         |      9: 1100
+         |  - name: enc-drift
+         |    type: embedding
+         |    source: '$esrc'
+         |    checkpoint: '$eck'
+         |    label-column: label
+         |    vector-column: embedding
+         |    baseline-from: '$ebase'
          |""".stripMargin)
     Files.writeString(sqls.resolve("one.yaml"),
       "url-path: /one\ntemplate-source: one.sql\nwith-pagination: \"false\"\n")
@@ -367,12 +401,31 @@ class BootstrapSpec extends AnyFunSuite with BeforeAndAfterAll {
     def monitorsJson(port: Int) = mapper.readTree(client.send(
       HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/mcp/monitors")).build(),
       HttpResponse.BodyHandlers.ofString()).body())
+    def row(j: com.fasterxml.jackson.databind.JsonNode, name: String) = {
+      val arr = j.get("monitors")
+      (0 until arr.size()).map(arr.get)
+        .find(_.get("name").asText() == name).get
+    }
 
-    // boot 1: the boot drain absorbs the planted drift
+    // boot 1: the boot drain absorbs the planted drift on all three
     val srv = GraftBootstrap.serve(spark, root.resolve("project.yaml").toString)
     val expected = try {
-      val m = monitorsJson(srv.boundPort).get("monitors").get(0)
-      assert(m.get("name").asText() == "mix-drift")
+      val all = monitorsJson(srv.boundPort)
+      assert(all.get("monitors").size() == 3, all.toString)
+      // quantile monitor through the YAML path (numeric baseline keys):
+      // the stream's lengths are shifted vs the inline deciles
+      val ql = row(all, "len-drift")
+      assert(ql.get("type").asText() == "quantile")
+      assert(ql.get("alert").asBoolean(), ql.toString)
+      assert(ql.get("stats").get("drift_ppm_windowed").asLong() > 150000L)
+      // embedding monitor through the YAML path (baseline-from dir):
+      // the stream's dim-0 is shifted +0.6 vs the baseline window
+      val em = row(all, "enc-drift")
+      assert(em.get("type").asText() == "embedding")
+      assert(em.get("alert").asBoolean(), em.toString)
+      assert(math.abs(em.get("stats").get("drift_u6").asLong() - 600000L) < 60000L,
+        em.toString)
+      val m = row(all, "mix-drift")
       assert(m.get("type").asText() == "psi")
       assert(m.get("batch_id").asLong() >= 0L)
       assert(m.get("alert").asBoolean(), m.toString)
@@ -391,7 +444,7 @@ class BootstrapSpec extends AnyFunSuite with BeforeAndAfterAll {
       while (live.get("batch_id").asLong() == bootBatch &&
           System.nanoTime() < deadline) {
         Thread.sleep(500)
-        live = monitorsJson(srv.boundPort).get("monitors").get(0)
+        live = row(monitorsJson(srv.boundPort), "mix-drift")
       }
       assert(live.get("batch_id").asLong() > bootBatch,
         s"scheduled drain never absorbed the post-boot drop: $live")
@@ -406,7 +459,7 @@ class BootstrapSpec extends AnyFunSuite with BeforeAndAfterAll {
     // must come from the persisted ledger payload via the boot seed
     val srv2 = GraftBootstrap.serve(spark, root.resolve("project.yaml").toString)
     try {
-      val m = monitorsJson(srv2.boundPort).get("monitors").get(0)
+      val m = row(monitorsJson(srv2.boundPort), "mix-drift")
       assert(m.get("alert").asBoolean(), s"restart lost the standing alert: $m")
       assert((m.get("batch_id").asLong(),
         m.get("stats").get("psi_micro_windowed").asLong(),
