@@ -86,7 +86,15 @@ abstract class QDigestAggBase
 
   override def eval(buf: mutable.HashMap[Long, Long]): Any = {
     QDigest.compress(buf, k, b)
-    val rows = buf.toSeq.sortBy(_._1).map { case (id, c) => InternalRow(id, c) }
+    // the emitted image leads with the header pseudo-node carrying
+    // (k, b), so a later qdigest_merge can verify BOTH parameters in
+    // BOTH directions (r13 advice: the depth check alone rejects only
+    // larger-b digests — a smaller-b digest's leaves reinterpret as
+    // internal nodes and corrupt silently). id 0 sorts first and is
+    // outside the node-id space (ids start at the root, 1).
+    val header = InternalRow(QDigest.HeaderNode, QDigest.headerCount(k, b))
+    val rows = header +: buf.toSeq.sortBy(_._1)
+      .map { case (id, c) => InternalRow(id, c) }
     new GenericArrayData(rows.toArray[Any])
   }
 
@@ -189,17 +197,30 @@ case class QDigestMergeAgg(
         val row = arr.getStruct(i, 2)
         if (!row.isNullAt(0) && !row.isNullAt(1)) {
           val id = row.getLong(0)
-          // stored digests carry no (k, b) metadata, so validate every
-          // node id against THIS call's universe: an id deeper than b
-          // means the summaries were built with a LARGER b, and a
-          // silent merge would compute garbage value windows (review
-          // catch — 1L << negative wraps). Directed error over silent
-          // corruption.
-          require(id >= 1L && QDigest.depth(id) <= b,
-            s"qdigest_merge: node id $id exceeds universe log2 b=$b — " +
-              "the stored digests were built with different (k, b) " +
-              "parameters; merge with the b they were sketched at")
-          buf.update(id, buf.getOrElse(id, 0L) + row.getLong(1))
+          if (id == QDigest.HeaderNode) {
+            // the header pseudo-node carries the digest's own (k, b):
+            // verify BOTH parameters, BOTH directions (a smaller-b
+            // digest's leaves would reinterpret as internal nodes over
+            // ranges scaled by 2^(b-b') — plausible, silently wrong)
+            val (sk, sb) = QDigest.headerParams(row.getLong(1))
+            require(sk == k && sb == b,
+              s"qdigest_merge: the stored digests were sketched with " +
+                s"(k=$sk, b=$sb) but this merge was called with " +
+                s"(k=$k, b=$b); merge with the parameters they were " +
+                "sketched at")
+          } else {
+            // legacy headerless digests still get the one-directional
+            // depth check: an id deeper than b means a LARGER sketch b
+            // (the smaller-b direction is undetectable without the
+            // header — headered digests, i.e. anything this library
+            // emits, are verified both ways above). Directed error
+            // over silent corruption (1L << negative wraps).
+            require(id >= 1L && QDigest.depth(id) <= b,
+              s"qdigest_merge: node id $id exceeds universe log2 b=$b — " +
+                "the stored digests were built with different (k, b) " +
+                "parameters; merge with the b they were sketched at")
+            buf.update(id, buf.getOrElse(id, 0L) + row.getLong(1))
+          }
         }
       }
       i += 1
@@ -225,6 +246,28 @@ case class QDigestMergeAgg(
   * .mergeInto discipline). All rank arithmetic is integer/BigInt —
   * no double ever enters a verdict. */
 object QDigest {
+
+  /** Header pseudo-node id in the EMITTED image (`eval` output only —
+    * never in a live buffer, the shuffle image, or a ledger payload):
+    * real node ids start at the root, 1, so 0 is free. Its `cnt`
+    * packs the sketch parameters so [[QDigestMergeAgg]] can verify a
+    * stored digest's (k, b) in both directions. */
+  val HeaderNode: Long = 0L
+
+  /** (k ≤ 65536 in bits 8+, b ≤ 40 in the low byte) — matches the
+    * validateParams ranges. */
+  def headerCount(k: Int, b: Int): Long = (k.toLong << 8) | b.toLong
+
+  def headerParams(cnt: Long): (Int, Int) =
+    (((cnt >> 8) & 0x1FFFFL).toInt, (cnt & 0xFFL).toInt)
+
+  /** Entry map from the aggregate's emitted `array<struct<node,cnt>>`
+    * rows, header stripped — THE parse for every driver-side consumer
+    * (gated two-pass, streaming monitor, specs), so none can forget
+    * the header and double-count it in [[totalOf]]. */
+  def entriesOfRows(rows: Seq[org.apache.spark.sql.Row]): Map[Long, Long] =
+    rows.iterator.map(r => r.getLong(0) -> r.getLong(1))
+      .filter(_._1 != HeaderNode).toMap
 
   /** Depth of node id (root = 0, leaves = b). */
   @inline def depth(id: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(id)

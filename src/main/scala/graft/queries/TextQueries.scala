@@ -2354,9 +2354,9 @@ object TextQueries extends QuerySet {
       // every non-null row lands in exactly one node)
       val first = docs
         .agg(expr(s"qdigest(n_chars, $QdK, $QdB)").as("qd")).collect()(0)
-      val entries = first.getSeq[org.apache.spark.sql.Row](0)
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      verifiedDecilesFrom(s, docs, entries)
+      val entries = graft.functions.QDigest
+        .entriesOfRows(first.getSeq[org.apache.spark.sql.Row](0))
+      verifiedDecilesFrom(s, docs, entries, QdK, QdB)
     })
 
   /** The verified-decile resolution shared by the direct-sketch and
@@ -2365,9 +2365,9 @@ object TextQueries extends QuerySet {
     * range filter) and resolves true quantiles with a distributed
     * prefix sum. One implementation so the two paths' EXACT outputs
     * cannot drift. */
-  private def verifiedDecilesFrom(s: org.apache.spark.sql.SparkSession,
+  private[graft] def verifiedDecilesFrom(s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame,
-      entries: Map[Long, Long]): org.apache.spark.sql.DataFrame = {
+      entries: Map[Long, Long], k: Int, b: Int): org.apache.spark.sql.DataFrame = {
     val n = graft.functions.QDigest.totalOf(entries)
     val ss = s
     import ss.implicits._
@@ -2378,20 +2378,30 @@ object TextQueries extends QuerySet {
       val windows = (1L to 9L).map { p =>
         val target = (p * n + 9) / 10
         val (lo, hi) = graft.functions.QDigest
-          .valueWindow(entries, QdB, QdK, target)
+          .valueWindow(entries, b, k, target)
         (p, target, lo, hi)
       }
-      val gLo = windows.map(_._3).min
-      val gHi = windows.map(_._4).max
-      // exact rank anchor below the window union (map-side partials)
-      val below = docs.agg(
-        sum(when(col("n_chars") < gLo, 1L).otherwise(0L)).cast("long"))
-        .collect()(0).getLong(0)
+      // the sketch clamps to the universe [0, 2^b), but the EXACT pass
+      // runs on RAW values: a window end sitting on a universe boundary
+      // means the true value may lie beyond it (clamped rows), so that
+      // bound must open to ±infinity or upper deciles silently vanish
+      // for corpora with values ≥ 2^b (r14 advice, the medium finding)
+      val uniMax = (1L << b) - 1L
+      val gLoOpt = Some(windows.map(_._3).min).filter(_ > 0L)
+      val gHiOpt = Some(windows.map(_._4).max).filter(_ < uniMax)
+      // exact rank anchor below the window union (map-side partials);
+      // an open lower bound anchors at -infinity: below = 0
+      val below = gLoOpt.fold(0L) { gLo =>
+        docs.agg(
+          sum(when(col("n_chars") < gLo, 1L).otherwise(0L)).cast("long"))
+          .collect()(0).getLong(0)
+      }
       // exact pass over the windows only: pushed range filter, per-value
       // counts, distributed prefix sum — value at rank t is the least v
       // with below + cum(v) ≥ t
-      val wcounts = docs
-        .filter(col("n_chars") >= gLo && col("n_chars") <= gHi)
+      val windowed0 = gLoOpt.fold(docs)(gLo => docs.filter(col("n_chars") >= gLo))
+      val windowed = gHiOpt.fold(windowed0)(gHi => windowed0.filter(col("n_chars") <= gHi))
+      val wcounts = windowed
         .groupBy(col("n_chars").cast("long").as("v"))
         .agg(count(lit(1)).cast("long").as("c"))
       val ranked = graft.operators.GlobalRank
@@ -2426,9 +2436,9 @@ object TextQueries extends QuerySet {
       // …re-aggregated WITHOUT touching rows
       val merged = perSource
         .agg(expr(s"qdigest_merge(qd, $QdK, $QdB)").as("qd")).collect()(0)
-      val entries = merged.getSeq[org.apache.spark.sql.Row](0)
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      verifiedDecilesFrom(s, docs, entries)
+      val entries = graft.functions.QDigest
+        .entriesOfRows(merged.getSeq[org.apache.spark.sql.Row](0))
+      verifiedDecilesFrom(s, docs, entries, QdK, QdB)
     })
 
   // ---- per-source two-sample KS (group vs complement) ---------------------
@@ -2540,9 +2550,9 @@ object TextQueries extends QuerySet {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val exact = ks.map(byRank)
     Seq(256, 2048, 16384).map { k =>
-      val entries = docs.agg(expr(s"qdigest(v, $k, $QdB)")).collect()(0)
-        .getSeq[org.apache.spark.sql.Row](0)
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val entries = graft.functions.QDigest.entriesOfRows(
+        docs.agg(expr(s"qdigest(v, $k, $QdB)")).collect()(0)
+          .getSeq[org.apache.spark.sql.Row](0))
       val errs = ps.zip(exact).map { case (p, e) =>
         val a = graft.functions.QDigest.quantile(entries, QdB, p.toLong, 100L)
         if (e == 0L) 0L else math.round(math.abs(a - e).toDouble / e * 1e6)

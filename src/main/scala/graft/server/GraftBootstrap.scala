@@ -95,7 +95,8 @@ object GraftBootstrap {
             baselineFrom = str(m, "baseline-from").getOrElse(""),
             baseline = baseline,
             trailingWindows = intOr("trailing-windows", 7),
-            horizonHours = intOr("horizon-hours", 720))
+            horizonHours = intOr("horizon-hours", 720),
+            summaryStore = str(m, "summary-store").getOrElse(""))
         }
       }.getOrElse(Seq.empty)
     ProjectConfig(

@@ -142,9 +142,14 @@ final class GraftServer(
     // (r12 verdict #4): a violation counter plus the last violation's
     // relation/count/mode.
     server.createContext("/mcp/metrics", (ex: HttpExchange) => safely(ex) { e =>
+      // monitor_drain_errors: per-monitor failure counters, so a
+      // permanently-failing source is observable without log scraping
+      val monitorErrs = monitors.map(m =>
+        s""","monitor_drain_errors":${m.drainErrorsJson}""").getOrElse("")
       respond(e, 200,
         s"""{"arrow":${graft.serialize.ArrowMetrics.snapshot.toJson},""" +
-          s""""scan_budget":${graft.plans.ScanBudgetRule.Metrics.toJson}}""",
+          s""""scan_budget":${graft.plans.ScanBudgetRule.Metrics.toJson}""" +
+          monitorErrs + "}",
         "application/json")
     })
     // drift-monitor standing verdicts (PSI mix / CUSUM rate / SRM

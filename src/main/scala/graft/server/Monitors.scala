@@ -39,7 +39,13 @@ final case class MonitorConfig(
     /** PSI only: trailing event-time days scored as "recent". */
     trailingWindows: Int = 7,
     /** CUSUM only: event-time hours kept un-folded. */
-    horizonHours: Int = 720) {
+    horizonHours: Int = 720,
+    /** quantile only: when non-empty, each drained batch's digest is
+      * persisted there in the stored-summary parquet form and the
+      * standing digest rebuilds through the `qdigest_merge` SQL
+      * aggregate — the stored-artifact deployment path running in the
+      * served product (yaml key `summary-store`). */
+    summaryStore: String = "") {
   /** The quantile monitor's baseline, keys parsed as decile indices. */
   def baselineDeciles: Map[Int, Long] =
     baseline.map { case (k, v) => k.trim.toInt -> v }
@@ -98,6 +104,26 @@ object MonitorVerdict {
 final class MonitorManager(spark: SparkSession, configs: Seq[MonitorConfig]) {
 
   private val verdicts = new ConcurrentHashMap[String, MonitorVerdict]()
+
+  // per-monitor drain failure counter, surfaced on /mcp/metrics (r13
+  // verdict #5): a permanently-failing source is an OBSERVABLE gauge,
+  // not just a stderr line. Never reset — operators watch the rate.
+  private val drainErrors = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private def bumpDrainError(name: String): Unit = {
+    drainErrors.computeIfAbsent(name,
+      _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+    ()
+  }
+
+  // per-monitor SOURCE schema, inferred once and cached (r13 verdict
+  // #5: re-inferring per drain tick is a directory listing per monitor
+  // per tick). computeIfAbsent — a source that does not exist yet at
+  // construction simply retries on the next drain tick and caches on
+  // first success (the ingest dir may be created by the first crawl
+  // drop AFTER boot).
+  private val schemaCache = new ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  private def sourceSchema(source: String): org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent(source, s => spark.read.parquet(s).schema)
 
   configs.foreach { c =>
     require(Set("psi", "cusum", "srm", "quantile", "embedding").contains(c.tpe),
@@ -182,8 +208,7 @@ final class MonitorManager(spark: SparkSession, configs: Seq[MonitorConfig]) {
     * take down serving. */
   def drain(timeoutMs: Long = 300000): Unit = configs.foreach { c =>
     try {
-      val schema = spark.read.parquet(c.source).schema
-      val stream = spark.readStream.schema(schema).parquet(c.source)
+      val stream = spark.readStream.schema(sourceSchema(c.source)).parquet(c.source)
       val q = c.tpe match {
         case "psi" =>
           Streaming.windowedPsiMonitorStream(stream, c.checkpoint,
@@ -205,9 +230,11 @@ final class MonitorManager(spark: SparkSession, configs: Seq[MonitorConfig]) {
           }
         case "quantile" =>
           Streaming.quantileMonitorStream(stream, c.checkpoint,
-            c.baselineDeciles, c.valueCol) { (id, dc, dw, det) =>
-            record(c.name, "quantile", id, det,
-              Map("drift_ppm_cumulative" -> dc, "drift_ppm_windowed" -> dw))
+            c.baselineDeciles, c.valueCol,
+            summaryStore = Some(c.summaryStore).filter(_.nonEmpty)) {
+            (id, dc, dw, det) =>
+              record(c.name, "quantile", id, det,
+                Map("drift_ppm_cumulative" -> dc, "drift_ppm_windowed" -> dw))
           }
         case "embedding" =>
           val b = embeddingBaselines.getOrElse(c.name,
@@ -219,10 +246,13 @@ final class MonitorManager(spark: SparkSession, configs: Seq[MonitorConfig]) {
           }
       }
       try {
-        if (!q.awaitTermination(timeoutMs))
+        if (!q.awaitTermination(timeoutMs)) {
+          bumpDrainError(c.name)
           System.err.println(s"[monitors] drain '${c.name}' timed out")
+        }
       } finally if (q.isActive) q.stop()
     } catch { case e: Exception =>
+      bumpDrainError(c.name)
       System.err.println(s"[monitors] drain '${c.name}' failed: ${e.getMessage}")
     }
   }
@@ -231,6 +261,14 @@ final class MonitorManager(spark: SparkSession, configs: Seq[MonitorConfig]) {
     import scala.jdk.CollectionConverters._
     verdicts.values.asScala.toSeq.sortBy(_.name)
   }
+
+  /** `{"<name>": <drain error count>, ...}` over ALL configured
+    * monitors (zero when never failed) — the /mcp/metrics gauge. */
+  def drainErrorsJson: String =
+    configs.map { c =>
+      val n = Option(drainErrors.get(c.name)).map(_.get()).getOrElse(0L)
+      s""""${MonitorVerdict.esc(c.name)}":$n"""
+    }.mkString("{", ",", "}")
 
   // ---- scheduled drains ----------------------------------------------------
   // Boot-only drains leave a served monitor whose verdict never moves

@@ -617,8 +617,15 @@ object Streaming {
   private[streaming] def decodeWindowedPsi(b: Array[Byte]):
       (Map[String, Long], Map[(Long, String), Long]) = {
     val all = decodeCounts(b)
-    val c = all.collect { case (k, v) if k.startsWith("c|") =>
-      k.substring(2) -> v }
+    val c = all.collect {
+      case (k, v) if k.startsWith("c|") => k.substring(2) -> v
+      // a legacy psiMonitorStream payload carries BARE type keys (no
+      // c|/w| prefixes) — migrate them as cumulative counts, the
+      // decodeCusumState discipline, so a monitor moved from the
+      // cumulative stream to the windowed one keeps its history
+      // instead of silently reporting psi 0 (r14 advice)
+      case (k, v) if !k.startsWith("c|") && !k.startsWith("w|") => k -> v
+    }
     // type is the LAST field and keeps any embedded delimiter (limit-3
     // split) — day is a rendered long, always delimiter-free
     val w = all.collect { case (k, v) if k.startsWith("w|") =>
@@ -1085,7 +1092,19 @@ object Streaming {
       valueCol: String = "n_chars",
       k: Int = 2048,
       b: Int = 20,
-      trailingBatches: Int = 4)(
+      trailingBatches: Int = 4,
+      // when set, each batch's digest is PERSISTED in the stored-summary
+      // parquet form (the qdigest eval image incl. the (k, b) header,
+      // one subdir per batch id — overwrite, so replays are idempotent)
+      // and the standing cumulative digest is REBUILT through the
+      // `qdigest_merge` SQL aggregate over the store instead of the
+      // driver-side mergeInto: the stored-artifact deployment path
+      // (sketch once, persist next to the data, roll up without
+      // re-reading rows) running inside the served product. Appended
+      // param (the positional-call discipline). Summaries are ≤ 3k
+      // nodes per ingest window, so the per-batch rebuild scans
+      // O(batches · k) rows — never the corpus.
+      summaryStore: Option[String] = None)(
       onBatch: (Long, Long, Long, Boolean) => Unit): StreamingQuery = {
     require(baselineDeciles.nonEmpty, "baseline deciles are empty")
     require(baselineDeciles.keySet.forall(p => p >= 1 && p <= 9),
@@ -1110,13 +1129,34 @@ object Streaming {
         val ran = ledger.runOnceStateful(batchId) {
           if (!batch.isEmpty) {
             graft.functions.GraftFunctions.ensureQdigest(batch.sparkSession)
-            val part = batch
+            val part = graft.functions.QDigest.entriesOfRows(batch
               .select(col(valueCol).cast("long").as("v"))
               .filter(col("v").isNotNull)
               .agg(expr(s"qdigest(v, $k, $b)")).collect()(0)
-              .getSeq[org.apache.spark.sql.Row](0)
-              .map(r => r.getLong(0) -> r.getLong(1)).toMap
-            graft.functions.QDigest.mergeInto(cumulative, part, k, b)
+              .getSeq[org.apache.spark.sql.Row](0))
+            summaryStore match {
+              case Some(store) =>
+                val ss2 = batch.sparkSession
+                import ss2.implicits._
+                // persist this batch's summary (header first, then the
+                // nodes — the exact qdigest eval image), then rebuild
+                // the standing digest FROM the store via the SQL merge
+                val stored = (graft.functions.QDigest.HeaderNode ->
+                  graft.functions.QDigest.headerCount(k, b)) +:
+                  part.toSeq.sortBy(_._1)
+                Seq(Tuple1(stored)).toDF("qd")
+                  .selectExpr(
+                    "CAST(qd AS array<struct<node: bigint, cnt: bigint>>) AS qd")
+                  .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
+                cumulative.clear()
+                graft.functions.QDigest.entriesOfRows(
+                  ss2.read.parquet(store)
+                    .agg(expr(s"qdigest_merge(qd, $k, $b)")).collect()(0)
+                    .getSeq[org.apache.spark.sql.Row](0))
+                  .foreach { case (id, c) => cumulative.update(id, c) }
+              case None =>
+                graft.functions.QDigest.mergeInto(cumulative, part, k, b)
+            }
             windowsQ.update(batchId, part)
             while (windowsQ.size > trailingBatches)
               windowsQ.remove(windowsQ.firstKey)

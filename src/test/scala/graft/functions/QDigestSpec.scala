@@ -1,5 +1,7 @@
 package graft.functions
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -48,7 +50,7 @@ class QDigestSpec extends AnyFunSuite with BeforeAndAfterAll {
     base.repartition(parts)
       .agg(expr(s"qdigest(v, $K, $B)")).collect()(0)
       .getSeq[org.apache.spark.sql.Row](0)
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .pipe(QDigest.entriesOfRows)
   }
 
   private lazy val exactSorted: Array[Long] = values.sorted.toArray
@@ -105,7 +107,7 @@ class QDigestSpec extends AnyFunSuite with BeforeAndAfterAll {
     slices.foreach { sl =>
       val part = sl.toDF("v").agg(expr(s"qdigest(v, $K, $B)")).collect()(0)
         .getSeq[org.apache.spark.sql.Row](0)
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        .pipe(QDigest.entriesOfRows)
       QDigest.mergeInto(standing, part, K, B)
     }
     assert(QDigest.totalOf(standing) == n)
@@ -131,7 +133,7 @@ class QDigestSpec extends AnyFunSuite with BeforeAndAfterAll {
     val d = small.toDF("v").repartition(3)
       .agg(expr(s"qdigest(v, $K, $B)")).collect()(0)
       .getSeq[org.apache.spark.sql.Row](0)
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .pipe(QDigest.entriesOfRows)
     val sorted = small.sorted
     for (p <- 1 to 9) {
       val target = (p * small.size + 9) / 10
@@ -142,7 +144,7 @@ class QDigestSpec extends AnyFunSuite with BeforeAndAfterAll {
     val c = Seq(-5L, -1L, (1L << B) + 100L).toDF("v")
       .agg(expr(s"qdigest(v, $K, $B)")).collect()(0)
       .getSeq[org.apache.spark.sql.Row](0)
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .pipe(QDigest.entriesOfRows)
     assert(QDigest.totalOf(c) == 3L)
     assert(QDigest.valueAtRank(c, B, 1) == 0L)
     assert(QDigest.valueAtRank(c, B, 3) == (1L << B) - 1L)
@@ -150,7 +152,7 @@ class QDigestSpec extends AnyFunSuite with BeforeAndAfterAll {
     val withNulls = Seq[java.lang.Long](1L, null, 3L).toDF("v")
       .agg(expr(s"qdigest(v, $K, $B)")).collect()(0)
       .getSeq[org.apache.spark.sql.Row](0)
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .pipe(QDigest.entriesOfRows)
     assert(QDigest.totalOf(withNulls) == 2L)
   }
 
@@ -168,7 +170,7 @@ class QDigestSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(expr(s"qdigest(v, $K, $B)").as("qd"))
       .agg(expr(s"qdigest_merge(qd, $K, $B)")).collect()(0)
       .getSeq[org.apache.spark.sql.Row](0)
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .pipe(QDigest.entriesOfRows)
     assert(QDigest.totalOf(merged) == n, "merge lost rows")
     assert(merged.size <= 3 * K)
     for (p <- 1 to 9) {
@@ -186,7 +188,7 @@ class QDigestSpec extends AnyFunSuite with BeforeAndAfterAll {
       .selectExpr("CAST(qd AS array<struct<node: bigint, cnt: bigint>>) AS qd")
       .agg(expr(s"qdigest_merge(qd, $K, $B)")).collect()(0)
       .getSeq[org.apache.spark.sql.Row](0)
-    assert(nd.map(_.getLong(1)).sum == 1L)
+    assert(QDigest.totalOf(QDigest.entriesOfRows(nd)) == 1L)
     // a (k, b) mismatch with the stored digests is a DIRECTED error,
     // never silent corruption: a node deeper than this call's b means
     // the summaries were sketched at a larger universe
@@ -207,5 +209,66 @@ class QDigestSpec extends AnyFunSuite with BeforeAndAfterAll {
     val d = digestOf(3, sorted = false)
     val back = QDigest.decode(QDigest.encode(d)).toMap
     assert(back == d)
+  }
+
+  test("verified deciles stay EXACT when raw values escape the sketch universe") {
+    // r14 advice (medium): the sketch clamps to [0, 2^b) but the exact
+    // pass runs on RAW values — a window end pinned at a universe
+    // boundary must open to ±infinity or the boundary deciles silently
+    // vanish / misplace. Values straddle the universe on both sides.
+    val s2 = spark
+    import s2.implicits._
+    val smallB = 8 // universe [0, 256)
+    val vals: Seq[Long] =
+      Seq.fill(10)(-7L) ++ (1L to 50L) ++ Seq.fill(30)(1000L) ++ Seq.fill(10)(5000L)
+    val docs = vals.toDF("n_chars")
+    val entries = QDigest.entriesOfRows(
+      docs.agg(expr(s"qdigest(n_chars, 64, $smallB)")).collect()(0)
+        .getSeq[org.apache.spark.sql.Row](0))
+    val got = graft.queries.TextQueries
+      .verifiedDecilesFrom(s2, docs, entries, 64, smallB)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sorted = vals.sorted.toArray
+    val n = vals.size
+    assert(got.size == 9, s"deciles vanished: only ${got.keys.toSeq.sorted} present")
+    for (p <- 1 to 9) {
+      val target = (p * n + 9) / 10
+      assert(got(p.toLong) == sorted(target - 1),
+        s"decile $p: got ${got(p.toLong)}, exact ${sorted(target - 1)}")
+    }
+  }
+
+  test("emitted image leads with a (k, b) header; merge verifies it BOTH ways") {
+    val s2 = spark
+    import s2.implicits._
+    val img = Seq(1L, 2L, 3L).toDF("v")
+      .agg(expr(s"qdigest(v, $K, $B)")).collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(img.head.getLong(0) == QDigest.HeaderNode)
+    assert(QDigest.headerParams(img.head.getLong(1)) == (K, B))
+    // entriesOfRows strips it — totals never double-count the header
+    assert(QDigest.totalOf(QDigest.entriesOfRows(img)) == 3L)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // the r13 advice direction: a digest sketched at a SMALLER b was
+    // undetectable by the depth check alone — the header catches it
+    for ((k2, b2) <- Seq((K, B - 4), (K * 2, B))) {
+      val persist = Seq(1L, 2L, 3L).toDF("v")
+        .agg(expr(s"qdigest(v, $k2, $b2)").as("qd"))
+      val e = intercept[Throwable] {
+        persist.agg(expr(s"qdigest_merge(qd, $K, $B)")).collect()
+      }
+      assert(messages(e).exists(_.contains(s"(k=$k2, b=$b2)")),
+        s"expected the directed header-mismatch error for ($k2,$b2), got: $e")
+    }
+    // matching parameters round-trip: merge of the emitted image is
+    // itself a valid headered image with the same total
+    val rt = Seq(1L, 2L, 3L).toDF("v")
+      .agg(expr(s"qdigest(v, $K, $B)").as("qd"))
+      .agg(expr(s"qdigest_merge(qd, $K, $B)")).collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(rt.head.getLong(0) == QDigest.HeaderNode)
+    assert(QDigest.totalOf(QDigest.entriesOfRows(rt)) == 3L)
   }
 }

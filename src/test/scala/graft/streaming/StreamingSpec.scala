@@ -1223,6 +1223,92 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(s => (s._2, s._3, s._4)).contains((dcShift, dwShift, true)))
   }
 
+  test("quantile monitor summary store: standing digest ≡ qdigest_merge over persisted per-batch summaries") {
+    // the stored-artifact path in the served product (r13 verdict #6):
+    // each batch persists its digest in the stored-summary parquet form
+    // and the STANDING digest is rebuilt through the `qdigest_merge`
+    // SQL aggregate — the ledger payload must be byte-for-byte the
+    // merge of the store, and the monitor's behavior must be unchanged.
+    val ss = spark
+    import ss.implicits._
+    graft.functions.GraftFunctions.ensureQdigest(spark)
+    val tmp = Files.createTempDirectory("quantile_store")
+    val base = (0 until 5000).map(i => 100L + (i.toLong * 37) % 1000)
+    val sorted = base.sorted
+    val deciles = (1 to 9).map(p =>
+      p -> sorted(((p * base.size + 9) / 10) - 1)).toMap
+    val verdicts = new java.util.concurrent.atomic.AtomicReference[(Long, Long, Long, Boolean)]((-1L, -1L, -1L, false))
+    def run(maxFilesPerTrigger: Option[Int] = None): Unit = {
+      var rd = spark.readStream
+        .schema(spark.read.parquet(s"$tmp/in").schema)
+      maxFilesPerTrigger.foreach(m =>
+        rd = rd.option("maxFilesPerTrigger", m.toString))
+      val q = Streaming.quantileMonitorStream(
+        rd.parquet(s"$tmp/in"), s"$tmp/ck", deciles,
+        valueCol = "n_chars", trailingBatches = 1,
+        summaryStore = Some(s"$tmp/digests")) { (id, dc, dw, det) =>
+        verdicts.set((id, dc, dw, det))
+      }
+      try assert(q.awaitTermination(180000), "AvailableNow did not finish")
+      finally {
+        q.stop()
+        val deadline = System.nanoTime() + 30000000000L
+        while (spark.streams.active.exists(_.id == q.id) &&
+            System.nanoTime() < deadline) Thread.sleep(100)
+      }
+    }
+    (0 until 3).foreach { _ =>
+      base.toDF("n_chars").coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    }
+    run(maxFilesPerTrigger = Some(1))
+    assert(!verdicts.get()._4, "steady stream must stay quiet")
+    // one summary row per ingest window, each a headered (k, b) image
+    val store = spark.read.parquet(s"$tmp/digests")
+    assert(store.count() == 3L, "one persisted summary per batch")
+    val heads = store.selectExpr("qd[0].node AS n", "qd[0].cnt AS c").collect()
+    assert(heads.forall(r => r.getLong(0) == graft.functions.QDigest.HeaderNode &&
+      graft.functions.QDigest.headerParams(r.getLong(1)) == (2048, 20)))
+    // THE parity: ledger standing cumulative == SQL merge of the store
+    def ledgerCumulative(): Map[Long, Long] = {
+      val ledger = new BatchLedger(s"$tmp/ck",
+        hadoopConf = spark.sessionState.newHadoopConf())
+      Streaming.decodeQuantileState(ledger.lastState().get)._1
+    }
+    def storeMerge(): Map[Long, Long] =
+      graft.functions.QDigest.entriesOfRows(
+        spark.read.parquet(s"$tmp/digests")
+          .agg(expr("qdigest_merge(qd, 2048, 20)")).collect()(0)
+          .getSeq[org.apache.spark.sql.Row](0))
+    assert(ledgerCumulative() == storeMerge(),
+      "standing digest must BE the merge of the persisted summaries")
+    assert(graft.functions.QDigest.totalOf(ledgerCumulative()) == 3L * base.size)
+    // planted late shift still flips the windowed verdict in store mode
+    base.map(_ * 2).toDF("n_chars").coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    run()
+    val (_, dcS, dwS, detS) = verdicts.get()
+    assert(detS && dwS > 150000L,
+      s"store mode lost the windowed detection: $dwS")
+    assert(ledgerCumulative() == storeMerge(), "parity must survive the shift batch")
+    // a FRESH reader rebuilding from the store alone reproduces the
+    // cumulative drift statistic — rows were never re-read
+    val (dcFresh, _) = Streaming.quantileDrift(storeMerge(), 20, deciles)
+    assert(dcFresh == dcS, s"store-rebuilt drift $dcFresh != monitor's $dcS")
+  }
+
+  test("windowed PSI decode migrates legacy bare-key cumulative payloads") {
+    // r14 advice: a monitor moved from psiMonitorStream (bare type
+    // keys) to the windowed stream must keep its cumulative history
+    val legacy = Streaming.encodeCounts(Map("click" -> 7L, "view" -> 3L))
+    val (c, w) = Streaming.decodeWindowedPsi(legacy)
+    assert(c == Map("click" -> 7L, "view" -> 3L) && w.isEmpty)
+    // prefixed payloads are untouched by the migration path
+    val modern = Streaming.encodeWindowedPsi(
+      Map("click" -> 7L), Map((20000L, "view") -> 3L))
+    val (c2, w2) = Streaming.decodeWindowedPsi(modern)
+    assert(c2 == Map("click" -> 7L) && w2 == Map((20000L, "view") -> 3L))
+  }
+
   test("embedding drift monitor: steady quiet, planted dimension shift detected, restart-exact") {
     val ss = spark
     import ss.implicits._
