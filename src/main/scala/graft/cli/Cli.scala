@@ -39,6 +39,11 @@ object Cli {
       |  expand-template <endpoint.yaml> [param=value ...]
       |  bundle pack <config-dir> <out.zip> [--allow-secrets] [--epoch N]
       |  bundle unpack <bundle.zip> <dest-dir>
+      |  serve [-c project.yaml] [--port N] [--host H] [--log-level L]
+      |        [--warehouse DIR] [--validate-config]
+      |    12-factor precedence: flags > GRAFT_CONFIG/GRAFT_PORT/
+      |    GRAFT_HOST/GRAFT_LOG_LEVEL env > config file > defaults;
+      |    --validate-config parses + validates and exits (no Spark)
       |
       |remote mode (client for a running graft server, mirroring the
       |reference CLI's server commands):
@@ -87,6 +92,8 @@ object Cli {
         val root = ConfigBundle.unpackTo(Paths.get(bundle), Paths.get(dest))
         out.println(s"unpacked to $root")
         0
+      case "serve" :: rest =>
+        serve(rest, out, err)
       case _ =>
         err.println(usage)
         2
@@ -229,6 +236,81 @@ object Cli {
         val (code, bodyText) = request(r, method, path, body, ctype)
         if (code >= 200 && code < 300) { out.println(bodyText); 0 }
         else { err.println(s"HTTP $code: $bodyText"); 1 }
+    }
+  }
+
+  // ---- serve ---------------------------------------------------------------
+
+  /** Boot (or just validate) a project the way the reference binary
+    * does (`flapi -c config.yaml [--port N] ...`), honoring the
+    * 12-factor env tier: GRAFT_CONFIG/GRAFT_PORT/GRAFT_HOST/
+    * GRAFT_LOG_LEVEL with CLI > env > config > default precedence and
+    * directed errors for invalid values (reference
+    * test_env_overrides.py:1-13). `--validate-config` parses the
+    * project (including the enforce-https block) and validates every
+    * endpoint WITHOUT a SparkSession, then exits — the reference's
+    * `--validate-config` contract (test_https_config.py). */
+  private[cli] def serve(args: List[String], out: PrintStream, err: PrintStream,
+      env: String => Option[String] = k => sys.env.get(k),
+      // test seam: run everything except the Spark boot + HTTP bind
+      validateOnlyDefault: Boolean = false): Int = {
+    var config: Option[String] = None
+    var port: Option[Int] = None
+    var host: Option[String] = None
+    var logLevel: Option[String] = None
+    var warehouse: Option[String] = None
+    var validateOnly = validateOnlyDefault
+    var rest = args
+    while (rest.nonEmpty) rest match {
+      case ("-c" | "--config") :: v :: t => config = Some(v); rest = t
+      case "--port" :: v :: t =>
+        port = Some(graft.server.GraftBootstrap.parsePort(v, "--port")); rest = t
+      case "--host" :: v :: t => host = Some(v); rest = t
+      case "--log-level" :: v :: t => logLevel = Some(v); rest = t
+      case "--warehouse" :: v :: t => warehouse = Some(v); rest = t
+      case "--validate-config" :: t => validateOnly = true; rest = t
+      case f :: _ => err.println(s"unknown serve flag: $f"); return 2
+    }
+    val boot = graft.server.GraftBootstrap.resolveBootOptions(
+      cliConfig = config, cliPort = port, cliHost = host,
+      cliLogLevel = logLevel, env = env)
+    val projectPath = Paths.get(boot.configPath)
+    if (!Files.isRegularFile(projectPath)) {
+      err.println(s"no such config: $projectPath"); return 1
+    }
+    // parse the project FIRST so config-tier values join the precedence
+    // walk and enforce-https structural errors surface before any boot
+    val project = graft.server.GraftBootstrap
+      .parseProject(Files.readString(projectPath))
+    val resolved = graft.server.GraftBootstrap.resolveBootOptions(
+      cliConfig = config, cliPort = port, cliHost = host,
+      cliLogLevel = logLevel, env = env, project = Some(project))
+    if (validateOnly) {
+      // file-level TLS validation (paths resolved against the project
+      // dir, like loadProject)
+      val base = Option(projectPath.toAbsolutePath.getParent).getOrElse(Paths.get("."))
+      graft.server.TlsSupport.validate(project.https.map { h =>
+        def res(p: String) = if (p.isEmpty) p else base.resolve(p).normalize().toString
+        h.copy(certFile = res(h.certFile), keyFile = res(h.keyFile))
+      })
+      val templateDir = base.resolve(project.templatePath).normalize()
+      val rc =
+        if (Files.isDirectory(templateDir)) validate(templateDir, out, err)
+        else { out.println(s"note: template dir $templateDir absent — structural checks only"); 0 }
+      if (rc == 0) out.println(s"config OK: $projectPath " +
+        s"(port=${resolved.port}, host=${resolved.host})")
+      rc
+    } else {
+      val spark = graft.GraftSession.build(s"graft-serve-${project.projectName}")
+      val server = graft.server.GraftBootstrap.serve(
+        spark, projectPath.toString, port = resolved.port,
+        cacheWarehouse = warehouse, host = resolved.host)
+      out.println(s"serving ${project.projectName} on " +
+        s"${resolved.host}:${server.boundPort}" +
+        (if (project.https.exists(_.enabled)) " (https)" else ""))
+      // block until killed — the reference binary's foreground behavior
+      new java.util.concurrent.CountDownLatch(1).await()
+      0
     }
   }
 

@@ -100,7 +100,10 @@ final case class AuthConfig(
 final case class RateLimitSettings(
     enabled: Boolean = false,
     max: Int = 0,
-    intervalSeconds: Int = 60) {
+    intervalSeconds: Int = 60,
+    /** `ip` | `user` | `user-or-ip` (reference
+      * rate_limit_key_builder.cpp; unknown values preserve `ip`). */
+    keyStrategy: String = "ip") {
   def requestsPerMinute: Int =
     if (intervalSeconds <= 0) max else math.max(1, max * 60 / intervalSeconds)
 }

@@ -241,7 +241,8 @@ object YamlConfig {
       enabled = str(m, "enabled").exists(_.toBoolean),
       max = str(m, "max").flatMap(x => scala.util.Try(x.toInt).toOption).getOrElse(0),
       intervalSeconds = str(m, "interval")
-        .flatMap(x => scala.util.Try(x.toInt).toOption).getOrElse(60))
+        .flatMap(x => scala.util.Try(x.toInt).toOption).getOrElse(60),
+      keyStrategy = str(m, "key-strategy").getOrElse("ip"))
   }
 
   def parseEndpoint(yaml: String): EndpointConfig = {

@@ -33,7 +33,20 @@ object GraftBootstrap {
       connections: Seq[ConnectionConfig] = Nil,
       monitors: Seq[MonitorConfig] = Nil,
       /** 0 = boot-drain only; > 0 re-drains monitors on this cadence. */
-      monitorDrainIntervalSeconds: Int = 0)
+      monitorDrainIntervalSeconds: Int = 0,
+      /** MCP initialize `instructions` (reference
+        * test_mcp_instructions.py): inline text from `mcp:
+        * instructions:`, or the file named by `mcp:
+        * instructions-file:` (resolved against the project dir by
+        * loadProject — parseProject keeps the raw path here). */
+      mcpInstructions: Option[String] = None,
+      mcpInstructionsFile: Option[String] = None,
+      /** `http-port:` / `host:` (reference flapi.yaml) — the config
+        * tier of the CLI > env > config > default boot precedence. */
+      httpPort: Option[Int] = None,
+      host: Option[String] = None,
+      /** `enforce-https:` block (reference test_https_config.py). */
+      https: Option[HttpsConfig] = None)
 
   def parseProject(yaml: String): ProjectConfig = {
     val root = new org.yaml.snakeyaml.Yaml().load[Any](yaml)
@@ -99,6 +112,31 @@ object GraftBootstrap {
             summaryStore = str(m, "summary-store").getOrElse(""))
         }
       }.getOrElse(Seq.empty)
+    // `mcp:` block: instructions inline or from-file (mutually
+    // resolved by loadProject; inline wins when both are set, matching
+    // the reference's config precedence for inline values)
+    val mcp = Option(root.get("mcp"))
+      .map(_.asInstanceOf[java.util.Map[String, Any]])
+    // `enforce-https:` must be a MAP — a bare scalar (`enforce-https:
+    // true`) is a config error, not a silently-ignored flag (reference
+    // test_https_config.py::test_https_as_scalar_fails)
+    val https = Option(root.get("enforce-https")).map {
+      case m: java.util.Map[_, _] =>
+        val hm = m.asInstanceOf[java.util.Map[String, Any]]
+        HttpsConfig(
+          enabled = str(hm, "enabled").exists(_.toBoolean),
+          certFile = str(hm, "ssl-cert-file").getOrElse(""),
+          keyFile = str(hm, "ssl-key-file").getOrElse(""))
+      case other => throw new IllegalArgumentException(
+        s"enforce-https must be a map {enabled, ssl-cert-file, " +
+          s"ssl-key-file}, got scalar '$other'")
+    }
+    https.filter(_.enabled).foreach { h =>
+      if (h.certFile.isEmpty) throw new IllegalArgumentException(
+        "enforce-https.enabled is true but ssl-cert-file is missing/empty")
+      if (h.keyFile.isEmpty) throw new IllegalArgumentException(
+        "enforce-https.enabled is true but ssl-key-file is missing/empty")
+    }
     ProjectConfig(
       projectName = str(root, "project-name").getOrElse("graft"),
       templatePath = template.flatMap(t => str(t, "path")).getOrElse("."),
@@ -106,7 +144,73 @@ object GraftBootstrap {
       connections = conns,
       monitors = monitors,
       monitorDrainIntervalSeconds = str(root, "monitor-drain-interval")
-        .flatMap(x => scala.util.Try(x.toInt).toOption).getOrElse(0))
+        .flatMap(x => scala.util.Try(x.toInt).toOption).getOrElse(0),
+      mcpInstructions = mcp.flatMap(m => str(m, "instructions")),
+      mcpInstructionsFile = mcp.flatMap(m => str(m, "instructions-file")),
+      httpPort = str(root, "http-port").map(p =>
+        parsePort(p, "http-port (config)")),
+      host = str(root, "host"),
+      https = https)
+  }
+
+  /** A port string must be an integer in [1, 65535] — rejected with a
+    * DIRECTED single-line error naming the source tier, never silently
+    * coerced (reference test_env_overrides.py). */
+  private[graft] def parsePort(raw: String, source: String): Int = {
+    val n = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"invalid $source: '$raw' is not a number (expected 1-65535)"))
+    if (n < 1 || n > 65535) throw new IllegalArgumentException(
+      s"invalid $source: $n out of range (expected 1-65535)")
+    n
+  }
+
+  // ---- 12-factor boot options (reference test_env_overrides.py) -----------
+
+  /** Resolved boot-time options after the full precedence walk. */
+  final case class BootOptions(
+      configPath: String,
+      port: Int, // 0 = ephemeral (no tier supplied one)
+      host: String,
+      logLevel: Option[String])
+
+  private val ValidLogLevels =
+    Set("ALL", "TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL", "OFF")
+
+  /** CLI flag > `GRAFT_*` env var > config file > built-in default —
+    * the reference's 12-factor contract (FLAPI_CONFIG/PORT/HOST/
+    * LOG_LEVEL, issues #47/#63): every tier's INVALID value is a
+    * directed single-line error naming the variable and the offending
+    * value, never a silent coercion. Pure (env injected) so the
+    * precedence matrix is unit-testable. */
+  def resolveBootOptions(
+      cliConfig: Option[String] = None,
+      cliPort: Option[Int] = None,
+      cliHost: Option[String] = None,
+      cliLogLevel: Option[String] = None,
+      env: String => Option[String] = k => sys.env.get(k),
+      project: Option[ProjectConfig] = None): BootOptions = {
+    def envVal(k: String): Option[String] = env(k).map(_.trim).filter(_.nonEmpty)
+    val port = cliPort
+      .orElse(envVal("GRAFT_PORT").map(parsePort(_, "GRAFT_PORT")))
+      .orElse(project.flatMap(_.httpPort))
+      .getOrElse(0)
+    val host = cliHost.filter(_.nonEmpty)
+      .orElse(envVal("GRAFT_HOST"))
+      .orElse(project.flatMap(_.host))
+      .getOrElse("127.0.0.1")
+    def checkLevel(raw: String, source: String): String = {
+      val up = raw.toUpperCase
+      if (!ValidLogLevels.contains(up)) throw new IllegalArgumentException(
+        s"invalid $source: '$raw' (expected one of " +
+          ValidLogLevels.toSeq.sorted.mkString(", ").toLowerCase + ")")
+      up
+    }
+    val logLevel = cliLogLevel.map(checkLevel(_, "--log-level"))
+      .orElse(envVal("GRAFT_LOG_LEVEL").map(checkLevel(_, "GRAFT_LOG_LEVEL")))
+    val config = cliConfig
+      .orElse(envVal("GRAFT_CONFIG"))
+      .getOrElse("flapi.yaml")
+    BootOptions(config, port, host, logLevel)
   }
 
   /** Load a project tree: project yaml → discovered endpoints with
@@ -115,9 +219,31 @@ object GraftBootstrap {
     * resolved template dir as well (cache templates resolve against it). */
   def loadProject(spark: SparkSession, projectYaml: Path):
       (ProjectConfig, Seq[ServedEndpoint], String) = {
-    val project = parseProject(Files.readString(projectYaml))
+    val parsed = parseProject(Files.readString(projectYaml))
+    val base0 = Option(projectYaml.getParent).getOrElse(Paths.get("."))
+    // resolve relative enforce-https paths against the project dir and
+    // validate them NOW — a broken TLS config must fail the boot with a
+    // directed error, not bind a listener that cannot handshake
+    val https = parsed.https.map { h =>
+      def res(p: String) =
+        if (p.isEmpty) p else base0.resolve(p).normalize().toString
+      h.copy(certFile = res(h.certFile), keyFile = res(h.keyFile))
+    }
+    TlsSupport.validate(https)
+    // `mcp: instructions:` inline wins; otherwise `instructions-file:`
+    // resolves against the project dir (reference
+    // test_mcp_instructions.py covers both forms)
+    val project = parsed.copy(
+      https = https,
+      mcpInstructions = parsed.mcpInstructions.orElse(
+        parsed.mcpInstructionsFile.map { f =>
+          val p = base0.resolve(f).normalize()
+          if (!Files.isRegularFile(p)) throw new IllegalArgumentException(
+            s"mcp.instructions-file not found: $p")
+          Files.readString(p)
+        }))
     val envAllow = TemplateEnvConfig(project.envWhitelist)
-    val base = Option(projectYaml.getParent).getOrElse(Paths.get("."))
+    val base = base0
     val templateDir =
       if (TemplateSource.isRemote(project.templatePath)) project.templatePath
       else base.resolve(project.templatePath).normalize().toString
@@ -155,7 +281,7 @@ object GraftBootstrap {
           Some(ServedEndpoint(ep, template, connProps = connProps,
             // endpoint rate-limit block → serving token bucket
             rateLimit = ep.rateLimit.filter(_.enabled)
-              .map(rl => RateLimitConfig(rl.requestsPerMinute)),
+              .map(rl => RateLimitConfig(rl.requestsPerMinute, rl.keyStrategy)),
             // auth-enabled endpoints grant their configured users' roles
             allowedRoles = ep.auth.filter(_.enabled).map(a =>
               a.users.flatMap(_.roles).distinct),
@@ -215,7 +341,10 @@ object GraftBootstrap {
   def serve(spark: SparkSession, projectYaml: String, port: Int = 0,
             wire: WireConfig = WireConfig(),
             configService: Option[ConfigServiceConfig] = None,
-            cacheWarehouse: Option[String] = None): GraftServer = {
+            cacheWarehouse: Option[String] = None,
+            /** bind address; empty = resolve via GRAFT_HOST > `host:`
+              * config > 127.0.0.1 (the 12-factor precedence). */
+            host: String = ""): GraftServer = {
     // duplicated-scan budget on the SERVING session (r11 verdict #1):
     // endpoint SQL is user-authored — exactly the input ScanBudgetRule
     // exists to guard — so a session arriving without an explicit
@@ -292,9 +421,22 @@ object GraftBootstrap {
             else Map(
               "config" -> Paths.get(projectYaml).toAbsolutePath.getParent.toString,
               "templates" -> templateDir)))
-    new GraftServer(spark, endpoints, port = port, wire = wire,
+    // boot-option precedence (reference 12-factor contract): the
+    // serve() caller's explicit port/host are the CLI tier, GRAFT_PORT/
+    // GRAFT_HOST the env tier, the project yaml's http-port/host the
+    // config tier. GRAFT_LOG_LEVEL (validated) applies to the session.
+    val boot = resolveBootOptions(
+      cliPort = Some(port).filter(_ != 0),
+      cliHost = Some(host).filter(_.nonEmpty),
+      project = Some(project))
+    boot.logLevel.foreach(spark.sparkContext.setLogLevel)
+    // enforce-https: the listener speaks TLS (validated by loadProject)
+    val tlsCtx = project.https.filter(_.enabled)
+      .map(h => TlsSupport.sslContext(h.certFile, h.keyFile))
+    new GraftServer(spark, endpoints, port = boot.port, wire = wire,
       mcpAuthEnabled = anyAuth, basicAuth = basic, jwtAuth = jwt, oidcAuth = oidc,
       configService = csWithConns, cacheManager = manager,
-      monitors = monitorManager).start()
+      monitors = monitorManager, host = boot.host, tls = tlsCtx,
+      mcpInstructions = project.mcpInstructions).start()
   }
 }

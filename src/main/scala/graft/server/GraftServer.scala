@@ -105,13 +105,31 @@ final class GraftServer(
     telemetry: Option[Telemetry] = None,
     /** drift-monitor registry (the `monitors:` project block) — when
       * set, standing verdicts serve on GET /mcp/monitors. */
-    monitors: Option[MonitorManager] = None) {
+    monitors: Option[MonitorManager] = None,
+    /** bind address (`host:` config / GRAFT_HOST / --host). */
+    host: String = "127.0.0.1",
+    /** when set, the listener speaks TLS (`enforce-https:` — reference
+      * test_tls_wireup.py: https succeeds, plain http on the same port
+      * does not get a normal response). Built from the PEM cert/key by
+      * [[TlsSupport.sslContext]]. */
+    tls: Option[javax.net.ssl.SSLContext] = None,
+    /** MCP initialize `instructions` field (reference
+      * test_mcp_instructions.py) — inline or file-resolved by
+      * bootstrap; absent config omits the key entirely. */
+    mcpInstructions: Option[String] = None) {
 
   private val mapper = new ObjectMapper()
   private val rateLimiter = new RateLimiter()
   private val registry = new EndpointRegistry(endpoints)
   private def eps: Seq[ServedEndpoint] = registry.all
-  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val server: HttpServer = tls match {
+    case Some(ctx) =>
+      val s = com.sun.net.httpserver.HttpsServer
+        .create(new InetSocketAddress(host, port), 0)
+      s.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(ctx))
+      s
+    case None => HttpServer.create(new InetSocketAddress(host, port), 0)
+  }
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -318,15 +336,20 @@ final class GraftServer(
     matched match {
       case None => respond(ex, 404, """{"error":"no such endpoint"}""", "application/json")
       case Some((ep, pathParams)) =>
-        // rate limit BEFORE auth/template work, keyed by client address
-        // (the reference's middleware order: CORS→RateLimit→Auth)
+        // rate limit BEFORE auth/template work (the reference's
+        // middleware order: CORS→RateLimit→Auth), principal by the
+        // configured key strategy: ip | user | user-or-ip — `user`
+        // keys on a hash of the Authorization header so two users
+        // behind one NAT address get separate buckets
         restRateLimit.orElse(matched.flatMap(_._1.rateLimit)).foreach { rl =>
           val client = Option(ex.getRemoteAddress)
             .map(_.getAddress.getHostAddress).getOrElse("unknown")
+          val principal = RateLimitKey.principal(rl.keyStrategy, client,
+            Option(ex.getRequestHeaders.getFirst("Authorization")))
           // bucket key = the endpoint's ROUTE PATTERN, not the concrete
           // URI: /customers/:id must share one bucket across ids (a
           // per-URI key is bypassable and grows without bound)
-          val d = rateLimiter.tryAcquire(s"rest:${ep.config.urlPath}", client, rl)
+          val d = rateLimiter.tryAcquire(s"rest:${ep.config.urlPath}", principal, rl)
           if (!d.allowed) {
             ex.getResponseHeaders.set("Retry-After", d.retryAfterSeconds.toString)
             respond(ex, 429, """{"error":"rate limit exceeded"}""", "application/json")
@@ -528,9 +551,14 @@ final class GraftServer(
         val caps = McpClientCapabilities.detectFromInitialize(req.path("params"))
         val clientVersion = req.path("params").path("protocolVersion").asText("")
         mcpSessions.updateOnInitialize(sid, clientVersion, caps)
+        // optional `instructions` (reference test_mcp_instructions.py):
+        // present only when configured — clients treat the key's
+        // PRESENCE as "the operator wrote guidance"
+        val instructions = mcpInstructions
+          .map(i => s""","instructions":${quote(i)}""").getOrElse("")
         reply("""{"protocolVersion":"2024-11-05","serverInfo":{"name":"graft","version":"0.1"},""" +
           """"capabilities":{"tools":{"listChanged":true},"resources":{"subscribe":false},""" +
-          """"prompts":{},"logging":{},"completions":{}}}""")
+          """"prompts":{},"logging":{},"completions":{}}""" + instructions + "}")
       case "ping" => reply("{}")
 
       // ---- resources (mcp_route_handlers.cpp:911-1046; graft:// scheme) --

@@ -37,8 +37,42 @@ object AuthorizationPolicy {
 
 /** Per-(tool, principal) token bucket (reference mcp_tool_handler.cpp
   * W2.5: runs before argument validation so a flood never consumes
-  * template/DB work; anonymous callers share one bucket per tool). */
-final case class RateLimitConfig(requestsPerMinute: Int)
+  * template/DB work; anonymous callers share one bucket per tool).
+  * `keyStrategy` picks the REST-path principal (reference
+  * rate_limit_key_builder.cpp:26-44): `ip` (historical default),
+  * `user` (hashed Authorization header, `anonymous` fallback), or
+  * `user-or-ip` (hashed header when present, client address
+  * otherwise) — under `ip` a NAT'd fleet shares one bucket. */
+final case class RateLimitConfig(requestsPerMinute: Int,
+    keyStrategy: String = "ip")
+
+/** Rate-limit principal per key strategy (reference
+  * rate_limit_key_builder.cpp): the `user` principal is a STABLE HASH
+  * of the Authorization header — never the plaintext token, because
+  * bucket keys get logged — with the `anonymous` marker as fallback.
+  * Unknown/empty strategies preserve the historical `ip` behaviour,
+  * matching RateLimitKeyStrategyUtils::parse. */
+object RateLimitKey {
+  val AnonymousMarker = "anonymous"
+
+  def principal(strategy: String, clientIp: String,
+      authorizationHeader: Option[String]): String = {
+    val header = authorizationHeader.filter(_.nonEmpty)
+    strategy match {
+      case "user" => header.map(hashHeader).getOrElse(AnonymousMarker)
+      case "user-or-ip" => header.map(hashHeader).getOrElse(clientIp)
+      case _ => clientIp
+    }
+  }
+
+  /** `u` + first 16 hex chars of sha256(header): deterministic per
+    * caller, no token material in the key (the reference uses
+    * std::hash — sha256 gives the same property without platform-
+    * dependent hashing). */
+  private[server] def hashHeader(h: String): String =
+    "u" + java.security.MessageDigest.getInstance("SHA-256")
+      .digest(h.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+}
 
 final class RateLimiter(clock: () => Long = System.nanoTime) {
   final case class Decision(allowed: Boolean, retryAfterSeconds: Long)

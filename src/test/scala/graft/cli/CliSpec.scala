@@ -145,6 +145,52 @@ class CliSpec extends AnyFunSuite {
     assert(run("bundle", "pack", dir.toString, out, "--epoch", "0123")._1 == 0)
   }
 
+  test("serve --validate-config honors the 12-factor tiers without a SparkSession") {
+    val root = Files.createTempDirectory("cli_serve")
+    val sqls = Files.createDirectory(root.resolve("sqls"))
+    writeEndpoint(sqls)
+    Files.writeString(root.resolve("flapi.yaml"),
+      "project-name: cli-env\ntemplate:\n  path: './sqls'\nhttp-port: 7123\n")
+    def serveV(env: Map[String, String], extra: String*): (Int, String, String) = {
+      val o = new ByteArrayOutputStream(); val e = new ByteArrayOutputStream()
+      val code = Cli.serve(
+        List("--validate-config") ++ extra.toList,
+        new PrintStream(o, true, "UTF-8"), new PrintStream(e, true, "UTF-8"),
+        env = env.get)
+      (code, o.toString("UTF-8"), e.toString("UTF-8"))
+    }
+    // GRAFT_CONFIG locates the project when no -c flag is given
+    val (c1, o1, _) = serveV(Map("GRAFT_CONFIG" -> root.resolve("flapi.yaml").toString))
+    assert(c1 == 0, o1)
+    assert(o1.contains("config OK") && o1.contains("port=7123"), o1)
+    // -c wins over a deliberately broken GRAFT_CONFIG target
+    val (c2, o2, _) = serveV(
+      Map("GRAFT_CONFIG" -> "/no/such/file.yaml"),
+      "-c", root.resolve("flapi.yaml").toString)
+    assert(c2 == 0 && o2.contains("config OK"), o2)
+    // GRAFT_PORT overrides the config port; --port overrides both
+    val (_, o3, _) = serveV(Map(
+      "GRAFT_CONFIG" -> root.resolve("flapi.yaml").toString,
+      "GRAFT_PORT" -> "7456"))
+    assert(o3.contains("port=7456"), o3)
+    val (_, o4, _) = serveV(Map(
+      "GRAFT_CONFIG" -> root.resolve("flapi.yaml").toString,
+      "GRAFT_PORT" -> "7456"), "--port", "7789")
+    assert(o4.contains("port=7789"), o4)
+    // invalid env values are directed single-line errors (exit 1 via
+    // the runLocal catch when called through run())
+    val (cBad, _, eBad) = run("serve", "--validate-config",
+      "--port", "99999", "-c", root.resolve("flapi.yaml").toString)
+    assert(cBad == 1 && eBad.contains("invalid --port"), eBad)
+    // a broken enforce-https block fails validation with the directed
+    // text (run() routes through runLocal's catch → exit 1)
+    Files.writeString(root.resolve("bad.yaml"),
+      "project-name: x\ntemplate:\n  path: './sqls'\nenforce-https:\n  enabled: true\n")
+    val (cTls, _, eTls) = run("serve", "--validate-config",
+      "-c", root.resolve("bad.yaml").toString)
+    assert(cTls == 1 && eTls.contains("ssl-cert-file"), eTls)
+  }
+
   test("unknown commands print usage and exit 2") {
     val (code, _, errTxt) = run("frobnicate")
     assert(code == 2 && errTxt.contains("usage:"))

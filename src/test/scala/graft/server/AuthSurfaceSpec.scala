@@ -223,6 +223,57 @@ class AuthSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.stop()
   }
 
+  test("key-strategy 'user': two users behind one address get separate buckets") {
+    // reference rate_limit_key_builder.cpp:26-44 — under `ip` a NAT'd
+    // fleet shares one bucket; `user` keys on a hash of the
+    // Authorization header instead (both spec clients share 127.0.0.1)
+    val srv = new GraftServer(spark, Seq(ServedEndpoint(
+      EndpointConfig(urlPath = "/u-data", templateSource = "t.sql",
+        withPagination = false),
+      "SELECT 1 AS one")),
+      restRateLimit = Some(RateLimitConfig(requestsPerMinute = 2,
+        keyStrategy = "user"))).start()
+    try {
+      val b = s"http://127.0.0.1:${srv.boundPort}"
+      val alice = "Authorization" -> "Bearer alice-token"
+      val bob = "Authorization" -> "Bearer bob-token"
+      assert(get(b, "/u-data", alice).statusCode() == 200)
+      assert(get(b, "/u-data", alice).statusCode() == 200)
+      assert(get(b, "/u-data", alice).statusCode() == 429) // alice exhausted
+      // bob shares alice's remote address but NOT her bucket
+      assert(get(b, "/u-data", bob).statusCode() == 200)
+      // header-less callers pool under the anonymous marker, separate
+      // from both users
+      assert(get(b, "/u-data").statusCode() == 200)
+    } finally srv.stop()
+  }
+
+  test("key-strategy 'user-or-ip': anonymous falls back to the client address") {
+    val srv = new GraftServer(spark, Seq(ServedEndpoint(
+      EndpointConfig(urlPath = "/ui-data", templateSource = "t.sql",
+        withPagination = false),
+      "SELECT 1 AS one")),
+      restRateLimit = Some(RateLimitConfig(requestsPerMinute = 2,
+        keyStrategy = "user-or-ip"))).start()
+    try {
+      val b = s"http://127.0.0.1:${srv.boundPort}"
+      // two anonymous requests exhaust the ADDRESS bucket…
+      assert(get(b, "/ui-data").statusCode() == 200)
+      assert(get(b, "/ui-data").statusCode() == 200)
+      assert(get(b, "/ui-data").statusCode() == 429)
+      // …but an authenticated caller from the same address proceeds
+      assert(get(b, "/ui-data",
+        "Authorization" -> "Bearer carol-token").statusCode() == 200)
+    } finally srv.stop()
+    // the principal is a hash, never the plaintext token (it gets
+    // logged in bucket keys), and unknown strategies preserve `ip`
+    assert(!RateLimitKey.principal("user", "1.2.3.4",
+      Some("Bearer secret-token")).contains("secret"))
+    assert(RateLimitKey.principal("user", "1.2.3.4", None) == "anonymous")
+    assert(RateLimitKey.principal("bogus", "1.2.3.4",
+      Some("Bearer x")) == "1.2.3.4")
+  }
+
   test("request audit log records every request as queryable JSONL") {
     get(rlBase, "/no-such-route") // a 404 is audited too
     val lines = java.nio.file.Files.readAllLines(auditPath)

@@ -583,4 +583,211 @@ class BootstrapSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.unset(key)
     }
   }
+
+  // ---- 12-factor env overrides (reference test_env_overrides.py) -----------
+
+  test("boot precedence matrix: CLI > GRAFT_* env > config > default") {
+    import GraftBootstrap.{resolveBootOptions, ProjectConfig}
+    val project = ProjectConfig("p", ".", httpPort = Some(7001),
+      host = Some("10.0.0.1"))
+    val env = Map("GRAFT_PORT" -> "7002", "GRAFT_HOST" -> "10.0.0.2",
+      "GRAFT_CONFIG" -> "/env/flapi.yaml", "GRAFT_LOG_LEVEL" -> "debug")
+    // all four tiers present: CLI wins everywhere
+    val cli = resolveBootOptions(cliConfig = Some("/cli.yaml"),
+      cliPort = Some(7003), cliHost = Some("10.0.0.3"),
+      cliLogLevel = Some("error"), env = env.get, project = Some(project))
+    assert(cli == GraftBootstrap.BootOptions("/cli.yaml", 7003, "10.0.0.3", Some("ERROR")))
+    // no CLI: env wins over config
+    val fromEnv = resolveBootOptions(env = env.get, project = Some(project))
+    assert(fromEnv == GraftBootstrap.BootOptions(
+      "/env/flapi.yaml", 7002, "10.0.0.2", Some("DEBUG")))
+    // no CLI, no env: config tier
+    val fromCfg = resolveBootOptions(env = _ => None, project = Some(project))
+    assert(fromCfg == GraftBootstrap.BootOptions("flapi.yaml", 7001, "10.0.0.1", None))
+    // nothing anywhere: built-in defaults
+    val dflt = resolveBootOptions(env = _ => None)
+    assert(dflt == GraftBootstrap.BootOptions("flapi.yaml", 0, "127.0.0.1", None))
+    // empty env values are "unset", not empty-string overrides
+    val blank = resolveBootOptions(
+      env = Map("GRAFT_HOST" -> " ", "GRAFT_PORT" -> "").get,
+      project = Some(project))
+    assert(blank.host == "10.0.0.1" && blank.port == 7001)
+  }
+
+  test("invalid GRAFT_PORT / GRAFT_LOG_LEVEL / http-port are directed errors") {
+    import GraftBootstrap.resolveBootOptions
+    for (bogus <- Seq("abc", "0", "99999", "-1")) {
+      val e = intercept[IllegalArgumentException] {
+        resolveBootOptions(env = Map("GRAFT_PORT" -> bogus).get)
+      }
+      assert(e.getMessage.contains("invalid GRAFT_PORT") &&
+        e.getMessage.contains(bogus), e.getMessage)
+    }
+    val lvl = intercept[IllegalArgumentException] {
+      resolveBootOptions(env = Map("GRAFT_LOG_LEVEL" -> "verbose").get)
+    }
+    assert(lvl.getMessage.contains("invalid GRAFT_LOG_LEVEL") &&
+      lvl.getMessage.contains("verbose"), lvl.getMessage)
+    // the config tier validates the same way (never silently coerced)
+    val cfg = intercept[IllegalArgumentException] {
+      GraftBootstrap.parseProject("project-name: x\nhttp-port: eighty\n")
+    }
+    assert(cfg.getMessage.contains("invalid http-port"), cfg.getMessage)
+    // yaml-supplied port/host reach the served listener via serve()'s
+    // resolution: exercised by the https e2e below (http-port absent →
+    // ephemeral stays the default, locked by every other test here)
+  }
+
+  // ---- enforce-https (reference test_https_config.py / test_tls_wireup.py) --
+
+  private val certFixture =
+    java.nio.file.Paths.get("src/test/resources/tls/test_cert.pem")
+      .toAbsolutePath.toString
+  private val keyFixture =
+    java.nio.file.Paths.get("src/test/resources/tls/test_key.pem")
+      .toAbsolutePath.toString
+
+  test("enforce-https config validation: directed errors for every broken shape") {
+    import GraftBootstrap.parseProject
+    // scalar block (test_https_as_scalar_fails)
+    val scalar = intercept[IllegalArgumentException] {
+      parseProject("project-name: x\nenforce-https: true\n")
+    }
+    assert(scalar.getMessage.contains("enforce-https must be a map"))
+    // enabled without cert / without key / empty path
+    for ((block, needle) <- Seq(
+      (s"  enabled: true\n  ssl-key-file: $keyFixture", "ssl-cert-file"),
+      (s"  enabled: true\n  ssl-cert-file: $certFixture", "ssl-key-file"),
+      (s"  enabled: true\n  ssl-cert-file: ''\n  ssl-key-file: $keyFixture",
+        "ssl-cert-file"))) {
+      val e = intercept[IllegalArgumentException] {
+        parseProject(s"project-name: x\nenforce-https:\n$block\n")
+      }
+      assert(e.getMessage.contains(needle), s"$block → ${e.getMessage}")
+    }
+    // disabled block needs no paths (test_https_disabled_validates)
+    val off = parseProject("project-name: x\nenforce-https:\n  enabled: false\n")
+    assert(off.https.exists(!_.enabled))
+    // nonexistent files are caught by the file tier
+    val miss = intercept[IllegalArgumentException] {
+      TlsSupport.validate(Some(HttpsConfig(enabled = true,
+        certFile = "/no/such/cert.pem", keyFile = keyFixture)))
+    }
+    assert(miss.getMessage.contains("ssl-cert-file not found"))
+    // valid fixture pair validates and builds a context
+    TlsSupport.validate(Some(HttpsConfig(enabled = true,
+      certFile = certFixture, keyFile = keyFixture)))
+  }
+
+  test("enforce-https e2e: https 200 over the self-signed cert; plain http refused") {
+    val root = Files.createTempDirectory("graft_tls")
+    val sqls = Files.createDirectory(root.resolve("sqls"))
+    Files.writeString(root.resolve("project.yaml"),
+      s"""project-name: tls-wireup
+         |template:
+         |  path: './sqls'
+         |connections:
+         |  data:
+         |    properties:
+         |      path: '/root/testdata/sf0.001/customer.parquet'
+         |enforce-https:
+         |  enabled: true
+         |  ssl-cert-file: $certFixture
+         |  ssl-key-file: $keyFixture
+         |""".stripMargin)
+    Files.writeString(sqls.resolve("ping.yaml"),
+      "url-path: /ping\ntemplate-source: ping.sql\nwith-pagination: \"false\"\n")
+    Files.writeString(sqls.resolve("ping.sql"), "SELECT 1 AS ok")
+    val srv = GraftBootstrap.serve(spark, root.resolve("project.yaml").toString)
+    try {
+      val port = srv.boundPort
+      // a client trusting exactly the fixture cert (SAN IP:127.0.0.1
+      // satisfies hostname verification — no verification disabled)
+      val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+      val cert = cf.generateCertificate(
+        Files.newInputStream(java.nio.file.Paths.get(certFixture)))
+      val ts = java.security.KeyStore.getInstance("PKCS12")
+      ts.load(null, null)
+      ts.setCertificateEntry("fixture", cert)
+      val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+        javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(ts)
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, tmf.getTrustManagers, null)
+      val tlsClient = HttpClient.newBuilder().sslContext(ctx).build()
+      val r = tlsClient.send(
+        HttpRequest.newBuilder(URI.create(s"https://127.0.0.1:$port/ping")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200, r.body())
+      assert(mapper.readTree(r.body()).get(0).get("ok").asInt() == 1)
+      assert(r.uri().getScheme == "https")
+      // plain http against the TLS port must not get a normal response
+      // (test_tls_wireup.py accepts any non-success outcome)
+      val plain = try {
+        Some(client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/ping"))
+            .timeout(java.time.Duration.ofSeconds(5)).build(),
+          HttpResponse.BodyHandlers.ofString()))
+      } catch { case _: java.io.IOException => None }
+      assert(plain.forall(_.statusCode() >= 400),
+        s"plain HTTP unexpectedly succeeded: ${plain.map(_.statusCode())}")
+    } finally srv.stop()
+  }
+
+  // ---- MCP instructions (reference test_mcp_instructions.py) ---------------
+
+  test("mcp instructions: inline and from-file surface on initialize; absent omits") {
+    def initResult(srv: GraftServer): com.fasterxml.jackson.databind.JsonNode = {
+      val r = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.boundPort}/mcp/jsonrpc"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"jsonrpc":"2.0","id":1,"method":"initialize","params":{"protocolVersion":"2024-11-05"}}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      mapper.readTree(r.body()).get("result")
+    }
+    def tree(mcpBlock: String): java.nio.file.Path = {
+      val root = Files.createTempDirectory("graft_mcp_instr")
+      val sqls = Files.createDirectory(root.resolve("sqls"))
+      Files.writeString(sqls.resolve("ping.yaml"),
+        "url-path: /ping\ntemplate-source: ping.sql\nwith-pagination: \"false\"\n")
+      Files.writeString(sqls.resolve("ping.sql"), "SELECT 1 AS ok")
+      Files.writeString(root.resolve("project.yaml"),
+        s"project-name: x\ntemplate:\n  path: './sqls'\n$mcpBlock")
+      root
+    }
+    // inline form
+    val inlineRoot = tree(
+      "mcp:\n  instructions: |\n    # Graft Guide\n    Use cust_lookup first.\n")
+    val s1 = GraftBootstrap.serve(spark, inlineRoot.resolve("project.yaml").toString)
+    try {
+      val res = initResult(s1)
+      assert(res.has("instructions"), res.toString)
+      assert(res.get("instructions").asText().contains("Graft Guide"))
+      assert(res.get("instructions").asText().contains("cust_lookup"))
+    } finally s1.stop()
+    // from-file form (resolved against the project dir)
+    val fileRoot = tree("mcp:\n  instructions-file: ./guide.md\n")
+    Files.writeString(fileRoot.resolve("guide.md"),
+      "# File Guide\n- Feature 1\n- Feature 2\n")
+    val s2 = GraftBootstrap.serve(spark, fileRoot.resolve("project.yaml").toString)
+    try {
+      val res = initResult(s2)
+      assert(res.get("instructions").asText().contains("File Guide"))
+      assert(res.get("instructions").asText().contains("Feature 1"))
+    } finally s2.stop()
+    // a missing instructions file is a directed boot error
+    val badRoot = tree("mcp:\n  instructions-file: ./absent.md\n")
+    val e = intercept[IllegalArgumentException] {
+      GraftBootstrap.serve(spark, badRoot.resolve("project.yaml").toString)
+    }
+    assert(e.getMessage.contains("instructions-file not found"))
+    // absent config omits the key entirely
+    val plainRoot = tree("")
+    val s3 = GraftBootstrap.serve(spark, plainRoot.resolve("project.yaml").toString)
+    try assert(!initResult(s3).has("instructions"))
+    finally s3.stop()
+  }
 }
