@@ -193,10 +193,42 @@ object Paginator {
 
   /** Keyset variant for deep pagination: strictly-after `lastSeen` on a
     * unique ordering key. O(page) not O(offset+page) — the plan pushes
-    * `key > lastSeen` into the scan. */
+    * `key > lastSeen` into the scan. A STRING cursor (every HTTP query
+    * param arrives as text) is cast to the key column's own type, or
+    * Spark would coerce the COLUMN to string and compare
+    * lexicographically — "9" > "10". */
   def keysetPage(df: DataFrame, keyCol: String, lastSeen: Option[Any], limit: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val filtered = lastSeen.fold(df)(v => df.filter(col(keyCol) > lit(v)))
+    val keyType = df.schema(keyCol).dataType
+    val filtered = lastSeen.fold(df)(v =>
+      df.filter(col(keyCol) > lit(v).cast(keyType)))
     filtered.orderBy(col(keyCol)).limit(limit.toInt)
+  }
+
+  /** One keyset page + cursor envelope: collects the (limit-bounded)
+    * page ONCE, derives the `next` cursor from the last row's key.
+    * `next` is present iff the page filled — the deep-page contract:
+    * page N's plan is identical in shape to page 1's (pushed
+    * `key > cursor` + LIMIT; no OFFSET anywhere). */
+  final case class KeysetPage(
+      rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType,
+      limit: Long,
+      totalCount: Long,
+      next: Option[String])
+
+  def keysetPaginate(df: DataFrame, keyCol: String, after: Option[String],
+      limit: Long, basePath: String): KeysetPage = {
+    val page = keysetPage(df, keyCol, after, limit)
+    val rows = page.collect()
+    // the count prunes to the scan like the offset path's companion
+    val total = df.count()
+    val next =
+      if (rows.length == limit && rows.nonEmpty) {
+        val cursor = java.net.URLEncoder.encode(
+          String.valueOf(rows.last.getAs[Any](keyCol)), "UTF-8")
+        Some(s"$basePath?after=$cursor&limit=$limit")
+      } else None
+    KeysetPage(rows, page.schema, limit, total, next)
   }
 }

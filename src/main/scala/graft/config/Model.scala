@@ -145,6 +145,12 @@ final case class EndpointConfig(
     /** reject params not declared in requestFields (T7) */
     requestFieldsValidation: Boolean = false,
     withPagination: Boolean = true,
+    /** `pagination: keyset: <col>` — deep pagination by a unique
+      * ordering key: the page plan is `key > cursor ORDER BY key LIMIT
+      * n` (pushed-down range scan, O(page)), never a growing OFFSET
+      * (O(offset+page)). The envelope's `next` becomes a cursor link
+      * (`?after=<last-key>`). */
+    paginationKeyset: Option[String] = None,
     isWrite: Boolean = false,
     /** write endpoints: return the trailing SELECT's rows (reference
       * operation.returns-data, products-create.yaml). */

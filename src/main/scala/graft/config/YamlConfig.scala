@@ -273,6 +273,8 @@ object YamlConfig {
       requestFieldsValidation =
         str(m, "request-fields-validation").exists(_.toBoolean),
       withPagination = str(m, "with-pagination").forall(_.toBoolean),
+      paginationKeyset = Option(m.get("pagination")).map(asMap)
+        .flatMap(pm => str(pm, "keyset")),
       // write-ness: an explicit operation.type: write block (reference
       // products-create.yaml) or a mutating HTTP method
       isWrite = Option(m.get("operation")).map(asMap)

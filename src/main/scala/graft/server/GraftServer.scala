@@ -392,7 +392,31 @@ final class GraftServer(
                          params: Map[String, String], query: Map[String, String]): Unit = {
     val df = TemplatePipeline.run(spark, ep.config, ep.template, params, ep.connProps)
     val fmt = negotiate(ex, query)
-    if (ep.config.withPagination) {
+    if (ep.config.withPagination && ep.config.paginationKeyset.isDefined) {
+      // keyset pagination (`pagination: keyset: <col>`): page N's plan
+      // is page 1's plan — a pushed `key > cursor` range filter plus
+      // LIMIT, never a growing OFFSET scan. `next` is a cursor link.
+      val keyCol = ep.config.paginationKeyset.get
+      val (_, lim) = Paginator.params(params)
+      val after = params.get("after").filter(_.nonEmpty)
+      val page = Paginator.keysetPaginate(df, keyCol, after, lim,
+        basePath = ep.config.urlPath)
+      val h = ex.getResponseHeaders
+      h.set("X-Total-Count", page.totalCount.toString)
+      h.set("X-Limit", page.limit.toString)
+      page.next.foreach(h.set("X-Next", _))
+      fmt match {
+        case "json" =>
+          val rows = JsonWire.rows(page.schema, page.rows.iterator)
+            .mkString("[", ",", "]")
+          val next = page.next.fold("null")(quote)
+          respond(ex, 200,
+            s"""{"data":$rows,"next":$next,"total_count":${page.totalCount}}""",
+            "application/json")
+        case other =>
+          respondRaw(ex, Paginator.keysetPage(df, keyCol, after, lim), other)
+      }
+    } else if (ep.config.withPagination) {
       val (off, lim) = Paginator.params(params)
       val page = Paginator.paginate(df, off, lim, basePath = ep.config.urlPath)
       val h = ex.getResponseHeaders

@@ -92,6 +92,18 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       |SELECT id FROM srv_big ORDER BY id""".stripMargin,
     connProps = Map("loc" -> (System.getProperty("java.io.tmpdir") + "/graft_srv_bigw")))
 
+  /** Keyset-paginated endpoint over a real parquet table: deep pages
+    * must run the SAME plan shape as page 1 (pushed key > cursor +
+    * LIMIT, no OFFSET). */
+  private val keysetEndpoint = ServedEndpoint(
+    EndpointConfig(
+      urlPath = "/kcustomers",
+      templateSource = "k.sql",
+      paginationKeyset = Some("c_custkey"),
+      requestFieldsValidation = false),
+    "SELECT c_custkey, c_name FROM read_parquet('{{conn.path}}')",
+    connProps = Map("path" -> "/root/testdata/sf0.001/customer.parquet"))
+
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
       .master("local[2]").appName("server-spec")
@@ -111,7 +123,7 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     if (bigwLoc.exists()) bigwLoc.listFiles().foreach(_.delete())
     server = new GraftServer(spark,
       Seq(customersEndpoint, byIdEndpoint, writeEndpoint, bigEndpoint,
-        bigSampleEndpoint, bigWriteEndpoint),
+        bigSampleEndpoint, bigWriteEndpoint, keysetEndpoint),
       wire = WireConfig(defaultRowCap = 7, arrowBatchRows = 1000,
         arrowCodec = Some("zstd"))).start()
     base = s"http://127.0.0.1:${server.boundPort}"
@@ -148,6 +160,48 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(j.get("next").asText() == "/customers?offset=2&limit=2")
     assert(r.headers().firstValue("X-Total-Count").get() == "4")
     assert(r.headers().firstValue("X-Next").isPresent)
+  }
+
+  test("keyset pagination: cursor links walk the table exactly once; deep pages never OFFSET") {
+    // walk the whole table through the cursor envelope
+    var next: Option[String] = Some("/kcustomers?limit=40")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var total = -1L
+    var pages = 0
+    while (next.isDefined && pages < 50) {
+      val r = get(next.get)
+      assert(r.statusCode() == 200, r.body())
+      val j = mapper.readTree(r.body())
+      total = j.get("total_count").asLong()
+      (0 until j.get("data").size()).foreach(i =>
+        seen += j.get("data").get(i).get("c_custkey").asLong())
+      assert(r.headers().firstValue("X-Limit").get() == "40")
+      next = if (j.get("next").isNull) None else Some(j.get("next").asText())
+      next.foreach(n => assert(n.contains("after="), n))
+      pages += 1
+    }
+    // row parity with the engine's own full ordering — every key once,
+    // in order, across every page boundary
+    val expected = spark.read
+      .parquet("/root/testdata/sf0.001/customer.parquet")
+      .select("c_custkey").orderBy("c_custkey")
+      .collect().map(_.getLong(0)).toSeq
+    assert(total == expected.size.toLong)
+    assert(seen.toSeq == expected,
+      s"keyset walk diverged (${seen.size} vs ${expected.size})")
+    assert(pages == (expected.size + 39) / 40)
+    // the deep-page PLAN: key > cursor is pushed into the parquet scan
+    // and nothing resembling an offset appears — page N == page 1 shape
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/customer.parquet")
+      .select("c_custkey", "c_name")
+    val deep = graft.api.Paginator.keysetPage(df, "c_custkey", Some("120"), 40)
+    val plan = deep.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(c_custkey,120)"),
+      s"cursor filter not pushed to the scan:\n$plan")
+    assert(!plan.toLowerCase.contains("offset"), s"offset in keyset plan:\n$plan")
+    // typed cursor: "120" compares numerically (121 first, not "13")
+    assert(deep.collect().head.getLong(0) == 121L)
   }
 
   test("typed param filters; section renders conditionally") {
