@@ -584,6 +584,53 @@ class BootstrapSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a monitor whose source disappears shows a drain-error gauge; others keep updating") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_drain_err")
+    def writeHours(dir: String, n: Int, offset: Int = 0): Unit =
+      (offset until offset + n)
+        .map(h => java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.of(2026, 1, 1, 0, 0).plusHours(h)))
+        .toDF("ts").coalesce(1).write.mode("append").parquet(dir)
+    val srcA = root.resolve("srcA").toString
+    val srcB = root.resolve("srcB").toString
+    writeHours(srcA, 48)
+    writeHours(srcB, 48)
+    val mm = new MonitorManager(spark, Seq(
+      MonitorConfig("mon-a", "cusum", srcA, root.resolve("ckA").toString),
+      MonitorConfig("mon-b", "cusum", srcB, root.resolve("ckB").toString)))
+    mm.drain()
+    assert(mm.snapshot.map(_.name).toSet == Set("mon-a", "mon-b"))
+    assert(mm.drainErrorsJson == """{"mon-a":0,"mon-b":0}""")
+    val aBatch0 = mm.snapshot.find(_.name == "mon-a").get.batchId
+    // source B vanishes mid-run (a dropped mount, a retention sweep)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    rmTree(java.nio.file.Paths.get(srcB))
+    writeHours(srcA, 4, offset = 48) // A has fresh data to absorb
+    mm.drain()
+    // B is a non-zero OBSERVABLE gauge, not just a stderr line…
+    val counts = mapper.readTree(mm.drainErrorsJson)
+    assert(counts.get("mon-b").asLong() >= 1L, mm.drainErrorsJson)
+    assert(counts.get("mon-a").asLong() == 0L, mm.drainErrorsJson)
+    // …while A kept absorbing (its committed batch advanced)
+    assert(mm.snapshot.find(_.name == "mon-a").get.batchId > aBatch0)
+    // and the gauge serves on /mcp/metrics
+    val srv = new GraftServer(spark, Seq.empty, monitors = Some(mm)).start()
+    try {
+      val r = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.boundPort}/mcp/metrics")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val j = mapper.readTree(r.body())
+      assert(j.has("monitor_drain_errors"), r.body())
+      assert(j.get("monitor_drain_errors").get("mon-b").asLong() >= 1L)
+    } finally srv.stop()
+  }
+
   // ---- 12-factor env overrides (reference test_env_overrides.py) -----------
 
   test("boot precedence matrix: CLI > GRAFT_* env > config > default") {
