@@ -857,31 +857,48 @@ object CorpusOpsQueries extends QuerySet {
            |         i -> coalesce(list_filter(pairs, p -> p.b = i)[1].w, 0::BIGINT))) AS vec,
            |       l2sq, nnz
            |FROM d ORDER BY doc_id""".stripMargin),
-    (s, dir) => Tables.sql(s, dir,
-      """WITH tok AS (
-        |  SELECT doc_id, t FROM (
-        |    SELECT doc_id, explode(split(text, ' ')) AS t FROM documents)
-        |  WHERE t <> ''),
-        |hx AS (
-        |  SELECT doc_id, CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) AS h FROM tok),
-        |h AS (
-        |  SELECT doc_id, h % 16 AS bucket,
-        |         CASE WHEN (h div 16) % 2 = 1 THEN 1 ELSE -1 END AS sgn
-        |  FROM hx),
-        |g AS (
-        |  SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS wt
-        |  FROM h GROUP BY doc_id, bucket),
-        |d AS (
-        |  SELECT doc_id,
-        |         array_sort(collect_list(named_struct('b', bucket, 'w', wt))) AS pairs,
-        |         CAST(sum(wt * wt) AS BIGINT) AS l2sq,
-        |         CAST(count(*) FILTER (WHERE wt <> 0) AS BIGINT) AS nnz
-        |  FROM g GROUP BY doc_id)
-        |SELECT doc_id,
-        |       to_json(transform(sequence(0, 15),
-        |         i -> coalesce(try_element_at(filter(pairs, p -> p.b = i), 1).w, CAST(0 AS BIGINT)))) AS vec,
-        |       l2sq, nnz
-        |FROM d ORDER BY doc_id""".stripMargin))
+    (s, dir) => {
+      // r14: with D fixed at 16 lanes the (doc, bucket) pre-aggregate
+      // is a wasted exchange — pivot the lanes into 16 conditional sums
+      // keyed on doc_id alone (guide §2.4 "remove shuffles outright"):
+      // ONE partial-combining aggregate replaces groupBy(doc,bucket) +
+      // groupBy(doc) + the O(D²) per-doc lane lookup, and the shuffle
+      // carries one 17-column row per doc instead of ≤16 (doc, bucket,
+      // wt) rows. A present-but-cancelled bucket sums to 0 exactly like
+      // the old coalesce(absent → 0) path, so l2sq/nnz/vec are
+      // bit-identical. (At production D = 2^18 the column pivot stops
+      // making sense and the (doc, bucket) partial-agg form is right —
+      // this rewrite is the D-small specialization, the oracle keeps
+      // the general spelling.)
+      val lanes = 0 until 16
+      val sums = lanes.map(i =>
+        s"CAST(sum(CASE WHEN bucket = $i THEN sgn ELSE 0 END) AS BIGINT) AS w$i")
+        .mkString(",\n         ")
+      val vecArr = lanes.map(i => s"w$i").mkString("array(", ", ", ")")
+      val l2 = lanes.map(i => s"w$i * w$i").mkString(" + ")
+      val nz = lanes.map(i => s"(CASE WHEN w$i <> 0 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      Tables.sql(s, dir,
+        s"""WITH tok AS (
+           |  SELECT doc_id, t FROM (
+           |    SELECT doc_id, explode(split(text, ' ')) AS t FROM documents)
+           |  WHERE t <> ''),
+           |hx AS (
+           |  SELECT doc_id, CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) AS h FROM tok),
+           |h AS (
+           |  SELECT doc_id, h % 16 AS bucket,
+           |         CASE WHEN (h div 16) % 2 = 1 THEN 1 ELSE -1 END AS sgn
+           |  FROM hx),
+           |d AS (
+           |  SELECT doc_id,
+           |         $sums
+           |  FROM h GROUP BY doc_id)
+           |SELECT doc_id,
+           |       to_json($vecArr) AS vec,
+           |       CAST($l2 AS BIGINT) AS l2sq,
+           |       CAST($nz AS BIGINT) AS nnz
+           |FROM d ORDER BY doc_id""".stripMargin)
+    })
 
   // ---- context-length truncation loss -----------------------------------
   // The context-budget question every pretraining run answers before

@@ -25,10 +25,15 @@ object CurationQueries extends QuerySet {
   // indel), so the candidate set is an equi-join on variant strings —
   // O(n·L) variants, hash-partitioned, bucket sizes bounded by
   // |alphabet|·L — and the exact levenshtein verify runs per candidate
-  // only. The join is load-bearing both ways: blocking is COMPLETE
-  // (no distance-1 pair can be missed — CurationSpec proves it against
-  // a quadratic brute-force audit) and the verify is NECESSARY
-  // (variant collisions admit distance-2 pairs, e.g. "…010"/"…100").
+  // only. Blocking is COMPLETE (no distance-1 pair can be missed —
+  // CurationSpec proves it against a quadratic brute-force audit).
+  // The Spark path sharpens the key (r14): deletion variants join on
+  // (variant, DELETION INDEX) — substitution pairs must collide at the
+  // differing position, and index-matched collisions are distance ≤ 1
+  // by construction — while indel pairs come from the original ⋈
+  // deletion join on the variant alone; distance-2 false candidates
+  // (e.g. "…010"/"…100", which share a variant at DIFFERENT indexes)
+  // never materialize, so the verify is a parity guard, not a filter.
   // 100 TB shape: map-side variant explode over the entity table, one
   // hash shuffle on the variant key, per-candidate verify — the
   // quadratic all-pairs form never appears (PlanSpec: no cartesian).
@@ -50,54 +55,101 @@ object CurationQueries extends QuerySet {
            |ORDER BY name_a, name_b""".stripMargin),
     (s, dir) => {
       val customers = Tables.table(s, dir, "customer")
-      // the variant join ships ONLY (custkey, variant) — names rejoin
-      // AFTER blocking via a broadcast of the entity dim (map-side, no
-      // exchange), halving the bytes through the one real shuffle
-      val vars = customers
-        .select(col("c_custkey"),
-          // variant set = the string itself (0 deletions) ++ every
-          // single-deletion — including the original catches pure
-          // indel pairs where one side is the other's variant
-          explode(expr(
-            """concat(array(c_name),
-              |  transform(sequence(1, length(c_name)),
-              |    i -> concat(substring(c_name, 1, i - 1), substring(c_name, i + 1))))"""
-              .stripMargin)).as("d"))
-      // EXPLICIT partition count on the variant key: the blocking join's
-      // inputs are tiny (~10 MB at sf0.1) but its OUTPUT fans out ~5×
-      // and feeds the per-pair verify kernel — AQE's size-based
-      // coalescing sees only the input bytes, folds the exchange to 1-2
-      // partitions, and serializes 1.46M levenshtein calls on two
-      // cores. A user-specified repartition count is exempt from AQE
-      // coalescing, becomes the join's own exchange (no extra shuffle),
-      // and keeps the verify stage on every core. At real scale the
-      // inputs are big enough that AQE would never coalesce; this pins
-      // the expanding-join case the advisory size heuristic misjudges.
+      // POSITION-KEYED blocking (r14 optimization, guide §3 "avoid
+      // exploding joins" / §2.3 "shuffle fewer bytes"): the plain
+      // variant equi-join admits any pair whose deletion neighborhoods
+      // intersect — at distance-2 too (e.g. "…010"/"…100" share "…00"),
+      // and on ID-shaped corpora those false candidates outnumber the
+      // genuine set ~7× (1.46M candidates vs ~195K true pairs at
+      // sf0.1). Carrying the DELETION INDEX in the join key removes
+      // them structurally:
+      //  * substitution pairs (equal length): a and b at distance 1
+      //    differing at position i share the variant AT INDEX i —
+      //    conversely, deletion@i(a) == deletion@i(b) forces a and b to
+      //    agree everywhere except position i, i.e. distance ≤ 1. The
+      //    (d, i)-keyed join therefore emits ONLY genuine pairs.
+      //  * indel pairs (length gap 1): the shorter string IS a deletion
+      //    variant of the longer, so the original(i=0) ⋈ deletion(i≥1)
+      //    join on d alone finds exactly those — and levenshtein = 1
+      //    holds for every match by construction.
+      // Union of the two joins = exactly the distance-1 pair set the
+      // plain join + verify produced (CurationSpec re-proves the
+      // brute-force audit); the verify filter stays as a safety net but
+      // now sees only genuine pairs, so the 1.46M-call levenshtein
+      // floor and the 1.46M-row distinct input are both gone.
+      // The entity dim (custkey, name) checkpoints ONCE (tiny — it is
+      // the broadcast-class dim) and feeds the three broadcast sides;
+      // the deletion stream re-derives map-side from the parquet scan
+      // per reference (3 scans, within the ScanBudget) — materializing
+      // the 19×-bigger variant frame instead cost 0.56 s of serialize
+      // on a single partition (measured, r14).
+      val dim = customers.select(col("c_custkey"), col("c_name"))
+        .localCheckpoint()
+      // deletions, parallelized: the dim arrives as ONE parquet split,
+      // and the explode + shuffle write of the variant stream must not
+      // serialize on one core (Parallelize no-ops at real scale). The
+      // repartition subtree is IDENTICAL for every derivation, so the
+      // physical planner reuses one exchange for all three.
+      val pcust = graft.operators.Parallelize.ensure(
+        customers.select(col("c_custkey"), col("c_name")))
+      def dels(k: String) = pcust
+        .select(col("c_custkey").as(k),
+          posexplode(expr(
+            """transform(sequence(1, length(c_name)),
+              |  i -> concat(substring(c_name, 1, i - 1), substring(c_name, i + 1)))"""
+              .stripMargin)).as(Seq("p", "d")))
+      // substitutions: deletion ⋈ deletion keyed on (d, p) — only
+      // customers agreeing everywhere but position p collide, so the
+      // join emits genuine pairs only (both orientations; the k1 < k2
+      // filter keeps one), and each genuine pair emits EXACTLY ONCE
+      // (the strings agree after deleting position p only at their
+      // differing position), so no dedup is needed on this family.
+      // EXPLICIT partition pin on the join keys: without it the
+      // planner's size estimate broadcasts one 285K-row deletion
+      // stream (measured: 2.13 s — a driver collect + single-threaded
+      // hash build), and at real scale the variant stream is
+      // corpus-sized and must never broadcast. The user repartition is
+      // exempt from AQE coalescing, becomes the join's own exchange,
+      // and keeps the pair emit on every core.
       val par = s.sparkContext.defaultParallelism
-      val a = vars.select(col("c_custkey").as("custkey_a"), col("d"))
-        .repartition(par, col("d"))
-      val b = vars.select(col("c_custkey").as("custkey_b"), col("d"))
-        .repartition(par, col("d"))
-      val nameA = broadcast(customers.select(col("c_custkey").as("custkey_a"),
-        col("c_name").as("name_a")))
-      val nameB = broadcast(customers.select(col("c_custkey").as("custkey_b"),
-        col("c_name").as("name_b")))
-      a.join(b, "d")
-        .filter(col("custkey_a") =!= col("custkey_b"))
-        .join(nameA, "custkey_a").join(nameB, "custkey_b")
-        .filter(col("name_a") < col("name_b"))
-        // verify BEFORE the pair-dedup, with the THRESHOLD levenshtein
-        // (banded DP, early exit — Spark 3.5+): on ID-shaped corpora
-        // (dense "Customer#000000042" names) the blocking emits ~100
-        // variant collisions per customer, so the full-DP verify over
-        // 1.46M candidates plus a wide distinct over all of them was
-        // the entire 6.3 s warm cost at sf0.1; the banded kernel is
-        // ~6× cheaper per pair and the distinct then shuffles only
-        // genuine distance-1 survivors. Same output set — the oracle
-        // states the distinct-then-full-verify form and hashes equal.
-        .filter(expr("levenshtein(name_a, name_b, 1) = 1"))
-        .select("custkey_a", "name_a", "custkey_b", "name_b")
+      val subPairs = dels("k1").repartition(par, col("d"), col("p"))
+        .join(dels("k2").repartition(par, col("d"), col("p")), Seq("d", "p"))
+        .filter(col("k1") < col("k2"))
+        .select(col("k1").as("ka"), col("k2").as("kb"))
+      // indels: original ⋈ deletion on d. The originals side is the
+      // entity dim itself, so it broadcasts and the deletion side moves
+      // nothing. Duplicate matches happen when the longer string
+      // deletes either of two repeated characters to the same variant —
+      // deduped HERE, on this family alone (indel-family rows only;
+      // the sub family is duplicate-free by construction and the two
+      // families are disjoint by length, so the corpus-sized distinct
+      // exchange of the old form disappears).
+      val indPairs = dels("kd").drop("p")
+        .join(broadcast(dim.select(col("c_custkey").as("ko"),
+          col("c_name").as("d"))), "d")
+        .filter(col("ko") =!= col("kd"))
+        .select(least(col("ko"), col("kd")).as("ka"),
+          greatest(col("ko"), col("kd")).as("kb"))
         .distinct()
+      val cand = subPairs.unionAll(indPairs)
+      val nameA = broadcast(dim.select(col("c_custkey").as("ka"),
+        col("c_name").as("na")))
+      val nameB = broadcast(dim.select(col("c_custkey").as("kb"),
+        col("c_name").as("nb")))
+      // attach names (map-side broadcast probes), then relabel so
+      // name_a < name_b — the oracle's canonical orientation; equal
+      // names (distance 0) drop here exactly as the oracle's strict <
+      cand.join(nameA, "ka").join(nameB, "kb")
+        .filter(col("na") =!= col("nb"))
+        .select(
+          when(col("na") < col("nb"), col("ka")).otherwise(col("kb")).as("custkey_a"),
+          least(col("na"), col("nb")).as("name_a"),
+          when(col("na") < col("nb"), col("kb")).otherwise(col("ka")).as("custkey_b"),
+          greatest(col("na"), col("nb")).as("name_b"))
+        // safety-net verify (banded DP, early exit): structurally every
+        // candidate is already at distance exactly 1 — this is the
+        // oracle-parity guard, not a workhorse
+        .filter(expr("levenshtein(name_a, name_b, 1) = 1"))
         .orderBy("name_a", "name_b")
     })
 
