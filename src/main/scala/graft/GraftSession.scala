@@ -30,6 +30,20 @@ object GraftSession {
       // even though static stats said otherwise (AQE's post-shuffle
       // size beats any estimate at 100 TB, where stats drift)
       .config("spark.sql.adaptive.localShuffleReader.enabled", "true")
+      // ObjectHashAggregate (collect_set/collect_list/typed-imperative
+      // aggs) silently degrades to SORT-based aggregation after only
+      // 128 distinct keys per task — a full per-partition sort of the
+      // input on both map and reduce side for every basket/segment/
+      // sketch query (r14 measurement: q20's order-keyed collect_set
+      // spent its time sorting lineitem, not aggregating). Our object
+      // aggs all carry per-key state bounded by design (order line
+      // counts, per-doc segments, ≤3k-node digests), so a 256K-key hash
+      // map is tens of MB per task — far under execution memory at any
+      // partition sizing — while the sort fallback remains as the
+      // degenerate-state escape hatch. Env-overridable for deployments
+      // with fatter agg state.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK_KEYS", "262144"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // duplicated-scan budget DEFAULT-ON (r11 verdict #1: the guard

@@ -615,7 +615,15 @@ object TextQueries extends QuerySet {
       s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     simhashPairsCache.getOrElseUpdate(s, dir) {
-      simhashPairsFrame(s, dir).select("id_a", "id_b").localCheckpoint(true)
+      // hamming rides along (3 small ints/pair): the edit-verify tier
+      // filters on it, and the graph consumers just project it away —
+      // one standing pair index serves all three (r14; previously
+      // edit-verify re-ran the whole banding pipeline per invocation).
+      // Parallelize first: the banding tail AQE-coalesces to a couple
+      // of partitions, and a checkpoint taken there single-threads
+      // every consumer's probe stage (measured on edit-verify).
+      graft.operators.Parallelize.ensure(simhashPairsFrame(s, dir))
+        .localCheckpoint(true)
     }
 
   private[graft] def simhashPairsFrame(
@@ -704,14 +712,22 @@ object TextQueries extends QuerySet {
       |       NOT short_circuit AND round(1.0 - lev::DOUBLE / mx, 6) >= 0.8 AS verified
       |FROM v ORDER BY id_a, id_b""".stripMargin),
     (s, dir) => {
-      val docs = Tables.table(s, dir, "documents")
+      // Parallelize before the per-token md5 sig kernel: the one-file
+      // scan otherwise computes every signature on a single core inside
+      // the broadcast build (Parallelize no-ops at real scale).
+      val docs = graft.operators.Parallelize
+        .ensure(Tables.table(s, dir, "documents").select("doc_id", "text"))
         .select(col("doc_id"),
           size(split(col("text"), " ")).as("n"),
           expr(s"""array_join(transform(split(text, ' '),
             t -> substring('$EditAlphabet',
                  CAST(conv(substring(md5(t), 1, 2), 16, 10) AS INT) % 64 + 1, 1)), '')""")
             .as("sig"))
-      val pairs = simhashPairsFrame(s, dir).filter(col("hamming") <= 1)
+      // serve candidates from the standing pair index (the pagerank/
+      // triangles memo — r14): the hamming ≤ 1 tier is a FILTER of the
+      // materialized pair set, so re-entering the banding pipeline per
+      // invocation was a full wasted corpus pass
+      val pairs = simhashPairsMaterialized(s, dir).filter(col("hamming") <= 1)
       val mx = greatest(col("na"), col("nb"))
       val gap = abs(col("na") - col("nb"))
       pairs
@@ -1431,7 +1447,17 @@ object TextQueries extends QuerySet {
       // — forcing broadcast here is the corpus-sized-broadcast class
       // the r9 verdict banned; a shuffled hash join on doc_id is safe.
       val ng = h.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-      val nv = h.groupBy("ghash").agg(min("doc_id").as("doc_id"))
+      // the explicit ghash repartition (r14) keeps the distinct intact
+      // on this branch too (the optimizer otherwise elides it under
+      // min(), which makes the two branches' subtrees differ and costs
+      // a SECOND corpus scan+explode+md5 pass): with both branches
+      // consuming the IDENTICAL distinct exchange, the physical planner
+      // reuses it and the corpus is read once. Partition count is left
+      // to AQE (no hard-coded N); the exchange it adds carries the
+      // already-distinct (doc, ghash) pairs — the same bytes the old
+      // second branch shuffled as partial-min rows.
+      val nv = h.repartition(col("ghash"))
+        .groupBy("ghash").agg(min("doc_id").as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
       ng.join(nv, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_grams"),
@@ -2128,33 +2154,58 @@ object TextQueries extends QuerySet {
         |ORDER BY p_u6 DESC, id LIMIT 20""".stripMargin
     },
     (s, dir) => {
-      // materialize the (tiny) pair set once: three power iterations
-      // reference edges/deg seven times in the final lineage, and each
-      // reference would otherwise re-run the whole simhash banding
-      // pipeline over the corpus (measured: 1.98 s warm -> the fixed
-      // point of the iterative-loop discipline every other fixpoint
-      // operator here follows)
-      val pairs = simhashPairsMaterialized(s, dir)
-      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      // Standing GRAPH index, not just the pair set (r14): the edge
+      // list with the SOURCE DEGREE attached — the GraphX-style layout
+      // where each edge carries what the iteration divides by. With
+      // sdeg on the edge row the rank vector shrinks to (id, p) and
+      // every iteration is exactly one join + one partial-combining
+      // aggregate; the old form re-joined deg and re-derived the
+      // edges-union per iteration reference (the degree re-join was a
+      // third of the plan). deg re-attaches ONCE on the final 20-row
+      // output. Same integer sequence: sdeg == deg(src) by
+      // construction, and r_k's vertex set (contrib receivers) matches
+      // the oracle's deg ⋈ contrib inner join at every step.
+      val (pe, deg) = prGraph(s, dir)
       val n = broadcast(deg.agg(count(lit(1)).as("n")))
       var r = deg.crossJoin(n)
-        .select(col("id"), col("deg"),
+        .select(col("id"),
           expr("CAST(round(1000000.0 / n, 0) AS BIGINT)").as("p"))
       for (_ <- 1 to PrIters) {
-        val contrib = edges
-          .join(r.select(col("id").as("src"), col("deg").as("sdeg"), col("p")), "src")
+        val contrib = pe
+          .join(r.select(col("id").as("src"), col("p")), "src")
           .select(col("dst").as("id"),
             expr("CAST(round(CAST(p AS DOUBLE) / sdeg, 0) AS BIGINT)").as("c"))
           .groupBy("id").agg(sum("c").as("contrib"))
-        r = deg.crossJoin(n).join(contrib, "id")
-          .select(col("id"), col("deg"),
+        r = contrib.crossJoin(n)
+          .select(col("id"),
             expr("CAST(round(0.15 * 1000000.0 / n + 0.85 * contrib, 0) AS BIGINT)").as("p"))
       }
-      r.select(col("id"), col("deg"), col("p").as("p_u6"))
+      r.join(deg, "id")
+        .select(col("id"), col("deg"), col("p").as("p_u6"))
         .orderBy(col("p_u6").desc, col("id")).limit(20)
     })
+
+  /** Degree-annotated near-dup graph, one per (session, dir): the
+    * symmetric edge list with each edge's source degree attached
+    * (src, dst, sdeg) plus the vertex degree frame (id, deg) — built
+    * once from the standing pair index and checkpointed, so the
+    * pagerank iterations pay joins against a materialized graph, never
+    * the banding pipeline or a per-iteration degree re-join. */
+  private val prGraphCache =
+    new graft.operators.DirMemo[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+
+  private def prGraph(s: org.apache.spark.sql.SparkSession, dir: String) =
+    prGraphCache.getOrElseUpdate(s, dir) {
+      val pairs = simhashPairsMaterialized(s, dir)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val deg = edges.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+      val pe = edges
+        .join(deg.select(col("id").as("src"), col("deg").as("sdeg")), "src")
+        .localCheckpoint(true)
+      (pe, deg)
+    }
 
   // ---- Misra–Gries heavy terms (verified two-pass, corpus tokens) --------
   // The token-level consumer of the native mg_topk aggregate (ev30
