@@ -982,6 +982,26 @@ object EmbeddingQueries extends QuerySet {
   // corpus-sized); the cell-df screen is a vocabulary-scale aggregate
   // broadcast back; the final top-3 window partitions by cell with
   // WindowGroupLimit pruning before the exchange.
+  /** The single corpus pass behind cluster_topic_terms: doc ⋈ cell map
+    * at DOC granularity, token explode AFTER the join, (cell, term)
+    * partial agg. Package-visible so PlanSpec can lock its plan shape
+    * (index read 2-column-pruned, map-side combine) independently of
+    * the checkpoint the query takes on its output. */
+  private[queries] def clusterTok(docs: org.apache.spark.sql.DataFrame,
+      coded: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.join(coded, "vec_id")
+      .select(col("cell"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("cell", "term").agg(count(lit(1)).as("tf"))
+
+  /** PlanSpec hook: the tok frame exactly as cluster_topic_terms builds
+    * it (persisted index map + documents), pre-checkpoint. */
+  private[queries] def clusterTokFrame(s: SparkSession, dir: String) =
+    clusterTok(
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("text")),
+      graft.operators.AnnIndexStore.fullIndex(s, dir)
+        .select(col("vec_id"), col("cell")))
+
   private val clusterTopics = QueryDef(
     "cluster_topic_terms",
     Some("""WITH e AS (
@@ -1034,9 +1054,14 @@ object EmbeddingQueries extends QuerySet {
       // (the coded index stores exactly that), so no join exists at all.
       val docs = Tables.table(s, dir, "documents")
         .select(col("doc_id").as("vec_id"), col("text"))
-      val tok = docs.join(coded, "vec_id")
-        .select(col("cell"), explode(split(col("text"), " ")).as("term"))
-        .groupBy("cell", "term").agg(count(lit(1)).as("tf"))
+      // ONE materialization of the (cell, term, tf) partial-agg frame:
+      // vocabulary × K sized (never corpus-sized), and referenced four
+      // times below (tok/ct/cellt/tot) — Spark inlines CTEs and prunes
+      // each reference differently, so without the checkpoint the
+      // corpus join+explode re-executed per reference (4 documents
+      // scans measured in the r14 plan audit). The klStFrame one-pass
+      // discipline, applied per call.
+      val tok = clusterTok(docs, coded).localCheckpoint()
       // shares computed over the FULL frequency table; the floor
       // applies only to which terms may label a cell (oracle parity)
       val ct = tok.groupBy("term").agg(sum("tf").as("ctf"))

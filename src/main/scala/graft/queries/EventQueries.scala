@@ -1091,7 +1091,30 @@ object EventQueries extends QuerySet {
   private val madOutliers = QueryDef(
     "ev21_mad_outliers",
     Some(madSql((x, q) => s"quantile_cont($x, $q)")),
-    (s, dir) => Tables.sql(s, dir, madSql((x, q) => s"percentile($x, ${q}D)")))
+    // r14: the CTE spelling re-ran the hourly corpus aggregate once per
+    // reference (4 events scans in the plan audit — med, dev×2, final).
+    // The (type, hour, count) frame is dimension-sized, so it
+    // checkpoints once (the ev22/klStFrame discipline) and the median /
+    // deviation / MAD passes all derive from it — ONE corpus pass.
+    (s, dir) => {
+      val h = Tables.sql(s, dir,
+        """SELECT event_type, cast(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+          |       CAST(count(*) AS BIGINT) AS c
+          |FROM events GROUP BY 1, 2""".stripMargin)
+        .localCheckpoint()
+      val med = h.groupBy("event_type")
+        .agg(expr("percentile(c, 0.5D)").as("med"))
+      val dev = h.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("hr"), col("c"),
+          abs(col("c") - col("med")).as("ad"))
+      val m2 = dev.groupBy("event_type")
+        .agg(expr("percentile(ad, 0.5D)").as("mad"))
+      dev.join(broadcast(m2), "event_type")
+        .filter(col("ad") > lit(3) * col("mad") && col("mad") > lit(0))
+        .select(col("event_type"), col("hr"), col("c"),
+          expr("CAST(round(ad * 1000) AS BIGINT)").as("ad_milli"))
+        .orderBy("event_type", "hr")
+    })
 
   // ---- ev22: join-key skew profile ---------------------------------------
   // The diagnostic that decides whether a join needs the salted path

@@ -336,7 +336,40 @@ object TextQueries extends QuerySet {
   private val pmiCollocations = QueryDef(
     "pmi_collocations",
     Some(pmiSpellings._1),
-    (s, dir) => Tables.sql(s, dir, pmiSpellings._2))
+    // r14: the CTE spelling re-executed the corpus bigram explode for
+    // `tot` and the unigram explode once per `tok` reference (4 corpus
+    // passes in the plan audit). The two partial-agg frames are
+    // vocabulary-scale, so they checkpoint (klStFrame discipline) and
+    // everything derives from them: tot = Σ c_ab of the bigram table
+    // (identical by definition), the top-20 filter reads the same
+    // frame, and the two unigram lookups probe one materialized tok —
+    // exactly TWO corpus passes at any scale.
+    (s, dir) => {
+      val bg = Tables.sql(s, dir,
+        """SELECT p.a, p.b FROM (
+          |  SELECT explode(transform(sequence(0, size(ws) - 2),
+          |           i -> named_struct('a', ws[i], 'b', ws[i+1]))) AS p
+          |  FROM (SELECT split(text, ' ') AS ws FROM documents)
+          |  WHERE size(ws) >= 2)
+          |WHERE p.a <> '' AND p.b <> ''""".stripMargin)
+      val pc = bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+        .localCheckpoint()
+      val tot = broadcast(pc.agg(sum("c_ab").as("n")))
+      val tok = Tables.sql(s, dir,
+        """SELECT t, count(*) AS c FROM (
+          |  SELECT explode(split(text, ' ')) AS t FROM documents)
+          |WHERE t <> '' GROUP BY t""".stripMargin)
+        .localCheckpoint()
+      val top = pc.filter(col("c_ab") >= 5)
+        .orderBy(col("c_ab").desc, col("a"), col("b")).limit(20)
+      top.crossJoin(tot)
+        .join(tok.select(col("t").as("a"), col("c").as("ca")), "a")
+        .join(tok.select(col("t").as("b"), col("c").as("cb")), "b")
+        .select(col("a"), col("b"), col("c_ab").cast("long").as("c_ab"),
+          expr("CAST(round(1e9 * ln(CAST(c_ab * n AS DOUBLE) / (ca * cb))) AS BIGINT)")
+            .as("pmi_nano"))
+        .orderBy(col("c_ab").desc, col("a"), col("b"))
+    })
 
   // ---- language confusion matrix ------------------------------------------
   // Data-quality readout for the lang-ID heuristic: declared `lang`

@@ -1010,18 +1010,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // never enter the scan. Frequency screens (ctf / cell_tot / total)
     // are vocabulary- or K-sized and broadcast back; the top-3 pick
     // rides WindowGroupLimit so only candidate rows reach the exchange.
-    val df = SparkEntry.queries("cluster_topic_terms")(spark, sf)
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("graft_annindex"),
-      s"cell map not read from the persisted index:\n$p")
-    val idxLine = p.linesIterator.find(l =>
+    // r14: the (cell, term, tf) frame checkpoints once (it was re-run
+    // 4× through CTE inlining), so the locks split: the BUILD plan
+    // keeps the index-pruning and map-side-combine guarantees, and the
+    // FINAL plan must consume the checkpoint without ever re-scanning
+    // the corpus (the ann_matryoshka discipline).
+    val tokP = EmbeddingQueries.clusterTokFrame(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(tokP.contains("graft_annindex"),
+      s"cell map not read from the persisted index:\n$tokP")
+    val idxLine = tokP.linesIterator.find(l =>
       l.contains("FileScan") && l.contains("graft_annindex")).getOrElse("")
     assert(!idxLine.contains("code_") && !idxLine.contains("v#") &&
            !idxLine.contains("nrm"),
       s"index scan reads more than (vec_id, cell): $idxLine")
+    assert(tokP.contains("partial_count"), s"tf shuffles raw token rows:\n$tokP")
+    val df = SparkEntry.queries("cluster_topic_terms")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Scan ExistingRDD"),
+      s"stats/top-3 must derive from the checkpointed tok frame:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("FileScan parquet") &&
+          (l.contains("documents") || l.contains("graft_annindex"))),
+      s"corpus or index re-scanned downstream of the checkpoint:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"stats not broadcast:\n$p")
     assert(p.contains("WindowGroupLimit"), s"top-3 lost group-limit pruning:\n$p")
-    assert(p.contains("partial_count"), s"tf shuffles raw token rows:\n$p")
     assert(!p.contains("CartesianProduct"), s"plan degraded:\n$p")
   }
 
