@@ -30,20 +30,15 @@ object GraftSession {
       // even though static stats said otherwise (AQE's post-shuffle
       // size beats any estimate at 100 TB, where stats drift)
       .config("spark.sql.adaptive.localShuffleReader.enabled", "true")
-      // ObjectHashAggregate (collect_set/collect_list/typed-imperative
-      // aggs) silently degrades to SORT-based aggregation after only
-      // 128 distinct keys per task — a full per-partition sort of the
-      // input on both map and reduce side for every basket/segment/
-      // sketch query (r14 measurement: q20's order-keyed collect_set
-      // spent its time sorting lineitem, not aggregating). Our object
-      // aggs all carry per-key state bounded by design (order line
-      // counts, per-doc segments, ≤3k-node digests), so a 256K-key hash
-      // map is tens of MB per task — far under execution memory at any
-      // partition sizing — while the sort fallback remains as the
-      // degenerate-state escape hatch. Env-overridable for deployments
-      // with fatter agg state.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK_KEYS", "262144"))
+      // ObjectHashAggregate's sort-based fallback threshold stays at
+      // the Spark default (128 keys/task). r14 measured both modes
+      // same-window over the object-agg query family: forcing hash
+      // mode (262144) was a wash overall and consistently ~20% WORSE
+      // on the heaviest query (q20's order-keyed collect_set: 1.21 s
+      // sort-based vs 1.47 s hash, min-of-2 ×2 rounds) — with 150K
+      // tiny-array buffers live at once, hash-map churn loses to one
+      // cache-friendly sort. The knob remains reachable per deployment
+      // via --conf spark.sql.objectHashAggregate.sortBased.fallbackThreshold.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // duplicated-scan budget DEFAULT-ON (r11 verdict #1: the guard
