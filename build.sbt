@@ -28,3 +28,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Bench→driver stdout contract (VERDICT r14 #2: the driver recovered
+// the bench JSON line in ZERO of 14 rounds). Two sbt-side causes:
+//  - forked `run` output was routed through sbt's logger, which
+//    prefixes every line with "[info] " — so the bench's JSON line was
+//    never a bare parseable line; StdoutOutput passes the child's
+//    stdout through verbatim;
+//  - sbt printed "[success] Total time: …" AFTER the bench's final
+//    line, defeating any last-line parser; the banner carries no
+//    information the exit code doesn't.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
