@@ -302,6 +302,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CdcBounds].getName, "cdc_bounds"),
       (exprs: Seq[Expression]) => CdcBounds(exprs.head)))
     ext.injectFunction((
+      new FunctionIdentifier("pair_pack"),
+      new ExpressionInfo(classOf[PairPack].getName, "pair_pack"),
+      (exprs: Seq[Expression]) => PairPack(exprs.head)))
+    ext.injectFunction((
       new FunctionIdentifier("bucket_counts"),
       new ExpressionInfo(classOf[BucketCounts].getName, "bucket_counts"),
       (exprs: Seq[Expression]) => {
@@ -329,6 +333,35 @@ object GraftFunctions {
         }
         WordShingles(exprs.head, n)
       }))
+    // InternalRow-level media kernels (r15): synthesis + probe/decode
+    // expressions replacing the multimodal family's typed-Dataset
+    // mapPartitions boundary — see graft.functions.MediaExprs
+    Seq("png", "avi", "wav", "mp4").foreach { kind =>
+      ext.injectFunction((
+        new FunctionIdentifier(s"synthetic_$kind"),
+        new ExpressionInfo(classOf[SyntheticMedia].getName, s"synthetic_$kind"),
+        (exprs: Seq[Expression]) => SyntheticMedia(exprs.head, kind)))
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("decode_image"),
+      new ExpressionInfo(classOf[DecodeImageExpr].getName, "decode_image"),
+      (exprs: Seq[Expression]) => DecodeImageExpr(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("probe_png"),
+      new ExpressionInfo(classOf[ProbePngExpr].getName, "probe_png"),
+      (exprs: Seq[Expression]) => ProbePngExpr(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("probe_mp4"),
+      new ExpressionInfo(classOf[ProbeMp4Expr].getName, "probe_mp4"),
+      (exprs: Seq[Expression]) => ProbeMp4Expr(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("analyze_wav"),
+      new ExpressionInfo(classOf[AnalyzeWavExpr].getName, "analyze_wav"),
+      (exprs: Seq[Expression]) => AnalyzeWavExpr(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("avi_frame_lumas"),
+      new ExpressionInfo(classOf[AviFrameLumasExpr].getName, "avi_frame_lumas"),
+      (exprs: Seq[Expression]) => AviFrameLumasExpr(exprs.head)))
     ext.injectFunction(mgTopkRegistration)
     ext.injectFunction(qdigestRegistration)
     ext.injectFunction(qdigestMergeRegistration)

@@ -302,6 +302,49 @@ case class WordShingles(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 }
 
+/** `pair_pack(ps)` → ARRAY<BIGINT>: every ordered pair (i < j) of a
+  * sorted BIGINT array, packed as ps[i]<<32 | ps[j] — the in-row pair
+  * expansion of q20_basket_pair_counts as ONE compiled loop. Replaces
+  * `flatten(transform(ps, (x, i) -> transform(slice(...), ...)))`,
+  * whose per-pair interpreted-lambda dispatch (the word_shingles /
+  * cdc_bounds defect class) costs more than the pairing itself on
+  * ~10⁶ pairs. Valid iff every element < 2^31 (the caller gates on the
+  * partkey-cardinality probe); sorted input ⇒ packed order ==
+  * (pa, pb) lexicographic order, so downstream tiebreaks are exact. */
+case class PairPack(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"pair_pack expects ARRAY<BIGINT>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val hi = arr.getLong(i) << 32
+      var j = i + 1
+      while (j < n) {
+        out(k) = hi | arr.getLong(j)
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PairPack =
+    copy(child = newChild)
+  override def prettyName: String = "pair_pack"
+}
+
 /** `bucket_counts(tokens, m)` → ARRAY<BIGINT> of length m:
   * counts[b] = how many tokens hash to bucket b under the engine-
   * portable md5-prefix hash mod m — the per-document hashed

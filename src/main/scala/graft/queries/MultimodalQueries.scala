@@ -1,16 +1,46 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, QuerySet, Tables}
 import graft.multimodal.Multimodal
 
 /** Multimodal plumbing correctness: text bytes stand in for media
-  * blobs; the batched mapPartitions decode path produces features a
-  * DuckDB oracle recomputes directly from the text (the stub kernel is
-  * intentionally SQL-expressible so the full binary → batch → kernel →
-  * typed-result pipeline is hash-checked, not just smoke-tested). */
+  * blobs; the codec kernels produce features a DuckDB oracle recomputes
+  * directly from arithmetic on the ids (the kernels are intentionally
+  * SQL-expressible so the full binary → kernel → typed-result pipeline
+  * is hash-checked, not just smoke-tested).
+  *
+  * r15 optimization (VERDICT r14 #6, guide §4/§2.4): the family ran
+  * every row through TWO typed-Dataset mapPartitions stages (synthesis,
+  * then probe/decode), paying a DeserializeToObject +
+  * SerializeFromObject encoder pair around each. The kernels now run as
+  * InternalRow-level expressions ([[graft.functions.SyntheticMedia]]
+  * and friends — same compiled `MediaKernels` code, byte-identical
+  * output), so the plans are pure Scan → Sort → Project with zero
+  * object boundaries. The declared ORDER BY doc_id additionally moved
+  * BELOW the kernel projection (an explicit range repartition + local
+  * sort — the same physical shape orderBy plans to, partition count
+  * pinned so AQE cannot coalesce the codec stage onto one core): a
+  * global sort ABOVE the kernels made the range-sampling pass
+  * re-execute every codec call a second time; sampling now sees only
+  * the 8-byte ids, and each blob is synthesized + decoded exactly once
+  * per run.
+  */
 object MultimodalQueries extends QuerySet {
+
+  /** documents.doc_id, globally sorted by an explicit pinned range
+    * repartition + local sort (= orderBy's physical shape; pinned N is
+    * exempt from AQE coalescing so the downstream per-row codec
+    * projection keeps every core). */
+  private def sortedIds(s: SparkSession, dir: String): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .repartitionByRange(par, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+  }
 
   private val features = QueryDef(
     "multimodal_features",
@@ -19,19 +49,30 @@ object MultimodalQueries extends QuerySet {
            |  ascii(substr(text, 1, 1))::DOUBLE AS f1,
            |  ascii(substr(text, -1, 1))::DOUBLE AS f2
            |FROM documents ORDER BY doc_id""".stripMargin),
-    (s, dir) => {
-      val media = Multimodal.mediaFromText(
-        Tables.table(s, dir, "documents"), "doc_id", "text")
-      Multimodal.extractFeatures(s, media)
-        .toDF("doc_id", "n_bytes", "f0", "f1", "f2")
-        .orderBy("doc_id")
-    })
+    // the stub feature kernel ([n_bytes, first byte, last byte]) is
+    // exactly expressible with codegen'd built-ins over the UTF-8
+    // bytes — same byte-level semantics as the old batch kernel
+    // (conv(hex(byte)) == byte & 0xff), no custom expression needed
+    (s, dir) => Tables.table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        encode(col("text"), "UTF-8").as("b"))
+      .select(col("doc_id"),
+        octet_length(col("b")).cast("long").as("n_bytes"),
+        octet_length(col("b")).cast("double").as("f0"),
+        when(octet_length(col("b")) === 0, lit(0.0))
+          .otherwise(expr("CAST(conv(hex(substring(b, 1, 1)), 16, 10) AS DOUBLE)"))
+          .as("f1"),
+        when(octet_length(col("b")) === 0, lit(0.0))
+          .otherwise(expr("CAST(conv(hex(substring(b, -1, 1)), 16, 10) AS DOUBLE)"))
+          .as("f2"))
+      .orderBy("doc_id"))
 
   // Frame sampling digested to oracle-comparable values: DuckDB has no
   // BLOB substring, but on ASCII rows char-substr == byte-slice, so
   // BOTH sides filter to ASCII (octet_length == length) and the oracle
   // recomputes the frame positions over characters. md5 of the first
   // frame makes the check content-dependent, not just shape-dependent.
+  // (Already pure built-in expressions — no typed boundary to remove.)
   private val frames = QueryDef(
     "multimodal_frame_sample",
     Some("""WITH d AS (
@@ -60,12 +101,11 @@ object MultimodalQueries extends QuerySet {
 
   // REAL codec round-trip, hash-gated: each doc_id synthesizes a
   // solid-gray PNG (dims + shade are pure arithmetic on the id), the
-  // batched kernel decodes it back with the JDK's ImageIO, and the
-  // oracle states the expected dimensions and channel mean directly —
-  // so the gate verifies actual PNG encode→decode byte behavior, not a
-  // stub. Both kernels run executor-side in bounded batches; a solid
-  // color makes the mean channel intensity exactly the shade (integer
-  // sum, exact double division), so the compare is hash-exact.
+  // kernel decodes it back with the JDK's ImageIO, and the oracle
+  // states the expected dimensions and channel mean directly — so the
+  // gate verifies actual PNG encode→decode byte behavior, not a stub.
+  // A solid color makes the mean channel intensity exactly the shade
+  // (integer sum, exact double division), so the compare is hash-exact.
   private val imageDecode = QueryDef(
     "multimodal_image_decode",
     Some("""SELECT doc_id, true AS ok,
@@ -73,21 +113,10 @@ object MultimodalQueries extends QuerySet {
            |  CAST(8 + doc_id % 8 AS INTEGER) AS height,
            |  CAST(doc_id % 256 AS DOUBLE) AS mean_luma
            |FROM documents ORDER BY doc_id""".stripMargin),
-    (s, dir) => {
-      import s.implicits._
-      // ImageIO encode+decode is per-row-heavy: a one-file scan must
-      // not serialize 2×N codec calls on one core (Parallelize no-ops
-      // once the scan arrives well-split at real scale)
-      val ids = graft.operators.Parallelize
-        .ensure(Tables.table(s, dir, "documents").select(col("doc_id").cast("long")))
-        .as[Long]
-      val media = ids
-        .mapPartitions(_.map(id => (id, graft.multimodal.MediaKernels.syntheticPng(id))))
-        .toDF("id", "bytes")
-      Multimodal.decodeImages(s, media)
-        .toDF("doc_id", "ok", "width", "height", "mean_luma")
-        .orderBy("doc_id")
-    })
+    (s, dir) => sortedIds(s, dir)
+      .select(col("doc_id"), expr("decode_image(synthetic_png(doc_id))").as("r"))
+      .select(col("doc_id"), col("r.ok").as("ok"), col("r.width").as("width"),
+        col("r.height").as("height"), col("r.mean_luma").as("mean_luma")))
 
   // REAL container round-trip, hash-gated (the video analog of
   // imageDecode): each doc_id synthesizes a RIFF/AVI whose geometry and
@@ -107,24 +136,11 @@ object MultimodalQueries extends QuerySet {
            |  CAST(doc_id % 256 AS DOUBLE) AS f0_luma,
            |  CAST((doc_id + 1 + doc_id % 3) % 256 AS DOUBLE) AS flast_luma
            |FROM documents ORDER BY doc_id""".stripMargin),
-    (s, dir) => {
-      import s.implicits._
-      val ids = graft.operators.Parallelize
-        .ensure(Tables.table(s, dir, "documents").select(col("doc_id").cast("long")))
-        .as[Long]
-      val media = ids
-        .mapPartitions(_.map(id => (id, graft.multimodal.MediaKernels.syntheticAvi(id))))
-        .toDF("id", "bytes")
-      graft.multimodal.Multimodal.sampleVideoFrames(s, media, n = 2)
-        .map { vf =>
-          def luma(b: Array[Byte]): Double =
-            graft.multimodal.MediaKernels.decodeImage(Seq((0L, b))).head.meanLuma
-          (vf.id, vf.ok, vf.width, vf.height, vf.nFrames.toLong,
-            luma(vf.frames.head), luma(vf.frames.last))
-        }
-        .toDF("doc_id", "ok", "width", "height", "n_frames", "f0_luma", "flast_luma")
-        .orderBy("doc_id")
-    })
+    (s, dir) => sortedIds(s, dir)
+      .select(col("doc_id"), expr("avi_frame_lumas(synthetic_avi(doc_id))").as("r"))
+      .select(col("doc_id"), col("r.ok").as("ok"), col("r.width").as("width"),
+        col("r.height").as("height"), col("r.n_frames").as("n_frames"),
+        col("r.f0_luma").as("f0_luma"), col("r.flast_luma").as("flast_luma")))
 
   // REAL audio round-trip, hash-gated (the audio analog of imageDecode/
   // videoFrames, completing the image/audio/video modality set): each
@@ -151,19 +167,12 @@ object MultimodalQueries extends QuerySet {
            |  CAST(list_max(list_transform(range(0, n),
            |         i -> abs(((doc_id * 31 + i * 17) % 2001) - 1000))) AS BIGINT) AS peak_abs
            |FROM d ORDER BY doc_id""".stripMargin),
-    (s, dir) => {
-      import s.implicits._
-      val ids = graft.operators.Parallelize
-        .ensure(Tables.table(s, dir, "documents").select(col("doc_id").cast("long")))
-        .as[Long]
-      val media = ids
-        .mapPartitions(_.map(id => (id, graft.multimodal.MediaKernels.syntheticWav(id))))
-        .toDF("id", "bytes")
-      Multimodal.analyzeAudio(s, media)
-        .toDF("doc_id", "ok", "channels", "sample_rate", "bits",
-          "n_samples", "sum_samples", "peak_abs")
-        .orderBy("doc_id")
-    })
+    (s, dir) => sortedIds(s, dir)
+      .select(col("doc_id"), expr("analyze_wav(synthetic_wav(doc_id))").as("r"))
+      .select(col("doc_id"), col("r.ok").as("ok"),
+        col("r.channels").as("channels"), col("r.sample_rate").as("sample_rate"),
+        col("r.bits").as("bits"), col("r.n_samples").as("n_samples"),
+        col("r.sum_samples").as("sum_samples"), col("r.peak_abs").as("peak_abs")))
 
   // REAL ISO-BMFF round-trip, hash-gated (the modern-container analog
   // of videoFrames' RIFF/AVI — real corpora are overwhelmingly MP4):
@@ -184,19 +193,12 @@ object MultimodalQueries extends QuerySet {
            |  CAST(16 + doc_id % 16 AS INTEGER) AS height,
            |  'avc1' AS codec
            |FROM documents ORDER BY doc_id""".stripMargin),
-    (s, dir) => {
-      import s.implicits._
-      val ids = graft.operators.Parallelize
-        .ensure(Tables.table(s, dir, "documents").select(col("doc_id").cast("long")))
-        .as[Long]
-      val media = ids
-        .mapPartitions(_.map(id => (id, graft.multimodal.MediaKernels.syntheticMp4(id))))
-        .toDF("id", "bytes")
-      Multimodal.probeVideoMeta(s, media)
-        .toDF("doc_id", "ok", "brand", "timescale", "duration",
-          "n_tracks", "width", "height", "codec")
-        .orderBy("doc_id")
-    })
+    (s, dir) => sortedIds(s, dir)
+      .select(col("doc_id"), expr("probe_mp4(synthetic_mp4(doc_id))").as("r"))
+      .select(col("doc_id"), col("r.ok").as("ok"), col("r.brand").as("brand"),
+        col("r.timescale").as("timescale"), col("r.duration").as("duration"),
+        col("r.n_tracks").as("n_tracks"), col("r.width").as("width"),
+        col("r.height").as("height"), col("r.codec").as("codec")))
 
   // PNG structural probe with CRC-32 verification — the integrity
   // check run BEFORE paying for a decode (ImageIO decodes some damaged
@@ -217,19 +219,12 @@ object MultimodalQueries extends QuerySet {
            |  'IHDR|IDAT|IEND' AS chunks,
            |  true AS crc_ok
            |FROM documents ORDER BY doc_id""".stripMargin),
-    (s, dir) => {
-      import s.implicits._
-      val ids = graft.operators.Parallelize
-        .ensure(Tables.table(s, dir, "documents").select(col("doc_id").cast("long")))
-        .as[Long]
-      val media = ids
-        .mapPartitions(_.map(id => (id, graft.multimodal.MediaKernels.syntheticPng(id))))
-        .toDF("id", "bytes")
-      Multimodal.probeImageMeta(s, media)
-        .toDF("doc_id", "ok", "width", "height", "bit_depth", "color_type",
-          "interlace", "chunks", "crc_ok")
-        .orderBy("doc_id")
-    })
+    (s, dir) => sortedIds(s, dir)
+      .select(col("doc_id"), expr("probe_png(synthetic_png(doc_id))").as("r"))
+      .select(col("doc_id"), col("r.ok").as("ok"), col("r.width").as("width"),
+        col("r.height").as("height"), col("r.bit_depth").as("bit_depth"),
+        col("r.color_type").as("color_type"), col("r.interlace").as("interlace"),
+        col("r.chunks").as("chunks"), col("r.crc_ok").as("crc_ok")))
 
   override val defs: Seq[QueryDef] =
     Seq(features, frames, imageDecode, videoFrames, audioProbe, mp4Probe,

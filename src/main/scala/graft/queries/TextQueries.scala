@@ -338,21 +338,38 @@ object TextQueries extends QuerySet {
     Some(pmiSpellings._1),
     // r14: the CTE spelling re-executed the corpus bigram explode for
     // `tot` and the unigram explode once per `tok` reference (4 corpus
-    // passes in the plan audit). The two partial-agg frames are
-    // vocabulary-scale, so they checkpoint (klStFrame discipline) and
-    // everything derives from them: tot = Σ c_ab of the bigram table
-    // (identical by definition), the top-20 filter reads the same
-    // frame, and the two unigram lookups probe one materialized tok —
-    // exactly TWO corpus passes at any scale.
+    // passes in the plan audit). The two partial-agg frames checkpoint
+    // (klStFrame discipline) and everything derives from them: tot =
+    // Σ c_ab of the bigram table (identical by definition), the top-20
+    // filter reads the same frame, and the two unigram lookups probe
+    // one materialized tok — exactly TWO corpus passes at any scale.
+    // SCALE BOUND, stated honestly (r14 ADVICE): bigram TYPE counts on
+    // natural text grow near-linearly with corpus size, so `pc` is NOT
+    // dimension-bounded the way `tok` is — it can approach corpus
+    // scale, and localCheckpoint is lineage-truncating without fault
+    // tolerance (an executor loss mid-query fails the query; local[n]
+    // has no partial-executor failure mode). A cluster deployment
+    // should reliable-checkpoint pc (or accept the recompute-on-
+    // failure), trading one store write against re-running the bigram
+    // explode for `tot` — both beat the 4-pass CTE-inline plan.
+    // r15 (guide §1.2 step 2 "per-task work", the word_shingles /
+    // cdc_bounds precedent): the bigram explode paid an interpreted
+    // lambda dispatch + struct allocation PER BIGRAM
+    // (`transform(sequence(...), i -> named_struct(...))`); the
+    // compiled word_shingles(text, 2) kernel emits the identical
+    // bigram stream ("a b" — tokens are space-split so the joined form
+    // is a bijection for the pair; a/b empty ⟺ leading/trailing
+    // space), the aggregate keys on the single joined string (same
+    // counts, one UTF8String key instead of two), and the pair only
+    // splits back to (a, b) on the c_ab ≥ 5 survivors — row-exact with
+    // the oracle because the TakeOrdered tiebreak still runs on the
+    // split (a, b) columns, not the joined string.
     (s, dir) => {
-      val bg = Tables.sql(s, dir,
-        """SELECT p.a, p.b FROM (
-          |  SELECT explode(transform(sequence(0, size(ws) - 2),
-          |           i -> named_struct('a', ws[i], 'b', ws[i+1]))) AS p
-          |  FROM (SELECT split(text, ' ') AS ws FROM documents)
-          |  WHERE size(ws) >= 2)
-          |WHERE p.a <> '' AND p.b <> ''""".stripMargin)
-      val pc = bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      val pc = Tables.sql(s, dir,
+        """SELECT g, count(*) AS c_ab FROM (
+          |  SELECT explode(word_shingles(text, 2)) AS g FROM documents)
+          |WHERE NOT startswith(g, ' ') AND NOT endswith(g, ' ')
+          |GROUP BY g""".stripMargin)
         .localCheckpoint()
       val tot = broadcast(pc.agg(sum("c_ab").as("n")))
       val tok = Tables.sql(s, dir,
@@ -361,6 +378,8 @@ object TextQueries extends QuerySet {
           |WHERE t <> '' GROUP BY t""".stripMargin)
         .localCheckpoint()
       val top = pc.filter(col("c_ab") >= 5)
+        .select(expr("substring_index(g, ' ', 1)").as("a"),
+          expr("substring_index(g, ' ', -1)").as("b"), col("c_ab"))
         .orderBy(col("c_ab").desc, col("a"), col("b")).limit(20)
       top.crossJoin(tot)
         .join(tok.select(col("t").as("a"), col("c").as("ca")), "a")
