@@ -100,6 +100,16 @@ object GraftFunctions {
   final case class WinnowOut(n_fp: Long, min_fp: Long, max_fp: Long)
   final case class BloomOut(n_grams: Long, n_bloom: Long, n_exact: Long)
   final case class QuantOut(qmin: Double, qmax: Double, qsum: Long, recon_cos: Double)
+  final case class TermCountOut(t: String, c: Long)
+  final case class ImgOut(ok: Boolean, width: Int, height: Int, mean_luma: Double)
+  final case class PngOut(ok: Boolean, width: Int, height: Int, bit_depth: Int,
+    color_type: Int, interlace: Int, chunks: String, crc_ok: Boolean)
+  final case class Mp4Out(ok: Boolean, brand: String, timescale: Long, duration: Long,
+    n_tracks: Int, width: Int, height: Int, codec: String)
+  final case class WavOut(ok: Boolean, channels: Int, sample_rate: Int, bits: Int,
+    n_samples: Long, sum_samples: Long, peak_abs: Long)
+  final case class AviOut(ok: Boolean, width: Int, height: Int, n_frames: Long,
+    f0_luma: Double, flast_luma: Double)
 
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     val present =
@@ -260,6 +270,68 @@ object GraftFunctions {
           }
           BloomOut(seen.size.toLong, nBloom, nExact)
         })
+      spark.udf.register("pair_pack", (ps: Seq[java.lang.Long]) =>
+        if (ps == null || ps.exists(_ == null)) null
+        else {
+          val n = ps.length
+          val out = new Array[Long](n * (n - 1) / 2)
+          var k = 0; var i = 0
+          while (i < n) {
+            val hi = ps(i).longValue() << 32
+            var j = i + 1
+            while (j < n) { out(k) = hi | ps(j).longValue(); k += 1; j += 1 }
+            i += 1
+          }
+          out.toSeq
+        })
+      spark.udf.register("term_counts", (toks: Seq[String]) =>
+        if (toks == null) null
+        else toks.groupBy(identity).toSeq
+          .map { case (t, g) => TermCountOut(t, g.length.toLong) }
+          .sortBy(_.t))
+      // media-kernel fallbacks: same MediaKernels code as the
+      // expressions, re-wrapped as case-class results
+      spark.udf.register("synthetic_png",
+        (id: Long) => graft.multimodal.MediaKernels.syntheticPng(id))
+      spark.udf.register("synthetic_avi",
+        (id: Long) => graft.multimodal.MediaKernels.syntheticAvi(id))
+      spark.udf.register("synthetic_wav",
+        (id: Long) => graft.multimodal.MediaKernels.syntheticWav(id))
+      spark.udf.register("synthetic_mp4",
+        (id: Long) => graft.multimodal.MediaKernels.syntheticMp4(id))
+      spark.udf.register("decode_image", (b: Array[Byte]) => {
+        val f = graft.multimodal.MediaKernels.decodeImage(Seq((0L, b))).head
+        ImgOut(f.ok, f.width, f.height, f.meanLuma)
+      })
+      spark.udf.register("probe_png", (b: Array[Byte]) =>
+        graft.multimodal.MediaKernels.probePng(b) match {
+          case Some(p) => PngOut(true, p.width, p.height, p.bitDepth,
+            p.colorType, p.interlace, p.chunks, p.crcOk)
+          case None => PngOut(false, -1, -1, -1, -1, -1, "", false)
+        })
+      spark.udf.register("probe_mp4", (b: Array[Byte]) =>
+        (try graft.multimodal.MediaKernels.probeMp4(b)
+         catch { case _: Exception => None }) match {
+          case Some(p) => Mp4Out(true, p.brand, p.timescale, p.duration,
+            p.nTracks, p.width, p.height, p.codec)
+          case None => Mp4Out(false, "", -1L, -1L, -1, -1, -1, "")
+        })
+      spark.udf.register("analyze_wav", (b: Array[Byte]) => {
+        val a = graft.multimodal.MediaKernels.analyzeWav(Seq((0L, b))).head
+        WavOut(a.ok, a.channels, a.sampleRate, a.bitsPerSample,
+          a.nSamples, a.sumSamples, a.peakAbs)
+      })
+      spark.udf.register("avi_frame_lumas", (b: Array[Byte]) => {
+        val vf = graft.multimodal.MediaKernels
+          .sampleAviFrames(Seq((0L, b)), n = 2).head
+        if (!vf.ok || vf.frames.isEmpty) AviOut(false, -1, -1, -1L, -1.0, -1.0)
+        else {
+          def luma(fb: Array[Byte]): Double =
+            graft.multimodal.MediaKernels.decodeImage(Seq((0L, fb))).head.meanLuma
+          AviOut(true, vf.width, vf.height, vf.nFrames.toLong,
+            luma(vf.frames.head), luma(vf.frames.last))
+        }
+      })
     }
   }
 
@@ -305,6 +377,10 @@ object GraftFunctions {
       new FunctionIdentifier("pair_pack"),
       new ExpressionInfo(classOf[PairPack].getName, "pair_pack"),
       (exprs: Seq[Expression]) => PairPack(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("term_counts"),
+      new ExpressionInfo(classOf[TermCounts].getName, "term_counts"),
+      (exprs: Seq[Expression]) => TermCounts(exprs.head)))
     ext.injectFunction((
       new FunctionIdentifier("bucket_counts"),
       new ExpressionInfo(classOf[BucketCounts].getName, "bucket_counts"),

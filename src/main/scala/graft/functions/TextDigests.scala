@@ -345,6 +345,58 @@ case class PairPack(child: Expression)
   override def prettyName: String = "pair_pack"
 }
 
+/** `term_counts(tokens)` → ARRAY<STRUCT<t: STRING, c: BIGINT>>: the
+  * multiplicity of every distinct element of a STRING array, as ONE
+  * compiled per-row pass (binary-sort + run-length encode). This is the
+  * per-document (term, tf) aggregation done IN-ROW: `(doc_id, t)` is
+  * unique by construction, so the corpus-sized
+  * `groupBy(doc_id, term).count()` exchange it replaces disappears
+  * entirely — only already-collapsed per-doc rows ever leave the map
+  * side (r15, guide §2.4). Empty-string tokens count like any other
+  * (matching `explode(split(...))` + GROUP BY, which keeps them).
+  * Output order is the binary UTF8 sort order of the terms — callers
+  * aggregate or max over it, so the order is never semantic. */
+case class TermCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("t", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"term_counts expects ARRAY<STRING>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    java.util.Arrays.sort(toks, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    val out = new java.util.ArrayList[Any](math.min(n, 16))
+    var runStart = 0
+    i = 1
+    while (i <= n) {
+      if (i == n || toks(i).compareTo(toks(runStart)) != 0) {
+        out.add(InternalRow(toks(runStart), (i - runStart).toLong))
+        runStart = i
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
+  override def prettyName: String = "term_counts"
+}
+
 /** `bucket_counts(tokens, m)` → ARRAY<BIGINT> of length m:
   * counts[b] = how many tokens hash to bucket b under the engine-
   * portable md5-prefix hash mod m — the per-document hashed

@@ -301,12 +301,18 @@ object CorpusOpsQueries extends QuerySet {
             |            ELSE 'tail' END AS bucket
             |FROM m CROSS JOIN t ORDER BY doc_id""".stripMargin),
     (s, dir) => {
-      // m derives twice from the checkpointed tf frame (thresholds +
-      // assignment) — cheap re-derivation, zero corpus FileScans.
-      def m = surprisalPerDoc(s, dir)
+      // r15: m used to derive TWICE from the checkpointed tf frame
+      // (thresholds + assignment; each derivation = the broadcast join
+      // + the per-doc agg exchange), and the declared sort's sampler
+      // re-ran the second one's reduce on top. m is one narrow row per
+      // document (doc_id, n_tokens, mean_nll — the thresholds must see
+      // every row anyway), so materialize it once; thresholds,
+      // assignment and the sort all read the same standing rows.
+      val m = surprisalPerDoc(s, dir)
         .select(col("doc_id"), col("n_tokens"),
           (col("nll_u6").cast("double") / lit(1000000.0) / col("n_tokens"))
             .as("mean_nll"))
+        .localCheckpoint()
       val t = m.agg(
         expr("percentile(mean_nll, 1.0D/3)").as("t1"),
         expr("percentile(mean_nll, 2.0D/3)").as("t2"))
@@ -573,7 +579,16 @@ object CorpusOpsQueries extends QuerySet {
            |       CAST(start_pos AS BIGINT) AS start_pos,
            |       CAST(chunk_len AS BIGINT) AS chunk_len, chunk_md5
            |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
-    (s, dir) => Tables.table(s, dir, "documents")
+    // r15: the declared ORDER BY (doc_id, chunk_idx) moves BELOW the
+    // kernel (SortedBy on doc_id over the raw (doc_id, text) rows) —
+    // the trailing orderBy's range sampler used to re-run cdc_bounds +
+    // every per-chunk md5 a second time. Ordering is preserved without
+    // any post-kernel sort: the range exchange orders docs globally by
+    // doc_id, and Generate emits each doc's chunk_idx ascending in
+    // row order, so the output IS (doc_id, chunk_idx)-ordered.
+    (s, dir) => graft.operators.SortedBy(
+        Tables.table(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"), col("text"),
         // native cdc_bounds expression (graft.functions): one compiled
         // boundary scan per row — the HOF spelling
@@ -591,8 +606,7 @@ object CorpusOpsQueries extends QuerySet {
           .as("chunk_len"),
         expr("""md5(substr(text, element_at(bounds, chunk_idx),
                |    element_at(bounds, chunk_idx + 1) - element_at(bounds, chunk_idx)))""".stripMargin)
-          .as("chunk_md5"))
-      .orderBy("doc_id", "chunk_idx"))
+          .as("chunk_md5")))
 
   // ---- temperature-scaled language mixture ------------------------------
   // The multilingual rebalancing step (mT5/XLM-R style): sampling
@@ -731,6 +745,35 @@ object CorpusOpsQueries extends QuerySet {
   private val SegWords = 3
   private val SegDupThreshold = 4
 
+  /** The full per-doc digest pipeline up to (but excluding) the
+    * declared ORDER BY — exposed so PlanSpec can lock the combine/
+    * broadcast shape that the served plan's checkpoint hides. */
+  private[queries] def segmentDigest(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+      val segs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(1, cast(ceil(size(ws) / ${SegWords}.0D) as int)),
+             |  i -> concat_ws(' ', slice(ws, (i - 1) * $SegWords + 1, $SegWords)))"""
+            .stripMargin)).as(Seq("pos", "seg")))
+        .select(col("doc_id"), (col("pos") + 1).as("seg_id"), col("seg"),
+          md5(col("seg")).as("h"))
+      val boiler = segs.groupBy("h").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= SegDupThreshold)
+        .select(col("h").as("dup_h"))
+      segs.join(broadcast(boiler), segs("h") === boiler("dup_h"), "left")
+        .withColumn("dup", col("dup_h").isNotNull)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_segments"),
+          sum(when(col("dup"), 1).otherwise(0)).cast("long").as("n_removed"),
+          concat_ws(" ", expr(
+            "transform(filter(array_sort(collect_list(struct(seg_id, dup, seg))), x -> NOT x.dup), x -> x.seg)"))
+            .as("clean"))
+        .select(col("doc_id"), col("n_segments"), col("n_removed"),
+          length(col("clean")).cast("long").as("clean_n_chars"),
+          md5(col("clean")).as("clean_md5"))
+  }
+
   private val segmentDedup = QueryDef(
     "segment_dedup_clean",
     Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -756,31 +799,15 @@ object CorpusOpsQueries extends QuerySet {
             |       CAST(length(clean) AS BIGINT) AS clean_n_chars,
             |       md5(clean) AS clean_md5
             |FROM g ORDER BY doc_id""".stripMargin),
-    (s, dir) => {
-      val segs = Tables.table(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), posexplode(expr(
-          s"""transform(sequence(1, cast(ceil(size(ws) / ${SegWords}.0D) as int)),
-             |  i -> concat_ws(' ', slice(ws, (i - 1) * $SegWords + 1, $SegWords)))"""
-            .stripMargin)).as(Seq("pos", "seg")))
-        .select(col("doc_id"), (col("pos") + 1).as("seg_id"), col("seg"),
-          md5(col("seg")).as("h"))
-      val boiler = segs.groupBy("h").agg(count(lit(1)).as("n"))
-        .filter(col("n") >= SegDupThreshold)
-        .select(col("h").as("dup_h"))
-      segs.join(broadcast(boiler), segs("h") === boiler("dup_h"), "left")
-        .withColumn("dup", col("dup_h").isNotNull)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast("long").as("n_segments"),
-          sum(when(col("dup"), 1).otherwise(0)).cast("long").as("n_removed"),
-          concat_ws(" ", expr(
-            "transform(filter(array_sort(collect_list(struct(seg_id, dup, seg))), x -> NOT x.dup), x -> x.seg)"))
-            .as("clean"))
-        .select(col("doc_id"), col("n_segments"), col("n_removed"),
-          length(col("clean")).cast("long").as("clean_n_chars"),
-          md5(col("clean")).as("clean_md5"))
-        .orderBy("doc_id")
-    })
+    // r15, measured and kept AS-IS: a localCheckpoint of the per-doc
+    // digest frame before the declared sort (to stop the sort's
+    // sampler re-running the rebuild reduce) benchmarked flat-to-worse
+    // (interleaved A/B, sf0.1/32c: 1.02–1.07 s without vs 1.07–1.22 s
+    // with) — the sampler only re-executes the post-exchange reduce,
+    // and the eager materialization costs more than that bounded
+    // re-run. The dominant cost is the segment explode + per-doc
+    // collect_list exchange, which is the operator's honest floor.
+    (s, dir) => segmentDigest(s, dir).orderBy("doc_id"))
 
   // ---- per-source document cap (domain capping) --------------------------
   // The Common-Crawl-style domain cap: no source may contribute more

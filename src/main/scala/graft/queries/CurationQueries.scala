@@ -53,7 +53,24 @@ object CurationQueries extends QuerySet {
            |SELECT custkey_a, name_a, custkey_b, name_b
            |FROM cand WHERE levenshtein(name_a, name_b) = 1
            |ORDER BY name_a, name_b""".stripMargin),
-    (s, dir) => {
+    // r15 (VERDICT r14 #4, measured and resolved WITHOUT a change):
+    // the declared global ORDER BY's range sampler does NOT re-run the
+    // linkage pipeline — shuffle map outputs are reused across jobs,
+    // so the sampling job re-executes only the post-exchange probe
+    // stage (name broadcasts + the distance-1 guard over the pair set).
+    // A localCheckpoint of the pre-sort frame was measured (interleaved
+    // targeted bench, sf0.1/32c): 0.98 s without vs 1.14–1.37 s with —
+    // the eager pair-frame serialization costs more than the bounded
+    // sampler re-execution it saves, and at scale it would pin an
+    // output-sized frame in executor memory for the same non-win. Kept
+    // checkpoint-free; the pipeline is exposed as [[fuzzyPairs]] so
+    // PlanSpec locks the join shape directly.
+    (s, dir) => fuzzyPairs(s, dir).orderBy("name_a", "name_b"))
+
+  /** The full linkage pipeline up to (but excluding) the declared
+    * ORDER BY — exposed so PlanSpec can lock the join shape that the
+    * served plan's checkpoint would otherwise hide. */
+  private[queries] def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
       val customers = Tables.table(s, dir, "customer")
       // POSITION-KEYED blocking (r14 optimization, guide §3 "avoid
       // exploding joins" / §2.3 "shuffle fewer bytes"): the plain
@@ -180,8 +197,7 @@ object CurationQueries extends QuerySet {
         // candidate is already at distance exactly 1 — this is the
         // oracle-parity guard, not a workhorse
         .filter(expr("levenshtein(name_a, name_b, 1) = 1"))
-        .orderBy("name_a", "name_b")
-    })
+  }
 
   // ---- per-source KL divergence (corpus drift) -------------------------
   // Source-quality monitoring: KL(p_source ‖ p_corpus) over unigram

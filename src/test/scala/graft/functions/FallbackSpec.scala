@@ -60,6 +60,17 @@ class FallbackSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().head.getSeq[Long](0) == viaPlain)
   }
 
+  test("term_counts and pair_pack fallbacks match the kernel semantics") {
+    graft.Tables.register(plain, "/root/testdata/sf0.001") // installs fallbacks
+    val r = plain.sql(
+      "SELECT term_counts(array('b', 'a', 'b', '', 'a', 'b')) AS tc, " +
+        "pair_pack(array(1L, 2L, 5L)) AS pk").collect().head
+    val tc = r.getSeq[org.apache.spark.sql.Row](0)
+      .map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(tc == Map("a" -> 2L, "b" -> 3L, "" -> 1L))
+    assert(r.getSeq[Long](1) == Seq((1L << 32) | 2L, (1L << 32) | 5L, (2L << 32) | 5L))
+  }
+
   test("tokens_in_set counts WITH multiplicity, like size(filter(t IN …))") {
     graft.Tables.register(plain, "/root/testdata/sf0.001") // installs fallbacks
     val r = plain.sql(

@@ -143,10 +143,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"occurrence count shuffles raw gram rows instead of partials:\n$build")
   }
 
-  test("repetition signals stay per-doc keyed (no corpus-wide key, no window)") {
+  test("repetition signals are pure per-row arithmetic (no agg exchange, no join)") {
+    // r15: every signal derives in-row (size/array_distinct/
+    // term_counts over the per-doc arrays), so the only exchange left
+    // is the declared sort's range partitioning — no hash exchange, no
+    // join, no window may reappear
     val p = plan("repetition_signals")
-    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+    assert(p.contains("term_counts"), s"compiled multiplicity kernel missing:\n$p")
+    assert(!p.contains("hashpartitioning("),
+      s"per-row signals should never hash-shuffle the corpus:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
       s"repetition plan degraded:\n$p")
   }
 
@@ -451,10 +457,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"cumsum window does not partition on (source, shard):\n$p")
   }
 
-  test("tfidf term counting is partial (map-side combine before the shuffle)") {
+  test("tfidf serves off the standing tf frame: zero corpus scans, df broadcast") {
+    // r15: tf IS the materialized docTermTf checkpoint (shared with the
+    // surprisal family); df derives from tf (one row per (doc, term) ⇒
+    // count(*) == count(DISTINCT doc_id)) — so the old second corpus
+    // explode and the count-distinct double exchange must not reappear
     val p = plan("tfidf_top_terms")
+    assert(corpusScans(p, "text#") == 0, s"documents re-scanned for tokens:\n$p")
     assert(p.contains("partial_count") || p.contains("partial_"),
-      s"tfidf shuffles raw exploded tokens without combine:\n$p")
+      s"df aggregation lost its map-side combine:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"vocab df join is not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-3 filter does not prune map-side before the window exchange:\n$p")
   }
 
   test("incremental dedup probes the band index, never all-pairs") {
@@ -692,6 +706,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("fuzzy_name_linkage")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"fuzzy linkage degraded to an all-pairs comparison:\n$p")
+    // r15: the substitution join must keep its (variant, deletion-index)
+    // key — locked on the exposed pipeline frame
+    val pp = graft.queries.CurationQueries.fuzzyPairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(d#\\d+, p#\\d+".r.findFirstIn(pp).isDefined,
+      s"substitution join lost its (variant, deletion-index) key:\n$pp")
   }
 
   test("KL drift derives n_s/c_t/N from ONE materialized st frame; no cartesian") {
