@@ -344,12 +344,21 @@ object CorpusOpsQueries extends QuerySet {
             |       CAST(len(substr(text, CAST(st AS INT), $ChunkLen)) AS BIGINT) AS chunk_len,
             |       md5(substr(text, CAST(st AS INT), $ChunkLen)) AS chunk_md5
             |FROM st ORDER BY doc_id, chunk_id""".stripMargin),
+    // r15 (the cdc_chunks fix applied here too): the declared ORDER BY
+    // moves BELOW the chunk kernel (SortedBy on doc_id over the raw
+    // rows) — the trailing orderBy's range sampler used to re-run the
+    // explode + substring + md5 a second time. Ordering is preserved
+    // with no post-kernel sort: docs arrive range-ordered by doc_id and
+    // the ascending sequence explode emits chunk_id in order per doc.
     (s, dir) =>
-      Tables.table(s, dir, "documents")
-        // empty docs chunk to nothing on both engines — and Spark's
-        // sequence(1, 0, step) THROWS rather than returning [], so the
-        // filter is load-bearing, not cosmetic
-        .filter(length(col("text")) > 0)
+      graft.operators.SortedBy(
+        Tables.table(s, dir, "documents")
+          // empty docs chunk to nothing on both engines — and Spark's
+          // sequence(1, 0, step) THROWS rather than returning [], so
+          // the filter is load-bearing, not cosmetic
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")),
+        col("doc_id"))
         .select(col("doc_id"),
           explode(expr(s"sequence(1, length(text), $ChunkStride)")).as("st"),
           col("text"))
@@ -359,8 +368,7 @@ object CorpusOpsQueries extends QuerySet {
           expr(s"substring(text, st, $ChunkLen)").as("chunk"))
         .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
           length(col("chunk")).cast("long").as("chunk_len"),
-          md5(col("chunk")).as("chunk_md5"))
-        .orderBy("doc_id", "chunk_id"))
+          md5(col("chunk")).as("chunk_md5")))
 
   // ---- deterministic source-mixture sampling ---------------------------
   // Training mixtures downsample sources to target weights (web 25%,

@@ -893,26 +893,29 @@ object TextQueries extends QuerySet {
            |    len(list_filter(w, t -> t IN ('el','los','las','y','es'))) AS s_es
            |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents))
            |ORDER BY doc_id""".stripMargin),
-    (s, dir) => Tables.sql(s, dir,
-      // native tokens_in_set (graft.functions.TokensInSet): one compiled
-      // hash-set probe per token; the r3 plan paid an interpreted lambda
-      // dispatch per element via `size(filter(w, t -> t IN …))` — same
-      // values (multiplicity counting matches list_filter), ~10× less
-      // CPU in the per-row hot path.
-      """SELECT doc_id, lang,
-        |  CASE WHEN s_en >= greatest(s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
-        |       WHEN s_de >= greatest(s_fr, s_es) AND s_de > 0 THEN 'de'
-        |       WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
-        |       WHEN s_es > 0 THEN 'es'
-        |       ELSE 'und' END AS predicted
-        |FROM (
-        |  SELECT doc_id, lang,
-        |    tokens_in_set(w, array('the','a','an','and','of','is')) AS s_en,
-        |    tokens_in_set(w, array('der','die','das','und','ist')) AS s_de,
-        |    tokens_in_set(w, array('le','la','les','et','est')) AS s_fr,
-        |    tokens_in_set(w, array('el','los','las','y','es')) AS s_es
-        |  FROM (SELECT doc_id, lang, split(text, ' ') AS w FROM documents))
-        |ORDER BY doc_id""".stripMargin))
+    // native tokens_in_set (graft.functions.TokensInSet): one compiled
+    // hash-set probe per token; the r3 plan paid an interpreted lambda
+    // dispatch per element via `size(filter(w, t -> t IN …))` — same
+    // values (multiplicity counting matches list_filter), ~10× less
+    // CPU in the per-row hot path. r15: the declared ORDER BY moves
+    // below the scoring projection (SortedBy), so the sort's range
+    // sampler no longer runs the marker probes a second time.
+    (s, dir) => graft.operators.SortedBy(
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text")),
+        col("doc_id"))
+      .selectExpr("doc_id", "lang", "split(text, ' ') AS w")
+      .selectExpr("doc_id", "lang",
+        "tokens_in_set(w, array('the','a','an','and','of','is')) AS s_en",
+        "tokens_in_set(w, array('der','die','das','und','ist')) AS s_de",
+        "tokens_in_set(w, array('le','la','les','et','est')) AS s_fr",
+        "tokens_in_set(w, array('el','los','las','y','es')) AS s_es")
+      .selectExpr("doc_id", "lang",
+        """CASE WHEN s_en >= greatest(s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+          |     WHEN s_de >= greatest(s_fr, s_es) AND s_de > 0 THEN 'de'
+          |     WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+          |     WHEN s_es > 0 THEN 'es'
+          |     ELSE 'und' END AS predicted""".stripMargin))
 
   // ---- quality scoring --------------------------------------------------
   // Length/stopword/punctuation/word-shape signals → composite score.
@@ -930,24 +933,25 @@ object TextQueries extends QuerySet {
            |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
            |  WHERE len(w) > 0)
            |ORDER BY doc_id""".stripMargin),
-    (s, dir) => Tables.sql(s, dir,
-      // Codegen'd kernels only (r3: both HOF lambdas here were
-      // interpreted). Σ token lengths == length(text) - (size(w) - 1):
-      // splitting on single spaces, each of the size(w)-1 separators is
-      // exactly one char, so the identity is exact for any text
-      // (consecutive spaces yield empty zero-length tokens — both sides
-      // agree). Stopword count via native tokens_in_set.
-      """SELECT doc_id, n_tok,
-        |  round(mean_wlen, 4) AS mean_wlen,
-        |  round(stop_ratio, 4) AS stop_ratio,
-        |  round(least(1.0D, n_tok / 50.0D) * (0.5D + stop_ratio), 4) AS quality
-        |FROM (
-        |  SELECT doc_id, size(w) AS n_tok,
-        |    (length(text) - size(w) + 1) * 1.0D / size(w) AS mean_wlen,
-        |    tokens_in_set(w, array('the','a','and','of','is')) * 1.0D / size(w) AS stop_ratio
-        |  FROM (SELECT doc_id, text, split(text, ' ') AS w FROM documents)
-        |  WHERE size(w) > 0)
-        |ORDER BY doc_id""".stripMargin))
+    // Codegen'd kernels only (r3: both HOF lambdas here were
+    // interpreted). Σ token lengths == length(text) - (size(w) - 1):
+    // splitting on single spaces, each of the size(w)-1 separators is
+    // exactly one char, so the identity is exact for any text
+    // (consecutive spaces yield empty zero-length tokens — both sides
+    // agree). Stopword count via native tokens_in_set. r15: the
+    // declared ORDER BY moves below the scoring projection (SortedBy).
+    (s, dir) => graft.operators.SortedBy(
+        Tables.table(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("doc_id"))
+      .selectExpr("doc_id", "text", "split(text, ' ') AS w")
+      .filter("size(w) > 0")
+      .selectExpr("doc_id", "size(w) AS n_tok",
+        "(length(text) - size(w) + 1) * 1.0D / size(w) AS mean_wlen",
+        "tokens_in_set(w, array('the','a','and','of','is')) * 1.0D / size(w) AS stop_ratio")
+      .selectExpr("doc_id", "n_tok",
+        "round(mean_wlen, 4) AS mean_wlen",
+        "round(stop_ratio, 4) AS stop_ratio",
+        "round(least(1.0D, n_tok / 50.0D) * (0.5D + stop_ratio), 4) AS quality"))
 
   // ---- token statistics --------------------------------------------------
   // Whitespace tokens + a BPE-ish regex count (\w+ runs or single
@@ -1622,14 +1626,21 @@ object TextQueries extends QuerySet {
       // membership — are ONE compiled pass
       // (functions/TextDigests.BloomDocStats): nothing leaves the scan
       // but the 3-field struct, where the explode/DISTINCT/join
-      // spelling shuffled every (doc, gram) pair corpus-wide
-      docs.filter(col("doc_id") % 100 =!= 0)
+      // spelling shuffled every (doc, gram) pair corpus-wide.
+      // r15: the declared ORDER BY moves below the kernel (SortedBy on
+      // the raw (doc_id, text) rows), so the sort's range sampler no
+      // longer runs word_shingles + the bloom/exact probes twice; the
+      // n_bloom filter is per-row and order-preserving post-sort.
+      graft.operators.SortedBy(
+          Tables.table(s, dir, "documents")
+            .filter(col("doc_id") % 100 =!= 0)
+            .select(col("doc_id"), col("text")),
+          col("doc_id"))
         .withColumn("st", call_function("bloom_doc_stats",
-          col("grams"), typedLit(words.toSeq), typedLit(refGrams)))
+          expr("word_shingles(text, 4)"), typedLit(words.toSeq), typedLit(refGrams)))
         .select(col("doc_id"), col("st.n_grams").as("n_grams"),
           col("st.n_bloom").as("n_bloom"), col("st.n_exact").as("n_exact"))
         .filter(col("n_bloom") > 0)
-        .orderBy("doc_id")
     })
 
   private val bloomRefCache =
