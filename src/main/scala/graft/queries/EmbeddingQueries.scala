@@ -1311,19 +1311,23 @@ object EmbeddingQueries extends QuerySet {
            |              sqrt(list_aggregate(list_transform(recon, x -> x * x), 'sum'))), 6)
            |         AS recon_cos
            |FROM r ORDER BY vec_id""".stripMargin),
-    (s, dir) => {
-      val e = graft.operators.Parallelize.ensure(
+    // r15: the declared ORDER BY moves BELOW the digest kernel
+    // (SortedBy on vec_id over the raw vectors — the pinned range
+    // exchange also replaces Parallelize.ensure), so the sort's range
+    // sampler no longer runs quantize_u8 a second time, and no
+    // post-kernel sort exists at all (the per-row projection + filter
+    // preserve the range order).
+    (s, dir) => graft.operators.SortedBy(
         Tables.table(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
-      e.withColumn("d", expr("quantize_u8(v)"))
-        .filter(col("d").isNotNull) // == the oracle's WHERE hi > lo
-        .select(col("vec_id"),
-          round(col("d.qmin"), 6).as("qmin"),
-          round(col("d.qmax"), 6).as("qmax"),
-          col("d.qsum").as("qsum"),
-          round(col("d.recon_cos"), 6).as("recon_cos"))
-        .orderBy("vec_id")
-    })
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+        col("vec_id"))
+      .withColumn("d", expr("quantize_u8(v)"))
+      .filter(col("d").isNotNull) // == the oracle's WHERE hi > lo
+      .select(col("vec_id"),
+        round(col("d.qmin"), 6).as("qmin"),
+        round(col("d.qmax"), 6).as("qmax"),
+        col("d.qsum").as("qsum"),
+        round(col("d.recon_cos"), 6).as("recon_cos")))
 
   // ---- per-label centroids ----------------------------------------------
   // Vector aggregation: element-wise mean per label (classifier
@@ -1732,7 +1736,6 @@ object EmbeddingQueries extends QuerySet {
            |  FROM e CROSS JOIN sg)
            |SELECT vec_id, d, x FROM p ORDER BY vec_id, d""".stripMargin),
     (s, dir) => {
-      val e = withNorm(s, dir)
       val signs = jlSigns
       val projCols = (0 until JlOutDims).map(d =>
         round(call_function("dot_f64", col("v"),
@@ -1741,9 +1744,16 @@ object EmbeddingQueries extends QuerySet {
       // driver's pandas comparator cannot sort nested cells (the
       // t1_types_roundtrip convention), and plain doubles hash cleanly.
       // posexplode is a Generate — still zero exchanges over the corpus.
-      e.select(col("vec_id"), posexplode(array(projCols: _*)).as(Seq("d", "x")))
+      // r15: the declared ORDER BY moves BELOW the 16-dot projection
+      // (SortedBy on vec_id over the raw vectors), and no post-kernel
+      // sort remains: vectors arrive range-ordered and posexplode
+      // emits d ascending per row — already the declared (vec_id, d).
+      graft.operators.SortedBy(
+          Tables.table(s, dir, "embeddings")
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+          col("vec_id"))
+        .select(col("vec_id"), posexplode(array(projCols: _*)).as(Seq("d", "x")))
         .select(col("vec_id"), col("d").cast("long").as("d"), col("x"))
-        .orderBy("vec_id", "d")
     })
 
   // ---- IVF-PQ asymmetric-distance search ---------------------------------
@@ -2681,7 +2691,14 @@ object EmbeddingQueries extends QuerySet {
       val vr = iterates.last.map(_ / 1000000.0)
       val dims = 0 until JlInDims
       val xc = array(dims.map(d => col("v").getItem(d) - lit(mu(d))): _*)
-      withNorm(s, dir)
+      // r15: sort below the projection (SortedBy on the raw vectors) —
+      // the declared sort's sampler no longer runs the centering + two
+      // dot kernels twice, and the per-row projection preserves the
+      // range order, so no post-kernel sort remains.
+      graft.operators.SortedBy(
+          Tables.table(s, dir, "embeddings")
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+          col("vec_id"))
         .select(col("vec_id"), xc.as("xc"))
         .withColumn("s", call_function("dot_f64", col("xc"), array(vr.map(lit): _*)))
         .withColumn("x2", call_function("dot_f64", col("xc"), col("xc")))
@@ -2689,7 +2706,6 @@ object EmbeddingQueries extends QuerySet {
           round(col("s") * lit(1000000.0), 0).cast("long").as("coord_u6"),
           round((col("x2") - col("s") * col("s")) * lit(1000000.0), 0)
             .cast("long").as("resid2_u6"))
-        .orderBy("vec_id")
     })
 
   // ---- PCA second component by deflation ---------------------------------
@@ -2820,10 +2836,18 @@ object EmbeddingQueries extends QuerySet {
       |SELECT vec_id, lo, hi,
       |       CAST(bit_count(lo) + bit_count(hi) AS INTEGER) AS nbits
       |FROM b ORDER BY vec_id""".stripMargin),
-    (s, dir) => binCoded(s, dir)
+    // r15: sort below the bit fold (SortedBy on the raw vectors) — the
+    // declared sort's sampler no longer packs the sign bits twice; the
+    // per-row projection preserves the range order, so no post-kernel
+    // sort remains. (binCoded stays as-is for the rerank consumers.)
+    (s, dir) => graft.operators.SortedBy(
+        Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+        col("vec_id"))
+      .withColumn("lo", binWord(col("v"), 0))
+      .withColumn("hi", binWord(col("v"), 32))
       .select(col("vec_id"), col("lo"), col("hi"),
-        (expr("bit_count(lo)") + expr("bit_count(hi)")).cast("int").as("nbits"))
-      .orderBy("vec_id"))
+        (expr("bit_count(lo)") + expr("bit_count(hi)")).cast("int").as("nbits")))
 
   // Two-stage binary search: Hamming shortlist + exact re-rank — the
   // deployment form of binary quantization (the sign codes are a
