@@ -87,6 +87,14 @@ object MultimodalQueries extends QuerySet {
            |  length(frames[1])::BIGINT AS f0_len,
            |  md5(frames[1]) AS f0_md5
            |FROM f ORDER BY doc_id""".stripMargin),
+    // r15, measured and kept AS-IS: sort-below-projection (the codec
+    // family fix) was A/B'd here and lost (0.22 s → 0.27 s) — the
+    // frame slicing is cheap substring arithmetic, so sorting first
+    // ships the full text through the range exchange to save a
+    // projection that costs less than the extra bytes. The sort-first
+    // trade only pays when the projection is expensive relative to
+    // shipping its inputs; here the declared sort over the narrow
+    // digest rows is already the right shape.
     (s, dir) => {
       val media = Multimodal.mediaFromText(
         Tables.table(s, dir, "documents")
